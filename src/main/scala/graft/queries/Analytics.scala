@@ -1,0 +1,546 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Relational analytics pack (SURVEY.md §2.B) — TPC-H-shaped operator
+  * coverage over the driver tables. Every query is declarative
+  * DataFrame API (Catalyst handles pushdown/pruning/join selection);
+  * broadcast hints mark genuinely dim-sized sides so the same plan
+  * survives a 100 TB fact table.
+  */
+object Analytics extends QueryPack {
+
+  // -- shared literals -------------------------------------------------
+  private val ShipCut = "1998-09-02 00:00:00"
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit(ShipCut).cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          sum(col("l_extendedprice")).as("sum_base_price"),
+          sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+          avg(col("l_quantity")).as("avg_qty"),
+          avg(col("l_extendedprice")).as("avg_price"),
+          avg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    "q2_filter_project" -> { (s, d) =>
+      // Filter + 2-col projection: both must reach the parquet scan
+      // (PushedFilters / pruned ReadSchema).
+      Tables.lineitem(s, d)
+        .filter(col("l_quantity") > 45.0 && col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_extendedprice"))
+        .orderBy(col("l_orderkey"), col("l_extendedprice"))
+    },
+
+    "q3_join_agg" -> { (s, d) =>
+      val cut = lit("1997-01-01 00:00:00").cast("timestamp")
+      val cust = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val ord = Tables.orders(s, d).filter(col("o_orderdate") < cut)
+      val li = Tables.lineitem(s, d).filter(col("l_shipdate") > cut)
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .select(col("l_orderkey"), to_date(col("o_orderdate")).as("o_date"), col("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+
+    "q4_broadcast_join" -> { (s, d) =>
+      // part is dim-sized at any SF ratio → explicit broadcast kills the
+      // shuffle on the fact side.
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_type"))
+        .agg(
+          sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("p_type"))
+    },
+
+    "q5_multi_join" -> { (s, d) =>
+      val lo = lit("1996-01-01 00:00:00").cast("timestamp")
+      val hi = lit("1998-01-01 00:00:00").cast("timestamp")
+      val region = Tables.region(s, d).filter(col("r_name") === "EUROPE")
+      val nation = Tables.nation(s, d)
+      val cust = Tables.customer(s, d)
+      val supp = Tables.supplier(s, d)
+      val ord = Tables.orders(s, d).filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      val li = Tables.lineitem(s, d)
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+
+    "q6_selective_agg" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01 00:00:00").cast("timestamp") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24.0)
+        .agg(sum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+          count(lit(1)).as("n_rows"))
+    },
+
+    "q7_topk" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(15)
+    },
+
+    "q8_window_rank" -> { (s, d) =>
+      val w = Window.partitionBy(col("s_nationkey"))
+        .orderBy(col("s_acctbal").desc, col("s_suppkey"))
+      Tables.supplier(s, d)
+        .withColumn("rk", rank().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("s_nationkey"), col("s_suppkey"), col("s_name"), col("s_acctbal"), col("rk"))
+        .orderBy(col("s_nationkey"), col("rk"), col("s_suppkey"))
+    },
+
+    "q9_window_running" -> { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d)
+        .withColumn("running_spend", sum(col("o_totalprice")).over(w))
+        .select(col("o_custkey"), col("o_orderkey"), col("running_spend"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+
+    "q10_semi_join" -> { (s, d) =>
+      val urgent = Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+      Tables.customer(s, d)
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    },
+
+    "q11_anti_join" -> { (s, d) =>
+      val urgent = Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+      Tables.customer(s, d)
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        .orderBy(col("c_custkey"))
+    },
+
+    "q12_distinct_agg" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    "q13_rollup" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_rows"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("sum_qty"), col("n_rows"))
+        .orderBy(col("flag"), col("status"))
+    },
+
+    "q14_case_agg" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .agg(
+          (sum(when(col("p_type") === "PROMO",
+            col("l_extendedprice") * (lit(1.0) - col("l_discount"))).otherwise(0.0)) * 100.0 /
+            sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("promo_pct"))
+    },
+
+    "q15_string_funcs" -> { (s, d) =>
+      Tables.part(s, d)
+        .filter(col("p_name").like("%widget%"))
+        .select(
+          col("p_partkey"),
+          upper(col("p_name")).as("uname"),
+          substring(col("p_name"), 1, 5).as("prefix"),
+          regexp_extract(col("p_brand"), "#(\\d+)", 1).cast("int").as("brand_num"),
+          length(col("p_name")).as("name_len"))
+        .orderBy(col("p_partkey"))
+    },
+
+    "q16_date_funcs" -> { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(trunc(col("o_orderdate"), "month").as("month"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("o_totalprice")).as("total"))
+        .withColumn("yr", year(col("month")))
+        .withColumn("mth", month(col("month")))
+        .select(col("month"), col("yr"), col("mth"), col("n_orders"), col("total"))
+        .orderBy(col("month"))
+    },
+
+    "q17_subquery_agg" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val partF = Tables.part(s, d).filter(col("p_brand") === "Brand#13")
+      val avgQ = li.groupBy(col("l_partkey").as("ap_partkey"))
+        .agg((avg(col("l_quantity")) * 0.5).as("half_avg_qty"))
+      li.join(broadcast(partF), col("l_partkey") === col("p_partkey"))
+        .join(avgQ, col("l_partkey") === col("ap_partkey"))
+        .filter(col("l_quantity") < col("half_avg_qty"))
+        .agg((sum(col("l_extendedprice")) / 7.0).as("avg_yearly"),
+          count(lit(1)).as("n_rows"))
+    },
+
+    "q18_having" -> { (s, d) =>
+      val big = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("sum_qty"))
+        .filter(col("sum_qty") > 150.0)
+      big.join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          to_date(col("o_orderdate")).as("o_date"), col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20)
+    },
+
+    "q19_union_all" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val hiQty = li.filter(col("l_quantity") >= 48.0)
+        .select(col("l_orderkey"), col("l_extendedprice"), lit("hi_qty").as("bucket"))
+      val hiDisc = li.filter(col("l_discount") >= 0.09)
+        .select(col("l_orderkey"), col("l_extendedprice"), lit("hi_disc").as("bucket"))
+      hiQty.unionAll(hiDisc)
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("l_extendedprice")).as("total_price"))
+        .orderBy(col("bucket"))
+    },
+
+    "q20_pivot" -> { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .count()
+        .na.fill(0L, Seq("F", "O", "P"))
+        .withColumnRenamed("F", "n_f")
+        .withColumnRenamed("O", "n_o")
+        .withColumnRenamed("P", "n_p")
+        .orderBy(col("o_orderpriority"))
+    },
+
+    "q21_percentiles" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_extendedprice, 0.5)").as("p50"),
+          expr("percentile(l_extendedprice, 0.9)").as("p90"),
+          expr("percentile(l_extendedprice, 0.99)").as("p99"),
+          min(col("l_extendedprice")).as("pmin"),
+          max(col("l_extendedprice")).as("pmax"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    "q22_histogram" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .select((floor(col("l_extendedprice") / 10000.0)).cast("long").as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_rows"))
+        .orderBy(col("bucket"))
+    },
+
+    "q23_asof_join" -> { (s, d) =>
+      // As-of join: for each purchase event, the most recent click by
+      // the same user at-or-before its timestamp. Spark-first plan: tag
+      // + union + one shuffle on user_id + last(ignoreNulls) window —
+      // no per-row subquery, partition-local after the single shuffle.
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), lit(0).as("tag"),
+          col("event_id"), unix_micros(col("ts")).as("click_us"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), lit(1).as("tag"),
+          col("event_id"), lit(null).cast("long").as("click_us"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("tag"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      clicks.unionAll(purchases)
+        .withColumn("prev_click_us", last(col("click_us"), ignoreNulls = true).over(w))
+        .filter(col("tag") === 1 && col("prev_click_us").isNotNull)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("prev_click_us"),
+          (unix_micros(col("ts")) - col("prev_click_us")).as("gap_us"))
+        .orderBy(col("event_id"))
+    },
+
+    "q24_range_join" -> { (s, d) =>
+      // Purchases within 5 minutes after a click by the same user.
+      // Banded join: pair candidate 5-min buckets (b, b+1) so the join
+      // key is (user_id, bucket) — bounded fan-out instead of a per-user
+      // cross product; survives skewed users at scale.
+      val bandUs = 300000000L // 5 min in micros
+      val ev = Tables.events(s, d).withColumn("us", unix_micros(col("ts")))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), col("us").as("click_us"),
+          explode(array((col("us") / bandUs).cast("long"),
+            (col("us") / bandUs).cast("long") + 1)).as("bucket"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+          col("us").as("purchase_us"),
+          (col("us") / bandUs).cast("long").as("p_bucket"))
+      clicks.join(purchases,
+          col("user_id") === col("p_user_id") && col("bucket") === col("p_bucket") &&
+          col("purchase_us") > col("click_us") &&
+          col("purchase_us") <= col("click_us") + bandUs)
+        .select(col("user_id"), col("click_id"), col("purchase_id"),
+          (col("purchase_us") - col("click_us")).as("gap_us"))
+        .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+    }
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q1_agg" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  sum(l_quantity) AS sum_qty,
+         |  sum(l_extendedprice) AS sum_base_price,
+         |  sum(l_extendedprice * (1.0 - l_discount)) AS sum_disc_price,
+         |  sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)) AS sum_charge,
+         |  avg(l_quantity) AS avg_qty,
+         |  avg(l_extendedprice) AS avg_price,
+         |  avg(l_discount) AS avg_disc,
+         |  count(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '$ShipCut'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q2_filter_project" ->
+      """SELECT l_orderkey, l_extendedprice
+        |FROM lineitem
+        |WHERE l_quantity > 45.0 AND l_returnflag = 'R'
+        |ORDER BY l_orderkey, l_extendedprice""".stripMargin,
+
+    "q3_join_agg" ->
+      """SELECT l_orderkey, o_orderdate::DATE AS o_date,
+        |  sum(l_extendedprice * (1.0 - l_discount)) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q4_broadcast_join" ->
+      """SELECT p_type,
+        |  sum(l_extendedprice * (1.0 - l_discount)) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_type
+        |ORDER BY p_type""".stripMargin,
+
+    "q5_multi_join" ->
+      """SELECT n_name,
+        |  sum(l_extendedprice * (1.0 - l_discount)) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'EUROPE'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q6_selective_agg" ->
+      """SELECT sum(l_extendedprice * l_discount) AS revenue,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24.0""".stripMargin,
+
+    "q7_topk" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  l_extendedprice * (1.0 - l_discount) AS revenue
+        |FROM lineitem
+        |ORDER BY revenue DESC, l_orderkey, l_linenumber
+        |LIMIT 15""".stripMargin,
+
+    "q8_window_rank" ->
+      """SELECT s_nationkey, s_suppkey, s_name, s_acctbal, rk FROM (
+        |  SELECT s_nationkey, s_suppkey, s_name, s_acctbal,
+        |    rank() OVER (PARTITION BY s_nationkey
+        |                 ORDER BY s_acctbal DESC, s_suppkey) AS rk
+        |  FROM supplier) t
+        |WHERE rk <= 3
+        |ORDER BY s_nationkey, rk, s_suppkey""".stripMargin,
+
+    "q9_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |  sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_spend
+        |FROM orders
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q10_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q11_anti_join" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q12_distinct_agg" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_orderkey) AS n_orders,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q13_rollup" ->
+      """SELECT
+        |  coalesce(l_returnflag, 'ALL') AS flag,
+        |  coalesce(l_linestatus, 'ALL') AS status,
+        |  sum(l_quantity) AS sum_qty,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY flag, status""".stripMargin,
+
+    "q14_case_agg" ->
+      """SELECT
+        |  sum(CASE WHEN p_type = 'PROMO'
+        |      THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END) * 100.0 /
+        |  sum(l_extendedprice * (1.0 - l_discount)) AS promo_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin,
+
+    "q15_string_funcs" ->
+      """SELECT p_partkey,
+        |  upper(p_name) AS uname,
+        |  substring(p_name, 1, 5) AS prefix,
+        |  CAST(regexp_extract(p_brand, '#(\d+)', 1) AS INTEGER) AS brand_num,
+        |  CAST(length(p_name) AS INTEGER) AS name_len
+        |FROM part
+        |WHERE p_name LIKE '%widget%'
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q16_date_funcs" ->
+      """SELECT date_trunc('month', o_orderdate)::DATE AS month,
+        |  CAST(extract(year FROM o_orderdate) AS INTEGER) AS yr,
+        |  CAST(extract(month FROM o_orderdate) AS INTEGER) AS mth,
+        |  count(*) AS n_orders,
+        |  sum(o_totalprice) AS total
+        |FROM orders
+        |GROUP BY 1, 2, 3
+        |ORDER BY month""".stripMargin,
+
+    "q17_subquery_agg" ->
+      """SELECT sum(l_extendedprice) / 7.0 AS avg_yearly,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN (SELECT l_partkey AS ap_partkey, avg(l_quantity) * 0.5 AS half_avg_qty
+        |      FROM lineitem GROUP BY l_partkey) a ON l_partkey = ap_partkey
+        |WHERE p_brand = 'Brand#13' AND l_quantity < half_avg_qty""".stripMargin,
+
+    "q18_having" ->
+      """SELECT c_custkey, c_name, o_orderkey, o_orderdate::DATE AS o_date,
+        |  o_totalprice, sum_qty
+        |FROM (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+        |      FROM lineitem GROUP BY l_orderkey
+        |      HAVING sum(l_quantity) > 150.0) b
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 20""".stripMargin,
+
+    "q19_union_all" ->
+      """SELECT bucket, count(*) AS n_rows, sum(l_extendedprice) AS total_price
+        |FROM (
+        |  SELECT l_orderkey, l_extendedprice, 'hi_qty' AS bucket
+        |  FROM lineitem WHERE l_quantity >= 48.0
+        |  UNION ALL
+        |  SELECT l_orderkey, l_extendedprice, 'hi_disc' AS bucket
+        |  FROM lineitem WHERE l_discount >= 0.09) u
+        |GROUP BY bucket
+        |ORDER BY bucket""".stripMargin,
+
+    "q20_pivot" ->
+      """SELECT o_orderpriority,
+        |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+        |  count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+        |  count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q21_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_extendedprice, 0.5) AS p50,
+        |  quantile_cont(l_extendedprice, 0.9) AS p90,
+        |  quantile_cont(l_extendedprice, 0.99) AS p99,
+        |  min(l_extendedprice) AS pmin,
+        |  max(l_extendedprice) AS pmax
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q22_histogram" ->
+      """SELECT CAST(floor(l_extendedprice / 10000.0) AS BIGINT) AS bucket,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY 1
+        |ORDER BY bucket""".stripMargin,
+
+    "q23_asof_join" ->
+      """SELECT p.event_id, p.user_id,
+        |  epoch_us(p.ts) AS ts_us,
+        |  epoch_us(c.ts) AS prev_click_us,
+        |  epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        |FROM (SELECT event_id, user_id, ts::TIMESTAMP AS ts FROM events
+        |      WHERE event_type = 'purchase') p
+        |ASOF JOIN (SELECT event_id, user_id, ts::TIMESTAMP AS ts FROM events
+        |           WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
+
+    "q24_range_join" ->
+      """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+        |  epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        |FROM (SELECT event_id, user_id, ts::TIMESTAMP AS ts FROM events
+        |      WHERE event_type = 'click') c
+        |JOIN (SELECT event_id, user_id, ts::TIMESTAMP AS ts FROM events
+        |      WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id
+        | AND epoch_us(p.ts) > epoch_us(c.ts)
+        | AND epoch_us(p.ts) <= epoch_us(c.ts) + 300000000
+        |ORDER BY c.user_id, click_id, purchase_id""".stripMargin
+  )
+}
