@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.Portable
+
+/** The reference's message model re-expressed as columns
+  * (reference: marshaller.go:16-24, publisher.go:62-86,
+  * subscriber.go:50-73).
+  *
+  * A Watermill message = UUID + payload bytes + string metadata; on
+  * the wire it's a JSON envelope {watermill_message_uuid, data
+  * (base64), headers} routed by partition key. Here a *DataFrame of
+  * messages* is the unit of work — the Spark-native analog of the
+  * reference's per-record loop — so marshalling is `to_json` over
+  * codegen'd columns and shard routing is a hash expression, both of
+  * which scale to 100 TB without a UDF in the hot path.
+  */
+object Envelope {
+  /** Kinesis-style shard count for the batch operators. */
+  val NumShards = 8
+
+  /** events table → message-shaped DataFrame:
+    * uuid (from event_id), partition_key (from user_id), payload
+    * (props bytes), header columns, arrival ts.
+    */
+  def messages(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(
+      col("event_id"),
+      col("event_id").cast("string").as("uuid"),
+      col("user_id").cast("string").as("partition_key"),
+      col("props").cast("binary").as("payload"),
+      col("event_type"),
+      col("value"),
+      col("ts"))
+
+  /** Marshalled JSON envelope (reference marshaller.go:44-70): the
+    * payload travels base64'd, headers as a nested object. Field
+    * order is fixed by the struct, so output is byte-stable.
+    */
+  def marshalled(msgs: DataFrame): Column =
+    to_json(struct(
+      col("uuid").as("watermill_message_uuid"),
+      base64(col("payload")).as("data"),
+      struct(col("event_type").as("eventType")).as("headers")))
+
+  /** Partition-key → shard routing (Kinesis hashes MD5(partitionKey)
+    * into a shard's hash-key range; publisher.go:80). md5-derived so
+    * the oracle reproduces it exactly.
+    */
+  def shardId(partitionKey: Column, nShards: Int = NumShards): Column =
+    pmod(Portable.hash60(partitionKey), lit(nShards.toLong))
+
+  /** Per-shard monotone sequence numbers (arrival order within a
+    * shard — the ordering KCL guarantees, subscriber.go:50-66).
+    * One shuffle on shard_id; within a 1000-executor cluster each
+    * shard's sequence forms locally after that shuffle.
+    */
+  def withShardSeq(msgs: DataFrame, nShards: Int = NumShards): DataFrame = {
+    val w = Window.partitionBy(col("shard_id")).orderBy(col("ts"), col("event_id"))
+    msgs.withColumn("shard_id", shardId(col("partition_key"), nShards))
+      .withColumn("seq", row_number().over(w).cast("long"))
+  }
+}

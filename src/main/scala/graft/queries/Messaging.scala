@@ -1,0 +1,281 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.operators.Envelope
+
+/** Messaging core (SURVEY.md §2.A) — the reference's pub/sub
+  * semantics re-expressed as set operations over the events table.
+  * Streaming-only behaviors (live checkpointing, ack/nack state) are
+  * covered by graft.streaming + ScalaTest; everything here is the
+  * batch-verifiable contract.
+  */
+object Messaging extends QueryPack {
+
+  /** Shared oracle prelude: events with ns→µs-truncated ts, matching
+    * graft.Tables.events. */
+  private val Ev =
+    "SELECT event_id, user_id, event_type, value, props, ts::TIMESTAMP AS ts FROM events"
+
+  /** DuckDB mirror of Portable.hash60 / Envelope.shardId. */
+  private def shardSql(expr: String) =
+    s"('0x' || substring(md5($expr), 1, 15))::BIGINT % 8"
+
+  private val Rfc3339 = "%Y-%m-%dT%H:%M:%SZ"
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // marshaller.go:44-70 JSONMarshaller: message → JSON envelope.
+    "m1_marshal" -> { (s, d) =>
+      val msgs = Envelope.messages(s, d)
+      msgs.select(col("event_id"), Envelope.marshalled(msgs).as("envelope"))
+        .orderBy(col("event_id"))
+    },
+
+    // marshaller.go:26-52 JSONUnmarshaller: envelope → message with
+    // injected metadata (partitionKey, approximateArrivalTimestamp).
+    // Round-trips m1's envelope through from_json/unbase64; the
+    // oracle is the identity reconstruction, so any lossiness fails.
+    "m2_unmarshal" -> { (s, d) =>
+      val msgs = Envelope.messages(s, d)
+      val schema = "watermill_message_uuid STRING, data STRING, headers STRUCT<eventType: STRING>"
+      msgs.select(col("event_id"), col("partition_key"), col("ts"),
+          from_json(Envelope.marshalled(msgs), schema, Map.empty[String, String]).as("env"))
+        .select(
+          col("event_id"),
+          col("env.watermill_message_uuid").as("uuid"),
+          col("partition_key"),
+          unbase64(col("env.data")).cast("string").as("payload_str"),
+          col("env.headers.eventType").as("header_event_type"),
+          date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("arrival"))
+        .orderBy(col("event_id"))
+    },
+
+    // Kinesis MD5 partition-key → shard routing (publisher.go:80).
+    "m3_shard_assign" -> { (s, d) =>
+      Envelope.messages(s, d)
+        .select(col("event_id"), col("partition_key"),
+          Envelope.shardId(col("partition_key")).as("shard_id"))
+        .orderBy(col("event_id"))
+    },
+
+    // publisher.go:62-66: PutRecords batches capped at 500 records.
+    // Batch formation = per-shard sequence div 500.
+    "m4_publish_batches" -> { (s, d) =>
+      Envelope.withShardSeq(Envelope.messages(s, d))
+        .withColumn("batch_id", ((col("seq") - 1L) / 500L).cast("long"))
+        .groupBy(col("shard_id"), col("batch_id"))
+        .agg(count(lit(1)).as("n_records"),
+          min(col("seq")).as("min_seq"), max(col("seq")).as("max_seq"))
+        .orderBy(col("shard_id"), col("batch_id"))
+    },
+
+    // subscriber.go:50-66: ordered per-shard delivery — monotone
+    // sequence numbers per shard in arrival order.
+    "m5_per_shard_order" -> { (s, d) =>
+      Envelope.withShardSeq(Envelope.messages(s, d))
+        .select(col("event_id"), col("shard_id"), col("seq"))
+        .orderBy(col("shard_id"), col("seq"))
+    },
+
+    // subscriber.go:66-73 Checkpointer.Checkpoint(seq): resume =
+    // deliver only messages past each shard's last checkpoint (here:
+    // the highest seq seen before the cutover instant).
+    "m6_checkpoint_resume" -> { (s, d) =>
+      val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+      val seqd = Envelope.withShardSeq(Envelope.messages(s, d))
+      val ckpt = seqd.groupBy(col("shard_id").as("c_shard"))
+        .agg(max(when(col("ts") < cut, col("seq"))).as("ckpt_seq"))
+      seqd.join(ckpt, col("shard_id") === col("c_shard"), "left")
+        .filter(col("seq") > coalesce(col("ckpt_seq"), lit(0L)))
+        .groupBy(col("shard_id"))
+        .agg(count(lit(1)).as("n_pending"),
+          min(col("seq")).as("first_pending_seq"),
+          max(col("seq")).as("last_pending_seq"))
+        .orderBy(col("shard_id"))
+    },
+
+    // subscriber/subscriber.go:79-96: nack ⇒ redelivery ⇒ at-least-
+    // once. Downstream exactly-once = first-delivery-wins dedup on
+    // message UUID (map-side combine; shuffles 1 row per uuid).
+    "m7_redelivery_dedup" -> { (s, d) =>
+      val msgs = Envelope.messages(s, d)
+      val redelivered = msgs.filter(col("event_id") % 7 === 0)
+        .withColumn("ts", col("ts") + expr("INTERVAL 1 SECOND"))
+      val deliveries = msgs.unionAll(redelivered)
+      deliveries.groupBy(col("uuid"))
+        .agg(min(col("ts")).as("first_ts"), count(lit(1)).as("n_deliveries"),
+          first(col("event_type")).as("event_type"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_unique"),
+          sum(col("n_deliveries")).as("n_deliveries"))
+        .orderBy(col("event_type"))
+    },
+
+    // KCL lease balancing (example/cmd/subscribe/main.go:36-38):
+    // deterministic shard→worker assignment + per-worker load.
+    "m8_lease_assign" -> { (s, d) =>
+      Envelope.withShardSeq(Envelope.messages(s, d))
+        .withColumn("worker_id", pmod(col("shard_id"), lit(3L)))
+        .groupBy(col("worker_id"))
+        .agg(countDistinct(col("shard_id")).as("n_shards"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("worker_id"))
+    },
+
+    // Consumer-side tumbling-window aggregation (Structured
+    // Streaming idiom; batch-verifiable via window arithmetic).
+    "m9_tumbling_window" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+        .select(unix_micros(col("w.start")).as("ws_us"), col("event_type"),
+          col("n"), col("sum_value"))
+        .orderBy(col("ws_us"), col("event_type"))
+    },
+
+    // Consumer-side sessionization: 30-min-gap sessions per user.
+    "m10_session_window" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+        .select(col("user_id"), unix_micros(col("sw.start")).as("session_start_us"),
+          col("n_events"), col("sum_value"))
+        .orderBy(col("user_id"), col("session_start_us"))
+    },
+
+    // Stream-static enrichment: events joined to a broadcast dim
+    // (the subscribe example's "enrich then process" loop).
+    "m11_stream_enrich" -> { (s, d) =>
+      Tables.events(s, d)
+        .join(broadcast(Tables.customer(s, d)), col("user_id") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("c_mktsegment"))
+    }
+  )
+
+  def oracle: Map[String, String] = Map(
+    "m1_marshal" ->
+      s"""SELECT event_id,
+         |  to_json(struct_pack(
+         |    watermill_message_uuid := event_id::VARCHAR,
+         |    data := base64(props::BLOB),
+         |    headers := struct_pack(eventType := event_type))) AS envelope
+         |FROM ($Ev) e
+         |ORDER BY event_id""".stripMargin,
+
+    "m2_unmarshal" ->
+      s"""SELECT event_id,
+         |  event_id::VARCHAR AS uuid,
+         |  user_id::VARCHAR AS partition_key,
+         |  props AS payload_str,
+         |  event_type AS header_event_type,
+         |  strftime(ts, '$Rfc3339') AS arrival
+         |FROM ($Ev) e
+         |ORDER BY event_id""".stripMargin,
+
+    "m3_shard_assign" ->
+      s"""SELECT event_id, user_id::VARCHAR AS partition_key,
+         |  ${shardSql("user_id::VARCHAR")} AS shard_id
+         |FROM ($Ev) e
+         |ORDER BY event_id""".stripMargin,
+
+    "m4_publish_batches" ->
+      s"""WITH seqd AS (
+         |  SELECT ${shardSql("user_id::VARCHAR")} AS shard_id,
+         |    row_number() OVER (PARTITION BY ${shardSql("user_id::VARCHAR")}
+         |                       ORDER BY ts, event_id) AS seq
+         |  FROM ($Ev) e)
+         |SELECT shard_id, CAST((seq - 1) // 500 AS BIGINT) AS batch_id,
+         |  count(*) AS n_records,
+         |  CAST(min(seq) AS BIGINT) AS min_seq, CAST(max(seq) AS BIGINT) AS max_seq
+         |FROM seqd
+         |GROUP BY 1, 2
+         |ORDER BY shard_id, batch_id""".stripMargin,
+
+    "m5_per_shard_order" ->
+      s"""SELECT event_id, shard_id, CAST(seq AS BIGINT) AS seq FROM (
+         |  SELECT event_id, ${shardSql("user_id::VARCHAR")} AS shard_id,
+         |    row_number() OVER (PARTITION BY ${shardSql("user_id::VARCHAR")}
+         |                       ORDER BY ts, event_id) AS seq
+         |  FROM ($Ev) e) t
+         |ORDER BY shard_id, seq""".stripMargin,
+
+    "m6_checkpoint_resume" ->
+      s"""WITH seqd AS (
+         |  SELECT event_id, ts, ${shardSql("user_id::VARCHAR")} AS shard_id,
+         |    row_number() OVER (PARTITION BY ${shardSql("user_id::VARCHAR")}
+         |                       ORDER BY ts, event_id) AS seq
+         |  FROM ($Ev) e),
+         |ckpt AS (
+         |  SELECT shard_id AS c_shard,
+         |    max(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN seq END) AS ckpt_seq
+         |  FROM seqd GROUP BY 1)
+         |SELECT shard_id, count(*) AS n_pending,
+         |  CAST(min(seq) AS BIGINT) AS first_pending_seq,
+         |  CAST(max(seq) AS BIGINT) AS last_pending_seq
+         |FROM seqd LEFT JOIN ckpt ON shard_id = c_shard
+         |WHERE seq > coalesce(ckpt_seq, 0)
+         |GROUP BY shard_id
+         |ORDER BY shard_id""".stripMargin,
+
+    "m7_redelivery_dedup" ->
+      s"""WITH deliveries AS (
+         |  SELECT event_id::VARCHAR AS uuid, ts, event_type FROM ($Ev) e
+         |  UNION ALL
+         |  SELECT event_id::VARCHAR AS uuid, ts + INTERVAL 1 SECOND AS ts, event_type
+         |  FROM ($Ev) e WHERE event_id % 7 = 0),
+         |uniq AS (
+         |  SELECT uuid, min(ts) AS first_ts, count(*) AS n_del,
+         |    min(event_type) AS event_type
+         |  FROM deliveries GROUP BY uuid)
+         |SELECT event_type, count(*) AS n_unique,
+         |  CAST(sum(n_del) AS BIGINT) AS n_deliveries
+         |FROM uniq
+         |GROUP BY event_type
+         |ORDER BY event_type""".stripMargin,
+
+    "m8_lease_assign" ->
+      s"""SELECT shard_id % 3 AS worker_id,
+         |  count(DISTINCT shard_id) AS n_shards, count(*) AS n_events
+         |FROM (SELECT ${shardSql("user_id::VARCHAR")} AS shard_id FROM ($Ev) e) t
+         |GROUP BY 1
+         |ORDER BY worker_id""".stripMargin,
+
+    "m9_tumbling_window" ->
+      s"""SELECT (epoch_us(ts) // 300000000) * 300000000 AS ws_us, event_type,
+         |  count(*) AS n, sum(value) AS sum_value
+         |FROM ($Ev) e
+         |GROUP BY 1, 2
+         |ORDER BY ws_us, event_type""".stripMargin,
+
+    "m10_session_window" ->
+      s"""WITH marked AS (
+         |  SELECT user_id, ts, value,
+         |    CASE WHEN lag(ts) OVER w IS NULL
+         |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+         |         THEN 1 ELSE 0 END AS new_session
+         |  FROM ($Ev) e
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         |sessions AS (
+         |  SELECT user_id, ts, value,
+         |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         |  FROM marked)
+         |SELECT user_id, epoch_us(min(ts)) AS session_start_us,
+         |  count(*) AS n_events, sum(value) AS sum_value
+         |FROM sessions
+         |GROUP BY user_id, sid
+         |ORDER BY user_id, session_start_us""".stripMargin,
+
+    "m11_stream_enrich" ->
+      s"""SELECT c_mktsegment, count(*) AS n_events, sum(value) AS sum_value,
+         |  count(DISTINCT user_id) AS n_users
+         |FROM ($Ev) e JOIN customer ON user_id = c_custkey
+         |GROUP BY c_mktsegment
+         |ORDER BY c_mktsegment""".stripMargin
+  )
+}

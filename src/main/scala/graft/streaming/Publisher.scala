@@ -1,0 +1,35 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Envelope
+
+/** Spark-native Publisher (reference publisher.go).
+  *
+  * The reference's `Publish(topic, messages...)` marshals each message
+  * and ships ≤500-record `PutRecords` batches, routed by partition
+  * key. Here the "topic" is a parquet directory laid out by shard —
+  * `topicDir/shard_id=N/...` — and a publish call writes one batch of
+  * messages with their envelope, shard and per-shard sequence. The
+  * 500 cap becomes a property of the layout (`batch_id` groups of
+  * ≤500 consecutive seqs per shard) instead of a client-side error:
+  * at 100 TB the publisher is a distributed write, so the cap is
+  * enforced per-shard-partition, not per driver call.
+  */
+object Publisher {
+  val MaxBatch = 500 // publisher.go:14 maxMessages
+
+  /** Marshal + route + sequence + write one publish call's messages. */
+  def publish(msgs: DataFrame, topicDir: String, mode: String = "append"): Unit = {
+    val seqd = Envelope.withShardSeq(msgs)
+    seqd
+      .withColumn("envelope", Envelope.marshalled(seqd))
+      .withColumn("batch_id", ((col("seq") - 1L) / MaxBatch.toLong).cast("long"))
+      .select(col("shard_id"), col("batch_id"), col("seq"),
+        col("event_id"), col("uuid"), col("partition_key"),
+        col("envelope"), col("ts"))
+      .repartition(col("shard_id"))
+      .sortWithinPartitions(col("shard_id"), col("seq"))
+      .write.mode(mode).partitionBy("shard_id").parquet(topicDir)
+  }
+}

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.operators.Envelope
+import graft.streaming.{Publisher, Subscriber}
+
+/** The reference's live pub/sub behaviors (publisher batching,
+  * checkpointed resume, ack/nack redelivery) — things the batch
+  * DuckDB oracle can't observe.
+  */
+class StreamingSpec extends SparkSuite {
+
+  test("publish/subscribe roundtrip delivers every message once, shard-ordered") {
+    val topic = tempDir("topic")
+    val ckpt = tempDir("ckpt")
+    Publisher.publish(Envelope.messages(spark, sf), topic)
+
+    val q = Subscriber.drainToMemory(Subscriber.subscribe(spark, topic), "sub_rt", ckpt)
+    q.awaitTermination()
+
+    val got = spark.table("sub_rt")
+    assert(got.count() === 1000)
+    assert(got.select("uuid").distinct().count() === 1000)
+    // per-shard sequences are exactly 1..n (ordered, gap-free)
+    val bad = got.groupBy("shard_id")
+      .agg(count(lit(1)).as("n"), min("seq").as("lo"), max("seq").as("hi"))
+      .filter(col("lo") =!= 1L || col("hi") =!= col("n"))
+    assert(bad.count() === 0)
+  }
+
+  test("publisher enforces the 500-record batch cap per shard") {
+    val topic = tempDir("topic")
+    Publisher.publish(Envelope.messages(spark, sf), topic)
+    val sizes = spark.read.parquet(topic)
+      .groupBy("shard_id", "batch_id").count()
+    assert(sizes.filter(col("count") > Publisher.MaxBatch).count() === 0)
+    // batches are dense: batch k starts at seq k*500+1
+    val misaligned = spark.read.parquet(topic)
+      .groupBy("shard_id", "batch_id").agg(min("seq").as("lo"))
+      .filter(col("lo") =!= col("batch_id") * Publisher.MaxBatch + 1)
+    assert(misaligned.count() === 0)
+  }
+
+  test("checkpointed subscriber resumes after the last processed batch") {
+    val topic = tempDir("topic")
+    val ckpt = tempDir("ckpt")
+    val outDir = tempDir("processed")
+    val all = Envelope.messages(spark, sf)
+    Publisher.publish(all.filter(col("event_id") < 600), topic)
+
+    val q1 = Subscriber.drainToParquet(Subscriber.subscribe(spark, topic), outDir, ckpt)
+    q1.awaitTermination()
+    assert(spark.read.parquet(outDir).count() === 600)
+
+    // a second publish to the same topic, then a NEW query run off the
+    // SAME checkpoint: only the unseen messages flow (KCL resume),
+    // no reprocessing of the first 600.
+    Publisher.publish(all.filter(col("event_id") >= 600), topic)
+    val q2 = Subscriber.drainToParquet(Subscriber.subscribe(spark, topic), outDir, ckpt)
+    q2.awaitTermination()
+    val processed = spark.read.parquet(outDir)
+    assert(processed.count() === 1000)
+    assert(processed.select("uuid").distinct().count() === 1000)
+  }
+
+  test("ack/nack redelivery resolves with correct retry counts across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Subscriber.Delivery]
+    val resolved = Subscriber.resolveRetries(input.toDS())
+    val q = resolved.writeStream.outputMode("append")
+      .format("memory").queryName("retries").start()
+
+    // batch 1: a acked immediately; b nacked twice (state must persist)
+    input.addData(
+      Subscriber.Delivery("a", acked = true, attempt = 0),
+      Subscriber.Delivery("b", acked = false, attempt = 0),
+      Subscriber.Delivery("b", acked = false, attempt = 1))
+    q.processAllAvailable()
+    // batch 2: b finally acked after one more nack
+    input.addData(
+      Subscriber.Delivery("b", acked = false, attempt = 2),
+      Subscriber.Delivery("b", acked = true, attempt = 3))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("retries").as[Subscriber.Resolved].collect().sortBy(_.uuid)
+    assert(out.toSeq === Seq(Subscriber.Resolved("a", 0), Subscriber.Resolved("b", 3)))
+  }
+}
