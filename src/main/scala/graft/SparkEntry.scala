@@ -6,7 +6,8 @@ import graft.queries._
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
   /** All operator families (SURVEY.md §2). */
-  private def packs: Seq[QueryPack] = Seq(Analytics, Messaging)
+  private def packs: Seq[QueryPack] =
+    Seq(Analytics, Messaging, Dedup, TextOps, Similarity, Multimodal)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

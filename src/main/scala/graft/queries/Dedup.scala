@@ -1,0 +1,283 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Portable
+
+/** Deduplication family (SURVEY.md §2.C) — the training-data-pipeline
+  * operators over the documents table.
+  *
+  * The driver corpus has no natural duplicates (500 docs → 500
+  * distinct normalized hashes), so each operator unions in
+  * deterministic synthetic dupes (exact copies / perturbed copies)
+  * and must find exactly those — an observable, oracle-checkable
+  * contract instead of a vacuous 0-row result.
+  *
+  * Scale posture: everything shuffles digests or 16-component
+  * signatures, never full documents; candidate generation is
+  * LSH-bucketed (band join) so the pair space stays linear-ish in
+  * corpus size rather than O(n²).
+  */
+object Dedup extends QueryPack {
+
+  private val K = 16         // minhash signature components
+  private val Bands = 4      // LSH bands (4 rows each)
+  private val ShingleN = 3   // word shingle width
+
+  /** documents ∪ exact copies of every 10th doc (new ids ≥ 100000). */
+  private def withExactDupes(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    docs.unionAll(
+      docs.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 100000L))
+  }
+
+  /** documents ∪ lightly-perturbed copies of every 20th doc — near
+    * dupes with high (but not 1.0) shingle overlap. */
+  private def withNearDupes(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    docs.unionAll(
+      docs.filter(col("doc_id") % 20 === 0)
+        .withColumn("doc_id", col("doc_id") + 100000L)
+        .withColumn("text", concat(col("text"), lit(" extra tail words"))))
+  }
+  private val NearDupesSql =
+    """SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id, text || ' extra tail words' AS text
+      |  FROM documents WHERE doc_id % 20 = 0""".stripMargin
+
+  /** Spark-side minhash signature columns s0..s15 over shingles. */
+  private def sigCols: Seq[Column] =
+    (0 until K).map(i => Portable.minhash(col("sh"), i).as(s"s$i"))
+
+  /** DuckDB mirror of one minhash component. */
+  private def sigSql(i: Int) =
+    s"list_min(list_transform(sh, x -> md5('$i|' || x)))"
+
+  /** DuckDB mirror of Portable.shingles (words CTE `w` in scope). */
+  private val ShinglesSql =
+    s"""list_transform(
+       |  generate_series(1, greatest(len(w) - $ShingleN + 1, 0)),
+       |  i -> array_to_string(w[i:i+${ShingleN - 1}], ' '))""".stripMargin
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup: group by md5 of normalized text; shuffle 16-byte
+    // digests only. Survivor = min doc_id per group.
+    "d1_exact_dedup" -> { (s, d) =>
+      withExactDupes(s, d)
+        .select(col("doc_id"), Portable.md5hex(Portable.normText(col("text"))).as("h"))
+        .groupBy(col("h"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .filter(col("n_copies") > 1)
+        .select(col("keep_id"), col("n_copies"))
+        .orderBy(col("keep_id"))
+    },
+
+    // MinHash signatures: k=16 seeded-md5 minima over word shingles;
+    // fully map-side (array_min over a transform — no explode, no
+    // shuffle until the consumer groups).
+    "d2_minhash_sig" -> { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("sh", Portable.shingles(col("text"), ShingleN))
+        .select(col("doc_id") +: sigCols: _*)
+        .select(col("doc_id"), concat_ws("|", (0 until K).map(i => col(s"s$i")): _*).as("signature"))
+        .orderBy(col("doc_id"))
+    },
+
+    // LSH candidate pairs: 4 bands × 4 rows; docs sharing any band
+    // hash become candidates. Join key is (band, 32-hex band hash) —
+    // the O(n²) pair space never materializes.
+    "d3_lsh_pairs" -> { (s, d) =>
+      val sigs = withNearDupes(s, d)
+        .withColumn("sh", Portable.shingles(col("text"), ShingleN))
+        .select(col("doc_id") +: sigCols: _*)
+      val bands = sigs.select(col("doc_id"),
+        posexplode(array((0 until Bands).map { b =>
+          md5(concat_ws("|", (0 until 4).map(r => col(s"s${b * 4 + r}")): _*).cast("binary"))
+        }: _*)).as(Seq("band_id", "band_hash")))
+      val l = bands.as("l"); val r = bands.as("r")
+      l.join(r, col("l.band_id") === col("r.band_id") &&
+          col("l.band_hash") === col("r.band_hash") &&
+          col("l.doc_id") < col("r.doc_id"))
+        .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+        .distinct()
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // Verify stage: exact n-gram Jaccard on the LSH candidates only.
+    "d4_ngram_jaccard" -> { (s, d) =>
+      val docs = withNearDupes(s, d)
+        .withColumn("sh", array_distinct(Portable.shingles(col("text"), ShingleN)))
+        .select(col("doc_id"), col("sh"))
+      val sigs = withNearDupes(s, d)
+        .withColumn("sh", Portable.shingles(col("text"), ShingleN))
+        .select(col("doc_id") +: sigCols: _*)
+      val bands = sigs.select(col("doc_id"),
+        posexplode(array((0 until Bands).map { b =>
+          md5(concat_ws("|", (0 until 4).map(r => col(s"s${b * 4 + r}")): _*).cast("binary"))
+        }: _*)).as(Seq("band_id", "band_hash")))
+      val l = bands.as("l"); val r = bands.as("r")
+      val cand = l.join(r, col("l.band_id") === col("r.band_id") &&
+          col("l.band_hash") === col("r.band_hash") &&
+          col("l.doc_id") < col("r.doc_id"))
+        .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+        .distinct()
+      cand
+        .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+        .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // SimHash: 16-bit fingerprint from per-token md5 bits; tokens
+    // explode once, then one shuffle on doc_id with 16 conditional
+    // sums (all codegen'd).
+    "d5_simhash" -> { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(Portable.words(col("text"))).as("tok"))
+        .withColumn("h", Portable.hash16(col("tok")))
+      val bitSums = (0 until 16).map { i =>
+        sum(when(floor(col("h") / math.pow(2, i).toLong).cast("long") % 2 === 1, 1)
+          .otherwise(-1)).as(s"b$i")
+      }
+      toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+        .select(col("doc_id"),
+          (0 until 16).map(i => when(col(s"b$i") > 0, math.pow(2, i).toLong).otherwise(0L))
+            .reduce(_ + _).as("fingerprint"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Embedding near-dup: cosine ≥ 0.95 pairs. The corpus has none
+    // (max natural cosine ≈ 0.48), so scaled copies are unioned in —
+    // cosine is scale-invariant, so exactly those pairs surface.
+    // Banded by coarse sign-bucket so the self-join never goes O(n²)
+    // at scale (same-bucket requirement is exact for scaled copies).
+    "d6_embedding_dup" -> { (s, d) =>
+      val base = Tables.embeddings(s, d)
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("emb"))
+      val dupes = base.filter(col("vec_id") % 25 === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"),
+          transform(col("emb"), _ * 1.5).as("emb"))
+      val all = base.unionAll(dupes)
+        .withColumn("bucket", concat(
+          (0 until 4).map(i => when(element_at(col("emb"), i + 1) >= 0, "1").otherwise("0")): _*))
+      val l = all.as("l"); val r = all.as("r")
+      l.join(r, col("l.bucket") === col("r.bucket") && col("l.vec_id") < col("r.vec_id"))
+        .select(col("l.vec_id").as("vec_a"), col("r.vec_id").as("vec_b"),
+          Portable.cosineD(col("l.emb"), col("r.emb")).as("cosine"))
+        .filter(col("cosine") >= 0.95)
+        .orderBy(col("vec_a"), col("vec_b"))
+    }
+  )
+
+  private val BandsSql = (0 until Bands).map { b =>
+    val parts = (0 until 4).map(r => sigSql(b * 4 + r)).mkString(" || '|' || ")
+    s"SELECT doc_id, $b AS band_id, md5($parts) AS band_hash FROM sigs"
+  }.mkString("\n  UNION ALL\n  ")
+
+  private val CandSql =
+    s"""docs AS ($NearDupesSql),
+       |words AS (
+       |  SELECT doc_id, CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+       |    ELSE regexp_split_to_array(trim(text), '\\s+') END AS w
+       |  FROM docs),
+       |sigs AS (
+       |  SELECT doc_id, $ShinglesSql AS sh FROM words),
+       |bands AS (
+       |  $BandsSql),
+       |cand AS (
+       |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+       |  FROM bands l JOIN bands r
+       |    ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+       |   AND l.doc_id < r.doc_id)""".stripMargin
+
+  def oracle: Map[String, String] = Map(
+    "d1_exact_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0)
+        |SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM corpus
+        |GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+        |HAVING count(*) > 1
+        |ORDER BY keep_id""".stripMargin,
+
+    "d2_minhash_sig" ->
+      s"""WITH words AS (
+         |  SELECT doc_id, CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+         |    ELSE regexp_split_to_array(trim(text), '\\s+') END AS w
+         |  FROM documents),
+         |shingled AS (
+         |  SELECT doc_id, $ShinglesSql AS sh FROM words)
+         |SELECT doc_id,
+         |  concat_ws('|', ${(0 until K).map(sigSql).mkString(", ")}) AS signature
+         |FROM shingled
+         |ORDER BY doc_id""".stripMargin,
+
+    "d3_lsh_pairs" ->
+      s"""WITH $CandSql
+         |SELECT doc_a, doc_b FROM cand
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "d4_ngram_jaccard" ->
+      s"""WITH $CandSql,
+         |distinct_sh AS (
+         |  SELECT doc_id, list_distinct(sh) AS dsh FROM sigs)
+         |SELECT doc_a, doc_b,
+         |  len(list_intersect(a.dsh, b.dsh))::DOUBLE /
+         |    (len(a.dsh) + len(b.dsh) - len(list_intersect(a.dsh, b.dsh))) AS jaccard
+         |FROM cand
+         |JOIN distinct_sh a ON doc_a = a.doc_id
+         |JOIN distinct_sh b ON doc_b = b.doc_id
+         |WHERE len(list_intersect(a.dsh, b.dsh))::DOUBLE /
+         |    (len(a.dsh) + len(b.dsh) - len(list_intersect(a.dsh, b.dsh))) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "d5_simhash" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    ('0x' || substring(md5(tok), 1, 4))::BIGINT AS h
+         |  FROM (SELECT doc_id, unnest(CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+         |      ELSE regexp_split_to_array(trim(text), '\\s+') END) AS tok
+         |    FROM documents) t),
+         |bits AS (
+         |  SELECT doc_id,
+         |    ${(0 until 16).map(i =>
+              s"sum(CASE WHEN CAST(floor(h / ${1L << i}) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END) AS b$i")
+              .mkString(",\n    ")}
+         |  FROM toks GROUP BY doc_id)
+         |SELECT doc_id,
+         |  ${(0 until 16).map(i => s"(CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")} AS fingerprint
+         |FROM bits
+         |ORDER BY doc_id""".stripMargin,
+
+    "d6_embedding_dup" ->
+      """WITH base AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000 AS vec_id,
+        |    list_transform(embedding::DOUBLE[], x -> x * 1.5) AS emb
+        |  FROM embeddings WHERE vec_id % 25 = 0),
+        |bucketed AS (
+        |  SELECT vec_id, emb,
+        |    concat(CASE WHEN emb[1] >= 0 THEN '1' ELSE '0' END,
+        |           CASE WHEN emb[2] >= 0 THEN '1' ELSE '0' END,
+        |           CASE WHEN emb[3] >= 0 THEN '1' ELSE '0' END,
+        |           CASE WHEN emb[4] >= 0 THEN '1' ELSE '0' END) AS bucket
+        |  FROM base)
+        |SELECT l.vec_id AS vec_a, r.vec_id AS vec_b,
+        |  list_dot_product(l.emb, r.emb) /
+        |    (sqrt(list_dot_product(l.emb, l.emb)) * sqrt(list_dot_product(r.emb, r.emb))) AS cosine
+        |FROM bucketed l JOIN bucketed r
+        |  ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+        |WHERE list_dot_product(l.emb, r.emb) /
+        |    (sqrt(list_dot_product(l.emb, l.emb)) * sqrt(list_dot_product(r.emb, r.emb))) >= 0.95
+        |ORDER BY vec_a, vec_b""".stripMargin
+  )
+}

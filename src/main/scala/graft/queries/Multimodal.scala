@@ -1,0 +1,76 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Portable
+
+/** Multimodal plumbing (SURVEY.md §2.F): opaque binary payload
+  * columns with typed metadata. The decode step is a clearly-marked
+  * deterministic stub (no image/audio libs in this environment); the
+  * Spark-side plumbing — binary schema, metadata extraction, strided
+  * frame sampling, batch shape — is real and oracle-checked.
+  * See also graft.operators.MediaDecode for the mapPartitions batch
+  * path a real codec would plug into.
+  */
+object Multimodal extends QueryPack {
+
+  private val FrameStride = 64 // bytes between sampled frames
+  private val FrameLen = 8     // bytes per sampled frame
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Binary payload + typed metadata: byte length, 16-bit checksum,
+    // stubbed "decoded" dimensions derived deterministically.
+    "mm1_binary_meta" -> { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("payload", col("text").cast("binary"))
+        .select(col("doc_id"),
+          length(col("payload")).cast("long").as("n_bytes"),
+          Portable.hash16(col("text")).as("checksum16"),
+          // STUB decode: a real codec would read pixel dims; here they
+          // are md5-derived so the plumbing is testable end-to-end.
+          pmod(Portable.hash60(col("text")), lit(1920L)).as("width"),
+          pmod(Portable.hash60(concat(col("text"), lit("h"))), lit(1080L)).as("height"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Strided frame sampling over the binary payload: one FrameLen-
+    // byte slice every FrameStride bytes (video-frame-sample shape:
+    // array<struct<frame_idx, bytes>> exploded to rows).
+    "mm2_frame_sample" -> { (s, d) =>
+      // char-sliced then encoded: DuckDB 1.0 lacks BLOB substring, and
+      // char slicing + utf8-encode is engine-identical either way.
+      Tables.documents(s, d)
+        .withColumn("n_frames",
+          least(((length(col("text")) + FrameStride - 1) / FrameStride).cast("long"), lit(16L)))
+        .select(col("doc_id"),
+          posexplode(transform(sequence(lit(0L), col("n_frames") - 1L),
+            i => base64(col("text").substr((i * FrameStride + 1).cast("int"), lit(FrameLen)).cast("binary")))))
+        .withColumnRenamed("pos", "frame_idx")
+        .withColumnRenamed("col", "frame_b64")
+        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"), col("frame_b64"))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }
+  )
+
+  def oracle: Map[String, String] = Map(
+    "mm1_binary_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(text::BLOB) AS BIGINT) AS n_bytes,
+        |  ('0x' || substring(md5(text), 1, 4))::BIGINT AS checksum16,
+        |  ('0x' || substring(md5(text), 1, 15))::BIGINT % 1920 AS width,
+        |  ('0x' || substring(md5(text || 'h'), 1, 15))::BIGINT % 1080 AS height
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "mm2_frame_sample" ->
+      s"""WITH framed AS (
+         |  SELECT doc_id, text,
+         |    least((length(text) + ${FrameStride - 1}) // $FrameStride, 16) AS n_frames
+         |  FROM documents)
+         |SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+         |  base64(substring(text, (i * $FrameStride + 1)::INTEGER, $FrameLen)::BLOB) AS frame_b64
+         |FROM framed, unnest(generate_series(0, (n_frames - 1)::INTEGER)) AS t(i)
+         |ORDER BY doc_id, frame_idx""".stripMargin
+  )
+}

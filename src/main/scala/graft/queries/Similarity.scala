@@ -1,0 +1,186 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.Portable
+
+/** Similarity search family (SURVEY.md §2.D) over the embeddings
+  * table (64-dim float vectors).
+  *
+  * a1 is the exact baseline: brute-force cosine top-k with the probe
+  * set broadcast (scales as one scan of the corpus per batch of
+  * probes). a2/a3 are the 100 TB paths: random-hyperplane LSH buckets
+  * and IVF coarse cells bound the candidate set so the corpus is
+  * never fully scanned per probe. Both share a1's rerank stage.
+  */
+object Similarity extends QueryPack {
+
+  private val K = 3          // neighbors returned
+  // 4 planes → 16 buckets: sized for the test corpus (500–5000
+  // vectors). At real scale raise this (and/or use multi-probe) so
+  // bucket occupancy stays ~corpus/2^planes ≈ rerank budget.
+  private val Planes = 4
+  private val NProbe = 2     // IVF cells searched per probe
+
+  private def vecs(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("emb"))
+
+  /** Deterministic pseudo-random hyperplane weight for (plane, dim):
+    * md5-derived uniform in [-1, 1). Same arithmetic in the oracle. */
+  private def planeDot(emb: Column, p: Int): Column = {
+    val w = transform(sequence(lit(0), lit(63)), i =>
+      conv(substring(md5(concat(lit(s"$p|"), i.cast("string")).cast("binary")), 1, 4), 16, 10)
+        .cast("long").cast("double") / 32768.0 - 1.0)
+    Portable.dotD(emb, w)
+  }
+
+  /** 8-bit sign bucket of the hyperplane projections. */
+  private def lshBucket(emb: Column): Column =
+    concat((0 until Planes).map(p => when(planeDot(emb, p) > 0, "1").otherwise("0")): _*)
+
+  private def planeDotSql(emb: String, p: Int): String =
+    s"""list_sum(list_transform(generate_series(1, 64),
+       |    i -> $emb[i] * (('0x' || substring(md5('$p|' || (i-1)::VARCHAR), 1, 4))::BIGINT / 32768.0 - 1.0)))""".stripMargin
+
+  private def lshBucketSql(emb: String): String =
+    (0 until Planes).map(p =>
+      s"(CASE WHEN ${planeDotSql(emb, p)} > 0 THEN '1' ELSE '0' END)").mkString("concat(", ", ", ")")
+
+  private val CosSql =
+    "list_dot_product(p.emb, v.emb) / (sqrt(list_dot_product(p.emb, p.emb)) * sqrt(list_dot_product(v.emb, v.emb)))"
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact top-k: broadcast the probe set against one corpus scan.
+    "a1_knn_brute" -> { (s, d) =>
+      val v = vecs(s, d)
+      val probes = v.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"))
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+      v.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+        .withColumn("cosine", Portable.cosineD(col("p_emb"), col("emb")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= K)
+        .select(col("probe_id"), col("vec_id"), col("rank"), col("cosine"))
+        .orderBy(col("probe_id"), col("rank"))
+    },
+
+    // LSH: candidates restricted to the probe's sign bucket, then
+    // exact rerank. Bucket assignment is one map-side expression.
+    "a2_knn_lsh" -> { (s, d) =>
+      val v = vecs(s, d).withColumn("bucket", lshBucket(col("emb")))
+      val probes = v.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"), col("bucket").as("p_bucket"))
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+      v.join(broadcast(probes),
+          col("bucket") === col("p_bucket") && col("vec_id") =!= col("probe_id"))
+        .withColumn("cosine", Portable.cosineD(col("p_emb"), col("emb")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= K)
+        .select(col("probe_id"), col("vec_id"), col("rank"), col("cosine"))
+        .orderBy(col("probe_id"), col("rank"))
+    },
+
+    // IVF: coarse centroids (every 50th vector), each vector assigned
+    // to its nearest cell; a probe searches only its nprobe=2 nearest
+    // cells. Centroid set is broadcast everywhere.
+    "a3_ivf_knn" -> { (s, d) =>
+      val v = vecs(s, d)
+      val cents = v.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("cent_id"), col("emb").as("c_emb"))
+      // nearest cell per vector
+      val wAssign = Window.partitionBy(col("vec_id"))
+        .orderBy(col("c_cos").desc, col("cent_id"))
+      val assigned = v.join(broadcast(cents))
+        .withColumn("c_cos", Portable.cosineD(col("emb"), col("c_emb")))
+        .withColumn("crank", row_number().over(wAssign))
+        .filter(col("crank") === 1)
+        .select(col("vec_id"), col("emb"), col("cent_id").as("cell"))
+      // nprobe nearest cells per probe
+      val probes = v.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"))
+      val wProbe = Window.partitionBy(col("probe_id"))
+        .orderBy(col("pc_cos").desc, col("cent_id"))
+      val probeCells = probes.join(broadcast(cents))
+        .withColumn("pc_cos", Portable.cosineD(col("p_emb"), col("c_emb")))
+        .withColumn("crank", row_number().over(wProbe))
+        .filter(col("crank") <= NProbe)
+        .select(col("probe_id"), col("p_emb"), col("cent_id").as("cell"))
+      // search only those cells
+      val wRank = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+      assigned.join(broadcast(probeCells),
+          assigned("cell") === probeCells("cell") && col("vec_id") =!= col("probe_id"))
+        .withColumn("cosine", Portable.cosineD(col("p_emb"), col("emb")))
+        .withColumn("rank", row_number().over(wRank))
+        .filter(col("rank") <= K)
+        .select(col("probe_id"), col("vec_id"), col("rank"), col("cosine"))
+        .orderBy(col("probe_id"), col("rank"))
+    }
+  )
+
+  def oracle: Map[String, String] = Map(
+    "a1_knn_brute" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |p AS (SELECT vec_id AS probe_id, emb FROM v WHERE vec_id % 100 = 0),
+         |scored AS (
+         |  SELECT p.probe_id, v.vec_id, $CosSql AS cosine,
+         |    row_number() OVER (PARTITION BY p.probe_id
+         |      ORDER BY $CosSql DESC, v.vec_id) AS rank
+         |  FROM p, v WHERE v.vec_id <> p.probe_id)
+         |SELECT probe_id, vec_id, CAST(rank AS INTEGER) AS rank, cosine
+         |FROM scored WHERE rank <= $K
+         |ORDER BY probe_id, rank""".stripMargin,
+
+    "a2_knn_lsh" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, emb, ${lshBucketSql("emb")} AS bucket
+         |  FROM (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings) t),
+         |p AS (SELECT vec_id AS probe_id, emb, bucket FROM v WHERE vec_id % 100 = 0),
+         |scored AS (
+         |  SELECT p.probe_id, v.vec_id, $CosSql AS cosine,
+         |    row_number() OVER (PARTITION BY p.probe_id
+         |      ORDER BY $CosSql DESC, v.vec_id) AS rank
+         |  FROM p JOIN v ON v.bucket = p.bucket AND v.vec_id <> p.probe_id)
+         |SELECT probe_id, vec_id, CAST(rank AS INTEGER) AS rank, cosine
+         |FROM scored WHERE rank <= $K
+         |ORDER BY probe_id, rank""".stripMargin,
+
+    "a3_ivf_knn" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |c AS (SELECT vec_id AS cent_id, emb AS c_emb FROM v WHERE vec_id % 50 = 0),
+         |assigned AS (
+         |  SELECT vec_id, emb, cell FROM (
+         |    SELECT v.vec_id, v.emb, c.cent_id AS cell,
+         |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |        list_dot_product(v.emb, c.c_emb) /
+         |          (sqrt(list_dot_product(v.emb, v.emb)) * sqrt(list_dot_product(c.c_emb, c.c_emb))) DESC,
+         |        c.cent_id) AS crank
+         |    FROM v, c) t WHERE crank = 1),
+         |probe_cells AS (
+         |  SELECT probe_id, p_emb, cell FROM (
+         |    SELECT v.vec_id AS probe_id, v.emb AS p_emb, c.cent_id AS cell,
+         |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |        list_dot_product(v.emb, c.c_emb) /
+         |          (sqrt(list_dot_product(v.emb, v.emb)) * sqrt(list_dot_product(c.c_emb, c.c_emb))) DESC,
+         |        c.cent_id) AS crank
+         |    FROM v, c WHERE v.vec_id % 100 = 0) t WHERE crank <= $NProbe),
+         |scored AS (
+         |  SELECT p.probe_id, v.vec_id,
+         |    list_dot_product(p.p_emb, v.emb) /
+         |      (sqrt(list_dot_product(p.p_emb, p.p_emb)) * sqrt(list_dot_product(v.emb, v.emb))) AS cosine,
+         |    row_number() OVER (PARTITION BY p.probe_id ORDER BY
+         |      list_dot_product(p.p_emb, v.emb) /
+         |        (sqrt(list_dot_product(p.p_emb, p.p_emb)) * sqrt(list_dot_product(v.emb, v.emb))) DESC,
+         |      v.vec_id) AS rank
+         |  FROM probe_cells p JOIN assigned v
+         |    ON v.cell = p.cell AND v.vec_id <> p.probe_id)
+         |SELECT probe_id, vec_id, CAST(rank AS INTEGER) AS rank, cosine
+         |FROM scored WHERE rank <= $K
+         |ORDER BY probe_id, rank""".stripMargin
+  )
+}

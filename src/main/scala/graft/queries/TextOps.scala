@@ -1,0 +1,173 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Portable
+
+/** Text analysis family (SURVEY.md §2.E): language ID, quality
+  * scoring, token counting, fingerprinting, n-gram stats. All pure
+  * column expressions (map-side except the final aggregations), so
+  * they run as a single scan over a 100 TB documents table.
+  */
+object TextOps extends QueryPack {
+
+  /** Tiny per-language function-word lists for the n-gram heuristic. */
+  private val Stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "de" -> Seq("der", "die", "das", "und", "nicht"),
+    "es" -> Seq("el", "los", "las", "y", "una"),
+    "fr" -> Seq("le", "la", "et", "les", "des"))
+
+  /** Fraction of tokens that are in `set` (0.0 for empty docs). */
+  private def hitRatio(words: Column, set: Seq[String]): Column = {
+    val hits = size(filter(words, w => array_contains(array(set.map(lit): _*), w)))
+    when(size(words) === 0, 0.0).otherwise(hits.cast("double") / size(words))
+  }
+
+  private def hitRatioSql(set: Seq[String]): String = {
+    val lits = set.map(s => s"'$s'").mkString(", ")
+    s"CASE WHEN len(w) = 0 THEN 0.0 ELSE len(list_filter(w, x -> list_contains([$lits], x)))::DOUBLE / len(w) END"
+  }
+
+  private val WordsSql =
+    """SELECT doc_id, lang, text,
+      |  CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+      |    ELSE regexp_split_to_array(trim(text), '\s+') END AS w
+      |FROM documents""".stripMargin
+
+  /** BPE-ish tokenizer: letter runs, digit runs, single punctuation.
+    * Spark SQL string literals process backslash escapes, DuckDB's
+    * don't — hence two spellings of the same regex. */
+  private val TokenReSpark = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]"
+  private val TokenRe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Language ID: argmax of stopword hit ratios, deterministic
+    // priority order on ties (en > de > es > fr).
+    "t1_lang_id" -> { (s, d) =>
+      val base = Tables.documents(s, d).withColumn("w", Portable.words(col("text")))
+      val scored = Stopwords.foldLeft(base) { case (df, (l, set)) =>
+        df.withColumn(s"s_$l", hitRatio(col("w"), set))
+      }
+      scored.select(col("doc_id"), col("lang").as("tagged_lang"),
+          when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") && col("s_en") >= col("s_fr"), "en")
+            .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr"), "de")
+            .when(col("s_es") >= col("s_fr"), "es")
+            .otherwise("fr").as("pred_lang"),
+          col("s_en"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Quality score: length, stopword and punctuation features.
+    "t2_quality_score" -> { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("w", Portable.words(col("text")))
+        .withColumn("n_words", size(col("w")).cast("long"))
+        .withColumn("stop_ratio", hitRatio(col("w"), Stopwords.head._2))
+        .withColumn("punct_ratio",
+          (length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", "")))
+            .cast("double") / length(col("text")))
+        .withColumn("avg_word_len",
+          when(col("n_words") === 0, 0.0).otherwise(
+            aggregate(transform(col("w"), w => length(w).cast("long")), lit(0L), _ + _)
+              .cast("double") / col("n_words")))
+        .withColumn("quality",
+          col("stop_ratio") * 0.4 + least(col("n_words").cast("double") / 100.0, lit(1.0)) * 0.4 +
+            (lit(1.0) - col("punct_ratio")) * 0.2)
+        .select(col("doc_id"), col("n_words"), col("stop_ratio"),
+          col("punct_ratio"), col("avg_word_len"), col("quality"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Token counting: whitespace vs BPE-ish regex tokenization.
+    "t3_token_count" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(Portable.words(col("text"))).cast("long").as("n_ws_tokens"),
+          size(expr(s"regexp_extract_all(text, '$TokenReSpark', 0)")).cast("long").as("n_re_tokens"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Document fingerprint: md5 of normalized text + 60-bit prefix.
+    "t4_fingerprint" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          Portable.md5hex(Portable.normText(col("text"))).as("fp_hex"),
+          Portable.hash60(Portable.normText(col("text"))).as("fp60"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Corpus-level top-20 word bigrams.
+    "t5_ngram_topk" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(explode(Portable.shingles(col("text"), 2)).as("bigram"))
+        .groupBy(col("bigram"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram"))
+        .limit(20)
+    }
+  )
+
+  def oracle: Map[String, String] = Map(
+    "t1_lang_id" ->
+      s"""SELECT doc_id, lang AS tagged_lang,
+         |  CASE
+         |    WHEN ${hitRatioSql(Stopwords(0)._2)} >= ${hitRatioSql(Stopwords(1)._2)}
+         |     AND ${hitRatioSql(Stopwords(0)._2)} >= ${hitRatioSql(Stopwords(2)._2)}
+         |     AND ${hitRatioSql(Stopwords(0)._2)} >= ${hitRatioSql(Stopwords(3)._2)} THEN 'en'
+         |    WHEN ${hitRatioSql(Stopwords(1)._2)} >= ${hitRatioSql(Stopwords(2)._2)}
+         |     AND ${hitRatioSql(Stopwords(1)._2)} >= ${hitRatioSql(Stopwords(3)._2)} THEN 'de'
+         |    WHEN ${hitRatioSql(Stopwords(2)._2)} >= ${hitRatioSql(Stopwords(3)._2)} THEN 'es'
+         |    ELSE 'fr' END AS pred_lang,
+         |  ${hitRatioSql(Stopwords(0)._2)} AS s_en
+         |FROM ($WordsSql) t
+         |ORDER BY doc_id""".stripMargin,
+
+    "t2_quality_score" ->
+      s"""WITH feat AS (
+         |  SELECT doc_id,
+         |    len(w) AS n_words,
+         |    ${hitRatioSql(Stopwords.head._2)} AS stop_ratio,
+         |    (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE
+         |      / length(text) AS punct_ratio,
+         |    CASE WHEN len(w) = 0 THEN 0.0
+         |      ELSE list_sum(list_transform(w, x -> length(x)))::DOUBLE / len(w) END AS avg_word_len
+         |  FROM ($WordsSql) t)
+         |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, stop_ratio, punct_ratio, avg_word_len,
+         |  stop_ratio * 0.4 + least(n_words::DOUBLE / 100.0, 1.0) * 0.4 +
+         |    (1.0 - punct_ratio) * 0.2 AS quality
+         |FROM feat
+         |ORDER BY doc_id""".stripMargin,
+
+    "t3_token_count" ->
+      s"""SELECT doc_id,
+         |  CAST(len(w) AS BIGINT) AS n_ws_tokens,
+         |  CAST(len(regexp_extract_all(text, '$TokenRe', 0)) AS BIGINT) AS n_re_tokens
+         |FROM ($WordsSql) t
+         |ORDER BY doc_id""".stripMargin,
+
+    "t4_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_hex,
+        |  ('0x' || substring(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 15))::BIGINT AS fp60
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "t5_ngram_topk" ->
+      """WITH words AS (
+        |  SELECT CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+        |    ELSE regexp_split_to_array(trim(text), '\s+') END AS w
+        |  FROM documents),
+        |bigrams AS (
+        |  SELECT unnest(list_transform(
+        |    generate_series(1, greatest(len(w) - 1, 0)),
+        |    i -> array_to_string(w[i:i+1], ' '))) AS bigram
+        |  FROM words)
+        |SELECT bigram, count(*) AS n
+        |FROM bigrams
+        |GROUP BY bigram
+        |ORDER BY n DESC, bigram
+        |LIMIT 20""".stripMargin
+  )
+}
