@@ -63,23 +63,50 @@ object Portable {
   def minhash(shingleCol: Column, seed: Int): Column =
     array_min(transform(shingleCol, s => md5(concat(lit(s"$seed|"), s).cast("binary"))))
 
+  /** Row-per-shingle form of [[shingles]]: posexplode the words and
+    * stitch n-grams with window `lead`s — every step is codegen'd,
+    * unlike the array `transform` lambda (which evaluates interpreted
+    * and dominated the sf0.1 dedup bench). Emits (doc_id, s); one
+    * shuffle on doc_id that downstream doc_id aggregations reuse.
+    * Produces exactly the same shingle strings as [[shingles]]. */
+  def shingleRows(docs: org.apache.spark.sql.DataFrame, n: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val toks = docs.select(col("doc_id"), posexplode(words(col("text"))).as(Seq("pos", "tok")))
+    val leads = (1 until n).map(i => lead(col("tok"), i).over(w))
+    toks
+      .withColumn("s", concat_ws(" ", col("tok") +: leads: _*))
+      .withColumn("tail_tok", leads.last)
+      .filter(col("tail_tok").isNotNull)
+      .select(col("doc_id"), col("s"))
+  }
+
   /** Normalization used before exact-dup hashing: lowercase, collapse
     * whitespace runs to single spaces, trim.
     * DuckDB: `trim(regexp_replace(lower(x), '\s+', ' ', 'g'))` */
   def normText(c: Column): Column =
     trim(regexp_replace(lower(c), "\\s+", " "))
 
-  /** Dot product of two double-array columns (cast upstream).
-    * DuckDB: `list_dot_product(a::DOUBLE[], b::DOUBLE[])` or explicit
-    * list_sum(list_transform(...)). Sequential left-to-right sum. */
-  def dotD(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Dot product of two double-array columns — native codegen'd
+    * expression (see graft.functions.DotProduct); identical summation
+    * order to DuckDB's `list_dot_product`. */
+  def dotD(a: Column, b: Column): Column = Vec.dot(a, b)
 
-  /** Cosine similarity of two float-array columns; computed in double.
-    * DuckDB: list_cosine_similarity(a::DOUBLE[], b::DOUBLE[]) */
-  def cosineD(a: Column, b: Column): Column = {
-    val ad = transform(a, _.cast("double"))
-    val bd = transform(b, _.cast("double"))
-    dotD(ad, bd) / (sqrt(dotD(ad, ad)) * sqrt(dotD(bd, bd)))
-  }
+  /** Cosine similarity of two double-array columns.
+    * DuckDB: list_dot_product formula. Prefer precomputing norms
+    * (Vec.norm) before a pairwise join; this form recomputes them. */
+  def cosineD(a: Column, b: Column): Column =
+    Vec.dot(a, b) / (sqrt(Vec.dot(a, a)) * sqrt(Vec.dot(b, b)))
+
+  /** Kirsch-Mitzenmacher double hashing: two independent 32-bit hashes
+    * from one md5; the k minhash "functions" are g_i = (h1 + i·h2)
+    * mod 2^32 — one digest per shingle instead of k.
+    * DuckDB: ('0x' || substring(md5(x), 1, 8))::BIGINT and
+    *         ('0x' || substring(md5(x), 9, 8))::BIGINT */
+  def h32a(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 8), 16, 10).cast("long")
+  def h32b(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 9, 8), 16, 10).cast("long")
+  def kmHash(h1: Column, h2: Column, i: Int): Column =
+    pmod(h1 + lit(i.toLong) * h2, lit(4294967296L))
 }

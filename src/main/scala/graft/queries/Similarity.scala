@@ -24,9 +24,15 @@ object Similarity extends QueryPack {
   private val Planes = 4
   private val NProbe = 2     // IVF cells searched per probe
 
+  /** Vectors with their L2 norm precomputed once, map-side — every
+    * downstream pair then costs a single codegen'd dot product. */
   private def vecs(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("emb"))
+      .withColumn("nrm", graft.functions.Vec.norm(col("emb")))
+
+  private def cosPre(pEmb: Column, pNrm: Column, emb: Column, nrm: Column): Column =
+    graft.functions.Vec.dot(pEmb, emb) / (pNrm * nrm)
 
   /** Deterministic pseudo-random hyperplane weight for (plane, dim):
     * md5-derived uniform in [-1, 1). Same arithmetic in the oracle. */
@@ -57,11 +63,11 @@ object Similarity extends QueryPack {
     "a1_knn_brute" -> { (s, d) =>
       val v = vecs(s, d)
       val probes = v.filter(col("vec_id") % 100 === 0)
-        .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"))
+        .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"), col("nrm").as("p_nrm"))
       val w = Window.partitionBy(col("probe_id"))
         .orderBy(col("cosine").desc, col("vec_id"))
       v.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
-        .withColumn("cosine", Portable.cosineD(col("p_emb"), col("emb")))
+        .withColumn("cosine", cosPre(col("p_emb"), col("p_nrm"), col("emb"), col("nrm")))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= K)
         .select(col("probe_id"), col("vec_id"), col("rank"), col("cosine"))
@@ -73,12 +79,13 @@ object Similarity extends QueryPack {
     "a2_knn_lsh" -> { (s, d) =>
       val v = vecs(s, d).withColumn("bucket", lshBucket(col("emb")))
       val probes = v.filter(col("vec_id") % 100 === 0)
-        .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"), col("bucket").as("p_bucket"))
+        .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"),
+          col("nrm").as("p_nrm"), col("bucket").as("p_bucket"))
       val w = Window.partitionBy(col("probe_id"))
         .orderBy(col("cosine").desc, col("vec_id"))
       v.join(broadcast(probes),
           col("bucket") === col("p_bucket") && col("vec_id") =!= col("probe_id"))
-        .withColumn("cosine", Portable.cosineD(col("p_emb"), col("emb")))
+        .withColumn("cosine", cosPre(col("p_emb"), col("p_nrm"), col("emb"), col("nrm")))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= K)
         .select(col("probe_id"), col("vec_id"), col("rank"), col("cosine"))
@@ -91,31 +98,31 @@ object Similarity extends QueryPack {
     "a3_ivf_knn" -> { (s, d) =>
       val v = vecs(s, d)
       val cents = v.filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("cent_id"), col("emb").as("c_emb"))
+        .select(col("vec_id").as("cent_id"), col("emb").as("c_emb"), col("nrm").as("c_nrm"))
       // nearest cell per vector
       val wAssign = Window.partitionBy(col("vec_id"))
         .orderBy(col("c_cos").desc, col("cent_id"))
       val assigned = v.join(broadcast(cents))
-        .withColumn("c_cos", Portable.cosineD(col("emb"), col("c_emb")))
+        .withColumn("c_cos", cosPre(col("emb"), col("nrm"), col("c_emb"), col("c_nrm")))
         .withColumn("crank", row_number().over(wAssign))
         .filter(col("crank") === 1)
-        .select(col("vec_id"), col("emb"), col("cent_id").as("cell"))
+        .select(col("vec_id"), col("emb"), col("nrm"), col("cent_id").as("cell"))
       // nprobe nearest cells per probe
       val probes = v.filter(col("vec_id") % 100 === 0)
-        .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"))
+        .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"), col("nrm").as("p_nrm"))
       val wProbe = Window.partitionBy(col("probe_id"))
         .orderBy(col("pc_cos").desc, col("cent_id"))
       val probeCells = probes.join(broadcast(cents))
-        .withColumn("pc_cos", Portable.cosineD(col("p_emb"), col("c_emb")))
+        .withColumn("pc_cos", cosPre(col("p_emb"), col("p_nrm"), col("c_emb"), col("c_nrm")))
         .withColumn("crank", row_number().over(wProbe))
         .filter(col("crank") <= NProbe)
-        .select(col("probe_id"), col("p_emb"), col("cent_id").as("cell"))
+        .select(col("probe_id"), col("p_emb"), col("p_nrm"), col("cent_id").as("cell"))
       // search only those cells
       val wRank = Window.partitionBy(col("probe_id"))
         .orderBy(col("cosine").desc, col("vec_id"))
       assigned.join(broadcast(probeCells),
           assigned("cell") === probeCells("cell") && col("vec_id") =!= col("probe_id"))
-        .withColumn("cosine", Portable.cosineD(col("p_emb"), col("emb")))
+        .withColumn("cosine", cosPre(col("p_emb"), col("p_nrm"), col("emb"), col("nrm")))
         .withColumn("rank", row_number().over(wRank))
         .filter(col("rank") <= K)
         .select(col("probe_id"), col("vec_id"), col("rank"), col("cosine"))

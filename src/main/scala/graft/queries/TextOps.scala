@@ -100,8 +100,8 @@ object TextOps extends QueryPack {
 
     // Corpus-level top-20 word bigrams.
     "t5_ngram_topk" -> { (s, d) =>
-      Tables.documents(s, d)
-        .select(explode(Portable.shingles(col("text"), 2)).as("bigram"))
+      Portable.shingleRows(Tables.documents(s, d), 2)
+        .select(col("s").as("bigram"))
         .groupBy(col("bigram"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("bigram"))
