@@ -243,14 +243,17 @@ object Analytics extends QueryPack {
     },
 
     "q21_percentiles" -> { (s, d) =>
-      Tables.lineitem(s, d)
-        .groupBy(col("l_returnflag"))
-        .agg(
-          expr("percentile(l_extendedprice, 0.5)").as("p50"),
-          expr("percentile(l_extendedprice, 0.9)").as("p90"),
-          expr("percentile(l_extendedprice, 0.99)").as("p99"),
-          min(col("l_extendedprice")).as("pmin"),
-          max(col("l_extendedprice")).as("pmax"))
+      // graft.operators.Percentiles: two-phase distributed exact
+      // percentile_cont — the built-in `percentile` agg buffers every
+      // value per group (3 single-threaded sorts here, unrunnable at
+      // 100 TB).
+      val li = Tables.lineitem(s, d)
+      val pct = graft.operators.Percentiles.exact(li, "l_returnflag", "l_extendedprice",
+        Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
+      val mm = li.groupBy(col("l_returnflag").as("mk"))
+        .agg(min(col("l_extendedprice")).as("pmin"), max(col("l_extendedprice")).as("pmax"))
+      pct.join(broadcast(mm), col("l_returnflag") === col("mk"))
+        .select(col("l_returnflag"), col("p50"), col("p90"), col("p99"), col("pmin"), col("pmax"))
         .orderBy(col("l_returnflag"))
     },
 
