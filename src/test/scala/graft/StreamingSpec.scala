@@ -64,6 +64,32 @@ class StreamingSpec extends SparkSuite {
     assert(processed.select("uuid").distinct().count() === 1000)
   }
 
+  test("watermarked tumbling-window aggregation over a subscription") {
+    val topic = tempDir("topic")
+    Publisher.publish(Envelope.messages(spark, sf), topic)
+
+    val agg = Subscriber.subscribe(spark, topic)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "5 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("n"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("winagg").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("winagg")
+
+    // append mode emits only windows finalized by the watermark —
+    // every emitted window must match the batch computation, and with
+    // a month of events vs a 1h delay nearly all windows finalize.
+    val batch = spark.read.parquet(topic)
+      .groupBy(window(col("ts"), "5 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("n"))
+    assert(got.count() > 0)
+    assert(got.exceptAll(batch).count() === 0, "streaming emitted a window batch disagrees with")
+    assert(batch.count() - got.count() <= 13, "too many unfinalized windows held back")
+  }
+
   test("ack/nack redelivery resolves with correct retry counts across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
