@@ -17,7 +17,8 @@ object GraftSession {
             appName: String = "graft"): SparkSession =
     tune(SparkSession.builder()
         .master(s"local[$cores]")
-        .appName(appName),
+        .appName(appName)
+        .withExtensions(new org.apache.spark.sql.graftvec.GraftExtensions),
       shufflePartitions = cores)
       .getOrCreate()
 
