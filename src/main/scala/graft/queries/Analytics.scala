@@ -266,27 +266,20 @@ object Analytics extends QueryPack {
     },
 
     "q23_asof_join" -> { (s, d) =>
-      // As-of join: for each purchase event, the most recent click by
-      // the same user at-or-before its timestamp. Spark-first plan: tag
-      // + union + one shuffle on user_id + last(ignoreNulls) window —
-      // no per-row subquery, partition-local after the single shuffle.
+      // As-of join via graft.operators.AsOf (union-window technique):
+      // for each purchase event, the most recent click by the same
+      // user at-or-before its timestamp.
       val ev = Tables.events(s, d)
-      val clicks = ev.filter(col("event_type") === "click")
-        .select(col("user_id"), col("ts"), lit(0).as("tag"),
-          col("event_id"), unix_micros(col("ts")).as("click_us"))
       val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("ts"), lit(1).as("tag"),
-          col("event_id"), lit(null).cast("long").as("click_us"))
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts"), col("tag"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      clicks.unionAll(purchases)
-        .withColumn("prev_click_us", last(col("click_us"), ignoreNulls = true).over(w))
-        .filter(col("tag") === 1 && col("prev_click_us").isNotNull)
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("click_us"))
+      graft.operators.AsOf.joinAsOf(purchases, clicks, "user_id", "ts", Seq("click_us"))
+        .filter(col("asof_click_us").isNotNull)
         .select(col("event_id"), col("user_id"),
           unix_micros(col("ts")).as("ts_us"),
-          col("prev_click_us"),
-          (unix_micros(col("ts")) - col("prev_click_us")).as("gap_us"))
+          col("asof_click_us").as("prev_click_us"),
+          (unix_micros(col("ts")) - col("asof_click_us")).as("gap_us"))
         .orderBy(col("event_id"))
     },
 

@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import graft.operators.Envelope
 
 /** Spark-native Publisher (reference publisher.go).
@@ -32,4 +33,20 @@ object Publisher {
       .sortWithinPartitions(col("shard_id"), col("seq"))
       .write.mode(mode).partitionBy("shard_id").parquet(topicDir)
   }
+
+  /** Streaming publisher: each micro-batch becomes one `publish` call
+    * (the reference's `Publish(topic, msgs...)` is per-call batching,
+    * so per-micro-batch sequences/batch ids mirror its semantics).
+    * Progress is durable at `checkpointDir` — a crashed publisher
+    * resumes without re-publishing finished micro-batches.
+    */
+  def publishStream(msgs: DataFrame, topicDir: String, checkpointDir: String): StreamingQuery =
+    msgs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        publish(batch.toDF(), topicDir)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
 }

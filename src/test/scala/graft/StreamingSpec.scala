@@ -64,6 +64,26 @@ class StreamingSpec extends SparkSuite {
     assert(processed.select("uuid").distinct().count() === 1000)
   }
 
+  test("streaming publisher delivers every message once with capped batches") {
+    val staging = tempDir("staging")
+    val topic = tempDir("topic")
+    val ckpt = tempDir("ckpt")
+    val msgs = Envelope.messages(spark, sf)
+    msgs.write.mode("overwrite").parquet(staging)
+
+    val stream = spark.readStream.schema(msgs.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(staging)
+    val q = Publisher.publishStream(stream, topic, ckpt)
+    q.awaitTermination()
+
+    val published = spark.read.parquet(topic)
+    assert(published.select("uuid").distinct().count() === 1000)
+    assert(published.count() === 1000)
+    assert(published.groupBy("shard_id", "batch_id").count()
+      .filter(col("count") > Publisher.MaxBatch).count() === 0)
+  }
+
   test("watermarked tumbling-window aggregation over a subscription") {
     val topic = tempDir("topic")
     Publisher.publish(Envelope.messages(spark, sf), topic)
