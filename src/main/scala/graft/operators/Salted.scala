@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-safe shapes for hot keys.
+  *
+  * At 100 TB a handful of hot keys (one chatty user, one dominant
+  * partition key) can pin a whole stage on one reducer. AQE's skew
+  * handling (on by default via GraftSession) fixes storage skew in
+  * sort-merge joins at runtime; these operators fix the cases AQE
+  * can't: aggregation state skew and broadcast-unfriendly hot-key
+  * joins. Results are identical to the naive shapes — only the
+  * exchange distribution changes.
+  */
+object Salted {
+
+  /** Exact distinct counts per key without a per-key shuffle hotspot:
+    * dedup on (key, value) — the exchange hashes BOTH columns, so a
+    * hot key's values spread across reducers — then count per key.
+    * (A naive countDistinct shuffles the hot key to one reducer and
+    * holds its whole value set in one aggregation buffer.)
+    */
+  def countDistinctSkewed(df: DataFrame, key: String, value: String): DataFrame =
+    df.select(col(key), col(value)).distinct()
+      .groupBy(col(key))
+      .agg(count(lit(1)).as(s"n_distinct_$value"))
+
+  /** Salted join for a hot-keyed fact side against a small-but-not-
+    * broadcastable dim: the fact side gets a random-ish salt derived
+    * from a unique id (any value works — it only spreads rows), the
+    * dim side is replicated `salt` times, and the join key becomes
+    * (key, salt) so one hot key lands on `salt` reducers.
+    */
+  def joinSkewed(fact: DataFrame, dim: DataFrame, key: String, salt: Int = 8): DataFrame = {
+    val saltedFact = fact.withColumn("_salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(salt.toLong)))
+    val saltedDim = dim.withColumn("_salt",
+      explode(sequence(lit(0L), lit(salt.toLong - 1))))
+    saltedFact.join(saltedDim, Seq(key, "_salt")).drop("_salt")
+  }
+}
