@@ -114,10 +114,17 @@ object Dedup extends QueryPack {
 
     // Verify stage: exact n-gram Jaccard on the LSH candidates only.
     "d4_ngram_jaccard" -> { (s, d) =>
-      val shingleRows = Portable.shingleRows(withNearDupes(s, d), ShingleN)
-      val docs = shingleRows.groupBy(col("doc_id"))
-        .agg(collect_set(col("s")).as("sh"))
-      val sigs = kmSignatures(shingleRows)
+      // one pass: the same doc_id aggregation produces BOTH the km
+      // signature mins and the distinct-shingle sets (the shingle
+      // window pipeline is the dominant cost — don't run it twice).
+      val docAgg = Portable.shingleRows(withNearDupes(s, d), ShingleN)
+        .select(col("doc_id"), col("s"),
+          Portable.h32a(col("s")).as("h1"), Portable.h32b(col("s")).as("h2"))
+        .groupBy(col("doc_id"))
+        .agg(collect_set(col("s")).as("sh"),
+          (0 until K).map(i => min(Portable.kmHash(col("h1"), col("h2"), i)).as(s"s$i")): _*)
+      val docs = docAgg.select(col("doc_id"), col("sh"))
+      val sigs = docAgg
       val bands = sigs.select(col("doc_id"),
         posexplode(array((0 until Bands).map { b =>
           md5(concat_ws("|", (0 until 4).map(r => col(s"s${b * 4 + r}")): _*).cast("binary"))
