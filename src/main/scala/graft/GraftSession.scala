@@ -34,5 +34,8 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.aggregatePushdown", "true")
+      // runtime bloom filters prune the fact-side scan on selective
+      // joins — free at local scale, significant against 100 TB facts
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.sql.ui.explainMode", "formatted")
 }

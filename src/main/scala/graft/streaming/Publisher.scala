@@ -40,6 +40,23 @@ object Publisher {
     * Progress is durable at `checkpointDir` — a crashed publisher
     * resumes without re-publishing finished micro-batches.
     */
+  /** Compact a topic in place: streaming publishes accumulate many
+    * small files per shard; rewrite each shard partition as few files
+    * while preserving every record and the shard layout. At lake
+    * scale this runs per shard-partition (no global shuffle — the
+    * data is already partitioned on disk).
+    */
+  def compact(spark: SparkSession, topicDir: String, filesPerShard: Int = 1): Unit = {
+    val tmp = topicDir.stripSuffix("/") + ".compact"
+    spark.read.parquet(topicDir)
+      .repartition(filesPerShard, col("shard_id"))
+      .write.mode("overwrite").partitionBy("shard_id").parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(topicDir)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+  }
+
   def publishStream(msgs: DataFrame, topicDir: String, checkpointDir: String): StreamingQuery =
     msgs.writeStream
       .outputMode("append")

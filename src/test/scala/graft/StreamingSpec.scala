@@ -110,6 +110,53 @@ class StreamingSpec extends SparkSuite {
     assert(batch.count() - got.count() <= 13, "too many unfinalized windows held back")
   }
 
+  test("stream-stream interval join matches the batch range join") {
+    val topic = tempDir("topic")
+    Publisher.publish(Envelope.messages(spark, sf), topic)
+
+    val clicks = Subscriber.subscribe(spark, topic)
+      .filter(col("event_type") === "click")
+      .select(col("partition_key").as("c_user"), col("ts").as("click_ts"),
+        col("uuid").as("click_id"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = Subscriber.subscribe(spark, topic)
+      .filter(col("event_type") === "purchase")
+      .select(col("partition_key").as("p_user"), col("ts").as("purchase_ts"),
+        col("uuid").as("purchase_id"))
+      .withWatermark("purchase_ts", "1 hour")
+    val joined = clicks.join(purchases,
+      expr("""c_user = p_user AND purchase_ts > click_ts
+             AND purchase_ts <= click_ts + interval 5 minutes"""))
+
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssjoin").start()
+    q.processAllAvailable(); q.stop()
+
+    val expected = SparkEntry.queries("q24_range_join")(spark, sf).count()
+    assert(spark.table("ssjoin").count() === expected)
+  }
+
+  test("compaction shrinks topic file count without losing a record") {
+    val topic = tempDir("topic")
+    val msgs = Envelope.messages(spark, sf)
+    // three publishes → many small files per shard
+    Publisher.publish(msgs.filter(col("event_id") % 3 === 0), topic)
+    Publisher.publish(msgs.filter(col("event_id") % 3 === 1), topic)
+    Publisher.publish(msgs.filter(col("event_id") % 3 === 2), topic)
+    def files(): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(topic)).count(_.getName.endsWith(".parquet"))
+    }
+    val before = files()
+    val beforeUuids = spark.read.parquet(topic).select("uuid").distinct().count()
+    Publisher.compact(spark, topic)
+    assert(files() < before)
+    val after = spark.read.parquet(topic)
+    assert(after.count() === 1000)
+    assert(after.select("uuid").distinct().count() === beforeUuids)
+  }
+
   test("ack/nack redelivery resolves with correct retry counts across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
