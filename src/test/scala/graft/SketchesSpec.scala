@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Sketches
+
+class SketchesSpec extends SparkSuite {
+
+  test("per-slice HLL sketches merge to an accurate global cardinality") {
+    val li = Tables.lineitem(spark, sf)
+    val exact = li.select(countDistinct(col("l_partkey"))).head.getLong(0)
+    // sketch per returnflag slice, then merge — no rescan of raw rows
+    val sketches = Sketches.sketchBy(li, "l_returnflag", "l_partkey")
+    assert(sketches.count() === 3)
+    val merged = Sketches.mergeEstimate(sketches)
+    val err = math.abs(merged - exact).toDouble / exact
+    assert(err < 0.05, s"merged=$merged exact=$exact err=$err")
+  }
+
+  test("per-group estimates track exact distincts") {
+    val li = Tables.lineitem(spark, sf)
+    val exact = li.groupBy("l_returnflag")
+      .agg(countDistinct(col("l_orderkey")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val est = Sketches.estimates(
+        Sketches.sketchBy(li, "l_returnflag", "l_orderkey"), "l_returnflag")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      val e = est(k)
+      assert(math.abs(e - n).toDouble / n < 0.05, s"$k: est=$e exact=$n")
+    }
+  }
+}
