@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scratch profiling harness (not part of the library surface): times
+  * named plan variants the same way Bench does (toRdd.count), printing
+  * per-variant seconds so slow stages can be attributed.
+  * Usage: runMain graft.Probe [sfDir] [nameSubstring]
+  */
+object Probe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val only = args.drop(1).headOption.getOrElse("")
+    val spark = GraftSession.local(32)
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.operators.Envelope
+
+    def time(name: String)(df: => DataFrame): Unit = if (name.contains(only)) {
+      // warm once, then time two runs
+      val d = df
+      d.queryExecution.toRdd.count()
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        d.queryExecution.toRdd.count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[probe] $name%-28s ${times.min}%.3f s  (runs: ${times.map(t => f"$t%.3f").mkString(", ")})")
+    }
+
+    val msgs = Envelope.messages(spark, sfDir)
+
+    time("m5_full")(SparkEntry.queries("m5_per_shard_order")(spark, sfDir))
+    time("m5_no_orderby")(Envelope.withShardSeq(msgs)
+      .select(col("event_id"), col("shard_id"), col("seq")))
+    time("m5_messages_only")(msgs)
+    time("m5_shard_only")(msgs.withColumn("shard_id",
+      Envelope.shardId(col("partition_key"))))
+    time("m4_full")(SparkEntry.queries("m4_publish_batches")(spark, sfDir))
+    time("m6_full")(SparkEntry.queries("m6_checkpoint_resume")(spark, sfDir))
+    time("m2_full")(SparkEntry.queries("m2_unmarshal")(spark, sfDir))
+    time("q21_full")(SparkEntry.queries("q21_percentiles")(spark, sfDir))
+    time("q12_full")(SparkEntry.queries("q12_distinct_agg")(spark, sfDir))
+    time("d3_full")(SparkEntry.queries("d3_lsh_pairs")(spark, sfDir))
+    time("d4_full")(SparkEntry.queries("d4_ngram_jaccard")(spark, sfDir))
+
+    spark.stop()
+  }
+}
