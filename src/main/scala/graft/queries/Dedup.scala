@@ -48,19 +48,20 @@ object Dedup extends QueryPack {
       |  SELECT doc_id + 100000 AS doc_id, text || ' extra tail words' AS text
       |  FROM documents WHERE doc_id % 20 = 0""".stripMargin
 
-  /** Minhash signatures via Kirsch-Mitzenmacher double hashing: the
-    * shingles explode once, each costs ONE md5 (split into two 32-bit
-    * halves), and the k signature components are min((h1 + i·h2) mod
-    * 2^32) — k codegen'd long mins in a single groupBy instead of k
-    * interpreted md5-per-shingle passes (16× less hashing; ~20× on
-    * the sf0.1 bench).
+  /** Minhash signatures via the one-pass native kernel
+    * (graft.functions.TextHash.kmMinHash): the whole KM signature is
+    * computed map-side per document — no explode, no window, no
+    * shuffle (the previous explode+groupBy pipeline shuffled
+    * ~n_tokens rows per doc twice and dominated the dedup bench).
+    * Docs with fewer than n words have no shingles and drop out,
+    * exactly as the groupBy form dropped them.
     */
-  private def kmSignatures(shingleRows: DataFrame): DataFrame = {
-    val hashed = shingleRows.select(col("doc_id"),
-      Portable.h32a(col("s")).as("h1"), Portable.h32b(col("s")).as("h2"))
-    val mins = (0 until K).map(i => min(Portable.kmHash(col("h1"), col("h2"), i)).as(s"s$i"))
-    hashed.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
-  }
+  private def kmSignatures(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        graft.functions.TextHash.kmMinHash(col("text"), ShingleN, K).as("sig"))
+      .filter(col("sig").isNotNull)
+      .select(col("doc_id") +: (0 until K).map(i => col("sig").getItem(i).as(s"s$i")): _*)
 
   /** DuckDB mirror of one KM minhash component (table `hashed` with
     * h1/h2 in scope). */
@@ -86,10 +87,10 @@ object Dedup extends QueryPack {
         .orderBy(col("keep_id"))
     },
 
-    // MinHash signatures: k=16 KM minima over word shingles — one md5
-    // per shingle, one shuffle on doc_id with k codegen'd min aggs.
+    // MinHash signatures: k=16 KM minima over word shingles — one
+    // native map-side pass per document, zero shuffles.
     "d2_minhash_sig" -> { (s, d) =>
-      kmSignatures(Portable.shingleRows(Tables.documents(s, d), ShingleN))
+      kmSignatures(Tables.documents(s, d))
         .select(col("doc_id"), concat_ws("|", (0 until K).map(i => col(s"s$i")): _*).as("signature"))
         .orderBy(col("doc_id"))
     },
@@ -98,7 +99,7 @@ object Dedup extends QueryPack {
     // hash become candidates. Join key is (band, 32-hex band hash) —
     // the O(n²) pair space never materializes.
     "d3_lsh_pairs" -> { (s, d) =>
-      val sigs = kmSignatures(Portable.shingleRows(withNearDupes(s, d), ShingleN))
+      val sigs = kmSignatures(withNearDupes(s, d))
       val bands = sigs.select(col("doc_id"),
         posexplode(array((0 until Bands).map { b =>
           md5(concat_ws("|", (0 until 4).map(r => col(s"s${b * 4 + r}")): _*).cast("binary"))
@@ -114,15 +115,17 @@ object Dedup extends QueryPack {
 
     // Verify stage: exact n-gram Jaccard on the LSH candidates only.
     "d4_ngram_jaccard" -> { (s, d) =>
-      // one pass: the same doc_id aggregation produces BOTH the km
-      // signature mins and the distinct-shingle sets (the shingle
-      // window pipeline is the dominant cost — don't run it twice).
-      val docAgg = Portable.shingleRows(withNearDupes(s, d), ShingleN)
-        .select(col("doc_id"), col("s"),
-          Portable.h32a(col("s")).as("h1"), Portable.h32b(col("s")).as("h2"))
-        .groupBy(col("doc_id"))
-        .agg(collect_set(col("s")).as("sh"),
-          (0 until K).map(i => min(Portable.kmHash(col("h1"), col("h2"), i)).as(s"s$i")): _*)
+      // Both the km signature and the distinct-shingle set come from
+      // native per-row kernels — the whole candidate generation is
+      // map-side; the only shuffles are the band join and the two
+      // candidate→shingle-set joins (52 pairs at this SF).
+      val docAgg = withNearDupes(s, d)
+        .select(col("doc_id"),
+          graft.functions.TextHash.distinctShingles(col("text"), ShingleN).as("sh"),
+          graft.functions.TextHash.kmMinHash(col("text"), ShingleN, K).as("sig"))
+        .filter(col("sig").isNotNull)
+        .select(col("doc_id") +: col("sh") +:
+          (0 until K).map(i => col("sig").getItem(i).as(s"s$i")): _*)
       val docs = docAgg.select(col("doc_id"), col("sh"))
       val sigs = docAgg
       val bands = sigs.select(col("doc_id"),
@@ -145,21 +148,14 @@ object Dedup extends QueryPack {
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
-    // SimHash: 16-bit fingerprint from per-token md5 bits; tokens
-    // explode once, then one shuffle on doc_id with 16 conditional
-    // sums (all codegen'd).
+    // SimHash: 16-bit fingerprint from per-token md5 bits — one
+    // native map-side pass per document (the explode+groupBy form
+    // shuffled every token row).
     "d5_simhash" -> { (s, d) =>
-      val toks = Tables.documents(s, d)
-        .select(col("doc_id"), explode(Portable.words(col("text"))).as("tok"))
-        .withColumn("h", Portable.hash16(col("tok")))
-      val bitSums = (0 until 16).map { i =>
-        sum(when(floor(col("h") / math.pow(2, i).toLong).cast("long") % 2 === 1, 1)
-          .otherwise(-1)).as(s"b$i")
-      }
-      toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+      Tables.documents(s, d)
         .select(col("doc_id"),
-          (0 until 16).map(i => when(col(s"b$i") > 0, math.pow(2, i).toLong).otherwise(0L))
-            .reduce(_ + _).as("fingerprint"))
+          graft.functions.TextHash.simHash16(col("text")).as("fingerprint"))
+        .filter(col("fingerprint").isNotNull)
         .orderBy(col("doc_id"))
     },
 

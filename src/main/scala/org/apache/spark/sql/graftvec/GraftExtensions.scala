@@ -12,10 +12,26 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
+    import GraftFunctions.intArg
     e.injectFunction((
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         DotProduct(exprs(0), exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("km_minhash"),
+      new ExpressionInfo(classOf[KmMinHash].getName, "km_minhash"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        KmMinHash(exprs(0), intArg(exprs(1)), intArg(exprs(2)))))
+    e.injectFunction((
+      new FunctionIdentifier("distinct_shingles"),
+      new ExpressionInfo(classOf[DistinctShingles].getName, "distinct_shingles"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        DistinctShingles(exprs(0), intArg(exprs(1)))))
+    e.injectFunction((
+      new FunctionIdentifier("simhash16"),
+      new ExpressionInfo(classOf[SimHash16].getName, "simhash16"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SimHash16(exprs(0))))
   }
 }

@@ -8,8 +8,22 @@ import org.apache.spark.sql.classic.ClassicConversions.castToImpl
   * because FunctionRegistry access is private[sql].
   */
 object GraftFunctions {
+  private[graftvec] def intArg(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
+    e.eval(null) match {
+      case i: Int  => i
+      case l: Long => l.toInt
+      case other   => throw new IllegalArgumentException(s"expected integer literal, got $other")
+    }
+
   def register(spark: SparkSession): Unit = {
-    castToImpl(spark).sessionState.functionRegistry.createOrReplaceTempFunction(
+    val reg = castToImpl(spark).sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
       "vec_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "km_minhash", exprs => KmMinHash(exprs(0), intArg(exprs(1)), intArg(exprs(2))), "built-in")
+    reg.createOrReplaceTempFunction(
+      "distinct_shingles", exprs => DistinctShingles(exprs(0), intArg(exprs(1))), "built-in")
+    reg.createOrReplaceTempFunction(
+      "simhash16", exprs => SimHash16(exprs(0)), "built-in")
   }
 }

@@ -3,14 +3,17 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Scratch profiling harness (not part of the library surface): times
-  * named plan variants the same way Bench does (toRdd.count), printing
-  * per-variant seconds so slow stages can be attributed.
-  * Usage: runMain graft.Probe [sfDir] [nameSubstring]
+/** Scratch profiling harness (test scope — not part of the library
+  * jar): times named plan variants the same way Bench does
+  * (toRdd.count), printing per-variant seconds so slow stages can be
+  * attributed.
+  * Usage: Test/runMain graft.Probe [sfDir] [nameSubstring]
   */
 object Probe {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val sfDir = args.headOption
+      .orElse(sys.env.get("SPARK_GRAFT_SF_DIR"))
+      .getOrElse(sys.error("pass sfDir or set SPARK_GRAFT_SF_DIR"))
     val only = args.drop(1).headOption.getOrElse("")
     val spark = GraftSession.local(32)
     spark.sparkContext.setLogLevel("WARN")
