@@ -1,5 +1,25 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main (driver contract): one JSON line with per-query
+  * seconds at SPARK_GRAFT_SF_DIR.
+  *
+  * Each timed run is a FRESH DataFrame (full Catalyst analysis →
+  * optimization → planning → execution) materializing every output
+  * row via `queryExecution.toRdd.count()` — a plain `.count()` would
+  * let Catalyst prune all map-side work, and re-counting a cached
+  * DataFrame would reuse shuffle outputs and time only the final
+  * stage.
+  *
+  * Untimed warmup: one scan per table, then every query ONCE against
+  * the smallest available scale factor (sibling sf0.001 dir when
+  * present). That compiles each query's whole-stage-codegen classes
+  * and JITs the hot kernels while touching ~100× less data, so the
+  * timed pass measures steady-state execution the way a long-lived
+  * engine runs — first-query-in-JVM compile costs don't land on
+  * whichever query alphabetically trips them (probe: d1 2.4 s with
+  * cold codegen vs 0.5 s steady-state on identical sf0.1 data).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -12,8 +32,6 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Untimed warmup: JVM/codegen/catalog/page-cache, one scan per
-    // table plus one representative query.
     Tables.names.foreach { n =>
       try {
         val df = if (n == "events") Tables.events(spark, sfDir) else Tables.load(spark, sfDir, n)
@@ -21,12 +39,16 @@ object Bench {
         df.foreach(_ => ())
       } catch { case _: Throwable => () }
     }
-    try SparkEntry.queries("q1_agg")(spark, sfDir).count() catch { case _: Throwable => () }
+    val warmDir = {
+      val sib = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
+      if (sib.isDirectory && sib.getPath != new java.io.File(sfDir).getPath) sib.getPath else sfDir
+    }
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try fn(spark, warmDir).queryExecution.toRdd.count()
+      catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      // toRdd.count(): materialize every OUTPUT row of the query plan.
-      // A plain .count() would let Catalyst prune all map-side
-      // computation and time an empty scan for narrow queries.
       try { fn(spark, sfDir).queryExecution.toRdd.count() }
       catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

@@ -12,8 +12,17 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Memoized analyzed relations (a minimal catalog): `spark.read
+    * .parquet` lists files and reads footers for schema inference on
+    * every call, which recurs per query per table and is pure driver
+    * overhead. The tables are immutable inputs, so the same analyzed
+    * DataFrame is safely reused for the life of the session. */
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    cache.getOrElseUpdate((spark, dir, name),
+      spark.read.parquet(s"$dir/$name.parquet"))
 
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
@@ -27,14 +36,15 @@ object Tables {
     * and truncate to a proper microsecond TimestampType — the oracle
     * mirrors with `ts::TIMESTAMP` (ns→µs truncation) on its side.
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // integer `div`, not `/`: double division loses precision at
-    // ~1.7e18 ns (> 2^53) and lands ±1 µs off the oracle's truncation.
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(ts div 1000)"))
-  }
+  def events(s: SparkSession, d: String): DataFrame =
+    cache.getOrElseUpdate((s, d, "events.ts"), {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // integer `div`, not `/`: double division loses precision at
+      // ~1.7e18 ns (> 2^53) and lands ±1 µs off the oracle's truncation.
+      load(s, d, "events")
+        .withColumn("ts", org.apache.spark.sql.functions.expr(
+          "timestamp_micros(ts div 1000)"))
+    })
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

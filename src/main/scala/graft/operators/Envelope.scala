@@ -38,13 +38,22 @@ object Envelope {
 
   /** Marshalled JSON envelope (reference marshaller.go:44-70): the
     * payload travels base64'd, headers as a nested object. Field
-    * order is fixed by the struct, so output is byte-stable.
+    * order is fixed, so output is byte-stable — produced by the
+    * native codegen kernel (graftvec.EnvelopeMarshal); the
+    * `to_json(struct(...))` form it replaces evaluates through
+    * CodegenFallback (an interpreted Jackson round-trip per row)
+    * and emits the same bytes.
     */
   def marshalled(msgs: DataFrame): Column =
-    to_json(struct(
-      col("uuid").as("watermill_message_uuid"),
-      base64(col("payload")).as("data"),
-      struct(col("event_type").as("eventType")).as("headers")))
+    org.apache.spark.sql.graftvec.EnvelopeJsonColumns.marshal(
+      col("uuid"), col("payload"), col("event_type"))
+
+  /** Parsed envelope struct<uuid, payload binary, event_type>
+    * (reference marshaller.go:26-52 JSONUnmarshaller) — native
+    * streaming-Jackson kernel, null on malformed input like
+    * from_json. */
+  def parsed(envelope: Column): Column =
+    org.apache.spark.sql.graftvec.EnvelopeJsonColumns.parse(envelope)
 
   /** Partition-key → shard routing (Kinesis hashes MD5(partitionKey)
     * into a shard's hash-key range; publisher.go:80). md5-derived so

@@ -56,12 +56,20 @@ object Dedup extends QueryPack {
     * Docs with fewer than n words have no shingles and drop out,
     * exactly as the groupBy form dropped them.
     */
-  private def kmSignatures(docs: DataFrame): DataFrame =
-    docs
+  /** When the signatures feed a self-join (d3/d4), pass
+    * materialize=true: the repartition on doc_id materializes the
+    * tiny (doc_id, 16 longs) relation ONCE behind an exchange that
+    * both join sides reuse. Without it, projection collapse inlines
+    * the kernel into every consumer and each self-join side
+    * re-hashes the full corpus (measured 7× slower at sf0.1). */
+  private def kmSignatures(docs: DataFrame, materialize: Boolean = false): DataFrame = {
+    val sigs = docs
       .select(col("doc_id"),
         graft.functions.TextHash.kmMinHash(col("text"), ShingleN, K).as("sig"))
       .filter(col("sig").isNotNull)
       .select(col("doc_id") +: (0 until K).map(i => col("sig").getItem(i).as(s"s$i")): _*)
+    if (materialize) sigs.repartition(col("doc_id")) else sigs
+  }
 
   /** DuckDB mirror of one KM minhash component (table `hashed` with
     * h1/h2 in scope). */
@@ -99,7 +107,7 @@ object Dedup extends QueryPack {
     // hash become candidates. Join key is (band, 32-hex band hash) —
     // the O(n²) pair space never materializes.
     "d3_lsh_pairs" -> { (s, d) =>
-      val sigs = kmSignatures(withNearDupes(s, d))
+      val sigs = kmSignatures(withNearDupes(s, d), materialize = true)
       val bands = sigs.select(col("doc_id"),
         posexplode(array((0 until Bands).map { b =>
           md5(concat_ws("|", (0 until 4).map(r => col(s"s${b * 4 + r}")): _*).cast("binary"))
@@ -119,6 +127,9 @@ object Dedup extends QueryPack {
       // native per-row kernels — the whole candidate generation is
       // map-side; the only shuffles are the band join and the two
       // candidate→shingle-set joins (52 pairs at this SF).
+      // repartition materializes one kernel pass behind an exchange
+      // all four consumers (bands l/r, sh joins a/b) reuse — without
+      // it projection collapse re-hashes the corpus per consumer.
       val docAgg = withNearDupes(s, d)
         .select(col("doc_id"),
           graft.functions.TextHash.distinctShingles(col("text"), ShingleN).as("sh"),
@@ -126,6 +137,7 @@ object Dedup extends QueryPack {
         .filter(col("sig").isNotNull)
         .select(col("doc_id") +: col("sh") +:
           (0 until K).map(i => col("sig").getItem(i).as(s"s$i")): _*)
+        .repartition(col("doc_id"))
       val docs = docAgg.select(col("doc_id"), col("sh"))
       val sigs = docAgg
       val bands = sigs.select(col("doc_id"),
@@ -166,7 +178,7 @@ object Dedup extends QueryPack {
     // at scale (same-bucket requirement is exact for scaled copies).
     "d6_embedding_dup" -> { (s, d) =>
       val base = Tables.embeddings(s, d)
-        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("emb"))
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
       val dupes = base.filter(col("vec_id") % 25 === 0)
         .select((col("vec_id") + 100000L).as("vec_id"),
           transform(col("emb"), _ * 1.5).as("emb"))

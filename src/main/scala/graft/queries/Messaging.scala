@@ -38,15 +38,14 @@ object Messaging extends QueryPack {
     // oracle is the identity reconstruction, so any lossiness fails.
     "m2_unmarshal" -> { (s, d) =>
       val msgs = Envelope.messages(s, d)
-      val schema = "watermill_message_uuid STRING, data STRING, headers STRUCT<eventType: STRING>"
       msgs.select(col("event_id"), col("partition_key"), col("ts"),
-          from_json(Envelope.marshalled(msgs), schema, Map.empty[String, String]).as("env"))
+          Envelope.parsed(Envelope.marshalled(msgs)).as("env"))
         .select(
           col("event_id"),
-          col("env.watermill_message_uuid").as("uuid"),
+          col("env.uuid").as("uuid"),
           col("partition_key"),
-          unbase64(col("env.data")).cast("string").as("payload_str"),
-          col("env.headers.eventType").as("header_event_type"),
+          col("env.payload").cast("string").as("payload_str"),
+          col("env.event_type").as("header_event_type"),
           date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("arrival"))
         .orderBy(col("event_id"))
     },

@@ -25,23 +25,35 @@ object Similarity extends QueryPack {
   private val NProbe = 2     // IVF cells searched per probe
 
   /** Vectors with their L2 norm precomputed once, map-side — every
-    * downstream pair then costs a single codegen'd dot product. */
+    * downstream pair then costs a single codegen'd dot product. The
+    * float→double widening is a native array cast (codegen), not an
+    * interpreted per-element transform lambda. */
   private def vecs(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
-      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("emb"))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
       .withColumn("nrm", graft.functions.Vec.norm(col("emb")))
 
   private def cosPre(pEmb: Column, pNrm: Column, emb: Column, nrm: Column): Column =
     graft.functions.Vec.dot(pEmb, emb) / (pNrm * nrm)
 
-  /** Deterministic pseudo-random hyperplane weight for (plane, dim):
-    * md5-derived uniform in [-1, 1). Same arithmetic in the oracle. */
-  private def planeDot(emb: Column, p: Int): Column = {
-    val w = transform(sequence(lit(0), lit(63)), i =>
-      conv(substring(md5(concat(lit(s"$p|"), i.cast("string")).cast("binary")), 1, 4), 16, 10)
-        .cast("long").cast("double") / 32768.0 - 1.0)
-    Portable.dotD(emb, w)
+  /** Deterministic pseudo-random hyperplane weights for (plane, dim):
+    * md5-derived uniform in [-1, 1). The planes are CONSTANT, so they
+    * are materialized driver-side once (same md5-prefix arithmetic as
+    * the oracle's SQL formula) and enter the plan as array literals —
+    * the per-row transform(sequence(...), md5...) form re-evaluated
+    * 64 interpreted digests per row per plane. */
+  private def planeWeights(p: Int): Seq[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until 64).map { i =>
+      md.reset()
+      val dig = md.digest(s"$p|$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val h = ((dig(0) & 0xff) << 8) | (dig(1) & 0xff)
+      h.toDouble / 32768.0 - 1.0
+    }
   }
+
+  private def planeDot(emb: Column, p: Int): Column =
+    Portable.dotD(emb, typedLit(planeWeights(p)))
 
   /** 8-bit sign bucket of the hyperplane projections. */
   private def lshBucket(emb: Column): Column =

@@ -33,5 +33,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SimHash16].getName, "simhash16"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         SimHash16(exprs(0))))
+    e.injectFunction((
+      new FunctionIdentifier("envelope_marshal"),
+      new ExpressionInfo(classOf[EnvelopeMarshal].getName, "envelope_marshal"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        EnvelopeMarshal(exprs(0), exprs(1), exprs(2))))
+    e.injectFunction((
+      new FunctionIdentifier("envelope_parse"),
+      new ExpressionInfo(classOf[EnvelopeParse].getName, "envelope_parse"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        EnvelopeParse(exprs(0))))
   }
 }

@@ -46,6 +46,88 @@ class FunctionsSpec extends SparkSuite {
     assert(viaArray.exceptAll(viaRows).count() === 0)
   }
 
+  test("km_minhash kernel equals the composed shingle+KM pipeline") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Seq((1L, "a b c d e f"), (2L, "x y"), (3L, ""), (4L, "p q r"),
+      (5L, "  leading and trailing  "), (6L, "tab\tsep\nnewline words here"))
+      .toDF("doc_id", "text")
+    val k = 8
+    val composed = {
+      val hashed = Portable.shingleRows(docs, 3).select(col("doc_id"),
+        Portable.h32a(col("s")).as("h1"), Portable.h32b(col("s")).as("h2"))
+      val mins = (0 until k).map(i => min(Portable.kmHash(col("h1"), col("h2"), i)).as(s"s$i"))
+      hashed.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    }
+    val native = docs
+      .select(col("doc_id"), graft.functions.TextHash.kmMinHash(col("text"), 3, k).as("sig"))
+      .filter(col("sig").isNotNull)
+      .select(col("doc_id") +: (0 until k).map(i => col("sig").getItem(i).as(s"s$i")): _*)
+    assert(native.exceptAll(composed).count() === 0)
+    assert(composed.exceptAll(native).count() === 0)
+    assert(native.count() === 4) // docs 2 (too short) and 3 (empty) drop
+
+    val shComposed = Portable.shingleRows(docs, 3)
+      .groupBy("doc_id").agg(sort_array(collect_set("s")).as("sh"))
+    val shNative = docs.select(col("doc_id"),
+        sort_array(graft.functions.TextHash.distinctShingles(col("text"), 3)).as("sh"))
+      .filter(size(col("sh")) > 0)
+    assert(shNative.exceptAll(shComposed).count() === 0)
+    assert(shComposed.exceptAll(shNative).count() === 0)
+  }
+
+  test("simhash16 kernel equals the explode+vote form") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta gamma alpha"), (2L, ""), (3L, "solo"),
+      (4L, "mixed\tws\ntokens")).toDF("doc_id", "text")
+    val toks = docs
+      .select(col("doc_id"), explode(Portable.words(col("text"))).as("tok"))
+      .withColumn("h", Portable.hash16(col("tok")))
+    val bitSums = (0 until 16).map { i =>
+      sum(when(floor(col("h") / math.pow(2, i).toLong).cast("long") % 2 === 1, 1)
+        .otherwise(-1)).as(s"b$i")
+    }
+    val composed = toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 16).map(i => when(col(s"b$i") > 0, math.pow(2, i).toLong).otherwise(0L))
+          .reduce(_ + _).as("fingerprint"))
+    val native = docs.select(col("doc_id"),
+        graft.functions.TextHash.simHash16(col("text")).as("fingerprint"))
+      .filter(col("fingerprint").isNotNull)
+    assert(native.exceptAll(composed).count() === 0)
+    assert(composed.exceptAll(native).count() === 0)
+  }
+
+  test("envelope marshal/parse kernels round-trip and match to_json bytes") {
+    import spark.implicits._
+    val msgs = Seq(
+      ("42", "payload bytes", "click"),
+      ("7", """quote " backslash \ newline
+tab	end""", "view"))
+      .toDF("uuid", "payload_str", "event_type")
+      .withColumn("payload", col("payload_str").cast("binary"))
+    val viaToJson = msgs.select(to_json(struct(
+      col("uuid").as("watermill_message_uuid"),
+      base64(col("payload")).as("data"),
+      struct(col("event_type").as("eventType")).as("headers"))).as("env"))
+    val viaNative = msgs.select(
+      org.apache.spark.sql.graftvec.EnvelopeJsonColumns.marshal(
+        col("uuid"), col("payload"), col("event_type")).as("env"))
+    assert(viaNative.collect().map(_.getString(0)).toSeq
+      === viaToJson.collect().map(_.getString(0)).toSeq)
+
+    val back = viaNative.select(
+      org.apache.spark.sql.graftvec.EnvelopeJsonColumns.parse(col("env")).as("m"))
+      .select(col("m.uuid"), col("m.payload").cast("string"), col("m.event_type"))
+      .as[(String, String, String)].collect().toSeq
+    assert(back === Seq(("42", "payload bytes", "click"),
+      ("7", "quote \" backslash \\ newline\ntab\tend", "view")))
+    // malformed input → null, like from_json
+    assert(Seq("not json").toDF("env")
+      .select(org.apache.spark.sql.graftvec.EnvelopeJsonColumns.parse(col("env")))
+      .head.isNullAt(0))
+  }
+
   test("portable hashes are stable across invocations and match known md5") {
     import spark.implicits._
     val df = Seq("abc").toDF("s")

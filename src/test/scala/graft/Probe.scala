@@ -20,12 +20,13 @@ object Probe {
     import graft.operators.Envelope
 
     def time(name: String)(df: => DataFrame): Unit = if (name.contains(only)) {
-      // warm once, then time two runs
-      val d = df
-      d.queryExecution.toRdd.count()
+      // warm once, then time two runs — each on a FRESH DataFrame
+      // (re-counting the same one reuses shuffle outputs and times
+      // only the final stage, wildly under-reporting shuffle queries)
+      df.queryExecution.toRdd.count()
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        d.queryExecution.toRdd.count()
+        df.queryExecution.toRdd.count()
         (System.nanoTime() - t0) / 1e9
       }
       println(f"[probe] $name%-28s ${times.min}%.3f s  (runs: ${times.map(t => f"$t%.3f").mkString(", ")})")
@@ -46,6 +47,28 @@ object Probe {
     time("q12_full")(SparkEntry.queries("q12_distinct_agg")(spark, sfDir))
     time("d3_full")(SparkEntry.queries("d3_lsh_pairs")(spark, sfDir))
     time("d4_full")(SparkEntry.queries("d4_ngram_jaccard")(spark, sfDir))
+
+    import graft.functions.Portable
+    val docs = Tables.documents(spark, sfDir)
+    time("d1_full")(SparkEntry.queries("d1_exact_dedup")(spark, sfDir))
+    time("d1_scan_only")(docs.select(col("doc_id")))
+    time("d1_text_only")(docs.select(col("doc_id"), length(col("text")).as("n")))
+    time("d1_norm_only")(docs.select(col("doc_id"),
+      length(Portable.normText(col("text"))).as("n")))
+    time("d1_hash_only")(docs.select(col("doc_id"),
+      Portable.md5hex(Portable.normText(col("text"))).as("h")))
+    time("a1_full")(SparkEntry.queries("a1_knn_brute")(spark, sfDir))
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .withColumn("nrm", graft.functions.Vec.norm(col("emb")))
+    time("a1_vecs_only")(vecs)
+    time("a1_join_nowin") {
+      val probes = vecs.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"), col("nrm").as("p_nrm"))
+      vecs.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"),
+          (graft.functions.Vec.dot(col("p_emb"), col("emb")) / (col("p_nrm") * col("nrm"))).as("cosine"))
+    }
 
     spark.stop()
   }
