@@ -25,9 +25,13 @@ import org.apache.spark.sql.expressions.Window
   */
 object Percentiles {
 
-  /** @param qs (outputColumnName, quantile in [0,1]) pairs */
+  /** @param qs (outputColumnName, quantile in [0,1]) pairs
+    * @param minMaxCols optional (minName, maxName): also emit the
+    *   group's min/max — free, the bucketing pass computes them
+    *   anyway (callers previously re-scanned the input for them). */
   def exact(df: DataFrame, keyCol: String, valCol: String,
-            qs: Seq[(String, Double)], buckets: Int = 4096): DataFrame = {
+            qs: Seq[(String, Double)], buckets: Int = 4096,
+            minMaxCols: Option[(String, String)] = None): DataFrame = {
     val k = col(keyCol)
     val v = col(valCol).cast("double")
 
@@ -50,11 +54,12 @@ object Percentiles {
 
     // requested ranks (1-based): ⌊pos⌋+1 and its successor
     val tq = stats
-      .select(col("sk"), col("n"),
+      .select(col("sk"), col("n"), col("vmin"), col("vmax"),
         explode(array(qs.map { case (nm, q) =>
           struct(lit(nm).as("qname"), lit(q).as("q"))
         }: _*)).as("t"))
-      .select(col("sk"), col("n"), col("t.qname").as("qname"), col("t.q").as("q"))
+      .select(col("sk"), col("n"), col("vmin"), col("vmax"),
+        col("t.qname").as("qname"), col("t.q").as("q"))
       .withColumn("pos", (col("n") - 1).cast("double") * col("q"))
       .withColumn("rlo", floor(col("pos")).cast("long") + 1)
       .withColumn("rhi", least(col("rlo") + 1, col("n")))
@@ -90,11 +95,13 @@ object Percentiles {
           col("lo_v") * (col("rlo").cast("double") - col("pos")) +
             col("hi_v") * (col("pos") - col("rlo").cast("double") + 1.0)))
 
-    interpolated.groupBy(col("sk").as(keyCol))
-      .agg(qs.map { case (nm, _) =>
-        max(when(col("qname") === nm, col("value"))).as(nm)
-      }.head, qs.drop(1).map { case (nm, _) =>
-        max(when(col("qname") === nm, col("value"))).as(nm)
-      }: _*)
+    val qAggs = qs.map { case (nm, _) =>
+      max(when(col("qname") === nm, col("value"))).as(nm)
+    }
+    val mmAggs = minMaxCols.toSeq.flatMap { case (mn, mx) =>
+      Seq(max(col("vmin")).as(mn), max(col("vmax")).as(mx))
+    }
+    val aggs = qAggs ++ mmAggs
+    interpolated.groupBy(col("sk").as(keyCol)).agg(aggs.head, aggs.tail: _*)
   }
 }

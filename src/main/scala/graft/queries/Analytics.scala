@@ -248,11 +248,9 @@ object Analytics extends QueryPack {
       // value per group (3 single-threaded sorts here, unrunnable at
       // 100 TB).
       val li = Tables.lineitem(s, d)
-      val pct = graft.operators.Percentiles.exact(li, "l_returnflag", "l_extendedprice",
-        Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
-      val mm = li.groupBy(col("l_returnflag").as("mk"))
-        .agg(min(col("l_extendedprice")).as("pmin"), max(col("l_extendedprice")).as("pmax"))
-      pct.join(broadcast(mm), col("l_returnflag") === col("mk"))
+      graft.operators.Percentiles.exact(li, "l_returnflag", "l_extendedprice",
+        Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99),
+        minMaxCols = Some(("pmin", "pmax")))
         .select(col("l_returnflag"), col("p50"), col("p90"), col("p99"), col("pmin"), col("pmax"))
         .orderBy(col("l_returnflag"))
     },
@@ -305,6 +303,35 @@ object Analytics extends QueryPack {
         .select(col("user_id"), col("click_id"), col("purchase_id"),
           (col("purchase_us") - col("click_us")).as("gap_us"))
         .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+    },
+
+    // Full cube over (status, priority) with grouping flags — all four
+    // aggregation levels in one pass (partial-agg map-side; Expand
+    // multiplies rows 4× before one shuffle, still one scan at scale).
+    "q25_cube" -> { (s, d) =>
+      Tables.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("o_totalprice")).as("sum_price"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n_orders"), col("sum_price"))
+        .orderBy(col("status"), col("priority"))
+    },
+
+    // Bivariate statistics per group: correlation, sample covariance
+    // and variance — single-pass streaming aggregators (no value
+    // buffering), so the same plan runs at 100 TB.
+    "q26_stats_agg" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          corr(col("l_quantity"), col("l_extendedprice")).as("qty_price_corr"),
+          covar_samp(col("l_quantity"), col("l_extendedprice")).as("qty_price_covar"),
+          stddev_samp(col("l_extendedprice")).as("price_stddev"),
+          var_samp(col("l_quantity")).as("qty_var"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"))
     }
   )
 
@@ -537,6 +564,27 @@ object Analytics extends QueryPack {
         |  ON c.user_id = p.user_id
         | AND epoch_us(p.ts) > epoch_us(c.ts)
         | AND epoch_us(p.ts) <= epoch_us(c.ts) + 300000000
-        |ORDER BY c.user_id, click_id, purchase_id""".stripMargin
+        |ORDER BY c.user_id, click_id, purchase_id""".stripMargin,
+
+    "q25_cube" ->
+      """SELECT
+        |  coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  count(*) AS n_orders,
+        |  sum(o_totalprice) AS sum_price
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+
+    "q26_stats_agg" ->
+      """SELECT l_returnflag,
+        |  corr(l_quantity, l_extendedprice) AS qty_price_corr,
+        |  covar_samp(l_quantity, l_extendedprice) AS qty_price_covar,
+        |  stddev_samp(l_extendedprice) AS price_stddev,
+        |  var_samp(l_quantity) AS qty_var,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin
   )
 }

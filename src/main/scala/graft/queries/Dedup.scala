@@ -171,6 +171,36 @@ object Dedup extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // URL dedup: canonicalize document source URLs (scheme, case,
+    // www, query/fragment, trailing slash) and keep the first doc per
+    // canonical URL. The corpus's `source` is a bare token, so four
+    // deterministic URL spellings are synthesized per doc — the
+    // normalizer must collapse exactly those. Shuffles only the
+    // normalized-url key, map-side regex work otherwise.
+    "d7_url_dedup" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val urled = docs.withColumn("url",
+        when(col("doc_id") % 4 === 0,
+          concat(lit("https://www."), col("source"), lit(".example.com/docs/"), pmod(col("doc_id"), lit(50L))))
+        .when(col("doc_id") % 4 === 1,
+          concat(lit("http://"), col("source"), lit(".example.com/docs/"), pmod(col("doc_id"), lit(50L)), lit("/")))
+        .when(col("doc_id") % 4 === 2,
+          concat(lit("HTTPS://"), upper(col("source")), lit(".EXAMPLE.COM/docs/"), pmod(col("doc_id"), lit(50L)), lit("?utm_source=feed")))
+        .otherwise(
+          concat(lit("https://"), col("source"), lit(".example.com/docs/"), pmod(col("doc_id"), lit(50L)), lit("#frag"))))
+      urled
+        .withColumn("url_norm",
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(lower(col("url")), "^https?://(www\\.)?", ""),
+              "[?#].*$", ""),
+            "/$", ""))
+        .groupBy(col("url_norm"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .filter(col("n_copies") > 1)
+        .orderBy(col("url_norm"))
+    },
+
     // Embedding near-dup: cosine ≥ 0.95 pairs. The corpus has none
     // (max natural cosine ≈ 0.48), so scaled copies are unioned in —
     // cosine is scale-invariant, so exactly those pairs surface.
@@ -266,6 +296,25 @@ object Dedup extends QueryPack {
          |WHERE len(list_intersect(a.dsh, b.dsh))::DOUBLE /
          |    (len(a.dsh) + len(b.dsh) - len(list_intersect(a.dsh, b.dsh))) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "d7_url_dedup" ->
+      """WITH urled AS (
+        |  SELECT doc_id,
+        |    CASE
+        |      WHEN doc_id % 4 = 0 THEN 'https://www.' || source || '.example.com/docs/' || (doc_id % 50)::VARCHAR
+        |      WHEN doc_id % 4 = 1 THEN 'http://' || source || '.example.com/docs/' || (doc_id % 50)::VARCHAR || '/'
+        |      WHEN doc_id % 4 = 2 THEN 'HTTPS://' || upper(source) || '.EXAMPLE.COM/docs/' || (doc_id % 50)::VARCHAR || '?utm_source=feed'
+        |      ELSE 'https://' || source || '.example.com/docs/' || (doc_id % 50)::VARCHAR || '#frag'
+        |    END AS url
+        |  FROM documents)
+        |SELECT
+        |  regexp_replace(regexp_replace(regexp_replace(lower(url),
+        |    '^https?://(www\.)?', ''), '[?#].*$', ''), '/$', '') AS url_norm,
+        |  min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM urled
+        |GROUP BY 1
+        |HAVING count(*) > 1
+        |ORDER BY url_norm""".stripMargin,
 
     "d5_simhash" ->
       s"""WITH toks AS (

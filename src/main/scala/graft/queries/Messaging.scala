@@ -143,6 +143,23 @@ object Messaging extends QueryPack {
         .orderBy(col("user_id"), col("session_start_us"))
     },
 
+    // Dead-letter routing (subscriber/subscriber.go:79-96 ack/nack:
+    // a message nacked past max retries must leave the hot loop).
+    // Deterministic per-message attempt counts stand in for the
+    // nack history; messages exceeding MaxRetries route to the DLQ.
+    "m12_dlq_routing" -> { (s, d) =>
+      val maxRetries = 3
+      Envelope.messages(s, d)
+        .withColumn("attempts", (col("event_id") % 5 + 1).cast("long"))
+        .withColumn("route",
+          when(col("attempts") > maxRetries, "dlq").otherwise("delivered"))
+        .groupBy(col("event_type"), col("route"))
+        .agg(count(lit(1)).as("n_messages"),
+          sum(col("attempts")).as("total_attempts"),
+          max(col("attempts")).as("max_attempts"))
+        .orderBy(col("event_type"), col("route"))
+    },
+
     // Stream-static enrichment: events joined to a broadcast dim
     // (the subscribe example's "enrich then process" loop).
     "m11_stream_enrich" -> { (s, d) =>
@@ -268,6 +285,16 @@ object Messaging extends QueryPack {
          |FROM sessions
          |GROUP BY user_id, sid
          |ORDER BY user_id, session_start_us""".stripMargin,
+
+    "m12_dlq_routing" ->
+      s"""SELECT event_type,
+         |  CASE WHEN (event_id % 5 + 1) > 3 THEN 'dlq' ELSE 'delivered' END AS route,
+         |  count(*) AS n_messages,
+         |  CAST(sum(event_id % 5 + 1) AS BIGINT) AS total_attempts,
+         |  CAST(max(event_id % 5 + 1) AS BIGINT) AS max_attempts
+         |FROM ($Ev) e
+         |GROUP BY 1, 2
+         |ORDER BY event_type, route""".stripMargin,
 
     "m11_stream_enrich" ->
       s"""SELECT c_mktsegment, count(*) AS n_events, sum(value) AS sum_value,

@@ -139,6 +139,29 @@ object Similarity extends QueryPack {
         .filter(col("rank") <= K)
         .select(col("probe_id"), col("vec_id"), col("rank"), col("cosine"))
         .orderBy(col("probe_id"), col("rank"))
+    },
+
+    // Hard-negative mining: for each probe, the single nearest
+    // neighbor carrying a DIFFERENT label (the cross-label margin
+    // example a contrastive training pipeline wants). Same broadcast
+    // one-corpus-scan shape as a1.
+    "a4_cross_label_nn" -> { (s, d) =>
+      val v = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("emb"))
+        .withColumn("nrm", graft.functions.Vec.norm(col("emb")))
+      val probes = v.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("probe_id"), col("label").as("p_label"),
+          col("emb").as("p_emb"), col("nrm").as("p_nrm"))
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+      v.join(broadcast(probes), col("label") =!= col("p_label"))
+        .withColumn("cosine", cosPre(col("p_emb"), col("p_nrm"), col("emb"), col("nrm")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") === 1)
+        .select(col("probe_id"), col("p_label"), col("vec_id").as("nn_id"),
+          col("label").as("nn_label"), col("cosine"))
+        .orderBy(col("probe_id"))
     }
   )
 
@@ -200,6 +223,19 @@ object Similarity extends QueryPack {
          |    ON v.cell = p.cell AND v.vec_id <> p.probe_id)
          |SELECT probe_id, vec_id, CAST(rank AS INTEGER) AS rank, cosine
          |FROM scored WHERE rank <= $K
-         |ORDER BY probe_id, rank""".stripMargin
+         |ORDER BY probe_id, rank""".stripMargin,
+
+    "a4_cross_label_nn" ->
+      s"""WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+         |p AS (SELECT vec_id AS probe_id, label AS p_label, emb FROM v WHERE vec_id % 100 = 0),
+         |scored AS (
+         |  SELECT p.probe_id, p.p_label, v.vec_id, v.label, $CosSql AS cosine,
+         |    row_number() OVER (PARTITION BY p.probe_id
+         |      ORDER BY $CosSql DESC, v.vec_id) AS rank
+         |  FROM p JOIN v ON v.label <> p.p_label)
+         |SELECT probe_id, CAST(p_label AS INTEGER) AS p_label, vec_id AS nn_id,
+         |  CAST(label AS INTEGER) AS nn_label, cosine
+         |FROM scored WHERE rank = 1
+         |ORDER BY probe_id""".stripMargin
   )
 }

@@ -106,6 +106,49 @@ object TextOps extends QueryPack {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("bigram"))
         .limit(20)
+    },
+
+    // PII redaction: count + scrub emails/phone numbers. The corpus
+    // has none, so deterministic PII is synthesized into a subset of
+    // docs (same observable-contract idea as the dedup family) and
+    // the redactor must find exactly that. Pure map-side regex work —
+    // one scan at 100 TB; the redacted text is verified by md5, not
+    // shipped to the driver.
+    "t6_pii_redact" -> { (s, d) =>
+      val withPii = Tables.documents(s, d)
+        .withColumn("text", concat(col("text"),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" contact user"), col("doc_id"), lit("@example.com now")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" call +1-555-"),
+              lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+            .otherwise(lit(""))))
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phoneRe = "\\+1-555-[0-9]{4}"
+      withPii.select(col("doc_id"),
+          regexp_count(col("text"), lit(emailRe)).cast("long").as("n_emails"),
+          regexp_count(col("text"), lit(phoneRe)).cast("long").as("n_phones"),
+          Portable.md5hex(
+            regexp_replace(regexp_replace(col("text"), emailRe, "<EMAIL>"),
+              phoneRe, "<PHONE>")).as("redacted_md5"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Repetitiveness quality signal (the duplicate-content heuristics
+    // used for LLM training-data filtering): distinct-word ratio per
+    // doc. Both sizes come from native kernels / codegen'd builtins,
+    // so this is a zero-shuffle single scan.
+    "t7_dup_words" -> { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("n_words", size(Portable.words(col("text"))).cast("long"))
+        .withColumn("n_distinct",
+          size(graft.functions.TextHash.distinctShingles(col("text"), 1)).cast("long"))
+        .select(col("doc_id"), col("n_words"), col("n_distinct"),
+          when(col("n_words") === 0, 0.0)
+            .otherwise(lit(1.0) - col("n_distinct").cast("double") / col("n_words"))
+            .as("dup_ratio"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -152,6 +195,36 @@ object TextOps extends QueryPack {
         |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_hex,
         |  ('0x' || substring(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 15))::BIGINT AS fp60
         |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "t6_pii_redact" ->
+      """WITH pii AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 5 = 0
+        |      THEN ' contact user' || doc_id::VARCHAR || '@example.com now' ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0
+        |      THEN ' call +1-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '\+1-555-[0-9]{4}')) AS BIGINT) AS n_phones,
+        |  md5(regexp_replace(
+        |        regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |        '\+1-555-[0-9]{4}', '<PHONE>', 'g')) AS redacted_md5
+        |FROM pii
+        |ORDER BY doc_id""".stripMargin,
+
+    "t7_dup_words" ->
+      """WITH w AS (
+        |  SELECT doc_id, CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+        |    ELSE regexp_split_to_array(trim(text), '\s+') END AS w
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(w) AS BIGINT) AS n_words,
+        |  CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
+        |  CASE WHEN len(w) = 0 THEN 0.0
+        |    ELSE 1.0 - len(list_distinct(w))::DOUBLE / len(w) END AS dup_ratio
+        |FROM w
         |ORDER BY doc_id""".stripMargin,
 
     "t5_ngram_topk" ->
