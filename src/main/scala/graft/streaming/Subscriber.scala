@@ -37,23 +37,22 @@ object Subscriber {
     StructField("envelope", StringType),
     StructField("ts", TimestampType)))
 
-  private val envSchema =
-    "watermill_message_uuid STRING, data STRING, headers STRUCT<eventType: STRING>"
-
   /** Unbounded stream of unmarshalled messages from a topic dir, with
     * the same injected metadata as the reference unmarshaller
-    * (partitionKey, shardID, approximateArrivalTimestamp).
+    * (partitionKey, shardID, approximateArrivalTimestamp). Envelope
+    * decode is the native codegen kernel (graftvec.EnvelopeParse),
+    * same as the batch path — from_json is CodegenFallback.
     */
   def subscribe(spark: SparkSession, topicDir: String): DataFrame =
     spark.readStream
       .schema(topicSchema)
       .option("maxFilesPerTrigger", 8)
       .parquet(topicDir)
-      .withColumn("env", from_json(col("envelope"), envSchema, Map.empty[String, String]))
+      .withColumn("env", graft.operators.Envelope.parsed(col("envelope")))
       .select(
-        col("env.watermill_message_uuid").as("uuid"),
-        unbase64(col("env.data")).as("payload"),
-        col("env.headers.eventType").as("event_type"),
+        col("env.uuid").as("uuid"),
+        col("env.payload").as("payload"),
+        col("env.event_type").as("event_type"),
         col("partition_key"), col("shard_id"), col("seq"), col("ts"))
 
   /** Start draining a subscription into an in-memory table (tests /
@@ -76,6 +75,40 @@ object Subscriber {
       .format("parquet")
       .option("path", outDir)
       .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Exactly-once consumption over an at-least-once transport
+    * (subscriber/subscriber.go:79-96 nack⇒redeliver): drop redelivered
+    * UUIDs inside the watermark horizon. State is bounded — a UUID is
+    * only tracked while a redelivery could still arrive, so this runs
+    * indefinitely at topic scale (plain dropDuplicates would grow
+    * state forever).
+    */
+  def exactlyOnce(msgs: DataFrame, watermarkDelay: String = "10 minutes"): DataFrame =
+    msgs.withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("uuid")
+
+  /** Drain with dead-letter routing: each micro-batch splits on
+    * `isPoison` — healthy rows land in `outDir`, poison rows in
+    * `dlqDir` — under ONE checkpoint, so both sinks stay consistent
+    * with the source offsets across restarts (the terminal state of
+    * the reference's nack loop once retries are exhausted).
+    */
+  def drainWithDlq(msgs: DataFrame, outDir: String, dlqDir: String,
+                   checkpointDir: String, isPoison: org.apache.spark.sql.Column): StreamingQuery =
+    msgs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val marked = batch.withColumn("__poison", isPoison).cache()
+        try {
+          marked.filter(!col("__poison")).drop("__poison")
+            .write.mode("append").parquet(outDir)
+          marked.filter(col("__poison")).drop("__poison")
+            .write.mode("append").parquet(dlqDir)
+        } finally marked.unpersist()
+      }
       .trigger(Trigger.AvailableNow())
       .start()
 

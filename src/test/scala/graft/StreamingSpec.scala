@@ -157,6 +157,45 @@ class StreamingSpec extends SparkSuite {
     assert(after.select("uuid").distinct().count() === beforeUuids)
   }
 
+  test("exactly-once consumption drops redeliveries within the watermark") {
+    val topic = tempDir("topic")
+    val msgs = Envelope.messages(spark, sf)
+    // at-least-once transport: every 7th message is redelivered 1s later
+    val redelivered = msgs.filter(col("event_id") % 7 === 0)
+      .withColumn("ts", col("ts") + expr("INTERVAL 1 SECOND"))
+    Publisher.publish(msgs.unionAll(redelivered), topic)
+
+    val q = Subscriber.drainToMemory(
+      Subscriber.exactlyOnce(Subscriber.subscribe(spark, topic), "10 minutes"),
+      "eo_sub", tempDir("ckpt"))
+    q.awaitTermination()
+
+    val got = spark.table("eo_sub")
+    assert(got.count() === 1000)                          // dupes dropped
+    assert(got.select("uuid").distinct().count() === 1000) // each uuid once
+  }
+
+  test("dead-letter drain splits poison messages under one checkpoint") {
+    val topic = tempDir("topic")
+    val outDir = tempDir("processed")
+    val dlqDir = tempDir("dlq")
+    Publisher.publish(Envelope.messages(spark, sf), topic)
+
+    // poison = attempts exhausted (same deterministic rule as m12)
+    val q = Subscriber.drainWithDlq(
+      Subscriber.subscribe(spark, topic), outDir, dlqDir, tempDir("ckpt"),
+      isPoison = col("uuid").cast("long") % 5 + 1 > 3)
+    q.awaitTermination()
+
+    val ok = spark.read.parquet(outDir)
+    val dlq = spark.read.parquet(dlqDir)
+    assert(ok.count() + dlq.count() === 1000)
+    assert(dlq.filter(col("uuid").cast("long") % 5 + 1 <= 3).count() === 0)
+    assert(ok.filter(col("uuid").cast("long") % 5 + 1 > 3).count() === 0)
+    // no uuid lands on both sides
+    assert(ok.select("uuid").intersect(dlq.select("uuid")).count() === 0)
+  }
+
   test("ack/nack redelivery resolves with correct retry counts across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
