@@ -332,6 +332,46 @@ object Analytics extends QueryPack {
           var_samp(col("l_quantity")).as("qty_var"),
           count(lit(1)).as("n_rows"))
         .orderBy(col("l_returnflag"))
+    },
+
+    // Neighbor navigation per customer order history: previous/next
+    // order totals (lag/lead) — one shuffle on the partition key.
+    "q27_lag_lead" -> { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .filter(col("o_custkey") % 100 === 0)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+          lead(col("o_totalprice"), 1).over(w).as("next_price"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+
+    // Quartile assignment within each priority class (ntile), then
+    // per-quartile stats — the windowed bucketing a feature pipeline
+    // uses for stratified sampling.
+    "q28_ntile" -> { (s, d) =>
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("quartile", ntile(4).over(w))
+        .groupBy(col("o_orderpriority"), col("quartile"))
+        .agg(count(lit(1)).as("n_orders"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"))
+        .orderBy(col("o_orderpriority"), col("quartile"))
+    },
+
+    // Ordered string aggregation per nation (LISTAGG shape): sorted
+    // supplier roster as one delimited string — deterministic via the
+    // explicit sort, not collect order.
+    "q29_string_agg" -> { (s, d) =>
+      Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_suppliers"),
+          array_join(array_sort(collect_list(col("s_name"))), ",").as("roster"))
+        .orderBy(col("n_name"))
     }
   )
 
@@ -585,6 +625,37 @@ object Analytics extends QueryPack {
         |  count(*) AS n_rows
         |FROM lineitem
         |GROUP BY l_returnflag
-        |ORDER BY l_returnflag""".stripMargin
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q27_lag_lead" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  lag(o_totalprice, 1) OVER w AS prev_price,
+        |  lead(o_totalprice, 1) OVER w AS next_price
+        |FROM orders
+        |WHERE o_custkey % 100 = 0
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q28_ntile" ->
+      """WITH q AS (
+        |  SELECT o_orderpriority, o_totalprice,
+        |    ntile(4) OVER (PARTITION BY o_orderpriority
+        |                   ORDER BY o_totalprice, o_orderkey) AS quartile
+        |  FROM orders)
+        |SELECT o_orderpriority, CAST(quartile AS INTEGER) AS quartile,
+        |  count(*) AS n_orders,
+        |  min(o_totalprice) AS min_price,
+        |  max(o_totalprice) AS max_price
+        |FROM q
+        |GROUP BY 1, 2
+        |ORDER BY o_orderpriority, quartile""".stripMargin,
+
+    "q29_string_agg" ->
+      """SELECT n_name,
+        |  count(*) AS n_suppliers,
+        |  string_agg(s_name, ',' ORDER BY s_name) AS roster
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin
   )
 }

@@ -50,6 +50,26 @@ object Multimodal extends QueryPack {
         .withColumnRenamed("col", "frame_b64")
         .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"), col("frame_b64"))
         .orderBy(col("doc_id"), col("frame_idx"))
+    },
+
+    // Chunked-upload manifest: slice each payload into fixed-size
+    // chunks, fingerprint each, and roll a per-object manifest
+    // checksum (the md5-of-chunk-md5s chain object stores use for
+    // multipart uploads). All map-side; the per-doc chunk count is
+    // bounded (len/256), so the array lambda stays cheap — at blob
+    // scale the chunks would posexplode to rows instead.
+    "mm3_chunk_manifest" -> { (s, d) =>
+      val chunk = 256
+      Tables.documents(s, d)
+        .withColumn("n_chunks",
+          ((length(col("text")) + chunk - 1) / chunk).cast("long"))
+        .select(col("doc_id"), col("n_chunks"),
+          length(col("text")).cast("long").as("n_chars"),
+          md5(concat_ws("",
+            transform(sequence(lit(0L), col("n_chunks") - 1L),
+              i => md5(col("text").substr((i * chunk + 1).cast("int"), lit(chunk)).cast("binary"))))
+            .cast("binary")).as("manifest_md5"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -71,6 +91,20 @@ object Multimodal extends QueryPack {
          |SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
          |  base64(substring(text, (i * $FrameStride + 1)::INTEGER, $FrameLen)::BLOB) AS frame_b64
          |FROM framed, unnest(generate_series(0, (n_frames - 1)::INTEGER)) AS t(i)
-         |ORDER BY doc_id, frame_idx""".stripMargin
+         |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "mm3_chunk_manifest" ->
+      """WITH chunked AS (
+        |  SELECT doc_id, text,
+        |    (length(text) + 255) // 256 AS n_chunks
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(n_chunks AS BIGINT) AS n_chunks,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  md5(array_to_string(list_transform(
+        |    generate_series(0, (n_chunks - 1)::INTEGER),
+        |    i -> md5(substring(text, (i * 256 + 1)::INTEGER, 256))), '')) AS manifest_md5
+        |FROM chunked
+        |ORDER BY doc_id""".stripMargin
   )
 }

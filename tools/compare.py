@@ -9,13 +9,15 @@ import duckdb
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 def norm(rows):
+    # every cell becomes a string so rows sort/compare uniformly even
+    # when a float column carries NULLs (pandas → NaN) next to values
     out = []
     for r in rows:
         rr = []
         for v in r:
             if isinstance(v, float):
                 if math.isnan(v): rr.append("NaN")
-                else: rr.append(round(v, 6))
+                else: rr.append(str(round(v, 6)))
             else: rr.append(str(v))
         out.append(tuple(rr))
     return sorted(out)
