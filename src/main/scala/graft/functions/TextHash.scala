@@ -19,6 +19,11 @@ object TextHash {
   def distinctShingles(text: Column, n: Int): Column =
     TextHashColumns.distinctShingles(text, n)
 
+  /** Every word n-shingle in order, duplicates kept (array<string>) —
+    * the multiset form n-gram counting explodes. */
+  def allShingles(text: Column, n: Int): Column =
+    TextHashColumns.allShingles(text, n)
+
   /** 16-bit simhash fingerprint (long, null when the doc has no words). */
   def simHash16(text: Column): Column = TextHashColumns.simHash16(text)
 }

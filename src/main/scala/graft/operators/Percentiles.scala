@@ -35,8 +35,13 @@ object Percentiles {
     val k = col(keyCol)
     val v = col(valCol).cast("double")
 
+    // repartition materializes the (tiny) per-group stats behind one
+    // exchange that BOTH consumers (the broadcast into `bucketed` and
+    // the rank-target derivation `tq`) reuse — without it each
+    // consumer re-aggregates the full input.
     val stats = df.groupBy(k.as("sk"))
       .agg(count(v).as("n"), min(v).as("vmin"), max(v).as("vmax"))
+      .repartition(col("sk"))
 
     val bucketed = df.select(k.as("bk"), v.as("pv"))
       .join(broadcast(stats), col("bk") === col("sk"))

@@ -123,23 +123,12 @@ object Dedup extends QueryPack {
 
     // Verify stage: exact n-gram Jaccard on the LSH candidates only.
     "d4_ngram_jaccard" -> { (s, d) =>
-      // Both the km signature and the distinct-shingle set come from
-      // native per-row kernels — the whole candidate generation is
-      // map-side; the only shuffles are the band join and the two
-      // candidate→shingle-set joins (52 pairs at this SF).
-      // repartition materializes one kernel pass behind an exchange
-      // all four consumers (bands l/r, sh joins a/b) reuse — without
-      // it projection collapse re-hashes the corpus per consumer.
-      val docAgg = withNearDupes(s, d)
-        .select(col("doc_id"),
-          graft.functions.TextHash.distinctShingles(col("text"), ShingleN).as("sh"),
-          graft.functions.TextHash.kmMinHash(col("text"), ShingleN, K).as("sig"))
-        .filter(col("sig").isNotNull)
-        .select(col("doc_id") +: col("sh") +:
-          (0 until K).map(i => col("sig").getItem(i).as(s"s$i")): _*)
-        .repartition(col("doc_id"))
-      val docs = docAgg.select(col("doc_id"), col("sh"))
-      val sigs = docAgg
+      // Candidates come from the (materialized, signature-only) band
+      // join; the full shingle SETS are then computed map-side ONLY
+      // for candidate doc_ids (broadcast semi-filter) — the corpus's
+      // shingle arrays are never shuffled, only 16-long signatures
+      // and the candidates' sets.
+      val sigs = kmSignatures(withNearDupes(s, d), materialize = true)
       val bands = sigs.select(col("doc_id"),
         posexplode(array((0 until Bands).map { b =>
           md5(concat_ws("|", (0 until 4).map(r => col(s"s${b * 4 + r}")): _*).cast("binary"))
@@ -150,9 +139,15 @@ object Dedup extends QueryPack {
           col("l.doc_id") < col("r.doc_id"))
         .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
         .distinct()
+      val candIds = cand.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+        .distinct()
+      val docsSh = withNearDupes(s, d)
+        .join(broadcast(candIds), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"),
+          graft.functions.TextHash.distinctShingles(col("text"), ShingleN).as("sh"))
       cand
-        .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
-        .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+        .join(broadcast(docsSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))), Seq("doc_a"))
+        .join(broadcast(docsSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))), Seq("doc_b"))
         .select(col("doc_a"), col("doc_b"),
           (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
             size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))

@@ -98,10 +98,14 @@ object TextOps extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
-    // Corpus-level top-20 word bigrams.
+    // Corpus-level top-20 word bigrams. The bigram multiset comes
+    // from the one-pass native kernel and explodes map-side — the
+    // only shuffle is the partially-combined bigram count (the old
+    // posexplode + window `lead` pipeline shuffled every token row
+    // first).
     "t5_ngram_topk" -> { (s, d) =>
-      Portable.shingleRows(Tables.documents(s, d), 2)
-        .select(col("s").as("bigram"))
+      Tables.documents(s, d)
+        .select(explode(graft.functions.TextHash.allShingles(col("text"), 2)).as("bigram"))
         .groupBy(col("bigram"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("bigram"))

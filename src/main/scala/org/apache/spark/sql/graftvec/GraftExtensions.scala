@@ -29,6 +29,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         DistinctShingles(exprs(0), intArg(exprs(1)))))
     e.injectFunction((
+      new FunctionIdentifier("all_shingles"),
+      new ExpressionInfo(classOf[AllShingles].getName, "all_shingles"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        AllShingles(exprs(0), intArg(exprs(1)))))
+    e.injectFunction((
       new FunctionIdentifier("simhash16"),
       new ExpressionInfo(classOf[SimHash16].getName, "simhash16"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>

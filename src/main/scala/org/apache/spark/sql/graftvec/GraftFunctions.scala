@@ -24,6 +24,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "distinct_shingles", exprs => DistinctShingles(exprs(0), intArg(exprs(1))), "built-in")
     reg.createOrReplaceTempFunction(
+      "all_shingles", exprs => AllShingles(exprs(0), intArg(exprs(1))), "built-in")
+    reg.createOrReplaceTempFunction(
       "simhash16", exprs => SimHash16(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction(
       "envelope_marshal", exprs => EnvelopeMarshal(exprs(0), exprs(1), exprs(2)), "built-in")

@@ -119,6 +119,30 @@ object TextHashImpl {
     new GenericArrayData(out)
   }
 
+  /** ALL word n-shingles in order (with duplicates — the multiset
+    * the n-gram counting pipeline needs). Empty array when < n
+    * tokens. */
+  def allShingles(text: UTF8String, n: Int): ArrayData = {
+    val toks = tokens(text)
+    val m = toks.length - n + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](m)
+    val sb = new java.lang.StringBuilder
+    var j = 0
+    while (j < m) {
+      sb.setLength(0)
+      var w = 0
+      while (w < n) {
+        if (w > 0) sb.append(' ')
+        sb.append(toks(j + w))
+        w += 1
+      }
+      out(j) = UTF8String.fromString(sb.toString)
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** 16-bit simhash fingerprint; null when the text has no tokens
     * (mirrors explode+groupBy dropping the doc). Boxed Long so the
     * null channel survives the static call in generated code. */
@@ -155,6 +179,8 @@ object TextHashColumns {
     ExpressionUtils.column(KmMinHash(ExpressionUtils.expression(text), n, k))
   def distinctShingles(text: Column, n: Int): Column =
     ExpressionUtils.column(DistinctShingles(ExpressionUtils.expression(text), n))
+  def allShingles(text: Column, n: Int): Column =
+    ExpressionUtils.column(AllShingles(ExpressionUtils.expression(text), n))
   def simHash16(text: Column): Column =
     ExpressionUtils.column(SimHash16(ExpressionUtils.expression(text)))
 }
@@ -197,6 +223,25 @@ case class DistinctShingles(child: Expression, n: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
       s"org.apache.spark.sql.graftvec.TextHashImpl.distinctShingles($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `all_shingles(text, n)` → array<string> of every n-shingle in order. */
+case class AllShingles(child: Expression, n: Int)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "all_shingles"
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashImpl.allShingles(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graftvec.TextHashImpl.allShingles($c, $n)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -74,6 +74,15 @@ class FunctionsSpec extends SparkSuite {
       .filter(size(col("sh")) > 0)
     assert(shNative.exceptAll(shComposed).count() === 0)
     assert(shComposed.exceptAll(shNative).count() === 0)
+
+    // multiset form: every shingle with duplicates kept
+    val allComposed = Portable.shingleRows(docs, 3)
+      .groupBy("doc_id").agg(sort_array(collect_list("s")).as("sh"))
+    val allNative = docs.select(col("doc_id"),
+        sort_array(graft.functions.TextHash.allShingles(col("text"), 3)).as("sh"))
+      .filter(size(col("sh")) > 0)
+    assert(allNative.exceptAll(allComposed).count() === 0)
+    assert(allComposed.exceptAll(allNative).count() === 0)
   }
 
   test("simhash16 kernel equals the explode+vote form") {
