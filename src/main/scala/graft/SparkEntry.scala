@@ -7,7 +7,7 @@ import graft.queries._
 object SparkEntry {
   /** All operator families (SURVEY.md §2). */
   private def packs: Seq[QueryPack] =
-    Seq(Analytics, Messaging, Dedup, TextOps, Similarity, Multimodal)
+    Seq(Analytics, Messaging, Dedup, TextOps, Similarity, Multimodal, Pipeline)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

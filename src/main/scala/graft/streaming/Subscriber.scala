@@ -142,4 +142,37 @@ object Subscriber {
           resolved.iterator
       }
   }
+
+  /** Terminal message outcome: `resolved` (acked) or `dlq` (nacked
+    * past maxRetries). */
+  case class Outcome(uuid: String, outcome: String, retryCount: Int)
+
+  /** resolveRetries with a poison bound — the complete lifecycle of
+    * the reference's nack loop: a message acked within the budget
+    * resolves; one nacked past `maxRetries` dead-letters immediately
+    * and its state is dropped (so poison messages can't pin state
+    * forever). Deliveries after a terminal outcome are ignored.
+    */
+  def resolveOrDeadLetter(deliveries: Dataset[Delivery], maxRetries: Int): Dataset[Outcome] = {
+    import deliveries.sparkSession.implicits._
+    deliveries
+      .groupByKey(_.uuid)
+      .flatMapGroupsWithState[Int, Outcome](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uuid: String, it: Iterator[Delivery], state: GroupState[Int]) =>
+          var retries = state.getOption.getOrElse(0)
+          var out: Option[Outcome] = None
+          it.toSeq.sortBy(_.attempt).foreach { del =>
+            if (out.isEmpty) {
+              if (del.acked) out = Some(Outcome(uuid, "resolved", retries))
+              else {
+                retries += 1
+                if (retries > maxRetries) out = Some(Outcome(uuid, "dlq", retries))
+              }
+            }
+          }
+          if (out.isDefined) state.remove() else state.update(retries)
+          out.iterator
+      }
+  }
 }

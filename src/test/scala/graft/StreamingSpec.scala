@@ -220,4 +220,37 @@ class StreamingSpec extends SparkSuite {
     val out = spark.table("retries").as[Subscriber.Resolved].collect().sortBy(_.uuid)
     assert(out.toSeq === Seq(Subscriber.Resolved("a", 0), Subscriber.Resolved("b", 3)))
   }
+
+  test("retry state dead-letters messages nacked past max retries") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Subscriber.Delivery]
+    val outcomes = Subscriber.resolveOrDeadLetter(input.toDS(), maxRetries = 3)
+    val q = outcomes.writeStream.outputMode("append")
+      .format("memory").queryName("dlq_outcomes").start()
+
+    // a: acked after one nack; b: nacked twice (pending across batches)
+    input.addData(
+      Subscriber.Delivery("a", acked = false, attempt = 0),
+      Subscriber.Delivery("a", acked = true, attempt = 1),
+      Subscriber.Delivery("b", acked = false, attempt = 0),
+      Subscriber.Delivery("b", acked = false, attempt = 1))
+    q.processAllAvailable()
+    assert(spark.table("dlq_outcomes").count() === 1) // only a resolved
+
+    // b: two more nacks → 4 > maxRetries=3 ⇒ dlq; the late ack is ignored.
+    // c stays pending (no terminal outcome emitted).
+    input.addData(
+      Subscriber.Delivery("b", acked = false, attempt = 2),
+      Subscriber.Delivery("b", acked = false, attempt = 3),
+      Subscriber.Delivery("b", acked = true, attempt = 4),
+      Subscriber.Delivery("c", acked = false, attempt = 0))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("dlq_outcomes").as[Subscriber.Outcome].collect().sortBy(_.uuid)
+    assert(out.toSeq === Seq(
+      Subscriber.Outcome("a", "resolved", 1),
+      Subscriber.Outcome("b", "dlq", 4)))
+  }
 }
