@@ -34,4 +34,32 @@ class AnalyticsSpec extends SparkSuite {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
+
+  test("native-kernel queries stay map-side: only the output sort shuffles") {
+    // These compute their whole result per-row (one-pass kernels /
+    // codegen builtins); the only exchange allowed is the final
+    // orderBy's range partitioning. A second exchange means someone
+    // reintroduced an explode/window/groupBy data shuffle.
+    for (n <- Seq("d2_minhash_sig", "d5_simhash", "t4_fingerprint",
+        "t7_dup_words", "mm3_chunk_manifest", "m3_shard_assign")) {
+      val plan = SparkEntry.queries(n)(spark, sf).queryExecution.executedPlan.toString
+      val exchanges = plan.sliding("Exchange".length).count(_ == "Exchange")
+      assert(exchanges <= 1, s"$n has $exchanges exchanges:\n$plan")
+    }
+  }
+
+  test("a4 hard-negative mining broadcasts the probe side") {
+    val plan = SparkEntry.queries("a4_cross_label_nn")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Broadcast"), plan)
+  }
+
+  test("d4 joins candidate shingle sets by broadcast, not shuffle") {
+    val plan = SparkEntry.queries("d4_ngram_jaccard")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the two candidate→shingle-set joins must be broadcast joins —
+    // shuffling the sh arrays would move O(corpus) bytes at scale
+    assert(plan.sliding("BroadcastHashJoin".length)
+      .count(_ == "BroadcastHashJoin") >= 2, plan)
+  }
 }
