@@ -372,6 +372,44 @@ object Analytics extends QueryPack {
         .agg(count(lit(1)).as("n_suppliers"),
           array_join(array_sort(collect_list(col("s_name"))), ",").as("roster"))
         .orderBy(col("n_name"))
+    },
+
+    // Engine-portable HyperLogLog: an md5-derived HLL whose registers
+    // AND estimate the SQL oracle reproduces exactly (the built-in
+    // DataSketches sketch hashes with xxhash — unverifiable across
+    // engines). The scale shape of sketch-based distinct counting:
+    // shuffle is (group, bucket) registers — m=2^p rows per group,
+    // independent of input cardinality — then per-group O(m)
+    // arithmetic. Bit lengths via integer base-2 strings (log2 on
+    // doubles mis-floors at exact powers of two).
+    "q30_hll_cardinality" -> { (s, d) =>
+      val p = 12; val m = 1 << p; val w = 60 - p
+      val twoW = 1L << w
+      val alpha = 0.7213 / (1.0 + 1.079 / m)
+      val li = Tables.lineitem(s, d)
+        .withColumn("h", graft.functions.Portable.hash60(col("l_partkey").cast("string")))
+        // shiftright, not `/`: Column `/` is double division and h
+        // exceeds 2^53 (the oracle's `//` is exact integer division)
+        .withColumn("bucket", shiftright(col("h"), w))
+        .withColumn("rest", col("h") % twoW)
+        .withColumn("rho",
+          when(col("rest") === 0L, lit(w + 1)).otherwise(
+            lit(w) - length(conv(col("rest").cast("string"), 10, 2)) + 1))
+      val regs = li.groupBy(col("l_returnflag"), col("bucket"))
+        .agg(max(col("rho")).as("reg"))
+      regs.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_nonempty"),
+          sum(pow(lit(2.0), -col("reg"))).as("s_nonempty"))
+        .withColumn("zeros", lit(m.toLong) - col("n_nonempty"))
+        .withColumn("raw",
+          lit(alpha * m.toDouble * m.toDouble) /
+            (col("zeros").cast("double") + col("s_nonempty")))
+        .select(col("l_returnflag"),
+          when(col("raw") <= 2.5 * m && col("zeros") > 0,
+            lit(m.toDouble) * log(lit(m.toDouble) / col("zeros")))
+            .otherwise(col("raw")).as("est_distinct"),
+          col("n_nonempty"))
+        .orderBy(col("l_returnflag"))
     }
   )
 
@@ -656,6 +694,36 @@ object Analytics extends QueryPack {
         |  string_agg(s_name, ',' ORDER BY s_name) AS roster
         |FROM supplier JOIN nation ON s_nationkey = n_nationkey
         |GROUP BY n_name
-        |ORDER BY n_name""".stripMargin
+        |ORDER BY n_name""".stripMargin,
+
+    "q30_hll_cardinality" ->
+      s"""WITH hashed AS (
+         |  SELECT l_returnflag,
+         |    ('0x' || substring(md5(l_partkey::VARCHAR), 1, 15))::BIGINT AS h
+         |  FROM lineitem),
+         |rhos AS (
+         |  SELECT l_returnflag,
+         |    h // ${1L << 48} AS bucket,
+         |    CASE WHEN h % ${1L << 48} = 0 THEN 49
+         |         ELSE 48 - length(bin(h % ${1L << 48})) + 1 END AS rho
+         |  FROM hashed),
+         |regs AS (
+         |  SELECT l_returnflag, bucket, max(rho) AS reg
+         |  FROM rhos GROUP BY 1, 2),
+         |summed AS (
+         |  SELECT l_returnflag,
+         |    count(*) AS n_nonempty,
+         |    sum(pow(2.0, -reg)) AS s_nonempty
+         |  FROM regs GROUP BY 1)
+         |SELECT l_returnflag,
+         |  CASE WHEN (CAST(${0.7213 / (1.0 + 1.079 / 4096)} AS DOUBLE) * 4096.0 * 4096.0 /
+         |              ((4096 - n_nonempty)::DOUBLE + s_nonempty)) <= 10240.0
+         |        AND (4096 - n_nonempty) > 0
+         |       THEN 4096.0 * ln(4096.0 / (4096 - n_nonempty))
+         |       ELSE CAST(${0.7213 / (1.0 + 1.079 / 4096)} AS DOUBLE) * 4096.0 * 4096.0 /
+         |              ((4096 - n_nonempty)::DOUBLE + s_nonempty) END AS est_distinct,
+         |  n_nonempty
+         |FROM summed
+         |ORDER BY l_returnflag""".stripMargin
   )
 }
