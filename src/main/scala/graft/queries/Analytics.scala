@@ -386,6 +386,12 @@ object Analytics extends QueryPack {
       val p = 12; val m = 1 << p; val w = 60 - p
       val twoW = 1L << w
       val alpha = 0.7213 / (1.0 + 1.079 / m)
+      // exact integer bit length as a codegen comparison ladder — no
+      // per-row string conversion, and log2 on doubles mis-floors at
+      // exact powers of two. Descending thresholds: first hit wins.
+      val bitlen = (w to 2 by -1).foldLeft(when(col("rest") >= (1L << (w - 1)), w)) {
+        (acc, k) => acc.when(col("rest") >= (1L << (k - 2)), k - 1)
+      }.otherwise(0)
       val li = Tables.lineitem(s, d)
         .withColumn("h", graft.functions.Portable.hash60(col("l_partkey").cast("string")))
         // shiftright, not `/`: Column `/` is double division and h
@@ -393,8 +399,7 @@ object Analytics extends QueryPack {
         .withColumn("bucket", shiftright(col("h"), w))
         .withColumn("rest", col("h") % twoW)
         .withColumn("rho",
-          when(col("rest") === 0L, lit(w + 1)).otherwise(
-            lit(w) - length(conv(col("rest").cast("string"), 10, 2)) + 1))
+          when(col("rest") === 0L, lit(w + 1)).otherwise(lit(w) - bitlen + 1))
       val regs = li.groupBy(col("l_returnflag"), col("bucket"))
         .agg(max(col("rho")).as("reg"))
       regs.groupBy(col("l_returnflag"))

@@ -16,6 +16,18 @@ class SketchesSpec extends SparkSuite {
     assert(err < 0.05, s"merged=$merged exact=$exact err=$err")
   }
 
+  test("portable md5-HLL (q30) estimates within 2% of exact distincts") {
+    val est = SparkEntry.queries("q30_hll_cardinality")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val exact = Tables.lineitem(spark, sf).groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      val e = est(k)
+      assert(math.abs(e - n) / n < 0.02, s"$k: est=$e exact=$n")
+    }
+  }
+
   test("per-group estimates track exact distincts") {
     val li = Tables.lineitem(spark, sf)
     val exact = li.groupBy("l_returnflag")
