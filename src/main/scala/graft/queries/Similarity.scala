@@ -141,6 +141,46 @@ object Similarity extends QueryPack {
         .orderBy(col("probe_id"), col("rank"))
     },
 
+    // One Lloyd iteration of IVF centroid refinement: assign every
+    // vector to its nearest seed centroid, recompute each cell's
+    // centroid as the element-wise member mean, reassign against the
+    // refined centroids, and report per-cell occupancy + mean
+    // similarity. The index-build loop a vector store runs: each
+    // iteration is one corpus scan + a (cell, dim) aggregation whose
+    // size is cells×dims regardless of corpus size; centroids stay
+    // broadcast.
+    "a5_ivf_refine" -> { (s, d) =>
+      val v = vecs(s, d)
+      val cents = v.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("cent_id"), col("emb").as("c_emb"), col("nrm").as("c_nrm"))
+      val wAssign = Window.partitionBy(col("vec_id"))
+        .orderBy(col("c_cos").desc, col("cent_id"))
+      val assigned = v.join(broadcast(cents))
+        .withColumn("c_cos", cosPre(col("emb"), col("nrm"), col("c_emb"), col("c_nrm")))
+        .withColumn("crank", row_number().over(wAssign))
+        .filter(col("crank") === 1)
+        .select(col("vec_id"), col("emb"), col("nrm"), col("cent_id").as("cell"))
+      // refined centroid = element-wise mean of members
+      val refined = assigned
+        .select(col("cell"), posexplode(col("emb")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(avg(col("x")).as("m"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cell").as("r_cell"),
+          transform(col("pm"), e => e.getField("m")).as("r_emb"))
+        .withColumn("r_nrm", graft.functions.Vec.norm(col("r_emb")))
+      val wre = Window.partitionBy(col("vec_id"))
+        .orderBy(col("re_cos").desc, col("r_cell"))
+      v.join(broadcast(refined))
+        .withColumn("re_cos", cosPre(col("emb"), col("nrm"), col("r_emb"), col("r_nrm")))
+        .withColumn("rrank", row_number().over(wre))
+        .filter(col("rrank") === 1)
+        .groupBy(col("r_cell").as("cell"))
+        .agg(count(lit(1)).as("n_members"), avg(col("re_cos")).as("mean_cos"))
+        .orderBy(col("cell"))
+    },
+
     // Hard-negative mining: for each probe, the single nearest
     // neighbor carrying a DIFFERENT label (the cross-label margin
     // example a contrastive training pipeline wants). Same broadcast
@@ -224,6 +264,38 @@ object Similarity extends QueryPack {
          |SELECT probe_id, vec_id, CAST(rank AS INTEGER) AS rank, cosine
          |FROM scored WHERE rank <= $K
          |ORDER BY probe_id, rank""".stripMargin,
+
+    "a5_ivf_refine" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |c AS (SELECT vec_id AS cent_id, emb AS c_emb FROM v WHERE vec_id % 50 = 0),
+         |assigned AS (
+         |  SELECT vec_id, emb, cell FROM (
+         |    SELECT v.vec_id, v.emb, c.cent_id AS cell,
+         |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |        list_dot_product(v.emb, c.c_emb) /
+         |          (sqrt(list_dot_product(v.emb, v.emb)) * sqrt(list_dot_product(c.c_emb, c.c_emb))) DESC,
+         |        c.cent_id) AS crank
+         |    FROM v, c) t WHERE crank = 1),
+         |refined AS (
+         |  SELECT cell, list(m ORDER BY pos) AS r_emb FROM (
+         |    SELECT cell, i AS pos, avg(emb[i]) AS m
+         |    FROM assigned, generate_series(1, 64) AS g(i)
+         |    GROUP BY cell, i) t
+         |  GROUP BY cell),
+         |re AS (
+         |  SELECT vec_id, cell, re_cos FROM (
+         |    SELECT v.vec_id, r.cell,
+         |      list_dot_product(v.emb, r.r_emb) /
+         |        (sqrt(list_dot_product(v.emb, v.emb)) * sqrt(list_dot_product(r.r_emb, r.r_emb))) AS re_cos,
+         |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |        list_dot_product(v.emb, r.r_emb) /
+         |          (sqrt(list_dot_product(v.emb, v.emb)) * sqrt(list_dot_product(r.r_emb, r.r_emb))) DESC,
+         |        r.cell) AS rrank
+         |    FROM v, refined r) t WHERE rrank = 1)
+         |SELECT cell, count(*) AS n_members, avg(re_cos) AS mean_cos
+         |FROM re
+         |GROUP BY cell
+         |ORDER BY cell""".stripMargin,
 
     "a4_cross_label_nn" ->
       s"""WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),

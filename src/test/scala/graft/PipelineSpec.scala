@@ -36,6 +36,18 @@ class PipelineSpec extends SparkSuite {
     assert(recalls.sum / recalls.size > 0.2, s"IVF recall too low: $recalls")
   }
 
+  test("a5 Lloyd refinement does not lose vectors and keeps members coherent") {
+    val out = SparkEntry.queries("a5_ivf_refine")(spark, sf).collect()
+    assert(out.nonEmpty)
+    // every vector lands in exactly one refined cell
+    assert(out.map(_.getLong(1)).sum === Tables.embeddings(spark, sf).count())
+    // members should sit closer to their refined centroid than random
+    // pairs do in this corpus (natural max cosine ≈ 0.48)
+    val weightedMean = out.map(r => r.getLong(1) * r.getDouble(2)).sum /
+      out.map(_.getLong(1)).sum
+    assert(weightedMean > 0.1, s"mean member-centroid cosine too low: $weightedMean")
+  }
+
   test("media decodeBatch preserves rows and derives stable metadata") {
     import spark.implicits._
     val media = Tables.documents(spark, sf)
