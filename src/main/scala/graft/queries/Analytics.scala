@@ -415,6 +415,27 @@ object Analytics extends QueryPack {
             .otherwise(col("raw")).as("est_distinct"),
           col("n_nonempty"))
         .orderBy(col("l_returnflag"))
+    },
+
+    // Skew-safe hot-key join via operators.Salted: ~30% of the fact
+    // rows share one synthetic key; in a shuffle join that hot key
+    // pins one reducer, and salting spreads it across `salt`
+    // reducers. Results are identical to the naive join (the oracle
+    // IS the naive join) — only the exchange distribution changes.
+    // (At this SF Catalyst broadcasts the tiny salted dim, which is
+    // also correct; the salted path matters once the dim exceeds the
+    // broadcast threshold.)
+    "q31_skew_join" -> { (s, d) =>
+      val fact = Tables.events(s, d)
+        .withColumn("k",
+          when(col("user_id") % 10 < 3, 0L).otherwise(pmod(col("user_id"), lit(100L))))
+        .select(col("k"), col("value"))
+      val dim = Tables.customer(s, d).filter(col("c_custkey") < 100)
+        .select(col("c_custkey").as("k"), col("c_mktsegment"))
+      graft.operators.Salted.joinSkewed(fact, dim, "k", salt = 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("value")).as("sum_value"))
+        .orderBy(col("c_mktsegment"))
     }
   )
 
@@ -729,6 +750,16 @@ object Analytics extends QueryPack {
          |              ((4096 - n_nonempty)::DOUBLE + s_nonempty) END AS est_distinct,
          |  n_nonempty
          |FROM summed
-         |ORDER BY l_returnflag""".stripMargin
+         |ORDER BY l_returnflag""".stripMargin,
+
+    "q31_skew_join" ->
+      """SELECT c_mktsegment, count(*) AS n_rows, sum(value) AS sum_value
+        |FROM (SELECT CASE WHEN user_id % 10 < 3 THEN 0
+        |             ELSE user_id % 100 END AS k, value
+        |      FROM events) e
+        |JOIN (SELECT c_custkey AS k, c_mktsegment FROM customer
+        |      WHERE c_custkey < 100) c USING (k)
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin
   )
 }

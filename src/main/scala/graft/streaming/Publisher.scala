@@ -20,8 +20,9 @@ import graft.operators.Envelope
 object Publisher {
   val MaxBatch = 500 // publisher.go:14 maxMessages
 
-  /** Marshal + route + sequence + write one publish call's messages. */
-  def publish(msgs: DataFrame, topicDir: String, mode: String = "append"): Unit = {
+  /** Shared topic layout: marshal + route + sequence + batch ids,
+    * shard-partitioned and shard/seq-sorted. */
+  private def layout(msgs: DataFrame): DataFrame = {
     val seqd = Envelope.withShardSeq(msgs)
     seqd
       .withColumn("envelope", Envelope.marshalled(seqd))
@@ -31,8 +32,18 @@ object Publisher {
         col("envelope"), col("ts"))
       .repartition(col("shard_id"))
       .sortWithinPartitions(col("shard_id"), col("seq"))
-      .write.mode(mode).partitionBy("shard_id").parquet(topicDir)
   }
+
+  /** Marshal + route + sequence + write one publish call's messages. */
+  def publish(msgs: DataFrame, topicDir: String, mode: String = "append"): Unit =
+    layout(msgs).write.mode(mode).partitionBy("shard_id").parquet(topicDir)
+
+  /** JSON-lines topic variant — the envelope travels as the wire
+    * format itself (one JSON record per line, shard-partitioned
+    * directories), interoperable with non-Spark consumers that read
+    * the reference's `MessageData` envelope directly. */
+  def publishJson(msgs: DataFrame, topicDir: String, mode: String = "append"): Unit =
+    layout(msgs).write.mode(mode).partitionBy("shard_id").json(topicDir)
 
   /** Streaming publisher: each micro-batch becomes one `publish` call
     * (the reference's `Publish(topic, msgs...)` is per-call batching,

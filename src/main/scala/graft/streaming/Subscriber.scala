@@ -44,10 +44,21 @@ object Subscriber {
     * same as the batch path — from_json is CodegenFallback.
     */
   def subscribe(spark: SparkSession, topicDir: String): DataFrame =
-    spark.readStream
+    unmarshalled(spark.readStream
       .schema(topicSchema)
       .option("maxFilesPerTrigger", 8)
-      .parquet(topicDir)
+      .parquet(topicDir))
+
+  /** Subscribe to a JSON-lines topic (Publisher.publishJson) — same
+    * message stream, different wire encoding. */
+  def subscribeJson(spark: SparkSession, topicDir: String): DataFrame =
+    unmarshalled(spark.readStream
+      .schema(topicSchema)
+      .option("maxFilesPerTrigger", 8)
+      .json(topicDir))
+
+  private def unmarshalled(records: DataFrame): DataFrame =
+    records
       .withColumn("env", graft.operators.Envelope.parsed(col("envelope")))
       .select(
         col("env.uuid").as("uuid"),

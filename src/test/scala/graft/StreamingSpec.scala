@@ -157,6 +157,26 @@ class StreamingSpec extends SparkSuite {
     assert(after.select("uuid").distinct().count() === beforeUuids)
   }
 
+  test("JSON-lines topic roundtrips the same message stream as parquet") {
+    val topic = tempDir("jtopic")
+    val ckpt = tempDir("ckpt")
+    Publisher.publishJson(Envelope.messages(spark, sf), topic)
+
+    val q = Subscriber.drainToMemory(Subscriber.subscribeJson(spark, topic), "json_rt", ckpt)
+    q.awaitTermination()
+
+    val got = spark.table("json_rt")
+    assert(got.count() === 1000)
+    assert(got.select("uuid").distinct().count() === 1000)
+    // payload bytes survive the base64+JSON wire intact
+    assert(got.filter(col("payload").isNull).count() === 0)
+    // per-shard sequences are exactly 1..n (ordered, gap-free)
+    val bad = got.groupBy("shard_id")
+      .agg(count(lit(1)).as("n"), min("seq").as("lo"), max("seq").as("hi"))
+      .filter(col("lo") =!= 1L || col("hi") =!= col("n"))
+    assert(bad.count() === 0)
+  }
+
   test("exactly-once consumption drops redeliveries within the watermark") {
     val topic = tempDir("topic")
     val msgs = Envelope.messages(spark, sf)
