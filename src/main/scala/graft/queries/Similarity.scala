@@ -141,6 +141,33 @@ object Similarity extends QueryPack {
         .orderBy(col("probe_id"), col("rank"))
     },
 
+    // Multi-probe LSH: each probe searches its own sign bucket PLUS
+    // every Hamming-1 neighbor bucket (flip one plane bit) — the
+    // standard recall lever that avoids adding hash tables. Candidate
+    // volume grows by ×(planes+1) probed buckets, corpus-side work is
+    // unchanged (one bucket per vector, map-side).
+    "a6_knn_multiprobe" -> { (s, d) =>
+      val v = vecs(s, d).withColumn("bucket", lshBucket(col("emb")))
+      val probes = v.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"),
+          col("nrm").as("p_nrm"), col("bucket").as("p_bucket"))
+      def flipped(i: Int): Column = concat(
+        substring(col("p_bucket"), 1, i),
+        when(substring(col("p_bucket"), i + 1, 1) === "1", "0").otherwise("1"),
+        substring(col("p_bucket"), i + 2, Planes - i - 1))
+      val expanded = probes.withColumn("search_bucket",
+        explode(array(col("p_bucket") +: (0 until Planes).map(flipped): _*)))
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+      v.join(broadcast(expanded),
+          col("bucket") === col("search_bucket") && col("vec_id") =!= col("probe_id"))
+        .withColumn("cosine", cosPre(col("p_emb"), col("p_nrm"), col("emb"), col("nrm")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= K)
+        .select(col("probe_id"), col("vec_id"), col("rank"), col("cosine"))
+        .orderBy(col("probe_id"), col("rank"))
+    },
+
     // One Lloyd iteration of IVF centroid refinement: assign every
     // vector to its nearest seed centroid, recompute each cell's
     // centroid as the element-wise member mean, reassign against the
@@ -264,6 +291,32 @@ object Similarity extends QueryPack {
          |SELECT probe_id, vec_id, CAST(rank AS INTEGER) AS rank, cosine
          |FROM scored WHERE rank <= $K
          |ORDER BY probe_id, rank""".stripMargin,
+
+    "a6_knn_multiprobe" -> {
+      val flips = (0 until Planes).map { i =>
+        s"substring(bucket, 1, $i) || (CASE WHEN substring(bucket, ${i + 1}, 1) = '1' THEN '0' ELSE '1' END) || substring(bucket, ${i + 2}, ${Planes - i - 1})"
+      }.mkString(", ")
+      s"""WITH v AS (
+         |  SELECT vec_id, emb, ${lshBucketSql("emb")} AS bucket
+         |  FROM (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings) t),
+         |p AS (SELECT vec_id AS probe_id, emb, bucket FROM v WHERE vec_id % 100 = 0),
+         |expanded AS (
+         |  SELECT probe_id, emb, unnest([bucket, $flips]) AS search_bucket
+         |  FROM p),
+         |scored AS (
+         |  SELECT e.probe_id, v.vec_id,
+         |    list_dot_product(e.emb, v.emb) /
+         |      (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(v.emb, v.emb))) AS cosine,
+         |    row_number() OVER (PARTITION BY e.probe_id ORDER BY
+         |      list_dot_product(e.emb, v.emb) /
+         |        (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(v.emb, v.emb))) DESC,
+         |      v.vec_id) AS rank
+         |  FROM expanded e JOIN v
+         |    ON v.bucket = e.search_bucket AND v.vec_id <> e.probe_id)
+         |SELECT probe_id, vec_id, CAST(rank AS INTEGER) AS rank, cosine
+         |FROM scored WHERE rank <= $K
+         |ORDER BY probe_id, rank""".stripMargin
+    },
 
     "a5_ivf_refine" ->
       s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),

@@ -26,6 +26,23 @@ class PipelineSpec extends SparkSuite {
     assert(recalls.sum / recalls.size > 0.0, s"zero recall: $recalls")
   }
 
+  test("a6 multi-probe recall dominates single-bucket LSH recall") {
+    val exact = neighborSets("a1_knn_brute")
+    val single = neighborSets("a2_knn_lsh")
+    val multi = neighborSets("a6_knn_multiprobe")
+    def recall(sets: Map[Long, Set[Long]]): Double = {
+      val rs = exact.keys.toSeq.map { p =>
+        (sets.getOrElse(p, Set.empty) & exact(p)).size.toDouble / exact(p).size
+      }
+      rs.sum / rs.size
+    }
+    // Hamming-1 expansion only grows the candidate set, so recall
+    // cannot drop (a displacing candidate must itself be a true
+    // neighbor); with 16 buckets it should strictly improve.
+    assert(recall(multi) >= recall(single),
+      s"multi=${recall(multi)} single=${recall(single)}")
+  }
+
   test("a3 IVF knn searches only nprobe cells but still finds near neighbors") {
     val exact = neighborSets("a1_knn_brute")
     val ivf = neighborSets("a3_ivf_knn")
