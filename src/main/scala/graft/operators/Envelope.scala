@@ -34,26 +34,38 @@ object Envelope {
       col("props").cast("binary").as("payload"),
       col("event_type"),
       col("value"),
-      col("ts"))
+      col("ts"),
+      // Full string→string metadata map (marshaller.go:17-20): the
+      // producer sets arbitrary headers; here two deterministic ones
+      // so the wire format and oracle exercise the multi-header path.
+      map(
+        lit("eventType"), col("event_type"),
+        lit("source"), concat(lit("svc-"), pmod(col("user_id"), lit(4L)).cast("string"))
+      ).as("headers"))
 
   /** Marshalled JSON envelope (reference marshaller.go:44-70): the
-    * payload travels base64'd, headers as a nested object. Field
-    * order is fixed, so output is byte-stable — produced by the
-    * native codegen kernel (graftvec.EnvelopeMarshal); the
-    * `to_json(struct(...))` form it replaces evaluates through
-    * CodegenFallback (an interpreted Jackson round-trip per row)
-    * and emits the same bytes.
+    * payload travels base64'd, the FULL headers map as a nested
+    * object in ascending key order. Field order is fixed, so output
+    * is byte-stable — produced by the native codegen kernel
+    * (graftvec.EnvelopeMarshal); the `to_json(struct(...))` form it
+    * replaces evaluates through CodegenFallback (an interpreted
+    * Jackson round-trip per row) and emits the same bytes.
     */
   def marshalled(msgs: DataFrame): Column =
     org.apache.spark.sql.graftvec.EnvelopeJsonColumns.marshal(
-      col("uuid"), col("payload"), col("event_type"))
+      col("uuid"), col("payload"), col("headers"))
 
-  /** Parsed envelope struct<uuid, payload binary, event_type>
-    * (reference marshaller.go:26-52 JSONUnmarshaller) — native
+  /** Parsed envelope struct<uuid, payload binary, headers map>
+    * (reference marshaller.go:26-52 JSONUnmarshaller — every header
+    * key is preserved, marshaller.go:35-38) — native
     * streaming-Jackson kernel, null on malformed input like
     * from_json. */
   def parsed(envelope: Column): Column =
     org.apache.spark.sql.graftvec.EnvelopeJsonColumns.parse(envelope)
+
+  /** One header from a parsed envelope struct (the reference copies
+    * each into message metadata, marshaller.go:35-38). */
+  def header(env: Column, key: String): Column = env.getField("headers").getItem(key)
 
   /** Partition-key → shard routing (Kinesis hashes MD5(partitionKey)
     * into a shard's hash-key range; publisher.go:80). md5-derived so

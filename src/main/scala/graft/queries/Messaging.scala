@@ -33,8 +33,9 @@ object Messaging extends QueryPack {
     },
 
     // marshaller.go:26-52 JSONUnmarshaller: envelope → message with
-    // injected metadata (partitionKey, approximateArrivalTimestamp).
-    // Round-trips m1's envelope through from_json/unbase64; the
+    // injected metadata (partitionKey, approximateArrivalTimestamp)
+    // and EVERY wire header copied back out (marshaller.go:35-38).
+    // Round-trips m1's envelope through the native parse kernel; the
     // oracle is the identity reconstruction, so any lossiness fails.
     "m2_unmarshal" -> { (s, d) =>
       val msgs = Envelope.messages(s, d)
@@ -45,7 +46,9 @@ object Messaging extends QueryPack {
           col("env.uuid").as("uuid"),
           col("partition_key"),
           col("env.payload").cast("string").as("payload_str"),
-          col("env.event_type").as("header_event_type"),
+          Envelope.header(col("env"), "eventType").as("header_event_type"),
+          Envelope.header(col("env"), "source").as("header_source"),
+          size(col("env.headers")).cast("long").as("n_headers"),
           date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("arrival"))
         .orderBy(col("event_id"))
     },
@@ -173,12 +176,16 @@ object Messaging extends QueryPack {
   )
 
   def oracle: Map[String, String] = Map(
+    // struct_pack fields listed in ascending key order — the kernel
+    // serializes headers sorted by key, so the bytes line up.
     "m1_marshal" ->
       s"""SELECT event_id,
          |  to_json(struct_pack(
          |    watermill_message_uuid := event_id::VARCHAR,
          |    data := base64(props::BLOB),
-         |    headers := struct_pack(eventType := event_type))) AS envelope
+         |    headers := struct_pack(
+         |      eventType := event_type,
+         |      source := 'svc-' || (user_id % 4)::VARCHAR))) AS envelope
          |FROM ($Ev) e
          |ORDER BY event_id""".stripMargin,
 
@@ -188,6 +195,8 @@ object Messaging extends QueryPack {
          |  user_id::VARCHAR AS partition_key,
          |  props AS payload_str,
          |  event_type AS header_event_type,
+         |  'svc-' || (user_id % 4)::VARCHAR AS header_source,
+         |  2::BIGINT AS n_headers,
          |  strftime(ts, '$Rfc3339') AS arrival
          |FROM ($Ev) e
          |ORDER BY event_id""".stripMargin,

@@ -57,13 +57,23 @@ object Subscriber {
       .option("maxFilesPerTrigger", 8)
       .json(topicDir))
 
+  /** Decode + metadata injection. Every wire header is preserved in
+    * `headers` (marshaller.go:35-38 copies all of them back into
+    * message metadata); `event_type` stays a top-level column for
+    * consumers. Records whose envelope fails to parse are SKIPPED and
+    * consumption continues — the reference logs the unmarshal error
+    * and moves to the next record (subscriber.go:57-62); use
+    * `drainSkippingPoison` to preserve the raw poison records instead
+    * of dropping them. */
   private def unmarshalled(records: DataFrame): DataFrame =
     records
       .withColumn("env", graft.operators.Envelope.parsed(col("envelope")))
+      .filter(col("env").isNotNull)
       .select(
         col("env.uuid").as("uuid"),
         col("env.payload").as("payload"),
-        col("env.event_type").as("event_type"),
+        graft.operators.Envelope.header(col("env"), "eventType").as("event_type"),
+        col("env.headers").as("headers"),
         col("partition_key"), col("shard_id"), col("seq"), col("ts"))
 
   /** Start draining a subscription into an in-memory table (tests /

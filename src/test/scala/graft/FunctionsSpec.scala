@@ -107,30 +107,36 @@ class FunctionsSpec extends SparkSuite {
     assert(composed.exceptAll(native).count() === 0)
   }
 
-  test("envelope marshal/parse kernels round-trip and match to_json bytes") {
+  test("envelope marshal/parse kernels round-trip the full headers map, match to_json bytes") {
     import spark.implicits._
     val msgs = Seq(
-      ("42", "payload bytes", "click"),
+      ("42", "payload bytes", "click", "svc-1"),
       ("7", """quote " backslash \ newline
-tab	end""", "view"))
-      .toDF("uuid", "payload_str", "event_type")
+tab	end""", "view", "svc \"quoted\" 2"))
+      .toDF("uuid", "payload_str", "event_type", "source")
       .withColumn("payload", col("payload_str").cast("binary"))
+      // keys deliberately NOT in sorted order: the kernel must sort them
+      .withColumn("headers", map(
+        lit("source"), col("source"), lit("eventType"), col("event_type")))
     val viaToJson = msgs.select(to_json(struct(
       col("uuid").as("watermill_message_uuid"),
       base64(col("payload")).as("data"),
-      struct(col("event_type").as("eventType")).as("headers"))).as("env"))
+      struct(col("event_type").as("eventType"), col("source").as("source")).as("headers")))
+      .as("env"))
     val viaNative = msgs.select(
       org.apache.spark.sql.graftvec.EnvelopeJsonColumns.marshal(
-        col("uuid"), col("payload"), col("event_type")).as("env"))
+        col("uuid"), col("payload"), col("headers")).as("env"))
     assert(viaNative.collect().map(_.getString(0)).toSeq
       === viaToJson.collect().map(_.getString(0)).toSeq)
 
+    // every header key survives the wire (marshaller.go:35-38)
     val back = viaNative.select(
       org.apache.spark.sql.graftvec.EnvelopeJsonColumns.parse(col("env")).as("m"))
-      .select(col("m.uuid"), col("m.payload").cast("string"), col("m.event_type"))
-      .as[(String, String, String)].collect().toSeq
-    assert(back === Seq(("42", "payload bytes", "click"),
-      ("7", "quote \" backslash \\ newline\ntab\tend", "view")))
+      .select(col("m.uuid"), col("m.payload").cast("string"),
+        col("m.headers")("eventType"), col("m.headers")("source"))
+      .as[(String, String, String, String)].collect().toSeq
+    assert(back === Seq(("42", "payload bytes", "click", "svc-1"),
+      ("7", "quote \" backslash \\ newline\ntab\tend", "view", "svc \"quoted\" 2")))
     // malformed input → null, like from_json
     assert(Seq("not json").toDF("env")
       .select(org.apache.spark.sql.graftvec.EnvelopeJsonColumns.parse(col("env")))
