@@ -163,6 +163,27 @@ object Messaging extends QueryPack {
         .orderBy(col("event_type"), col("route"))
     },
 
+    // subscriber.go:57-62: a record whose envelope fails to
+    // unmarshal is skipped (the reference logs and keeps consuming).
+    // Batch contract: corrupt a deterministic subset of envelopes on
+    // the wire, parse, route rows by parseability; delivered rows
+    // must round-trip their uuid (any parse lossiness shifts the sum).
+    "m13_poison_skip" -> { (s, d) =>
+      val msgs = Envelope.messages(s, d)
+      val wire = msgs.select(col("event_id"), col("event_type"),
+        when(col("event_id") % 97 === 0,
+          concat(lit("{corrupt "), col("uuid")))
+          .otherwise(Envelope.marshalled(msgs)).as("envelope"))
+      wire.withColumn("env", Envelope.parsed(col("envelope")))
+        .withColumn("route",
+          when(col("env").isNull, lit("skipped")).otherwise(lit("delivered")))
+        .groupBy(col("route"))
+        .agg(count(lit(1)).as("n_records"),
+          sum(col("env.uuid").cast("long")).as("sum_uuid"),
+          countDistinct(col("event_type")).as("n_types"))
+        .orderBy(col("route"))
+    },
+
     // Stream-static enrichment: events joined to a broadcast dim
     // (the subscribe example's "enrich then process" loop).
     "m11_stream_enrich" -> { (s, d) =>
@@ -304,6 +325,19 @@ object Messaging extends QueryPack {
          |FROM ($Ev) e
          |GROUP BY 1, 2
          |ORDER BY event_type, route""".stripMargin,
+
+    "m13_poison_skip" ->
+      s"""WITH routed AS (
+         |  SELECT event_type,
+         |    CASE WHEN event_id % 97 = 0 THEN 'skipped' ELSE 'delivered' END AS route,
+         |    CASE WHEN event_id % 97 = 0 THEN NULL ELSE event_id END AS uuid_back
+         |  FROM ($Ev) e)
+         |SELECT route, count(*) AS n_records,
+         |  CAST(sum(uuid_back) AS BIGINT) AS sum_uuid,
+         |  count(DISTINCT event_type) AS n_types
+         |FROM routed
+         |GROUP BY route
+         |ORDER BY route""".stripMargin,
 
     "m11_stream_enrich" ->
       s"""SELECT c_mktsegment, count(*) AS n_events, sum(value) AS sum_value,

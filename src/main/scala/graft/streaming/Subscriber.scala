@@ -112,22 +112,64 @@ object Subscriber {
 
   /** Drain with dead-letter routing: each micro-batch splits on
     * `isPoison` — healthy rows land in `outDir`, poison rows in
-    * `dlqDir` — under ONE checkpoint, so both sinks stay consistent
-    * with the source offsets across restarts (the terminal state of
-    * the reference's nack loop once retries are exhausted).
+    * `dlqDir` — under ONE checkpoint. Writes are idempotent per
+    * micro-batch: batch N overwrites `<dir>/micro_batch_id=N`, so a crash
+    * between the two writes (or after them but before the checkpoint
+    * commit) replays the batch onto its own subdirectory instead of
+    * appending duplicates — both sinks converge to exactly the source
+    * offsets (the terminal state of the reference's nack loop once
+    * retries are exhausted). Read either dir as plain parquet; the
+    * micro_batch_id partition column is the provenance of each row.
     */
   def drainWithDlq(msgs: DataFrame, outDir: String, dlqDir: String,
                    checkpointDir: String, isPoison: org.apache.spark.sql.Column): StreamingQuery =
     msgs.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val marked = batch.withColumn("__poison", isPoison).cache()
         try {
           marked.filter(!col("__poison")).drop("__poison")
-            .write.mode("append").parquet(outDir)
+            .write.mode("overwrite").parquet(s"$outDir/micro_batch_id=$batchId")
           marked.filter(col("__poison")).drop("__poison")
-            .write.mode("append").parquet(dlqDir)
+            .write.mode("overwrite").parquet(s"$dlqDir/micro_batch_id=$batchId")
+        } finally marked.unpersist()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Drain a subscription, preserving raw poison records: each
+    * micro-batch splits on envelope parseability — parseable records
+    * unmarshal into `outDir` (same shape as `subscribe`), records
+    * whose envelope fails to parse land RAW in `dlqDir` — under ONE
+    * checkpoint, with the same idempotent per-batch writes as
+    * `drainWithDlq`. The reference logs the unmarshal error and keeps
+    * consuming (subscriber.go:57-62); preserving the poison bytes
+    * beats a log line when a producer bug corrupts a topic at scale.
+    */
+  def drainSkippingPoison(spark: SparkSession, topicDir: String, outDir: String,
+                          dlqDir: String, checkpointDir: String): StreamingQuery =
+    spark.readStream
+      .schema(topicSchema)
+      .option("maxFilesPerTrigger", 8)
+      .parquet(topicDir)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val marked = batch
+          .withColumn("env", graft.operators.Envelope.parsed(col("envelope"))).cache()
+        try {
+          marked.filter(col("env").isNotNull)
+            .select(
+              col("env.uuid").as("uuid"),
+              col("env.payload").as("payload"),
+              graft.operators.Envelope.header(col("env"), "eventType").as("event_type"),
+              col("env.headers").as("headers"),
+              col("partition_key"), col("shard_id"), col("seq"), col("ts"))
+            .write.mode("overwrite").parquet(s"$outDir/micro_batch_id=$batchId")
+          marked.filter(col("env").isNull).drop("env")
+            .write.mode("overwrite").parquet(s"$dlqDir/micro_batch_id=$batchId")
         } finally marked.unpersist()
       }
       .trigger(Trigger.AvailableNow())

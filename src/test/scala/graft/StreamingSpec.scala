@@ -216,6 +216,38 @@ class StreamingSpec extends SparkSuite {
     assert(ok.select("uuid").intersect(dlq.select("uuid")).count() === 0)
   }
 
+  test("a poison envelope is skipped, preserved in the DLQ, and consumption continues") {
+    import spark.implicits._
+    val topic = tempDir("topic")
+    val outDir = tempDir("processed")
+    val dlqDir = tempDir("pdlq")
+    Publisher.publish(Envelope.messages(spark, sf), topic)
+    // one corrupt byte-blob lands on the topic (producer bug / torn write)
+    val poison = Seq((0L, 0L, 9999L, -1L, "poison", "0",
+        "{corrupt not-an-envelope", new java.sql.Timestamp(0L)))
+      .toDF("shard_id", "batch_id", "seq", "event_id", "uuid", "partition_key",
+        "envelope", "ts")
+    poison.write.mode("append").partitionBy("shard_id").parquet(topic)
+
+    // plain subscribe skips the unparsable record and keeps consuming
+    // (subscriber.go:57-62): N-1 messages delivered, none null
+    val q1 = Subscriber.drainToMemory(
+      Subscriber.subscribe(spark, topic), "poison_skip", tempDir("ckpt"))
+    q1.awaitTermination()
+    assert(spark.table("poison_skip").count() === 1000)
+    assert(spark.table("poison_skip").filter(col("uuid").isNull).count() === 0)
+
+    // the DLQ drain delivers the same 1000 and preserves the raw poison bytes
+    val q2 = Subscriber.drainSkippingPoison(spark, topic, outDir, dlqDir, tempDir("ckpt2"))
+    q2.awaitTermination()
+    val ok = spark.read.parquet(outDir)
+    val dlq = spark.read.parquet(dlqDir)
+    assert(ok.count() === 1000)
+    assert(ok.select("uuid").distinct().count() === 1000)
+    assert(dlq.count() === 1)
+    assert(dlq.select("envelope").head.getString(0) === "{corrupt not-an-envelope")
+  }
+
   test("ack/nack redelivery resolves with correct retry counts across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
