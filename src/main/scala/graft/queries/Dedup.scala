@@ -196,30 +196,38 @@ object Dedup extends QueryPack {
         .orderBy(col("url_norm"))
     },
 
-    // Embedding near-dup: cosine ≥ 0.95 pairs. The corpus has none
-    // (max natural cosine ≈ 0.48), so scaled copies are unioned in —
-    // cosine is scale-invariant, so exactly those pairs surface.
-    // Banded by coarse sign-bucket so the self-join never goes O(n²)
-    // at scale (same-bucket requirement is exact for scaled copies).
-    "d6_embedding_dup" -> { (s, d) =>
-      val base = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-      val dupes = base.filter(col("vec_id") % 25 === 0)
-        .select((col("vec_id") + 100000L).as("vec_id"),
-          transform(col("emb"), _ * 1.5).as("emb"))
-      val all = base.unionAll(dupes)
-        .withColumn("nrm", graft.functions.Vec.norm(col("emb")))
-        .withColumn("bucket", concat(
-          (0 until 4).map(i => when(element_at(col("emb"), i + 1) >= 0, "1").otherwise("0")): _*))
-      val l = all.as("l"); val r = all.as("r")
-      l.join(r, col("l.bucket") === col("r.bucket") && col("l.vec_id") < col("r.vec_id"))
-        .select(col("l.vec_id").as("vec_a"), col("r.vec_id").as("vec_b"),
-          (graft.functions.Vec.dot(col("l.emb"), col("r.emb")) /
-            (col("l.nrm") * col("r.nrm"))).as("cosine"))
-        .filter(col("cosine") >= 0.95)
-        .orderBy(col("vec_a"), col("vec_b"))
-    }
+    // Embedding near-dup (see embeddingDup — signBits is a library
+    // parameter; defs binds the test default of 4 bits / 16 buckets).
+    "d6_embedding_dup" -> ((s, d) => embeddingDup(s, d))
   )
+
+  /** Embedding near-dup: cosine ≥ 0.95 pairs. The corpus has none
+    * (max natural cosine ≈ 0.48), so scaled copies are unioned in —
+    * cosine is scale-invariant, so exactly those pairs surface.
+    * Banded by coarse sign-bucket so the self-join never goes O(n²)
+    * at scale; `signBits` controls bucket granularity (a true scaled
+    * copy shares EVERY sign bit, so any signBits is exact for the
+    * synthesized dupes — at real scale raise it until bucket
+    * occupancy fits the pairwise-compare budget).
+    */
+  def embeddingDup(s: SparkSession, d: String, signBits: Int = 4): DataFrame = {
+    val base = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val dupes = base.filter(col("vec_id") % 25 === 0)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        transform(col("emb"), _ * 1.5).as("emb"))
+    val all = base.unionAll(dupes)
+      .withColumn("nrm", graft.functions.Vec.norm(col("emb")))
+      .withColumn("bucket", concat(
+        (0 until signBits).map(i => when(element_at(col("emb"), i + 1) >= 0, "1").otherwise("0")): _*))
+    val l = all.as("l"); val r = all.as("r")
+    l.join(r, col("l.bucket") === col("r.bucket") && col("l.vec_id") < col("r.vec_id"))
+      .select(col("l.vec_id").as("vec_a"), col("r.vec_id").as("vec_b"),
+        (graft.functions.Vec.dot(col("l.emb"), col("r.emb")) /
+          (col("l.nrm") * col("r.nrm"))).as("cosine"))
+      .filter(col("cosine") >= 0.95)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
 
   /** words → shingles → per-shingle md5 halves → grouped signatures. */
   private def sigsSql(docsSql: String) =

@@ -4,25 +4,34 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
-import graft.functions.Portable
+
+/** Index geometry for the ANN family — library parameters, not
+  * hardwired constants. The defaults are sized for the test corpus
+  * (500–5000 vectors); a real deployment tunes them so bucket / cell
+  * occupancy ≈ corpus / 2^planes (resp. corpus / nCentroids) stays
+  * within the per-probe rerank budget.
+  *
+  * @param planes          random hyperplanes → 2^planes LSH buckets
+  * @param nProbe          IVF cells searched per probe
+  * @param centroidStride  every Nth vector seeds an IVF centroid
+  */
+final case class AnnGeometry(planes: Int = 4, nProbe: Int = 2, centroidStride: Int = 50)
 
 /** Similarity search family (SURVEY.md §2.D) over the embeddings
   * table (64-dim float vectors).
   *
   * a1 is the exact baseline: brute-force cosine top-k with the probe
   * set broadcast (scales as one scan of the corpus per batch of
-  * probes). a2/a3 are the 100 TB paths: random-hyperplane LSH buckets
-  * and IVF coarse cells bound the candidate set so the corpus is
-  * never fully scanned per probe. Both share a1's rerank stage.
+  * probes). a2/a3/a6 are the 100 TB paths: random-hyperplane LSH
+  * buckets and IVF coarse cells bound the candidate set so the corpus
+  * is never fully scanned per probe. All share a1's rerank stage.
+  * Every builder takes an [[AnnGeometry]]; the `defs` map binds the
+  * test defaults.
   */
 object Similarity extends QueryPack {
 
-  private val K = 3          // neighbors returned
-  // 4 planes → 16 buckets: sized for the test corpus (500–5000
-  // vectors). At real scale raise this (and/or use multi-probe) so
-  // bucket occupancy stays ~corpus/2^planes ≈ rerank budget.
-  private val Planes = 4
-  private val NProbe = 2     // IVF cells searched per probe
+  private val K = 3                 // neighbors returned
+  private val Geo = AnnGeometry()   // defaults used by defs + oracle
 
   /** Vectors with their L2 norm precomputed once, map-side — every
     * downstream pair then costs a single codegen'd dot product. The
@@ -53,183 +62,226 @@ object Similarity extends QueryPack {
   }
 
   private def planeDot(emb: Column, p: Int): Column =
-    Portable.dotD(emb, typedLit(planeWeights(p)))
+    graft.functions.Portable.dotD(emb, typedLit(planeWeights(p)))
 
-  /** 8-bit sign bucket of the hyperplane projections. */
-  private def lshBucket(emb: Column): Column =
-    concat((0 until Planes).map(p => when(planeDot(emb, p) > 0, "1").otherwise("0")): _*)
+  /** Sign bucket of the hyperplane projections, one char per plane. */
+  private def lshBucket(emb: Column, planes: Int): Column =
+    concat((0 until planes).map(p => when(planeDot(emb, p) > 0, "1").otherwise("0")): _*)
+
+  /** `bucket` with the (0-indexed) plane bit `i` flipped. */
+  private def flipBit(bucket: Column, i: Int, planes: Int): Column = concat(
+    substring(bucket, 1, i),
+    when(substring(bucket, i + 1, 1) === "1", "0").otherwise("1"),
+    substring(bucket, i + 2, planes - i - 1))
 
   private def planeDotSql(emb: String, p: Int): String =
     s"""list_sum(list_transform(generate_series(1, 64),
        |    i -> $emb[i] * (('0x' || substring(md5('$p|' || (i-1)::VARCHAR), 1, 4))::BIGINT / 32768.0 - 1.0)))""".stripMargin
 
-  private def lshBucketSql(emb: String): String =
-    (0 until Planes).map(p =>
+  private def lshBucketSql(emb: String, planes: Int): String =
+    (0 until planes).map(p =>
       s"(CASE WHEN ${planeDotSql(emb, p)} > 0 THEN '1' ELSE '0' END)").mkString("concat(", ", ", ")")
+
+  /** SQL for `bucket` with the given (0-indexed) bits flipped. */
+  private def flipSql(positions: Seq[Int], planes: Int): String = {
+    val parts = Seq.newBuilder[String]
+    var cur = 1
+    positions.sorted.foreach { p =>
+      if (p + 1 > cur) parts += s"substring(bucket, $cur, ${p + 1 - cur})"
+      parts += s"(CASE WHEN substring(bucket, ${p + 1}, 1) = '1' THEN '0' ELSE '1' END)"
+      cur = p + 2
+    }
+    if (cur <= planes) parts += s"substring(bucket, $cur, ${planes - cur + 1})"
+    parts.result().mkString(" || ")
+  }
 
   private val CosSql =
     "list_dot_product(p.emb, v.emb) / (sqrt(list_dot_product(p.emb, p.emb)) * sqrt(list_dot_product(v.emb, v.emb)))"
 
+  // ---- public builders (library API; defs bind the defaults) -------
+
+  /** Exact top-k: broadcast the probe set against one corpus scan. */
+  def bruteKnn(s: SparkSession, d: String, k: Int = K): DataFrame = {
+    val v = vecs(s, d)
+    val probes = v.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"), col("nrm").as("p_nrm"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    v.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .withColumn("cosine", cosPre(col("p_emb"), col("p_nrm"), col("emb"), col("nrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("vec_id"), col("rank"), col("cosine"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
+  /** LSH: candidates restricted to the probe's sign bucket, then
+    * exact rerank. Bucket assignment is one map-side expression. */
+  def lshKnn(s: SparkSession, d: String, geo: AnnGeometry = Geo, k: Int = K): DataFrame = {
+    val v = vecs(s, d).withColumn("bucket", lshBucket(col("emb"), geo.planes))
+    val probes = v.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"),
+        col("nrm").as("p_nrm"), col("bucket").as("p_bucket"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    v.join(broadcast(probes),
+        col("bucket") === col("p_bucket") && col("vec_id") =!= col("probe_id"))
+      .withColumn("cosine", cosPre(col("p_emb"), col("p_nrm"), col("emb"), col("nrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("vec_id"), col("rank"), col("cosine"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
+  /** Multi-probe LSH: each probe searches its own sign bucket PLUS
+    * every Hamming-1 neighbor bucket (flip one plane bit) — the
+    * standard recall lever that avoids adding hash tables. Candidate
+    * volume grows by ×(planes+1) probed buckets, corpus-side work is
+    * unchanged (one bucket per vector, map-side). */
+  def multiProbeKnn(s: SparkSession, d: String, geo: AnnGeometry = Geo, k: Int = K): DataFrame = {
+    val v = vecs(s, d).withColumn("bucket", lshBucket(col("emb"), geo.planes))
+    val probes = v.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"),
+        col("nrm").as("p_nrm"), col("bucket").as("p_bucket"))
+    val expanded = probes.withColumn("search_bucket",
+      explode(array(col("p_bucket") +:
+        (0 until geo.planes).map(i => flipBit(col("p_bucket"), i, geo.planes)): _*)))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    v.join(broadcast(expanded),
+        col("bucket") === col("search_bucket") && col("vec_id") =!= col("probe_id"))
+      .withColumn("cosine", cosPre(col("p_emb"), col("p_nrm"), col("emb"), col("nrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("vec_id"), col("rank"), col("cosine"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
+  /** IVF: coarse centroids (every `centroidStride`th vector), each
+    * vector assigned to its nearest cell; a probe searches only its
+    * nProbe nearest cells. Centroid set is broadcast everywhere. */
+  def ivfKnn(s: SparkSession, d: String, geo: AnnGeometry = Geo, k: Int = K): DataFrame = {
+    val v = vecs(s, d)
+    val cents = v.filter(col("vec_id") % geo.centroidStride === 0)
+      .select(col("vec_id").as("cent_id"), col("emb").as("c_emb"), col("nrm").as("c_nrm"))
+    // nearest cell per vector
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_cos").desc, col("cent_id"))
+    val assigned = v.join(broadcast(cents))
+      .withColumn("c_cos", cosPre(col("emb"), col("nrm"), col("c_emb"), col("c_nrm")))
+      .withColumn("crank", row_number().over(wAssign))
+      .filter(col("crank") === 1)
+      .select(col("vec_id"), col("emb"), col("nrm"), col("cent_id").as("cell"))
+    // nProbe nearest cells per probe
+    val probes = v.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"), col("nrm").as("p_nrm"))
+    val wProbe = Window.partitionBy(col("probe_id"))
+      .orderBy(col("pc_cos").desc, col("cent_id"))
+    val probeCells = probes.join(broadcast(cents))
+      .withColumn("pc_cos", cosPre(col("p_emb"), col("p_nrm"), col("c_emb"), col("c_nrm")))
+      .withColumn("crank", row_number().over(wProbe))
+      .filter(col("crank") <= geo.nProbe)
+      .select(col("probe_id"), col("p_emb"), col("p_nrm"), col("cent_id").as("cell"))
+    // search only those cells
+    val wRank = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    assigned.join(broadcast(probeCells),
+        assigned("cell") === probeCells("cell") && col("vec_id") =!= col("probe_id"))
+      .withColumn("cosine", cosPre(col("p_emb"), col("p_nrm"), col("emb"), col("nrm")))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("vec_id"), col("rank"), col("cosine"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
+  /** One Lloyd iteration of IVF centroid refinement: assign every
+    * vector to its nearest seed centroid, recompute each cell's
+    * centroid as the element-wise member mean, reassign against the
+    * refined centroids, and report per-cell occupancy + mean
+    * similarity. The index-build loop a vector store runs: each
+    * iteration is one corpus scan + a (cell, dim) aggregation whose
+    * size is cells×dims regardless of corpus size; centroids stay
+    * broadcast. */
+  def ivfRefine(s: SparkSession, d: String, geo: AnnGeometry = Geo): DataFrame = {
+    val v = vecs(s, d)
+    val cents = v.filter(col("vec_id") % geo.centroidStride === 0)
+      .select(col("vec_id").as("cent_id"), col("emb").as("c_emb"), col("nrm").as("c_nrm"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_cos").desc, col("cent_id"))
+    val assigned = v.join(broadcast(cents))
+      .withColumn("c_cos", cosPre(col("emb"), col("nrm"), col("c_emb"), col("c_nrm")))
+      .withColumn("crank", row_number().over(wAssign))
+      .filter(col("crank") === 1)
+      .select(col("vec_id"), col("emb"), col("nrm"), col("cent_id").as("cell"))
+    // refined centroid = element-wise mean of members
+    val refined = assigned
+      .select(col("cell"), posexplode(col("emb")).as(Seq("pos", "x")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(avg(col("x")).as("m"))
+      .groupBy(col("cell"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("cell").as("r_cell"),
+        transform(col("pm"), e => e.getField("m")).as("r_emb"))
+      .withColumn("r_nrm", graft.functions.Vec.norm(col("r_emb")))
+    val wre = Window.partitionBy(col("vec_id"))
+      .orderBy(col("re_cos").desc, col("r_cell"))
+    v.join(broadcast(refined))
+      .withColumn("re_cos", cosPre(col("emb"), col("nrm"), col("r_emb"), col("r_nrm")))
+      .withColumn("rrank", row_number().over(wre))
+      .filter(col("rrank") === 1)
+      .groupBy(col("r_cell").as("cell"))
+      .agg(count(lit(1)).as("n_members"), avg(col("re_cos")).as("mean_cos"))
+      .orderBy(col("cell"))
+  }
+
+  /** Hard-negative mining: for each probe, the nearest neighbor
+    * carrying a DIFFERENT label (the cross-label margin example a
+    * contrastive training pipeline wants). Candidates come from the
+    * probe's LSH buckets — tier 0 is the probe's own bucket plus its
+    * Hamming-1 neighbors (a6's expansion); tier 1 widens to Hamming-2
+    * buckets. Ranking by (tier, cosine) means a probe uses tier 1
+    * ONLY when its tier-0 buckets hold no cross-label candidate, all
+    * in ONE bucket-equi broadcast hash join — no per-probe corpus
+    * scan (the pre-round-4 BroadcastNestedLoopJoin shape), so
+    * corpus-side work stays one map-side bucket per vector at 100 TB. */
+  def crossLabelNN(s: SparkSession, d: String, geo: AnnGeometry = Geo): DataFrame = {
+    val v = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("emb"))
+      .withColumn("nrm", graft.functions.Vec.norm(col("emb")))
+      .withColumn("bucket", lshBucket(col("emb"), geo.planes))
+    val probes = v.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("probe_id"), col("label").as("p_label"),
+        col("emb").as("p_emb"), col("nrm").as("p_nrm"), col("bucket").as("p_bucket"))
+    val tier0 = struct(lit(0).as("tier"), col("p_bucket").as("sb")) +:
+      (0 until geo.planes).map(i =>
+        struct(lit(0).as("tier"), flipBit(col("p_bucket"), i, geo.planes).as("sb")))
+    val tier1 = for { i <- 0 until geo.planes; j <- i + 1 until geo.planes }
+      yield struct(lit(1).as("tier"),
+        flipBit(flipBit(col("p_bucket"), i, geo.planes), j, geo.planes).as("sb"))
+    val expanded = probes
+      .withColumn("x", explode(array(tier0 ++ tier1: _*)))
+      .select(col("probe_id"), col("p_label"), col("p_emb"), col("p_nrm"),
+        col("x.tier").as("tier"), col("x.sb").as("search_bucket"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("tier"), col("cosine").desc, col("vec_id"))
+    v.join(broadcast(expanded),
+        col("bucket") === col("search_bucket") && col("label") =!= col("p_label"))
+      .withColumn("cosine", cosPre(col("p_emb"), col("p_nrm"), col("emb"), col("nrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") === 1)
+      .select(col("probe_id"), col("p_label"), col("vec_id").as("nn_id"),
+        col("label").as("nn_label"), col("cosine"))
+      .orderBy(col("probe_id"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // Exact top-k: broadcast the probe set against one corpus scan.
-    "a1_knn_brute" -> { (s, d) =>
-      val v = vecs(s, d)
-      val probes = v.filter(col("vec_id") % 100 === 0)
-        .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"), col("nrm").as("p_nrm"))
-      val w = Window.partitionBy(col("probe_id"))
-        .orderBy(col("cosine").desc, col("vec_id"))
-      v.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
-        .withColumn("cosine", cosPre(col("p_emb"), col("p_nrm"), col("emb"), col("nrm")))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= K)
-        .select(col("probe_id"), col("vec_id"), col("rank"), col("cosine"))
-        .orderBy(col("probe_id"), col("rank"))
-    },
-
-    // LSH: candidates restricted to the probe's sign bucket, then
-    // exact rerank. Bucket assignment is one map-side expression.
-    "a2_knn_lsh" -> { (s, d) =>
-      val v = vecs(s, d).withColumn("bucket", lshBucket(col("emb")))
-      val probes = v.filter(col("vec_id") % 100 === 0)
-        .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"),
-          col("nrm").as("p_nrm"), col("bucket").as("p_bucket"))
-      val w = Window.partitionBy(col("probe_id"))
-        .orderBy(col("cosine").desc, col("vec_id"))
-      v.join(broadcast(probes),
-          col("bucket") === col("p_bucket") && col("vec_id") =!= col("probe_id"))
-        .withColumn("cosine", cosPre(col("p_emb"), col("p_nrm"), col("emb"), col("nrm")))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= K)
-        .select(col("probe_id"), col("vec_id"), col("rank"), col("cosine"))
-        .orderBy(col("probe_id"), col("rank"))
-    },
-
-    // IVF: coarse centroids (every 50th vector), each vector assigned
-    // to its nearest cell; a probe searches only its nprobe=2 nearest
-    // cells. Centroid set is broadcast everywhere.
-    "a3_ivf_knn" -> { (s, d) =>
-      val v = vecs(s, d)
-      val cents = v.filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("cent_id"), col("emb").as("c_emb"), col("nrm").as("c_nrm"))
-      // nearest cell per vector
-      val wAssign = Window.partitionBy(col("vec_id"))
-        .orderBy(col("c_cos").desc, col("cent_id"))
-      val assigned = v.join(broadcast(cents))
-        .withColumn("c_cos", cosPre(col("emb"), col("nrm"), col("c_emb"), col("c_nrm")))
-        .withColumn("crank", row_number().over(wAssign))
-        .filter(col("crank") === 1)
-        .select(col("vec_id"), col("emb"), col("nrm"), col("cent_id").as("cell"))
-      // nprobe nearest cells per probe
-      val probes = v.filter(col("vec_id") % 100 === 0)
-        .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"), col("nrm").as("p_nrm"))
-      val wProbe = Window.partitionBy(col("probe_id"))
-        .orderBy(col("pc_cos").desc, col("cent_id"))
-      val probeCells = probes.join(broadcast(cents))
-        .withColumn("pc_cos", cosPre(col("p_emb"), col("p_nrm"), col("c_emb"), col("c_nrm")))
-        .withColumn("crank", row_number().over(wProbe))
-        .filter(col("crank") <= NProbe)
-        .select(col("probe_id"), col("p_emb"), col("p_nrm"), col("cent_id").as("cell"))
-      // search only those cells
-      val wRank = Window.partitionBy(col("probe_id"))
-        .orderBy(col("cosine").desc, col("vec_id"))
-      assigned.join(broadcast(probeCells),
-          assigned("cell") === probeCells("cell") && col("vec_id") =!= col("probe_id"))
-        .withColumn("cosine", cosPre(col("p_emb"), col("p_nrm"), col("emb"), col("nrm")))
-        .withColumn("rank", row_number().over(wRank))
-        .filter(col("rank") <= K)
-        .select(col("probe_id"), col("vec_id"), col("rank"), col("cosine"))
-        .orderBy(col("probe_id"), col("rank"))
-    },
-
-    // Multi-probe LSH: each probe searches its own sign bucket PLUS
-    // every Hamming-1 neighbor bucket (flip one plane bit) — the
-    // standard recall lever that avoids adding hash tables. Candidate
-    // volume grows by ×(planes+1) probed buckets, corpus-side work is
-    // unchanged (one bucket per vector, map-side).
-    "a6_knn_multiprobe" -> { (s, d) =>
-      val v = vecs(s, d).withColumn("bucket", lshBucket(col("emb")))
-      val probes = v.filter(col("vec_id") % 100 === 0)
-        .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"),
-          col("nrm").as("p_nrm"), col("bucket").as("p_bucket"))
-      def flipped(i: Int): Column = concat(
-        substring(col("p_bucket"), 1, i),
-        when(substring(col("p_bucket"), i + 1, 1) === "1", "0").otherwise("1"),
-        substring(col("p_bucket"), i + 2, Planes - i - 1))
-      val expanded = probes.withColumn("search_bucket",
-        explode(array(col("p_bucket") +: (0 until Planes).map(flipped): _*)))
-      val w = Window.partitionBy(col("probe_id"))
-        .orderBy(col("cosine").desc, col("vec_id"))
-      v.join(broadcast(expanded),
-          col("bucket") === col("search_bucket") && col("vec_id") =!= col("probe_id"))
-        .withColumn("cosine", cosPre(col("p_emb"), col("p_nrm"), col("emb"), col("nrm")))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= K)
-        .select(col("probe_id"), col("vec_id"), col("rank"), col("cosine"))
-        .orderBy(col("probe_id"), col("rank"))
-    },
-
-    // One Lloyd iteration of IVF centroid refinement: assign every
-    // vector to its nearest seed centroid, recompute each cell's
-    // centroid as the element-wise member mean, reassign against the
-    // refined centroids, and report per-cell occupancy + mean
-    // similarity. The index-build loop a vector store runs: each
-    // iteration is one corpus scan + a (cell, dim) aggregation whose
-    // size is cells×dims regardless of corpus size; centroids stay
-    // broadcast.
-    "a5_ivf_refine" -> { (s, d) =>
-      val v = vecs(s, d)
-      val cents = v.filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("cent_id"), col("emb").as("c_emb"), col("nrm").as("c_nrm"))
-      val wAssign = Window.partitionBy(col("vec_id"))
-        .orderBy(col("c_cos").desc, col("cent_id"))
-      val assigned = v.join(broadcast(cents))
-        .withColumn("c_cos", cosPre(col("emb"), col("nrm"), col("c_emb"), col("c_nrm")))
-        .withColumn("crank", row_number().over(wAssign))
-        .filter(col("crank") === 1)
-        .select(col("vec_id"), col("emb"), col("nrm"), col("cent_id").as("cell"))
-      // refined centroid = element-wise mean of members
-      val refined = assigned
-        .select(col("cell"), posexplode(col("emb")).as(Seq("pos", "x")))
-        .groupBy(col("cell"), col("pos"))
-        .agg(avg(col("x")).as("m"))
-        .groupBy(col("cell"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("cell").as("r_cell"),
-          transform(col("pm"), e => e.getField("m")).as("r_emb"))
-        .withColumn("r_nrm", graft.functions.Vec.norm(col("r_emb")))
-      val wre = Window.partitionBy(col("vec_id"))
-        .orderBy(col("re_cos").desc, col("r_cell"))
-      v.join(broadcast(refined))
-        .withColumn("re_cos", cosPre(col("emb"), col("nrm"), col("r_emb"), col("r_nrm")))
-        .withColumn("rrank", row_number().over(wre))
-        .filter(col("rrank") === 1)
-        .groupBy(col("r_cell").as("cell"))
-        .agg(count(lit(1)).as("n_members"), avg(col("re_cos")).as("mean_cos"))
-        .orderBy(col("cell"))
-    },
-
-    // Hard-negative mining: for each probe, the single nearest
-    // neighbor carrying a DIFFERENT label (the cross-label margin
-    // example a contrastive training pipeline wants). Same broadcast
-    // one-corpus-scan shape as a1.
-    "a4_cross_label_nn" -> { (s, d) =>
-      val v = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("label"),
-          col("embedding").cast("array<double>").as("emb"))
-        .withColumn("nrm", graft.functions.Vec.norm(col("emb")))
-      val probes = v.filter(col("vec_id") % 100 === 0)
-        .select(col("vec_id").as("probe_id"), col("label").as("p_label"),
-          col("emb").as("p_emb"), col("nrm").as("p_nrm"))
-      val w = Window.partitionBy(col("probe_id"))
-        .orderBy(col("cosine").desc, col("vec_id"))
-      v.join(broadcast(probes), col("label") =!= col("p_label"))
-        .withColumn("cosine", cosPre(col("p_emb"), col("p_nrm"), col("emb"), col("nrm")))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") === 1)
-        .select(col("probe_id"), col("p_label"), col("vec_id").as("nn_id"),
-          col("label").as("nn_label"), col("cosine"))
-        .orderBy(col("probe_id"))
-    }
+    "a1_knn_brute" -> ((s, d) => bruteKnn(s, d)),
+    "a2_knn_lsh" -> ((s, d) => lshKnn(s, d)),
+    "a3_ivf_knn" -> ((s, d) => ivfKnn(s, d)),
+    "a6_knn_multiprobe" -> ((s, d) => multiProbeKnn(s, d)),
+    "a5_ivf_refine" -> ((s, d) => ivfRefine(s, d)),
+    "a4_cross_label_nn" -> ((s, d) => crossLabelNN(s, d))
   )
 
   def oracle: Map[String, String] = Map(
@@ -247,7 +299,7 @@ object Similarity extends QueryPack {
 
     "a2_knn_lsh" ->
       s"""WITH v AS (
-         |  SELECT vec_id, emb, ${lshBucketSql("emb")} AS bucket
+         |  SELECT vec_id, emb, ${lshBucketSql("emb", Geo.planes)} AS bucket
          |  FROM (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings) t),
          |p AS (SELECT vec_id AS probe_id, emb, bucket FROM v WHERE vec_id % 100 = 0),
          |scored AS (
@@ -261,7 +313,7 @@ object Similarity extends QueryPack {
 
     "a3_ivf_knn" ->
       s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-         |c AS (SELECT vec_id AS cent_id, emb AS c_emb FROM v WHERE vec_id % 50 = 0),
+         |c AS (SELECT vec_id AS cent_id, emb AS c_emb FROM v WHERE vec_id % ${Geo.centroidStride} = 0),
          |assigned AS (
          |  SELECT vec_id, emb, cell FROM (
          |    SELECT v.vec_id, v.emb, c.cent_id AS cell,
@@ -277,7 +329,7 @@ object Similarity extends QueryPack {
          |        list_dot_product(v.emb, c.c_emb) /
          |          (sqrt(list_dot_product(v.emb, v.emb)) * sqrt(list_dot_product(c.c_emb, c.c_emb))) DESC,
          |        c.cent_id) AS crank
-         |    FROM v, c WHERE v.vec_id % 100 = 0) t WHERE crank <= $NProbe),
+         |    FROM v, c WHERE v.vec_id % 100 = 0) t WHERE crank <= ${Geo.nProbe}),
          |scored AS (
          |  SELECT p.probe_id, v.vec_id,
          |    list_dot_product(p.p_emb, v.emb) /
@@ -293,11 +345,9 @@ object Similarity extends QueryPack {
          |ORDER BY probe_id, rank""".stripMargin,
 
     "a6_knn_multiprobe" -> {
-      val flips = (0 until Planes).map { i =>
-        s"substring(bucket, 1, $i) || (CASE WHEN substring(bucket, ${i + 1}, 1) = '1' THEN '0' ELSE '1' END) || substring(bucket, ${i + 2}, ${Planes - i - 1})"
-      }.mkString(", ")
+      val flips = (0 until Geo.planes).map(i => flipSql(Seq(i), Geo.planes)).mkString(", ")
       s"""WITH v AS (
-         |  SELECT vec_id, emb, ${lshBucketSql("emb")} AS bucket
+         |  SELECT vec_id, emb, ${lshBucketSql("emb", Geo.planes)} AS bucket
          |  FROM (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings) t),
          |p AS (SELECT vec_id AS probe_id, emb, bucket FROM v WHERE vec_id % 100 = 0),
          |expanded AS (
@@ -320,7 +370,7 @@ object Similarity extends QueryPack {
 
     "a5_ivf_refine" ->
       s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-         |c AS (SELECT vec_id AS cent_id, emb AS c_emb FROM v WHERE vec_id % 50 = 0),
+         |c AS (SELECT vec_id AS cent_id, emb AS c_emb FROM v WHERE vec_id % ${Geo.centroidStride} = 0),
          |assigned AS (
          |  SELECT vec_id, emb, cell FROM (
          |    SELECT v.vec_id, v.emb, c.cent_id AS cell,
@@ -350,17 +400,37 @@ object Similarity extends QueryPack {
          |GROUP BY cell
          |ORDER BY cell""".stripMargin,
 
-    "a4_cross_label_nn" ->
-      s"""WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
-         |p AS (SELECT vec_id AS probe_id, label AS p_label, emb FROM v WHERE vec_id % 100 = 0),
+    // Mirrors crossLabelNN's tiered bucket search exactly: tier 0 =
+    // own + Hamming-1 buckets, tier 1 = Hamming-2, rank by (tier,
+    // cosine) — so tier 1 only decides probes whose tier-0 buckets
+    // hold no cross-label candidate.
+    "a4_cross_label_nn" -> {
+      val h1 = (0 until Geo.planes).map(i =>
+        s"SELECT probe_id, p_label, emb, ${flipSql(Seq(i), Geo.planes)} AS search_bucket, 0 AS tier FROM p")
+      val h2 = for { i <- 0 until Geo.planes; j <- i + 1 until Geo.planes }
+        yield s"SELECT probe_id, p_label, emb, ${flipSql(Seq(i, j), Geo.planes)} AS search_bucket, 1 AS tier FROM p"
+      val expansion =
+        (Seq("SELECT probe_id, p_label, emb, bucket AS search_bucket, 0 AS tier FROM p") ++ h1 ++ h2)
+          .mkString("\n  UNION ALL\n  ")
+      val cosE =
+        "list_dot_product(e.emb, v.emb) / (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(v.emb, v.emb)))"
+      s"""WITH v AS (
+         |  SELECT vec_id, label, emb, ${lshBucketSql("emb", Geo.planes)} AS bucket
+         |  FROM (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings) t),
+         |p AS (SELECT vec_id AS probe_id, label AS p_label, emb, bucket
+         |  FROM v WHERE vec_id % 100 = 0),
+         |expanded AS (
+         |  $expansion),
          |scored AS (
-         |  SELECT p.probe_id, p.p_label, v.vec_id, v.label, $CosSql AS cosine,
-         |    row_number() OVER (PARTITION BY p.probe_id
-         |      ORDER BY $CosSql DESC, v.vec_id) AS rank
-         |  FROM p JOIN v ON v.label <> p.p_label)
+         |  SELECT e.probe_id, e.p_label, v.vec_id, v.label, $cosE AS cosine,
+         |    row_number() OVER (PARTITION BY e.probe_id
+         |      ORDER BY e.tier, $cosE DESC, v.vec_id) AS rank
+         |  FROM expanded e JOIN v
+         |    ON v.bucket = e.search_bucket AND v.label <> e.p_label)
          |SELECT probe_id, CAST(p_label AS INTEGER) AS p_label, vec_id AS nn_id,
          |  CAST(label AS INTEGER) AS nn_label, cosine
          |FROM scored WHERE rank = 1
          |ORDER BY probe_id""".stripMargin
+    }
   )
 }

@@ -65,6 +65,81 @@ class PipelineSpec extends SparkSuite {
     assert(weightedMean > 0.1, s"mean member-centroid cosine too low: $weightedMean")
   }
 
+  test("a4 cross-label NN is bucket-joined (no nested-loop corpus scan) and recalls exact") {
+    import graft.queries.Similarity
+    val df = SparkEntry.queries("a4_cross_label_nn")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+
+    val got = df.collect()
+    // structure: one row per recalled probe, always a genuine cross-label pair
+    assert(got.nonEmpty)
+    assert(got.map(_.getLong(0)).distinct.length === got.length)
+    assert(got.forall(r => r.getInt(1) != r.getInt(3)))
+
+    // recall vs the exact (full-scan) cross-label NN, computed here as
+    // the test-only reference implementation
+    val v = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("emb"))
+      .withColumn("nrm", graft.functions.Vec.norm(col("emb")))
+    val probes = v.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("probe_id"), col("label").as("p_label"),
+        col("emb").as("p_emb"), col("nrm").as("p_nrm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id")).orderBy(col("cosine").desc, col("vec_id"))
+    val exact = v.join(broadcast(probes), col("label") =!= col("p_label"))
+      .withColumn("cosine",
+        graft.functions.Vec.dot(col("p_emb"), col("emb")) / (col("p_nrm") * col("nrm")))
+      .withColumn("rank", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rank") === 1)
+      .select(col("probe_id"), col("vec_id"), col("cosine"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // nonzero exact recall (this corpus is near-random, so LSH recall
+    // on the single best cross-label neighbor is modest by design)
+    val hits = got.count(r => exact.get(r.getLong(0)).exists(_._1 == r.getLong(2)))
+    assert(hits >= 1, s"bucketed a4 recalled none of ${exact.size} exact NNs")
+    // the bucketed candidate set is a SUBSET of the full corpus, so a
+    // returned cosine can never exceed the exact NN's (equality = hit)
+    got.foreach { r =>
+      val ex = exact(r.getLong(0))._2
+      assert(r.getDouble(4) <= ex + 1e-12,
+        s"probe ${r.getLong(0)}: bucketed cosine ${r.getDouble(4)} beats exact $ex")
+    }
+    // a bucketed miss must still return a valid cross-label candidate,
+    // never a fabricated pair: every returned nn_id exists in-corpus
+    val ids = v.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(got.forall(r => ids.contains(r.getLong(2))))
+  }
+
+  test("ANN geometry is a library parameter, not a constant") {
+    import graft.queries.{AnnGeometry, Similarity}
+    val geo = AnnGeometry(planes = 6, nProbe = 3, centroidStride = 25)
+    // non-default geometry still produces well-formed results on every
+    // bucketed family member; the LSH members must stay equi-joined on
+    // bucket (IVF's centroid-assignment stage is an intentional
+    // broadcast product against the constant-size centroid set, so it
+    // is exempt from the no-nested-loop check)
+    val lsh = Similarity.lshKnn(spark, sf, geo)
+    val multi = Similarity.multiProbeKnn(spark, sf, geo)
+    val ivf = Similarity.ivfKnn(spark, sf, geo)
+    val cross = Similarity.crossLabelNN(spark, sf, geo)
+    for (df <- Seq(lsh, multi, cross))
+      assert(!df.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+    for (df <- Seq(lsh, multi, ivf, cross))
+      assert(df.count() > 0)
+    // 6 planes refine the default 4 (same first four hyperplanes), so
+    // every 6-plane bucket is a subset of a 4-plane bucket: candidate
+    // sets, and with them the returned row count, can only shrink
+    val dflt = Similarity.lshKnn(spark, sf)
+    assert(lsh.count() <= dflt.count())
+    // d6's sign-bucket width is likewise a parameter: a scaled copy
+    // shares every sign bit, so finer 6-bit banding finds identical pairs
+    val d6a = SparkEntry.queries("d6_embedding_dup")(spark, sf).collect().toSeq
+    val d6b = graft.queries.Dedup.embeddingDup(spark, sf, signBits = 6).collect().toSeq
+    assert(d6a === d6b)
+  }
+
   test("media decodeBatch preserves rows and derives stable metadata") {
     import spark.implicits._
     val media = Tables.documents(spark, sf)
