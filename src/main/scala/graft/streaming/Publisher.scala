@@ -34,16 +34,19 @@ object Publisher {
       .sortWithinPartitions(col("shard_id"), col("seq"))
   }
 
-  /** Marshal + route + sequence + write one publish call's messages. */
-  def publish(msgs: DataFrame, topicDir: String, mode: String = "append"): Unit =
-    layout(msgs).write.mode(mode).partitionBy("shard_id").parquet(topicDir)
+  /** Marshal + route + sequence + write one publish call's messages.
+    * `format` is the pluggable wire codec (the reference's
+    * WithMarshaller seam, publisher.go:48-51). */
+  def publish(msgs: DataFrame, topicDir: String, mode: String = "append",
+              format: TopicFormat = ParquetTopic): Unit =
+    format.write(layout(msgs), topicDir, mode)
 
   /** JSON-lines topic variant — the envelope travels as the wire
     * format itself (one JSON record per line, shard-partitioned
     * directories), interoperable with non-Spark consumers that read
     * the reference's `MessageData` envelope directly. */
   def publishJson(msgs: DataFrame, topicDir: String, mode: String = "append"): Unit =
-    layout(msgs).write.mode(mode).partitionBy("shard_id").json(topicDir)
+    publish(msgs, topicDir, mode, JsonLinesTopic)
 
   /** Streaming publisher: each micro-batch becomes one `publish` call
     * (the reference's `Publish(topic, msgs...)` is per-call batching,
@@ -56,16 +59,29 @@ object Publisher {
     * while preserving every record and the shard layout. At lake
     * scale this runs per shard-partition (no global shuffle — the
     * data is already partitioned on disk).
+    *
+    * The swap is two O(1) directory renames (old aside, new in) with
+    * the bulk delete deferred until after the new tree is live — a
+    * concurrent reader sees the complete old set or the complete new
+    * set, never a half-deleted one. (The pre-round-4 delete-then-
+    * rename left an O(files) window where the topic was partially or
+    * wholly absent.) A reader that lists in the instant between the
+    * two renames gets a clean does-not-exist and retries; it can
+    * never read a partial record set.
     */
   def compact(spark: SparkSession, topicDir: String, filesPerShard: Int = 1): Unit = {
-    val tmp = topicDir.stripSuffix("/") + ".compact"
+    val base = topicDir.stripSuffix("/")
+    val tmp = new org.apache.hadoop.fs.Path(base + ".compact")
+    val old = new org.apache.hadoop.fs.Path(base + ".old")
+    val dst = new org.apache.hadoop.fs.Path(base)
     spark.read.parquet(topicDir)
       .repartition(filesPerShard, col("shard_id"))
-      .write.mode("overwrite").partitionBy("shard_id").parquet(tmp)
+      .write.mode("overwrite").partitionBy("shard_id").parquet(tmp.toString)
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(topicDir)
-    fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    fs.delete(old, true)
+    fs.rename(dst, old)
+    fs.rename(tmp, dst)
+    fs.delete(old, true)
   }
 
   def publishStream(msgs: DataFrame, topicDir: String, checkpointDir: String): StreamingQuery =

@@ -41,21 +41,20 @@ object Subscriber {
     * the same injected metadata as the reference unmarshaller
     * (partitionKey, shardID, approximateArrivalTimestamp). Envelope
     * decode is the native codegen kernel (graftvec.EnvelopeParse),
-    * same as the batch path — from_json is CodegenFallback.
+    * same as the batch path — from_json is CodegenFallback. `format`
+    * is the pluggable wire codec (the reference's WithUnmarshaller
+    * seam, publisher.go:48-51); `maxFilesPerTrigger` bounds each
+    * micro-batch (≈ the KCL per-call record cap).
     */
-  def subscribe(spark: SparkSession, topicDir: String): DataFrame =
-    unmarshalled(spark.readStream
-      .schema(topicSchema)
-      .option("maxFilesPerTrigger", 8)
-      .parquet(topicDir))
+  def subscribe(spark: SparkSession, topicDir: String,
+                format: TopicFormat = ParquetTopic,
+                maxFilesPerTrigger: Int = 8): DataFrame =
+    unmarshalled(format.readStream(spark, topicDir, maxFilesPerTrigger))
 
   /** Subscribe to a JSON-lines topic (Publisher.publishJson) — same
     * message stream, different wire encoding. */
   def subscribeJson(spark: SparkSession, topicDir: String): DataFrame =
-    unmarshalled(spark.readStream
-      .schema(topicSchema)
-      .option("maxFilesPerTrigger", 8)
-      .json(topicDir))
+    subscribe(spark, topicDir, JsonLinesTopic)
 
   /** Decode + metadata injection. Every wire header is preserved in
     * `headers` (marshaller.go:35-38 copies all of them back into
@@ -148,11 +147,9 @@ object Subscriber {
     * beats a log line when a producer bug corrupts a topic at scale.
     */
   def drainSkippingPoison(spark: SparkSession, topicDir: String, outDir: String,
-                          dlqDir: String, checkpointDir: String): StreamingQuery =
-    spark.readStream
-      .schema(topicSchema)
-      .option("maxFilesPerTrigger", 8)
-      .parquet(topicDir)
+                          dlqDir: String, checkpointDir: String,
+                          format: TopicFormat = ParquetTopic): StreamingQuery =
+    format.readStream(spark, topicDir, 8)
       .writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
@@ -210,32 +207,50 @@ object Subscriber {
     * past maxRetries). */
   case class Outcome(uuid: String, outcome: String, retryCount: Int)
 
+  /** Per-uuid retry state: live retry count, or a tombstone once a
+    * terminal outcome was emitted. */
+  case class RetryState(retries: Int, terminal: Boolean)
+
   /** resolveRetries with a poison bound — the complete lifecycle of
     * the reference's nack loop: a message acked within the budget
-    * resolves; one nacked past `maxRetries` dead-letters immediately
-    * and its state is dropped (so poison messages can't pin state
-    * forever). Deliveries after a terminal outcome are ignored.
+    * resolves; one nacked past `maxRetries` dead-letters immediately.
+    * A terminal outcome leaves a TOMBSTONE in state, so a redelivery
+    * of the same uuid in a LATER micro-batch is ignored instead of
+    * re-running the lifecycle and emitting a second, contradictory
+    * outcome. Tombstones are one tiny record per terminal uuid; to
+    * bound them, feed this operator through `exactlyOnce` (its
+    * watermark already caps how late a redelivery can arrive, so the
+    * tombstone set stays within the same horizon). A processing-time
+    * timeout was deliberately NOT used here: it forces the engine
+    * into continuous empty micro-batches purely to fire timers,
+    * thrashing the state store at trigger-0.
     */
   def resolveOrDeadLetter(deliveries: Dataset[Delivery], maxRetries: Int): Dataset[Outcome] = {
     import deliveries.sparkSession.implicits._
     deliveries
       .groupByKey(_.uuid)
-      .flatMapGroupsWithState[Int, Outcome](
+      .flatMapGroupsWithState[RetryState, Outcome](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (uuid: String, it: Iterator[Delivery], state: GroupState[Int]) =>
-          var retries = state.getOption.getOrElse(0)
-          var out: Option[Outcome] = None
-          it.toSeq.sortBy(_.attempt).foreach { del =>
-            if (out.isEmpty) {
-              if (del.acked) out = Some(Outcome(uuid, "resolved", retries))
-              else {
-                retries += 1
-                if (retries > maxRetries) out = Some(Outcome(uuid, "dlq", retries))
+        (uuid: String, it: Iterator[Delivery], state: GroupState[RetryState]) =>
+          val st = state.getOption.getOrElse(RetryState(0, terminal = false))
+          if (st.terminal) {
+            // redelivery after a terminal outcome: ignore
+            Iterator.empty
+          } else {
+            var retries = st.retries
+            var out: Option[Outcome] = None
+            it.toSeq.sortBy(_.attempt).foreach { del =>
+              if (out.isEmpty) {
+                if (del.acked) out = Some(Outcome(uuid, "resolved", retries))
+                else {
+                  retries += 1
+                  if (retries > maxRetries) out = Some(Outcome(uuid, "dlq", retries))
+                }
               }
             }
+            state.update(RetryState(retries, terminal = out.isDefined))
+            out.iterator
           }
-          if (out.isDefined) state.remove() else state.update(retries)
-          out.iterator
       }
   }
 }

@@ -216,6 +216,69 @@ class StreamingSpec extends SparkSuite {
     assert(ok.select("uuid").intersect(dlq.select("uuid")).count() === 0)
   }
 
+  test("a second worker takes over a shard lease mid-stream without loss or duplication") {
+    // The KCL lease-handover semantic (example/cmd/subscribe/main.go:36-38):
+    // worker A dies mid-consumption; worker B picks up the SAME
+    // checkpoint and finishes the topic. The checkpoint plus the file
+    // sink's transactional metadata guarantee every message is
+    // delivered exactly once across the handover.
+    val topic = tempDir("topic")
+    val ckpt = tempDir("ckpt")
+    val outDir = tempDir("processed")
+    val msgs = Envelope.messages(spark, sf)
+    // several publishes → enough files that 1-file micro-batches need
+    // many triggers, so stopping A mid-stream is deterministic
+    Publisher.publish(msgs.filter(col("event_id") % 3 === 0), topic)
+    Publisher.publish(msgs.filter(col("event_id") % 3 === 1), topic)
+    Publisher.publish(msgs.filter(col("event_id") % 3 === 2), topic)
+
+    val qA = Subscriber.drainToParquet(
+      Subscriber.subscribe(spark, topic, maxFilesPerTrigger = 1), outDir, ckpt)
+    // kill A after its first committed batch, well before the topic drains
+    val deadline = System.currentTimeMillis() + 60000
+    while (qA.recentProgress.isEmpty && System.currentTimeMillis() < deadline)
+      Thread.sleep(50)
+    qA.stop()
+    val afterA = spark.read.parquet(outDir).count()
+    assert(afterA < 1000, s"worker A drained everything ($afterA) before handover")
+
+    // worker B: same checkpoint, fresh query → finishes the lease
+    val qB = Subscriber.drainToParquet(
+      Subscriber.subscribe(spark, topic, maxFilesPerTrigger = 8), outDir, ckpt)
+    qB.awaitTermination()
+    val processed = spark.read.parquet(outDir)
+    assert(processed.count() === 1000)
+    assert(processed.select("uuid").distinct().count() === 1000)
+  }
+
+  test("a reader concurrent with compaction never sees a partial topic") {
+    val topic = tempDir("topic")
+    val msgs = Envelope.messages(spark, sf)
+    Publisher.publish(msgs.filter(col("event_id") % 3 === 0), topic)
+    Publisher.publish(msgs.filter(col("event_id") % 3 === 1), topic)
+    Publisher.publish(msgs.filter(col("event_id") % 3 === 2), topic)
+
+    @volatile var done = false
+    @volatile var badCount: Option[Long] = None
+    val reader = new Thread(() => {
+      while (!done && badCount.isEmpty) {
+        try {
+          val n = spark.read.parquet(topic).count()
+          // complete-old or complete-new, never a partial file set
+          if (n != 1000L) badCount = Some(n)
+        } catch {
+          // the instant between the two renames: clean absence, retry
+          case _: org.apache.spark.sql.AnalysisException =>
+        }
+      }
+    })
+    reader.start()
+    try Publisher.compact(spark, topic)
+    finally { done = true; reader.join(30000) }
+    assert(badCount.isEmpty, s"concurrent reader saw a partial topic: $badCount rows")
+    assert(spark.read.parquet(topic).select("uuid").distinct().count() === 1000)
+  }
+
   test("a poison envelope is skipped, preserved in the DLQ, and consumption continues") {
     import spark.implicits._
     val topic = tempDir("topic")
@@ -297,6 +360,13 @@ class StreamingSpec extends SparkSuite {
       Subscriber.Delivery("b", acked = false, attempt = 3),
       Subscriber.Delivery("b", acked = true, attempt = 4),
       Subscriber.Delivery("c", acked = false, attempt = 0))
+    q.processAllAvailable()
+
+    // redeliveries of RESOLVED uuids in a later micro-batch hit the
+    // tombstone: no second (contradictory) outcome is emitted
+    input.addData(
+      Subscriber.Delivery("a", acked = false, attempt = 2),
+      Subscriber.Delivery("b", acked = true, attempt = 5))
     q.processAllAvailable()
     q.stop()
 
