@@ -47,16 +47,34 @@ object Bench {
       try fn(spark, warmDir).queryExecution.toRdd.count()
       catch { case _: Throwable => () }
     }
+    // Per-query MEDIAN of `Runs` fresh executions: both prior driver
+    // benches were polluted by background-load bursts landing on a
+    // contiguous alphabetical span of single runs; a median absorbs
+    // one slow run per query, and the recorded loadavg lets a reader
+    // adjudicate any residual tail without a re-run.
+    val Runs = 3
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).queryExecution.toRdd.count() }
-      catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (0 until Runs).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).queryExecution.toRdd.count() }
+        catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      name -> times(Runs / 2)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val load = loadavg().mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$Runs,"stat":"median","loadavg":$load,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
+
+  /** 1/5/15-minute load averages (the noise context for this run). */
+  private def loadavg(): Seq[Double] =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.mkString.trim.split("\\s+").take(3).toSeq.map(_.toDouble)
+      finally src.close()
+    } catch { case _: Throwable => Seq(-1.0) }
 }

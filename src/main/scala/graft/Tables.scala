@@ -20,9 +20,21 @@ object Tables {
   private val cache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+  /** Drop entries whose session has stopped — long-lived JVMs that
+    * cycle many sessions (test suites, notebook kernels) would
+    * otherwise retain every stopped session's analyzed plans (and the
+    * sessions themselves) forever. O(entries) per load, and entries
+    * number in the tens. */
+  private def pruneStopped(): Unit =
+    cache.keysIterator.foreach { k =>
+      if (k._1.sparkContext.isStopped) cache.remove(k)
+    }
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    pruneStopped()
     cache.getOrElseUpdate((spark, dir, name),
       spark.read.parquet(s"$dir/$name.parquet"))
+  }
 
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")

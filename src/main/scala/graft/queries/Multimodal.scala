@@ -44,8 +44,14 @@ object Multimodal extends QueryPack {
         .withColumn("n_frames",
           least(((length(col("text")) + FrameStride - 1) / FrameStride).cast("long"), lit(16L)))
         .select(col("doc_id"),
-          posexplode(transform(sequence(lit(0L), col("n_frames") - 1L),
-            i => base64(col("text").substr((i * FrameStride + 1).cast("int"), lit(FrameLen)).cast("binary")))))
+          // n_frames = 0 guard: sequence(0, -1) defaults to step -1
+          // and yields [0, -1] (two bogus frames) where the oracle's
+          // generate_series(0, -1) is empty — an empty doc must
+          // explode to zero rows on both sides.
+          posexplode(when(col("n_frames") > 0,
+            transform(sequence(lit(0L), col("n_frames") - 1L),
+              i => base64(col("text").substr((i * FrameStride + 1).cast("int"), lit(FrameLen)).cast("binary"))))
+            .otherwise(array().cast("array<string>"))))
         .withColumnRenamed("pos", "frame_idx")
         .withColumnRenamed("col", "frame_b64")
         .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"), col("frame_b64"))
@@ -65,9 +71,13 @@ object Multimodal extends QueryPack {
           ((length(col("text")) + chunk - 1) / chunk).cast("long"))
         .select(col("doc_id"), col("n_chunks"),
           length(col("text")).cast("long").as("n_chars"),
+          // n_chunks = 0 guard (see mm2): an empty doc hashes an
+          // empty concat on both sides instead of two bogus chunks.
           md5(concat_ws("",
-            transform(sequence(lit(0L), col("n_chunks") - 1L),
-              i => md5(col("text").substr((i * chunk + 1).cast("int"), lit(chunk)).cast("binary"))))
+            when(col("n_chunks") > 0,
+              transform(sequence(lit(0L), col("n_chunks") - 1L),
+                i => md5(col("text").substr((i * chunk + 1).cast("int"), lit(chunk)).cast("binary"))))
+              .otherwise(array().cast("array<string>")))
             .cast("binary")).as("manifest_md5"))
         .orderBy(col("doc_id"))
     }

@@ -267,8 +267,11 @@ class StreamingSpec extends SparkSuite {
           // complete-old or complete-new, never a partial file set
           if (n != 1000L) badCount = Some(n)
         } catch {
-          // the instant between the two renames: clean absence, retry
-          case _: org.apache.spark.sql.AnalysisException =>
+          // clean absence between the two renames, or a listing that
+          // raced the deferred delete of the old tree — both surface
+          // as an exception the reader retries, NEVER as a partial
+          // count (the invariant under test)
+          case _: Exception =>
         }
       }
     })
