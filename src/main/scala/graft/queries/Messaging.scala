@@ -184,6 +184,27 @@ object Messaging extends QueryPack {
         .orderBy(col("route"))
     },
 
+    // Dynamic lease rebalancing (KCL lease balancing when workers
+    // join/leave, example/cmd/subscribe/main.go:36-38): shard→worker
+    // by RENDEZVOUS (highest-random-weight) hashing, so growing the
+    // worker set from 3 to 4 moves ONLY the leases the new worker
+    // wins (≈ shards/4) — mod-N reassignment would reshuffle nearly
+    // everything. Every moved shard must land on the new worker.
+    "m14_lease_rebalance" -> { (s, d) =>
+      def owner(nWorkers: Int) = array_max(array((0 until nWorkers).map(w =>
+        struct(
+          graft.functions.Portable.hash60(
+            concat(col("shard_id").cast("string"), lit("|"), lit(w.toString))).as("wt"),
+          lit(w.toLong).as("w"))): _*)).getField("w")
+      Envelope.messages(s, d)
+        .select(Envelope.shardId(col("partition_key")).as("shard_id")).distinct()
+        .withColumn("worker_before", owner(3))
+        .withColumn("worker_after", owner(4))
+        .withColumn("moved",
+          when(col("worker_before") =!= col("worker_after"), 1L).otherwise(0L))
+        .orderBy(col("shard_id"))
+    },
+
     // Stream-static enrichment: events joined to a broadcast dim
     // (the subscribe example's "enrich then process" loop).
     "m11_stream_enrich" -> { (s, d) =>
@@ -338,6 +359,24 @@ object Messaging extends QueryPack {
          |FROM routed
          |GROUP BY route
          |ORDER BY route""".stripMargin,
+
+    "m14_lease_rebalance" -> {
+      def ownerSql(ws: String, alias: String) =
+        s"""SELECT shard_id, arg_max(w, wt) AS $alias FROM (
+           |  SELECT shard_id, w,
+           |    ('0x' || substring(md5(shard_id::VARCHAR || '|' || w::VARCHAR), 1, 15))::BIGINT AS wt
+           |  FROM shards, (SELECT unnest([$ws]) AS w) workers) t
+           |GROUP BY shard_id""".stripMargin
+      s"""WITH shards AS (
+         |  SELECT DISTINCT ${shardSql("user_id::VARCHAR")} AS shard_id FROM ($Ev) e),
+         |w3 AS (${ownerSql("0, 1, 2", "worker_before")}),
+         |w4 AS (${ownerSql("0, 1, 2, 3", "worker_after")})
+         |SELECT s.shard_id, CAST(worker_before AS BIGINT) AS worker_before,
+         |  CAST(worker_after AS BIGINT) AS worker_after,
+         |  CAST(CASE WHEN worker_before <> worker_after THEN 1 ELSE 0 END AS BIGINT) AS moved
+         |FROM shards s JOIN w3 USING (shard_id) JOIN w4 USING (shard_id)
+         |ORDER BY shard_id""".stripMargin
+    },
 
     "m11_stream_enrich" ->
       s"""SELECT c_mktsegment, count(*) AS n_events, sum(value) AS sum_value,
