@@ -153,8 +153,57 @@ object TextOps extends QueryPack {
             .otherwise(lit(1.0) - col("n_distinct").cast("double") / col("n_words"))
             .as("dup_ratio"))
         .orderBy(col("doc_id"))
+    },
+
+    // Sequence packing (GPT-style concat-and-chunk): documents are
+    // concatenated in doc_id order and a new training sequence (bin)
+    // starts every `PackBudget` tokens — a doc belongs to the bin its
+    // first token lands in. Verifiable form uses ONE global running
+    // sum; at 100 TB bins are arbitrary groupings, so packing runs
+    // per partition (mapPartitions cumsum, zero shuffle) and bin ids
+    // get a partition prefix — same manifest shape, no global sort.
+    "t8_sequence_pack" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.documents(s, d)
+        .select(col("doc_id"), size(Portable.words(col("text"))).cast("long").as("tokens"))
+        .withColumn("cum_before", coalesce(sum(col("tokens")).over(w), lit(0L)))
+        .withColumn("bin_id", expr(s"cum_before div $PackBudget"))
+        .groupBy(col("bin_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("n_tokens"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .orderBy(col("bin_id"))
+    },
+
+    // Language-stratified sampling: per-language keep rates applied
+    // via a deterministic hash bucket (reproducible across runs and
+    // engines — no RNG), the mixture-rebalancing step of a training-
+    // data pipeline. Map-side filter + one small agg at any scale;
+    // the sampled-id checksum proves WHICH docs were kept, not just
+    // how many.
+    "t9_stratified_sample" -> { (s, d) =>
+      val rate = SampleRates.tail.foldLeft(
+        when(col("lang") === SampleRates.head._1, SampleRates.head._2)) {
+        case (acc, (l, r)) => acc.when(col("lang") === l, r)
+      }.otherwise(0L)
+      Tables.documents(s, d)
+        .withColumn("bucket",
+          pmod(Portable.hash60(concat(col("doc_id").cast("string"), lit("|s"))), lit(100L)))
+        .withColumn("keep", col("bucket") < rate)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_sampled"),
+          sum(when(col("keep"), col("doc_id"))).as("sampled_id_sum"))
+        .orderBy(col("lang"))
     }
   )
+
+  /** Tokens per packed training sequence (t8). */
+  private val PackBudget = 512
+  /** Per-language keep rates in percent (t9). */
+  private val SampleRates: Seq[(String, Long)] =
+    Seq("en" -> 50L, "de" -> 30L, "es" -> 20L, "fr" -> 10L)
 
   def oracle: Map[String, String] = Map(
     "t1_lang_id" ->
@@ -245,6 +294,36 @@ object TextOps extends QueryPack {
         |FROM bigrams
         |GROUP BY bigram
         |ORDER BY n DESC, bigram
-        |LIMIT 20""".stripMargin
+        |LIMIT 20""".stripMargin,
+
+    "t8_sequence_pack" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, CAST(len(w) AS BIGINT) AS tokens FROM ($WordsSql) t),
+         |packed AS (
+         |  SELECT doc_id, tokens,
+         |    COALESCE(sum(tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+         |  FROM toks)
+         |SELECT CAST(cum_before // $PackBudget AS BIGINT) AS bin_id, count(*) AS n_docs,
+         |  CAST(sum(tokens) AS BIGINT) AS n_tokens,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM packed
+         |GROUP BY 1
+         |ORDER BY bin_id""".stripMargin,
+
+    "t9_stratified_sample" -> {
+      val rateCase = SampleRates
+        .map { case (l, r) => s"WHEN '$l' THEN $r" }.mkString(" ")
+      s"""SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+         |  CAST(sum(CASE WHEN keep THEN doc_id END) AS BIGINT) AS sampled_id_sum
+         |FROM (
+         |  SELECT lang, doc_id,
+         |    ('0x' || substring(md5(doc_id::VARCHAR || '|s'), 1, 15))::BIGINT % 100 <
+         |      CASE lang $rateCase ELSE 0 END AS keep
+         |  FROM documents) t
+         |GROUP BY lang
+         |ORDER BY lang""".stripMargin
+    }
   )
 }
