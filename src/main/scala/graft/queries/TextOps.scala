@@ -201,6 +201,30 @@ object TextOps extends QueryPack {
 
   /** Tokens per packed training sequence (t8). */
   private val PackBudget = 512
+
+  /** The 100 TB packing path: bins never span partitions, so packing
+    * is a single mapPartitions pass — zero shuffle, no global order
+    * (bins are arbitrary groupings; only their fill matters). Returns
+    * one row per doc with its (part_id, bin_id) assignment. t8 is the
+    * globally-ordered, oracle-checkable form of the same algorithm.
+    */
+  def packSequencesPerPartition(s: SparkSession, d: String,
+                                budget: Long = PackBudget): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), size(Portable.words(col("text"))).cast("long").as("tokens"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId().toLong
+        var cum = 0L
+        it.map { case (id, t) =>
+          val bin = cum / budget
+          cum += t
+          (pid, bin, id, t)
+        }
+      }
+      .toDF("part_id", "bin_id", "doc_id", "tokens")
+  }
   /** Per-language keep rates in percent (t9). */
   private val SampleRates: Seq[(String, Long)] =
     Seq("en" -> 50L, "de" -> 30L, "es" -> 20L, "fr" -> 10L)

@@ -140,6 +140,27 @@ class PipelineSpec extends SparkSuite {
     assert(d6a === d6b)
   }
 
+  test("per-partition sequence packing is shuffle-free, complete, and respects the budget") {
+    import graft.queries.TextOps
+    val budget = 512L
+    val packed = TextOps.packSequencesPerPartition(spark, sf, budget)
+    // zero shuffle: the physical plan has no Exchange at all
+    assert(!packed.queryExecution.executedPlan.toString.contains("Exchange"),
+      packed.queryExecution.executedPlan.toString)
+    val rows = packed.collect()
+    // every document packed exactly once
+    assert(rows.map(_.getLong(2)).distinct.length ===
+      Tables.documents(spark, sf).count())
+    // greedy fill invariant: within a bin, every doc except possibly
+    // the last STARTED before the budget boundary, so (bin tokens −
+    // last doc's tokens) < budget
+    rows.groupBy(r => (r.getLong(0), r.getLong(1))).foreach { case (bin, docs) =>
+      val total = docs.map(_.getLong(3)).sum
+      val last = docs.maxBy(_.getLong(2)).getLong(3)
+      assert(total - last < budget, s"bin $bin overfilled: $total tokens")
+    }
+  }
+
   test("media decodeBatch preserves rows and derives stable metadata") {
     import spark.implicits._
     val media = Tables.documents(spark, sf)
