@@ -13,6 +13,26 @@ import graft.functions.Portable
   */
 object Pipeline extends QueryPack {
 
+  /** The pipeline's quality features over a `text` column — shared by
+    * the batch query (p1) and the streaming curation path
+    * (graft.streaming.DataPrep), so both filter on the same score. */
+  def withQuality(df: DataFrame): DataFrame =
+    df.withColumn("w", Portable.words(col("text")))
+      .withColumn("n_words", size(col("w")).cast("long"))
+      .withColumn("stop_ratio",
+        when(col("n_words") === 0, 0.0).otherwise(
+          size(filter(col("w"), w =>
+            array_contains(array(Seq("the", "a", "of", "and", "to").map(lit): _*), w)))
+            .cast("double") / col("n_words")))
+      .withColumn("punct_ratio",
+        (length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", "")))
+          .cast("double") / length(col("text")))
+      .withColumn("quality",
+        col("stop_ratio") * 0.4 +
+          least(col("n_words").cast("double") / 100.0, lit(1.0)) * 0.4 +
+          (lit(1.0) - col("punct_ratio")) * 0.2)
+      .drop("w")
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // documents ∪ synthetic exact copies → survivors (min doc_id per
     // normalized digest) → quality features → keep quality ≥ 0.5 →
@@ -27,22 +47,7 @@ object Pipeline extends QueryPack {
         .select(col("doc_id"), Portable.md5hex(Portable.normText(col("text"))).as("h"))
         .groupBy(col("h")).agg(min(col("doc_id")).as("keep_id"))
         .select(col("keep_id"))
-      corpus
-        .join(surv, corpus("doc_id") === surv("keep_id"), "left_semi")
-        .withColumn("w", Portable.words(col("text")))
-        .withColumn("n_words", size(col("w")).cast("long"))
-        .withColumn("stop_ratio",
-          when(col("n_words") === 0, 0.0).otherwise(
-            size(filter(col("w"), w =>
-              array_contains(array(Seq("the", "a", "of", "and", "to").map(lit): _*), w)))
-              .cast("double") / col("n_words")))
-        .withColumn("punct_ratio",
-          (length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", "")))
-            .cast("double") / length(col("text")))
-        .withColumn("quality",
-          col("stop_ratio") * 0.4 +
-            least(col("n_words").cast("double") / 100.0, lit(1.0)) * 0.4 +
-            (lit(1.0) - col("punct_ratio")) * 0.2)
+      withQuality(corpus.join(surv, corpus("doc_id") === surv("keep_id"), "left_semi"))
         .filter(col("quality") >= 0.5)
         .select(col("doc_id"), col("n_words"), col("quality"),
           Portable.hash60(Portable.normText(col("text"))).as("fp60"))

@@ -282,6 +282,50 @@ class StreamingSpec extends SparkSuite {
     assert(spark.read.parquet(topic).select("uuid").distinct().count() === 1000)
   }
 
+  test("streaming curation dedups by content and quality-filters like the batch pipeline") {
+    import graft.streaming.DataPrep
+    val topic = tempDir("topic")
+    val outDir = tempDir("curated")
+
+    // documents as messages: text is the payload; every 10th doc also
+    // arrives as an exact copy under a different uuid (the duplicate
+    // the content dedup must drop)
+    val docs = Tables.documents(spark, sf)
+    def asMsgs(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("doc_id").as("event_id"),
+      col("doc_id").cast("string").as("uuid"),
+      (col("doc_id") % 8).cast("string").as("partition_key"),
+      col("text").cast("binary").as("payload"),
+      lit("doc").as("event_type"),
+      lit(0.0).as("value"),
+      expr("timestamp '2024-01-01 00:00:00' + make_interval(0, 0, 0, 0, 0, 0, doc_id)").as("ts"),
+      map(lit("eventType"), lit("doc")).as("headers"))
+    Publisher.publish(asMsgs(docs), topic)
+    Publisher.publish(asMsgs(
+      docs.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 100000L)), topic)
+
+    val q = DataPrep.curate(Subscriber.subscribe(spark, topic), outDir,
+      tempDir("ckpt"), minQuality = 0.5, watermarkDelay = "10 minutes")
+    q.awaitTermination()
+    val curated = spark.read.parquet(outDir)
+
+    // batch expectation over the SAME corpus: distinct content hashes
+    // passing the shared quality score (which duplicate of a pair
+    // survives depends on arrival order, so compare hash SETS)
+    val expected = graft.queries.Pipeline.withQuality(
+        docs.select(col("doc_id"), col("text"))
+          .withColumn("h", graft.functions.Portable.md5hex(
+            graft.functions.Portable.normText(col("text")))))
+      .filter(col("quality") >= 0.5)
+      .select("h").distinct()
+      .collect().map(_.getString(0)).toSet
+    val got = curated.select("h").collect().map(_.getString(0))
+    assert(got.length === got.distinct.length, "a content hash was curated twice")
+    assert(got.toSet === expected)
+    assert(curated.filter(col("quality") < 0.5).count() === 0)
+  }
+
   test("a poison envelope is skipped, preserved in the DLQ, and consumption continues") {
     import spark.implicits._
     val topic = tempDir("topic")
