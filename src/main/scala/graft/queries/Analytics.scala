@@ -436,6 +436,24 @@ object Analytics extends QueryPack {
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_rows"), sum(col("value")).as("sum_value"))
         .orderBy(col("c_mktsegment"))
+    },
+
+    // Semi-structured extraction: the events payload is a JSON blob;
+    // pull a typed field out and aggregate it. get_json_object parses
+    // per row map-side (no UDF); at 100 TB the projection prunes to
+    // (props, event_type) before parsing — only the needed column is
+    // read, only the needed field extracted.
+    "q32_json_extract" -> { (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("k")).as("sum_k"),
+          avg(col("k")).as("avg_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))
     }
   )
 
@@ -760,6 +778,18 @@ object Analytics extends QueryPack {
         |JOIN (SELECT c_custkey AS k, c_mktsegment FROM customer
         |      WHERE c_custkey < 100) c USING (k)
         |GROUP BY c_mktsegment
-        |ORDER BY c_mktsegment""".stripMargin
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    "q32_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(k) AS BIGINT) AS sum_k,
+        |  avg(k) AS avg_k,
+        |  CAST(min(k) AS BIGINT) AS min_k,
+        |  CAST(max(k) AS BIGINT) AS max_k
+        |FROM (SELECT event_type,
+        |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |      FROM events) e
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin
   )
 }

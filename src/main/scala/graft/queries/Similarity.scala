@@ -275,7 +275,32 @@ object Similarity extends QueryPack {
       .orderBy(col("probe_id"))
   }
 
+  /** Cosine-threshold range search: every corpus vector with cosine ≥
+    * `minCos` to a probe — the retrieval shape near-dup mining and
+    * hard-example harvesting use when "how many" isn't known up
+    * front. Candidates come from the probe's Hamming≤1 LSH buckets
+    * (a6's expansion), so corpus-side work stays one map-side bucket
+    * per vector; no top-k window at all — the threshold filter is the
+    * only reduction. */
+  def rangeSearch(s: SparkSession, d: String, geo: AnnGeometry = Geo,
+                  minCos: Double = 0.25): DataFrame = {
+    val v = vecs(s, d).withColumn("bucket", lshBucket(col("emb"), geo.planes))
+    val probes = v.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"),
+        col("nrm").as("p_nrm"), col("bucket").as("p_bucket"))
+    val expanded = probes.withColumn("search_bucket",
+      explode(array(col("p_bucket") +:
+        (0 until geo.planes).map(i => flipBit(col("p_bucket"), i, geo.planes)): _*)))
+    v.join(broadcast(expanded),
+        col("bucket") === col("search_bucket") && col("vec_id") =!= col("probe_id"))
+      .withColumn("cosine", cosPre(col("p_emb"), col("p_nrm"), col("emb"), col("nrm")))
+      .filter(col("cosine") >= minCos)
+      .select(col("probe_id"), col("vec_id"), col("cosine"))
+      .orderBy(col("probe_id"), col("vec_id"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a7_range_search" -> ((s, d) => rangeSearch(s, d)),
     "a1_knn_brute" -> ((s, d) => bruteKnn(s, d)),
     "a2_knn_lsh" -> ((s, d) => lshKnn(s, d)),
     "a3_ivf_knn" -> ((s, d) => ivfKnn(s, d)),
@@ -285,6 +310,25 @@ object Similarity extends QueryPack {
   )
 
   def oracle: Map[String, String] = Map(
+    "a7_range_search" -> {
+      val flips = (0 until Geo.planes).map(i => flipSql(Seq(i), Geo.planes)).mkString(", ")
+      s"""WITH v AS (
+         |  SELECT vec_id, emb, ${lshBucketSql("emb", Geo.planes)} AS bucket
+         |  FROM (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings) t),
+         |p AS (SELECT vec_id AS probe_id, emb, bucket FROM v WHERE vec_id % 100 = 0),
+         |expanded AS (
+         |  SELECT probe_id, emb, unnest([bucket, $flips]) AS search_bucket
+         |  FROM p)
+         |SELECT e.probe_id, v.vec_id,
+         |  list_dot_product(e.emb, v.emb) /
+         |    (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(v.emb, v.emb))) AS cosine
+         |FROM expanded e JOIN v
+         |  ON v.bucket = e.search_bucket AND v.vec_id <> e.probe_id
+         |WHERE list_dot_product(e.emb, v.emb) /
+         |    (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(v.emb, v.emb))) >= 0.25
+         |ORDER BY probe_id, vec_id""".stripMargin
+    },
+
     "a1_knn_brute" ->
       s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
          |p AS (SELECT vec_id AS probe_id, emb FROM v WHERE vec_id % 100 = 0),
