@@ -106,19 +106,32 @@ object Dedup extends QueryPack {
     // LSH candidate pairs: 4 bands × 4 rows; docs sharing any band
     // hash become candidates. Join key is (band, 32-hex band hash) —
     // the O(n²) pair space never materializes.
-    "d3_lsh_pairs" -> { (s, d) =>
-      val sigs = kmSignatures(withNearDupes(s, d), materialize = true)
-      val bands = sigs.select(col("doc_id"),
-        posexplode(array((0 until Bands).map { b =>
-          md5(concat_ws("|", (0 until 4).map(r => col(s"s${b * 4 + r}")): _*).cast("binary"))
-        }: _*)).as(Seq("band_id", "band_hash")))
-      val l = bands.as("l"); val r = bands.as("r")
-      l.join(r, col("l.band_id") === col("r.band_id") &&
-          col("l.band_hash") === col("r.band_hash") &&
-          col("l.doc_id") < col("r.doc_id"))
-        .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+    "d3_lsh_pairs" -> ((s, d) =>
+      lshPairs(s, d).orderBy(col("doc_a"), col("doc_b"))),
+
+    // Near-dup CLUSTER resolution: the pair graph collapsed into
+    // connected groups, each with its canonical (min-id) keeper —
+    // the keep/drop decision a dedup pipeline actually executes
+    // (pairs alone over-delete transitive groups). Two rounds of
+    // min-label propagation over the edge list: exact for any dup
+    // graph of diameter ≤ 2 (LSH near-dup graphs are near-cliques);
+    // at deploy, iterate the SAME step to a fixpoint — per-iteration
+    // cost is one shuffle of the edge list, state is one label per
+    // node, no driver-side graph.
+    "d8_dup_clusters" -> { (s, d) =>
+      val pairs = lshPairs(s, d)
+      val nodes = pairs.select(explode(array(col("doc_a"), col("doc_b"))).as("node"))
         .distinct()
-        .orderBy(col("doc_a"), col("doc_b"))
+      val edges = pairs.select(col("doc_a").as("node"), col("doc_b").as("nbr"))
+        .unionAll(pairs.select(col("doc_b").as("node"), col("doc_a").as("nbr")))
+        .unionAll(nodes.select(col("node"), col("node").as("nbr")))
+      val l1 = edges.groupBy(col("node")).agg(min(col("nbr")).as("lbl"))
+      val l2 = edges
+        .join(l1.select(col("node").as("nbr"), col("lbl")), "nbr")
+        .groupBy(col("node")).agg(min(col("lbl")).as("keep_id"))
+      l2.groupBy(col("keep_id"))
+        .agg(count(lit(1)).as("n_members"), max(col("node")).as("max_doc"))
+        .orderBy(col("keep_id"))
     },
 
     // Verify stage: exact n-gram Jaccard on the LSH candidates only.
@@ -229,6 +242,21 @@ object Dedup extends QueryPack {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** The d3 band-join candidate pairs (shared base for d3/d8). */
+  private def lshPairs(s: SparkSession, d: String): DataFrame = {
+    val sigs = kmSignatures(withNearDupes(s, d), materialize = true)
+    val bands = sigs.select(col("doc_id"),
+      posexplode(array((0 until Bands).map { b =>
+        md5(concat_ws("|", (0 until 4).map(r => col(s"s${b * 4 + r}")): _*).cast("binary"))
+      }: _*)).as(Seq("band_id", "band_hash")))
+    val l = bands.as("l"); val r = bands.as("r")
+    l.join(r, col("l.band_id") === col("r.band_id") &&
+        col("l.band_hash") === col("r.band_hash") &&
+        col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .distinct()
+  }
+
   /** words → shingles → per-shingle md5 halves → grouped signatures. */
   private def sigsSql(docsSql: String) =
     s"""docs AS ($docsSql),
@@ -285,6 +313,27 @@ object Dedup extends QueryPack {
       s"""WITH $CandSql
          |SELECT doc_a, doc_b FROM cand
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Mirrors d8's two fixed min-label propagation rounds exactly.
+    "d8_dup_clusters" ->
+      s"""WITH $CandSql,
+         |nodes AS (
+         |  SELECT DISTINCT node FROM (
+         |    SELECT doc_a AS node FROM cand
+         |    UNION ALL SELECT doc_b AS node FROM cand) t),
+         |edges AS (
+         |  SELECT doc_a AS node, doc_b AS nbr FROM cand
+         |  UNION ALL SELECT doc_b AS node, doc_a AS nbr FROM cand
+         |  UNION ALL SELECT node, node AS nbr FROM nodes),
+         |l1 AS (SELECT node, min(nbr) AS lbl FROM edges GROUP BY node),
+         |l2 AS (
+         |  SELECT e.node, min(l1.lbl) AS keep_id
+         |  FROM edges e JOIN l1 ON e.nbr = l1.node
+         |  GROUP BY e.node)
+         |SELECT keep_id, count(*) AS n_members, CAST(max(node) AS BIGINT) AS max_doc
+         |FROM l2
+         |GROUP BY keep_id
+         |ORDER BY keep_id""".stripMargin,
 
     "d4_ngram_jaccard" ->
       s"""WITH $CandSql,
