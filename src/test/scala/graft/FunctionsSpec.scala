@@ -143,6 +143,29 @@ tab	end""", "view", "svc \"quoted\" 2"))
       .head.isNullAt(0))
   }
 
+  test("envelope parse accepts foreign producers: any field order, unknown fields, many headers") {
+    import spark.implicits._
+    // a non-graft producer may order fields differently, add fields the
+    // reference doesn't know, and send any number of headers — the
+    // unmarshaller must take all of it (marshaller.go:26-52 decodes by
+    // name, and every header must land in metadata, :35-38)
+    val wire = Seq(
+      """{"headers":{"b":"2","a":"1","c":"3"},"data":"aGk=","watermill_message_uuid":"7","x_extra":{"ignored":true}}""",
+      """{"data":"","watermill_message_uuid":"8","headers":{}}""")
+      .toDF("env")
+    val parsed = wire.select(
+      org.apache.spark.sql.graftvec.EnvelopeJsonColumns.parse(col("env")).as("m"))
+      .select(col("m.uuid"), col("m.payload").cast("string"),
+        col("m.headers"), size(col("m.headers")))
+      .collect()
+    assert(parsed(0).getString(0) === "7")
+    assert(parsed(0).getString(1) === "hi")
+    assert(parsed(0).getMap[String, String](2).toMap === Map("a" -> "1", "b" -> "2", "c" -> "3"))
+    assert(parsed(1).getString(0) === "8")
+    assert(parsed(1).getString(1) === "")
+    assert(parsed(1).getInt(3) === 0)
+  }
+
   test("portable hashes are stable across invocations and match known md5") {
     import spark.implicits._
     val df = Seq("abc").toDF("s")
