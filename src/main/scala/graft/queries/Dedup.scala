@@ -119,7 +119,12 @@ object Dedup extends QueryPack {
     // cost is one shuffle of the edge list, state is one label per
     // node, no driver-side graph.
     "d8_dup_clusters" -> { (s, d) =>
-      val pairs = lshPairs(s, d)
+      // repartition pins the pair list behind ONE exchange that all
+      // three consumers (nodes + both edge directions) reuse — same
+      // projection-collapse insurance as the d3/d4 signature
+      // materialization (without it the band join can replan per
+      // consumer).
+      val pairs = lshPairs(s, d).repartition(col("doc_a"))
       val nodes = pairs.select(explode(array(col("doc_a"), col("doc_b"))).as("node"))
         .distinct()
       val edges = pairs.select(col("doc_a").as("node"), col("doc_b").as("nbr"))
