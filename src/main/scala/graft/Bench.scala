@@ -62,11 +62,15 @@ object Bench {
       }.sorted
       name -> times(Runs / 2)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Millisecond precision keeps the line short enough for the
+    // driver's bounded tail capture: full-precision doubles pushed the
+    // round-4 line past the window and the driver recorded parsed=null.
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val load = loadavg().mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$Runs,"stat":"median","loadavg":$load,"queries":$qs,"sf":"$sfDir"}""")
+    val load = loadavg().map(f3).mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","runs":$Runs,"stat":"median","loadavg":$load,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 

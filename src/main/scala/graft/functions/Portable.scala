@@ -31,6 +31,15 @@ object Portable {
   def hash16(c: Column): Column =
     conv(substring(md5(c.cast("binary")), 1, 4), 16, 10).cast("long")
 
+  /** HLL register vector aggregate over [[hash60]] values: `2^p` int
+    * registers, register b = max rho of the hashes in bucket b. A true
+    * partial aggregate (one m-byte buffer per group per partition on
+    * the exchange — NOT m rows); see
+    * [[org.apache.spark.sql.graftvec.HllRegisters]] for the parity
+    * contract the q30 oracle mirrors. */
+  def hllRegisters(h: Column, p: Int): Column =
+    org.apache.spark.sql.graftvec.HllColumns.hllRegisters(h, p)
+
   /** Seeded md5 digest — the k "hash functions" of minhash are
     * md5 over a seed-prefixed value.
     * DuckDB: `md5(seed || '|' || x)` */

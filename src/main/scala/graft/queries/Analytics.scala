@@ -377,32 +377,23 @@ object Analytics extends QueryPack {
     // Engine-portable HyperLogLog: an md5-derived HLL whose registers
     // AND estimate the SQL oracle reproduces exactly (the built-in
     // DataSketches sketch hashes with xxhash — unverifiable across
-    // engines). The scale shape of sketch-based distinct counting:
-    // shuffle is (group, bucket) registers — m=2^p rows per group,
-    // independent of input cardinality — then per-group O(m)
-    // arithmetic. Bit lengths via integer base-2 strings (log2 on
-    // doubles mis-floors at exact powers of two).
+    // engines). The register state is a TRUE partial aggregate
+    // (graftvec.HllRegisters): each map partition ships ONE m-byte
+    // register blob per group — not m rows — so the exchange is
+    // O(groups × partitions) blobs regardless of input cardinality.
+    // The estimate arithmetic runs on posexploded registers AFTER the
+    // aggregate (groups × m rows, negligible at any scale).
     "q30_hll_cardinality" -> { (s, d) =>
-      val p = 12; val m = 1 << p; val w = 60 - p
-      val twoW = 1L << w
+      val p = 12; val m = 1 << p
       val alpha = 0.7213 / (1.0 + 1.079 / m)
-      // exact integer bit length as a codegen comparison ladder — no
-      // per-row string conversion, and log2 on doubles mis-floors at
-      // exact powers of two. Descending thresholds: first hit wins.
-      val bitlen = (w to 2 by -1).foldLeft(when(col("rest") >= (1L << (w - 1)), w)) {
-        (acc, k) => acc.when(col("rest") >= (1L << (k - 2)), k - 1)
-      }.otherwise(0)
       val li = Tables.lineitem(s, d)
         .withColumn("h", graft.functions.Portable.hash60(col("l_partkey").cast("string")))
-        // shiftright, not `/`: Column `/` is double division and h
-        // exceeds 2^53 (the oracle's `//` is exact integer division)
-        .withColumn("bucket", shiftright(col("h"), w))
-        .withColumn("rest", col("h") % twoW)
-        .withColumn("rho",
-          when(col("rest") === 0L, lit(w + 1)).otherwise(lit(w) - bitlen + 1))
-      val regs = li.groupBy(col("l_returnflag"), col("bucket"))
-        .agg(max(col("rho")).as("reg"))
-      regs.groupBy(col("l_returnflag"))
+      li.groupBy(col("l_returnflag"))
+        .agg(graft.functions.Portable.hllRegisters(col("h"), p).as("regs"))
+        .select(col("l_returnflag"),
+          posexplode(col("regs")).as(Seq("bucket", "reg")))
+        .filter(col("reg") > 0)
+        .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n_nonempty"),
           sum(pow(lit(2.0), -col("reg"))).as("s_nonempty"))
         .withColumn("zeros", lit(m.toLong) - col("n_nonempty"))
