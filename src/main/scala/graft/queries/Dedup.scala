@@ -139,6 +139,24 @@ object Dedup extends QueryPack {
         .orderBy(col("keep_id"))
     },
 
+    // Near-dup components to a FIXPOINT (operators.Components): the
+    // convergent generalization of d8 — exact for ANY dup-graph
+    // diameter, not just ≤ 2. Emits the full member roster per
+    // component, the manifest a dedup pipeline writes next to the
+    // kept corpus. The oracle is a recursive min-label reachability
+    // CTE — an independent formulation that agrees only if the
+    // propagation loop truly converged.
+    "d9_dup_components" -> { (s, d) =>
+      val pairs = lshPairs(s, d)
+        .select(col("doc_a").as("node"), col("doc_b").as("nbr"))
+      graft.operators.Components.connected(pairs)
+        .groupBy(col("comp_id"))
+        .agg(count(lit(1)).as("n_members"),
+          array_join(transform(array_sort(collect_list(col("node"))),
+            _.cast("string")), ",").as("members"))
+        .orderBy(col("comp_id"))
+    },
+
     // Verify stage: exact n-gram Jaccard on the LSH candidates only.
     "d4_ngram_jaccard" -> { (s, d) =>
       // Candidates come from the (materialized, signature-only) band
@@ -339,6 +357,31 @@ object Dedup extends QueryPack {
          |FROM l2
          |GROUP BY keep_id
          |ORDER BY keep_id""".stripMargin,
+
+    // Independent formulation of d9: recursive reachability (labels =
+    // every node reachable from me; component id = min of them).
+    "d9_dup_components" ->
+      s"""WITH RECURSIVE $CandSql,
+         |nodes AS (
+         |  SELECT DISTINCT node FROM (
+         |    SELECT doc_a AS node FROM cand
+         |    UNION ALL SELECT doc_b AS node FROM cand) t),
+         |edges AS (
+         |  SELECT doc_a AS node, doc_b AS nbr FROM cand
+         |  UNION ALL SELECT doc_b AS node, doc_a AS nbr FROM cand),
+         |reach(node, lbl) AS (
+         |  SELECT node, node AS lbl FROM nodes
+         |  UNION
+         |  SELECT e.node, r.lbl
+         |  FROM edges e JOIN reach r ON e.nbr = r.node),
+         |comp AS (
+         |  SELECT node, CAST(min(lbl) AS BIGINT) AS comp_id
+         |  FROM reach GROUP BY node)
+         |SELECT comp_id, count(*) AS n_members,
+         |  string_agg(node::VARCHAR, ',' ORDER BY node) AS members
+         |FROM comp
+         |GROUP BY comp_id
+         |ORDER BY comp_id""".stripMargin,
 
     "d4_ngram_jaccard" ->
       s"""WITH $CandSql,

@@ -1,0 +1,39 @@
+package graft
+
+import graft.operators.Components
+
+class ComponentsSpec extends SparkSuite {
+
+  test("label propagation converges past the two-round horizon (10-chain)") {
+    import spark.implicits._
+    // a path graph 1-2-…-10: min-label needs ~diameter rounds to
+    // reach the far end, so the bounded two-round collapse (d8's
+    // oracle-mirrored form) CANNOT solve it — the fixpoint loop must
+    val chain = (1L until 10L).map(i => (i, i + 1)).toDF("node", "nbr")
+    val island = Seq((20L, 21L)).toDF("node", "nbr")
+    val labels = Components.connected(chain.unionAll(island))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 10L).forall(labels(_) == 1L), s"chain labels: $labels")
+    assert(labels(20L) == 20L && labels(21L) == 20L)
+    assert(labels.size == 12)
+  }
+
+  test("edge orientation does not matter") {
+    import spark.implicits._
+    val fwd = Seq((1L, 2L), (2L, 3L)).toDF("node", "nbr")
+    val rev = Seq((2L, 1L), (3L, 2L)).toDF("node", "nbr")
+    val a = Components.connected(fwd).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Components.connected(rev).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b && a == Set((1L, 1L), (2L, 1L), (3L, 1L)))
+  }
+
+  test("d9 components refine d8's bounded clusters on the corpus") {
+    // same pair graph ⇒ identical membership on a diameter-≤2 corpus;
+    // this pins d9's fixpoint to d8's known-green bounded collapse
+    val d8 = SparkEntry.queries("d8_dup_clusters")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val d9 = SparkEntry.queries("d9_dup_components")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d9 == d8)
+  }
+}
