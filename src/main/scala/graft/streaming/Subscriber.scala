@@ -5,6 +5,23 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
 
+/** Where a brand-new subscription (no checkpoint yet) begins reading —
+  * KCL's `InitialPositionInStream`, part of the
+  * `KinesisClientLibConfiguration` the reference's SubscriberBuilder
+  * is built around (subscriber.go:91-124). Once a checkpoint exists it
+  * always wins, exactly as in KCL: the position only seeds the first
+  * read.
+  */
+sealed trait StartPosition
+/** Oldest retained record (KCL TRIM_HORIZON). */
+case object TrimHorizon extends StartPosition
+/** Only records published after the subscription was created (KCL
+  * LATEST): the cutoff is the topic's max arrival timestamp at call
+  * time (an empty or absent topic delivers everything). */
+case object Latest extends StartPosition
+/** Records at/after a fixed instant (KCL AT_TIMESTAMP). */
+final case class AtTimestamp(ts: java.sql.Timestamp) extends StartPosition
+
 /** Spark-native Subscriber (reference subscriber.go +
   * subscriber/subscriber.go).
   *
@@ -55,6 +72,30 @@ object Subscriber {
     * message stream, different wire encoding. */
   def subscribeJson(spark: SparkSession, topicDir: String): DataFrame =
     subscribe(spark, topicDir, JsonLinesTopic)
+
+  /** Subscribe starting from a KCL initial position. The position
+    * filter is on the arrival timestamp — a source column — so
+    * Catalyst pushes it beneath the envelope parse into the file scan
+    * (`PushedFilters` on ts): positioned consumption skips data at
+    * the reader, the file-source analog of a positioned shard
+    * iterator. `Latest` fixes its cutoff ONCE, at subscription
+    * creation, from the topic's current max arrival ts; records
+    * published afterwards flow normally.
+    */
+  def subscribeFrom(spark: SparkSession, topicDir: String, position: StartPosition,
+                    format: TopicFormat = ParquetTopic,
+                    maxFilesPerTrigger: Int = 8): DataFrame = {
+    val base = subscribe(spark, topicDir, format, maxFilesPerTrigger)
+    position match {
+      case TrimHorizon    => base
+      case AtTimestamp(t) => base.filter(col("ts") >= lit(t))
+      case Latest =>
+        val cutoff =
+          try Option(format.readBatch(spark, topicDir).agg(max(col("ts"))).head.getTimestamp(0))
+          catch { case _: org.apache.spark.sql.AnalysisException => None } // topic not created yet
+        cutoff.fold(base)(t => base.filter(col("ts") > lit(t)))
+    }
+  }
 
   /** Decode + metadata injection. Every wire header is preserved in
     * `headers` (marshaller.go:35-38 copies all of them back into

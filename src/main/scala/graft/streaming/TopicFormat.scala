@@ -22,6 +22,10 @@ trait TopicFormat {
 
   /** Unbounded stream of raw topic records from `topicDir`. */
   def readStream(spark: SparkSession, topicDir: String, maxFilesPerTrigger: Int): DataFrame
+
+  /** One-shot batch read of the records currently on the topic (used
+    * by `Subscriber.subscribeFrom(Latest)` to fix the cutoff). */
+  def readBatch(spark: SparkSession, topicDir: String): DataFrame
 }
 
 /** Columnar topic: parquet files partitioned by shard — the default
@@ -37,6 +41,9 @@ object ParquetTopic extends TopicFormat {
       .schema(Subscriber.topicSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(topicDir)
+
+  override def readBatch(spark: SparkSession, topicDir: String): DataFrame =
+    spark.read.schema(Subscriber.topicSchema).parquet(topicDir)
 }
 
 /** JSON-lines topic: one envelope per line, shard-partitioned
@@ -52,4 +59,7 @@ object JsonLinesTopic extends TopicFormat {
       .schema(Subscriber.topicSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .json(topicDir)
+
+  override def readBatch(spark: SparkSession, topicDir: String): DataFrame =
+    spark.read.schema(Subscriber.topicSchema).json(topicDir)
 }

@@ -42,6 +42,41 @@ class StreamingSpec extends SparkSuite {
     assert(misaligned.count() === 0)
   }
 
+  test("a new subscription honors the KCL initial position") {
+    import graft.streaming.{TrimHorizon, Latest, AtTimestamp}
+    val topic = tempDir("topic_pos")
+    val msgs = Envelope.messages(spark, sf)
+    val cut = java.sql.Timestamp.valueOf("2024-01-16 00:00:00")
+    val early = msgs.filter(col("ts") < lit(cut))
+    val late = msgs.filter(col("ts") >= lit(cut))
+    val (nEarly, nLate) = (early.count(), late.count())
+    assert(nEarly > 0 && nLate > 0)
+    Publisher.publish(early, topic)
+
+    // TRIM_HORIZON: everything retained on the topic
+    Subscriber.drainToMemory(
+      Subscriber.subscribeFrom(spark, topic, TrimHorizon), "pos_trim", tempDir("ck")
+    ).awaitTermination()
+    assert(spark.table("pos_trim").count() === nEarly)
+
+    // LATEST fixes its cutoff NOW (max published ts): the already-
+    // published records are skipped…
+    val latest = Subscriber.subscribeFrom(spark, topic, Latest)
+    Subscriber.drainToMemory(latest, "pos_latest1", tempDir("ck")).awaitTermination()
+    assert(spark.table("pos_latest1").count() === 0)
+
+    // …and records published after subscription creation flow
+    Publisher.publish(late, topic)
+    Subscriber.drainToMemory(latest, "pos_latest2", tempDir("ck")).awaitTermination()
+    assert(spark.table("pos_latest2").count() === nLate)
+
+    // AT_TIMESTAMP: exactly the records at/after the instant
+    Subscriber.drainToMemory(
+      Subscriber.subscribeFrom(spark, topic, AtTimestamp(cut)), "pos_at", tempDir("ck")
+    ).awaitTermination()
+    assert(spark.table("pos_at").count() === nLate)
+  }
+
   test("checkpointed subscriber resumes after the last processed batch") {
     val topic = tempDir("topic")
     val ckpt = tempDir("ckpt")
