@@ -62,15 +62,22 @@ object Bench {
       }.sorted
       name -> times(Runs / 2)
     }
-    // Millisecond precision keeps the line short enough for the
-    // driver's bounded tail capture: full-precision doubles pushed the
-    // round-4 line past the window and the driver recorded parsed=null.
+    // Centisecond precision keeps the line short enough for the
+    // driver's bounded 2000-char tail capture: full-precision doubles
+    // pushed the round-4 line past the window (parsed=null), and every
+    // added operator costs ~22 more chars. 10 ms resolution is ample
+    // for sub-2 s queries; the total keeps 3 decimals.
+    def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f2(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val load = loadavg().map(f3).mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","runs":$Runs,"stat":"median","loadavg":$load,"queries":$qs,"sf":"$sfDir"}""")
+    val load = f2(loadavg().headOption.getOrElse(-1.0))
+    val line =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","runs":$Runs,"stat":"median","load":$load,"queries":$qs,"sf":"$sfDir"}"""
+    if (line.length > 1900)
+      System.err.println(s"WARN bench line ${line.length} chars nears the 2000-char tail window")
+    println(line)
     spark.stop()
   }
 

@@ -445,6 +445,65 @@ object Analytics extends QueryPack {
           min(col("k")).as("min_k"),
           max(col("k")).as("max_k"))
         .orderBy(col("event_type"))
+    },
+
+    // Arbitrary grouping sets — the shape rollup/cube can't express:
+    // per-status totals and per-priority totals in ONE Expand pass
+    // (a UNION ALL of two groupBys would scan the fact table twice).
+    // grouping() flags disambiguate a genuine NULL group key from an
+    // aggregated-out dimension.
+    "q33_grouping_sets" -> { (s, d) =>
+      Tables.orders(s, d)
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq.empty),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(
+          grouping(col("o_orderstatus")).cast("long").as("g_status"),
+          grouping(col("o_orderpriority")).cast("long").as("g_priority"),
+          count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice")).as("sum_price"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("g_status"), col("g_priority"), col("n_orders"), col("sum_price"))
+        .orderBy(col("status"), col("priority"))
+    },
+
+    // RANGE window frame: trailing 30-day spend per customer — frame
+    // membership by ORDER-BY VALUE distance, not row count (two
+    // same-day orders are always in each other's frame; a gap wider
+    // than 30 days empties it). One shuffle on the partition key; the
+    // frame scan is partition-local.
+    "q34_range_frame" -> { (s, d) =>
+      val days = datediff(to_date(col("o_orderdate")),
+        lit("1992-01-01").cast("date")).cast("long")
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("d"))
+        .rangeBetween(-30, Window.currentRow)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), days.as("d"), col("o_totalprice"))
+        .withColumn("trail_sum", sum(col("o_totalprice")).over(w))
+        .withColumn("trail_cnt", count(lit(1)).over(w))
+        .select(col("o_custkey"), col("o_orderkey"), col("d"),
+          col("trail_sum"), col("trail_cnt"))
+        .orderBy(col("o_custkey"), col("d"), col("o_orderkey"))
+    },
+
+    // Set operators: INTERSECT / EXCEPT between two customer
+    // populations (urgent-order customers vs big-spend customers),
+    // each branch tagged. Both set ops are distinct-semantics
+    // hash aggregations on the join key — shuffle carries only the
+    // 8-byte key, and both branches prune to (custkey, predicate
+    // column) at the scan.
+    "q35_set_ops" -> { (s, d) =>
+      val orders = Tables.orders(s, d)
+      val urgent = orders.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"))
+      val big = orders.filter(col("o_totalprice") > 450000.0)
+        .select(col("o_custkey"))
+      urgent.intersect(big).select(lit("both").as("pop"), col("o_custkey"))
+        .unionAll(urgent.except(big).select(lit("urgent_only").as("pop"), col("o_custkey")))
+        .unionAll(big.except(urgent).select(lit("big_only").as("pop"), col("o_custkey")))
+        .orderBy(col("pop"), col("o_custkey"))
     }
   )
 
@@ -760,6 +819,44 @@ object Analytics extends QueryPack {
          |  n_nonempty
          |FROM summed
          |ORDER BY l_returnflag""".stripMargin,
+
+    "q33_grouping_sets" ->
+      """SELECT
+        |  coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+        |  CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority,
+        |  count(*) AS n_orders,
+        |  sum(o_totalprice) AS sum_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY status, priority""".stripMargin,
+
+    "q34_range_frame" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(date_diff('day', DATE '1992-01-01', o_orderdate::DATE) AS BIGINT) AS d,
+        |  sum(o_totalprice) OVER w AS trail_sum,
+        |  count(*) OVER w AS trail_cnt
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY date_diff('day', DATE '1992-01-01', o_orderdate::DATE)
+        |  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, d, o_orderkey""".stripMargin,
+
+    "q35_set_ops" ->
+      """WITH urgent AS (
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+        |big AS (
+        |  SELECT o_custkey FROM orders WHERE o_totalprice > 450000.0)
+        |SELECT 'both' AS pop, o_custkey FROM (
+        |  SELECT o_custkey FROM urgent INTERSECT SELECT o_custkey FROM big)
+        |UNION ALL
+        |SELECT 'urgent_only' AS pop, o_custkey FROM (
+        |  SELECT o_custkey FROM urgent EXCEPT SELECT o_custkey FROM big)
+        |UNION ALL
+        |SELECT 'big_only' AS pop, o_custkey FROM (
+        |  SELECT o_custkey FROM big EXCEPT SELECT o_custkey FROM urgent)
+        |ORDER BY pop, o_custkey""".stripMargin,
 
     "q31_skew_join" ->
       """SELECT c_mktsegment, count(*) AS n_rows, sum(value) AS sum_value
