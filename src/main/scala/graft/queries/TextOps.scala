@@ -196,6 +196,38 @@ object TextOps extends QueryPack {
           sum(when(col("keep"), 1L).otherwise(0L)).as("n_sampled"),
           sum(when(col("keep"), col("doc_id"))).as("sampled_id_sum"))
         .orderBy(col("lang"))
+    },
+
+    // Repetition filter (the Gopher-rules quality signal): fraction
+    // of duplicated word 2-grams / 3-grams per document. The corpus
+    // has low natural repetition (dup2 ≤ 0.14), so doubled-text
+    // variants are unioned in (doc_id % 25, new ids ≥ 100000) — the
+    // keep flag must pass the originals and reject exactly the
+    // engineered repeats. One map-side pass, zero shuffle before the
+    // final sort: the n-gram arrays live only inside the row.
+    "t10_dup_ngrams" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val corpus = docs.unionAll(
+        docs.filter(col("doc_id") % 25 === 0)
+          .withColumn("doc_id", col("doc_id") + 100000L)
+          .withColumn("text", concat(col("text"), lit(" "), col("text"))))
+      def dupFrac(g: Column): Column =
+        when(size(g) === 0, 0.0)
+          .otherwise(lit(1.0) - size(array_distinct(g)).cast("double") / size(g))
+      val withGrams = corpus
+        .withColumn("w", Portable.words(col("text")))
+        .withColumn("g2", when(size(col("w")) >= 2,
+          expr("transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i + 1]))"))
+          .otherwise(expr("cast(array() as array<string>)")))
+        .withColumn("g3", when(size(col("w")) >= 3,
+          expr("transform(sequence(0, size(w) - 3), i -> concat(w[i], ' ', w[i + 1], ' ', w[i + 2]))"))
+          .otherwise(expr("cast(array() as array<string>)")))
+      withGrams.select(col("doc_id"),
+          size(col("g2")).cast("long").as("n_2grams"),
+          dupFrac(col("g2")).as("dup2_frac"),
+          dupFrac(col("g3")).as("dup3_frac"))
+        .withColumn("keep", col("dup2_frac") <= 0.2 && col("dup3_frac") <= 0.15)
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -348,6 +380,36 @@ object TextOps extends QueryPack {
          |  FROM documents) t
          |GROUP BY lang
          |ORDER BY lang""".stripMargin
-    }
+    },
+
+    "t10_dup_ngrams" ->
+      """WITH src AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text || ' ' || text AS text
+        |  FROM documents WHERE doc_id % 25 = 0),
+        |w AS (
+        |  SELECT doc_id, CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+        |    ELSE regexp_split_to_array(trim(text), '\s+') END AS w
+        |  FROM src),
+        |g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(w) >= 2 THEN list_transform(range(1, len(w)),
+        |      i -> w[i] || ' ' || w[i+1]) ELSE []::VARCHAR[] END AS g2,
+        |    CASE WHEN len(w) >= 3 THEN list_transform(range(1, len(w) - 1),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) ELSE []::VARCHAR[] END AS g3
+        |  FROM w),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(g2) AS BIGINT) AS n_2grams,
+        |    CASE WHEN len(g2) = 0 THEN 0.0
+        |      ELSE 1.0 - len(list_distinct(g2))::DOUBLE / len(g2) END AS dup2_frac,
+        |    CASE WHEN len(g3) = 0 THEN 0.0
+        |      ELSE 1.0 - len(list_distinct(g3))::DOUBLE / len(g3) END AS dup3_frac
+        |  FROM g)
+        |SELECT doc_id, n_2grams, dup2_frac, dup3_frac,
+        |  (dup2_frac <= 0.2 AND dup3_frac <= 0.15) AS keep
+        |FROM m
+        |ORDER BY doc_id""".stripMargin
   )
 }
