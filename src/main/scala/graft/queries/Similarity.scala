@@ -98,6 +98,34 @@ object Similarity extends QueryPack {
   private val CosSql =
     "list_dot_product(p.emb, v.emb) / (sqrt(list_dot_product(p.emb, p.emb)) * sqrt(list_dot_product(v.emb, v.emb)))"
 
+  /** a1's oracle, shared with a8's exact leg. */
+  private lazy val BruteKnnSql =
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |p AS (SELECT vec_id AS probe_id, emb FROM v WHERE vec_id % 100 = 0),
+       |scored AS (
+       |  SELECT p.probe_id, v.vec_id, $CosSql AS cosine,
+       |    row_number() OVER (PARTITION BY p.probe_id
+       |      ORDER BY $CosSql DESC, v.vec_id) AS rank
+       |  FROM p, v WHERE v.vec_id <> p.probe_id)
+       |SELECT probe_id, vec_id, CAST(rank AS INTEGER) AS rank, cosine
+       |FROM scored WHERE rank <= $K
+       |ORDER BY probe_id, rank""".stripMargin
+
+  /** a2's oracle, shared with a8's approximate leg. */
+  private lazy val LshKnnSql =
+    s"""WITH v AS (
+       |  SELECT vec_id, emb, ${lshBucketSql("emb", Geo.planes)} AS bucket
+       |  FROM (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings) t),
+       |p AS (SELECT vec_id AS probe_id, emb, bucket FROM v WHERE vec_id % 100 = 0),
+       |scored AS (
+       |  SELECT p.probe_id, v.vec_id, $CosSql AS cosine,
+       |    row_number() OVER (PARTITION BY p.probe_id
+       |      ORDER BY $CosSql DESC, v.vec_id) AS rank
+       |  FROM p JOIN v ON v.bucket = p.bucket AND v.vec_id <> p.probe_id)
+       |SELECT probe_id, vec_id, CAST(rank AS INTEGER) AS rank, cosine
+       |FROM scored WHERE rank <= $K
+       |ORDER BY probe_id, rank""".stripMargin
+
   // ---- public builders (library API; defs bind the defaults) -------
 
   /** Exact top-k: broadcast the probe set against one corpus scan. */
@@ -299,8 +327,29 @@ object Similarity extends QueryPack {
       .orderBy(col("probe_id"), col("vec_id"))
   }
 
+  /** Index-quality QA: recall@k of the LSH index against the exact
+    * baseline, per probe. A LEFT join keeps probes the index fully
+    * misses (recall 0) in the report. At 100 TB this runs on a
+    * sampled probe set — the corpus-side cost is one a1 scan plus
+    * one a2 bucket lookup, both of which the family already bounds;
+    * it is the acceptance gate for a geometry change (raise planes →
+    * re-run a8 → compare recall vs candidate volume). */
+  def recallEval(s: SparkSession, d: String, geo: AnnGeometry = Geo, k: Int = K): DataFrame = {
+    val exact = bruteKnn(s, d, k).select(col("probe_id"), col("vec_id"))
+    val approx = lshKnn(s, d, geo, k)
+      .select(col("probe_id").as("a_probe"), col("vec_id").as("a_vec"))
+    exact.join(approx,
+        col("probe_id") === col("a_probe") && col("vec_id") === col("a_vec"), "left")
+      .groupBy(col("probe_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(when(col("a_vec").isNotNull, 1L).otherwise(0L)).as("n_hit"))
+      .withColumn("recall", col("n_hit").cast("double") / col("n_exact"))
+      .orderBy(col("probe_id"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a7_range_search" -> ((s, d) => rangeSearch(s, d)),
+    "a8_recall_eval" -> ((s, d) => recallEval(s, d)),
     "a1_knn_brute" -> ((s, d) => bruteKnn(s, d)),
     "a2_knn_lsh" -> ((s, d) => lshKnn(s, d)),
     "a3_ivf_knn" -> ((s, d) => ivfKnn(s, d)),
@@ -329,31 +378,23 @@ object Similarity extends QueryPack {
          |ORDER BY probe_id, vec_id""".stripMargin
     },
 
-    "a1_knn_brute" ->
-      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-         |p AS (SELECT vec_id AS probe_id, emb FROM v WHERE vec_id % 100 = 0),
-         |scored AS (
-         |  SELECT p.probe_id, v.vec_id, $CosSql AS cosine,
-         |    row_number() OVER (PARTITION BY p.probe_id
-         |      ORDER BY $CosSql DESC, v.vec_id) AS rank
-         |  FROM p, v WHERE v.vec_id <> p.probe_id)
-         |SELECT probe_id, vec_id, CAST(rank AS INTEGER) AS rank, cosine
-         |FROM scored WHERE rank <= $K
-         |ORDER BY probe_id, rank""".stripMargin,
+    "a1_knn_brute" -> BruteKnnSql,
 
-    "a2_knn_lsh" ->
-      s"""WITH v AS (
-         |  SELECT vec_id, emb, ${lshBucketSql("emb", Geo.planes)} AS bucket
-         |  FROM (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings) t),
-         |p AS (SELECT vec_id AS probe_id, emb, bucket FROM v WHERE vec_id % 100 = 0),
-         |scored AS (
-         |  SELECT p.probe_id, v.vec_id, $CosSql AS cosine,
-         |    row_number() OVER (PARTITION BY p.probe_id
-         |      ORDER BY $CosSql DESC, v.vec_id) AS rank
-         |  FROM p JOIN v ON v.bucket = p.bucket AND v.vec_id <> p.probe_id)
-         |SELECT probe_id, vec_id, CAST(rank AS INTEGER) AS rank, cosine
-         |FROM scored WHERE rank <= $K
-         |ORDER BY probe_id, rank""".stripMargin,
+    "a2_knn_lsh" -> LshKnnSql,
+
+    // Recall@k joined per probe — a LEFT join so probes the index
+    // fully misses still report (recall 0), not vanish.
+    "a8_recall_eval" ->
+      s"""WITH exact AS ($BruteKnnSql),
+         |approx AS ($LshKnnSql)
+         |SELECT e.probe_id AS probe_id,
+         |  count(*) AS n_exact,
+         |  CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+         |  sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / count(*) AS recall
+         |FROM exact e LEFT JOIN approx a
+         |  ON a.probe_id = e.probe_id AND a.vec_id = e.vec_id
+         |GROUP BY e.probe_id
+         |ORDER BY e.probe_id""".stripMargin,
 
     "a3_ivf_knn" ->
       s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
