@@ -67,6 +67,19 @@ object Envelope {
     * each into message metadata, marshaller.go:35-38). */
   def header(env: Column, key: String): Column = env.getField("headers").getItem(key)
 
+  /** Binary envelope (length-prefixed TLV) — the second codec behind
+    * the reference's pluggable-marshaller seam (marshaller.go:24
+    * "TODO Protobuf", publisher.go:48-51 WithMarshaller): same
+    * message model, non-JSON bytes, no base64 expansion. */
+  def marshalledBin(msgs: DataFrame): Column =
+    org.apache.spark.sql.graftvec.EnvelopeBinaryColumns.marshal(
+      col("uuid"), col("payload"), col("headers"))
+
+  /** Parse of the binary envelope; null on malformed input (the
+    * subscriber's skip-and-continue contract, subscriber.go:57-62). */
+  def parsedBin(blob: Column): Column =
+    org.apache.spark.sql.graftvec.EnvelopeBinaryColumns.parse(blob)
+
   /** Partition-key → shard routing (Kinesis hashes MD5(partitionKey)
     * into a shard's hash-key range; publisher.go:80). md5-derived so
     * the oracle reproduces it exactly.

@@ -214,6 +214,31 @@ object Messaging extends QueryPack {
         .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"),
           countDistinct(col("user_id")).as("n_users"))
         .orderBy(col("c_mktsegment"))
+    },
+
+    // The pluggable-marshaller seam (publisher.go:48-51, the
+    // marshaller.go:24 "TODO Protobuf") exercised with a second,
+    // non-JSON wire codec: every message round-trips through the
+    // binary TLV envelope, and the oracle pins BOTH legs — n_ok
+    // (field-for-field equality after parse(marshal(x))) must equal
+    // n_msgs, and wire_bytes must equal the layout's size formula,
+    // so a codec that pads, drops, or reorders fails the gate.
+    "m15_binary_codec" -> { (s, d) =>
+      val msgs = Envelope.messages(s, d)
+      msgs
+        .withColumn("blob", Envelope.marshalledBin(msgs))
+        .withColumn("env", Envelope.parsedBin(col("blob")))
+        .withColumn("ok",
+          col("env.uuid") === col("uuid") &&
+          col("env.payload") === col("payload") &&
+          size(col("env.headers")) === size(col("headers")) &&
+          Envelope.header(col("env"), "eventType") === col("headers")("eventType") &&
+          Envelope.header(col("env"), "source") === col("headers")("source"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_msgs"),
+          sum(when(col("ok"), 1L).otherwise(0L)).as("n_ok"),
+          sum(length(col("blob"))).as("wire_bytes"))
+        .orderBy(col("event_type"))
     }
   )
 
@@ -383,6 +408,22 @@ object Messaging extends QueryPack {
          |  count(DISTINCT user_id) AS n_users
          |FROM ($Ev) e JOIN customer ON user_id = c_custkey
          |GROUP BY c_mktsegment
-         |ORDER BY c_mktsegment""".stripMargin
+         |ORDER BY c_mktsegment""".stripMargin,
+
+    // The binary layout's exact size: 2 magic/version + four 4-byte
+    // lengths (uuid, payload, header count is one more) + per-header
+    // 4+klen+4+vlen with keys 'eventType' (9) and 'source' (6) —
+    // 45 fixed bytes + the variable field widths. n_ok = n_msgs
+    // asserts the lossless round-trip.
+    "m15_binary_codec" ->
+      s"""SELECT event_type,
+         |  count(*) AS n_msgs,
+         |  count(*) AS n_ok,
+         |  CAST(sum(45 + strlen(event_id::VARCHAR) + strlen(props)
+         |    + strlen(event_type)
+         |    + strlen('svc-' || (user_id % 4)::VARCHAR)) AS BIGINT) AS wire_bytes
+         |FROM ($Ev) e
+         |GROUP BY event_type
+         |ORDER BY event_type""".stripMargin
   )
 }

@@ -166,6 +166,46 @@ tab	end""", "view", "svc \"quoted\" 2"))
     assert(parsed(1).getInt(3) === 0)
   }
 
+  test("binary envelope codec round-trips losslessly and rejects malformed blobs") {
+    import spark.implicits._
+    import org.apache.spark.sql.graftvec.EnvelopeBinaryColumns
+    val msgs = Seq(
+      ("42", "payload bytes", "click", "svc-1"),
+      ("7", "unicode ✓ payload — ümlaut", "view", "svc \"quoted\" 2"))
+      .toDF("uuid", "payload_str", "event_type", "source")
+      .withColumn("payload", col("payload_str").cast("binary"))
+      // keys deliberately NOT sorted: the codec must order them
+      .withColumn("headers", map(
+        lit("source"), col("source"), lit("eventType"), col("event_type")))
+    val blob = msgs.select(col("uuid"), col("payload"), col("headers"),
+      EnvelopeBinaryColumns.marshal(col("uuid"), col("payload"), col("headers")).as("blob"),
+      org.apache.spark.sql.graftvec.EnvelopeJsonColumns.marshal(
+        col("uuid"), col("payload"), col("headers")).as("json"))
+    val back = blob.select(EnvelopeBinaryColumns.parse(col("blob")).as("m"))
+      .select(col("m.uuid"), col("m.payload").cast("string"),
+        col("m.headers")("eventType"), col("m.headers")("source"))
+      .as[(String, String, String, String)].collect().toSeq
+    assert(back === Seq(("42", "payload bytes", "click", "svc-1"),
+      ("7", "unicode ✓ payload — ümlaut", "view", "svc \"quoted\" 2")))
+    // the TLV layout undercuts JSON+base64 on every message
+    assert(blob.select(length(col("blob")) < length(col("json")))
+      .collect().forall(_.getBoolean(0)))
+    // a null header value survives as null (vlen = -1 on the wire)
+    val withNull = Seq(("9", "x")).toDF("uuid", "payload_str")
+      .withColumn("payload", col("payload_str").cast("binary"))
+      .withColumn("headers", map(lit("k"), lit(null).cast("string")))
+    val nb = withNull.select(EnvelopeBinaryColumns.parse(
+        EnvelopeBinaryColumns.marshal(col("uuid"), col("payload"), col("headers"))).as("m"))
+      .select(size(col("m.headers")), col("m.headers")("k")).head
+    assert(nb.getInt(0) === 1 && nb.isNullAt(1))
+    // malformed inputs → null: wrong magic, empty, truncated tail
+    val good = blob.select(col("blob")).head.getAs[Array[Byte]](0)
+    val bad = Seq(Array[Byte](0x00, 0x01, 0x02), Array.emptyByteArray,
+      good.dropRight(1), good :+ 0x00.toByte)
+    assert(bad.toDF("b").select(EnvelopeBinaryColumns.parse(col("b")))
+      .collect().forall(_.isNullAt(0)))
+  }
+
   test("portable hashes are stable across invocations and match known md5") {
     import spark.implicits._
     val df = Seq("abc").toDF("s")
