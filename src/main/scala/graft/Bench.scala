@@ -62,21 +62,33 @@ object Bench {
       }.sorted
       name -> times(Runs / 2)
     }
-    // Centisecond precision keeps the line short enough for the
-    // driver's bounded 2000-char tail capture: full-precision doubles
-    // pushed the round-4 line past the window (parsed=null), and every
-    // added operator costs ~22 more chars. 10 ms resolution is ample
-    // for sub-2 s queries; the total keeps 3 decimals.
-    def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    // The driver captures only the LAST 2000 chars of this run's
+    // output, and the JSON line must fit inside it together with
+    // sbt's "[info] " prefix and trailing "[success]" line (~85
+    // chars) — round 4's full-precision line overflowed and the
+    // driver recorded parsed=null. Budget ≈ 1915 chars. Savings:
+    // centisecond per-query values (median of 3 runs — ample for
+    // sub-2 s queries) with trailing zeros trimmed, the 1-min
+    // loadavg as the single noise-context field, and the sf dir's
+    // basename. Every added operator costs ~21 chars.
+    def trim0(s: String): String = {
+      var e = s.length
+      while (e > 1 && s.charAt(e - 1) == '0') e -= 1
+      if (e > 1 && s.charAt(e - 1) == '.') e -= 1
+      s.substring(0, e)
+    }
+    def f2(v: Double): String =
+      trim0("%.2f".formatLocal(java.util.Locale.ROOT, v))
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f2(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val load = f2(loadavg().headOption.getOrElse(-1.0))
+    val sfName = new java.io.File(sfDir).getName
     val line =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","runs":$Runs,"stat":"median","load":$load,"queries":$qs,"sf":"$sfDir"}"""
-    if (line.length > 1900)
-      System.err.println(s"WARN bench line ${line.length} chars nears the 2000-char tail window")
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","load":$load,"queries":$qs,"sf":"$sfName"}"""
+    if (line.length > 1870)
+      System.err.println(s"WARN bench line ${line.length} chars nears the ~1915-char budget")
     println(line)
     spark.stop()
   }

@@ -26,4 +26,9 @@ object TextHash {
 
   /** 16-bit simhash fingerprint (long, null when the doc has no words). */
   def simHash16(text: Column): Column = TextHashColumns.simHash16(text)
+
+  /** Width-parameterized simhash (width ≤ 32) — the fingerprint-width
+    * knob for Hamming-radius search (d10); see graftvec.SimHashW. */
+  def simHashW(text: Column, width: Int): Column =
+    TextHashColumns.simHashW(text, width)
 }

@@ -239,36 +239,39 @@ object Dedup extends QueryPack {
     // Hamming-range near-dup pairs over simhash fingerprints via
     // multi-index pigeonhole blocking (Norouzi et al., "Fast Search
     // in Hamming Space with Multi-Index Hashing", CVPR 2012): the
-    // 16-bit fingerprint splits into 4 disjoint 4-bit blocks; any
+    // 32-bit fingerprint splits into 4 disjoint 8-bit blocks; any
     // pair within Hamming distance ≤ 3 agrees EXACTLY on ≥ 1 block
     // (3 flipped bits touch at most 3 blocks), so a per-block
     // equi-join generates a complete candidate set — the result is
-    // EXACT, never all-pairs. Shuffle rows are (block, 4-bit key,
+    // EXACT, never all-pairs. Shuffle rows are (block, 8-bit key,
     // id, sig) — 4 tiny rows per doc; the O(n²) work the oracle does
-    // never happens here. At a wider fingerprint the block count
-    // scales as ⌈(r+1)⌉ blocks of width/(r+1) bits each.
-    "d9_hamming_pairs" -> ((s, d) => hammingPairs(s, d))
+    // never happens here. 32 bits, not d5's 16: at 5k docs the
+    // 16-bit space is saturated (12% of ALL pairs within distance 3
+    // — measured 1.7M pairs at sf0.1 vs 90k at 32 bits), and block
+    // width sets bucket occupancy (256 buckets/index vs 16).
+    "d10_hamming_pairs" -> ((s, d) => hammingPairs(s, d))
   )
 
-  /** Hamming-distance-≤ `maxDist` fingerprint pairs (see d9 notes).
-    * `blocks` must exceed `maxDist` for the pigeonhole guarantee.
+  /** Hamming-distance-≤ `maxDist` fingerprint pairs (see d10 notes).
+    * `nBlocks` must exceed `maxDist` for the pigeonhole guarantee.
     * Runs over the near-dup corpus: a perturbed copy's simhash
     * differs in only the bit positions its few new tokens flip. */
-  def hammingPairs(s: SparkSession, d: String,
-                   maxDist: Int = 3, nBlocks: Int = 4): DataFrame = {
+  def hammingPairs(s: SparkSession, d: String, maxDist: Int = 3,
+                   nBlocks: Int = 4, width: Int = 32): DataFrame = {
     require(nBlocks > maxDist, s"need > $maxDist blocks for exactness")
-    val width = 16 / nBlocks
-    val mask = (1 << width) - 1
+    require(width % nBlocks == 0, "block width must divide the fingerprint")
+    val blockW = width / nBlocks
+    val mask = (1 << blockW) - 1
     val sigs = withNearDupes(s, d)
       .select(col("doc_id"),
-        graft.functions.TextHash.simHash16(col("text")).as("sig"))
+        graft.functions.TextHash.simHashW(col("text"), width).as("sig"))
       .filter(col("sig").isNotNull)
       // materialize the (id, long) relation once behind an exchange:
       // both self-join sides reuse it instead of re-hashing the corpus
       .repartition(col("doc_id"))
     val blocks = sigs.select(col("doc_id"), col("sig"),
       posexplode(array((0 until nBlocks).map(b =>
-        expr(s"shiftright(sig, ${width * b}) & $mask")): _*)).as(Seq("b", "v")))
+        expr(s"shiftright(sig, ${blockW * b}) & $mask")): _*)).as(Seq("b", "v")))
     val lhs = blocks.select(col("b"), col("v"),
       col("doc_id").as("id_a"), col("sig").as("sig_a"))
     val rhs = blocks.select(col("b"), col("v"),
@@ -384,24 +387,26 @@ object Dedup extends QueryPack {
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     // Exact O(n²) Hamming scan — the completeness bound the blocked
-    // Spark plan must reproduce bit-for-bit.
-    "d9_hamming_pairs" ->
+    // Spark plan must reproduce bit-for-bit. 32-bit simhash: the
+    // 8-hex-char md5 prefix, voting on bits below 32 (mirrors
+    // graftvec.SimHashW).
+    "d10_hamming_pairs" ->
       s"""WITH src AS ($NearDupesSql),
          |toks AS (
          |  SELECT doc_id,
-         |    ('0x' || substring(md5(tok), 1, 4))::BIGINT AS h
+         |    ('0x' || substring(md5(tok), 1, 8))::BIGINT AS h
          |  FROM (SELECT doc_id, unnest(CASE WHEN trim(text) = '' THEN []::VARCHAR[]
          |      ELSE regexp_split_to_array(trim(text), '\\s+') END) AS tok
          |    FROM src) t),
          |bits AS (
          |  SELECT doc_id,
-         |    ${(0 until 16).map(i =>
+         |    ${(0 until 32).map(i =>
               s"sum(CASE WHEN CAST(floor(h / ${1L << i}) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END) AS b$i")
               .mkString(",\n    ")}
          |  FROM toks GROUP BY doc_id),
          |sig AS (
          |  SELECT doc_id,
-         |    ${(0 until 16).map(i => s"(CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")} AS s
+         |    ${(0 until 32).map(i => s"(CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")} AS s
          |  FROM bits)
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          |  CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS dist

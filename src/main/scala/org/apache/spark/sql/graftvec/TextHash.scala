@@ -168,6 +168,41 @@ object TextHashImpl {
     while (i < 16) { if (votes(i) > 0) fp |= (1L << i); i += 1 }
     java.lang.Long.valueOf(fp)
   }
+
+  /** Width-parameterized simhash (width ≤ 32): votes over the low
+    * `width` bits of the md5 first-4-byte prefix. A wider
+    * fingerprint is the knob that keeps Hamming-radius search
+    * meaningful as the corpus grows — at 16 bits a few thousand
+    * docs already saturate the space (measured: 12% of ALL pairs
+    * within distance 3 at 5k docs; 0.65% at 32 bits). NOT
+    * bit-compatible with simHash16 (which votes on the first-2-byte
+    * prefix); the oracle mirrors via the 8-hex-char md5 prefix
+    * (`('0x' || substring(md5(tok), 1, 8))::BIGINT`) voting on bits
+    * below `width`.
+    */
+  def simHashW(text: UTF8String, width: Int): java.lang.Long = {
+    val toks = tokens(text)
+    if (toks.isEmpty) return null
+    val votes = new Array[Int](width)
+    val md = Md5.get()
+    var j = 0
+    while (j < toks.length) {
+      md.reset()
+      val dig = md.digest(toks(j).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val h = ((dig(0) & 0xffL) << 24) | ((dig(1) & 0xffL) << 16) |
+        ((dig(2) & 0xffL) << 8) | (dig(3) & 0xffL)
+      var i = 0
+      while (i < width) {
+        if (((h >> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
+        i += 1
+      }
+      j += 1
+    }
+    var fp = 0L
+    var i = 0
+    while (i < width) { if (votes(i) > 0) fp |= (1L << i); i += 1 }
+    java.lang.Long.valueOf(fp)
+  }
 }
 
 /** Column bridges (ExpressionUtils is private[sql], so the public
@@ -183,6 +218,8 @@ object TextHashColumns {
     ExpressionUtils.column(AllShingles(ExpressionUtils.expression(text), n))
   def simHash16(text: Column): Column =
     ExpressionUtils.column(SimHash16(ExpressionUtils.expression(text)))
+  def simHashW(text: Column, width: Int): Column =
+    ExpressionUtils.column(SimHashW(ExpressionUtils.expression(text), width))
 }
 
 /** `km_minhash(text, n, k)` → array<long> signature (null if < n tokens). */
@@ -266,6 +303,34 @@ case class SimHash16(child: Expression)
       val boxed = ctx.freshName("boxed")
       s"""
          |java.lang.Long $boxed = org.apache.spark.sql.graftvec.TextHashImpl.simHash16($c);
+         |if ($boxed == null) { ${ev.isNull} = true; } else { ${ev.value} = $boxed.longValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `simhash_w(text, width)` → width-bit simhash as long (null if no tokens). */
+case class SimHashW(child: Expression, width: Int)
+  extends UnaryExpression with ExpectsInputTypes {
+  require(width > 0 && width <= 32, "simhash width must be in 1..32")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "simhash_w"
+
+  override def nullSafeEval(input: Any): Any = {
+    val r = TextHashImpl.simHashW(input.asInstanceOf[UTF8String], width)
+    if (r == null) null else r.longValue()
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val boxed = ctx.freshName("boxed")
+      s"""
+         |java.lang.Long $boxed = org.apache.spark.sql.graftvec.TextHashImpl.simHashW($c, $width);
          |if ($boxed == null) { ${ev.isNull} = true; } else { ${ev.value} = $boxed.longValue(); }
        """.stripMargin
     })
