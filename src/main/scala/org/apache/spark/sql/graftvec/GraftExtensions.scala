@@ -39,6 +39,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         SimHash16(exprs(0))))
     e.injectFunction((
+      new FunctionIdentifier("simhash_w"),
+      new ExpressionInfo(classOf[SimHashW].getName, "simhash_w"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SimHashW(exprs(0), intArg(exprs(1)))))
+    e.injectFunction((
       new FunctionIdentifier("envelope_marshal"),
       new ExpressionInfo(classOf[EnvelopeMarshal].getName, "envelope_marshal"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
@@ -48,5 +53,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[EnvelopeParse].getName, "envelope_parse"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         EnvelopeParse(exprs(0))))
+    e.injectFunction((
+      new FunctionIdentifier("envelope_marshal_bin"),
+      new ExpressionInfo(classOf[EnvelopeMarshalBin].getName, "envelope_marshal_bin"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        EnvelopeMarshalBin(exprs(0), exprs(1), exprs(2))))
+    e.injectFunction((
+      new FunctionIdentifier("envelope_parse_bin"),
+      new ExpressionInfo(classOf[EnvelopeParseBin].getName, "envelope_parse_bin"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        EnvelopeParseBin(exprs(0))))
   }
 }

@@ -28,10 +28,17 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "simhash16", exprs => SimHash16(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction(
+      "simhash_w", exprs => SimHashW(exprs(0), intArg(exprs(1))), "built-in")
+    reg.createOrReplaceTempFunction(
       "hll_registers", exprs => HllRegisters(exprs(0), intArg(exprs(1))), "built-in")
     reg.createOrReplaceTempFunction(
       "envelope_marshal", exprs => EnvelopeMarshal(exprs(0), exprs(1), exprs(2)), "built-in")
     reg.createOrReplaceTempFunction(
       "envelope_parse", exprs => EnvelopeParse(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "envelope_marshal_bin",
+      exprs => EnvelopeMarshalBin(exprs(0), exprs(1), exprs(2)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "envelope_parse_bin", exprs => EnvelopeParseBin(exprs(0)), "built-in")
   }
 }

@@ -206,6 +206,43 @@ tab	end""", "view", "svc \"quoted\" 2"))
       .collect().forall(_.isNullAt(0)))
   }
 
+  test("simhash_w and the binary codec register for SQL; blocked Hamming search is exact") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    // SQL registration: width-parameterized simhash + binary codec round-trip
+    val row = spark.sql(
+      """SELECT simhash_w('a b c', 32) AS s,
+        |  envelope_parse_bin(envelope_marshal_bin('7', cast('hi' as binary),
+        |    map('k', 'v'))).uuid AS u""".stripMargin).head
+    assert(!row.isNullAt(0) && row.getString(1) === "7")
+    // simhash_w(16) over one token equals the low 16 md5-prefix bits
+    // voted by that token (single token ⇒ fingerprint = its bits)
+    val h32 = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest("tok".getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString, 16)
+    assert(Seq("tok").toDF("t")
+      .select(graft.functions.TextHash.simHashW(col("t"), 16)).head.getLong(0)
+      === (h32 & 0xffffL))
+    // pigeonhole exactness at a NON-default geometry: the blocked
+    // plan equals a brute-force all-pairs scan at radius 2
+    val d = "/root/testdata/sf0.001"
+    val blocked = graft.queries.Dedup.hammingPairs(spark, d, maxDist = 2, nBlocks = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val sigs = graft.Tables.documents(spark, d).unionAll(
+        graft.Tables.documents(spark, d).filter(col("doc_id") % 20 === 0)
+          .withColumn("doc_id", col("doc_id") + 100000L)
+          .withColumn("text", concat(col("text"), lit(" extra tail words"))))
+      .select(col("doc_id"), graft.functions.TextHash.simHashW(col("text"), 32).as("sig"))
+      .filter(col("sig").isNotNull)
+    val brute = sigs.as("a").crossJoin(sigs.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        expr("bit_count(a.sig ^ b.sig)").cast("long").as("dist"))
+      .filter(col("dist") <= 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(blocked === brute && brute.nonEmpty)
+  }
+
   test("portable hashes are stable across invocations and match known md5") {
     import spark.implicits._
     val df = Seq("abc").toDF("s")
