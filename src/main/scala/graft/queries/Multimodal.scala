@@ -80,6 +80,32 @@ object Multimodal extends QueryPack {
               .otherwise(array().cast("array<string>")))
             .cast("binary")).as("manifest_md5"))
         .orderBy(col("doc_id"))
+    },
+
+    // Modality routing + storage accounting: a multimodal lake is
+    // partitioned by modality, and the capacity/planning query is a
+    // per-modality rollup of object counts, byte totals, and
+    // multipart-chunk counts. Modality is synthesized (doc_id mod 4
+    // — the corpus has no real media); the accounting over the
+    // binary payload is real: one scan, map-side lengths, one small
+    // aggregate. At lake scale `modality` is the partition column,
+    // so the scan prunes per modality.
+    "mm4_modality_stats" -> { (s, d) =>
+      val chunk = 256
+      Tables.documents(s, d)
+        .withColumn("payload", col("text").cast("binary"))
+        .withColumn("modality",
+          element_at(
+            array(lit("audio"), lit("image"), lit("text"), lit("video")),
+            (pmod(col("doc_id"), lit(4L)) + 1L).cast("int")))
+        .groupBy(col("modality"))
+        .agg(count(lit(1)).as("n_objects"),
+          sum(length(col("payload"))).as("total_bytes"),
+          min(length(col("payload"))).cast("long").as("min_bytes"),
+          max(length(col("payload"))).cast("long").as("max_bytes"),
+          avg(length(col("payload"))).as("avg_bytes"),
+          sum(((length(col("payload")) + chunk - 1) / chunk).cast("long")).as("n_chunks"))
+        .orderBy(col("modality"))
     }
   )
 
@@ -115,6 +141,19 @@ object Multimodal extends QueryPack {
         |    generate_series(0, (n_chunks - 1)::INTEGER),
         |    i -> md5(substring(text, (i * 256 + 1)::INTEGER, 256))), '')) AS manifest_md5
         |FROM chunked
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    "mm4_modality_stats" ->
+      """SELECT
+        |  ['audio', 'image', 'text', 'video'][(doc_id % 4 + 1)::INTEGER] AS modality,
+        |  count(*) AS n_objects,
+        |  CAST(sum(octet_length(text::BLOB)) AS BIGINT) AS total_bytes,
+        |  CAST(min(octet_length(text::BLOB)) AS BIGINT) AS min_bytes,
+        |  CAST(max(octet_length(text::BLOB)) AS BIGINT) AS max_bytes,
+        |  avg(octet_length(text::BLOB)) AS avg_bytes,
+        |  CAST(sum((octet_length(text::BLOB) + 255) // 256) AS BIGINT) AS n_chunks
+        |FROM documents
+        |GROUP BY 1
+        |ORDER BY modality""".stripMargin
   )
 }

@@ -52,6 +52,50 @@ object Pipeline extends QueryPack {
         .select(col("doc_id"), col("n_words"), col("quality"),
           Portable.hash60(Portable.normText(col("text"))).as("fp60"))
         .orderBy(col("doc_id"))
+    },
+
+    // Attrition funnel: the per-stage accounting a corpus-prep run
+    // reports — raw → after exact dedup → after quality filter →
+    // after repetition filter, plus the surviving token budget. Every
+    // doc carries its stage FLAGS instead of being filtered, so ONE
+    // scan + one digest-sized dedup shuffle + one global aggregate
+    // produce the whole funnel (running the stages as separate
+    // filtered queries would scan the corpus four times). The corpus
+    // unions BOTH failure modes — exact copies (caught by dedup) and
+    // doubled-text repeats (caught by the repetition rule) — so each
+    // stage visibly drops rows.
+    "p2_funnel" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val corpus = docs.unionAll(
+        docs.filter(col("doc_id") % 10 === 0)
+          .withColumn("doc_id", col("doc_id") + 100000L))
+        .unionAll(
+          docs.filter(col("doc_id") % 25 === 0)
+            .withColumn("doc_id", col("doc_id") + 200000L)
+            .withColumn("text", concat(col("text"), lit(" "), col("text"))))
+      val keepers = corpus
+        .select(col("doc_id"), Portable.md5hex(Portable.normText(col("text"))).as("h"))
+        .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"), lit(true).as("is_keeper"))
+      val flagged = withQuality(
+          corpus.join(keepers, Seq("doc_id"), "left")
+            .withColumn("pass_dedup", coalesce(col("is_keeper"), lit(false))))
+        .withColumn("pass_quality", col("quality") >= 0.5)
+        .withColumn("w2", Portable.words(col("text")))
+        .withColumn("g2", when(size(col("w2")) >= 2,
+          expr("transform(sequence(0, size(w2) - 2), i -> concat(w2[i], ' ', w2[i + 1]))"))
+          .otherwise(expr("cast(array() as array<string>)")))
+        .withColumn("pass_rep", when(size(col("g2")) === 0, lit(true))
+          .otherwise(lit(1.0) - size(array_distinct(col("g2"))).cast("double") / size(col("g2")) <= 0.2))
+      flagged.agg(
+        count(lit(1)).as("n_raw"),
+        sum(when(col("pass_dedup"), 1L).otherwise(0L)).as("n_after_dedup"),
+        sum(when(col("pass_dedup") && col("pass_quality"), 1L).otherwise(0L))
+          .as("n_after_quality"),
+        sum(when(col("pass_dedup") && col("pass_quality") && col("pass_rep"), 1L)
+          .otherwise(0L)).as("n_final"),
+        sum(when(col("pass_dedup") && col("pass_quality") && col("pass_rep"),
+          col("n_words")).otherwise(0L)).as("final_tokens"))
     }
   )
 
@@ -84,6 +128,47 @@ object Pipeline extends QueryPack {
         |FROM feat
         |WHERE stop_ratio * 0.4 + least(n_words::DOUBLE / 100.0, 1.0) * 0.4 +
         |    (1.0 - punct_ratio) * 0.2 >= 0.5
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    "p2_funnel" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 200000 AS doc_id, text || ' ' || text AS text
+        |  FROM documents WHERE doc_id % 25 = 0),
+        |keepers AS (
+        |  SELECT min(doc_id) AS doc_id
+        |  FROM corpus
+        |  GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))),
+        |flagged AS (
+        |  SELECT c.doc_id, c.text,
+        |    (k.doc_id IS NOT NULL) AS pass_dedup,
+        |    CASE WHEN trim(c.text) = '' THEN []::VARCHAR[]
+        |      ELSE regexp_split_to_array(trim(c.text), '\s+') END AS w
+        |  FROM corpus c LEFT JOIN keepers k ON c.doc_id = k.doc_id),
+        |feat AS (
+        |  SELECT doc_id, pass_dedup, len(w) AS n_words,
+        |    (CASE WHEN len(w) = 0 THEN 0.0
+        |      ELSE len(list_filter(w, x -> list_contains(['the','a','of','and','to'], x)))::DOUBLE / len(w) END) * 0.4
+        |    + least(len(w)::DOUBLE / 100.0, 1.0) * 0.4
+        |    + (1.0 - (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE / length(text)) * 0.2
+        |      AS quality,
+        |    CASE WHEN len(w) >= 2 THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+        |      ELSE []::VARCHAR[] END AS g2
+        |  FROM flagged),
+        |flags AS (
+        |  SELECT pass_dedup, n_words,
+        |    quality >= 0.5 AS pass_quality,
+        |    CASE WHEN len(g2) = 0 THEN true
+        |      ELSE 1.0 - len(list_distinct(g2))::DOUBLE / len(g2) <= 0.2 END AS pass_rep
+        |  FROM feat)
+        |SELECT count(*) AS n_raw,
+        |  CAST(sum(CASE WHEN pass_dedup THEN 1 ELSE 0 END) AS BIGINT) AS n_after_dedup,
+        |  CAST(sum(CASE WHEN pass_dedup AND pass_quality THEN 1 ELSE 0 END) AS BIGINT) AS n_after_quality,
+        |  CAST(sum(CASE WHEN pass_dedup AND pass_quality AND pass_rep THEN 1 ELSE 0 END) AS BIGINT) AS n_final,
+        |  CAST(sum(CASE WHEN pass_dedup AND pass_quality AND pass_rep THEN n_words ELSE 0 END) AS BIGINT) AS final_tokens
+        |FROM flags""".stripMargin
   )
 }
