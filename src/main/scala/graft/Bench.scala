@@ -77,16 +77,24 @@ object Bench {
       if (e > 1 && s.charAt(e - 1) == '.') e -= 1
       s.substring(0, e)
     }
-    def f2(v: Double): String =
-      trim0("%.2f".formatLocal(java.util.Locale.ROOT, v))
+    def fmt(v: Double, decimals: Int): String =
+      trim0(s"%.${decimals}f".formatLocal(java.util.Locale.ROOT, v))
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f2(v) }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val load = f2(loadavg().headOption.getOrElse(-1.0))
+    val load = fmt(loadavg().headOption.getOrElse(-1.0), 2)
     val sfName = new java.io.File(sfDir).getName
-    val line =
+    def build(decimals: Int): String = {
+      val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v, decimals) }
+        .mkString("{", ",", "}")
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","load":$load,"queries":$qs,"sf":"$sfName"}"""
+    }
+    // Adaptive precision: centiseconds while the line fits the
+    // budget, deciseconds once the operator count pushes past it —
+    // a slightly coarser value beats an unparseable line.
+    val line = {
+      val full = build(2)
+      if (full.length <= 1870) full else build(1)
+    }
     if (line.length > 1870)
       System.err.println(s"WARN bench line ${line.length} chars nears the ~1915-char budget")
     println(line)
