@@ -31,4 +31,9 @@ object TextHash {
     * knob for Hamming-radius search (d10); see graftvec.SimHashW. */
   def simHashW(text: Column, width: Int): Column =
     TextHashColumns.simHashW(text, width)
+
+  /** Content-defined chunk fingerprints (array<long>, ~div words per
+    * chunk) for sub-document dedup (d11); see graftvec.CdcChunks. */
+  def cdcChunks(text: Column, div: Int): Column =
+    TextHashColumns.cdcChunks(text, div)
 }

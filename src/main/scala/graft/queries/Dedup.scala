@@ -249,8 +249,39 @@ object Dedup extends QueryPack {
     // 16-bit space is saturated (12% of ALL pairs within distance 3
     // — measured 1.7M pairs at sf0.1 vs 90k at 32 bits), and block
     // width sets bucket occupancy (256 buckets/index vs 16).
-    "d10_hamming_pairs" -> ((s, d) => hammingPairs(s, d))
+    "d10_hamming_pairs" -> ((s, d) => hammingPairs(s, d)),
+
+    // Sub-document dedup via content-defined chunking (the rsync/
+    // LBFS rolling-boundary trick, word-granular): chunk boundaries
+    // follow the CONTENT (md5(word) ≡ 0 mod 8), so shared passages
+    // chunk identically no matter where they sit in a document —
+    // fixed-offset chunking would misalign after one inserted word.
+    // A boilerplate paragraph is prepended to every 5th doc; its
+    // chunks must surface as cross-document repeats. The kernel
+    // emits ~8-word chunk fingerprints map-side in one pass; the
+    // explode ships (doc_id, 8-byte fp) pairs — never chunk text —
+    // and the groupBy partial-aggregates, so the shuffle is
+    // fingerprint-sized at any corpus size.
+    "d11_cdc_chunks" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val corpus = docs.unionAll(
+        docs.filter(col("doc_id") % 5 === 0)
+          .withColumn("doc_id", col("doc_id") + 100000L)
+          .withColumn("text", concat(lit(Boilerplate), lit(" "), col("text"))))
+      corpus.select(col("doc_id"),
+          explode(graft.functions.TextHash.cdcChunks(col("text"), 8)).as("fp"))
+        .groupBy(col("fp"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occurrences"))
+        .filter(col("n_docs") > 1)
+        .orderBy(col("fp"))
+    }
   )
+
+  /** The shared passage d11 plants across documents. */
+  private val Boilerplate =
+    "important legal disclaimer all rights reserved do not redistribute " +
+      "this document without permission from the owner thank you kindly"
 
   /** Hamming-distance-≤ `maxDist` fingerprint pairs (see d10 notes).
     * `nBlocks` must exceed `maxDist` for the pigeonhole guarantee.
@@ -413,6 +444,43 @@ object Dedup extends QueryPack {
          |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.s, b.s)) <= 3
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // Window-based chunk reconstruction — an independent formulation
+    // of the kernel's one-pass chunker: per-word boundary flags, a
+    // running boundary count as the chunk id, string_agg per chunk.
+    "d11_cdc_chunks" ->
+      s"""WITH src AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000 AS doc_id, '$Boilerplate' || ' ' || text AS text
+         |  FROM documents WHERE doc_id % 5 = 0),
+         |w0 AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+         |  FROM src WHERE trim(text) <> ''),
+         |words AS (
+         |  SELECT doc_id, ws[i] AS w, i AS ord
+         |  FROM w0, unnest(range(1, len(ws) + 1)) AS t(i)),
+         |b AS (
+         |  SELECT doc_id, w, ord,
+         |    CASE WHEN ('0x' || substring(md5(w), 1, 8))::BIGINT % 8 = 0
+         |      THEN 1 ELSE 0 END AS is_b
+         |  FROM words),
+         |c AS (
+         |  SELECT doc_id, w, ord,
+         |    COALESCE(sum(is_b) OVER (PARTITION BY doc_id ORDER BY ord
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_seq
+         |  FROM b),
+         |chunks AS (
+         |  SELECT doc_id, chunk_seq, string_agg(w, ' ' ORDER BY ord) AS chunk
+         |  FROM c GROUP BY doc_id, chunk_seq),
+         |fps AS (
+         |  SELECT doc_id, ('0x' || substring(md5(chunk), 1, 15))::BIGINT AS fp
+         |  FROM chunks)
+         |SELECT fp, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occurrences
+         |FROM fps
+         |GROUP BY fp
+         |HAVING count(DISTINCT doc_id) > 1
+         |ORDER BY fp""".stripMargin,
 
     // Mirrors d8's two fixed min-label propagation rounds exactly.
     "d8_dup_clusters" ->

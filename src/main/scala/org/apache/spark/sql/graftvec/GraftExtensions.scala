@@ -44,6 +44,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         SimHashW(exprs(0), intArg(exprs(1)))))
     e.injectFunction((
+      new FunctionIdentifier("cdc_chunks"),
+      new ExpressionInfo(classOf[CdcChunks].getName, "cdc_chunks"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        CdcChunks(exprs(0), intArg(exprs(1)))))
+    e.injectFunction((
       new FunctionIdentifier("envelope_marshal"),
       new ExpressionInfo(classOf[EnvelopeMarshal].getName, "envelope_marshal"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>

@@ -30,6 +30,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "simhash_w", exprs => SimHashW(exprs(0), intArg(exprs(1))), "built-in")
     reg.createOrReplaceTempFunction(
+      "cdc_chunks", exprs => CdcChunks(exprs(0), intArg(exprs(1))), "built-in")
+    reg.createOrReplaceTempFunction(
       "hll_registers", exprs => HllRegisters(exprs(0), intArg(exprs(1))), "built-in")
     reg.createOrReplaceTempFunction(
       "envelope_marshal", exprs => EnvelopeMarshal(exprs(0), exprs(1), exprs(2)), "built-in")

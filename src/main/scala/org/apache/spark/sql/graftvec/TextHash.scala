@@ -203,6 +203,44 @@ object TextHashImpl {
     while (i < width) { if (votes(i) > 0) fp |= (1L << i); i += 1 }
     java.lang.Long.valueOf(fp)
   }
+
+  /** Content-defined chunking: split the token stream at words whose
+    * md5 first-4-byte prefix ≡ 0 (mod `div`) — boundaries follow the
+    * CONTENT, so an insertion only reshapes the chunks it touches
+    * (the rolling-hash trick of rsync/LBFS, word-granular here).
+    * Returns one 60-bit fingerprint per chunk (15-hex-char md5
+    * prefix — Portable.hash60 parity), in order, duplicates kept.
+    * Expected chunk length ≈ div words. Empty text → empty array.
+    */
+  def cdcChunks(text: UTF8String, div: Int): ArrayData = {
+    val toks = tokens(text)
+    val out = new java.util.ArrayList[Any]()
+    val md = Md5.get()
+    val sb = new java.lang.StringBuilder
+    def push(): Unit = {
+      md.reset()
+      val dig = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var v = 0L
+      var i = 0
+      while (i < 7) { v = (v << 8) | (dig(i) & 0xffL); i += 1 }
+      v = (v << 4) | ((dig(7) & 0xf0L) >> 4) // first 15 hex chars = 60 bits
+      out.add(java.lang.Long.valueOf(v))
+      sb.setLength(0)
+    }
+    var j = 0
+    while (j < toks.length) {
+      if (sb.length() > 0) sb.append(' ')
+      sb.append(toks(j))
+      md.reset()
+      val dig = md.digest(toks(j).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val h = ((dig(0) & 0xffL) << 24) | ((dig(1) & 0xffL) << 16) |
+        ((dig(2) & 0xffL) << 8) | (dig(3) & 0xffL)
+      if (h % div == 0) push()
+      j += 1
+    }
+    if (sb.length() > 0) push()
+    new GenericArrayData(out.toArray)
+  }
 }
 
 /** Column bridges (ExpressionUtils is private[sql], so the public
@@ -220,6 +258,8 @@ object TextHashColumns {
     ExpressionUtils.column(SimHash16(ExpressionUtils.expression(text)))
   def simHashW(text: Column, width: Int): Column =
     ExpressionUtils.column(SimHashW(ExpressionUtils.expression(text), width))
+  def cdcChunks(text: Column, div: Int): Column =
+    ExpressionUtils.column(CdcChunks(ExpressionUtils.expression(text), div))
 }
 
 /** `km_minhash(text, n, k)` → array<long> signature (null if < n tokens). */
@@ -334,6 +374,27 @@ case class SimHashW(child: Expression, width: Int)
          |if ($boxed == null) { ${ev.isNull} = true; } else { ${ev.value} = $boxed.longValue(); }
        """.stripMargin
     })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `cdc_chunks(text, div)` → array<long> of 60-bit chunk fingerprints
+  * from content-defined boundaries (expected chunk ≈ div words). */
+case class CdcChunks(child: Expression, div: Int)
+  extends UnaryExpression with ExpectsInputTypes {
+  require(div > 0, "chunk divisor must be positive")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "cdc_chunks"
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashImpl.cdcChunks(input.asInstanceOf[UTF8String], div)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graftvec.TextHashImpl.cdcChunks($c, $div)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -243,6 +243,24 @@ tab	end""", "view", "svc \"quoted\" 2"))
     assert(blocked === brute && brute.nonEmpty)
   }
 
+  test("cdc chunk boundaries realign after a front insertion") {
+    import spark.implicits._
+    // boundaries depend only on the words themselves, so prepending
+    // text can only change chunks BEFORE the original first boundary
+    // — every original chunk after it must reappear untouched (the
+    // property fixed-offset chunking lacks)
+    val doc = Tables.documents(spark, "/root/testdata/sf0.001")
+      .orderBy(col("doc_id")).select(col("text")).head.getString(0)
+    def fps(t: String): Seq[Long] = Seq(t).toDF("text")
+      .select(graft.functions.TextHash.cdcChunks(col("text"), 8))
+      .head.getSeq[Long](0)
+    val orig = fps(doc)
+    val shifted = fps("inserted preamble words " + doc)
+    assert(orig.length > 2, s"doc too short to exercise chunking: $orig")
+    assert(orig.tail.toSet.subsetOf(shifted.toSet))
+    assert(orig.last === shifted.last)
+  }
+
   test("portable hashes are stable across invocations and match known md5") {
     import spark.implicits._
     val df = Seq("abc").toDF("s")
