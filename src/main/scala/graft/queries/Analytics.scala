@@ -504,6 +504,30 @@ object Analytics extends QueryPack {
         .unionAll(urgent.except(big).select(lit("urgent_only").as("pop"), col("o_custkey")))
         .unionAll(big.except(urgent).select(lit("big_only").as("pop"), col("o_custkey")))
         .orderBy(col("pop"), col("o_custkey"))
+    },
+
+    // Winsorized aggregation — outlier-robust statistics, the
+    // data-cleaning step before a mean is trustworthy: clip each
+    // group's values at its own exact [p05, p95] band and report raw
+    // vs clipped means plus the clip count. The percentile pass is
+    // operators.Percentiles (two-phase, no per-group value
+    // buffering — the built-in exact percentile cannot run at
+    // 100 TB); the tiny per-group band table broadcasts back onto
+    // one clipping scan.
+    "q36_winsorize" -> { (s, d) =>
+      val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+      val bands = graft.operators.Percentiles.exact(ev, "event_type", "value",
+        Seq("p05" -> 0.05, "p95" -> 0.95))
+        .select(col("event_type"), col("p05"), col("p95"))
+      ev.join(broadcast(bands), Seq("event_type"))
+        .withColumn("clipped", least(greatest(col("value"), col("p05")), col("p95")))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          avg(col("value")).as("avg_raw"),
+          avg(col("clipped")).as("avg_winsorized"),
+          sum(when(col("value") < col("p05") || col("value") > col("p95"), 1L)
+            .otherwise(0L)).as("n_clipped"))
+        .orderBy(col("event_type"))
     }
   )
 
@@ -857,6 +881,20 @@ object Analytics extends QueryPack {
         |SELECT 'big_only' AS pop, o_custkey FROM (
         |  SELECT o_custkey FROM big EXCEPT SELECT o_custkey FROM urgent)
         |ORDER BY pop, o_custkey""".stripMargin,
+
+    "q36_winsorize" ->
+      """WITH bands AS (
+        |  SELECT event_type,
+        |    quantile_cont(value, 0.05) AS p05,
+        |    quantile_cont(value, 0.95) AS p95
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_type, count(*) AS n,
+        |  avg(value) AS avg_raw,
+        |  avg(least(greatest(value, p05), p95)) AS avg_winsorized,
+        |  CAST(sum(CASE WHEN value < p05 OR value > p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+        |FROM events e JOIN bands USING (event_type)
+        |GROUP BY e.event_type
+        |ORDER BY e.event_type""".stripMargin,
 
     "q31_skew_join" ->
       """SELECT c_mktsegment, count(*) AS n_rows, sum(value) AS sum_value

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.functions.Portable
 
@@ -42,21 +43,46 @@ object TextOps extends QueryPack {
   private val TokenReSpark = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]"
   private val TokenRe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
+  /** Stopword-ratio scores + argmax prediction (deterministic
+    * priority order on ties: en > de > es > fr) — shared by t1
+    * (per-doc report) and t11 (confusion matrix). */
+  private def withLangScores(df: DataFrame): DataFrame = {
+    val base = df.withColumn("w", Portable.words(col("text")))
+    val scored = Stopwords.foldLeft(base) { case (acc, (l, set)) =>
+      acc.withColumn(s"s_$l", hitRatio(col("w"), set))
+    }
+    scored.withColumn("pred_lang",
+      when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") && col("s_en") >= col("s_fr"), "en")
+        .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr"), "de")
+        .when(col("s_es") >= col("s_fr"), "es")
+        .otherwise("fr"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Language ID: argmax of stopword hit ratios, deterministic
     // priority order on ties (en > de > es > fr).
     "t1_lang_id" -> { (s, d) =>
-      val base = Tables.documents(s, d).withColumn("w", Portable.words(col("text")))
-      val scored = Stopwords.foldLeft(base) { case (df, (l, set)) =>
-        df.withColumn(s"s_$l", hitRatio(col("w"), set))
-      }
-      scored.select(col("doc_id"), col("lang").as("tagged_lang"),
-          when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") && col("s_en") >= col("s_fr"), "en")
-            .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr"), "de")
-            .when(col("s_es") >= col("s_fr"), "es")
-            .otherwise("fr").as("pred_lang"),
-          col("s_en"))
+      withLangScores(Tables.documents(s, d))
+        .select(col("doc_id"), col("lang").as("tagged_lang"),
+          col("pred_lang"), col("s_en"))
         .orderBy(col("doc_id"))
+    },
+
+    // Classifier QA for the language-ID heuristic: the tagged×predicted
+    // confusion matrix plus per-cell share of the tagged class — the
+    // report that says WHERE the classifier errs (which pairs confuse),
+    // not just how often. One scan, map-side scoring, a tiny
+    // two-key aggregate; at 100 TB this runs on the same pass that
+    // tags the corpus.
+    "t11_lang_confusion" -> { (s, d) =>
+      val w = Window.partitionBy(col("tagged_lang"))
+      withLangScores(Tables.documents(s, d))
+        .select(col("lang").as("tagged_lang"), col("pred_lang"))
+        .groupBy(col("tagged_lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("share_of_tagged",
+          col("n_docs").cast("double") / sum(col("n_docs")).over(w))
+        .orderBy(col("tagged_lang"), col("pred_lang"))
     },
 
     // Quality score: length, stopword and punctuation features.
@@ -275,6 +301,26 @@ object TextOps extends QueryPack {
          |  ${hitRatioSql(Stopwords(0)._2)} AS s_en
          |FROM ($WordsSql) t
          |ORDER BY doc_id""".stripMargin,
+
+    "t11_lang_confusion" ->
+      s"""WITH pred AS (
+         |  SELECT lang AS tagged_lang,
+         |    CASE
+         |      WHEN ${hitRatioSql(Stopwords(0)._2)} >= ${hitRatioSql(Stopwords(1)._2)}
+         |       AND ${hitRatioSql(Stopwords(0)._2)} >= ${hitRatioSql(Stopwords(2)._2)}
+         |       AND ${hitRatioSql(Stopwords(0)._2)} >= ${hitRatioSql(Stopwords(3)._2)} THEN 'en'
+         |      WHEN ${hitRatioSql(Stopwords(1)._2)} >= ${hitRatioSql(Stopwords(2)._2)}
+         |       AND ${hitRatioSql(Stopwords(1)._2)} >= ${hitRatioSql(Stopwords(3)._2)} THEN 'de'
+         |      WHEN ${hitRatioSql(Stopwords(2)._2)} >= ${hitRatioSql(Stopwords(3)._2)} THEN 'es'
+         |      ELSE 'fr' END AS pred_lang
+         |  FROM ($WordsSql) t),
+         |m AS (
+         |  SELECT tagged_lang, pred_lang, count(*) AS n_docs
+         |  FROM pred GROUP BY 1, 2)
+         |SELECT tagged_lang, pred_lang, n_docs,
+         |  n_docs::DOUBLE / sum(n_docs) OVER (PARTITION BY tagged_lang) AS share_of_tagged
+         |FROM m
+         |ORDER BY tagged_lang, pred_lang""".stripMargin,
 
     "t2_quality_score" ->
       s"""WITH feat AS (
