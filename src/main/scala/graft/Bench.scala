@@ -79,23 +79,24 @@ object Bench {
     }
     def fmt(v: Double, decimals: Int): String =
       trim0(s"%.${decimals}f".formatLocal(java.util.Locale.ROOT, v))
-    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val load = fmt(loadavg().headOption.getOrElse(-1.0), 2)
     val sfName = new java.io.File(sfDir).getName
-    def build(decimals: Int): String = {
+    def build(decimals: Int, withLoad: Boolean): String = {
       val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v, decimals) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","load":$load,"queries":$qs,"sf":"$sfName"}"""
+      val loadField = if (withLoad) s""","load":$load""" else ""
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec"$loadField,"queries":$qs,"sf":"$sfName"}"""
     }
-    // Adaptive precision: centiseconds while the line fits the
-    // budget, deciseconds once the operator count pushes past it —
-    // a slightly coarser value beats an unparseable line.
-    val line = {
-      val full = build(2)
-      if (full.length <= 1870) full else build(1)
-    }
-    if (line.length > 1870)
+    // Tiered fit: centiseconds + loadavg while the line fits,
+    // deciseconds next, deciseconds without the load field last —
+    // ~90 operators' names alone are ~1.2 KB, so every tier matters;
+    // a coarser-but-parseable line beats r04's parsed=null.
+    val Fit = 1860
+    val line = Seq(build(2, true), build(1, true), build(1, false))
+      .find(_.length <= Fit)
+      .getOrElse(build(1, false))
+    if (line.length > Fit)
       System.err.println(s"WARN bench line ${line.length} chars nears the ~1915-char budget")
     println(line)
     spark.stop()
