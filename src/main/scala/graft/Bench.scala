@@ -82,20 +82,34 @@ object Bench {
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val load = fmt(loadavg().headOption.getOrElse(-1.0), 2)
     val sfName = new java.io.File(sfDir).getName
-    def build(decimals: Int, withLoad: Boolean): String = {
-      val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v, decimals) }
+    def build(decimals: Int, withLoad: Boolean,
+              key: String => String = identity): String = {
+      val qs = results.map { case (k, v) => s"\"" + key(k) + "\":" + fmt(v, decimals) }
         .mkString("{", ",", "}")
       val loadField = if (withLoad) s""","load":$load""" else ""
       s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec"$loadField,"queries":$qs,"sf":"$sfName"}"""
     }
-    // Tiered fit: centiseconds + loadavg while the line fits,
-    // deciseconds next, deciseconds without the load field last —
-    // ~90 operators' names alone are ~1.2 KB, so every tier matters;
-    // a coarser-but-parseable line beats r04's parsed=null.
+    // Tiered fit: full names + centiseconds + loadavg while the line
+    // fits; otherwise keys shrink to the operator's unique family
+    // prefix ("q21_percentiles" → "q21" — SURVEY.md §2 names carry
+    // the prefix, so a reader maps them back unambiguously), which
+    // frees ~0.8 KB at 87 operators. Coarser tiers only if even that
+    // overruns — a degraded-but-parseable line beats r04's
+    // parsed=null, when the full-precision line overflowed the
+    // driver's 2000-char output capture and the round's bench was
+    // lost.
     val Fit = 1860
-    val line = Seq(build(2, true), build(1, true), build(1, false))
+    val prefix = (k: String) => k.takeWhile(_ != '_')
+    val prefixed =
+      if (results.map(r => prefix(r._1)).distinct.size == results.size) prefix
+      else identity[String] _ // collision ⇒ keep full names
+    val line = Seq(
+      build(2, true),
+      build(2, true, prefixed),
+      build(1, true, prefixed),
+      build(1, false, prefixed))
       .find(_.length <= Fit)
-      .getOrElse(build(1, false))
+      .getOrElse(build(1, false, prefixed))
     if (line.length > Fit)
       System.err.println(s"WARN bench line ${line.length} chars nears the ~1915-char budget")
     println(line)
