@@ -103,14 +103,15 @@ object Bench {
     val prefixed =
       if (results.map(r => prefix(r._1)).distinct.size == results.size) prefix
       else identity[String] _ // collision ⇒ keep full names
-    val line = Seq(
+    val tiers = Seq(
       build(2, true),
       build(2, true, prefixed),
       build(1, true, prefixed),
       build(1, false, prefixed))
-      .find(_.length <= Fit)
-      .getOrElse(build(1, false, prefixed))
-    if (line.length > Fit)
+    val line = tiers.find(_.length <= Fit).getOrElse(tiers.last)
+    if (line.length > 1915)
+      System.err.println(s"ERROR bench line ${line.length} chars EXCEEDS the ~1915-char capture budget — the driver will record parsed=null")
+    else if (line.length > Fit)
       System.err.println(s"WARN bench line ${line.length} chars nears the ~1915-char budget")
     println(line)
     spark.stop()

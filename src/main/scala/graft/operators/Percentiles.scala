@@ -95,10 +95,17 @@ object Percentiles {
     val interpolated = tq
       .join(broadcast(lo), col("sk") === col("lo_k") && col("rlo") === col("lo_rank"))
       .join(broadcast(hi), col("sk") === col("hi_k") && col("rhi") === col("hi_rank"))
+      // lo + (hi - lo) * frac — algebraically the same interpolation
+      // as the weighted form lo*(1-frac) + hi*frac, but the EXACT
+      // operation sequence DuckDB's quantile_cont uses, so both
+      // engines round identically (in particular lo == hi yields lo
+      // EXACTLY, where the weighted form can land 1 ulp off — enough
+      // to flip integer counts in consumers that compare values
+      // against the band, e.g. q36's n_clipped).
       .withColumn("value",
         when(col("rlo") === col("rhi"), col("lo_v")).otherwise(
-          col("lo_v") * (col("rlo").cast("double") - col("pos")) +
-            col("hi_v") * (col("pos") - col("rlo").cast("double") + 1.0)))
+          col("lo_v") + (col("hi_v") - col("lo_v")) *
+            (col("pos") - (col("rlo").cast("double") - 1.0))))
 
     val qAggs = qs.map { case (nm, _) =>
       max(when(col("qname") === nm, col("value"))).as(nm)
