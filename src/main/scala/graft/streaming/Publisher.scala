@@ -20,12 +20,13 @@ import graft.operators.Envelope
 object Publisher {
   val MaxBatch = 500 // publisher.go:14 maxMessages
 
-  /** Shared topic layout: marshal + route + sequence + batch ids,
-    * shard-partitioned and shard/seq-sorted. */
-  private def layout(msgs: DataFrame): DataFrame = {
+  /** Shared topic layout: marshal (with the format's envelope codec)
+    * + route + sequence + batch ids, shard-partitioned and
+    * shard/seq-sorted. */
+  private def layout(msgs: DataFrame, format: TopicFormat): DataFrame = {
     val seqd = Envelope.withShardSeq(msgs)
     seqd
-      .withColumn("envelope", Envelope.marshalled(seqd))
+      .withColumn("envelope", format.marshalEnvelope(seqd))
       .withColumn("batch_id", ((col("seq") - 1L) / MaxBatch.toLong).cast("long"))
       .select(col("shard_id"), col("batch_id"), col("seq"),
         col("event_id"), col("uuid"), col("partition_key"),
@@ -36,10 +37,11 @@ object Publisher {
 
   /** Marshal + route + sequence + write one publish call's messages.
     * `format` is the pluggable wire codec (the reference's
-    * WithMarshaller seam, publisher.go:48-51). */
+    * WithMarshaller seam, publisher.go:48-51) — it decides both the
+    * file layout AND the envelope bytes (JSON or binary TLV). */
   def publish(msgs: DataFrame, topicDir: String, mode: String = "append",
               format: TopicFormat = ParquetTopic): Unit =
-    format.write(layout(msgs), topicDir, mode)
+    format.write(layout(msgs, format), topicDir, mode)
 
   /** JSON-lines topic variant — the envelope travels as the wire
     * format itself (one JSON record per line, shard-partitioned

@@ -66,7 +66,7 @@ object Subscriber {
   def subscribe(spark: SparkSession, topicDir: String,
                 format: TopicFormat = ParquetTopic,
                 maxFilesPerTrigger: Int = 8): DataFrame =
-    unmarshalled(format.readStream(spark, topicDir, maxFilesPerTrigger))
+    unmarshalled(format.readStream(spark, topicDir, maxFilesPerTrigger), format)
 
   /** Subscribe to a JSON-lines topic (Publisher.publishJson) — same
     * message stream, different wire encoding. */
@@ -105,9 +105,10 @@ object Subscriber {
     * and moves to the next record (subscriber.go:57-62); use
     * `drainSkippingPoison` to preserve the raw poison records instead
     * of dropping them. */
-  private def unmarshalled(records: DataFrame): DataFrame =
+  private def unmarshalled(records: DataFrame,
+                           format: TopicFormat = ParquetTopic): DataFrame =
     records
-      .withColumn("env", graft.operators.Envelope.parsed(col("envelope")))
+      .withColumn("env", format.parseEnvelope(col("envelope")))
       .filter(col("env").isNotNull)
       .select(
         col("env.uuid").as("uuid"),
@@ -196,7 +197,7 @@ object Subscriber {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val marked = batch
-          .withColumn("env", graft.operators.Envelope.parsed(col("envelope"))).cache()
+          .withColumn("env", format.parseEnvelope(col("envelope"))).cache()
         try {
           marked.filter(col("env").isNotNull)
             .select(
