@@ -254,8 +254,116 @@ object TextOps extends QueryPack {
           dupFrac(col("g3")).as("dup3_frac"))
         .withColumn("keep", col("dup2_frac") <= 0.2 && col("dup3_frac") <= 0.15)
         .orderBy(col("doc_id"))
+    },
+
+    // Benchmark decontamination — the eval-set leak check every LLM
+    // training pipeline runs before a corpus ships: a training doc is
+    // contaminated if it shares a word-`EvalGramN`-gram with any eval
+    // passage. The eval set is synthesized deterministically (12-word
+    // passages from docs with doc_id % 40 == 1 — simulating benchmark
+    // items that leaked from the crawl), and engineered LEAKED docs
+    // (ids ≥ 200000: an eval passage embedded in fresh padding) are
+    // unioned into the corpus — the check must flag every source doc
+    // AND every engineered leak, with gram counts proving the whole
+    // passage matched. Scale shape:
+    // eval benchmarks are tiny next to the corpus, so the eval gram
+    // table is a BROADCAST; corpus grams stream map-side out of the
+    // native one-pass shingle kernel; the only shuffle carries the
+    // (doc_id, digest) hits — 16-byte digests, never text.
+    "t12_decontaminate" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val passage = concat_ws(" ", slice(Portable.words(col("text")), 3, 12))
+      val evalGrams = docs.filter(col("doc_id") % 40 === 1)
+        .select(col("doc_id").as("eval_id"),
+          slice(Portable.words(col("text")), 3, 12).as("pw"))
+        .select(col("eval_id"), explode(
+          when(size(col("pw")) >= EvalGramN,
+            transform(sequence(lit(0), size(col("pw")) - EvalGramN),
+              i => concat_ws(" ", slice(col("pw"), i + lit(1), lit(EvalGramN)))))
+            .otherwise(array().cast("array<string>"))).as("g"))
+        .select(col("eval_id"), Portable.md5hex(col("g")).as("gh"))
+        .distinct()
+      val corpus = docs.select(col("doc_id"), col("text")).unionAll(
+        docs.filter(col("doc_id") % 40 === 1)
+          .select((col("doc_id") + 200000L).as("doc_id"),
+            concat(lit("pad0 pad1 "), passage, lit(" pad2 pad3")).as("text")))
+      val corpusGrams = corpus
+        .select(col("doc_id"),
+          explode(graft.functions.TextHash.allShingles(col("text"), EvalGramN)).as("g"))
+        .select(col("doc_id"), Portable.md5hex(col("g")).as("gh"))
+      corpusGrams.join(broadcast(evalGrams), "gh")
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("gh")).as("n_hit_grams"),
+          countDistinct(col("eval_id")).as("n_eval_docs"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Inverted index build: term → document-frequency, total term
+    // frequency, and an impact-ordered posting list (top-`PostingLen`
+    // docs by tf, doc_id tiebreak) — the retrieval-index shape. One
+    // explode + two aggregations, both with map-side partial combine:
+    // the (term, doc_id) tf shuffle carries counts, and the per-term
+    // rollup ships one row per term per partition. The posting cap
+    // bounds the output row width no matter how hot a term is.
+    "t13_inverted_index" -> { (s, d) =>
+      val tf = Tables.documents(s, d)
+        .select(col("doc_id"), explode(Portable.words(col("text"))).as("term"))
+        .groupBy(col("term"), col("doc_id"))
+        .agg(count(lit(1)).as("tf"))
+      tf.groupBy(col("term"))
+        .agg(count(lit(1)).as("df"),
+          sum(col("tf")).as("total_tf"),
+          transform(
+            slice(sort_array(collect_list(struct((-col("tf")).as("ntf"),
+              col("doc_id").as("doc_id")))), 1, PostingLen),
+            x => x.getField("doc_id")).as("postings"))
+        .orderBy(col("term"))
+    },
+
+    // BM25 top-k retrieval (Okapi k1/b) for a fixed query — the
+    // ranked-search operator over the same corpus the index family
+    // serves. Two scans: per-doc term frequencies map-side, then the
+    // corpus stats (N, avgdl, df per term — one tiny 1-row aggregate)
+    // come back as a BROADCAST cross join, and scoring + TopK run in
+    // one codegen'd pass (TakeOrderedAndProject — no global sort).
+    // Every intermediate the stats agg sums is integer-valued, so
+    // n_docs/avgdl/df are bit-identical across engines; scores are
+    // rounded to 6 dp on both sides.
+    "t14_bm25_topk" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), Portable.words(col("text")).as("w"))
+        .withColumn("dl", size(col("w")).cast("double"))
+      val withTf = QueryTerms.zipWithIndex.foldLeft(docs) { case (acc, (t, i)) =>
+        acc.withColumn(s"tf_$i",
+          size(filter(col("w"), x => x === lit(t))).cast("double"))
+      }.drop("w")
+      val dfCols = QueryTerms.indices.map(i =>
+        sum(when(col(s"tf_$i") > 0, 1.0).otherwise(0.0)).as(s"df_$i"))
+      val stats = withTf.agg(
+        count(lit(1)).cast("double").as("n_docs"),
+        avg(col("dl")).as("avgdl") +: dfCols: _*)
+      val score = QueryTerms.indices.map { i =>
+        val idf = log(lit(1.0) +
+          (col("n_docs") - col(s"df_$i") + 0.5) / (col(s"df_$i") + 0.5))
+        idf * (col(s"tf_$i") * (Bm25K1 + 1.0)) /
+          (col(s"tf_$i") + lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl")))
+      }.reduce(_ + _)
+      withTf.crossJoin(broadcast(stats))
+        .select(col("doc_id"), round(score, 6).as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(Bm25TopK)
     }
   )
+
+  /** t12: decontamination n-gram width. */
+  private val EvalGramN = 6
+  /** t13: posting-list cap (impact-ordered). */
+  private val PostingLen = 20
+  /** t14: fixed query + Okapi constants. */
+  private val QueryTerms = Seq("spark", "join", "window")
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
+  private val Bm25TopK = 20
 
   /** Tokens per packed training sequence (t8). */
   private val PackBudget = 512
@@ -456,6 +564,79 @@ object TextOps extends QueryPack {
         |SELECT doc_id, n_2grams, dup2_frac, dup3_frac,
         |  (dup2_frac <= 0.2 AND dup3_frac <= 0.15) AS keep
         |FROM m
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    "t12_decontaminate" -> {
+      val n = EvalGramN
+      s"""WITH w AS (
+         |  SELECT doc_id, CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+         |    ELSE regexp_split_to_array(trim(text), '\\s+') END AS w
+         |  FROM documents),
+         |ev AS (
+         |  SELECT doc_id AS eval_id, w[3:14] AS pw FROM w WHERE doc_id % 40 = 1),
+         |evg AS (
+         |  SELECT DISTINCT eval_id, md5(array_to_string(pw[i:i+${n - 1}], ' ')) AS gh
+         |  FROM ev, unnest(generate_series(1, greatest(len(pw) - ${n - 1}, 0))) AS t(i)),
+         |corpus AS (
+         |  SELECT doc_id, w FROM w
+         |  UNION ALL
+         |  SELECT eval_id + 200000 AS doc_id,
+         |    regexp_split_to_array('pad0 pad1 ' || array_to_string(pw, ' ') || ' pad2 pad3', '\\s+') AS w
+         |  FROM ev),
+         |tg AS (
+         |  SELECT doc_id, md5(array_to_string(w[i:i+${n - 1}], ' ')) AS gh
+         |  FROM corpus, unnest(generate_series(1, greatest(len(w) - ${n - 1}, 0))) AS t(i))
+         |SELECT doc_id,
+         |  CAST(count(DISTINCT gh) AS BIGINT) AS n_hit_grams,
+         |  CAST(count(DISTINCT eval_id) AS BIGINT) AS n_eval_docs
+         |FROM tg JOIN evg USING (gh)
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "t13_inverted_index" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+         |    ELSE regexp_split_to_array(trim(text), '\\s+') END AS w
+         |  FROM documents),
+         |tf AS (
+         |  SELECT term, doc_id, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest(w) AS term FROM w) t
+         |  GROUP BY 1, 2)
+         |SELECT term, CAST(count(*) AS BIGINT) AS df,
+         |  CAST(sum(tf) AS BIGINT) AS total_tf,
+         |  (list(doc_id ORDER BY tf DESC, doc_id))[1:$PostingLen] AS postings
+         |FROM tf
+         |GROUP BY term
+         |ORDER BY term""".stripMargin,
+
+    "t14_bm25_topk" -> {
+      val terms = QueryTerms.zipWithIndex
+      val tfSql = terms.map { case (t, i) =>
+        s"len(list_filter(w, x -> x = '$t'))::DOUBLE AS tf_$i" }.mkString(",\n    ")
+      val dfSql = terms.map { case (_, i) =>
+        s"sum(CASE WHEN tf_$i > 0 THEN 1.0 ELSE 0.0 END) AS df_$i" }.mkString(",\n    ")
+      val scoreSql = terms.map { case (_, i) =>
+        s"""ln(1.0 + (n_docs - df_$i + 0.5) / (df_$i + 0.5)) *
+           |    (tf_$i * ${Bm25K1 + 1.0}) /
+           |    (tf_$i + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * dl / avgdl))""".stripMargin
+      }.mkString(" +\n  ")
+      s"""WITH w AS (
+         |  SELECT doc_id, CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+         |    ELSE regexp_split_to_array(trim(text), '\\s+') END AS w
+         |  FROM documents),
+         |f AS (
+         |  SELECT doc_id, len(w)::DOUBLE AS dl,
+         |    $tfSql
+         |  FROM w),
+         |s AS (
+         |  SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl,
+         |    $dfSql
+         |  FROM f)
+         |SELECT doc_id, round($scoreSql, 6) AS bm25
+         |FROM f CROSS JOIN s
+         |ORDER BY bm25 DESC, doc_id
+         |LIMIT $Bm25TopK""".stripMargin
+    }
   )
 }
