@@ -106,6 +106,42 @@ object Multimodal extends QueryPack {
           avg(length(col("payload"))).as("avg_bytes"),
           sum(((length(col("payload")) + chunk - 1) / chunk).cast("long")).as("n_chunks"))
         .orderBy(col("modality"))
+    },
+
+    // Blob-level exact dedup inside a modality-partitioned lake: the
+    // storage-reclamation query (identical media uploaded many times
+    // is the norm in a crawled corpus). The corpus has no natural
+    // byte-identical blobs, so re-uploads are planted (doc_id % 20
+    // == 4 re-uploaded as id + 300000; 300000 % 4 = 0 keeps the
+    // modality) — the reclaimed-bytes column must be exactly the
+    // planted replicas' bytes. Blobs group by (modality,
+    // md5(payload)) — the shuffle carries 16-byte digests, never blob
+    // bytes — keep the min object id per digest, and the per-modality
+    // rollup reports how many bytes deduplication reclaims. With
+    // modality as the lake's partition column the digest agg runs
+    // per-partition.
+    "mm5_blob_dedup" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      docs.select(col("doc_id"), col("text"))
+        .unionAll(docs.filter(col("doc_id") % 20 === 4)
+          .select((col("doc_id") + 300000L).as("doc_id"), col("text")))
+        .withColumn("payload", col("text").cast("binary"))
+        .withColumn("modality",
+          element_at(
+            array(lit("audio"), lit("image"), lit("text"), lit("video")),
+            (pmod(col("doc_id"), lit(4L)) + 1L).cast("int")))
+        .select(col("modality"), col("doc_id"),
+          md5(col("payload")).as("digest"),
+          length(col("payload")).cast("long").as("n_bytes"))
+        .groupBy(col("modality"), col("digest"))
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"),
+          max(col("n_bytes")).as("n_bytes"))
+        .groupBy(col("modality"))
+        .agg(sum(col("n_copies")).as("n_blobs"),
+          count(lit(1)).as("n_unique"),
+          sum(col("n_bytes") * col("n_copies")).as("bytes_total"),
+          sum(col("n_bytes") * (col("n_copies") - 1L)).as("bytes_reclaimed"))
+        .orderBy(col("modality"))
     }
   )
 
@@ -154,6 +190,31 @@ object Multimodal extends QueryPack {
         |  CAST(sum((octet_length(text::BLOB) + 255) // 256) AS BIGINT) AS n_chunks
         |FROM documents
         |GROUP BY 1
+        |ORDER BY modality""".stripMargin,
+
+    "mm5_blob_dedup" ->
+      """WITH src AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 300000 AS doc_id, text
+        |  FROM documents WHERE doc_id % 20 = 4),
+        |blobs AS (
+        |  SELECT
+        |    ['audio', 'image', 'text', 'video'][(doc_id % 4 + 1)::INTEGER] AS modality,
+        |    doc_id, md5(text) AS digest,
+        |    CAST(octet_length(text::BLOB) AS BIGINT) AS n_bytes
+        |  FROM src),
+        |uniq AS (
+        |  SELECT modality, digest, min(doc_id) AS keeper,
+        |    count(*) AS n_copies, max(n_bytes) AS n_bytes
+        |  FROM blobs GROUP BY 1, 2)
+        |SELECT modality,
+        |  CAST(sum(n_copies) AS BIGINT) AS n_blobs,
+        |  count(*) AS n_unique,
+        |  CAST(sum(n_bytes * n_copies) AS BIGINT) AS bytes_total,
+        |  CAST(sum(n_bytes * (n_copies - 1)) AS BIGINT) AS bytes_reclaimed
+        |FROM uniq
+        |GROUP BY modality
         |ORDER BY modality""".stripMargin
   )
 }

@@ -347,7 +347,41 @@ object Similarity extends QueryPack {
       .orderBy(col("probe_id"))
   }
 
+  /** Scalar int8 quantization of the embedding corpus — the storage/
+    * serving compression step of an ANN index (4× smaller than
+    * float32). Per-dimension affine code: q = round((x - lo) / scale)
+    * clamped to [0, 255] with scale = (hi - lo) / 255; the report is
+    * per-dim reconstruction error (MSE) + saturation counts — the
+    * acceptance check before swapping an index to quantized codes.
+    * Two scans: the per-dim (lo, hi) aggregate is dims-sized (tiny)
+    * and broadcast back; quantization + the error rollup are one
+    * map-side pass + one dims-keyed agg. At 100 TB the stats scan
+    * runs on a sample; everything downstream is unchanged. */
+  def quantizeInt8(s: SparkSession, d: String): DataFrame = {
+    val xs = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
+    val stats = xs.groupBy(col("dim"))
+      .agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+      .withColumn("scale", (col("hi") - col("lo")) / 255.0)
+    xs.join(broadcast(stats), "dim")
+      .withColumn("q", when(col("scale") === 0.0, 0.0)
+        .otherwise(least(greatest(round((col("x") - col("lo")) / col("scale"), 0),
+          lit(0.0)), lit(255.0))))
+      .withColumn("err", col("x") - (col("lo") + col("q") * col("scale")))
+      .groupBy(col("dim"))
+      .agg(first(col("lo")).as("lo"), first(col("hi")).as("hi"),
+        first(col("scale")).as("scale"),
+        count(lit(1)).as("n"),
+        sum(when(col("q") === 0.0 || col("q") === 255.0, 1L).otherwise(0L)).as("n_edge"),
+        (sum(col("err") * col("err")) / count(lit(1))).as("mse"))
+      .select(col("dim").cast("long").as("dim"), col("lo"), col("hi"),
+        col("scale"), col("n"), col("n_edge"), col("mse"))
+      .orderBy(col("dim"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a9_quantize_int8" -> ((s, d) => quantizeInt8(s, d)),
     "a7_range_search" -> ((s, d) => rangeSearch(s, d)),
     "a8_recall_eval" -> ((s, d) => recallEval(s, d)),
     "a1_knn_brute" -> ((s, d) => bruteKnn(s, d)),
@@ -359,6 +393,27 @@ object Similarity extends QueryPack {
   )
 
   def oracle: Map[String, String] = Map(
+    "a9_quantize_int8" ->
+      """WITH xs AS (
+        |  SELECT vec_id, dim, embedding[(dim + 1)::INTEGER]::DOUBLE AS x
+        |  FROM embeddings, unnest(generate_series(0, len(embedding) - 1)) AS t(dim)),
+        |st AS (
+        |  SELECT dim, min(x) AS lo, max(x) AS hi,
+        |    (max(x) - min(x)) / 255.0 AS scale
+        |  FROM xs GROUP BY dim),
+        |q AS (
+        |  SELECT xs.dim, x, lo, hi, scale,
+        |    CASE WHEN scale = 0 THEN 0.0
+        |      ELSE least(greatest(round((x - lo) / scale), 0.0), 255.0) END AS q
+        |  FROM xs JOIN st ON xs.dim = st.dim)
+        |SELECT CAST(dim AS BIGINT) AS dim, lo, hi, scale,
+        |  count(*) AS n,
+        |  CAST(sum(CASE WHEN q = 0.0 OR q = 255.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_edge,
+        |  sum((x - (lo + q * scale)) * (x - (lo + q * scale))) / count(*) AS mse
+        |FROM q
+        |GROUP BY dim, lo, hi, scale
+        |ORDER BY dim""".stripMargin,
+
     "a7_range_search" -> {
       val flips = (0 until Geo.planes).map(i => flipSql(Seq(i), Geo.planes)).mkString(", ")
       s"""WITH v AS (

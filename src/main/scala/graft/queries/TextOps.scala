@@ -300,22 +300,30 @@ object TextOps extends QueryPack {
 
     // Inverted index build: term → document-frequency, total term
     // frequency, and an impact-ordered posting list (top-`PostingLen`
-    // docs by tf, doc_id tiebreak) — the retrieval-index shape. One
-    // explode + two aggregations, both with map-side partial combine:
-    // the (term, doc_id) tf shuffle carries counts, and the per-term
-    // rollup ships one row per term per partition. The posting cap
-    // bounds the output row width no matter how hot a term is.
+    // docs by tf, doc_id tiebreak) — the retrieval-index shape. The
+    // (term, doc_id) tf aggregation partial-combines map-side; then
+    // ONE exchange on term feeds both the full-partition df/total_tf
+    // window and the rank that caps the posting list BEFORE any
+    // collect — a `sort_array(collect_list(...))[1:k]` formulation
+    // would buffer every posting of a hot term in one agg buffer
+    // (OOM at 100 TB); here the sort-based window spills and the
+    // collect buffer never exceeds the cap.
     "t13_inverted_index" -> { (s, d) =>
-      val tf = Tables.documents(s, d)
+      import org.apache.spark.sql.expressions.Window
+      val byTerm = Window.partitionBy(col("term"))
+      val impact = byTerm.orderBy(col("tf").desc, col("doc_id"))
+      Tables.documents(s, d)
         .select(col("doc_id"), explode(Portable.words(col("text"))).as("term"))
         .groupBy(col("term"), col("doc_id"))
         .agg(count(lit(1)).as("tf"))
-      tf.groupBy(col("term"))
-        .agg(count(lit(1)).as("df"),
-          sum(col("tf")).as("total_tf"),
-          transform(
-            slice(sort_array(collect_list(struct((-col("tf")).as("ntf"),
-              col("doc_id").as("doc_id")))), 1, PostingLen),
+        .withColumn("df", count(lit(1)).over(byTerm))
+        .withColumn("total_tf", sum(col("tf")).over(byTerm))
+        .withColumn("rn", row_number().over(impact))
+        .filter(col("rn") <= PostingLen)
+        .groupBy(col("term"))
+        .agg(first(col("df")).as("df"),
+          first(col("total_tf")).as("total_tf"),
+          transform(sort_array(collect_list(struct(col("rn"), col("doc_id")))),
             x => x.getField("doc_id")).as("postings"))
         .orderBy(col("term"))
     },
