@@ -239,6 +239,32 @@ object Messaging extends QueryPack {
           sum(when(col("ok"), 1L).otherwise(0L)).as("n_ok"),
           sum(length(col("blob"))).as("wire_bytes"))
         .orderBy(col("event_type"))
+    },
+
+    // Consumer-lag monitoring — the KCL/Kinesis "MillisBehindLatest"
+    // health metric (subscriber.go:66-73's checkpoint is the lag
+    // anchor): per shard, the tip sequence vs the checkpointed
+    // sequence (max seq before the checkpoint cut, as in m6) gives
+    // lag in messages, and the event-time distance tip−checkpoint
+    // gives lag in microseconds (exact integers — no float parity
+    // risk). A shard that never checkpointed measures from the
+    // stream start. One shard-keyed window shuffle shared with the
+    // sequencing itself; the rollup ships one row per shard.
+    "m16_consumer_lag" -> { (s, d) =>
+      val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+      Envelope.withShardSeq(Envelope.messages(s, d))
+        .groupBy(col("shard_id"))
+        .agg(max(col("seq")).as("last_seq"),
+          coalesce(max(when(col("ts") < cut, col("seq"))), lit(0L)).as("ckpt_seq"),
+          max(col("ts")).as("tip_ts"),
+          max(when(col("ts") < cut, col("ts"))).as("ckpt_ts"),
+          min(col("ts")).as("start_ts"))
+        .select(col("shard_id"),
+          col("last_seq"), col("ckpt_seq"),
+          (col("last_seq") - col("ckpt_seq")).as("lag_msgs"),
+          (expr("unix_micros(tip_ts)") -
+            expr("unix_micros(coalesce(ckpt_ts, start_ts))")).as("lag_us"))
+        .orderBy(col("shard_id"))
     }
   )
 
@@ -424,6 +450,28 @@ object Messaging extends QueryPack {
          |    + strlen('svc-' || (user_id % 4)::VARCHAR)) AS BIGINT) AS wire_bytes
          |FROM ($Ev) e
          |GROUP BY event_type
-         |ORDER BY event_type""".stripMargin
+         |ORDER BY event_type""".stripMargin,
+
+    "m16_consumer_lag" ->
+      s"""WITH seqd AS (
+         |  SELECT event_id, ts, ${shardSql("user_id::VARCHAR")} AS shard_id,
+         |    row_number() OVER (PARTITION BY ${shardSql("user_id::VARCHAR")}
+         |                       ORDER BY ts, event_id) AS seq
+         |  FROM ($Ev) e),
+         |agg AS (
+         |  SELECT shard_id,
+         |    max(seq) AS last_seq,
+         |    coalesce(max(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN seq END), 0) AS ckpt_seq,
+         |    max(ts) AS tip_ts,
+         |    max(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN ts END) AS ckpt_ts,
+         |    min(ts) AS start_ts
+         |  FROM seqd GROUP BY shard_id)
+         |SELECT shard_id,
+         |  CAST(last_seq AS BIGINT) AS last_seq,
+         |  CAST(ckpt_seq AS BIGINT) AS ckpt_seq,
+         |  CAST(last_seq - ckpt_seq AS BIGINT) AS lag_msgs,
+         |  CAST(epoch_us(tip_ts) - epoch_us(coalesce(ckpt_ts, start_ts)) AS BIGINT) AS lag_us
+         |FROM agg
+         |ORDER BY shard_id""".stripMargin
   )
 }

@@ -360,6 +360,42 @@ object TextOps extends QueryPack {
         .select(col("doc_id"), round(score, 6).as("bm25"))
         .orderBy(col("bm25").desc, col("doc_id"))
         .limit(Bm25TopK)
+    },
+
+    // LM-based quality scoring (the CCNet recipe, at the unigram
+    // end): train a Laplace-smoothed unigram model on the trusted
+    // corpus, then score every candidate doc by mean token
+    // log-probability. Planted out-of-vocabulary gibberish docs
+    // (ids ≥ 400000) hit the smoothing floor (ln(1/(N+V)) ≈ −10 vs
+    // ≈ −3.4 in-distribution) and must fall below the keep threshold
+    // every real doc clears. Scale shape: the LM is one
+    // vocab-bounded aggregate + a 1-row (N, V) stats aggregate, both
+    // BROADCAST; scoring is a map-side join over exploded tokens
+    // and a doc_id rollup — the corpus is scanned twice, shuffled
+    // never (token rows stay partition-local until the doc agg).
+    "t15_lm_quality" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val gibberish = docs.filter(col("doc_id") % 30 === 2)
+        .select((col("doc_id") + 400000L).as("doc_id"),
+          concat_ws(" ", transform(sequence(lit(0), lit(19)),
+            i => concat(lit("oov"),
+              pmod(col("doc_id") + lit(400000L) + i.cast("long"), lit(97L)).cast("string"))))
+            .as("text"))
+      val corpus = docs.select(col("doc_id"), col("text")).unionAll(gibberish)
+      val trainToks = docs.select(explode(Portable.words(col("text"))).as("tok"))
+      val lm = trainToks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      val stats = trainToks.agg(count(lit(1)).as("n"),
+        countDistinct(col("tok")).as("v"))
+      corpus.select(col("doc_id"), explode(Portable.words(col("text"))).as("tok"))
+        .join(broadcast(lm), Seq("tok"), "left")
+        .crossJoin(broadcast(stats))
+        .withColumn("lp",
+          log((coalesce(col("c"), lit(0L)) + lit(1L)).cast("double") /
+            (col("n") + col("v")).cast("double")))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"), round(avg(col("lp")), 6).as("avg_logp"))
+        .withColumn("keep", col("avg_logp") >= LmKeepFloor)
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -372,6 +408,9 @@ object TextOps extends QueryPack {
   private val Bm25K1 = 1.2
   private val Bm25B = 0.75
   private val Bm25TopK = 20
+  /** t15: mean-log-prob keep threshold (between the ≈ −3.4
+    * in-distribution plateau and the ≈ −10 OOV smoothing floor). */
+  private val LmKeepFloor = -6.0
 
   /** Tokens per packed training sequence (t8). */
   private val PackBudget = 512
@@ -645,6 +684,33 @@ object TextOps extends QueryPack {
          |FROM f CROSS JOIN s
          |ORDER BY bm25 DESC, doc_id
          |LIMIT $Bm25TopK""".stripMargin
-    }
+    },
+
+    "t15_lm_quality" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+         |    ELSE regexp_split_to_array(trim(text), '\\s+') END AS w
+         |  FROM documents),
+         |corpus AS (
+         |  SELECT doc_id, w FROM w
+         |  UNION ALL
+         |  SELECT doc_id + 400000 AS doc_id,
+         |    list_transform(generate_series(0, 19),
+         |      i -> 'oov' || ((doc_id + 400000 + i) % 97)::VARCHAR) AS w
+         |  FROM documents WHERE doc_id % 30 = 2),
+         |train_toks AS (SELECT unnest(w) AS tok FROM w),
+         |lm AS (SELECT tok, count(*) AS c FROM train_toks GROUP BY tok),
+         |st AS (SELECT count(*) AS n, count(DISTINCT tok) AS v FROM train_toks),
+         |toks AS (SELECT doc_id, unnest(w) AS tok FROM corpus),
+         |scored AS (
+         |  SELECT t.doc_id,
+         |    ln((coalesce(lm.c, 0) + 1)::DOUBLE / (st.n + st.v)) AS lp
+         |  FROM toks t LEFT JOIN lm ON t.tok = lm.tok CROSS JOIN st)
+         |SELECT doc_id, count(*) AS n_tokens,
+         |  round(avg(lp), 6) AS avg_logp,
+         |  (round(avg(lp), 6) >= $LmKeepFloor) AS keep
+         |FROM scored
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin
   )
 }
