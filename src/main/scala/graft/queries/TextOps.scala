@@ -307,7 +307,11 @@ object TextOps extends QueryPack {
     // collect — a `sort_array(collect_list(...))[1:k]` formulation
     // would buffer every posting of a hot term in one agg buffer
     // (OOM at 100 TB); here the sort-based window spills and the
-    // collect buffer never exceeds the cap.
+    // collect buffer never exceeds the cap. The posting list ships
+    // as a '|'-joined string: the correctness gate row-hashes cells
+    // through pandas, which can't hash an array cell (round-5 gate
+    // error) — a scalar projection keeps the column comparable on
+    // both engines without changing what's computed.
     "t13_inverted_index" -> { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       val byTerm = Window.partitionBy(col("term"))
@@ -323,8 +327,9 @@ object TextOps extends QueryPack {
         .groupBy(col("term"))
         .agg(first(col("df")).as("df"),
           first(col("total_tf")).as("total_tf"),
-          transform(sort_array(collect_list(struct(col("rn"), col("doc_id")))),
-            x => x.getField("doc_id")).as("postings"))
+          concat_ws("|", transform(
+            sort_array(collect_list(struct(col("rn"), col("doc_id")))),
+            x => x.getField("doc_id").cast("string"))).as("postings"))
         .orderBy(col("term"))
     },
 
@@ -652,7 +657,7 @@ object TextOps extends QueryPack {
          |  GROUP BY 1, 2)
          |SELECT term, CAST(count(*) AS BIGINT) AS df,
          |  CAST(sum(tf) AS BIGINT) AS total_tf,
-         |  (list(doc_id ORDER BY tf DESC, doc_id))[1:$PostingLen] AS postings
+         |  array_to_string((list(doc_id ORDER BY tf DESC, doc_id))[1:$PostingLen], '|') AS postings
          |FROM tf
          |GROUP BY term
          |ORDER BY term""".stripMargin,
