@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run output bypasses sbt's logger: the driver parses
+// graft.Bench's one-line JSON out of the captured stdout tail, and
+// the default LoggedOutput strategy prefixes every line with
+// "[info] ", leaving no bare-JSON line to parse (every prior round's
+// BENCH_r*.json recorded parsed=null with the complete line visible
+// in the tail). StdoutOutput inherits this process's stdio instead.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -31,7 +31,10 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: benchmark-shaped single-partition windows
+    // (intentional at this SF) would otherwise flood the driver's
+    // 2000-char output capture with WindowExec warnings.
+    spark.sparkContext.setLogLevel("ERROR")
     Tables.names.foreach { n =>
       try {
         val df = if (n == "events") Tables.events(spark, sfDir) else Tables.load(spark, sfDir, n)
@@ -63,14 +66,18 @@ object Bench {
       name -> times(Runs / 2)
     }
     // The driver captures only the LAST 2000 chars of this run's
-    // output, and the JSON line must fit inside it together with
-    // sbt's "[info] " prefix and trailing "[success]" line (~85
-    // chars) — round 4's full-precision line overflowed and the
-    // driver recorded parsed=null. Budget ≈ 1915 chars. Savings:
-    // centisecond per-query values (median of 3 runs — ample for
-    // sub-2 s queries) with trailing zeros trimmed, the 1-min
-    // loadavg as the single noise-context field, and the sf dir's
-    // basename. Every added operator costs ~21 chars.
+    // output and parses the JSON line out of that tail. Every prior
+    // round recorded parsed=null — including rounds whose complete
+    // line sat inside the tail — so the breakers are the properties
+    // every round shared, not any one schema reshape: (a) sbt's
+    // logger prefixed the line as "[info] {...}", so no LINE in the
+    // tail is bare JSON (fixed in build.sbt: forked run output now
+    // bypasses the sbt logger and prints raw); (b) "sf" was a string
+    // path where the contract sketch and the driver's own files use
+    // a number (now numeric). The line itself stays exactly the
+    // documented contract shape — metric/value/unit/queries/sf, no
+    // extra fields; run diagnostics (loadavg, line length) go to
+    // stderr where they can't contaminate the parse.
     def trim0(s: String): String = {
       var e = s.length
       while (e > 1 && s.charAt(e - 1) == '0') e -= 1
@@ -80,41 +87,38 @@ object Bench {
     def fmt(v: Double, decimals: Int): String =
       trim0(s"%.${decimals}f".formatLocal(java.util.Locale.ROOT, v))
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val load = fmt(loadavg().headOption.getOrElse(-1.0), 2)
     val sfName = new java.io.File(sfDir).getName
-    def build(decimals: Int, withLoad: Boolean,
-              key: String => String = identity): String = {
+    // "sf0.1" → 0.1 (numeric, matching the driver's own "sf" field).
+    val sfNum = trim0(sfName.dropWhile(c => !c.isDigit && c != '.') match {
+      case "" => "0"; case s => s
+    })
+    def build(decimals: Int, key: String => String = identity): String = {
       val qs = results.map { case (k, v) => s"\"" + key(k) + "\":" + fmt(v, decimals) }
         .mkString("{", ",", "}")
-      val loadField = if (withLoad) s""","load":$load""" else ""
-      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec"$loadField,"queries":$qs,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs,"sf":$sfNum}"""
     }
-    // Tiered fit: full names + centiseconds + loadavg while the line
-    // fits; otherwise keys shrink to the operator's unique family
-    // prefix ("q21_percentiles" → "q21" — SURVEY.md §2 names carry
-    // the prefix, so a reader maps them back unambiguously), which
-    // frees ~0.8 KB at 87 operators. Coarser tiers only if even that
-    // overruns — a degraded-but-parseable line beats r04's
-    // parsed=null, when the full-precision line overflowed the
-    // driver's 2000-char output capture and the round's bench was
-    // lost.
+    // Tiered fit: full names + centiseconds while the line fits;
+    // otherwise keys shrink to the operator's unique family prefix
+    // ("q21_percentiles" → "q21" — SURVEY.md §2 names carry the
+    // prefix, so a reader maps them back unambiguously). A
+    // degraded-but-parseable line beats overflowing the driver's
+    // 2000-char capture (which must also hold sbt's trailing
+    // "[success]" line, ~85 chars).
     val Fit = 1860
     val prefix = (k: String) => k.takeWhile(_ != '_')
     val prefixed =
       if (results.map(r => prefix(r._1)).distinct.size == results.size) prefix
       else identity[String] _ // collision ⇒ keep full names
-    val tiers = Seq(
-      build(2, true),
-      build(2, true, prefixed),
-      build(1, true, prefixed),
-      build(1, false, prefixed))
+    val tiers = Seq(build(2), build(2, prefixed), build(1, prefixed))
     val line = tiers.find(_.length <= Fit).getOrElse(tiers.last)
+    System.err.println(
+      s"bench diagnostics: line=${line.length} chars, loadavg=${loadavg().mkString(",")}, runs=$Runs, stat=median")
     if (line.length > 1915)
       System.err.println(s"ERROR bench line ${line.length} chars EXCEEDS the ~1915-char capture budget — the driver will record parsed=null")
-    else if (line.length > Fit)
-      System.err.println(s"WARN bench line ${line.length} chars nears the ~1915-char budget")
-    println(line)
     spark.stop()
+    // Printed AFTER spark.stop() so no Spark shutdown log line can
+    // land between the JSON and the end of the captured tail.
+    println(line)
   }
 
   /** 1/5/15-minute load averages (the noise context for this run). */
