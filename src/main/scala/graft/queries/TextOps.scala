@@ -401,6 +401,70 @@ object TextOps extends QueryPack {
         .agg(count(lit(1)).as("n_tokens"), round(avg(col("lp")), 6).as("avg_logp"))
         .withColumn("keep", col("avg_logp") >= LmKeepFloor)
         .orderBy(col("doc_id"))
+    },
+
+    // Composite rule-based quality filter (the C4/Gopher recipe):
+    // word-count bounds, mean-word-length band, alphabetic-word
+    // fraction, and stopword presence, each surfaced as its own flag
+    // so a pipeline can audit WHICH rule rejected a doc — a single
+    // opaque keep boolean can't drive threshold tuning. All features
+    // come from one map-side pass over the words array (no shuffle
+    // until the final sort); planted violators (symbol spam fails
+    // wordlen+alpha+stop, a 2-word stub fails nwords+stop) make every
+    // rule's reject path observable rather than vacuously true.
+    "t16_gopher_rules" -> { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val spam = docs.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 300000L).as("doc_id"),
+          concat_ws(" ", array_repeat(lit("@#$%^&*()_+"), 25)).as("text"))
+      val tiny = docs.filter(col("doc_id") % 40 === 0)
+        .select((col("doc_id") + 310000L).as("doc_id"), lit("too short").as("text"))
+      docs.unionAll(spam).unionAll(tiny)
+        .withColumn("w", Portable.words(col("text")))
+        .withColumn("n_words", size(col("w")).cast("long"))
+        .withColumn("mean_wlen", when(col("n_words") === 0, 0.0)
+          .otherwise(length(concat_ws("", col("w"))).cast("double") / col("n_words")))
+        .withColumn("alpha_frac", when(col("n_words") === 0, 0.0)
+          .otherwise(size(filter(col("w"), x => x.rlike("[A-Za-z]"))).cast("double") / col("n_words")))
+        .withColumn("stop_hits",
+          size(filter(col("w"), x => x.isInCollection(AllStopwords))).cast("long"))
+        .withColumn("rule_nwords", col("n_words").between(RuleMinWords, RuleMaxWords))
+        .withColumn("rule_wordlen", col("mean_wlen").between(RuleMinWlen, RuleMaxWlen))
+        .withColumn("rule_alpha", col("alpha_frac") >= RuleMinAlpha)
+        .withColumn("rule_stop", col("stop_hits") >= 1L)
+        .select(col("doc_id"), col("n_words"),
+          round(col("mean_wlen"), 6).as("mean_wlen"),
+          round(col("alpha_frac"), 6).as("alpha_frac"),
+          col("rule_nwords"), col("rule_wordlen"), col("rule_alpha"), col("rule_stop"),
+          (col("rule_nwords") && col("rule_wordlen") &&
+            col("rule_alpha") && col("rule_stop")).as("keep"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Source-mixture rebalancing (the domain-weights step of corpus
+    // assembly): per-language token counts → actual share vs a target
+    // mixture → downsampling weight min(1, target/share) and the
+    // effective token budget it yields. One groupBy on a 5-value key
+    // plus a broadcast 1-row total — at 100 TB the scan dominates and
+    // the mixture math is free. Deterministic: weights derive from
+    // exact integer token counts, no sampling here (t9 is the
+    // reproducible hash-bucket sampler that EXECUTES such weights).
+    "t17_mix_weights" -> { (s, d) =>
+      val perLang = Tables.documents(s, d)
+        .select(col("lang"),
+          size(Portable.words(col("text"))).cast("long").as("toks"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("tokens"))
+      val total = perLang.agg(sum(col("tokens")).as("total_toks"))
+      perLang.crossJoin(broadcast(total))
+        .withColumn("share", col("tokens").cast("double") / col("total_toks"))
+        .withColumn("target", element_at(typedLit(TargetMix.toMap), col("lang")))
+        .withColumn("weight", least(lit(1.0), col("target") / col("share")))
+        .withColumn("eff_tokens", floor(col("tokens") * col("weight")).cast("long"))
+        .select(col("lang"), col("n_docs"), col("tokens"),
+          round(col("share"), 6).as("share"), col("target"),
+          round(col("weight"), 6).as("weight"), col("eff_tokens"))
+        .orderBy(col("lang"))
     }
   )
 
@@ -416,6 +480,20 @@ object TextOps extends QueryPack {
   /** t15: mean-log-prob keep threshold (between the ≈ −3.4
     * in-distribution plateau and the ≈ −10 OOV smoothing floor). */
   private val LmKeepFloor = -6.0
+
+  /** t16: rule thresholds (corpus docs span 10–99 words, mean word
+    * length 3.7–5.3, fully alphabetic — real docs pass; the planted
+    * violators fail specific rules). */
+  private val RuleMinWords = 10L
+  private val RuleMaxWords = 5000L
+  private val RuleMinWlen = 3.0
+  private val RuleMaxWlen = 10.0
+  private val RuleMinAlpha = 0.7
+  private val AllStopwords: Seq[String] = Stopwords.flatMap(_._2)
+
+  /** t17: target language mixture (must sum to 1). */
+  private val TargetMix: Seq[(String, Double)] =
+    Seq("en" -> 0.3, "de" -> 0.2, "es" -> 0.2, "fr" -> 0.2, "zh" -> 0.1)
 
   /** Tokens per packed training sequence (t8). */
   private val PackBudget = 512
@@ -716,6 +794,64 @@ object TextOps extends QueryPack {
          |  (round(avg(lp), 6) >= $LmKeepFloor) AS keep
          |FROM scored
          |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin,
+
+    "t16_gopher_rules" -> {
+      val stopLits = AllStopwords.map(s => s"'$s'").mkString(", ")
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 300000 AS doc_id,
+         |    trim(repeat('@#$$%^&*()_+ ', 25)) AS text
+         |  FROM documents WHERE doc_id % 25 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 310000 AS doc_id, 'too short' AS text
+         |  FROM documents WHERE doc_id % 40 = 0),
+         |w AS (
+         |  SELECT doc_id, CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+         |    ELSE regexp_split_to_array(trim(text), '\\s+') END AS w
+         |  FROM corpus),
+         |f AS (
+         |  SELECT doc_id, len(w)::BIGINT AS n_words,
+         |    CASE WHEN len(w) = 0 THEN 0.0
+         |      ELSE len(array_to_string(w, ''))::DOUBLE / len(w) END AS mean_wlen,
+         |    CASE WHEN len(w) = 0 THEN 0.0
+         |      ELSE len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE / len(w) END AS alpha_frac,
+         |    len(list_filter(w, x -> list_contains([$stopLits], x)))::BIGINT AS stop_hits
+         |  FROM w)
+         |SELECT doc_id, n_words,
+         |  round(mean_wlen, 6) AS mean_wlen,
+         |  round(alpha_frac, 6) AS alpha_frac,
+         |  n_words BETWEEN $RuleMinWords AND $RuleMaxWords AS rule_nwords,
+         |  mean_wlen BETWEEN $RuleMinWlen AND $RuleMaxWlen AS rule_wordlen,
+         |  alpha_frac >= $RuleMinAlpha AS rule_alpha,
+         |  stop_hits >= 1 AS rule_stop,
+         |  (n_words BETWEEN $RuleMinWords AND $RuleMaxWords)
+         |    AND (mean_wlen BETWEEN $RuleMinWlen AND $RuleMaxWlen)
+         |    AND alpha_frac >= $RuleMinAlpha AND stop_hits >= 1 AS keep
+         |FROM f
          |ORDER BY doc_id""".stripMargin
+    },
+
+    "t17_mix_weights" -> {
+      val targetSql = TargetMix.map { case (l, t) => s"WHEN '$l' THEN $t" }
+        .mkString("CASE lang ", " ", " END")
+      s"""WITH t AS (
+         |  SELECT lang, count(*)::BIGINT AS n_docs,
+         |    CAST(sum(CASE WHEN trim(text) = '' THEN 0
+         |      ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS BIGINT) AS tokens
+         |  FROM documents GROUP BY lang),
+         |s AS (
+         |  SELECT lang, n_docs, tokens,
+         |    tokens::DOUBLE / sum(tokens) OVER () AS share,
+         |    $targetSql AS target
+         |  FROM t)
+         |SELECT lang, n_docs, tokens,
+         |  round(share, 6) AS share, target,
+         |  round(least(1.0, target / share), 6) AS weight,
+         |  CAST(floor(tokens * least(1.0, target / share)) AS BIGINT) AS eff_tokens
+         |FROM s
+         |ORDER BY lang""".stripMargin
+    }
   )
 }
