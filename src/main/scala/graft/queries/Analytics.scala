@@ -528,6 +528,38 @@ object Analytics extends QueryPack {
           sum(when(col("value") < col("p05") || col("value") > col("p95"), 1L)
             .otherwise(0L)).as("n_clipped"))
         .orderBy(col("event_type"))
+    },
+
+    // MERGE/upsert (the CDC-apply step of any maintained table): a
+    // deterministic change batch — update every 50th order, delete
+    // every 97th (delete wins the overlap), insert re-keyed copies of
+    // every 500th — applied to the base in ONE full-outer join on the
+    // key. No driver loop, no per-row lookups: both sides shuffle
+    // once on the join key and AQE absorbs the base≫changes size
+    // asymmetry. Output is the per-action audit a MERGE emits.
+    "q37_merge_upsert" -> { (s, d) =>
+      val base = Tables.load(s, d, "orders")
+        .select(col("o_orderkey").as("key"), col("o_totalprice").as("price"))
+      val updates = base.filter(col("key") % 50 === 0 && col("key") % 97 =!= 0)
+        .select(col("key"), (col("price") + 1000.0).as("new_price"), lit("U").as("op"))
+      val deletes = base.filter(col("key") % 97 === 0)
+        .select(col("key"), lit(null).cast("double").as("new_price"), lit("D").as("op"))
+      val inserts = base.filter(col("key") % 500 === 0)
+        .select((col("key") + 10000000L).as("key"),
+          (col("price") * 0.5).as("new_price"), lit("I").as("op"))
+      base.join(updates.unionAll(deletes).unionAll(inserts), Seq("key"), "full_outer")
+        .withColumn("action",
+          when(col("op") === "D", "delete")
+            .when(col("op") === "U", "update")
+            .when(col("op") === "I", "insert")
+            .otherwise("unchanged"))
+        .withColumn("out_price",
+          when(col("action") === "delete", lit(null).cast("double"))
+            .when(col("action") === "unchanged", col("price"))
+            .otherwise(col("new_price")))
+        .groupBy(col("action"))
+        .agg(count(lit(1)).as("n"), round(sum(col("out_price")), 2).as("total_price"))
+        .orderBy(col("action"))
     }
   )
 
@@ -916,6 +948,29 @@ object Analytics extends QueryPack {
         |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |      FROM events) e
         |GROUP BY event_type
-        |ORDER BY event_type""".stripMargin
+        |ORDER BY event_type""".stripMargin,
+
+    "q37_merge_upsert" ->
+      """WITH base AS (SELECT o_orderkey AS key, o_totalprice AS price FROM orders),
+        |changes AS (
+        |  SELECT key, price + 1000.0 AS new_price, 'U' AS op
+        |  FROM base WHERE key % 50 = 0 AND key % 97 <> 0
+        |  UNION ALL
+        |  SELECT key, NULL::DOUBLE, 'D' FROM base WHERE key % 97 = 0
+        |  UNION ALL
+        |  SELECT key + 10000000, price * 0.5, 'I' FROM base WHERE key % 500 = 0),
+        |m AS (
+        |  SELECT coalesce(b.key, c.key) AS key, b.price, c.new_price, c.op,
+        |    CASE WHEN c.op = 'D' THEN 'delete'
+        |         WHEN c.op = 'U' THEN 'update'
+        |         WHEN c.op = 'I' THEN 'insert'
+        |         ELSE 'unchanged' END AS action
+        |  FROM base b FULL OUTER JOIN changes c ON b.key = c.key)
+        |SELECT action, count(*)::BIGINT AS n,
+        |  round(sum(CASE WHEN action = 'delete' THEN NULL
+        |    WHEN action = 'unchanged' THEN price
+        |    ELSE new_price END), 2) AS total_price
+        |FROM m GROUP BY action
+        |ORDER BY action""".stripMargin
   )
 }

@@ -265,6 +265,34 @@ object Messaging extends QueryPack {
           (expr("unix_micros(tip_ts)") -
             expr("unix_micros(coalesce(ckpt_ts, start_ts))")).as("lag_us"))
         .orderBy(col("shard_id"))
+    },
+
+    // Per-shard throughput accounting — the capacity-planning query a
+    // stream operator runs before resharding (Kinesis caps each shard
+    // at fixed records/sec, so the peak minute, not the average,
+    // decides when to split). Two-level aggregation: (shard, minute)
+    // counts partial-combine map-side, then one 8-row shard rollup —
+    // at 100 TB the minute-bucket cardinality (shards × minutes) is
+    // tiny next to the event count, so the second exchange is free.
+    "m17_throughput_stats" -> { (s, d) =>
+      val perMin = Envelope.messages(s, d)
+        .select(Envelope.shardId(col("partition_key")).as("shard_id"),
+          col("ts"), date_trunc("minute", col("ts")).as("minute"))
+        .groupBy(col("shard_id"), col("minute"))
+        .agg(count(lit(1)).as("n"), min(col("ts")).as("mn"), max(col("ts")).as("mx"))
+      perMin.groupBy(col("shard_id"))
+        .agg(sum(col("n")).as("n_events"),
+          max(col("n")).as("peak_minute"),
+          count(lit(1)).as("n_active_minutes"),
+          min(col("mn")).as("first_ts"), max(col("mx")).as("last_ts"))
+        .withColumn("span_us",
+          expr("unix_micros(last_ts)") - expr("unix_micros(first_ts)"))
+        .select(col("shard_id"), col("n_events"), col("peak_minute"),
+          col("n_active_minutes"), col("span_us"),
+          round(when(col("span_us") === 0L, lit(null))
+            .otherwise(col("n_events").cast("double") /
+              (col("span_us").cast("double") / lit(1000000.0))), 6).as("rate_per_sec"))
+        .orderBy(col("shard_id"))
     }
   )
 
@@ -472,6 +500,26 @@ object Messaging extends QueryPack {
          |  CAST(last_seq - ckpt_seq AS BIGINT) AS lag_msgs,
          |  CAST(epoch_us(tip_ts) - epoch_us(coalesce(ckpt_ts, start_ts)) AS BIGINT) AS lag_us
          |FROM agg
+         |ORDER BY shard_id""".stripMargin,
+
+    "m17_throughput_stats" ->
+      s"""WITH m AS (
+         |  SELECT ${shardSql("user_id::VARCHAR")} AS shard_id, ts,
+         |    date_trunc('minute', ts) AS minute
+         |  FROM ($Ev) e),
+         |pm AS (
+         |  SELECT shard_id, minute, count(*) AS n,
+         |    min(ts) AS mn, max(ts) AS mx
+         |  FROM m GROUP BY 1, 2)
+         |SELECT shard_id,
+         |  CAST(sum(n) AS BIGINT) AS n_events,
+         |  CAST(max(n) AS BIGINT) AS peak_minute,
+         |  CAST(count(*) AS BIGINT) AS n_active_minutes,
+         |  CAST(max(epoch_us(mx)) - min(epoch_us(mn)) AS BIGINT) AS span_us,
+         |  round(CASE WHEN max(epoch_us(mx)) = min(epoch_us(mn)) THEN NULL
+         |    ELSE sum(n)::DOUBLE /
+         |      ((max(epoch_us(mx)) - min(epoch_us(mn)))::DOUBLE / 1000000.0) END, 6) AS rate_per_sec
+         |FROM pm GROUP BY shard_id
          |ORDER BY shard_id""".stripMargin
   )
 }
