@@ -275,8 +275,53 @@ object Dedup extends QueryPack {
           count(lit(1)).as("n_occurrences"))
         .filter(col("n_docs") > 1)
         .orderBy(col("fp"))
+    },
+
+    // Semantic dedup (the SemDeDup recipe): cluster the corpus into
+    // IVF cells via broadcast centroids, then look for near-dup pairs
+    // ONLY within a cell — the cell structure bounds the pair space
+    // the way d6's sign buckets do, but follows the data's own
+    // density instead of fixed hyperplanes. Planted perturbed copies
+    // (dim-0 nudged by +0.05, cosine ≈ 0.9999) land in their
+    // original's cell and must surface; the all-pairs scan never
+    // materializes (per-cell self-join, cells ≈ corpus/centroids).
+    "d12_semantic_dedup" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val base = graft.Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val pert = base.filter(col("vec_id") % 20 === 0)
+        .select((col("vec_id") + 200000L).as("vec_id"),
+          concat(array(element_at(col("emb"), 1) + lit(0.05)),
+            slice(col("emb"), 2, 63)).as("emb"))
+      val corpus = base.unionAll(pert)
+        .withColumn("nrm", graft.functions.Vec.norm(col("emb")))
+      val cents = base.filter(col("vec_id") % SemCentStride === 0)
+        .select(col("vec_id").as("cent_id"), col("emb").as("c_emb"))
+        .withColumn("c_nrm", graft.functions.Vec.norm(col("c_emb")))
+      val cos = graft.functions.Vec.dot(col("emb"), col("c_emb")) /
+        (col("nrm") * col("c_nrm"))
+      val byVec = Window.partitionBy(col("vec_id")).orderBy(cos.desc, col("cent_id"))
+      val assigned = corpus.crossJoin(broadcast(cents))
+        .withColumn("crank", row_number().over(byVec))
+        .filter(col("crank") === 1)
+        .select(col("vec_id"), col("emb"), col("nrm"), col("cent_id").as("cell"))
+      val l = assigned.select(col("cell"), col("vec_id").as("keep_id"),
+        col("emb").as("a_emb"), col("nrm").as("a_nrm"))
+      val r = assigned.select(col("cell"), col("vec_id").as("dup_id"),
+        col("emb").as("b_emb"), col("nrm").as("b_nrm"))
+      l.join(r, Seq("cell")).filter(col("keep_id") < col("dup_id"))
+        .withColumn("cosine", graft.functions.Vec.dot(col("a_emb"), col("b_emb")) /
+          (col("a_nrm") * col("b_nrm")))
+        .filter(col("cosine") >= SemDupCos)
+        .select(col("cell"), col("keep_id"), col("dup_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("keep_id"), col("dup_id"))
     }
   )
+
+  /** d12: centroid seed stride + within-cell near-dup threshold. */
+  private val SemCentStride = 50
+  private val SemDupCos = 0.98
 
   /** The shared passage d11 plants across documents. */
   private val Boilerplate =
@@ -600,6 +645,37 @@ object Dedup extends QueryPack {
         |  ON l.bucket = r.bucket AND l.vec_id < r.vec_id
         |WHERE list_dot_product(l.emb, r.emb) /
         |    (sqrt(list_dot_product(l.emb, l.emb)) * sqrt(list_dot_product(r.emb, r.emb))) >= 0.95
-        |ORDER BY vec_a, vec_b""".stripMargin
+        |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "d12_semantic_dedup" ->
+      s"""WITH base AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 200000 AS vec_id,
+         |    list_concat([embedding[1]::DOUBLE + 0.05],
+         |      (embedding::DOUBLE[])[2:64]) AS emb
+         |  FROM embeddings WHERE vec_id % 20 = 0),
+         |c AS (
+         |  SELECT vec_id AS cent_id, embedding::DOUBLE[] AS c_emb
+         |  FROM embeddings WHERE vec_id % $SemCentStride = 0),
+         |assigned AS (
+         |  SELECT vec_id, emb, cell FROM (
+         |    SELECT base.vec_id, base.emb, c.cent_id AS cell,
+         |      row_number() OVER (PARTITION BY base.vec_id ORDER BY
+         |        list_dot_product(base.emb, c.c_emb) /
+         |          (sqrt(list_dot_product(base.emb, base.emb)) *
+         |           sqrt(list_dot_product(c.c_emb, c.c_emb))) DESC,
+         |        c.cent_id) AS crank
+         |    FROM base, c) t WHERE crank = 1)
+         |SELECT l.cell, l.vec_id AS keep_id, r.vec_id AS dup_id,
+         |  round(list_dot_product(l.emb, r.emb) /
+         |    (sqrt(list_dot_product(l.emb, l.emb)) *
+         |     sqrt(list_dot_product(r.emb, r.emb))), 6) AS cosine
+         |FROM assigned l JOIN assigned r
+         |  ON l.cell = r.cell AND l.vec_id < r.vec_id
+         |WHERE list_dot_product(l.emb, r.emb) /
+         |    (sqrt(list_dot_product(l.emb, l.emb)) *
+         |     sqrt(list_dot_product(r.emb, r.emb))) >= $SemDupCos
+         |ORDER BY keep_id, dup_id""".stripMargin
   )
 }

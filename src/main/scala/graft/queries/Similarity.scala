@@ -380,7 +380,37 @@ object Similarity extends QueryPack {
       .orderBy(col("dim"))
   }
 
+  /** Index-health audit: IVF cell occupancy and balance. A skewed
+    * cell map is how an IVF index rots — one hot cell turns every
+    * probe touching it back into a near-linear scan — so this is the
+    * acceptance query between index build and serve (alongside a8's
+    * recall gate). The assignment is the same broadcast-centroid
+    * rank-1 pass a3 searches with; the rollup is cells-sized (≪
+    * corpus) so the audit costs one scan at any corpus size. */
+  def cellStats(s: SparkSession, d: String, geo: AnnGeometry = Geo): DataFrame = {
+    val v = vecs(s, d)
+    val cents = v.filter(col("vec_id") % geo.centroidStride === 0)
+      .select(col("vec_id").as("cent_id"), col("emb").as("c_emb"), col("nrm").as("c_nrm"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_cos").desc, col("cent_id"))
+    val assigned = v.join(broadcast(cents))
+      .withColumn("c_cos", cosPre(col("emb"), col("nrm"), col("c_emb"), col("c_nrm")))
+      .withColumn("crank", row_number().over(wAssign))
+      .filter(col("crank") === 1)
+      .select(col("vec_id"), col("cent_id").as("cell"))
+    val perCell = assigned.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+    val totals = perCell.agg(sum(col("n")).as("total"),
+      count(lit(1)).as("n_cells"))
+    perCell.crossJoin(broadcast(totals))
+      .select(col("cell"), col("n"),
+        round(col("n").cast("double") / col("total"), 6).as("share"),
+        round(col("n").cast("double") /
+          (col("total").cast("double") / col("n_cells")), 6).as("skew"))
+      .orderBy(col("cell"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a10_cell_stats" -> ((s, d) => cellStats(s, d)),
     "a9_quantize_int8" -> ((s, d) => quantizeInt8(s, d)),
     "a7_range_search" -> ((s, d) => rangeSearch(s, d)),
     "a8_recall_eval" -> ((s, d) => recallEval(s, d)),
@@ -393,6 +423,26 @@ object Similarity extends QueryPack {
   )
 
   def oracle: Map[String, String] = Map(
+    "a10_cell_stats" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |c AS (SELECT vec_id AS cent_id, emb AS c_emb FROM v
+         |      WHERE vec_id % ${Geo.centroidStride} = 0),
+         |assigned AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT v.vec_id, c.cent_id AS cell,
+         |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |        list_dot_product(v.emb, c.c_emb) /
+         |          (sqrt(list_dot_product(v.emb, v.emb)) *
+         |           sqrt(list_dot_product(c.c_emb, c.c_emb))) DESC,
+         |        c.cent_id) AS crank
+         |    FROM v, c) t WHERE crank = 1),
+         |pc AS (SELECT cell, count(*)::BIGINT AS n FROM assigned GROUP BY cell)
+         |SELECT cell, n,
+         |  round(n::DOUBLE / sum(n) OVER (), 6) AS share,
+         |  round(n::DOUBLE / (sum(n) OVER ()::DOUBLE / count(*) OVER ()), 6) AS skew
+         |FROM pc
+         |ORDER BY cell""".stripMargin,
+
     "a9_quantize_int8" ->
       """WITH xs AS (
         |  SELECT vec_id, dim, embedding[(dim + 1)::INTEGER]::DOUBLE AS x
