@@ -142,6 +142,36 @@ object Multimodal extends QueryPack {
           sum(col("n_bytes") * col("n_copies")).as("bytes_total"),
           sum(col("n_bytes") * (col("n_copies") - 1L)).as("bytes_reclaimed"))
         .orderBy(col("modality"))
+    },
+
+    // Content-type sniffing from magic bytes — ingestion never trusts
+    // declared metadata; the type comes from the wire's leading bytes
+    // (the file(1)/libmagic step). Each object carries a 4-byte
+    // type tag (stub magic numbers standing in for FFD8/8950/…);
+    // every 50th object's header is corrupted on the wire and MUST
+    // route to 'unknown' (the quarantine bucket) instead of
+    // inheriting its metadata type. Map-side prefix compare + a
+    // 5-row rollup — one scan at any lake size.
+    "mm6_magic_sniff" -> { (s, d) =>
+      val tag = element_at(
+        array(lit("AUD0"), lit("IMG0"), lit("TXT0"), lit("VID0")),
+        (pmod(col("doc_id"), lit(4L)) + 1L).cast("int"))
+      Tables.documents(s, d)
+        .withColumn("wire",
+          concat(when(col("doc_id") % 50 === 7, lit("XXXX")).otherwise(tag),
+            col("text")))
+        .withColumn("magic", substring(col("wire"), 1, 4))
+        .withColumn("sniffed",
+          when(col("magic") === "AUD0", "audio")
+            .when(col("magic") === "IMG0", "image")
+            .when(col("magic") === "TXT0", "text")
+            .when(col("magic") === "VID0", "video")
+            .otherwise("unknown"))
+        .groupBy(col("sniffed"))
+        .agg(count(lit(1)).as("n_objects"),
+          sum(length(col("wire")) - 4).cast("long").as("payload_bytes"),
+          countDistinct(col("magic")).as("n_magics"))
+        .orderBy(col("sniffed"))
     }
   )
 
@@ -215,6 +245,27 @@ object Multimodal extends QueryPack {
         |  CAST(sum(n_bytes * (n_copies - 1)) AS BIGINT) AS bytes_reclaimed
         |FROM uniq
         |GROUP BY modality
-        |ORDER BY modality""".stripMargin
+        |ORDER BY modality""".stripMargin,
+
+    "mm6_magic_sniff" ->
+      """WITH wire AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 50 = 7 THEN 'XXXX'
+        |      ELSE ['AUD0', 'IMG0', 'TXT0', 'VID0'][(doc_id % 4 + 1)::INTEGER]
+        |      END) || text AS wire
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, wire, substring(wire, 1, 4) AS magic,
+        |    CASE substring(wire, 1, 4)
+        |      WHEN 'AUD0' THEN 'audio' WHEN 'IMG0' THEN 'image'
+        |      WHEN 'TXT0' THEN 'text' WHEN 'VID0' THEN 'video'
+        |      ELSE 'unknown' END AS sniffed
+        |  FROM wire)
+        |SELECT sniffed, count(*)::BIGINT AS n_objects,
+        |  CAST(sum(len(wire) - 4) AS BIGINT) AS payload_bytes,
+        |  CAST(count(DISTINCT magic) AS BIGINT) AS n_magics
+        |FROM s
+        |GROUP BY sniffed
+        |ORDER BY sniffed""".stripMargin
   )
 }
