@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Properties of the round-6 curation/ops operators that the DuckDB
+  * oracle equivalence can't express: planted-violator routing, plan
+  * shape (no cartesian pair scan in d12), and conservation laws.
+  */
+class CurationSpec extends SparkSuite {
+
+  test("t16 planted violators fail exactly their engineered rules") {
+    val rows = SparkEntry.queries("t16_gopher_rules")(spark, sf).collect()
+    val spam = rows.filter(r => r.getLong(0) >= 300000L && r.getLong(0) < 310000L)
+    val tiny = rows.filter(_.getLong(0) >= 310000L)
+    assert(spam.nonEmpty && tiny.nonEmpty)
+    // symbol spam: word count fine, everything content-shaped fails
+    spam.foreach { r =>
+      assert(r.getAs[Boolean]("rule_nwords"))
+      assert(!r.getAs[Boolean]("rule_wordlen"))
+      assert(!r.getAs[Boolean]("rule_alpha"))
+      assert(!r.getAs[Boolean]("keep"))
+    }
+    // 2-word stub: content rules fine, length fails
+    tiny.foreach { r =>
+      assert(!r.getAs[Boolean]("rule_nwords"))
+      assert(r.getAs[Boolean]("rule_wordlen"))
+      assert(r.getAs[Boolean]("rule_alpha"))
+      assert(!r.getAs[Boolean]("keep"))
+    }
+    // the filter keeps a real corpus majority — not vacuously strict
+    val real = rows.filter(_.getLong(0) < 300000L)
+    assert(real.count(_.getAs[Boolean]("keep")) > real.length / 2)
+  }
+
+  test("t17 weights only downsample and hit the target share for heavy langs") {
+    val rows = SparkEntry.queries("t17_mix_weights")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val w = r.getAs[Double]("weight")
+      assert(w > 0.0 && w <= 1.0, s"weight out of range: $r")
+      assert(r.getAs[Long]("eff_tokens") <= r.getAs[Long]("tokens"))
+    }
+    // a downweighted language's effective share ends at its target
+    val total = rows.map(_.getAs[Long]("tokens")).sum.toDouble
+    rows.filter(_.getAs[Double]("weight") < 1.0).foreach { r =>
+      val effShare = r.getAs[Long]("eff_tokens") / total
+      assert(math.abs(effShare - r.getAs[Double]("target")) < 0.01,
+        s"effective share misses target: $r")
+    }
+  }
+
+  test("d12 stays cell-bucketed (no nested-loop pair scan) and finds planted dups") {
+    val df = SparkEntry.queries("d12_semantic_dedup")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // The only nested-loop joins allowed are the two broadcast-centroid
+    // ASSIGNMENT passes (corpus × k centroids — the intended IVF
+    // shape, k ≪ corpus). The O(n²)-shaped PAIR join must be keyed on
+    // the cell, i.e. hash-partitioned, never nested-loop.
+    assert(plan.contains("hashpartitioning(cell"),
+      "pair generation must join on the cell key, not scan all pairs")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 2,
+      "a nested-loop join beyond the two centroid assignments means the pair scan went cartesian")
+    val pairs = df.collect()
+    assert(pairs.nonEmpty)
+    // every surfaced pair is a planted (original, perturbed-copy) pair
+    pairs.foreach { r =>
+      assert(r.getAs[Long]("dup_id") === r.getAs[Long]("keep_id") + 200000L, s"$r")
+      assert(r.getAs[Double]("cosine") >= 0.98)
+    }
+  }
+
+  test("a10 cell shares sum to 1 and skew means 1 across cells") {
+    val rows = SparkEntry.queries("a10_cell_stats")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val share = rows.map(_.getAs[Double]("share")).sum
+    assert(math.abs(share - 1.0) < 1e-4, s"shares sum to $share")
+    val skew = rows.map(_.getAs[Double]("skew")).sum / rows.length
+    assert(math.abs(skew - 1.0) < 1e-4, s"mean skew $skew")
+    assert(rows.map(_.getAs[Long]("n")).sum ===
+      Tables.embeddings(spark, sf).count())
+  }
+
+  test("m17 shard throughput conserves the event count") {
+    val rows = SparkEntry.queries("m17_throughput_stats")(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n_events")).sum ===
+      Tables.events(spark, sf).count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("peak_minute") <= r.getAs[Long]("n_events"))
+      assert(r.getAs[Long]("span_us") >= 0L)
+    }
+  }
+
+  test("q37 merge audit conserves the base and only inserts add keys") {
+    val rows = SparkEntry.queries("q37_merge_upsert")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val base = Tables.load(spark, sf, "orders").count()
+    assert(rows("unchanged") + rows("update") + rows("delete") === base)
+    assert(rows("insert") > 0 && rows("delete") > 0 && rows("update") > 0)
+  }
+
+  test("mm6 corrupted headers quarantine as unknown, never a modality") {
+    val rows = SparkEntry.queries("mm6_magic_sniff")(spark, sf).collect()
+    val byType = rows.map(r => r.getString(0) -> r.getAs[Long]("n_objects")).toMap
+    val planted = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 50 === 7).count()
+    assert(byType.getOrElse("unknown", 0L) === planted)
+    assert(byType.values.sum === Tables.documents(spark, sf).count())
+  }
+}
