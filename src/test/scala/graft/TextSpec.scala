@@ -31,7 +31,9 @@ class TextSpec extends SparkSuite {
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val df = r.getLong(1)
-      val postings = r.getSeq[Long](3)
+      // postings ship as a '|'-joined scalar so the correctness gate
+      // can row-hash the column (see t13 in TextOps)
+      val postings = r.getString(3).split('|').filter(_.nonEmpty).map(_.toLong).toSeq
       assert(postings.size <= 20)
       assert(postings.size == math.min(df, 20L))
       assert(postings.distinct.size == postings.size, s"dup posting for ${r.getString(0)}")
