@@ -316,6 +316,48 @@ object Dedup extends QueryPack {
         .select(col("cell"), col("keep_id"), col("dup_id"),
           round(col("cosine"), 6).as("cosine"))
         .orderBy(col("keep_id"), col("dup_id"))
+    },
+
+    // Incremental ingest dedup — the daily-batch shape: a new delivery
+    // is checked against the EXISTING corpus (broadcast digest
+    // anti-semantics via left join) and against ITSELF (first arrival
+    // wins inside the batch), and every new doc gets an auditable
+    // disposition: ingested / dup_of_corpus / dup_in_batch. The
+    // corpus contributes only distinct 16-byte digests to the join —
+    // never text, never a rescan per batch doc; the within-batch
+    // dedup is one window over the digest. Synthesized delivery:
+    // re-uploads of every 7th corpus doc, fresh revisions, and an
+    // intra-batch double upload.
+    "d13_incremental_dedup" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val batch =
+        docs.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 500000L).as("doc_id"), col("text"))
+        .unionAll(docs.filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 520000L).as("doc_id"),
+            concat(col("text"), lit(" fresh revision "),
+              col("doc_id").cast("string")).as("text")))
+        .unionAll(docs.filter(col("doc_id") % 31 === 0)
+          .select((col("doc_id") + 600000L).as("doc_id"),
+            concat(col("text"), lit(" batch special")).as("text")))
+        .unionAll(docs.filter(col("doc_id") % 31 === 0)
+          .select((col("doc_id") + 610000L).as("doc_id"),
+            concat(col("text"), lit(" batch special")).as("text")))
+      val corpusDigests = docs
+        .select(Portable.md5hex(Portable.normText(col("text"))).as("h")).distinct()
+        .withColumn("in_corpus", lit(true))
+      val wFirst = Window.partitionBy(col("h")).orderBy(col("doc_id"))
+      batch
+        .select(col("doc_id"), Portable.md5hex(Portable.normText(col("text"))).as("h"))
+        .withColumn("rn", row_number().over(wFirst))
+        .join(broadcast(corpusDigests), Seq("h"), "left")
+        .withColumn("status",
+          when(col("in_corpus"), "dup_of_corpus")
+            .when(col("rn") > 1, "dup_in_batch")
+            .otherwise("ingested"))
+        .select(col("doc_id"), col("status"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -676,6 +718,35 @@ object Dedup extends QueryPack {
          |WHERE list_dot_product(l.emb, r.emb) /
          |    (sqrt(list_dot_product(l.emb, l.emb)) *
          |     sqrt(list_dot_product(r.emb, r.emb))) >= $SemDupCos
-         |ORDER BY keep_id, dup_id""".stripMargin
+         |ORDER BY keep_id, dup_id""".stripMargin,
+
+    "d13_incremental_dedup" ->
+      """WITH batch AS (
+        |  SELECT doc_id + 500000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 520000 AS doc_id,
+        |    text || ' fresh revision ' || doc_id::VARCHAR AS text
+        |  FROM documents WHERE doc_id % 13 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 600000 AS doc_id, text || ' batch special' AS text
+        |  FROM documents WHERE doc_id % 31 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 610000 AS doc_id, text || ' batch special' AS text
+        |  FROM documents WHERE doc_id % 31 = 0),
+        |corpus_h AS (
+        |  SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS h
+        |  FROM documents),
+        |hashed AS (
+        |  SELECT doc_id,
+        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS h,
+        |    row_number() OVER (PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+        |                       ORDER BY doc_id) AS rn
+        |  FROM batch)
+        |SELECT b.doc_id,
+        |  CASE WHEN c.h IS NOT NULL THEN 'dup_of_corpus'
+        |       WHEN b.rn > 1 THEN 'dup_in_batch'
+        |       ELSE 'ingested' END AS status
+        |FROM hashed b LEFT JOIN corpus_h c ON b.h = c.h
+        |ORDER BY b.doc_id""".stripMargin
   )
 }

@@ -293,6 +293,28 @@ object Messaging extends QueryPack {
             .otherwise(col("n_events").cast("double") /
               (col("span_us").cast("double") / lit(1000000.0))), 6).as("rate_per_sec"))
         .orderBy(col("shard_id"))
+    },
+
+    // Replay/backfill window — a consumer reprocessing history between
+    // two checkpoint cuts (the KCL TRIM_HORIZON→AT_TIMESTAMP restart):
+    // per shard, the contiguous seq range inside the cut interval plus
+    // an order-insensitive digest of the replayed ids (what an
+    // operator compares across the original and the replay run to
+    // prove equivalence). Because per-shard seqs follow arrival order,
+    // to_seq − from_seq + 1 must equal n_replayed — gaplessness is
+    // part of the contract (spec-asserted).
+    "m18_replay_window" -> { (s, d) =>
+      val t1 = lit("2024-01-10 00:00:00").cast("timestamp")
+      val t2 = lit("2024-01-20 00:00:00").cast("timestamp")
+      Envelope.withShardSeq(Envelope.messages(s, d))
+        .filter(col("ts") >= t1 && col("ts") < t2)
+        .groupBy(col("shard_id"))
+        .agg(count(lit(1)).as("n_replayed"),
+          min(col("seq")).as("from_seq"), max(col("seq")).as("to_seq"),
+          md5(concat_ws("|",
+            transform(sort_array(collect_list(col("event_id"))),
+              x => x.cast("string"))).cast("binary")).as("replay_digest"))
+        .orderBy(col("shard_id"))
     }
   )
 
@@ -520,6 +542,22 @@ object Messaging extends QueryPack {
          |    ELSE sum(n)::DOUBLE /
          |      ((max(epoch_us(mx)) - min(epoch_us(mn)))::DOUBLE / 1000000.0) END, 6) AS rate_per_sec
          |FROM pm GROUP BY shard_id
+         |ORDER BY shard_id""".stripMargin,
+
+    "m18_replay_window" ->
+      s"""WITH seqd AS (
+         |  SELECT event_id, ts, ${shardSql("user_id::VARCHAR")} AS shard_id,
+         |    row_number() OVER (PARTITION BY ${shardSql("user_id::VARCHAR")}
+         |                       ORDER BY ts, event_id) AS seq
+         |  FROM ($Ev) e)
+         |SELECT shard_id, count(*)::BIGINT AS n_replayed,
+         |  CAST(min(seq) AS BIGINT) AS from_seq,
+         |  CAST(max(seq) AS BIGINT) AS to_seq,
+         |  md5(string_agg(event_id::VARCHAR, '|' ORDER BY event_id)) AS replay_digest
+         |FROM seqd
+         |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+         |  AND ts < TIMESTAMP '2024-01-20 00:00:00'
+         |GROUP BY shard_id
          |ORDER BY shard_id""".stripMargin
   )
 }

@@ -380,6 +380,51 @@ object Similarity extends QueryPack {
       .orderBy(col("dim"))
   }
 
+  /** Recall of kNN served from int8-reconstructed codes against the
+    * exact float baseline — the end-to-end acceptance gate for a9's
+    * quantization (a9 reports per-dim MSE; this answers the question
+    * an index operator actually asks: does top-k survive the codes).
+    * Asymmetric distance: float probes against the reconstructed
+    * corpus (the ADC serving shape). The dims-sized (lo, scale)
+    * table broadcasts back onto the exploded corpus; reassembly
+    * groups on vec_id, so the shuffle carries (vec_id, dim, code)
+    * triples — at deploy the stats come from a sample and the
+    * reconstruct is a map-side array expression. */
+  def quantizedRecall(s: SparkSession, d: String, k: Int = K): DataFrame = {
+    val xs = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
+    val stats = xs.groupBy(col("dim"))
+      .agg(min(col("x")).as("lo"),
+        ((max(col("x")) - min(col("x"))) / 255.0).as("scale"))
+    val recon = xs.join(broadcast(stats), "dim")
+      .withColumn("rx",
+        when(col("scale") === 0.0, col("lo")).otherwise(
+          col("lo") + least(greatest(round((col("x") - col("lo")) / col("scale")),
+            lit(0.0)), lit(255.0)) * col("scale")))
+      .groupBy(col("vec_id"))
+      .agg(transform(sort_array(collect_list(struct(col("dim"), col("rx")))),
+        x => x.getField("rx")).as("emb"))
+      .withColumn("nrm", graft.functions.Vec.norm(col("emb")))
+    val probes = vecs(s, d).filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"), col("nrm").as("p_nrm"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    val approx = recon.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .withColumn("cosine", cosPre(col("p_emb"), col("p_nrm"), col("emb"), col("nrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id").as("a_probe"), col("vec_id").as("a_vec"))
+    val exact = bruteKnn(s, d, k).select(col("probe_id"), col("vec_id"))
+    exact.join(approx,
+        col("probe_id") === col("a_probe") && col("vec_id") === col("a_vec"), "left")
+      .groupBy(col("probe_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(when(col("a_vec").isNotNull, 1L).otherwise(0L)).as("n_hit"))
+      .withColumn("recall", col("n_hit").cast("double") / col("n_exact"))
+      .orderBy(col("probe_id"))
+  }
+
   /** Index-health audit: IVF cell occupancy and balance. A skewed
     * cell map is how an IVF index rots — one hot cell turns every
     * probe touching it back into a near-linear scan — so this is the
@@ -410,6 +455,7 @@ object Similarity extends QueryPack {
   }
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a11_quantized_recall" -> ((s, d) => quantizedRecall(s, d)),
     "a10_cell_stats" -> ((s, d) => cellStats(s, d)),
     "a9_quantize_int8" -> ((s, d) => quantizeInt8(s, d)),
     "a7_range_search" -> ((s, d) => rangeSearch(s, d)),
@@ -423,6 +469,50 @@ object Similarity extends QueryPack {
   )
 
   def oracle: Map[String, String] = Map(
+    "a11_quantized_recall" ->
+      s"""WITH xs AS (
+         |  SELECT vec_id, dim, embedding[(dim + 1)::INTEGER]::DOUBLE AS x
+         |  FROM embeddings, unnest(generate_series(0, len(embedding) - 1)) AS t(dim)),
+         |st AS (
+         |  SELECT dim, min(x) AS lo, (max(x) - min(x)) / 255.0 AS scale
+         |  FROM xs GROUP BY dim),
+         |recon AS (
+         |  SELECT vec_id,
+         |    list(CASE WHEN scale = 0 THEN lo
+         |      ELSE lo + least(greatest(round((x - lo) / scale), 0.0), 255.0) * scale END
+         |      ORDER BY xs.dim) AS emb
+         |  FROM xs JOIN st ON xs.dim = st.dim
+         |  GROUP BY vec_id),
+         |v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |probes AS (SELECT vec_id AS probe_id, emb AS p_emb FROM v WHERE vec_id % 100 = 0),
+         |approx AS (
+         |  SELECT probe_id, vec_id FROM (
+         |    SELECT p.probe_id, r.vec_id,
+         |      row_number() OVER (PARTITION BY p.probe_id ORDER BY
+         |        list_dot_product(p.p_emb, r.emb) /
+         |          (sqrt(list_dot_product(p.p_emb, p.p_emb)) *
+         |           sqrt(list_dot_product(r.emb, r.emb))) DESC,
+         |        r.vec_id) AS rank
+         |    FROM probes p JOIN recon r ON r.vec_id <> p.probe_id) t
+         |  WHERE rank <= $K),
+         |exact AS (
+         |  SELECT probe_id, vec_id FROM (
+         |    SELECT p.probe_id, v.vec_id,
+         |      row_number() OVER (PARTITION BY p.probe_id ORDER BY
+         |        list_dot_product(p.p_emb, v.emb) /
+         |          (sqrt(list_dot_product(p.p_emb, p.p_emb)) *
+         |           sqrt(list_dot_product(v.emb, v.emb))) DESC,
+         |        v.vec_id) AS rank
+         |    FROM probes p JOIN v ON v.vec_id <> p.probe_id) t
+         |  WHERE rank <= $K)
+         |SELECT e.probe_id, count(*)::BIGINT AS n_exact,
+         |  CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+         |  sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / count(*) AS recall
+         |FROM exact e LEFT JOIN approx a
+         |  ON e.probe_id = a.probe_id AND e.vec_id = a.vec_id
+         |GROUP BY e.probe_id
+         |ORDER BY e.probe_id""".stripMargin,
+
     "a10_cell_stats" ->
       s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
          |c AS (SELECT vec_id AS cent_id, emb AS c_emb FROM v

@@ -465,6 +465,35 @@ object TextOps extends QueryPack {
           round(col("share"), 6).as("share"), col("target"),
           round(col("weight"), 6).as("weight"), col("eff_tokens"))
         .orderBy(col("lang"))
+    },
+
+    // Unigram-entropy quality signal: H = ln(n) − (Σ c·ln c)/n over a
+    // doc's token counts — templated/looping text (the failure mode
+    // t7/t10 catch by ratio rules) collapses to near-zero entropy no
+    // matter how long it runs, so one number flags it independent of
+    // ANY rule threshold. Two partial-combining aggregations
+    // ((doc, token) then doc) — the token shuffle carries counts, not
+    // text. A planted 40×-repeated-word doc sits at exactly H = 0 and
+    // must fail the keep floor every real doc clears.
+    "t18_entropy" -> { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val low = docs.filter(col("doc_id") % 45 === 3)
+        .select((col("doc_id") + 320000L).as("doc_id"),
+          concat_ws(" ", array_repeat(lit("spam"), 40)).as("text"))
+      docs.unionAll(low)
+        .select(col("doc_id"), explode(Portable.words(col("text"))).as("w"))
+        .groupBy(col("doc_id"), col("w"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_tokens"),
+          count(lit(1)).as("n_distinct"),
+          sum(col("c").cast("double") * log(col("c").cast("double"))).as("clc"))
+        .withColumn("entropy",
+          round(log(col("n_tokens").cast("double")) - col("clc") / col("n_tokens"), 6))
+        .withColumn("keep", col("entropy") >= EntropyFloor)
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+          col("entropy"), col("keep"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -494,6 +523,10 @@ object TextOps extends QueryPack {
   /** t17: target language mixture (must sum to 1). */
   private val TargetMix: Seq[(String, Double)] =
     Seq("en" -> 0.3, "de" -> 0.2, "es" -> 0.2, "fr" -> 0.2, "zh" -> 0.1)
+
+  /** t18: keep floor between the repeated-text collapse (H = 0) and
+    * the real-corpus plateau (H ≈ 3+ at 50-word docs). */
+  private val EntropyFloor = 1.0
 
   /** Tokens per packed training sequence (t8). */
   private val PackBudget = 512
@@ -852,6 +885,31 @@ object TextOps extends QueryPack {
          |  CAST(floor(tokens * least(1.0, target / share)) AS BIGINT) AS eff_tokens
          |FROM s
          |ORDER BY lang""".stripMargin
-    }
+    },
+
+    "t18_entropy" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 320000 AS doc_id, trim(repeat('spam ', 40)) AS text
+         |  FROM documents WHERE doc_id % 45 = 3),
+         |w AS (
+         |  SELECT doc_id, CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+         |    ELSE regexp_split_to_array(trim(text), '\\s+') END AS w
+         |  FROM corpus),
+         |tc AS (
+         |  SELECT doc_id, tok, count(*) AS c
+         |  FROM (SELECT doc_id, unnest(w) AS tok FROM w) t
+         |  GROUP BY 1, 2),
+         |agg AS (
+         |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |    count(*)::BIGINT AS n_distinct,
+         |    sum(c::DOUBLE * ln(c::DOUBLE)) AS clc
+         |  FROM tc GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, n_distinct,
+         |  round(ln(n_tokens::DOUBLE) - clc / n_tokens, 6) AS entropy,
+         |  (round(ln(n_tokens::DOUBLE) - clc / n_tokens, 6) >= $EntropyFloor) AS keep
+         |FROM agg
+         |ORDER BY doc_id""".stripMargin
   )
 }
