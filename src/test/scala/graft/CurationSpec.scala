@@ -106,4 +106,52 @@ class CurationSpec extends SparkSuite {
     assert(byType.getOrElse("unknown", 0L) === planted)
     assert(byType.values.sum === Tables.documents(spark, sf).count())
   }
+
+  test("d13 re-uploads route to the corpus, batch doubles to first arrival") {
+    val rows = SparkEntry.queries("d13_incremental_dedup")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.nonEmpty)
+    // every corpus re-upload (+500000) is caught against the corpus
+    rows.filter(_._1 < 520000L).values.foreach(s => assert(s == "dup_of_corpus"))
+    // the intra-batch double: first copy ingests, second dedups in-batch
+    val firsts = rows.filter(k => k._1 >= 600000L && k._1 < 610000L)
+    val seconds = rows.filter(_._1 >= 610000L)
+    assert(firsts.nonEmpty && firsts.size === seconds.size)
+    firsts.values.foreach(s => assert(s == "ingested"))
+    seconds.values.foreach(s => assert(s == "dup_in_batch"))
+    // fresh revisions all ingest
+    rows.filter(k => k._1 >= 520000L && k._1 < 600000L).values
+      .foreach(s => assert(s == "ingested"))
+  }
+
+  test("t18 planted repeats collapse to zero entropy; real docs clear the floor") {
+    val rows = SparkEntry.queries("t18_entropy")(spark, sf).collect()
+    val planted = rows.filter(_.getLong(0) >= 320000L)
+    assert(planted.nonEmpty)
+    planted.foreach { r =>
+      assert(r.getAs[Double]("entropy") === 0.0)
+      assert(!r.getAs[Boolean]("keep"))
+    }
+    val real = rows.filter(_.getLong(0) < 320000L)
+    assert(real.forall(_.getAs[Boolean]("keep")))
+  }
+
+  test("m18 replay ranges are gapless per shard") {
+    val rows = SparkEntry.queries("m18_replay_window")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("to_seq") - r.getAs[Long]("from_seq") + 1L ===
+        r.getAs[Long]("n_replayed"),
+        s"seq gap inside the replay window: $r")
+    }
+  }
+
+  test("a11 quantized index keeps most of the exact top-k") {
+    val rows = SparkEntry.queries("a11_quantized_recall")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val mean = rows.map(_.getAs[Double]("recall")).sum / rows.length
+    // int8 reconstruction error is ~0.4% of the value range per dim;
+    // top-3 neighbor sets should survive nearly intact
+    assert(mean >= 0.6, s"quantized recall collapsed: $mean")
+  }
 }
