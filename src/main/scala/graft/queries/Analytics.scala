@@ -560,6 +560,40 @@ object Analytics extends QueryPack {
         .groupBy(col("action"))
         .agg(count(lit(1)).as("n"), round(sum(col("out_price")), 2).as("total_price"))
         .orderBy(col("action"))
+    },
+
+    // Time-series gap fill + LOCF — the densification step reporting
+    // needs over sparse facts: a generated month calendar left-joined
+    // to the observed monthly aggregates, counts zero-filled, and the
+    // last observed average carried forward (nulls before the first
+    // observation stay null — LOCF must not invent history). The
+    // calendar derives from the DATA's own min/max (one tiny agg),
+    // so the query has no hardcoded date range; the single-partition
+    // window is over the calendar (≈ months), never the fact table —
+    // at 100 TB the facts pre-aggregate to months before any window.
+    "q38_gap_fill" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val sparse = Tables.load(s, d, "orders")
+        .filter(col("o_orderkey") % 499 === 0)
+        .withColumn("month", date_trunc("month", col("o_orderdate")))
+      // round 6, not 2: monthly averages of 2-decimal prices are
+      // multiples of 0.005 — exactly the 2-decimal rounding tie, and
+      // engine accumulators differ by an ulp across it. The 1e-6
+      // quantum never lands on a tie for 0.005-multiples.
+      val monthly = sparse.groupBy(col("month"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(avg(col("o_totalprice")), 6).as("avg_price"))
+      val cal = sparse.agg(min(col("month")).as("lo"), max(col("month")).as("hi"))
+        .select(explode(expr("sequence(lo, hi, interval 1 month)")).as("month"))
+      val w = Window.orderBy(col("month"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cal.join(monthly, Seq("month"), "left")
+        .withColumn("n_orders", coalesce(col("n_orders"), lit(0L)))
+        .withColumn("locf_avg_price",
+          last(col("avg_price"), ignoreNulls = true).over(w))
+        .select(date_format(col("month"), "yyyy-MM").as("month"),
+          col("n_orders"), col("avg_price"), col("locf_avg_price"))
+        .orderBy(col("month"))
     }
   )
 
@@ -971,6 +1005,25 @@ object Analytics extends QueryPack {
         |    WHEN action = 'unchanged' THEN price
         |    ELSE new_price END), 2) AS total_price
         |FROM m GROUP BY action
-        |ORDER BY action""".stripMargin
+        |ORDER BY action""".stripMargin,
+
+    "q38_gap_fill" ->
+      """WITH sparse AS (
+        |  SELECT date_trunc('month', o_orderdate) AS month, o_totalprice
+        |  FROM orders WHERE o_orderkey % 499 = 0),
+        |monthly AS (
+        |  SELECT month, count(*)::BIGINT AS n_orders,
+        |    round(avg(o_totalprice), 6) AS avg_price
+        |  FROM sparse GROUP BY month),
+        |b AS (SELECT min(month) AS lo, max(month) AS hi FROM sparse),
+        |cal AS (
+        |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS month FROM b)
+        |SELECT strftime(cal.month, '%Y-%m') AS month,
+        |  coalesce(m.n_orders, 0) AS n_orders,
+        |  m.avg_price,
+        |  last_value(m.avg_price IGNORE NULLS) OVER (ORDER BY cal.month
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_avg_price
+        |FROM cal LEFT JOIN monthly m ON cal.month = m.month
+        |ORDER BY month""".stripMargin
   )
 }

@@ -24,6 +24,9 @@ object Messaging extends QueryPack {
 
   private val Rfc3339 = "%Y-%m-%dT%H:%M:%SZ"
 
+  /** m19: watermark lateness horizon (5 min, in µs). */
+  private val WatermarkUs = 300000000L
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // marshaller.go:44-70 JSONMarshaller: message → JSON envelope.
     "m1_marshal" -> { (s, d) =>
@@ -315,6 +318,41 @@ object Messaging extends QueryPack {
             transform(sort_array(collect_list(col("event_id"))),
               x => x.cast("string"))).cast("binary")).as("replay_digest"))
         .orderBy(col("shard_id"))
+    },
+
+    // Lateness profile — the measurement that SIZES a watermark. Each
+    // event's arrival is its event time plus a deterministic
+    // md5-derived network delay (0–600 s); per shard, the high-water
+    // mark runs over ARRIVAL order, and an event is late when it
+    // arrives more than the 5-min horizon behind it (exactly the rows
+    // `withWatermark("ts", "5 minutes")` would drop). The report —
+    // late fraction + worst disorder per shard — is what decides
+    // whether the horizon is too tight BEFORE a streaming job starts
+    // silently discarding data. One window shuffle on shard, then a
+    // shards-sized rollup.
+    "m19_late_events" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = Envelope.messages(s, d)
+        .select(col("event_id"), col("ts"),
+          Envelope.shardId(col("partition_key")).as("shard_id"))
+        .withColumn("ts_us", expr("unix_micros(ts)"))
+        .withColumn("arr_us", col("ts_us") +
+          pmod(graft.functions.Portable.hash60(col("event_id").cast("string")),
+            lit(600L)) * lit(1000000L))
+      val w = Window.partitionBy(col("shard_id"))
+        .orderBy(col("arr_us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      ev.withColumn("hwm_us", max(col("ts_us")).over(w))
+        .withColumn("disorder_us",
+          greatest(lit(0L), coalesce(col("hwm_us") - col("ts_us"), lit(0L))))
+        .withColumn("late", col("disorder_us") > WatermarkUs)
+        .groupBy(col("shard_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("late"), 1L).otherwise(0L)).as("n_late"),
+          round(sum(when(col("late"), 1L).otherwise(0L)).cast("double") /
+            count(lit(1)), 6).as("late_frac"),
+          max(col("disorder_us")).as("max_disorder_us"))
+        .orderBy(col("shard_id"))
     }
   )
 
@@ -557,6 +595,32 @@ object Messaging extends QueryPack {
          |FROM seqd
          |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
          |  AND ts < TIMESTAMP '2024-01-20 00:00:00'
+         |GROUP BY shard_id
+         |ORDER BY shard_id""".stripMargin,
+
+    "m19_late_events" ->
+      s"""WITH ev AS (
+         |  SELECT event_id, ${shardSql("user_id::VARCHAR")} AS shard_id,
+         |    epoch_us(ts) AS ts_us,
+         |    epoch_us(ts) +
+         |      (('0x' || substring(md5(event_id::VARCHAR), 1, 15))::BIGINT % 600)
+         |        * 1000000 AS arr_us
+         |  FROM ($Ev) e),
+         |hw AS (
+         |  SELECT shard_id, ts_us,
+         |    max(ts_us) OVER (PARTITION BY shard_id ORDER BY arr_us, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm_us
+         |  FROM ev),
+         |f AS (
+         |  SELECT shard_id,
+         |    greatest(0, coalesce(hwm_us - ts_us, 0)) AS disorder_us
+         |  FROM hw)
+         |SELECT shard_id, count(*)::BIGINT AS n_events,
+         |  CAST(sum(CASE WHEN disorder_us > $WatermarkUs THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+         |  round(sum(CASE WHEN disorder_us > $WatermarkUs THEN 1 ELSE 0 END)::DOUBLE
+         |    / count(*), 6) AS late_frac,
+         |  CAST(max(disorder_us) AS BIGINT) AS max_disorder_us
+         |FROM f
          |GROUP BY shard_id
          |ORDER BY shard_id""".stripMargin
   )

@@ -32,6 +32,8 @@ object Similarity extends QueryPack {
 
   private val K = 3                 // neighbors returned
   private val Geo = AnnGeometry()   // defaults used by defs + oracle
+  private val PqM = 8               // a12: subspaces per vector
+  private val PqSubDim = 8          // a12: dims per subspace (M×subDim = 64)
 
   /** Vectors with their L2 norm precomputed once, map-side — every
     * downstream pair then costs a single codegen'd dot product. The
@@ -425,6 +427,44 @@ object Similarity extends QueryPack {
       .orderBy(col("probe_id"))
   }
 
+  /** Product-quantization codebook QA — the compression step past
+    * a9's scalar codes (PQ stores one centroid id per subvector:
+    * M×log2(k) bits/vector instead of dims×8). The corpus splits
+    * into M contiguous subspaces; per subspace, stride-seeded
+    * codebooks assign each subvector to its nearest (L2) centroid.
+    * Reported per subspace: vectors, codes actually used, and mean
+    * squared quantization error — the table that says whether the
+    * codebook count is sized to the data before an index serves PQ
+    * codes. Codebooks are broadcast (M×k×subdim doubles); assignment
+    * is one corpus scan; the rollup is M rows. */
+  def pqCodes(s: SparkSession, d: String,
+              m: Int = PqM, subDim: Int = PqSubDim): DataFrame = {
+    val base = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    def subVecs(df: DataFrame, idCol: String) = df.select(col(idCol),
+      posexplode(array((0 until m).map(i =>
+        slice(col("emb"), i * subDim + 1, subDim)): _*)).as(Seq("sub", "sv")))
+    val subs = subVecs(base, "vec_id")
+    val cents = subVecs(base.filter(col("vec_id") % Geo.centroidStride === 0), "vec_id")
+      .select(col("vec_id").as("cent_id"), col("sub"), col("sv").as("cv"))
+    val dist = graft.functions.Vec.dot(col("sv"), col("sv")) -
+      lit(2.0) * graft.functions.Vec.dot(col("sv"), col("cv")) +
+      graft.functions.Vec.dot(col("cv"), col("cv"))
+    val w = Window.partitionBy(col("vec_id"), col("sub"))
+      .orderBy(col("dist"), col("cent_id"))
+    subs.join(broadcast(cents), Seq("sub"))
+      .withColumn("dist", dist)
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") === 1)
+      .groupBy(col("sub"))
+      .agg(count(lit(1)).as("n_vecs"),
+        countDistinct(col("cent_id")).as("n_codes_used"),
+        round(avg(col("dist")), 6).as("mse"))
+      .select(col("sub").cast("long").as("sub"), col("n_vecs"),
+        col("n_codes_used"), col("mse"))
+      .orderBy(col("sub"))
+  }
+
   /** Index-health audit: IVF cell occupancy and balance. A skewed
     * cell map is how an IVF index rots — one hot cell turns every
     * probe touching it back into a near-linear scan — so this is the
@@ -455,6 +495,7 @@ object Similarity extends QueryPack {
   }
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a12_pq_codes" -> ((s, d) => pqCodes(s, d)),
     "a11_quantized_recall" -> ((s, d) => quantizedRecall(s, d)),
     "a10_cell_stats" -> ((s, d) => cellStats(s, d)),
     "a9_quantize_int8" -> ((s, d) => quantizeInt8(s, d)),
@@ -469,6 +510,36 @@ object Similarity extends QueryPack {
   )
 
   def oracle: Map[String, String] = Map(
+    "a12_pq_codes" -> {
+      val hi = PqM - 1
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |subs AS (
+         |  SELECT vec_id, m AS sub, emb[m*$PqSubDim+1 : m*$PqSubDim+$PqSubDim] AS sv
+         |  FROM v, unnest(generate_series(0, $hi)) AS t(m)),
+         |cents AS (
+         |  SELECT vec_id AS cent_id, m AS sub,
+         |    emb[m*$PqSubDim+1 : m*$PqSubDim+$PqSubDim] AS cv
+         |  FROM v, unnest(generate_series(0, $hi)) AS t(m)
+         |  WHERE vec_id % ${Geo.centroidStride} = 0),
+         |assigned AS (
+         |  SELECT vec_id, sub, cent_id, dist FROM (
+         |    SELECT s.vec_id, s.sub, c.cent_id,
+         |      list_dot_product(s.sv, s.sv) - 2.0 * list_dot_product(s.sv, c.cv)
+         |        + list_dot_product(c.cv, c.cv) AS dist,
+         |      row_number() OVER (PARTITION BY s.vec_id, s.sub ORDER BY
+         |        list_dot_product(s.sv, s.sv) - 2.0 * list_dot_product(s.sv, c.cv)
+         |          + list_dot_product(c.cv, c.cv),
+         |        c.cent_id) AS r
+         |    FROM subs s JOIN cents c ON s.sub = c.sub) t
+         |  WHERE r = 1)
+         |SELECT CAST(sub AS BIGINT) AS sub, count(*)::BIGINT AS n_vecs,
+         |  CAST(count(DISTINCT cent_id) AS BIGINT) AS n_codes_used,
+         |  round(avg(dist), 6) AS mse
+         |FROM assigned
+         |GROUP BY sub
+         |ORDER BY sub""".stripMargin
+    },
+
     "a11_quantized_recall" ->
       s"""WITH xs AS (
          |  SELECT vec_id, dim, embedding[(dim + 1)::INTEGER]::DOUBLE AS x

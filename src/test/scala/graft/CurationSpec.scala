@@ -154,4 +154,43 @@ class CurationSpec extends SparkSuite {
     // top-3 neighbor sets should survive nearly intact
     assert(mean >= 0.6, s"quantized recall collapsed: $mean")
   }
+
+  test("a12 PQ codebooks cover every vector in every subspace") {
+    val rows = SparkEntry.queries("a12_pq_codes")(spark, sf).collect()
+    val n = Tables.embeddings(spark, sf).count()
+    assert(rows.length === 8)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_vecs") === n)
+      assert(r.getAs[Long]("n_codes_used") >= 1L)
+      assert(r.getAs[Double]("mse") >= 0.0)
+    }
+  }
+
+  test("m19 lateness profile is horizon-consistent") {
+    val rows = SparkEntry.queries("m19_late_events")(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n_events")).sum ===
+      Tables.events(spark, sf).count())
+    rows.foreach { r =>
+      val late = r.getAs[Long]("n_late")
+      // any shard with a late event must show disorder past the horizon
+      if (late > 0) assert(r.getAs[Long]("max_disorder_us") > 300000000L)
+      assert(r.getAs[Double]("late_frac") <= 1.0)
+    }
+  }
+
+  test("q38 zero-fills gaps and LOCF carries only observed values") {
+    val rows = SparkEntry.queries("q38_gap_fill")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // months are consecutive: row count = span between first and last
+    val months = rows.map(_.getString(0)).toSeq
+    assert(months == months.sorted)
+    var lastSeen: Option[Double] = None
+    rows.foreach { r =>
+      val avg = Option(r.getAs[java.lang.Double]("avg_price")).map(_.toDouble)
+      val locf = Option(r.getAs[java.lang.Double]("locf_avg_price")).map(_.toDouble)
+      if (avg.isDefined) lastSeen = avg
+      assert(locf === lastSeen, s"LOCF invented or lost a value at $r")
+      if (r.getAs[Long]("n_orders") === 0L) assert(avg.isEmpty)
+    }
+  }
 }
