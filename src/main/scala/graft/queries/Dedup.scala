@@ -358,6 +358,46 @@ object Dedup extends QueryPack {
             .otherwise("ingested"))
         .select(col("doc_id"), col("status"))
         .orderBy(col("doc_id"))
+    },
+
+    // Cross-corpus NEAR-dup screening — d13's exact digest check
+    // extended to minhash: a new delivery's band hashes join the
+    // corpus's band hashes, so lightly-edited re-uploads (which no
+    // digest can catch) surface as candidates WITHOUT comparing the
+    // batch against corpus text. Both sides ship 16-long signatures →
+    // 4 band hashes per doc; the join is (band, hash)-keyed, so the
+    // batch×corpus product never materializes. Planted: appended-tail
+    // near-dups of every 15th doc (MUST mostly match — an unchanged
+    // band survives the edit w.h.p.) and novel synthetic docs with
+    // disjoint shingles (must mostly not).
+    "d14_cross_corpus_lsh" -> { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val batch = docs.filter(col("doc_id") % 15 === 0)
+        .select((col("doc_id") + 700000L).as("doc_id"),
+          concat(col("text"), lit(" extra tail words")).as("text"))
+        .unionAll(docs.filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 720000L).as("doc_id"),
+            concat_ws(" ", transform(sequence(lit(0), lit(29)),
+              i => concat(lit("novel"),
+                pmod(col("doc_id") + lit(720000L) + i.cast("long") * lit(37L),
+                  lit(99991L)).cast("string")))).as("text")))
+      def bandsOf(df: DataFrame): DataFrame =
+        kmSignatures(df, materialize = true).select(col("doc_id"),
+          posexplode(array((0 until Bands).map { b =>
+            md5(concat_ws("|", (0 until 4).map(r => col(s"s${b * 4 + r}")): _*).cast("binary"))
+          }: _*)).as(Seq("band_id", "band_hash")))
+      val corpusBands = bandsOf(docs)
+        .select(col("band_id"), col("band_hash"), col("doc_id").as("corpus_id"))
+      val matches = bandsOf(batch)
+        .join(corpusBands, Seq("band_id", "band_hash"))
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("corpus_id")).as("n_candidates"))
+      batch.select(col("doc_id"))
+        .join(matches, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+          (coalesce(col("n_candidates"), lit(0L)) > 0L).as("matched"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -747,6 +787,50 @@ object Dedup extends QueryPack {
         |       WHEN b.rn > 1 THEN 'dup_in_batch'
         |       ELSE 'ingested' END AS status
         |FROM hashed b LEFT JOIN corpus_h c ON b.h = c.h
-        |ORDER BY b.doc_id""".stripMargin
+        |ORDER BY b.doc_id""".stripMargin,
+
+    "d14_cross_corpus_lsh" -> {
+      def sigCtes(p: String, src: String) = {
+        val bandUnion = (0 until Bands).map { b =>
+          val parts = (0 until 4).map(r => s"s${b * 4 + r}::VARCHAR").mkString(" || '|' || ")
+          s"SELECT doc_id, $b AS band_id, md5($parts) AS band_hash FROM ${p}sig"
+        }.mkString("\n  UNION ALL\n  ")
+        s"""${p}w AS (
+           |  SELECT doc_id, CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+           |    ELSE regexp_split_to_array(trim(text), '\\s+') END AS w
+           |  FROM $src),
+           |${p}sh AS (SELECT doc_id, $ShinglesSql AS sh FROM ${p}w),
+           |${p}h AS (
+           |  SELECT doc_id,
+           |    ('0x' || substring(md5(s), 1, 8))::BIGINT AS h1,
+           |    ('0x' || substring(md5(s), 9, 8))::BIGINT AS h2
+           |  FROM (SELECT doc_id, unnest(sh) AS s FROM ${p}sh) t),
+           |${p}sig AS (
+           |  SELECT doc_id, ${(0 until K).map(i => s"${sigSql(i)} AS s$i").mkString(", ")}
+           |  FROM ${p}h GROUP BY doc_id),
+           |${p}bands AS (
+           |  $bandUnion)""".stripMargin
+      }
+      s"""WITH batch_raw AS (
+         |  SELECT doc_id + 700000 AS doc_id, text || ' extra tail words' AS text
+         |  FROM documents WHERE doc_id % 15 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 720000 AS doc_id,
+         |    array_to_string(list_transform(generate_series(0, 29),
+         |      i -> 'novel' || ((doc_id + 720000 + i * 37) % 99991)::VARCHAR), ' ') AS text
+         |  FROM documents WHERE doc_id % 13 = 0),
+         |${sigCtes("c", "documents")},
+         |${sigCtes("b", "batch_raw")},
+         |m AS (
+         |  SELECT b.doc_id, count(DISTINCT c.doc_id) AS n_candidates
+         |  FROM bbands b JOIN cbands c
+         |    ON b.band_id = c.band_id AND b.band_hash = c.band_hash
+         |  GROUP BY b.doc_id)
+         |SELECT br.doc_id,
+         |  CAST(coalesce(m.n_candidates, 0) AS BIGINT) AS n_candidates,
+         |  coalesce(m.n_candidates, 0) > 0 AS matched
+         |FROM batch_raw br LEFT JOIN m ON br.doc_id = m.doc_id
+         |ORDER BY br.doc_id""".stripMargin
+    }
   )
 }

@@ -172,6 +172,31 @@ object Multimodal extends QueryPack {
           sum(length(col("wire")) - 4).cast("long").as("payload_bytes"),
           countDistinct(col("magic")).as("n_magics"))
         .orderBy(col("sniffed"))
+    },
+
+    // Paired-modality coverage — the CLIP-style assembly audit: before
+    // a text-image corpus trains anything, count what actually PAIRS
+    // across the caption table and the embedding table (deterministic
+    // subsets model objects missing a caption or an embedding). One
+    // full-outer join on the shared id; the report is 3 rows. At lake
+    // scale both sides are id-bucketed so the join co-locates; the
+    // text_only/vec_only rows are exactly the backfill worklists the
+    // captioning/embedding jobs consume.
+    "mm7_pair_coverage" -> { (s, d) =>
+      val caps = Tables.documents(s, d).filter(col("doc_id") % 3 =!= 2)
+        .select(col("doc_id").as("id"), col("lang"))
+      val vecs = Tables.embeddings(s, d).filter(col("vec_id") % 5 =!= 3)
+        .select(col("vec_id").as("id"), col("label"))
+      caps.join(vecs, Seq("id"), "full_outer")
+        .withColumn("status",
+          when(col("lang").isNotNull && col("label").isNotNull, "paired")
+            .when(col("lang").isNotNull, "text_only")
+            .otherwise("vec_only"))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n_objects"),
+          countDistinct(col("lang")).as("n_langs"),
+          countDistinct(col("label")).as("n_labels"))
+        .orderBy(col("status"))
     }
   )
 
@@ -266,6 +291,24 @@ object Multimodal extends QueryPack {
         |  CAST(count(DISTINCT magic) AS BIGINT) AS n_magics
         |FROM s
         |GROUP BY sniffed
-        |ORDER BY sniffed""".stripMargin
+        |ORDER BY sniffed""".stripMargin,
+
+    "mm7_pair_coverage" ->
+      """WITH caps AS (
+        |  SELECT doc_id AS id, lang FROM documents WHERE doc_id % 3 <> 2),
+        |vecs AS (
+        |  SELECT vec_id AS id, label FROM embeddings WHERE vec_id % 5 <> 3),
+        |j AS (
+        |  SELECT coalesce(c.id, v.id) AS id, c.lang, v.label,
+        |    CASE WHEN c.lang IS NOT NULL AND v.label IS NOT NULL THEN 'paired'
+        |         WHEN c.lang IS NOT NULL THEN 'text_only'
+        |         ELSE 'vec_only' END AS status
+        |  FROM caps c FULL OUTER JOIN vecs v ON c.id = v.id)
+        |SELECT status, count(*)::BIGINT AS n_objects,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(count(DISTINCT label) AS BIGINT) AS n_labels
+        |FROM j
+        |GROUP BY status
+        |ORDER BY status""".stripMargin
   )
 }

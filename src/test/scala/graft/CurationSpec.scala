@@ -178,6 +178,27 @@ class CurationSpec extends SparkSuite {
     }
   }
 
+  test("d14 near-dup edits mostly match the corpus; novel docs mostly do not") {
+    val rows = SparkEntry.queries("d14_cross_corpus_lsh")(spark, sf).collect()
+    val (near, novel) = rows.partition(_.getLong(0) < 720000L)
+    assert(near.nonEmpty && novel.nonEmpty)
+    // an appended tail leaves ≥1 of 4 bands unchanged w.h.p. (~99%)
+    val nearHit = near.count(_.getAs[Boolean]("matched")).toDouble / near.length
+    assert(nearHit >= 0.8, s"near-dup recall $nearHit")
+    // disjoint shingles should (deterministically) almost never band-collide
+    val novelHit = novel.count(_.getAs[Boolean]("matched")).toDouble / novel.length
+    assert(novelHit <= 0.2, s"novel false-positive rate $novelHit")
+  }
+
+  test("mm7 coverage partitions the union of both modality tables") {
+    val rows = SparkEntry.queries("mm7_pair_coverage")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_objects")).toMap
+    val caps = Tables.documents(spark, sf).filter(col("doc_id") % 3 =!= 2).count()
+    val vecs = Tables.embeddings(spark, sf).filter(col("vec_id") % 5 =!= 3).count()
+    assert(rows("paired") + rows("text_only") === caps)
+    assert(rows("paired") + rows("vec_only") === vecs)
+  }
+
   test("q38 zero-fills gaps and LOCF carries only observed values") {
     val rows = SparkEntry.queries("q38_gap_fill")(spark, sf).collect()
     assert(rows.nonEmpty)
