@@ -96,6 +96,38 @@ object Pipeline extends QueryPack {
           .otherwise(0L)).as("n_final"),
         sum(when(col("pass_dedup") && col("pass_quality") && col("pass_rep"),
           col("n_words")).otherwise(0L)).as("final_tokens"))
+    },
+
+    // Retrieval-corpus build: dedup → quality gate → inverted-index
+    // build STATS, all in one plan — the acceptance summary an index
+    // job publishes before t14-style retrieval serves it (t13
+    // materializes the posting lists themselves; this reports the
+    // index shape: terms, postings, hottest document frequency).
+    // Stage counts and index stats come from the same lineage, so
+    // the summary can never disagree with the index it describes.
+    "p3_index_build" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val corpus = docs.unionAll(
+        docs.filter(col("doc_id") % 10 === 0)
+          .withColumn("doc_id", col("doc_id") + 100000L))
+      val surv = corpus
+        .select(col("doc_id"), Portable.md5hex(Portable.normText(col("text"))).as("h"))
+        .groupBy(col("h")).agg(min(col("doc_id")).as("keep_id"))
+        .select(col("keep_id"))
+      val kept = withQuality(
+          corpus.join(surv, corpus("doc_id") === surv("keep_id"), "left_semi"))
+        .filter(col("quality") >= 0.5)
+      val terms = kept
+        .select(col("doc_id"), explode(Portable.words(col("text"))).as("term"))
+        .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+        .groupBy(col("term"))
+        .agg(count(lit(1)).as("df"), sum(col("tf")).as("tf_total"))
+      corpus.agg(count(lit(1)).as("n_raw"))
+        .crossJoin(kept.agg(count(lit(1)).as("n_indexed")))
+        .crossJoin(terms.agg(count(lit(1)).as("n_terms"),
+          sum(col("df")).as("n_postings"),
+          sum(col("tf_total")).as("total_tf"),
+          max(col("df")).as("max_df")))
     }
   )
 
@@ -169,6 +201,43 @@ object Pipeline extends QueryPack {
         |  CAST(sum(CASE WHEN pass_dedup AND pass_quality THEN 1 ELSE 0 END) AS BIGINT) AS n_after_quality,
         |  CAST(sum(CASE WHEN pass_dedup AND pass_quality AND pass_rep THEN 1 ELSE 0 END) AS BIGINT) AS n_final,
         |  CAST(sum(CASE WHEN pass_dedup AND pass_quality AND pass_rep THEN n_words ELSE 0 END) AS BIGINT) AS final_tokens
-        |FROM flags""".stripMargin
+        |FROM flags""".stripMargin,
+
+    "p3_index_build" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0),
+        |surv AS (
+        |  SELECT min(doc_id) AS keep_id
+        |  FROM corpus
+        |  GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))),
+        |kept0 AS (
+        |  SELECT c.doc_id, c.text,
+        |    CASE WHEN trim(c.text) = '' THEN []::VARCHAR[]
+        |      ELSE regexp_split_to_array(trim(c.text), '\s+') END AS w
+        |  FROM corpus c JOIN surv ON c.doc_id = surv.keep_id),
+        |kept AS (
+        |  SELECT doc_id, w FROM kept0
+        |  WHERE (CASE WHEN len(w) = 0 THEN 0.0
+        |      ELSE len(list_filter(w, x -> list_contains(['the','a','of','and','to'], x)))::DOUBLE / len(w) END) * 0.4
+        |    + least(len(w)::DOUBLE / 100.0, 1.0) * 0.4
+        |    + (1.0 - (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE / length(text)) * 0.2
+        |    >= 0.5),
+        |tf AS (
+        |  SELECT term, doc_id, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(w) AS term FROM kept) t
+        |  GROUP BY 1, 2),
+        |terms AS (
+        |  SELECT term, count(*) AS df, sum(tf) AS tf_total
+        |  FROM tf GROUP BY term)
+        |SELECT
+        |  (SELECT count(*) FROM corpus)::BIGINT AS n_raw,
+        |  (SELECT count(*) FROM kept)::BIGINT AS n_indexed,
+        |  count(*)::BIGINT AS n_terms,
+        |  CAST(sum(df) AS BIGINT) AS n_postings,
+        |  CAST(sum(tf_total) AS BIGINT) AS total_tf,
+        |  CAST(max(df) AS BIGINT) AS max_df
+        |FROM terms""".stripMargin
   )
 }

@@ -199,6 +199,15 @@ class CurationSpec extends SparkSuite {
     assert(rows("paired") + rows("vec_only") === vecs)
   }
 
+  test("p3 index stats are internally consistent") {
+    val r = SparkEntry.queries("p3_index_build")(spark, sf).collect().head
+    assert(r.getAs[Long]("n_indexed") <= r.getAs[Long]("n_raw"))
+    // a posting is a (term, doc) pair: bounded by terms×docs and ≥ terms
+    assert(r.getAs[Long]("n_postings") >= r.getAs[Long]("n_terms"))
+    assert(r.getAs[Long]("total_tf") >= r.getAs[Long]("n_postings"))
+    assert(r.getAs[Long]("max_df") <= r.getAs[Long]("n_indexed"))
+  }
+
   test("q38 zero-fills gaps and LOCF carries only observed values") {
     val rows = SparkEntry.queries("q38_gap_fill")(spark, sf).collect()
     assert(rows.nonEmpty)
