@@ -145,6 +145,39 @@ class StreamingSpec extends SparkSuite {
     assert(batch.count() - got.count() <= 13, "too many unfinalized windows held back")
   }
 
+  test("per-shard windowed throughput over a subscription matches the batch accounting") {
+    val topic = tempDir("topic")
+    Publisher.publish(Envelope.messages(spark, sf), topic)
+
+    // m17's streaming analog: live (shard, minute) rates with bounded
+    // state — the resharding signal computed ON the stream
+    val agg = Subscriber.subscribe(spark, topic)
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("shard_id"), window(col("ts"), "1 minute"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("shard_id"), col("window.start").as("ws"), col("n"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("shardrate").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("shardrate")
+
+    val batch = spark.read.parquet(topic)
+      .groupBy(col("shard_id"), window(col("ts"), "1 minute"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("shard_id"), col("window.start").as("ws"), col("n"))
+    assert(got.count() > 0)
+    assert(got.exceptAll(batch).count() === 0,
+      "a streamed (shard, minute) count disagrees with the batch computation")
+    // the batch m17 operator's per-shard peak bounds every live window
+    val peaks = SparkEntry.queries("m17_throughput_stats")(spark, sf)
+      .select(col("shard_id"), col("peak_minute")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.collect().foreach { r =>
+      assert(r.getLong(2) <= peaks(r.getLong(0)),
+        s"streamed window count exceeds the m17 peak: $r")
+    }
+  }
+
   test("stream-stream interval join matches the batch range join") {
     val topic = tempDir("topic")
     Publisher.publish(Envelope.messages(spark, sf), topic)
