@@ -594,6 +594,35 @@ object Analytics extends QueryPack {
         .select(date_format(col("month"), "yyyy-MM").as("month"),
           col("n_orders"), col("avg_price"), col("locf_avg_price"))
         .orderBy(col("month"))
+    },
+
+    // SCD2 temporal-validity join: facts joined to the dimension
+    // VERSION that was valid at fact time (synthesized 3-version
+    // segment history per customer). Spark-first: the as-of operator
+    // (union-window — one shuffle on the key, no interval explosion)
+    // resolves "latest version with valid_from ≤ order date"; the
+    // oracle is the INDEPENDENT interval-containment formulation
+    // (valid_from ≤ d < valid_to via lead()), so the two temporal-join
+    // semantics must coincide exactly. q23 is nearest-event as-of;
+    // this is versioned-dimension correctness — the join every
+    // time-travel/backfill report depends on.
+    "q39_scd2_join" -> { (s, d) =>
+      val versions = Tables.load(s, d, "customer")
+        .select(col("c_custkey").as("custkey"),
+          explode(sequence(lit(0), lit(2))).as("k"))
+        .select(col("custkey"),
+          date_add(lit("1992-01-01").cast("date"), (col("k") * 800).cast("int"))
+            .cast("timestamp").as("ts"),
+          pmod(col("custkey") * 7 + col("k"), lit(5)).cast("long").as("seg"))
+      val orders = Tables.load(s, d, "orders")
+        .select(col("o_custkey").as("custkey"),
+          col("o_orderdate").as("ts"), col("o_totalprice"))
+      graft.operators.AsOf.joinAsOf(orders, versions, "custkey", "ts", Seq("seg"))
+        .filter(col("asof_seg").isNotNull)
+        .groupBy(col("asof_seg").as("seg"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("revenue"))
+        .orderBy(col("seg"))
     }
   )
 
@@ -1024,6 +1053,27 @@ object Analytics extends QueryPack {
         |  last_value(m.avg_price IGNORE NULLS) OVER (ORDER BY cal.month
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_avg_price
         |FROM cal LEFT JOIN monthly m ON cal.month = m.month
-        |ORDER BY month""".stripMargin
+        |ORDER BY month""".stripMargin,
+
+    "q39_scd2_join" ->
+      """WITH v AS (
+        |  SELECT c_custkey AS custkey, k,
+        |    TIMESTAMP '1992-01-01' + (k * 800) * INTERVAL 1 DAY AS valid_from,
+        |    (c_custkey * 7 + k) % 5 AS seg
+        |  FROM customer, unnest(generate_series(0, 2)) AS t(k)),
+        |v2 AS (
+        |  SELECT custkey, seg, valid_from,
+        |    lead(valid_from, 1, TIMESTAMP '9999-01-01')
+        |      OVER (PARTITION BY custkey ORDER BY valid_from) AS valid_to
+        |  FROM v)
+        |SELECT CAST(seg AS BIGINT) AS seg,
+        |  count(*)::BIGINT AS n_orders,
+        |  round(sum(o_totalprice), 2) AS revenue
+        |FROM orders o JOIN v2
+        |  ON o.o_custkey = v2.custkey
+        | AND o.o_orderdate >= v2.valid_from
+        | AND o.o_orderdate < v2.valid_to
+        |GROUP BY seg
+        |ORDER BY seg""".stripMargin
   )
 }

@@ -465,6 +465,39 @@ object Similarity extends QueryPack {
       .orderBy(col("sub"))
   }
 
+  /** Maximum-inner-product search via the augmentation reduction
+    * (Shrivastava & Li / Neyshabur & Srebro): append
+    * sqrt(M² − ‖x‖²) to every corpus vector (M = max corpus norm)
+    * and 0 to every probe — then COSINE ranking of the augmented
+    * pair equals INNER-PRODUCT ranking of the originals, because
+    * every augmented corpus vector has norm exactly M. This is what
+    * lets the cosine machinery (a2/a3/a6 buckets, a9/a11 codes)
+    * serve recommendation-style dot-product queries unchanged. The
+    * Spark side ranks by the augmented cosine; the oracle ranks by
+    * the plain inner product — they must coincide, which pins the
+    * reduction itself, not just the arithmetic. */
+  def mipsTopK(s: SparkSession, d: String, k: Int = K): DataFrame = {
+    val v = vecs(s, d)
+    val mx = v.agg(max(col("nrm")).as("m"))
+    val probes = v.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("probe_id"),
+        concat(col("emb"), array(lit(0.0))).as("p_aug"),
+        col("nrm").as("p_nrm"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("aug_cos").desc, col("vec_id"))
+    v.crossJoin(broadcast(mx))
+      .withColumn("aug", concat(col("emb"),
+        array(sqrt(greatest(col("m") * col("m") - col("nrm") * col("nrm"), lit(0.0))))))
+      .join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .withColumn("ip", graft.functions.Vec.dot(col("p_aug"), col("aug")))
+      .withColumn("aug_cos", col("ip") / (col("p_nrm") * col("m")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("vec_id"), col("rank"),
+        round(col("ip"), 6).as("inner_product"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
   /** Index-health audit: IVF cell occupancy and balance. A skewed
     * cell map is how an IVF index rots — one hot cell turns every
     * probe touching it back into a near-linear scan — so this is the
@@ -495,6 +528,7 @@ object Similarity extends QueryPack {
   }
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a13_mips_topk" -> ((s, d) => mipsTopK(s, d)),
     "a12_pq_codes" -> ((s, d) => pqCodes(s, d)),
     "a11_quantized_recall" -> ((s, d) => quantizedRecall(s, d)),
     "a10_cell_stats" -> ((s, d) => cellStats(s, d)),
@@ -510,6 +544,22 @@ object Similarity extends QueryPack {
   )
 
   def oracle: Map[String, String] = Map(
+    // ranks by the PLAIN inner product — agreement with the Spark
+    // side's augmented-cosine ranking proves the MIPS reduction
+    "a13_mips_topk" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |probes AS (SELECT vec_id AS probe_id, emb AS p_emb FROM v WHERE vec_id % 100 = 0),
+         |scored AS (
+         |  SELECT p.probe_id, v.vec_id,
+         |    list_dot_product(p.p_emb, v.emb) AS ip,
+         |    row_number() OVER (PARTITION BY p.probe_id ORDER BY
+         |      list_dot_product(p.p_emb, v.emb) DESC, v.vec_id) AS rank
+         |  FROM probes p JOIN v ON v.vec_id <> p.probe_id)
+         |SELECT probe_id, vec_id, CAST(rank AS INTEGER) AS rank,
+         |  round(ip, 6) AS inner_product
+         |FROM scored WHERE rank <= $K
+         |ORDER BY probe_id, rank""".stripMargin,
+
     "a12_pq_codes" -> {
       val hi = PqM - 1
       s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),

@@ -199,6 +199,24 @@ class CurationSpec extends SparkSuite {
     assert(rows("paired") + rows("vec_only") === vecs)
   }
 
+  test("q39 SCD2 revenue partitions the full order total across versions") {
+    val rows = SparkEntry.queries("q39_scd2_join")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val base = Tables.load(spark, sf, "orders")
+    assert(rows.map(_.getAs[Long]("n_orders")).sum === base.count(),
+      "every order must resolve to exactly one dimension version")
+  }
+
+  test("a13 augmented-cosine ranking returns each probe's true MIPS top-k") {
+    val rows = SparkEntry.queries("a13_mips_topk")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // within each probe, inner products are non-increasing by rank
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val byRank = rs.sortBy(_.getInt(2)).map(_.getAs[Double]("inner_product"))
+      byRank.zip(byRank.tail).foreach { case (a, b) => assert(a >= b) }
+    }
+  }
+
   test("p3 index stats are internally consistent") {
     val r = SparkEntry.queries("p3_index_build")(spark, sf).collect().head
     assert(r.getAs[Long]("n_indexed") <= r.getAs[Long]("n_raw"))
