@@ -89,9 +89,16 @@ object Bench {
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val sfName = new java.io.File(sfDir).getName
     // "sf0.1" → 0.1 (numeric, matching the driver's own "sf" field).
-    val sfNum = trim0(sfName.dropWhile(c => !c.isDigit && c != '.') match {
-      case "" => "0"; case s => s
-    })
+    // trim0 is for decimal strings only: applying it to an integer
+    // like "sf10" would emit 1. Non-numeric residue falls back to 0
+    // so the line stays valid JSON whatever the dir is named.
+    val sfNum = {
+      val digits = sfName.dropWhile(c => !c.isDigit && c != '.')
+      digits.toDoubleOption match {
+        case Some(_) => if (digits.contains('.')) trim0(digits) else digits
+        case None    => "0"
+      }
+    }
     def build(decimals: Int, key: String => String = identity): String = {
       val qs = results.map { case (k, v) => s"\"" + key(k) + "\":" + fmt(v, decimals) }
         .mkString("{", ",", "}")

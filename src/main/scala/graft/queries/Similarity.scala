@@ -11,11 +11,15 @@ import graft.Tables
   * occupancy ≈ corpus / 2^planes (resp. corpus / nCentroids) stays
   * within the per-probe rerank budget.
   *
-  * @param planes          random hyperplanes → 2^planes LSH buckets
-  * @param nProbe          IVF cells searched per probe
-  * @param centroidStride  every Nth vector seeds an IVF centroid
+  * @param planes      random hyperplanes → 2^planes LSH buckets
+  * @param nProbe      IVF cells searched per probe
+  * @param nCentroids  IVF centroid count — seeded by the `nCentroids`
+  *                    smallest salted-md5 vec_ids, so the seed set is
+  *                    a fixed-size deterministic sample however large
+  *                    the corpus grows (a `% stride` seed set would
+  *                    make the broadcast centroid table O(corpus))
   */
-final case class AnnGeometry(planes: Int = 4, nProbe: Int = 2, centroidStride: Int = 50)
+final case class AnnGeometry(planes: Int = 4, nProbe: Int = 2, nCentroids: Int = 10)
 
 /** Similarity search family (SURVEY.md §2.D) over the embeddings
   * table (64-dim float vectors).
@@ -32,8 +36,28 @@ object Similarity extends QueryPack {
 
   private val K = 3                 // neighbors returned
   private val Geo = AnnGeometry()   // defaults used by defs + oracle
+  private val NProbes = 5           // acceptance-gate probe count
   private val PqM = 8               // a12: subspaces per vector
   private val PqSubDim = 8          // a12: dims per subspace (M×subDim = 64)
+
+  /** Deterministic, corpus-size-independent sample: the `k` rows whose
+    * salted md5 digest of vec_id sorts smallest. Spark plans the
+    * sort+limit as TakeOrderedAndProject — a distributed top-k, no
+    * global sort — so selecting probes (or centroid seeds) costs one
+    * map-side pass at any corpus size AND the selected set stays
+    * exactly `k` rows. The round-6 `vec_id % 100` stride grew the
+    * probe set O(corpus), which made every offline acceptance gate
+    * (probes × corpus) quietly quadratic. */
+  private[graft] def hashTopK(df: DataFrame, salt: String, k: Int): DataFrame =
+    df.orderBy(
+      md5(concat(lit(salt + "|"), col("vec_id").cast("string")).cast("binary")),
+      col("vec_id")).limit(k)
+
+  /** DuckDB mirror of [[hashTopK]] — append to a probe/seed CTE body. */
+  private def hashTopKSql(salt: String, k: Int): String =
+    s"ORDER BY md5('$salt|' || vec_id::VARCHAR), vec_id LIMIT $k"
+  private def probeSel: String = hashTopKSql("probe", NProbes)
+  private def centSel(n: Int): String = hashTopKSql("cent", n)
 
   /** Vectors with their L2 norm precomputed once, map-side — every
     * downstream pair then costs a single codegen'd dot product. The
@@ -53,9 +77,9 @@ object Similarity extends QueryPack {
     * the oracle's SQL formula) and enter the plan as array literals —
     * the per-row transform(sequence(...), md5...) form re-evaluated
     * 64 interpreted digests per row per plane. */
-  private def planeWeights(p: Int): Seq[Double] = {
+  private def planeWeights(p: Int, dims: Int = 64): Seq[Double] = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    (0 until 64).map { i =>
+    (0 until dims).map { i =>
       md.reset()
       val dig = md.digest(s"$p|$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))
       val h = ((dig(0) & 0xff) << 8) | (dig(1) & 0xff)
@@ -63,12 +87,13 @@ object Similarity extends QueryPack {
     }
   }
 
-  private def planeDot(emb: Column, p: Int): Column =
-    graft.functions.Portable.dotD(emb, typedLit(planeWeights(p)))
+  private def planeDot(emb: Column, p: Int, dims: Int = 64): Column =
+    graft.functions.Portable.dotD(emb, typedLit(planeWeights(p, dims)))
 
-  /** Sign bucket of the hyperplane projections, one char per plane. */
-  private def lshBucket(emb: Column, planes: Int): Column =
-    concat((0 until planes).map(p => when(planeDot(emb, p) > 0, "1").otherwise("0")): _*)
+  /** Sign bucket of the hyperplane projections, one char per plane.
+    * `dims` sizes the hyperplanes (65 for a14's augmented space). */
+  private def lshBucket(emb: Column, planes: Int, dims: Int = 64): Column =
+    concat((0 until planes).map(p => when(planeDot(emb, p, dims) > 0, "1").otherwise("0")): _*)
 
   /** `bucket` with the (0-indexed) plane bit `i` flipped. */
   private def flipBit(bucket: Column, i: Int, planes: Int): Column = concat(
@@ -76,13 +101,13 @@ object Similarity extends QueryPack {
     when(substring(bucket, i + 1, 1) === "1", "0").otherwise("1"),
     substring(bucket, i + 2, planes - i - 1))
 
-  private def planeDotSql(emb: String, p: Int): String =
-    s"""list_sum(list_transform(generate_series(1, 64),
+  private def planeDotSql(emb: String, p: Int, dims: Int = 64): String =
+    s"""list_sum(list_transform(generate_series(1, $dims),
        |    i -> $emb[i] * (('0x' || substring(md5('$p|' || (i-1)::VARCHAR), 1, 4))::BIGINT / 32768.0 - 1.0)))""".stripMargin
 
-  private def lshBucketSql(emb: String, planes: Int): String =
+  private def lshBucketSql(emb: String, planes: Int, dims: Int = 64): String =
     (0 until planes).map(p =>
-      s"(CASE WHEN ${planeDotSql(emb, p)} > 0 THEN '1' ELSE '0' END)").mkString("concat(", ", ", ")")
+      s"(CASE WHEN ${planeDotSql(emb, p, dims)} > 0 THEN '1' ELSE '0' END)").mkString("concat(", ", ", ")")
 
   /** SQL for `bucket` with the given (0-indexed) bits flipped. */
   private def flipSql(positions: Seq[Int], planes: Int): String = {
@@ -103,7 +128,7 @@ object Similarity extends QueryPack {
   /** a1's oracle, shared with a8's exact leg. */
   private lazy val BruteKnnSql =
     s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-       |p AS (SELECT vec_id AS probe_id, emb FROM v WHERE vec_id % 100 = 0),
+       |p AS (SELECT vec_id AS probe_id, emb FROM v $probeSel),
        |scored AS (
        |  SELECT p.probe_id, v.vec_id, $CosSql AS cosine,
        |    row_number() OVER (PARTITION BY p.probe_id
@@ -118,7 +143,7 @@ object Similarity extends QueryPack {
     s"""WITH v AS (
        |  SELECT vec_id, emb, ${lshBucketSql("emb", Geo.planes)} AS bucket
        |  FROM (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings) t),
-       |p AS (SELECT vec_id AS probe_id, emb, bucket FROM v WHERE vec_id % 100 = 0),
+       |p AS (SELECT vec_id AS probe_id, emb, bucket FROM v $probeSel),
        |scored AS (
        |  SELECT p.probe_id, v.vec_id, $CosSql AS cosine,
        |    row_number() OVER (PARTITION BY p.probe_id
@@ -133,7 +158,7 @@ object Similarity extends QueryPack {
   /** Exact top-k: broadcast the probe set against one corpus scan. */
   def bruteKnn(s: SparkSession, d: String, k: Int = K): DataFrame = {
     val v = vecs(s, d)
-    val probes = v.filter(col("vec_id") % 100 === 0)
+    val probes = hashTopK(v, "probe", NProbes)
       .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"), col("nrm").as("p_nrm"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
@@ -149,7 +174,7 @@ object Similarity extends QueryPack {
     * exact rerank. Bucket assignment is one map-side expression. */
   def lshKnn(s: SparkSession, d: String, geo: AnnGeometry = Geo, k: Int = K): DataFrame = {
     val v = vecs(s, d).withColumn("bucket", lshBucket(col("emb"), geo.planes))
-    val probes = v.filter(col("vec_id") % 100 === 0)
+    val probes = hashTopK(v, "probe", NProbes)
       .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"),
         col("nrm").as("p_nrm"), col("bucket").as("p_bucket"))
     val w = Window.partitionBy(col("probe_id"))
@@ -170,7 +195,7 @@ object Similarity extends QueryPack {
     * unchanged (one bucket per vector, map-side). */
   def multiProbeKnn(s: SparkSession, d: String, geo: AnnGeometry = Geo, k: Int = K): DataFrame = {
     val v = vecs(s, d).withColumn("bucket", lshBucket(col("emb"), geo.planes))
-    val probes = v.filter(col("vec_id") % 100 === 0)
+    val probes = hashTopK(v, "probe", NProbes)
       .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"),
         col("nrm").as("p_nrm"), col("bucket").as("p_bucket"))
     val expanded = probes.withColumn("search_bucket",
@@ -187,12 +212,12 @@ object Similarity extends QueryPack {
       .orderBy(col("probe_id"), col("rank"))
   }
 
-  /** IVF: coarse centroids (every `centroidStride`th vector), each
+  /** IVF: coarse centroids (`nCentroids` hash-sampled vectors), each
     * vector assigned to its nearest cell; a probe searches only its
     * nProbe nearest cells. Centroid set is broadcast everywhere. */
   def ivfKnn(s: SparkSession, d: String, geo: AnnGeometry = Geo, k: Int = K): DataFrame = {
     val v = vecs(s, d)
-    val cents = v.filter(col("vec_id") % geo.centroidStride === 0)
+    val cents = hashTopK(v, "cent", geo.nCentroids)
       .select(col("vec_id").as("cent_id"), col("emb").as("c_emb"), col("nrm").as("c_nrm"))
     // nearest cell per vector
     val wAssign = Window.partitionBy(col("vec_id"))
@@ -203,7 +228,7 @@ object Similarity extends QueryPack {
       .filter(col("crank") === 1)
       .select(col("vec_id"), col("emb"), col("nrm"), col("cent_id").as("cell"))
     // nProbe nearest cells per probe
-    val probes = v.filter(col("vec_id") % 100 === 0)
+    val probes = hashTopK(v, "probe", NProbes)
       .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"), col("nrm").as("p_nrm"))
     val wProbe = Window.partitionBy(col("probe_id"))
       .orderBy(col("pc_cos").desc, col("cent_id"))
@@ -234,7 +259,7 @@ object Similarity extends QueryPack {
     * broadcast. */
   def ivfRefine(s: SparkSession, d: String, geo: AnnGeometry = Geo): DataFrame = {
     val v = vecs(s, d)
-    val cents = v.filter(col("vec_id") % geo.centroidStride === 0)
+    val cents = hashTopK(v, "cent", geo.nCentroids)
       .select(col("vec_id").as("cent_id"), col("emb").as("c_emb"), col("nrm").as("c_nrm"))
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("c_cos").desc, col("cent_id"))
@@ -280,7 +305,7 @@ object Similarity extends QueryPack {
         col("embedding").cast("array<double>").as("emb"))
       .withColumn("nrm", graft.functions.Vec.norm(col("emb")))
       .withColumn("bucket", lshBucket(col("emb"), geo.planes))
-    val probes = v.filter(col("vec_id") % 100 === 0)
+    val probes = hashTopK(v, "probe", NProbes)
       .select(col("vec_id").as("probe_id"), col("label").as("p_label"),
         col("emb").as("p_emb"), col("nrm").as("p_nrm"), col("bucket").as("p_bucket"))
     val tier0 = struct(lit(0).as("tier"), col("p_bucket").as("sb")) +:
@@ -315,7 +340,7 @@ object Similarity extends QueryPack {
   def rangeSearch(s: SparkSession, d: String, geo: AnnGeometry = Geo,
                   minCos: Double = 0.25): DataFrame = {
     val v = vecs(s, d).withColumn("bucket", lshBucket(col("emb"), geo.planes))
-    val probes = v.filter(col("vec_id") % 100 === 0)
+    val probes = hashTopK(v, "probe", NProbes)
       .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"),
         col("nrm").as("p_nrm"), col("bucket").as("p_bucket"))
     val expanded = probes.withColumn("search_bucket",
@@ -408,7 +433,7 @@ object Similarity extends QueryPack {
       .agg(transform(sort_array(collect_list(struct(col("dim"), col("rx")))),
         x => x.getField("rx")).as("emb"))
       .withColumn("nrm", graft.functions.Vec.norm(col("emb")))
-    val probes = vecs(s, d).filter(col("vec_id") % 100 === 0)
+    val probes = hashTopK(vecs(s, d), "probe", NProbes)
       .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"), col("nrm").as("p_nrm"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
@@ -445,7 +470,7 @@ object Similarity extends QueryPack {
       posexplode(array((0 until m).map(i =>
         slice(col("emb"), i * subDim + 1, subDim)): _*)).as(Seq("sub", "sv")))
     val subs = subVecs(base, "vec_id")
-    val cents = subVecs(base.filter(col("vec_id") % Geo.centroidStride === 0), "vec_id")
+    val cents = subVecs(hashTopK(base, "cent", Geo.nCentroids), "vec_id")
       .select(col("vec_id").as("cent_id"), col("sub"), col("sv").as("cv"))
     val dist = graft.functions.Vec.dot(col("sv"), col("sv")) -
       lit(2.0) * graft.functions.Vec.dot(col("sv"), col("cv")) +
@@ -473,13 +498,18 @@ object Similarity extends QueryPack {
     * every augmented corpus vector has norm exactly M. This is what
     * lets the cosine machinery (a2/a3/a6 buckets, a9/a11 codes)
     * serve recommendation-style dot-product queries unchanged. The
-    * Spark side ranks by the augmented cosine; the oracle ranks by
-    * the plain inner product — they must coincide, which pins the
-    * reduction itself, not just the arithmetic. */
+    * Spark side ranks by the augmented cosine with the augmented
+    * vector's own MATERIALIZED norm sqrt(dot(aug, aug)) in the
+    * denominator — NOT the analytic constant M — so a broken
+    * augmentation (wrong M, wrong sqrt term) perturbs the ranking;
+    * the oracle ranks by the plain inner product — agreement pins
+    * the reduction itself, not just the arithmetic. This is the
+    * exact recall BASELINE (one corpus scan per probe batch); a14
+    * serves the same ranking through the LSH buckets. */
   def mipsTopK(s: SparkSession, d: String, k: Int = K): DataFrame = {
     val v = vecs(s, d)
     val mx = v.agg(max(col("nrm")).as("m"))
-    val probes = v.filter(col("vec_id") % 100 === 0)
+    val probes = hashTopK(v, "probe", NProbes)
       .select(col("vec_id").as("probe_id"),
         concat(col("emb"), array(lit(0.0))).as("p_aug"),
         col("nrm").as("p_nrm"))
@@ -488,9 +518,60 @@ object Similarity extends QueryPack {
     v.crossJoin(broadcast(mx))
       .withColumn("aug", concat(col("emb"),
         array(sqrt(greatest(col("m") * col("m") - col("nrm") * col("nrm"), lit(0.0))))))
+      .withColumn("aug_nrm", graft.functions.Vec.norm(col("aug")))
       .join(broadcast(probes), col("vec_id") =!= col("probe_id"))
       .withColumn("ip", graft.functions.Vec.dot(col("p_aug"), col("aug")))
-      .withColumn("aug_cos", col("ip") / (col("p_nrm") * col("m")))
+      .withColumn("aug_cos", col("ip") / (col("p_nrm") * col("aug_nrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("vec_id"), col("rank"),
+        round(col("ip"), 6).as("inner_product"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
+  /** MIPS SERVED through the LSH index — the payoff a13 only proves.
+    * The corpus is augmented ONCE (append sqrt(M² − ‖x‖²); every
+    * augmented vector then has norm exactly M), probes are augmented
+    * with a literal 0, and BOTH sides hash through the same 65-dim
+    * hyperplanes into sign buckets — so candidate generation is the
+    * a2/a6 bucket-equi broadcast hash join (own bucket + Hamming-1
+    * expansion), never a per-probe corpus scan. Rerank is the
+    * augmented cosine over the materialized augmented norm, which by
+    * the reduction equals inner-product order within the candidates.
+    * Corpus-side work at 100 TB: one map-side augment+bucket pass
+    * (M comes from a 1-row broadcast aggregate attached by an
+    * equi-join on a literal key, not a nested-loop product) plus one
+    * hash join keyed on the bucket. a13 stays the exact baseline the
+    * recall spec measures this against. */
+  def mipsLshTopK(s: SparkSession, d: String, geo: AnnGeometry = Geo, k: Int = K): DataFrame = {
+    val AugDims = 65
+    val v = vecs(s, d)
+    // The 1-row max-norm aggregate attaches by an equi-join on a
+    // runtime-computed zero key (both sides non-foldable, or Catalyst
+    // folds `lit = lit` away and degenerates the join to a nested-loop
+    // product) — so the whole serve path stays BroadcastHashJoin.
+    val mx = v.agg(max(col("nrm")).as("m"))
+      .withColumn("jk", isnull(col("m")).cast("int"))
+    val aug = v.withColumn("jk", pmod(col("vec_id"), lit(1L)).cast("int"))
+      .join(broadcast(mx), "jk")
+      .withColumn("aug", concat(col("emb"),
+        array(sqrt(greatest(col("m") * col("m") - col("nrm") * col("nrm"), lit(0.0))))))
+      .withColumn("aug_nrm", graft.functions.Vec.norm(col("aug")))
+      .withColumn("bucket", lshBucket(col("aug"), geo.planes, AugDims))
+    val probes = hashTopK(v, "probe", NProbes)
+      .select(col("vec_id").as("probe_id"),
+        concat(col("emb"), array(lit(0.0))).as("p_aug"),
+        col("nrm").as("p_nrm"))
+      .withColumn("p_bucket", lshBucket(col("p_aug"), geo.planes, AugDims))
+    val expanded = probes.withColumn("search_bucket",
+      explode(array(col("p_bucket") +:
+        (0 until geo.planes).map(i => flipBit(col("p_bucket"), i, geo.planes)): _*)))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("aug_cos").desc, col("vec_id"))
+    aug.join(broadcast(expanded),
+        col("bucket") === col("search_bucket") && col("vec_id") =!= col("probe_id"))
+      .withColumn("ip", graft.functions.Vec.dot(col("p_aug"), col("aug")))
+      .withColumn("aug_cos", col("ip") / (col("p_nrm") * col("aug_nrm")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("probe_id"), col("vec_id"), col("rank"),
@@ -507,7 +588,7 @@ object Similarity extends QueryPack {
     * corpus) so the audit costs one scan at any corpus size. */
   def cellStats(s: SparkSession, d: String, geo: AnnGeometry = Geo): DataFrame = {
     val v = vecs(s, d)
-    val cents = v.filter(col("vec_id") % geo.centroidStride === 0)
+    val cents = hashTopK(v, "cent", geo.nCentroids)
       .select(col("vec_id").as("cent_id"), col("emb").as("c_emb"), col("nrm").as("c_nrm"))
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("c_cos").desc, col("cent_id"))
@@ -528,6 +609,7 @@ object Similarity extends QueryPack {
   }
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a14_mips_lsh" -> ((s, d) => mipsLshTopK(s, d)),
     "a13_mips_topk" -> ((s, d) => mipsTopK(s, d)),
     "a12_pq_codes" -> ((s, d) => pqCodes(s, d)),
     "a11_quantized_recall" -> ((s, d) => quantizedRecall(s, d)),
@@ -544,11 +626,53 @@ object Similarity extends QueryPack {
   )
 
   def oracle: Map[String, String] = Map(
+    // Mechanical mirror of the bucketed serve path: augment, hash
+    // through the same 65-dim planes, Hamming≤1 bucket join, rerank
+    // by augmented cosine over the materialized augmented norm. (The
+    // REDUCTION itself is pinned by a13, whose oracle ranks by plain
+    // inner product with no augmentation at all.)
+    "a14_mips_lsh" -> {
+      val flips = (0 until Geo.planes).map(i => flipSql(Seq(i), Geo.planes)).mkString(", ")
+      val nrm2 = "sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(emb, emb))"
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |mx AS (SELECT max(sqrt(list_dot_product(emb, emb))) AS m FROM v),
+         |augv AS (
+         |  SELECT vec_id,
+         |    list_append(emb, sqrt(greatest(m * m - $nrm2, 0.0))) AS aug
+         |  FROM v, mx),
+         |augb AS (
+         |  SELECT vec_id, aug, ${lshBucketSql("aug", Geo.planes, 65)} AS bucket
+         |  FROM augv),
+         |p AS (SELECT vec_id AS probe_id, list_append(emb, 0.0) AS p_aug,
+         |    sqrt(list_dot_product(emb, emb)) AS p_nrm
+         |  FROM v $probeSel),
+         |pb AS (
+         |  SELECT probe_id, p_aug, p_nrm,
+         |    ${lshBucketSql("p_aug", Geo.planes, 65)} AS bucket
+         |  FROM p),
+         |expanded AS (
+         |  SELECT probe_id, p_aug, p_nrm, unnest([bucket, $flips]) AS search_bucket
+         |  FROM pb),
+         |scored AS (
+         |  SELECT e.probe_id, a.vec_id,
+         |    list_dot_product(e.p_aug, a.aug) AS ip,
+         |    row_number() OVER (PARTITION BY e.probe_id ORDER BY
+         |      list_dot_product(e.p_aug, a.aug) /
+         |        (e.p_nrm * sqrt(list_dot_product(a.aug, a.aug))) DESC,
+         |      a.vec_id) AS rank
+         |  FROM expanded e JOIN augb a
+         |    ON a.bucket = e.search_bucket AND a.vec_id <> e.probe_id)
+         |SELECT probe_id, vec_id, CAST(rank AS INTEGER) AS rank,
+         |  round(ip, 6) AS inner_product
+         |FROM scored WHERE rank <= $K
+         |ORDER BY probe_id, rank""".stripMargin
+    },
+
     // ranks by the PLAIN inner product — agreement with the Spark
     // side's augmented-cosine ranking proves the MIPS reduction
     "a13_mips_topk" ->
       s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-         |probes AS (SELECT vec_id AS probe_id, emb AS p_emb FROM v WHERE vec_id % 100 = 0),
+         |probes AS (SELECT vec_id AS probe_id, emb AS p_emb FROM v $probeSel),
          |scored AS (
          |  SELECT p.probe_id, v.vec_id,
          |    list_dot_product(p.p_emb, v.emb) AS ip,
@@ -566,11 +690,11 @@ object Similarity extends QueryPack {
          |subs AS (
          |  SELECT vec_id, m AS sub, emb[m*$PqSubDim+1 : m*$PqSubDim+$PqSubDim] AS sv
          |  FROM v, unnest(generate_series(0, $hi)) AS t(m)),
+         |cseed AS (SELECT vec_id, emb FROM v ${centSel(Geo.nCentroids)}),
          |cents AS (
          |  SELECT vec_id AS cent_id, m AS sub,
          |    emb[m*$PqSubDim+1 : m*$PqSubDim+$PqSubDim] AS cv
-         |  FROM v, unnest(generate_series(0, $hi)) AS t(m)
-         |  WHERE vec_id % ${Geo.centroidStride} = 0),
+         |  FROM cseed, unnest(generate_series(0, $hi)) AS t(m)),
          |assigned AS (
          |  SELECT vec_id, sub, cent_id, dist FROM (
          |    SELECT s.vec_id, s.sub, c.cent_id,
@@ -605,7 +729,7 @@ object Similarity extends QueryPack {
          |  FROM xs JOIN st ON xs.dim = st.dim
          |  GROUP BY vec_id),
          |v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-         |probes AS (SELECT vec_id AS probe_id, emb AS p_emb FROM v WHERE vec_id % 100 = 0),
+         |probes AS (SELECT vec_id AS probe_id, emb AS p_emb FROM v $probeSel),
          |approx AS (
          |  SELECT probe_id, vec_id FROM (
          |    SELECT p.probe_id, r.vec_id,
@@ -636,8 +760,8 @@ object Similarity extends QueryPack {
 
     "a10_cell_stats" ->
       s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-         |c AS (SELECT vec_id AS cent_id, emb AS c_emb FROM v
-         |      WHERE vec_id % ${Geo.centroidStride} = 0),
+         |c AS (SELECT vec_id AS cent_id, emb AS c_emb
+         |      FROM (SELECT * FROM v ${centSel(Geo.nCentroids)}) cs),
          |assigned AS (
          |  SELECT vec_id, cell FROM (
          |    SELECT v.vec_id, c.cent_id AS cell,
@@ -680,7 +804,7 @@ object Similarity extends QueryPack {
       s"""WITH v AS (
          |  SELECT vec_id, emb, ${lshBucketSql("emb", Geo.planes)} AS bucket
          |  FROM (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings) t),
-         |p AS (SELECT vec_id AS probe_id, emb, bucket FROM v WHERE vec_id % 100 = 0),
+         |p AS (SELECT vec_id AS probe_id, emb, bucket FROM v $probeSel),
          |expanded AS (
          |  SELECT probe_id, emb, unnest([bucket, $flips]) AS search_bucket
          |  FROM p)
@@ -714,7 +838,7 @@ object Similarity extends QueryPack {
 
     "a3_ivf_knn" ->
       s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-         |c AS (SELECT vec_id AS cent_id, emb AS c_emb FROM v WHERE vec_id % ${Geo.centroidStride} = 0),
+         |c AS (SELECT vec_id AS cent_id, emb AS c_emb FROM (SELECT * FROM v ${centSel(Geo.nCentroids)}) cs),
          |assigned AS (
          |  SELECT vec_id, emb, cell FROM (
          |    SELECT v.vec_id, v.emb, c.cent_id AS cell,
@@ -730,7 +854,7 @@ object Similarity extends QueryPack {
          |        list_dot_product(v.emb, c.c_emb) /
          |          (sqrt(list_dot_product(v.emb, v.emb)) * sqrt(list_dot_product(c.c_emb, c.c_emb))) DESC,
          |        c.cent_id) AS crank
-         |    FROM v, c WHERE v.vec_id % 100 = 0) t WHERE crank <= ${Geo.nProbe}),
+         |    FROM (SELECT * FROM v $probeSel) v, c) t WHERE crank <= ${Geo.nProbe}),
          |scored AS (
          |  SELECT p.probe_id, v.vec_id,
          |    list_dot_product(p.p_emb, v.emb) /
@@ -750,7 +874,7 @@ object Similarity extends QueryPack {
       s"""WITH v AS (
          |  SELECT vec_id, emb, ${lshBucketSql("emb", Geo.planes)} AS bucket
          |  FROM (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings) t),
-         |p AS (SELECT vec_id AS probe_id, emb, bucket FROM v WHERE vec_id % 100 = 0),
+         |p AS (SELECT vec_id AS probe_id, emb, bucket FROM v $probeSel),
          |expanded AS (
          |  SELECT probe_id, emb, unnest([bucket, $flips]) AS search_bucket
          |  FROM p),
@@ -771,7 +895,7 @@ object Similarity extends QueryPack {
 
     "a5_ivf_refine" ->
       s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-         |c AS (SELECT vec_id AS cent_id, emb AS c_emb FROM v WHERE vec_id % ${Geo.centroidStride} = 0),
+         |c AS (SELECT vec_id AS cent_id, emb AS c_emb FROM (SELECT * FROM v ${centSel(Geo.nCentroids)}) cs),
          |assigned AS (
          |  SELECT vec_id, emb, cell FROM (
          |    SELECT v.vec_id, v.emb, c.cent_id AS cell,
@@ -819,7 +943,7 @@ object Similarity extends QueryPack {
          |  SELECT vec_id, label, emb, ${lshBucketSql("emb", Geo.planes)} AS bucket
          |  FROM (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings) t),
          |p AS (SELECT vec_id AS probe_id, label AS p_label, emb, bucket
-         |  FROM v WHERE vec_id % 100 = 0),
+         |  FROM v $probeSel),
          |expanded AS (
          |  $expansion),
          |scored AS (
