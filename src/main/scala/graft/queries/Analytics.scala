@@ -544,8 +544,14 @@ object Analytics extends QueryPack {
         .select(col("key"), (col("price") + 1000.0).as("new_price"), lit("U").as("op"))
       val deletes = base.filter(col("key") % 97 === 0)
         .select(col("key"), lit(null).cast("double").as("new_price"), lit("D").as("op"))
+      // insert keys offset past the OBSERVED max key (1-row broadcast
+      // agg), not a constant: o_orderkey exceeds any fixed offset at a
+      // large enough SF, and a collision would silently misclassify
+      // actions on both engines at once
+      val mxk = base.agg(max(col("key")).as("mxk"))
       val inserts = base.filter(col("key") % 500 === 0)
-        .select((col("key") + 10000000L).as("key"),
+        .crossJoin(broadcast(mxk))
+        .select((col("key") + col("mxk") + 1L).as("key"),
           (col("price") * 0.5).as("new_price"), lit("I").as("op"))
       base.join(updates.unionAll(deletes).unionAll(inserts), Seq("key"), "full_outer")
         .withColumn("action",
@@ -1021,7 +1027,8 @@ object Analytics extends QueryPack {
         |  UNION ALL
         |  SELECT key, NULL::DOUBLE, 'D' FROM base WHERE key % 97 = 0
         |  UNION ALL
-        |  SELECT key + 10000000, price * 0.5, 'I' FROM base WHERE key % 500 = 0),
+        |  SELECT key + (SELECT max(key) FROM base) + 1, price * 0.5, 'I'
+        |  FROM base WHERE key % 500 = 0),
         |m AS (
         |  SELECT coalesce(b.key, c.key) AS key, b.price, c.new_price, c.op,
         |    CASE WHEN c.op = 'D' THEN 'delete'

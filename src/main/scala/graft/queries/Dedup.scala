@@ -286,7 +286,6 @@ object Dedup extends QueryPack {
     // original's cell and must surface; the all-pairs scan never
     // materializes (per-cell self-join, cells ≈ corpus/centroids).
     "d12_semantic_dedup" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
       val base = graft.Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
       val pert = base.filter(col("vec_id") % 20 === 0)
@@ -298,23 +297,7 @@ object Dedup extends QueryPack {
       val cents = base.filter(col("vec_id") % SemCentStride === 0)
         .select(col("vec_id").as("cent_id"), col("emb").as("c_emb"))
         .withColumn("c_nrm", graft.functions.Vec.norm(col("c_emb")))
-      val cos = graft.functions.Vec.dot(col("emb"), col("c_emb")) /
-        (col("nrm") * col("c_nrm"))
-      val byVec = Window.partitionBy(col("vec_id")).orderBy(cos.desc, col("cent_id"))
-      val assigned = corpus.crossJoin(broadcast(cents))
-        .withColumn("crank", row_number().over(byVec))
-        .filter(col("crank") === 1)
-        .select(col("vec_id"), col("emb"), col("nrm"), col("cent_id").as("cell"))
-      val l = assigned.select(col("cell"), col("vec_id").as("keep_id"),
-        col("emb").as("a_emb"), col("nrm").as("a_nrm"))
-      val r = assigned.select(col("cell"), col("vec_id").as("dup_id"),
-        col("emb").as("b_emb"), col("nrm").as("b_nrm"))
-      l.join(r, Seq("cell")).filter(col("keep_id") < col("dup_id"))
-        .withColumn("cosine", graft.functions.Vec.dot(col("a_emb"), col("b_emb")) /
-          (col("a_nrm") * col("b_nrm")))
-        .filter(col("cosine") >= SemDupCos)
-        .select(col("cell"), col("keep_id"), col("dup_id"),
-          round(col("cosine"), 6).as("cosine"))
+      semanticDedupPairs(corpus, cents, SemDupCos, SemMaxCell)
         .orderBy(col("keep_id"), col("dup_id"))
     },
 
@@ -401,9 +384,60 @@ object Dedup extends QueryPack {
     }
   )
 
-  /** d12: centroid seed stride + within-cell near-dup threshold. */
+  /** d12: centroid seed stride + within-cell near-dup threshold +
+    * hot-cell block bound. */
   private val SemCentStride = 50
   private val SemDupCos = 0.98
+  private val SemMaxCell = 64
+
+  /** SemDeDup-style within-cell near-dup pair mining with a HOT-CELL
+    * BOUND. Every vector is assigned to its nearest broadcast centroid
+    * (the IVF pass a3/a10 share); a cell's members are then ordered by
+    * centroid affinity and split into blocks of at most `maxCell`
+    * rows, and the pair self-join keys on (cell, block). The largest
+    * join group is therefore `maxCell` rows and per-cell candidate
+    * work is ceil(n/maxCell)·C(maxCell,2) — LINEAR in the cell, where
+    * the round-6 form was quadratic in the hottest cell (the skew a10
+    * audits but nothing previously acted on; at 100 TB one dense
+    * cluster degraded the whole job). Near-identical vectors have
+    * near-identical centroid affinity, so dup pairs co-locate in a
+    * block w.h.p.; a pair straddling a block boundary is the
+    * documented price of boundedness, and the DuckDB oracle mirrors
+    * the same blocking so both engines see identical semantics.
+    *
+    * @param corpus (vec_id, emb, nrm)
+    * @param cents  (cent_id, c_emb, c_nrm) — broadcast-sized
+    * @param minCos near-dup cosine threshold
+    * @param maxCell max members compared as one block within a cell
+    */
+  def semanticDedupPairs(corpus: DataFrame, cents: DataFrame,
+                         minCos: Double, maxCell: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cos = graft.functions.Vec.dot(col("emb"), col("c_emb")) /
+      (col("nrm") * col("c_nrm"))
+    val byVec = Window.partitionBy(col("vec_id")).orderBy(cos.desc, col("cent_id"))
+    val assigned = corpus.crossJoin(broadcast(cents))
+      .withColumn("c_cos", cos)
+      .withColumn("crank", row_number().over(byVec))
+      .filter(col("crank") === 1)
+      .select(col("vec_id"), col("emb"), col("nrm"),
+        col("cent_id").as("cell"), col("c_cos"))
+    val byCell = Window.partitionBy(col("cell"))
+      .orderBy(col("c_cos").desc, col("vec_id"))
+    val blocked = assigned
+      .withColumn("blk", floor((row_number().over(byCell) - 1) / lit(maxCell)))
+      .select(col("cell"), col("blk"), col("vec_id"), col("emb"), col("nrm"))
+    val l = blocked.select(col("cell"), col("blk"), col("vec_id").as("keep_id"),
+      col("emb").as("a_emb"), col("nrm").as("a_nrm"))
+    val r = blocked.select(col("cell"), col("blk"), col("vec_id").as("dup_id"),
+      col("emb").as("b_emb"), col("nrm").as("b_nrm"))
+    l.join(r, Seq("cell", "blk")).filter(col("keep_id") < col("dup_id"))
+      .withColumn("cosine", graft.functions.Vec.dot(col("a_emb"), col("b_emb")) /
+        (col("a_nrm") * col("b_nrm")))
+      .filter(col("cosine") >= minCos)
+      .select(col("cell"), col("keep_id"), col("dup_id"),
+        round(col("cosine"), 6).as("cosine"))
+  }
 
   /** The shared passage d11 plants across documents. */
   private val Boilerplate =
@@ -741,20 +775,28 @@ object Dedup extends QueryPack {
          |  SELECT vec_id AS cent_id, embedding::DOUBLE[] AS c_emb
          |  FROM embeddings WHERE vec_id % $SemCentStride = 0),
          |assigned AS (
-         |  SELECT vec_id, emb, cell FROM (
+         |  SELECT vec_id, emb, cell, c_cos FROM (
          |    SELECT base.vec_id, base.emb, c.cent_id AS cell,
+         |      list_dot_product(base.emb, c.c_emb) /
+         |        (sqrt(list_dot_product(base.emb, base.emb)) *
+         |         sqrt(list_dot_product(c.c_emb, c.c_emb))) AS c_cos,
          |      row_number() OVER (PARTITION BY base.vec_id ORDER BY
          |        list_dot_product(base.emb, c.c_emb) /
          |          (sqrt(list_dot_product(base.emb, base.emb)) *
          |           sqrt(list_dot_product(c.c_emb, c.c_emb))) DESC,
          |        c.cent_id) AS crank
-         |    FROM base, c) t WHERE crank = 1)
+         |    FROM base, c) t WHERE crank = 1),
+         |blocked AS (
+         |  SELECT vec_id, emb, cell,
+         |    CAST(floor((row_number() OVER (PARTITION BY cell
+         |      ORDER BY c_cos DESC, vec_id) - 1) / $SemMaxCell) AS BIGINT) AS blk
+         |  FROM assigned)
          |SELECT l.cell, l.vec_id AS keep_id, r.vec_id AS dup_id,
          |  round(list_dot_product(l.emb, r.emb) /
          |    (sqrt(list_dot_product(l.emb, l.emb)) *
          |     sqrt(list_dot_product(r.emb, r.emb))), 6) AS cosine
-         |FROM assigned l JOIN assigned r
-         |  ON l.cell = r.cell AND l.vec_id < r.vec_id
+         |FROM blocked l JOIN blocked r
+         |  ON l.cell = r.cell AND l.blk = r.blk AND l.vec_id < r.vec_id
          |WHERE list_dot_product(l.emb, r.emb) /
          |    (sqrt(list_dot_product(l.emb, l.emb)) *
          |     sqrt(list_dot_product(r.emb, r.emb))) >= $SemDupCos

@@ -8,6 +8,20 @@ import org.apache.spark.sql.functions._
   */
 class CurationSpec extends SparkSuite {
 
+  test("planted-id offsets stay clear of the base id domain") {
+    // Tests below classify planted rows by ABSOLUTE id offsets
+    // (+100000, +200000, +300000, +500000, ...). If a data-generator
+    // change ever grows the base id domain into those ranges, the
+    // classifications would silently misbind planted vs real rows —
+    // fail loudly here instead.
+    val maxDoc = Tables.documents(spark, sf).agg(max(col("doc_id")))
+      .collect().head.getLong(0)
+    val maxVec = Tables.embeddings(spark, sf).agg(max(col("vec_id")))
+      .collect().head.getLong(0)
+    assert(maxDoc < 100000L, s"documents ids reach $maxDoc — planted offsets collide")
+    assert(maxVec < 100000L, s"embeddings ids reach $maxVec — planted offsets collide")
+  }
+
   test("t16 planted violators fail exactly their engineered rules") {
     val rows = SparkEntry.queries("t16_gopher_rules")(spark, sf).collect()
     val spam = rows.filter(r => r.getLong(0) >= 300000L && r.getLong(0) < 310000L)
@@ -62,11 +76,51 @@ class CurationSpec extends SparkSuite {
       "a nested-loop join beyond the two centroid assignments means the pair scan went cartesian")
     val pairs = df.collect()
     assert(pairs.nonEmpty)
-    // every surfaced pair is a planted (original, perturbed-copy) pair
-    pairs.foreach { r =>
+    // every pair involving a planted copy binds it to ITS original
+    // (natural near-dup pairs among base vectors are allowed — their
+    // absence is a property of the generator, not of the operator)
+    pairs.filter(_.getAs[Long]("dup_id") >= 200000L).foreach { r =>
       assert(r.getAs[Long]("dup_id") === r.getAs[Long]("keep_id") + 200000L, s"$r")
       assert(r.getAs[Double]("cosine") >= 0.98)
     }
+    // and the planted pairs overwhelmingly surface (a copy may sit in
+    // a different cell/block than its original near a boundary)
+    val planted = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 20 === 0).count()
+    val found = pairs.count(r =>
+      r.getAs[Long]("dup_id") === r.getAs[Long]("keep_id") + 200000L)
+    assert(found >= (planted * 0.8).toLong, s"only $found of $planted planted pairs surfaced")
+  }
+
+  test("d12 hot cells are block-split: pair fanout stays linear, never quadratic") {
+    import graft.queries.Dedup
+    // Engineer ONE hot cell: 200 near-identical copies of a base
+    // vector (tiny distinct nudges on dim 0) all land on the same
+    // nearest centroid. With maxCell=16 the within-cell self-join must
+    // run per block: ceil(200/16)=13 blocks -> 12*C(16,2)+C(8,2)=1468
+    // candidate pairs, where the unbounded form would compare
+    // C(200,2)=19900.
+    val base = Tables.embeddings(spark, sf).filter(col("vec_id") === 0L)
+      .select(col("embedding").cast("array<double>").as("emb"))
+      .collect().head.getSeq[Double](0)
+    val hot = spark.range(200).select(col("id").as("vec_id"),
+      concat(array(lit(base.head) + col("id").cast("double") * lit(1e-7)),
+        typedLit(base.tail.toSeq)).as("emb"))
+      .withColumn("nrm", graft.functions.Vec.norm(col("emb")))
+    val cents = Tables.embeddings(spark, sf)
+      .filter(col("vec_id").between(1L, 5L))
+      .select(col("vec_id").as("cent_id"),
+        col("embedding").cast("array<double>").as("c_emb"))
+      .withColumn("c_nrm", graft.functions.Vec.norm(col("c_emb")))
+    // minCos = -1 disables the similarity filter so the row count IS
+    // the candidate-pair count the join materialized
+    val candidates = Dedup.semanticDedupPairs(hot, cents, -1.0, 16).collect()
+    assert(candidates.length === 12 * 120 + 28,
+      s"expected block-bounded 1468 candidate pairs, got ${candidates.length}")
+    // near-identical copies still dedup within their blocks
+    val dups = Dedup.semanticDedupPairs(hot, cents, 0.98, 16).count()
+    assert(dups === candidates.length.toLong,
+      "near-identical block members must all clear the dup threshold")
   }
 
   test("a10 cell shares sum to 1 and skew means 1 across cells") {
