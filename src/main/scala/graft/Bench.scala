@@ -55,8 +55,13 @@ object Bench {
     // contiguous alphabetical span of single runs; a median absorbs
     // one slow run per query, and the recorded loadavg lets a reader
     // adjudicate any residual tail without a re-run.
-    val Runs = 3
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Local-iteration overrides (the driver sets neither): RUNS ups
+    // the median width for adjudicating a single noisy query; ONLY
+    // benches the named-substring subset.
+    val Runs = sys.env.get("SPARK_GRAFT_RUNS").flatMap(_.toIntOption).getOrElse(3)
+    val only = sys.env.getOrElse("SPARK_GRAFT_ONLY", "")
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(_._1.contains(only)).map { case (name, fn) =>
       val times = (0 until Runs).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).queryExecution.toRdd.count() }

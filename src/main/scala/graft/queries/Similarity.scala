@@ -289,6 +289,90 @@ object Similarity extends QueryPack {
       .orderBy(col("cell"))
   }
 
+  /** One assignment pass: every vector → its nearest centroid from a
+    * broadcast (cell, c_emb, c_nrm) table, keeping the winning cosine.
+    * The corpus × constant-size-centroids broadcast product is the
+    * intended IVF shape (cells ≪ corpus); shared by a15's loop. */
+  private[graft] def assignCells(v: DataFrame, cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("c_cos").desc, col("cell"))
+    v.join(broadcast(cents))
+      .withColumn("c_cos", cosPre(col("emb"), col("nrm"), col("c_emb"), col("c_nrm")))
+      .withColumn("crank", row_number().over(w))
+      .filter(col("crank") === 1)
+      .select(col("vec_id"), col("emb"), col("nrm"), col("cell"), col("c_cos"))
+  }
+
+  /** Element-wise member means per cell → the refined centroid table.
+    * State is cells × dims doubles regardless of corpus size. */
+  private def cellMeans(assigned: DataFrame): DataFrame =
+    assigned.select(col("cell"), posexplode(col("emb")).as(Seq("pos", "x")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(avg(col("x")).as("m"))
+      .groupBy(col("cell"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("cell"),
+        transform(col("pm"), e => e.getField("m")).as("c_emb"))
+      .withColumn("c_nrm", graft.functions.Vec.norm(col("c_emb")))
+
+  /** a15: k full Lloyd iterations of IVF refinement (a5 is one), with
+    * per-iteration convergence stats — the index-BUILD loop a vector
+    * store runs to convergence before serving. Each iteration is one
+    * corpus assignment pass plus a (cell, dim) mean whose state is
+    * cells×dims; centroids stay broadcast throughout. `assigned` is
+    * localCheckpoint'ed per round (the Components.connected practice:
+    * on a real cluster this checkpoints to reliable storage) so the
+    * lineage doesn't double per iteration and each pass runs once.
+    * mean_cos is the k-means objective in cosine form — the spec
+    * asserts it is non-decreasing across iterations. */
+  def ivfRefineIterated(s: SparkSession, d: String, geo: AnnGeometry = Geo,
+                        iters: Int = 3): DataFrame = {
+    val v = vecs(s, d)
+    val seeds = hashTopK(v, "cent", geo.nCentroids)
+      .select(col("vec_id").as("cell"), col("emb").as("c_emb"), col("nrm").as("c_nrm"))
+    var assigned = assignCells(v, seeds).localCheckpoint()
+    var stats: DataFrame = null
+    for (i <- 1 to iters) {
+      val cents = cellMeans(assigned)
+      assigned = assignCells(v, cents).localCheckpoint()
+      val st = assigned
+        .agg(countDistinct(col("cell")).as("n_cells"),
+          count(lit(1)).as("n_vecs"),
+          round(avg(col("c_cos")), 6).as("mean_cos"))
+        .select(lit(i.toLong).as("iter"), col("n_cells"), col("n_vecs"), col("mean_cos"))
+      stats = if (stats == null) st else stats.unionAll(st)
+    }
+    stats.orderBy(col("iter"))
+  }
+
+  /** Movement-based Lloyd convergence: iterate until no centroid moved
+    * more than `eps` in cosine distance (or `maxIters`). The per-round
+    * driver action reads a CELLS-sized aggregate (one double per
+    * cell), never corpus data — the same bounded-state fixpoint
+    * pattern as operators.Components.connected. Returns the refined
+    * centroid table (cell, c_emb, c_nrm) ready to serve a3/a10. */
+  def ivfRefineConverged(s: SparkSession, d: String, geo: AnnGeometry = Geo,
+                         maxIters: Int = 10, eps: Double = 1e-6): DataFrame = {
+    val v = vecs(s, d)
+    var cents = hashTopK(v, "cent", geo.nCentroids)
+      .select(col("vec_id").as("cell"), col("emb").as("c_emb"), col("nrm").as("c_nrm"))
+      .localCheckpoint()
+    var iter = 0
+    var moved = true
+    while (moved && iter < maxIters) {
+      val next = cellMeans(assignCells(v, cents)).localCheckpoint()
+      val worst = next.as("n")
+        .join(cents.as("p"), col("n.cell") === col("p.cell"))
+        .select((lit(1.0) - graft.functions.Vec.dot(col("n.c_emb"), col("p.c_emb")) /
+          (col("n.c_nrm") * col("p.c_nrm"))).as("move"))
+        .agg(max(col("move")).as("worst"))
+        .head().getDouble(0)
+      moved = worst > eps
+      cents = next
+      iter += 1
+    }
+    cents
+  }
+
   /** Hard-negative mining: for each probe, the nearest neighbor
     * carrying a DIFFERENT label (the cross-label margin example a
     * contrastive training pipeline wants). Candidates come from the
@@ -609,6 +693,7 @@ object Similarity extends QueryPack {
   }
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a15_ivf_iterate" -> ((s, d) => ivfRefineIterated(s, d)),
     "a14_mips_lsh" -> ((s, d) => mipsLshTopK(s, d)),
     "a13_mips_topk" -> ((s, d) => mipsTopK(s, d)),
     "a12_pq_codes" -> ((s, d) => pqCodes(s, d)),
@@ -626,6 +711,51 @@ object Similarity extends QueryPack {
   )
 
   def oracle: Map[String, String] = Map(
+    // Unrolled 3-iteration Lloyd chain: assign -> per-cell means ->
+    // reassign, stats read from each round's reassignment — the same
+    // a0/r1/a1/r2/a2/r3/a3 dataflow the Spark loop builds.
+    "a15_ivf_iterate" -> {
+      val iters = 3
+      def cosSql(c: String) =
+        s"""list_dot_product(v.emb, $c.c_emb) /
+           |          (sqrt(list_dot_product(v.emb, v.emb)) * sqrt(list_dot_product($c.c_emb, $c.c_emb)))""".stripMargin
+      val ctes = new scala.collection.mutable.StringBuilder
+      ctes ++= s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |c0 AS (SELECT vec_id AS cell, emb AS c_emb
+         |  FROM (SELECT * FROM v ${centSel(Geo.nCentroids)}) cs)""".stripMargin
+      def assignCte(name: String, cents: String): String =
+        s""",
+           |$name AS (
+           |  SELECT vec_id, emb, cell, c_cos FROM (
+           |    SELECT v.vec_id, v.emb, c.cell,
+           |      ${cosSql("c")} AS c_cos,
+           |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+           |        ${cosSql("c")} DESC, c.cell) AS crank
+           |    FROM v, $cents c) t WHERE crank = 1)""".stripMargin
+      def meansCte(name: String, assigned: String): String =
+        s""",
+           |$name AS (
+           |  SELECT cell, list(m ORDER BY pos) AS c_emb FROM (
+           |    SELECT cell, i AS pos, avg(emb[i]) AS m
+           |    FROM $assigned, generate_series(1, 64) AS g(i)
+           |    GROUP BY cell, i) t
+           |  GROUP BY cell)""".stripMargin
+      ctes ++= assignCte("a0", "c0")
+      for (i <- 1 to iters) {
+        ctes ++= meansCte(s"r$i", s"a${i - 1}")
+        ctes ++= assignCte(s"a$i", s"r$i")
+      }
+      val stats = (1 to iters).map { i =>
+        s"""SELECT CAST($i AS BIGINT) AS iter,
+           |  CAST(count(DISTINCT cell) AS BIGINT) AS n_cells,
+           |  count(*)::BIGINT AS n_vecs,
+           |  round(avg(c_cos), 6) AS mean_cos FROM a$i""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""$ctes
+         |$stats
+         |ORDER BY iter""".stripMargin
+    },
+
     // Mechanical mirror of the bucketed serve path: augment, hash
     // through the same 65-dim planes, Hamming≤1 bucket join, rerank
     // by augmented cosine over the materialized augmented norm. (The

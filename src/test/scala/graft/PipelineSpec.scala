@@ -70,6 +70,36 @@ class PipelineSpec extends SparkSuite {
     assert(weightedMean > 0.1, s"mean member-centroid cosine too low: $weightedMean")
   }
 
+  test("a15 Lloyd iterations monotonically improve the objective and converge to serving centroids") {
+    import graft.queries.Similarity
+    val rows = SparkEntry.queries("a15_ivf_iterate")(spark, sf).collect()
+      .sortBy(_.getAs[Long]("iter"))
+    assert(rows.length === 3)
+    // every iteration conserves the corpus (the a10 invariant held
+    // against each round's refined centroids)
+    val n = Tables.embeddings(spark, sf).count()
+    rows.foreach(r => assert(r.getAs[Long]("n_vecs") === n))
+    // spherical-k-means objective (mean member-centroid cosine) is
+    // non-decreasing across full Lloyd iterations
+    val mc = rows.map(_.getAs[Double]("mean_cos"))
+    mc.zip(mc.tail).foreach { case (a, b) =>
+      assert(b >= a - 1e-9, s"objective regressed across iterations: ${mc.toSeq}")
+    }
+
+    // movement-based stop: converges within the bound and returns a
+    // serving-ready centroid table the a3/a10 machinery can assign
+    // against — one pass conserves the corpus into <= nCentroids cells
+    val cents = Similarity.ivfRefineConverged(spark, sf, maxIters = 8, eps = 1e-4)
+    val k = cents.count()
+    assert(k > 0 && k <= 10, s"refined centroid count $k")
+    val v = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .withColumn("nrm", graft.functions.Vec.norm(col("emb")))
+    val assigned = Similarity.assignCells(v, cents)
+    assert(assigned.count() === n)
+    assert(assigned.select("cell").distinct().count() <= k)
+  }
+
   test("a4 cross-label NN is bucket-joined (no nested-loop corpus scan) and recalls exact") {
     import graft.queries.Similarity
     val df = SparkEntry.queries("a4_cross_label_nn")(spark, sf)

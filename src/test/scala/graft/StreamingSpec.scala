@@ -178,6 +178,84 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("m19's measured disorder sizes a watermark that predicts streaming drops exactly") {
+    import spark.implicits._
+    import graft.functions.Portable
+    // One shard's events with m19's exact md5-derived delay
+    // distribution, replayed in ARRIVAL order. Event time is
+    // COMPRESSED 3000× (a month → ~15 min) so the 0–600 s delays
+    // actually reorder arrivals at this tiny SF — shard 0's raw
+    // inter-event gaps (~40 min) would otherwise never produce
+    // disorder and the profiler would have nothing to size.
+    val raw = Envelope.messages(spark, sf)
+      .select(col("event_id"), col("ts"),
+        Envelope.shardId(col("partition_key")).as("shard_id"))
+      .filter(col("shard_id") === 0L)
+      .withColumn("ts_us", expr("unix_micros(ts)"))
+      .withColumn("delay_us",
+        pmod(Portable.hash60(col("event_id").cast("string")), lit(600L)) * lit(1000000L))
+      .select(col("event_id"), col("ts_us"), col("delay_us"))
+      .collect()
+    assert(raw.length > 50)
+    val tsMin = raw.map(_.getLong(1)).min
+    val prof = raw.map { r =>
+      val tsC = tsMin + (r.getLong(1) - tsMin) / 3000L
+      (r.getLong(0), tsC, tsC + r.getLong(2))
+    }.sortBy(t => (t._3, t._1))
+
+    // m19's machinery over the replay: per-event disorder against the
+    // running high-water mark of PRIOR arrivals
+    case class Ev(id: Long, tsUs: Long, hwmBefore: Long)
+    var hwm = Long.MinValue
+    val evs = prof.map { case (id, ts, _) =>
+      val e = Ev(id, ts, hwm)
+      hwm = math.max(hwm, ts)
+      e
+    }
+    val disorders = evs.map(e =>
+      math.max(0L, (if (e.hwmBefore == Long.MinValue) e.tsUs else e.hwmBefore) - e.tsUs))
+    // the horizon the profiler recommends: p99 observed disorder
+    val sortedD = disorders.sorted
+    val horizonUs = sortedD(math.min(sortedD.length * 99 / 100, sortedD.length - 1))
+    assert(horizonUs > 0L, "p99 disorder must be positive on this corpus")
+    val rawLate = disorders.count(_ > horizonUs)
+    assert(rawLate >= 1, "the sized horizon should still mark ~1% of rows late")
+
+    // exact drop prediction under the engine's aggregation semantics:
+    // a row in micro-batch i is dropped when its 1-second window END
+    // is at or below the watermark derived from batches < i
+    val winUs = 1000000L
+    val predictedDrop = evs.count { e =>
+      e.hwmBefore != Long.MinValue &&
+        (e.tsUs / winUs + 1) * winUs <= e.hwmBefore - horizonUs
+    }
+
+    // replay ONE event per micro-batch so the engine's watermark
+    // advances exactly like the profiler's running high-water mark
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "400")
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val agg = input.toDF().toDF("event_id", "ts")
+      .withWatermark("ts", s"$horizonUs microseconds")
+      .groupBy(window(col("ts"), "1 second"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.outputMode("update")
+      .format("memory").queryName("m19wm").start()
+    evs.foreach { e =>
+      input.addData((e.id, java.sql.Timestamp.from(
+        java.time.Instant.ofEpochSecond(e.tsUs / 1000000L, (e.tsUs % 1000000L) * 1000L))))
+      q.processAllAvailable()
+    }
+    q.stop()
+    val dropped = q.recentProgress.flatMap(_.stateOperators)
+      .map(_.numRowsDroppedByWatermark).sum
+    assert(dropped === predictedDrop.toLong,
+      s"engine dropped $dropped, the profile predicted $predictedDrop (raw-late $rawLate)")
+    // window rounding can only SAVE a raw-late row, never drop an
+    // on-time one: engine drops are a subset of m19's late set
+    assert(dropped <= rawLate.toLong)
+  }
+
   test("stream-stream interval join matches the batch range join") {
     val topic = tempDir("topic")
     Publisher.publish(Envelope.messages(spark, sf), topic)
