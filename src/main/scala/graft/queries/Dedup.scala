@@ -343,6 +343,44 @@ object Dedup extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // MinHash calibration audit — the parameter QA for the whole d2/
+    // d3/d4 stack: for every LSH candidate pair, the Jaccard ESTIMATE
+    // the 16-slot signature implies (fraction of agreeing minima)
+    // against the EXACT shingle Jaccard, with the absolute error. An
+    // operator reads this table before changing K or the band layout:
+    // if the estimate diverges, band thresholds are lying about the
+    // similarity they gate on. Costs one signature pass + the d4-style
+    // candidates-only exact verify — never all pairs.
+    "d15_minhash_calibration" -> { (s, d) =>
+      val sigs = kmSignatures(withNearDupes(s, d), materialize = true)
+      val cand = lshPairs(s, d)
+      val agree = (0 until K).map(i =>
+        when(col(s"a_s$i") === col(s"b_s$i"), 1).otherwise(0)).reduce(_ + _)
+      val sa = sigs.select(col("doc_id").as("doc_a") +:
+        (0 until K).map(i => col(s"s$i").as(s"a_s$i")): _*)
+      val sb = sigs.select(col("doc_id").as("doc_b") +:
+        (0 until K).map(i => col(s"s$i").as(s"b_s$i")): _*)
+      val candIds = cand.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+        .distinct()
+      val docsSh = withNearDupes(s, d)
+        .join(broadcast(candIds), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"),
+          graft.functions.TextHash.distinctShingles(col("text"), ShingleN).as("sh"))
+      cand
+        .join(broadcast(sa), Seq("doc_a"))
+        .join(broadcast(sb), Seq("doc_b"))
+        .join(broadcast(docsSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))), Seq("doc_a"))
+        .join(broadcast(docsSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))), Seq("doc_b"))
+        .withColumn("est", agree.cast("double") / lit(K))
+        .withColumn("ex", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+        .select(col("doc_a"), col("doc_b"),
+          round(col("est"), 6).as("est_jaccard"),
+          round(col("ex"), 6).as("jaccard"),
+          round(abs(col("est") - col("ex")), 6).as("abs_err"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
     // Cross-corpus NEAR-dup screening — d13's exact digest check
     // extended to minhash: a new delivery's band hashes join the
     // corpus's band hashes, so lightly-edited re-uploads (which no
@@ -688,6 +726,30 @@ object Dedup extends QueryPack {
          |FROM comp
          |GROUP BY comp_id
          |ORDER BY comp_id""".stripMargin,
+
+    "d15_minhash_calibration" -> {
+      val agree = (0 until K).map(i =>
+        s"CASE WHEN a.s$i = b.s$i THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH $CandSql,
+         |distinct_sh AS (
+         |  SELECT doc_id, list_distinct(sh) AS dsh FROM shingled),
+         |scored AS (
+         |  SELECT c.doc_a, c.doc_b,
+         |    ($agree) / ${K}.0 AS est,
+         |    len(list_intersect(da.dsh, db.dsh))::DOUBLE /
+         |      (len(da.dsh) + len(db.dsh) - len(list_intersect(da.dsh, db.dsh))) AS ex
+         |  FROM cand c
+         |  JOIN sigs a ON c.doc_a = a.doc_id
+         |  JOIN sigs b ON c.doc_b = b.doc_id
+         |  JOIN distinct_sh da ON c.doc_a = da.doc_id
+         |  JOIN distinct_sh db ON c.doc_b = db.doc_id)
+         |SELECT doc_a, doc_b,
+         |  round(est, 6) AS est_jaccard,
+         |  round(ex, 6) AS jaccard,
+         |  round(abs(est - ex), 6) AS abs_err
+         |FROM scored
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
 
     "d4_ngram_jaccard" ->
       s"""WITH $CandSql,

@@ -298,6 +298,39 @@ object Messaging extends QueryPack {
         .orderBy(col("shard_id"))
     },
 
+    // Reshard planning — m17 measures per-shard load; this DECIDES.
+    // Kinesis capacity is fixed per shard, so a hot shard must SPLIT
+    // and cold shards are merge candidates (m14's rendezvous
+    // rebalancing only reassigns the existing shard set across
+    // workers — it cannot fix a hot shard). Thresholds are relative
+    // to the fleet mean (±15%), so the plan is scale-free: the same
+    // query sizes an 8-shard test stream and a 10k-shard production
+    // one. target_shards = ceil(load / mean) is the split fanout that
+    // brings the hot shard back under the fleet average. One
+    // shards-sized rollup + a broadcast 1-row total.
+    "m20_reshard_plan" -> { (s, d) =>
+      val perShard = Envelope.messages(s, d)
+        .select(Envelope.shardId(col("partition_key")).as("shard_id"))
+        .groupBy(col("shard_id"))
+        .agg(count(lit(1)).as("n_events"))
+      val tot = perShard.agg(sum(col("n_events")).as("total"),
+        count(lit(1)).as("n_shards"))
+      perShard.crossJoin(broadcast(tot))
+        .withColumn("mean_events", col("total").cast("double") / col("n_shards"))
+        .withColumn("action",
+          when(col("n_events") > col("mean_events") * 1.15, "split")
+            .when(col("n_events") < col("mean_events") * 0.85, "merge_candidate")
+            .otherwise("keep"))
+        .withColumn("target_shards",
+          when(col("action") === "split",
+            ceil(col("n_events") / col("mean_events")).cast("long"))
+            .otherwise(lit(1L)))
+        .select(col("shard_id"), col("n_events"),
+          round(col("n_events").cast("double") / col("total"), 6).as("share"),
+          col("action"), col("target_shards"))
+        .orderBy(col("shard_id"))
+    },
+
     // Replay/backfill window — a consumer reprocessing history between
     // two checkpoint cuts (the KCL TRIM_HORIZON→AT_TIMESTAMP restart):
     // per shard, the contiguous seq range inside the cut interval plus
@@ -580,6 +613,24 @@ object Messaging extends QueryPack {
          |    ELSE sum(n)::DOUBLE /
          |      ((max(epoch_us(mx)) - min(epoch_us(mn)))::DOUBLE / 1000000.0) END, 6) AS rate_per_sec
          |FROM pm GROUP BY shard_id
+         |ORDER BY shard_id""".stripMargin,
+
+    "m20_reshard_plan" ->
+      s"""WITH per_shard AS (
+         |  SELECT ${shardSql("user_id::VARCHAR")} AS shard_id,
+         |    count(*)::BIGINT AS n_events
+         |  FROM ($Ev) e GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n_events) AS BIGINT) AS total,
+         |  count(*)::BIGINT AS n_shards FROM per_shard)
+         |SELECT shard_id, n_events,
+         |  round(n_events::DOUBLE / total, 6) AS share,
+         |  CASE WHEN n_events > (total::DOUBLE / n_shards) * 1.15 THEN 'split'
+         |       WHEN n_events < (total::DOUBLE / n_shards) * 0.85 THEN 'merge_candidate'
+         |       ELSE 'keep' END AS action,
+         |  CASE WHEN n_events > (total::DOUBLE / n_shards) * 1.15
+         |       THEN CAST(ceil(n_events / (total::DOUBLE / n_shards)) AS BIGINT)
+         |       ELSE 1 END AS target_shards
+         |FROM per_shard, tot
          |ORDER BY shard_id""".stripMargin,
 
     "m18_replay_window" ->

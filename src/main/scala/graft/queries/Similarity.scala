@@ -692,7 +692,27 @@ object Similarity extends QueryPack {
       .orderBy(col("cell"))
   }
 
+  /** a16: recall@k of the bucketed MIPS serve path (a14) against the
+    * exact reduction baseline (a13), per probe — a8's acceptance gate
+    * re-run for inner-product serving. The LEFT join keeps probes the
+    * index fully misses (recall 0) in the report; cost is one a13
+    * scan + one a14 bucket lookup over the constant-size probe set. */
+  def mipsRecallEval(s: SparkSession, d: String, geo: AnnGeometry = Geo,
+                     k: Int = K): DataFrame = {
+    val exact = mipsTopK(s, d, k).select(col("probe_id"), col("vec_id"))
+    val served = mipsLshTopK(s, d, geo, k)
+      .select(col("probe_id").as("a_probe"), col("vec_id").as("a_vec"))
+    exact.join(served,
+        col("probe_id") === col("a_probe") && col("vec_id") === col("a_vec"), "left")
+      .groupBy(col("probe_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(when(col("a_vec").isNotNull, 1L).otherwise(0L)).as("n_hit"))
+      .withColumn("recall", col("n_hit").cast("double") / col("n_exact"))
+      .orderBy(col("probe_id"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a16_mips_recall" -> ((s, d) => mipsRecallEval(s, d)),
     "a15_ivf_iterate" -> ((s, d) => ivfRefineIterated(s, d)),
     "a14_mips_lsh" -> ((s, d) => mipsLshTopK(s, d)),
     "a13_mips_topk" -> ((s, d) => mipsTopK(s, d)),
@@ -710,7 +730,72 @@ object Similarity extends QueryPack {
     "a4_cross_label_nn" -> ((s, d) => crossLabelNN(s, d))
   )
 
+  /** a13's oracle: plain inner-product ranking (shared with a16). */
+  private lazy val MipsBruteSql =
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |probes AS (SELECT vec_id AS probe_id, emb AS p_emb FROM v $probeSel),
+       |scored AS (
+       |  SELECT p.probe_id, v.vec_id,
+       |    list_dot_product(p.p_emb, v.emb) AS ip,
+       |    row_number() OVER (PARTITION BY p.probe_id ORDER BY
+       |      list_dot_product(p.p_emb, v.emb) DESC, v.vec_id) AS rank
+       |  FROM probes p JOIN v ON v.vec_id <> p.probe_id)
+       |SELECT probe_id, vec_id, CAST(rank AS INTEGER) AS rank,
+       |  round(ip, 6) AS inner_product
+       |FROM scored WHERE rank <= $K
+       |ORDER BY probe_id, rank""".stripMargin
+
+  /** a14's oracle: the bucketed serve path mirrored (shared with a16). */
+  private lazy val MipsLshSql = {
+    val flips = (0 until Geo.planes).map(i => flipSql(Seq(i), Geo.planes)).mkString(", ")
+    val nrm2 = "sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(emb, emb))"
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |mx AS (SELECT max(sqrt(list_dot_product(emb, emb))) AS m FROM v),
+       |augv AS (
+       |  SELECT vec_id,
+       |    list_append(emb, sqrt(greatest(m * m - $nrm2, 0.0))) AS aug
+       |  FROM v, mx),
+       |augb AS (
+       |  SELECT vec_id, aug, ${lshBucketSql("aug", Geo.planes, 65)} AS bucket
+       |  FROM augv),
+       |p AS (SELECT vec_id AS probe_id, list_append(emb, 0.0) AS p_aug,
+       |    sqrt(list_dot_product(emb, emb)) AS p_nrm
+       |  FROM v $probeSel),
+       |pb AS (
+       |  SELECT probe_id, p_aug, p_nrm,
+       |    ${lshBucketSql("p_aug", Geo.planes, 65)} AS bucket
+       |  FROM p),
+       |expanded AS (
+       |  SELECT probe_id, p_aug, p_nrm, unnest([bucket, $flips]) AS search_bucket
+       |  FROM pb),
+       |scored AS (
+       |  SELECT e.probe_id, a.vec_id,
+       |    list_dot_product(e.p_aug, a.aug) AS ip,
+       |    row_number() OVER (PARTITION BY e.probe_id ORDER BY
+       |      list_dot_product(e.p_aug, a.aug) /
+       |        (e.p_nrm * sqrt(list_dot_product(a.aug, a.aug))) DESC,
+       |      a.vec_id) AS rank
+       |  FROM expanded e JOIN augb a
+       |    ON a.bucket = e.search_bucket AND a.vec_id <> e.probe_id)
+       |SELECT probe_id, vec_id, CAST(rank AS INTEGER) AS rank,
+       |  round(ip, 6) AS inner_product
+       |FROM scored WHERE rank <= $K
+       |ORDER BY probe_id, rank""".stripMargin
+  }
+
   def oracle: Map[String, String] = Map(
+    "a16_mips_recall" ->
+      s"""WITH exact AS ($MipsBruteSql),
+         |approx AS ($MipsLshSql)
+         |SELECT e.probe_id AS probe_id,
+         |  count(*) AS n_exact,
+         |  CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+         |  sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / count(*) AS recall
+         |FROM exact e LEFT JOIN approx a
+         |  ON a.probe_id = e.probe_id AND a.vec_id = e.vec_id
+         |GROUP BY e.probe_id
+         |ORDER BY e.probe_id""".stripMargin,
+
     // Unrolled 3-iteration Lloyd chain: assign -> per-cell means ->
     // reassign, stats read from each round's reassignment — the same
     // a0/r1/a1/r2/a2/r3/a3 dataflow the Spark loop builds.
@@ -761,58 +846,11 @@ object Similarity extends QueryPack {
     // by augmented cosine over the materialized augmented norm. (The
     // REDUCTION itself is pinned by a13, whose oracle ranks by plain
     // inner product with no augmentation at all.)
-    "a14_mips_lsh" -> {
-      val flips = (0 until Geo.planes).map(i => flipSql(Seq(i), Geo.planes)).mkString(", ")
-      val nrm2 = "sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(emb, emb))"
-      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-         |mx AS (SELECT max(sqrt(list_dot_product(emb, emb))) AS m FROM v),
-         |augv AS (
-         |  SELECT vec_id,
-         |    list_append(emb, sqrt(greatest(m * m - $nrm2, 0.0))) AS aug
-         |  FROM v, mx),
-         |augb AS (
-         |  SELECT vec_id, aug, ${lshBucketSql("aug", Geo.planes, 65)} AS bucket
-         |  FROM augv),
-         |p AS (SELECT vec_id AS probe_id, list_append(emb, 0.0) AS p_aug,
-         |    sqrt(list_dot_product(emb, emb)) AS p_nrm
-         |  FROM v $probeSel),
-         |pb AS (
-         |  SELECT probe_id, p_aug, p_nrm,
-         |    ${lshBucketSql("p_aug", Geo.planes, 65)} AS bucket
-         |  FROM p),
-         |expanded AS (
-         |  SELECT probe_id, p_aug, p_nrm, unnest([bucket, $flips]) AS search_bucket
-         |  FROM pb),
-         |scored AS (
-         |  SELECT e.probe_id, a.vec_id,
-         |    list_dot_product(e.p_aug, a.aug) AS ip,
-         |    row_number() OVER (PARTITION BY e.probe_id ORDER BY
-         |      list_dot_product(e.p_aug, a.aug) /
-         |        (e.p_nrm * sqrt(list_dot_product(a.aug, a.aug))) DESC,
-         |      a.vec_id) AS rank
-         |  FROM expanded e JOIN augb a
-         |    ON a.bucket = e.search_bucket AND a.vec_id <> e.probe_id)
-         |SELECT probe_id, vec_id, CAST(rank AS INTEGER) AS rank,
-         |  round(ip, 6) AS inner_product
-         |FROM scored WHERE rank <= $K
-         |ORDER BY probe_id, rank""".stripMargin
-    },
+    "a14_mips_lsh" -> MipsLshSql,
 
     // ranks by the PLAIN inner product — agreement with the Spark
     // side's augmented-cosine ranking proves the MIPS reduction
-    "a13_mips_topk" ->
-      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-         |probes AS (SELECT vec_id AS probe_id, emb AS p_emb FROM v $probeSel),
-         |scored AS (
-         |  SELECT p.probe_id, v.vec_id,
-         |    list_dot_product(p.p_emb, v.emb) AS ip,
-         |    row_number() OVER (PARTITION BY p.probe_id ORDER BY
-         |      list_dot_product(p.p_emb, v.emb) DESC, v.vec_id) AS rank
-         |  FROM probes p JOIN v ON v.vec_id <> p.probe_id)
-         |SELECT probe_id, vec_id, CAST(rank AS INTEGER) AS rank,
-         |  round(ip, 6) AS inner_product
-         |FROM scored WHERE rank <= $K
-         |ORDER BY probe_id, rank""".stripMargin,
+    "a13_mips_topk" -> MipsBruteSql,
 
     "a12_pq_codes" -> {
       val hi = PqM - 1

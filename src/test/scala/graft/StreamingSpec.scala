@@ -256,6 +256,57 @@ class StreamingSpec extends SparkSuite {
     assert(dropped <= rawLate.toLong)
   }
 
+  test("streaming vectors route to the same IVF cells as the batch assignment") {
+    import spark.implicits._
+    import graft.queries.Similarity
+    implicit val sqlCtx = spark.sqlContext
+    // Index build happens OFFLINE (a15's converged centroids); serving
+    // ships the cells×dims state into the map task as literals — the
+    // stream needs no shuffle, no state store, and no window, which is
+    // exactly how an enrichment job attaches an IVF index at 100 TB/day.
+    val cents = Similarity.ivfRefineConverged(spark, sf, maxIters = 5, eps = 1e-4)
+      .collect().sortBy(_.getLong(0))
+    assert(cents.nonEmpty)
+    def assignLit(emb: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val nrm = graft.functions.Vec.norm(emb)
+      // argmax by (cosine, -cell): array_max's lexicographic struct
+      // order = highest cosine, ties to the SMALLEST cell — the same
+      // (c_cos desc, cell asc) rank assignCells uses
+      -array_max(array(cents.map { r =>
+        struct(
+          (graft.functions.Vec.dot(emb, typedLit(r.getSeq[Double](1))) /
+            (nrm * lit(r.getDouble(2)))).as("cos"),
+          lit(-r.getLong(0)).as("negcell"))
+      }: _*)).getField("negcell")
+    }
+
+    val v = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .withColumn("nrm", graft.functions.Vec.norm(col("emb")))
+    val expected = Similarity.assignCells(v, spark.createDataFrame(
+        spark.sparkContext.parallelize(cents.toSeq), cents.head.schema))
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val sample = v.select("vec_id", "emb").limit(100).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val input = MemoryStream[(Long, Seq[Double])]
+    val routed = input.toDF().toDF("vec_id", "emb")
+      .select(col("vec_id"), assignLit(col("emb")).as("cell"))
+    val q = routed.writeStream.outputMode("append")
+      .format("memory").queryName("annroute").start()
+    input.addData(sample.take(50)); q.processAllAvailable()
+    input.addData(sample.drop(50)); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("annroute").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size === sample.length)
+    got.foreach { case (id, cell) =>
+      assert(cell === expected(id),
+        s"vec $id routed to cell $cell on the stream but ${expected(id)} in batch")
+    }
+  }
+
   test("stream-stream interval join matches the batch range join") {
     val topic = tempDir("topic")
     Publisher.publish(Envelope.messages(spark, sf), topic)
