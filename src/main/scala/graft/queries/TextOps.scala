@@ -494,6 +494,37 @@ object TextOps extends QueryPack {
         .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
           col("entropy"), col("keep"))
         .orderBy(col("doc_id"))
+    },
+
+    // Zipf/vocabulary audit — the corpus-health table read before
+    // tokenizer training: token frequencies ranked, then rolled into
+    // log-decade rank bands (top-1, 2-10, 11-100, tail) with type
+    // counts and token-mass shares. A healthy natural corpus puts
+    // most mass in the head bands; a templated or deduplicate-starved
+    // one shows up immediately as a distorted tail share. The rank
+    // window runs over the VOCABULARY (types ≪ tokens — the word
+    // count itself is the usual partial-combining agg); at 100 TB the
+    // band thresholds bound what the sort must keep, top-k style.
+    "t19_zipf_audit" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val counts = Tables.documents(s, d)
+        .select(explode(Portable.words(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      val tot = counts.agg(sum(col("n")).as("total"))
+      counts
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("n").desc, col("token"))))
+        .withColumn("band",
+          when(col("rank") === 1, "01_top1")
+            .when(col("rank") <= 10, "02_top10")
+            .when(col("rank") <= 100, "03_top100")
+            .otherwise("04_tail"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n_types"), sum(col("n")).as("n_tokens"))
+        .crossJoin(broadcast(tot))
+        .select(col("band"), col("n_types"), col("n_tokens"),
+          round(col("n_tokens").cast("double") / col("total"), 6).as("token_share"))
+        .orderBy(col("band"))
     }
   )
 
@@ -910,6 +941,33 @@ object TextOps extends QueryPack {
          |  round(ln(n_tokens::DOUBLE) - clc / n_tokens, 6) AS entropy,
          |  (round(ln(n_tokens::DOUBLE) - clc / n_tokens, 6) >= $EntropyFloor) AS keep
          |FROM agg
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin,
+
+    "t19_zipf_audit" ->
+      """WITH w AS (
+        |  SELECT CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+        |    ELSE regexp_split_to_array(trim(text), '\s+') END AS w
+        |  FROM documents),
+        |counts AS (
+        |  SELECT tok AS token, count(*) AS n
+        |  FROM (SELECT unnest(w) AS tok FROM w) t
+        |  GROUP BY tok),
+        |tot AS (SELECT sum(n) AS total FROM counts),
+        |ranked AS (
+        |  SELECT token, n,
+        |    row_number() OVER (ORDER BY n DESC, token) AS rank
+        |  FROM counts),
+        |banded AS (
+        |  SELECT CASE WHEN rank = 1 THEN '01_top1'
+        |              WHEN rank <= 10 THEN '02_top10'
+        |              WHEN rank <= 100 THEN '03_top100'
+        |              ELSE '04_tail' END AS band, n
+        |  FROM ranked)
+        |SELECT band, count(*)::BIGINT AS n_types,
+        |  CAST(sum(n) AS BIGINT) AS n_tokens,
+        |  round(sum(n)::DOUBLE / total, 6) AS token_share
+        |FROM banded, tot
+        |GROUP BY band, total
+        |ORDER BY band""".stripMargin
   )
 }
