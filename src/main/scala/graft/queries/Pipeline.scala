@@ -98,6 +98,58 @@ object Pipeline extends QueryPack {
           col("n_words")).otherwise(0L)).as("final_tokens"))
     },
 
+    // Daily-ingest curation — d13's incremental dedup disposition and
+    // p1's SHARED quality score composed into the one-lineage manifest
+    // an ingest run publishes: received → dup-of-corpus / dup-in-batch
+    // / ingested → curated (+ surviving token budget). The corpus
+    // contributes only distinct digests (broadcast); the batch carries
+    // engineered re-uploads, revisions, an intra-batch double AND
+    // symbol-spam docs, so every disposition and the quality gate each
+    // visibly claim rows. One batch scan + a digest window + one
+    // global aggregate.
+    "p4_daily_ingest" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val batch =
+        docs.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 500000L).as("doc_id"), col("text"))
+        .unionAll(docs.filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 520000L).as("doc_id"),
+            concat(col("text"), lit(" fresh revision "),
+              col("doc_id").cast("string")).as("text")))
+        .unionAll(docs.filter(col("doc_id") % 31 === 0)
+          .select((col("doc_id") + 600000L).as("doc_id"),
+            concat(col("text"), lit(" batch special")).as("text")))
+        .unionAll(docs.filter(col("doc_id") % 31 === 0)
+          .select((col("doc_id") + 610000L).as("doc_id"),
+            concat(col("text"), lit(" batch special")).as("text")))
+        .unionAll(docs.filter(col("doc_id") % 41 === 0)
+          .select((col("doc_id") + 620000L).as("doc_id"),
+            concat(concat_ws(" ", array_repeat(lit("!?!?"), 30)),
+              lit(" "), col("doc_id").cast("string")).as("text")))
+      val corpusDigests = docs
+        .select(Portable.md5hex(Portable.normText(col("text"))).as("h")).distinct()
+        .withColumn("in_corpus", lit(true))
+      val wFirst = Window.partitionBy(col("h")).orderBy(col("doc_id"))
+      val statused = batch
+        .withColumn("h", Portable.md5hex(Portable.normText(col("text"))))
+        .withColumn("rn", row_number().over(wFirst))
+        .join(broadcast(corpusDigests), Seq("h"), "left")
+        .withColumn("status",
+          when(col("in_corpus"), "dup_of_corpus")
+            .when(col("rn") > 1, "dup_in_batch")
+            .otherwise("ingested"))
+      withQuality(statused)
+        .withColumn("curated", col("status") === "ingested" && col("quality") >= 0.5)
+        .agg(
+          count(lit(1)).as("n_received"),
+          sum(when(col("status") === "dup_of_corpus", 1L).otherwise(0L)).as("n_dup_corpus"),
+          sum(when(col("status") === "dup_in_batch", 1L).otherwise(0L)).as("n_dup_batch"),
+          sum(when(col("status") === "ingested", 1L).otherwise(0L)).as("n_ingested"),
+          sum(when(col("curated"), 1L).otherwise(0L)).as("n_curated"),
+          sum(when(col("curated"), col("n_words")).otherwise(0L)).as("curated_tokens"))
+    },
+
     // Retrieval-corpus build: dedup → quality gate → inverted-index
     // build STATS, all in one plan — the acceptance summary an index
     // job publishes before t14-style retrieval serves it (t13
@@ -202,6 +254,55 @@ object Pipeline extends QueryPack {
         |  CAST(sum(CASE WHEN pass_dedup AND pass_quality AND pass_rep THEN 1 ELSE 0 END) AS BIGINT) AS n_final,
         |  CAST(sum(CASE WHEN pass_dedup AND pass_quality AND pass_rep THEN n_words ELSE 0 END) AS BIGINT) AS final_tokens
         |FROM flags""".stripMargin,
+
+    "p4_daily_ingest" ->
+      """WITH docs AS (SELECT doc_id, text FROM documents),
+        |batch AS (
+        |  SELECT doc_id + 500000 AS doc_id, text FROM docs WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 520000 AS doc_id,
+        |    text || ' fresh revision ' || doc_id::VARCHAR AS text
+        |  FROM docs WHERE doc_id % 13 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 600000 AS doc_id, text || ' batch special' AS text
+        |  FROM docs WHERE doc_id % 31 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 610000 AS doc_id, text || ' batch special' AS text
+        |  FROM docs WHERE doc_id % 31 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 620000 AS doc_id,
+        |    trim(repeat('!?!? ', 30)) || ' ' || doc_id::VARCHAR AS text
+        |  FROM docs WHERE doc_id % 41 = 0),
+        |corpus_h AS (
+        |  SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS h
+        |  FROM docs),
+        |statused AS (
+        |  SELECT b.doc_id, b.text,
+        |    CASE WHEN c.h IS NOT NULL THEN 'dup_of_corpus'
+        |         WHEN row_number() OVER (
+        |           PARTITION BY md5(trim(regexp_replace(lower(b.text), '\s+', ' ', 'g')))
+        |           ORDER BY b.doc_id) > 1 THEN 'dup_in_batch'
+        |         ELSE 'ingested' END AS status
+        |  FROM batch b LEFT JOIN corpus_h c
+        |    ON md5(trim(regexp_replace(lower(b.text), '\s+', ' ', 'g'))) = c.h),
+        |feat AS (
+        |  SELECT status, len(w) AS n_words,
+        |    (CASE WHEN len(w) = 0 THEN 0.0
+        |      ELSE len(list_filter(w, x -> list_contains(['the','a','of','and','to'], x)))::DOUBLE / len(w) END) * 0.4
+        |    + least(len(w)::DOUBLE / 100.0, 1.0) * 0.4
+        |    + (1.0 - (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE / length(text)) * 0.2
+        |      AS quality
+        |  FROM (SELECT status, text,
+        |      CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+        |        ELSE regexp_split_to_array(trim(text), '\s+') END AS w
+        |    FROM statused) t)
+        |SELECT count(*) AS n_received,
+        |  CAST(sum(CASE WHEN status = 'dup_of_corpus' THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_corpus,
+        |  CAST(sum(CASE WHEN status = 'dup_in_batch' THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_batch,
+        |  CAST(sum(CASE WHEN status = 'ingested' THEN 1 ELSE 0 END) AS BIGINT) AS n_ingested,
+        |  CAST(sum(CASE WHEN status = 'ingested' AND quality >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_curated,
+        |  CAST(sum(CASE WHEN status = 'ingested' AND quality >= 0.5 THEN n_words ELSE 0 END) AS BIGINT) AS curated_tokens
+        |FROM feat""".stripMargin,
 
     "p3_index_build" ->
       """WITH corpus AS (

@@ -280,6 +280,22 @@ class CurationSpec extends SparkSuite {
     assert(r.getAs[Long]("max_df") <= r.getAs[Long]("n_indexed"))
   }
 
+  test("p4 ingest manifest partitions the batch and the quality gate strictly bites") {
+    val r = SparkEntry.queries("p4_daily_ingest")(spark, sf).collect().head
+    // every batch doc gets exactly one disposition
+    assert(r.getAs[Long]("n_dup_corpus") + r.getAs[Long]("n_dup_batch") +
+      r.getAs[Long]("n_ingested") === r.getAs[Long]("n_received"))
+    // every disposition is exercised by the engineered batch
+    assert(r.getAs[Long]("n_dup_corpus") > 0)
+    assert(r.getAs[Long]("n_dup_batch") > 0)
+    assert(r.getAs[Long]("n_ingested") > 0)
+    // the spam plants guarantee the quality gate strictly drops rows,
+    // and curated docs carry a positive token budget
+    assert(r.getAs[Long]("n_curated") > 0)
+    assert(r.getAs[Long]("n_curated") < r.getAs[Long]("n_ingested"))
+    assert(r.getAs[Long]("curated_tokens") > 0)
+  }
+
   test("q38 zero-fills gaps and LOCF carries only observed values") {
     val rows = SparkEntry.queries("q38_gap_fill")(spark, sf).collect()
     assert(rows.nonEmpty)
