@@ -26,6 +26,28 @@ object Salted {
       .groupBy(col(key))
       .agg(count(lit(1)).as(s"n_distinct_$value"))
 
+  /** Key-skew audit: every key whose row count exceeds `minSkew` ×
+    * the mean key load, with the salt factor that spreads it back to
+    * ~mean per reducer — the `salt` parameter [[joinSkewed]] takes.
+    * Measurement and mitigation share a contract so an operator can
+    * close the loop mechanically (audit → rec_salt → joinSkewed); the
+    * per-key rollup is keys-sized, one partial-combining scan of the
+    * fact at any size. */
+  def skewAudit(fact: DataFrame, key: String, minSkew: Double = 4.0): DataFrame = {
+    val perKey = fact.groupBy(col(key)).agg(count(lit(1)).as("n_rows"))
+    val stats = perKey.agg(sum(col("n_rows")).as("total"),
+      count(lit(1)).as("n_keys"))
+    perKey.crossJoin(broadcast(stats))
+      .withColumn("skew",
+        col("n_rows").cast("double") / (col("total").cast("double") / col("n_keys")))
+      .filter(col("skew") > minSkew)
+      .select(col(key), col("n_rows"),
+        round(col("n_rows").cast("double") / col("total"), 6).as("share"),
+        round(col("skew"), 6).as("skew"),
+        ceil(col("skew")).cast("long").as("rec_salt"))
+      .orderBy(col("n_rows").desc, col(key))
+  }
+
   /** Salted join for a hot-keyed fact side against a small-but-not-
     * broadcastable dim: the fact side gets a random-ish salt derived
     * from a unique id (any value works — it only spreads rows), the

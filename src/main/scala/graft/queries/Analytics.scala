@@ -629,6 +629,23 @@ object Analytics extends QueryPack {
         .agg(count(lit(1)).as("n_orders"),
           round(sum(col("o_totalprice")), 2).as("revenue"))
         .orderBy(col("seg"))
+    },
+
+    // Key-skew audit — measurement that RECOMMENDS the mitigation q31
+    // applies (the autotuning loop: a10 audits index skew, this audits
+    // JOIN-KEY skew). Over q31's engineered hot-keyed fact: per-key
+    // counts (keys ≪ rows, partial-combining agg), then every key
+    // whose load exceeds 4× the mean is reported with the salt factor
+    // that spreads it back to ~mean per reducer (rec_salt =
+    // ceil(load/mean) — exactly the `salt` parameter
+    // operators.Salted.joinSkewed takes; SaltedSpec closes the loop by
+    // joining with the recommended factor and matching the naive
+    // join). One scan + a keys-sized rollup at any fact size.
+    "q40_skew_audit" -> { (s, d) =>
+      val fact = Tables.events(s, d)
+        .withColumn("k",
+          when(col("user_id") % 10 < 3, 0L).otherwise(pmod(col("user_id"), lit(100L))))
+      graft.operators.Salted.skewAudit(fact, "k", minSkew = 4.0)
     }
   )
 
@@ -1006,6 +1023,21 @@ object Analytics extends QueryPack {
         |      WHERE c_custkey < 100) c USING (k)
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin,
+
+    "q40_skew_audit" ->
+      """WITH per_key AS (
+        |  SELECT CASE WHEN user_id % 10 < 3 THEN 0
+        |         ELSE user_id % 100 END AS k, count(*)::BIGINT AS n_rows
+        |  FROM events GROUP BY 1),
+        |stats AS (SELECT CAST(sum(n_rows) AS BIGINT) AS total,
+        |  count(*)::BIGINT AS n_keys FROM per_key)
+        |SELECT k, n_rows,
+        |  round(n_rows::DOUBLE / total, 6) AS share,
+        |  round(n_rows::DOUBLE / (total::DOUBLE / n_keys), 6) AS skew,
+        |  CAST(ceil(n_rows::DOUBLE / (total::DOUBLE / n_keys)) AS BIGINT) AS rec_salt
+        |FROM per_key, stats
+        |WHERE n_rows::DOUBLE / (total::DOUBLE / n_keys) > 4.0
+        |ORDER BY n_rows DESC, k""".stripMargin,
 
     "q32_json_extract" ->
       """SELECT event_type, count(*) AS n,

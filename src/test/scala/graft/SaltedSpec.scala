@@ -25,4 +25,26 @@ class SaltedSpec extends SparkSuite {
     assert(salted.count() === naive.count())
     assert(salted.exceptAll(naive).count() === 0)
   }
+
+  test("skewAudit's recommended salt reproduces the naive join exactly") {
+    // measure → recommend → act: the audit's rec_salt for this
+    // suite's 90%-hot key drives joinSkewed, and the salted result
+    // must match the naive join bit for bit (salting only changes the
+    // exchange distribution, never the answer)
+    val audit = Salted.skewAudit(skewed, "user_id").collect()
+    assert(audit.nonEmpty, "the 90%-hot key must trip the skew threshold")
+    val hot = audit.head
+    assert(hot.getLong(0) === 0L)                  // the engineered key
+    assert(hot.getAs[Double]("skew") > 4.0)
+    val recSalt = hot.getAs[Long]("rec_salt").toInt
+    assert(recSalt > 1)
+
+    val dim = Tables.customer(spark, sf)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    val fact = skewed.select("event_id", "user_id")
+    val salted = Salted.joinSkewed(fact, dim, "user_id", salt = recSalt)
+    val naive = fact.join(dim, "user_id")
+    assert(salted.exceptAll(naive).count() === 0)
+    assert(naive.exceptAll(salted).count() === 0)
+  }
 }

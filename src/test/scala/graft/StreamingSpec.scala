@@ -178,6 +178,37 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("streamed session windows match the batch sessionization") {
+    val topic = tempDir("topic")
+    Publisher.publish(Envelope.messages(spark, sf), topic)
+
+    // m10's streaming analog: 30-min-gap sessions per partition key,
+    // session state bounded by the watermark; append mode emits only
+    // sessions the watermark has CLOSED (gap elapsed past the end)
+    val agg = Subscriber.subscribe(spark, topic)
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("partition_key"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("partition_key"), col("sw.start").as("ss"), col("n"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("sessions").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("sessions")
+
+    val batch = spark.read.parquet(topic)
+      .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("partition_key"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("partition_key"), col("sw.start").as("ss"), col("n"))
+    assert(got.count() > 0)
+    // every emitted session must be a batch session, merged identically
+    assert(got.exceptAll(batch).count() === 0,
+      "a streamed session disagrees with the batch sessionization")
+    // only each key's trailing (still-open) session may be withheld
+    val nKeys = spark.read.parquet(topic).select("partition_key").distinct().count()
+    assert(batch.count() - got.count() <= nKeys,
+      s"${batch.count() - got.count()} sessions held back for $nKeys keys")
+  }
+
   test("m19's measured disorder sizes a watermark that predicts streaming drops exactly") {
     import spark.implicits._
     import graft.functions.Portable
