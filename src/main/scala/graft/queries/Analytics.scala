@@ -383,28 +383,27 @@ object Analytics extends QueryPack {
     // O(groups × partitions) blobs regardless of input cardinality.
     // The estimate arithmetic runs on posexploded registers AFTER the
     // aggregate (groups × m rows, negligible at any scale).
-    "q30_hll_cardinality" -> { (s, d) =>
-      val p = 12; val m = 1 << p
-      val alpha = 0.7213 / (1.0 + 1.079 / m)
-      val li = Tables.lineitem(s, d)
-        .withColumn("h", graft.functions.Portable.hash60(col("l_partkey").cast("string")))
-      li.groupBy(col("l_returnflag"))
-        .agg(graft.functions.Portable.hllRegisters(col("h"), p).as("regs"))
-        .select(col("l_returnflag"),
-          posexplode(col("regs")).as(Seq("bucket", "reg")))
-        .filter(col("reg") > 0)
+    "q30_hll_cardinality" -> ((s, d) => hllCardinality(s, d)),
+
+    // Sketch-acceptance audit: q30's mergeable HLL estimate against
+    // the exact distinct count per group, with the relative error —
+    // the number an operator reads before trusting the sketch at a
+    // scale where the exact count is unaffordable (the same
+    // measure-before-serve pattern as a8/a11/a16/d15). The exact leg
+    // is the expensive baseline by design; at 100 TB it runs on a
+    // sample or a single acceptance partition.
+    "q41_sketch_error" -> { (s, d) =>
+      val est = hllCardinality(s, d)
+        .select(col("l_returnflag"), col("est_distinct"))
+      val exact = Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
-        .agg(count(lit(1)).as("n_nonempty"),
-          sum(pow(lit(2.0), -col("reg"))).as("s_nonempty"))
-        .withColumn("zeros", lit(m.toLong) - col("n_nonempty"))
-        .withColumn("raw",
-          lit(alpha * m.toDouble * m.toDouble) /
-            (col("zeros").cast("double") + col("s_nonempty")))
+        .agg(countDistinct(col("l_partkey")).as("exact_distinct"))
+      est.join(exact, "l_returnflag")
         .select(col("l_returnflag"),
-          when(col("raw") <= 2.5 * m && col("zeros") > 0,
-            lit(m.toDouble) * log(lit(m.toDouble) / col("zeros")))
-            .otherwise(col("raw")).as("est_distinct"),
-          col("n_nonempty"))
+          round(col("est_distinct"), 6).as("est_distinct"),
+          col("exact_distinct"),
+          round(abs(col("est_distinct") - col("exact_distinct").cast("double")) /
+            col("exact_distinct"), 6).as("rel_err"))
         .orderBy(col("l_returnflag"))
     },
 
@@ -648,6 +647,65 @@ object Analytics extends QueryPack {
       graft.operators.Salted.skewAudit(fact, "k", minSkew = 4.0)
     }
   )
+
+  /** q30: approximate distinct via the mergeable HLL register kernel
+    * (one m-byte buffer per group per partition on the exchange);
+    * shared with q41's sketch-error audit. */
+  private def hllCardinality(s: SparkSession, d: String): DataFrame = {
+    val p = 12; val m = 1 << p
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val li = Tables.lineitem(s, d)
+      .withColumn("h", graft.functions.Portable.hash60(col("l_partkey").cast("string")))
+    li.groupBy(col("l_returnflag"))
+      .agg(graft.functions.Portable.hllRegisters(col("h"), p).as("regs"))
+      .select(col("l_returnflag"),
+        posexplode(col("regs")).as(Seq("bucket", "reg")))
+      .filter(col("reg") > 0)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_nonempty"),
+        sum(pow(lit(2.0), -col("reg"))).as("s_nonempty"))
+      .withColumn("zeros", lit(m.toLong) - col("n_nonempty"))
+      .withColumn("raw",
+        lit(alpha * m.toDouble * m.toDouble) /
+          (col("zeros").cast("double") + col("s_nonempty")))
+      .select(col("l_returnflag"),
+        when(col("raw") <= 2.5 * m && col("zeros") > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / col("zeros")))
+          .otherwise(col("raw")).as("est_distinct"),
+        col("n_nonempty"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** q30's oracle — the full HLL replicated in SQL; composed by q41. */
+  private lazy val HllSql =
+    s"""WITH hashed AS (
+       |  SELECT l_returnflag,
+       |    ('0x' || substring(md5(l_partkey::VARCHAR), 1, 15))::BIGINT AS h
+       |  FROM lineitem),
+       |rhos AS (
+       |  SELECT l_returnflag,
+       |    h // ${1L << 48} AS bucket,
+       |    CASE WHEN h % ${1L << 48} = 0 THEN 49
+       |         ELSE 48 - length(bin(h % ${1L << 48})) + 1 END AS rho
+       |  FROM hashed),
+       |regs AS (
+       |  SELECT l_returnflag, bucket, max(rho) AS reg
+       |  FROM rhos GROUP BY 1, 2),
+       |summed AS (
+       |  SELECT l_returnflag,
+       |    count(*) AS n_nonempty,
+       |    sum(pow(2.0, -reg)) AS s_nonempty
+       |  FROM regs GROUP BY 1)
+       |SELECT l_returnflag,
+       |  CASE WHEN (CAST(${0.7213 / (1.0 + 1.079 / 4096)} AS DOUBLE) * 4096.0 * 4096.0 /
+       |              ((4096 - n_nonempty)::DOUBLE + s_nonempty)) <= 10240.0
+       |        AND (4096 - n_nonempty) > 0
+       |       THEN 4096.0 * ln(4096.0 / (4096 - n_nonempty))
+       |       ELSE CAST(${0.7213 / (1.0 + 1.079 / 4096)} AS DOUBLE) * 4096.0 * 4096.0 /
+       |              ((4096 - n_nonempty)::DOUBLE + s_nonempty) END AS est_distinct,
+       |  n_nonempty
+       |FROM summed
+       |ORDER BY l_returnflag""".stripMargin
 
   def oracle: Map[String, String] = Map(
     "q1_agg" ->
@@ -932,35 +990,20 @@ object Analytics extends QueryPack {
         |GROUP BY n_name
         |ORDER BY n_name""".stripMargin,
 
-    "q30_hll_cardinality" ->
-      s"""WITH hashed AS (
+    "q30_hll_cardinality" -> HllSql,
+
+    "q41_sketch_error" ->
+      s"""WITH est AS ($HllSql),
+         |exact AS (
          |  SELECT l_returnflag,
-         |    ('0x' || substring(md5(l_partkey::VARCHAR), 1, 15))::BIGINT AS h
-         |  FROM lineitem),
-         |rhos AS (
-         |  SELECT l_returnflag,
-         |    h // ${1L << 48} AS bucket,
-         |    CASE WHEN h % ${1L << 48} = 0 THEN 49
-         |         ELSE 48 - length(bin(h % ${1L << 48})) + 1 END AS rho
-         |  FROM hashed),
-         |regs AS (
-         |  SELECT l_returnflag, bucket, max(rho) AS reg
-         |  FROM rhos GROUP BY 1, 2),
-         |summed AS (
-         |  SELECT l_returnflag,
-         |    count(*) AS n_nonempty,
-         |    sum(pow(2.0, -reg)) AS s_nonempty
-         |  FROM regs GROUP BY 1)
-         |SELECT l_returnflag,
-         |  CASE WHEN (CAST(${0.7213 / (1.0 + 1.079 / 4096)} AS DOUBLE) * 4096.0 * 4096.0 /
-         |              ((4096 - n_nonempty)::DOUBLE + s_nonempty)) <= 10240.0
-         |        AND (4096 - n_nonempty) > 0
-         |       THEN 4096.0 * ln(4096.0 / (4096 - n_nonempty))
-         |       ELSE CAST(${0.7213 / (1.0 + 1.079 / 4096)} AS DOUBLE) * 4096.0 * 4096.0 /
-         |              ((4096 - n_nonempty)::DOUBLE + s_nonempty) END AS est_distinct,
-         |  n_nonempty
-         |FROM summed
-         |ORDER BY l_returnflag""".stripMargin,
+         |    CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_distinct
+         |  FROM lineitem GROUP BY l_returnflag)
+         |SELECT e.l_returnflag,
+         |  round(est_distinct, 6) AS est_distinct,
+         |  exact_distinct,
+         |  round(abs(est_distinct - exact_distinct::DOUBLE) / exact_distinct, 6) AS rel_err
+         |FROM est e JOIN exact x ON e.l_returnflag = x.l_returnflag
+         |ORDER BY e.l_returnflag""".stripMargin,
 
     "q33_grouping_sets" ->
       """SELECT

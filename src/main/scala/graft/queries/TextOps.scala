@@ -525,6 +525,24 @@ object TextOps extends QueryPack {
         .select(col("band"), col("n_types"), col("n_tokens"),
           round(col("n_tokens").cast("double") / col("total"), 6).as("token_share"))
         .orderBy(col("band"))
+    },
+
+    // BPE iteration-0 statistics: the most frequent adjacent
+    // character pairs within words — the merge-candidate table a BPE
+    // tokenizer trainer computes each round (t3 counts tokens, t19
+    // audits the vocabulary; this is the step that BUILDS one).
+    // Pure map-side expansion (a 2-char sliding window per word) into
+    // a partial-combining count and a TakeOrderedAndProject top-k —
+    // no global sort, one corpus scan per merge round at any scale.
+    "t20_merge_pairs" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(explode(Portable.words(col("text"))).as("w"))
+        .filter(length(col("w")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(20)
     }
   )
 
@@ -968,6 +986,21 @@ object TextOps extends QueryPack {
         |  round(sum(n)::DOUBLE / total, 6) AS token_share
         |FROM banded, tot
         |GROUP BY band, total
-        |ORDER BY band""".stripMargin
+        |ORDER BY band""".stripMargin,
+
+    "t20_merge_pairs" ->
+      """WITH w AS (
+        |  SELECT unnest(CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+        |    ELSE regexp_split_to_array(trim(text), '\s+') END) AS w
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT unnest(list_transform(generate_series(1, length(w) - 1),
+        |    i -> substring(w, i, 2))) AS pair
+        |  FROM w WHERE length(w) >= 2)
+        |SELECT pair, count(*)::BIGINT AS n
+        |FROM pairs
+        |GROUP BY pair
+        |ORDER BY n DESC, pair
+        |LIMIT 20""".stripMargin
   )
 }
