@@ -343,6 +343,26 @@ object Dedup extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // Per-source dedup yield — the crawl-ops table that decides which
+    // domains to throttle or re-prioritize: exact-dup rate stratified
+    // by the document's source. Duplicate digests concentrate where
+    // mirrors/boilerplate live, so a flat corpus-wide rate hides the
+    // domain that produces them. Shuffles (source, 16-byte digest)
+    // pairs into a sources-sized rollup — one scan at any corpus
+    // size.
+    "d16_source_dup_rate" -> { (s, d) =>
+      withExactDupes(s, d)
+        .select(col("source"),
+          Portable.md5hex(Portable.normText(col("text"))).as("h"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("h")).as("n_distinct"))
+        .select(col("source"), col("n_docs"), col("n_distinct"),
+          round(lit(1.0) - col("n_distinct").cast("double") / col("n_docs"), 6)
+            .as("dup_rate"))
+        .orderBy(col("source"))
+    },
+
     // MinHash calibration audit — the parameter QA for the whole d2/
     // d3/d4 stack: for every LSH candidate pair, the Jaccard ESTIMATE
     // the 16-slot signature implies (fraction of agreeing minima)
@@ -726,6 +746,22 @@ object Dedup extends QueryPack {
          |FROM comp
          |GROUP BY comp_id
          |ORDER BY comp_id""".stripMargin,
+
+    "d16_source_dup_rate" ->
+      """WITH corpus AS (
+        |  SELECT source, text FROM documents
+        |  UNION ALL
+        |  SELECT source, text FROM documents WHERE doc_id % 10 = 0),
+        |hashed AS (
+        |  SELECT source,
+        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS h
+        |  FROM corpus)
+        |SELECT source, count(*)::BIGINT AS n_docs,
+        |  CAST(count(DISTINCT h) AS BIGINT) AS n_distinct,
+        |  round(1.0 - count(DISTINCT h)::DOUBLE / count(*), 6) AS dup_rate
+        |FROM hashed
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
 
     "d15_minhash_calibration" -> {
       val agree = (0 until K).map(i =>

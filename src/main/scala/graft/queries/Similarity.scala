@@ -550,11 +550,20 @@ object Similarity extends QueryPack {
               m: Int = PqM, subDim: Int = PqSubDim): DataFrame = {
     val base = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    pqCodebookStats(base, hashTopK(base, "cent", Geo.nCentroids), m, subDim)
+  }
+
+  /** Per-subspace codebook assignment + QA rollup over any
+    * (vec_id, emb) relation — shared by a12 (raw vectors) and a17
+    * (IVF residuals). Codebooks are the seed rows' subvectors,
+    * broadcast; assignment is one scan; the rollup is m rows. */
+  private[graft] def pqCodebookStats(base: DataFrame, seeds: DataFrame,
+                                     m: Int, subDim: Int): DataFrame = {
     def subVecs(df: DataFrame, idCol: String) = df.select(col(idCol),
       posexplode(array((0 until m).map(i =>
         slice(col("emb"), i * subDim + 1, subDim)): _*)).as(Seq("sub", "sv")))
     val subs = subVecs(base, "vec_id")
-    val cents = subVecs(hashTopK(base, "cent", Geo.nCentroids), "vec_id")
+    val cents = subVecs(seeds, "vec_id")
       .select(col("vec_id").as("cent_id"), col("sub"), col("sv").as("cv"))
     val dist = graft.functions.Vec.dot(col("sv"), col("sv")) -
       lit(2.0) * graft.functions.Vec.dot(col("sv"), col("cv")) +
@@ -572,6 +581,38 @@ object Similarity extends QueryPack {
       .select(col("sub").cast("long").as("sub"), col("n_vecs"),
         col("n_codes_used"), col("mse"))
       .orderBy(col("sub"))
+  }
+
+  /** a17: IVF-PQ composition — product-quantize the RESIDUAL
+    * (vector − its assigned coarse centroid) instead of the raw
+    * vector, codebooks seeded from the residuals of the same
+    * hash-sampled rows a12 uses. This is the standard IVF-PQ layout:
+    * on a CLUSTERED corpus residuals concentrate near the origin, so
+    * the same codebook budget spends its precision where the data
+    * lives (spec-proved on an engineered 100-cluster corpus where
+    * residual error undercuts raw PQ by the structural margin the
+    * seed coverage allows); on a near-random corpus
+    * there is no coarse structure to subtract and the layout's value
+    * is the serve-time cell pruning, not the codes. Same cost shape
+    * as a12 plus one broadcast-centroid assignment pass. */
+  def residualPqCodes(s: SparkSession, d: String, geo: AnnGeometry = Geo,
+                      m: Int = PqM, subDim: Int = PqSubDim): DataFrame =
+    residualPqStats(vecs(s, d), geo, m, subDim)
+
+  /** `codes` sizes the PQ codebooks independently of the coarse cell
+    * count (real IVF-PQ tunes them separately: MANY coarse cells to
+    * land inside a cluster, FEW codes to describe the residual). */
+  private[graft] def residualPqStats(v: DataFrame, geo: AnnGeometry,
+                                     m: Int, subDim: Int,
+                                     codes: Int = Geo.nCentroids): DataFrame = {
+    val cents = hashTopK(v, "cent", geo.nCentroids)
+      .select(col("vec_id").as("cell"), col("emb").as("c_emb"), col("nrm").as("c_nrm"))
+    val resid = assignCells(v, cents)
+      .join(broadcast(cents.select(col("cell"), col("c_emb"))), "cell")
+      .select(col("vec_id"),
+        zip_with(col("emb"), col("c_emb"), (a, b) => a - b).as("emb"))
+    val seeds = hashTopK(resid, "cent", codes)
+    pqCodebookStats(resid, seeds, m, subDim)
   }
 
   /** Maximum-inner-product search via the augmentation reduction
@@ -712,6 +753,7 @@ object Similarity extends QueryPack {
   }
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a17_residual_pq" -> ((s, d) => residualPqCodes(s, d)),
     "a16_mips_recall" -> ((s, d) => mipsRecallEval(s, d)),
     "a15_ivf_iterate" -> ((s, d) => ivfRefineIterated(s, d)),
     "a14_mips_lsh" -> ((s, d) => mipsLshTopK(s, d)),
@@ -784,6 +826,55 @@ object Similarity extends QueryPack {
   }
 
   def oracle: Map[String, String] = Map(
+    "a17_residual_pq" -> {
+      val hi = PqM - 1
+      val distSql =
+        """list_dot_product(s.sv, s.sv) - 2.0 * list_dot_product(s.sv, c.cv)
+          |          + list_dot_product(c.cv, c.cv)""".stripMargin
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |c AS (SELECT vec_id AS cell, emb AS c_emb
+         |      FROM (SELECT * FROM v ${centSel(Geo.nCentroids)}) cs),
+         |assigned AS (
+         |  SELECT vec_id, emb, cell FROM (
+         |    SELECT v.vec_id, v.emb, c.cell,
+         |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |        list_dot_product(v.emb, c.c_emb) /
+         |          (sqrt(list_dot_product(v.emb, v.emb)) *
+         |           sqrt(list_dot_product(c.c_emb, c.c_emb))) DESC,
+         |        c.cell) AS crank
+         |    FROM v, c) t WHERE crank = 1),
+         |resid AS (
+         |  SELECT a.vec_id,
+         |    list_transform(generate_series(1, 64), i -> a.emb[i] - c.c_emb[i]) AS emb
+         |  FROM assigned a JOIN c ON a.cell = c.cell),
+         |rseed AS (
+         |  SELECT r.vec_id, r.emb FROM resid r
+         |  JOIN (SELECT vec_id FROM v ${centSel(Geo.nCentroids)}) s
+         |    ON r.vec_id = s.vec_id),
+         |subs AS (
+         |  SELECT vec_id, m AS sub, emb[m*$PqSubDim+1 : m*$PqSubDim+$PqSubDim] AS sv
+         |  FROM resid, unnest(generate_series(0, $hi)) AS t(m)),
+         |cents AS (
+         |  SELECT vec_id AS cent_id, m AS sub,
+         |    emb[m*$PqSubDim+1 : m*$PqSubDim+$PqSubDim] AS cv
+         |  FROM rseed, unnest(generate_series(0, $hi)) AS t(m)),
+         |coded AS (
+         |  SELECT vec_id, sub, cent_id, dist FROM (
+         |    SELECT s.vec_id, s.sub, c.cent_id,
+         |      $distSql AS dist,
+         |      row_number() OVER (PARTITION BY s.vec_id, s.sub ORDER BY
+         |        $distSql,
+         |        c.cent_id) AS r
+         |    FROM subs s JOIN cents c ON s.sub = c.sub) t
+         |  WHERE r = 1)
+         |SELECT CAST(sub AS BIGINT) AS sub, count(*)::BIGINT AS n_vecs,
+         |  CAST(count(DISTINCT cent_id) AS BIGINT) AS n_codes_used,
+         |  round(avg(dist), 6) AS mse
+         |FROM coded
+         |GROUP BY sub
+         |ORDER BY sub""".stripMargin
+    },
+
     "a16_mips_recall" ->
       s"""WITH exact AS ($MipsBruteSql),
          |approx AS ($MipsLshSql)
