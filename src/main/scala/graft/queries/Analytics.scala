@@ -645,6 +645,32 @@ object Analytics extends QueryPack {
         .withColumn("k",
           when(col("user_id") % 10 < 3, 0L).otherwise(pmod(col("user_id"), lit(100L))))
       graft.operators.Salted.skewAudit(fact, "k", minSkew = 4.0)
+    },
+
+    // Retention cohorts — the product-analytics staple over the
+    // events stream: users grouped by first-active ISO week, each
+    // cohort's share still active N weeks later (weekly because the
+    // corpus spans one month; the shape is granularity-agnostic).
+    // Three aggregations whose state is (users) then (cohorts × ages)
+    // — the fact table is scanned once for the distinct (user, week)
+    // pairs and once for first-activity, both partial-combining; no
+    // window at all.
+    "q42_retention_cohorts" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+      val firstw = ev.groupBy(col("user_id")).agg(min(col("week")).as("cohort"))
+      val sizes = firstw.groupBy(col("cohort")).agg(count(lit(1)).as("cohort_size"))
+      ev.distinct()
+        .join(firstw, "user_id")
+        .withColumn("age_weeks",
+          (datediff(col("week"), col("cohort")) / 7).cast("long"))
+        .groupBy(col("cohort"), col("age_weeks"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .join(broadcast(sizes), "cohort")
+        .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort"),
+          col("age_weeks"), col("cohort_size"), col("n_active"),
+          round(col("n_active").cast("double") / col("cohort_size"), 6).as("retention"))
+        .orderBy(col("cohort"), col("age_weeks"))
     }
   )
 
@@ -991,6 +1017,26 @@ object Analytics extends QueryPack {
         |ORDER BY n_name""".stripMargin,
 
     "q30_hll_cardinality" -> HllSql,
+
+    "q42_retention_cohorts" ->
+      """WITH ev AS (
+        |  SELECT user_id, date_trunc('week', ts::TIMESTAMP) AS week FROM events),
+        |firstw AS (SELECT user_id, min(week) AS cohort FROM ev GROUP BY user_id),
+        |sizes AS (SELECT cohort, count(*)::BIGINT AS cohort_size
+        |  FROM firstw GROUP BY cohort),
+        |active AS (SELECT DISTINCT user_id, week FROM ev),
+        |ret AS (
+        |  SELECT f.cohort, datediff('day', f.cohort, a.week) // 7 AS age_weeks,
+        |    count(DISTINCT a.user_id) AS n_active
+        |  FROM active a JOIN firstw f ON a.user_id = f.user_id
+        |  GROUP BY 1, 2)
+        |SELECT strftime(r.cohort, '%Y-%m-%d') AS cohort,
+        |  CAST(age_weeks AS BIGINT) AS age_weeks,
+        |  s.cohort_size,
+        |  CAST(n_active AS BIGINT) AS n_active,
+        |  round(n_active::DOUBLE / s.cohort_size, 6) AS retention
+        |FROM ret r JOIN sizes s ON r.cohort = s.cohort
+        |ORDER BY cohort, age_weeks""".stripMargin,
 
     "q41_sketch_error" ->
       s"""WITH est AS ($HllSql),
