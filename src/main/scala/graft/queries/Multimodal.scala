@@ -197,10 +197,78 @@ object Multimodal extends QueryPack {
           countDistinct(col("lang")).as("n_langs"),
           countDistinct(col("label")).as("n_labels"))
         .orderBy(col("status"))
+    },
+
+    // Blob entropy sniffing — the QA step AFTER mm6's magic bytes:
+    // a header can be forged or missing, but byte diversity in the
+    // first 64 bytes separates plain content from padding garbage and
+    // from compressed/encrypted blobs (which must NOT enter a text
+    // pipeline as if decodable). distinct-byte ratio over the prefix:
+    // repeated-byte padding ≈ 1/64, natural text ≈ 0.2–0.5, random
+    // (compressed/encrypted) ≈ 0.88 expected. Planted: 64-byte 'aaaa'
+    // pads (every 37th doc) and md5-chain pseudo-random blobs (every
+    // 43rd). Map-side hex + fixed-width slicing, classes-sized rollup.
+    "mm8_entropy_sniff" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val media = docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .unionAll(docs.filter(col("doc_id") % 37 === 1)
+          .select((col("doc_id") + 800000L).as("doc_id"),
+            repeat(lit("a"), 64).cast("binary").as("payload")))
+        .unionAll(docs.filter(col("doc_id") % 43 === 2)
+          .select((col("doc_id") + 810000L).as("doc_id"),
+            unhex(concat(
+              md5(col("text").cast("binary")),
+              md5(concat(col("text"), lit("1")).cast("binary")),
+              md5(concat(col("text"), lit("2")).cast("binary")),
+              md5(concat(col("text"), lit("3")).cast("binary")))).as("payload")))
+      media
+        .withColumn("h", hex(substring(col("payload"), 1, 64)))
+        .withColumn("n_pref", least(length(col("h")) / 2, lit(64)).cast("long"))
+        .filter(col("n_pref") > 0)
+        .withColumn("bytes", expr(
+          "transform(sequence(1, int(n_pref)), i -> substring(h, i * 2 - 1, 2))"))
+        .withColumn("distinct_ratio",
+          size(array_distinct(col("bytes"))).cast("double") / col("n_pref"))
+        .withColumn("blob_class",
+          when(col("distinct_ratio") <= 0.1, "padding")
+            .when(col("distinct_ratio") >= 0.75, "compressed_or_encrypted")
+            .otherwise("plain"))
+        .groupBy(col("blob_class"))
+        .agg(count(lit(1)).as("n_objects"),
+          round(avg(col("distinct_ratio")), 6).as("avg_distinct_ratio"))
+        .orderBy(col("blob_class"))
     }
   )
 
   def oracle: Map[String, String] = Map(
+    "mm8_entropy_sniff" ->
+      """WITH media AS (
+        |  SELECT doc_id, text::BLOB AS payload FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 800000 AS doc_id, repeat('a', 64)::BLOB AS payload
+        |  FROM documents WHERE doc_id % 37 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 810000 AS doc_id,
+        |    unhex(md5(text) || md5(text || '1') || md5(text || '2') || md5(text || '3')) AS payload
+        |  FROM documents WHERE doc_id % 43 = 2),
+        |pref AS (
+        |  SELECT doc_id, substring(hex(payload), 1, 128) AS h FROM media),
+        |scored AS (
+        |  SELECT doc_id,
+        |    len(list_distinct(list_transform(
+        |      generate_series(1, CAST(least(length(h) // 2, 64) AS INTEGER)),
+        |      i -> substring(h, i * 2 - 1, 2))))::DOUBLE
+        |      / least(length(h) // 2, 64) AS distinct_ratio
+        |  FROM pref WHERE length(h) >= 2)
+        |SELECT CASE WHEN distinct_ratio <= 0.1 THEN 'padding'
+        |            WHEN distinct_ratio >= 0.75 THEN 'compressed_or_encrypted'
+        |            ELSE 'plain' END AS blob_class,
+        |  count(*)::BIGINT AS n_objects,
+        |  round(avg(distinct_ratio), 6) AS avg_distinct_ratio
+        |FROM scored
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+
     "mm1_binary_meta" ->
       """SELECT doc_id,
         |  CAST(octet_length(text::BLOB) AS BIGINT) AS n_bytes,
