@@ -1,11 +1,23 @@
 #!/bin/bash
 # One-shot quality gate mirroring the driver's checks:
 #   compile + tests + Verify@sf0.01 + DuckDB oracle diff + Bench@sf0.1
+#   + per-query bench regression diff vs the newest BENCH_r{N}.json
 # Run from /root/repo. Uses a throwaway sbt batch invocation (slower
 # than the warm shell — prefer the tmux shell while iterating).
 set -e
 cd "$(dirname "$0")/.."
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32} \
-  sbt "test" "runMain graft.Verify /root/testdata/sf0.01 /tmp/gate_v01" "runMain graft.Bench"
+  sbt "test" "runMain graft.Verify /root/testdata/sf0.01 /tmp/gate_v01" "runMain graft.Bench" \
+  | tee /tmp/gate_out.txt
 python3 tools/compare.py /root/testdata/sf0.01 /tmp/gate_v01
+
+# Regression watch: diff this run's bench line against the newest
+# driver-recorded round (>=2x per-query slowdowns exit nonzero — the
+# check that would have caught q32's round-6 anomaly in-round).
+# Advisory only when no prior BENCH exists.
+grep -o '{"metric".*}' /tmp/gate_out.txt | tail -1 > /tmp/gate_bench.json
+last_bench=$(ls BENCH_r*.json 2>/dev/null | sort | tail -1)
+if [ -n "$last_bench" ] && [ -s /tmp/gate_bench.json ]; then
+  python3 tools/bench_diff.py "$last_bench" /tmp/gate_bench.json
+fi
 echo "GATE GREEN"
