@@ -280,6 +280,40 @@ class CurationSpec extends SparkSuite {
     assert(r.getAs[Long]("max_df") <= r.getAs[Long]("n_indexed"))
   }
 
+  test("m20's reshard plan is self-consistent and splitting the hottest shard works") {
+    import graft.operators.Envelope
+    val plan = SparkEntry.queries("m20_reshard_plan")(spark, sf).collect()
+    assert(plan.length === 8)
+    val total = plan.map(_.getAs[Long]("n_events")).sum
+    val mean = total.toDouble / plan.length
+    // shares partition the stream; actions agree with the thresholds
+    assert(math.abs(plan.map(_.getAs[Double]("share")).sum - 1.0) < 1e-4)
+    plan.foreach { r =>
+      val n = r.getAs[Long]("n_events")
+      val expected =
+        if (n > mean * 1.15) "split"
+        else if (n < mean * 0.85) "merge_candidate" else "keep"
+      assert(r.getAs[String]("action") === expected, s"$r vs mean $mean")
+      if (r.getAs[String]("action") == "split")
+        assert(r.getAs[Long]("target_shards") >= 2L)
+      else assert(r.getAs[Long]("target_shards") === 1L)
+    }
+
+    // act on the plan: re-key the HOTTEST shard across ceil(load/mean)
+    // sub-shards and verify each lands back at ~fleet-mean load
+    val hottest = plan.maxBy(_.getAs[Long]("n_events"))
+    val target = math.max(2L, math.ceil(hottest.getAs[Long]("n_events") / mean).toLong)
+    val subLoads = Envelope.messages(spark, sf)
+      .withColumn("shard_id", Envelope.shardId(col("partition_key")))
+      .filter(col("shard_id") === hottest.getLong(0))
+      .withColumn("sub",
+        pmod(graft.functions.Portable.hash60(col("event_id").cast("string")), lit(target)))
+      .groupBy("sub").count().collect().map(_.getAs[Long]("count"))
+    assert(subLoads.length === target.toInt)
+    assert(subLoads.max <= (mean * 1.3).toLong,
+      s"split sub-shard still hot: ${subLoads.toSeq} vs fleet mean $mean")
+  }
+
   test("p4 ingest manifest partitions the batch and the quality gate strictly bites") {
     val r = SparkEntry.queries("p4_daily_ingest")(spark, sf).collect().head
     // every batch doc gets exactly one disposition
