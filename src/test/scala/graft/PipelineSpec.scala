@@ -179,6 +179,29 @@ class PipelineSpec extends SparkSuite {
     assert(got.forall(r => ids.contains(r.getLong(2))))
   }
 
+  test("hashTopK probe selection is exactly k and partitioning-invariant") {
+    import graft.queries.Similarity
+    // Every acceptance gate (a1/a8/a11/a13/a14/a16) keys its probe
+    // set off this sample; it must return the same rows no matter how
+    // the corpus happens to be partitioned (TakeOrderedAndProject is
+    // a deterministic distributed top-k, not a per-partition pick).
+    val v = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      Similarity.hashTopK(df, "probe", 5).select("vec_id")
+        .collect().map(_.getLong(0)).toSeq.sorted
+    val base = ids(v)
+    assert(base.length === 5)
+    assert(ids(v.repartition(13)) === base)
+    assert(ids(v.coalesce(1)) === base)
+    // the salt decorrelates samples: a different salt draws a
+    // different set (they could theoretically collide, but not on
+    // this corpus)
+    val other = Similarity.hashTopK(v, "cent", 5).select("vec_id")
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(other !== base)
+  }
+
   test("a14 serves MIPS through the LSH buckets: hash-joined plan, real recall vs a13") {
     val df = SparkEntry.queries("a14_mips_lsh")(spark, sf)
     // the serve path must be bucket-equi-joined end to end: no
