@@ -372,16 +372,25 @@ object Dedup extends QueryPack {
     // similarity they gate on. Costs one signature pass + the d4-style
     // candidates-only exact verify — never all pairs.
     "d15_minhash_calibration" -> { (s, d) =>
+      // ONE signature pass feeds BOTH the band join (candidate
+      // mining) and the per-slot agreement columns: the materialized
+      // table sits behind a single exchange every consumer reuses
+      // (the previous form called lshPairs, which re-derived
+      // signatures — two full km_minhash corpus passes).
       val sigs = kmSignatures(withNearDupes(s, d), materialize = true)
-      val cand = lshPairs(s, d)
+      val cand = lshPairsFrom(sigs)
       val agree = (0 until K).map(i =>
         when(col(s"a_s$i") === col(s"b_s$i"), 1).otherwise(0)).reduce(_ + _)
-      val sa = sigs.select(col("doc_id").as("doc_a") +:
-        (0 until K).map(i => col(s"s$i").as(s"a_s$i")): _*)
-      val sb = sigs.select(col("doc_id").as("doc_b") +:
-        (0 until K).map(i => col(s"s$i").as(s"b_s$i")): _*)
       val candIds = cand.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
         .distinct()
+      // signatures ship candidates-only, like the shingle sets below:
+      // semi-join BEFORE broadcast, so the corpus-sized signature
+      // table is never the broadcast build side.
+      val candSigs = sigs.join(broadcast(candIds), Seq("doc_id"), "left_semi")
+      val sa = candSigs.select(col("doc_id").as("doc_a") +:
+        (0 until K).map(i => col(s"s$i").as(s"a_s$i")): _*)
+      val sb = candSigs.select(col("doc_id").as("doc_b") +:
+        (0 until K).map(i => col(s"s$i").as(s"b_s$i")): _*)
       val docsSh = withNearDupes(s, d)
         .join(broadcast(candIds), Seq("doc_id"), "left_semi")
         .select(col("doc_id"),
@@ -565,8 +574,13 @@ object Dedup extends QueryPack {
   }
 
   /** The d3 band-join candidate pairs (shared base for d3/d8). */
-  private def lshPairs(s: SparkSession, d: String): DataFrame = {
-    val sigs = kmSignatures(withNearDupes(s, d), materialize = true)
+  private def lshPairs(s: SparkSession, d: String): DataFrame =
+    lshPairsFrom(kmSignatures(withNearDupes(s, d), materialize = true))
+
+  /** Band join over an ALREADY-materialized signature table — lets a
+    * caller that also needs the raw signatures (d15) pay for exactly
+    * one km_minhash corpus pass shared by every consumer. */
+  private def lshPairsFrom(sigs: DataFrame): DataFrame = {
     val bands = sigs.select(col("doc_id"),
       posexplode(array((0 until Bands).map { b =>
         md5(concat_ws("|", (0 until 4).map(r => col(s"s${b * 4 + r}")): _*).cast("binary"))

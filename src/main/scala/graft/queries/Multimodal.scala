@@ -208,6 +208,9 @@ object Multimodal extends QueryPack {
     // (compressed/encrypted) ≈ 0.88 expected. Planted: 64-byte 'aaaa'
     // pads (every 37th doc) and md5-chain pseudo-random blobs (every
     // 43rd). Map-side hex + fixed-width slicing, classes-sized rollup.
+    // Prefixes under 32 bytes can't support the ratio thresholds (a
+    // 10-char distinct-byte text scores ≈ 1.0 and would masquerade as
+    // encrypted), so short payloads classify separately.
     "mm8_entropy_sniff" -> { (s, d) =>
       val docs = Tables.documents(s, d)
       val media = docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
@@ -230,7 +233,8 @@ object Multimodal extends QueryPack {
         .withColumn("distinct_ratio",
           size(array_distinct(col("bytes"))).cast("double") / col("n_pref"))
         .withColumn("blob_class",
-          when(col("distinct_ratio") <= 0.1, "padding")
+          when(col("n_pref") < 32, "short_blob")
+            .when(col("distinct_ratio") <= 0.1, "padding")
             .when(col("distinct_ratio") >= 0.75, "compressed_or_encrypted")
             .otherwise("plain"))
         .groupBy(col("blob_class"))
@@ -255,12 +259,14 @@ object Multimodal extends QueryPack {
         |  SELECT doc_id, substring(hex(payload), 1, 128) AS h FROM media),
         |scored AS (
         |  SELECT doc_id,
+        |    least(length(h) // 2, 64) AS n_pref,
         |    len(list_distinct(list_transform(
         |      generate_series(1, CAST(least(length(h) // 2, 64) AS INTEGER)),
         |      i -> substring(h, i * 2 - 1, 2))))::DOUBLE
         |      / least(length(h) // 2, 64) AS distinct_ratio
         |  FROM pref WHERE length(h) >= 2)
-        |SELECT CASE WHEN distinct_ratio <= 0.1 THEN 'padding'
+        |SELECT CASE WHEN n_pref < 32 THEN 'short_blob'
+        |            WHEN distinct_ratio <= 0.1 THEN 'padding'
         |            WHEN distinct_ratio >= 0.75 THEN 'compressed_or_encrypted'
         |            ELSE 'plain' END AS blob_class,
         |  count(*)::BIGINT AS n_objects,

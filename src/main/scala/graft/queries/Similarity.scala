@@ -601,17 +601,24 @@ object Similarity extends QueryPack {
 
   /** `codes` sizes the PQ codebooks independently of the coarse cell
     * count (real IVF-PQ tunes them separately: MANY coarse cells to
-    * land inside a cluster, FEW codes to describe the residual). */
+    * land inside a cluster, FEW codes to describe the residual);
+    * it defaults to the PASSED geometry's cell count. The residual
+    * codebook seeds use a DISTINCT salt ("rcent") from the coarse
+    * centroids — with the same salt the seed rows ARE the centroid
+    * rows, whose residuals are identically zero, collapsing the
+    * codebook to `codes` copies of the origin (one code used, PQ
+    * layer vacuous). */
   private[graft] def residualPqStats(v: DataFrame, geo: AnnGeometry,
                                      m: Int, subDim: Int,
-                                     codes: Int = Geo.nCentroids): DataFrame = {
+                                     codes: Int = -1): DataFrame = {
+    val nCodes = if (codes > 0) codes else geo.nCentroids
     val cents = hashTopK(v, "cent", geo.nCentroids)
       .select(col("vec_id").as("cell"), col("emb").as("c_emb"), col("nrm").as("c_nrm"))
     val resid = assignCells(v, cents)
       .join(broadcast(cents.select(col("cell"), col("c_emb"))), "cell")
       .select(col("vec_id"),
         zip_with(col("emb"), col("c_emb"), (a, b) => a - b).as("emb"))
-    val seeds = hashTopK(resid, "cent", codes)
+    val seeds = hashTopK(resid, "rcent", nCodes)
     pqCodebookStats(resid, seeds, m, subDim)
   }
 
@@ -668,8 +675,19 @@ object Similarity extends QueryPack {
     * equi-join on a literal key, not a nested-loop product) plus one
     * hash join keyed on the bucket. a13 stays the exact baseline the
     * recall spec measures this against. */
-  def mipsLshTopK(s: SparkSession, d: String, geo: AnnGeometry = Geo, k: Int = K): DataFrame = {
-    val AugDims = 65
+  def mipsLshTopK(s: SparkSession, d: String, geo: AnnGeometry = Geo, k: Int = K): DataFrame =
+    mipsServeProbes(mipsCorpusIndex(s, d, geo), mipsProbeVecs(s, d), geo, k)
+
+  /** Augmented-vector width: 64 corpus dims + the norm-completion
+    * term appended by the MIPS reduction. */
+  private val MipsAugDims = 65
+
+  /** a14's corpus index — the OFFLINE side of the MIPS serve: every
+    * vector augmented once (norm exactly M), with its materialized
+    * augmented norm and sign bucket. Built batch; reused by the batch
+    * ranking and the live probe-stream serve. */
+  private[graft] def mipsCorpusIndex(s: SparkSession, d: String,
+                                     geo: AnnGeometry = Geo): DataFrame = {
     val v = vecs(s, d)
     // The 1-row max-norm aggregate attaches by an equi-join on a
     // runtime-computed zero key (both sides non-foldable, or Catalyst
@@ -677,24 +695,53 @@ object Similarity extends QueryPack {
     // product) — so the whole serve path stays BroadcastHashJoin.
     val mx = v.agg(max(col("nrm")).as("m"))
       .withColumn("jk", isnull(col("m")).cast("int"))
-    val aug = v.withColumn("jk", pmod(col("vec_id"), lit(1L)).cast("int"))
+    v.withColumn("jk", pmod(col("vec_id"), lit(1L)).cast("int"))
       .join(broadcast(mx), "jk")
       .withColumn("aug", concat(col("emb"),
         array(sqrt(greatest(col("m") * col("m") - col("nrm") * col("nrm"), lit(0.0))))))
       .withColumn("aug_nrm", graft.functions.Vec.norm(col("aug")))
-      .withColumn("bucket", lshBucket(col("aug"), geo.planes, AugDims))
-    val probes = hashTopK(v, "probe", NProbes)
-      .select(col("vec_id").as("probe_id"),
+      .withColumn("bucket", lshBucket(col("aug"), geo.planes, MipsAugDims))
+      .select(col("vec_id"), col("aug"), col("aug_nrm"), col("bucket"))
+  }
+
+  /** The probe set a13/a14/a16 rank (constant-size salted top-k),
+    * exposed so the streamed-serve spec feeds the EXACT batch probes
+    * through a stream. */
+  private[graft] def mipsProbeVecs(s: SparkSession, d: String): DataFrame =
+    hashTopK(vecs(s, d), "probe", NProbes)
+      .select(col("vec_id").as("probe_id"), col("emb"), col("nrm"))
+
+  /** Serve one probe relation against a prebuilt corpus index: probes
+    * augment map-side with a literal 0, hash through the same
+    * hyperplane literals, expand to their own + Hamming-1 buckets,
+    * bucket-equi join, augmented-cosine rerank, exact top-k per probe.
+    *
+    * `broadcastIndex = false` (the offline acceptance gate): the
+    * constant-size probe set is the broadcast build side and the
+    * corpus streams through the join — one corpus pass per probe
+    * batch. `broadcastIndex = true` (the live serve): the INDEX is the
+    * broadcast side, so an unbounded probe stream flows map-side with
+    * no shuffle and no state store — each micro-batch serves
+    * independently (the spec drives this through foreachBatch, where
+    * the per-probe rank window runs on batch data). */
+  private[graft] def mipsServeProbes(index: DataFrame, probeVecs: DataFrame,
+                                     geo: AnnGeometry = Geo, k: Int = K,
+                                     broadcastIndex: Boolean = false): DataFrame = {
+    val probes = probeVecs.select(col("probe_id"),
         concat(col("emb"), array(lit(0.0))).as("p_aug"),
         col("nrm").as("p_nrm"))
-      .withColumn("p_bucket", lshBucket(col("p_aug"), geo.planes, AugDims))
+      .withColumn("p_bucket", lshBucket(col("p_aug"), geo.planes, MipsAugDims))
     val expanded = probes.withColumn("search_bucket",
       explode(array(col("p_bucket") +:
         (0 until geo.planes).map(i => flipBit(col("p_bucket"), i, geo.planes)): _*)))
+    val cond = col("bucket") === col("search_bucket") &&
+      col("vec_id") =!= col("probe_id")
+    val joined =
+      if (broadcastIndex) expanded.join(broadcast(index), cond)
+      else index.join(broadcast(expanded), cond)
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("aug_cos").desc, col("vec_id"))
-    aug.join(broadcast(expanded),
-        col("bucket") === col("search_bucket") && col("vec_id") =!= col("probe_id"))
+    joined
       .withColumn("ip", graft.functions.Vec.dot(col("p_aug"), col("aug")))
       .withColumn("aug_cos", col("ip") / (col("p_nrm") * col("aug_nrm")))
       .withColumn("rank", row_number().over(w))
@@ -849,7 +896,7 @@ object Similarity extends QueryPack {
          |  FROM assigned a JOIN c ON a.cell = c.cell),
          |rseed AS (
          |  SELECT r.vec_id, r.emb FROM resid r
-         |  JOIN (SELECT vec_id FROM v ${centSel(Geo.nCentroids)}) s
+         |  JOIN (SELECT vec_id FROM v ${hashTopKSql("rcent", Geo.nCentroids)}) s
          |    ON r.vec_id = s.vec_id),
          |subs AS (
          |  SELECT vec_id, m AS sub, emb[m*$PqSubDim+1 : m*$PqSubDim+$PqSubDim] AS sv

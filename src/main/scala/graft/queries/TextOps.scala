@@ -501,27 +501,46 @@ object TextOps extends QueryPack {
     // log-decade rank bands (top-1, 2-10, 11-100, tail) with type
     // counts and token-mass shares. A healthy natural corpus puts
     // most mass in the head bands; a templated or deduplicate-starved
-    // one shows up immediately as a distorted tail share. The rank
-    // window runs over the VOCABULARY (types ≪ tokens — the word
-    // count itself is the usual partial-combining agg); at 100 TB the
-    // band thresholds bound what the sort must keep, top-k style.
+    // one shows up immediately as a distorted tail share. Only ranks
+    // ≤ 100 are individually meaningful, so the head is a
+    // TakeOrderedAndProject top-100 (never a global sort of the
+    // vocabulary), ranks within those 100 rows come from an
+    // ordered-pair count (no window, no single-partition exchange),
+    // and the tail band is totals minus the head aggregates. One
+    // corpus scan builds the types table; everything after runs on
+    // the checkpointed vocabulary or on ≤ 100 rows.
     "t19_zipf_audit" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
       val counts = Tables.documents(s, d)
         .select(explode(Portable.words(col("text"))).as("token"))
         .groupBy(col("token")).agg(count(lit(1)).as("n"))
-      val tot = counts.agg(sum(col("n")).as("total"))
-      counts
-        .withColumn("rank",
-          row_number().over(Window.orderBy(col("n").desc, col("token"))))
+        .localCheckpoint()
+      val tot = counts.agg(sum(col("n")).as("total"),
+        count(lit(1)).as("types"))
+      val head = counts.orderBy(col("n").desc, col("token")).limit(100)
+      // rank(r) = 1 + |{r' in head : r' sorts before r}| — exact on
+      // the 100-row head because (n desc, token) is a total order.
+      val other = head.select(col("token").as("t2"), col("n").as("n2"))
+      val ranked = head.join(broadcast(other),
+          col("n2") > col("n") ||
+            (col("n2") === col("n") && col("t2") < col("token")), "left")
+        .groupBy(col("token"), col("n"))
+        .agg((count(col("t2")) + 1).as("rank"))
+      val headBands = ranked
         .withColumn("band",
           when(col("rank") === 1, "01_top1")
             .when(col("rank") <= 10, "02_top10")
-            .when(col("rank") <= 100, "03_top100")
-            .otherwise("04_tail"))
+            .otherwise("03_top100"))
         .groupBy(col("band"))
         .agg(count(lit(1)).as("n_types"), sum(col("n")).as("n_tokens"))
-        .crossJoin(broadcast(tot))
+      val headTot = head.agg(sum(col("n")).as("head_tokens"),
+        count(lit(1)).as("head_types"))
+      val tail = broadcast(tot).crossJoin(broadcast(headTot))
+        .select(lit("04_tail").as("band"),
+          (col("types") - col("head_types")).as("n_types"),
+          (col("total") - col("head_tokens")).as("n_tokens"))
+        .filter(col("n_types") > 0)
+      headBands.unionByName(tail)
+        .crossJoin(broadcast(tot.select(col("total"))))
         .select(col("band"), col("n_types"), col("n_tokens"),
           round(col("n_tokens").cast("double") / col("total"), 6).as("token_share"))
         .orderBy(col("band"))

@@ -122,8 +122,17 @@ class PipelineSpec extends SparkSuite {
       df.select(sum(col("mse") * col("n_vecs"))).collect().head.getDouble(0)
     val raw = totalErr(Similarity.pqCodebookStats(
       members, Similarity.hashTopK(members, "cent", 10), 8, 8))
-    val residual = totalErr(Similarity.residualPqStats(
-      members, AnnGeometry(nCentroids = 100), 8, 8, codes = 10))
+    val residStats = Similarity.residualPqStats(
+      members, AnnGeometry(nCentroids = 100), 8, 8, codes = 10)
+    // the residual codebook must be non-vacuous: seeding with the
+    // coarse-centroid salt would make every seed residual zero and
+    // collapse the codebook to one effective code — the distinct
+    // "rcent" salt keeps multiple codes in actual use per subspace
+    val minCodes = residStats.select(min(col("n_codes_used")))
+      .collect().head.getLong(0)
+    assert(minCodes > 1L,
+      s"residual PQ codebook is vacuous: min n_codes_used = $minCodes")
+    val residual = totalErr(residStats)
     // hash-sampled coarse seeds miss ~1/e of the clusters (the gap
     // Lloyd refinement exists to close), so the uncovered tail keeps
     // the win below the covered-cluster ~30x; 25%+ corpus-wide is the

@@ -4,7 +4,7 @@
 #   + per-query bench regression diff vs the newest BENCH_r{N}.json
 # Run from /root/repo. Uses a throwaway sbt batch invocation (slower
 # than the warm shell — prefer the tmux shell while iterating).
-set -e
+set -eo pipefail
 cd "$(dirname "$0")/.."
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32} \
   sbt "test" "runMain graft.Verify /root/testdata/sf0.01 /tmp/gate_v01" "runMain graft.Bench" \
