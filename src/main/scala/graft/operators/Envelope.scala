@@ -92,9 +92,33 @@ object Envelope {
     * One shuffle on shard_id; within a 1000-executor cluster each
     * shard's sequence forms locally after that shuffle.
     */
-  def withShardSeq(msgs: DataFrame, nShards: Int = NumShards): DataFrame = {
+  def withShardSeq(msgs: DataFrame, nShards: Int = NumShards): DataFrame =
+    withSeqForShard(msgs.withColumn("shard_id", shardId(col("partition_key"), nShards)))
+
+  /** Sequence numbers over a CALLER-provided `shard_id` routing — the
+    * post-reshard publish path, where the router is [[reshardedId]]
+    * instead of the static hash. Same one-shuffle shape as
+    * [[withShardSeq]]. */
+  def withSeqForShard(msgs: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("shard_id")).orderBy(col("ts"), col("event_id"))
-    msgs.withColumn("shard_id", shardId(col("partition_key"), nShards))
-      .withColumn("seq", row_number().over(w).cast("long"))
+    msgs.withColumn("seq", row_number().over(w).cast("long"))
+  }
+
+  /** Shard routing after a split (Kinesis SplitShard: each child
+    * receives a sub-range of the parent's hash-key range; the parent
+    * stops receiving and is closed — subscriber.go:78-88 is the
+    * consumer side of that cut). Keys that routed to `parent` spread
+    * across `nChildren` NEW shard ids starting at `base`; every other
+    * key keeps its shard. A key maps to exactly one child, so per-key
+    * ordering survives the reshard. The child hash is salted so the
+    * children split the parent's keyspace independently of the
+    * parent-level routing. */
+  def reshardedId(partitionKey: Column, parent: Long, nChildren: Int,
+                  base: Long, nShards: Int = NumShards): Column = {
+    val s = shardId(partitionKey, nShards)
+    when(s === parent,
+      lit(base) + pmod(Portable.hash60(concat(lit("child|"), partitionKey)),
+        lit(nChildren.toLong)))
+      .otherwise(s)
   }
 }

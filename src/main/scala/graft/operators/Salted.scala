@@ -61,4 +61,32 @@ object Salted {
       explode(sequence(lit(0L), lit(salt.toLong - 1))))
     saltedFact.join(saltedDim, Seq(key, "_salt")).drop("_salt")
   }
+
+  /** The audit→mitigation loop closed MECHANICALLY: run [[skewAudit]]
+    * on the fact, broadcast its (key, rec_salt) recommendations (keys-
+    * sized by construction — only keys above the skew threshold), and
+    * salt ONLY the flagged keys with each key's OWN recommended
+    * fanout; cold keys take the plain equi-join untouched. Inner-join
+    * equivalent to `fact.join(dim, key)` on any input: a uniform
+    * corpus produces an empty audit and degenerates to exactly the
+    * naive plan plus one keys-sized broadcast. The dim side replicates
+    * per flagged key only (sum of rec_salt rows), so the hot path's
+    * exchange spreads a hot key across rec_salt reducers while the
+    * dim stays near its original size.
+    */
+  def autoJoin(fact: DataFrame, dim: DataFrame, key: String,
+               minSkew: Double = 4.0): DataFrame = {
+    val rec = skewAudit(fact, key, minSkew).select(col(key), col("rec_salt"))
+    val tagged = fact.join(broadcast(rec), Seq(key), "left")
+    val hot = tagged.filter(col("rec_salt").isNotNull)
+      .withColumn("_salt",
+        pmod(xxhash64(monotonically_increasing_id()), col("rec_salt")))
+      .drop("rec_salt")
+    val cold = tagged.filter(col("rec_salt").isNull).drop("rec_salt")
+    val hotDim = dim.join(broadcast(rec), Seq(key))
+      .withColumn("_salt", explode(sequence(lit(0L), col("rec_salt") - 1L)))
+      .drop("rec_salt")
+    hot.join(hotDim, Seq(key, "_salt")).drop("_salt")
+      .unionByName(cold.join(dim, Seq(key)))
+  }
 }

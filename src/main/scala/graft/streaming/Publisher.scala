@@ -23,8 +23,10 @@ object Publisher {
   /** Shared topic layout: marshal (with the format's envelope codec)
     * + route + sequence + batch ids, shard-partitioned and
     * shard/seq-sorted. */
-  private def layout(msgs: DataFrame, format: TopicFormat): DataFrame = {
-    val seqd = Envelope.withShardSeq(msgs)
+  private def layout(msgs: DataFrame, format: TopicFormat): DataFrame =
+    layoutSeqd(Envelope.withShardSeq(msgs), format)
+
+  private def layoutSeqd(seqd: DataFrame, format: TopicFormat): DataFrame =
     seqd
       .withColumn("envelope", format.marshalEnvelope(seqd))
       .withColumn("batch_id", ((col("seq") - 1L) / MaxBatch.toLong).cast("long"))
@@ -33,7 +35,6 @@ object Publisher {
         col("envelope"), col("ts"))
       .repartition(col("shard_id"))
       .sortWithinPartitions(col("shard_id"), col("seq"))
-  }
 
   /** Marshal + route + sequence + write one publish call's messages.
     * `format` is the pluggable wire codec (the reference's
@@ -49,6 +50,47 @@ object Publisher {
     * the reference's `MessageData` envelope directly. */
   def publishJson(msgs: DataFrame, topicDir: String, mode: String = "append"): Unit =
     publish(msgs, topicDir, mode, JsonLinesTopic)
+
+  /** Publish with a CALLER-provided `shard_id` routing — the
+    * post-reshard path: after a split, `Envelope.reshardedId` sends a
+    * closed shard's keys to its children while everything else about
+    * the layout (envelope codec, per-shard sequence, 500-record batch
+    * cap) stays the standard publish. */
+  def publishRouted(msgs: DataFrame, topicDir: String, mode: String = "append",
+                    format: TopicFormat = ParquetTopic): Unit =
+    format.write(layoutSeqd(Envelope.withSeqForShard(msgs), format), topicDir, mode)
+
+  /** Close a shard after a reshard — the producer side of the
+    * SHARD_END contract (subscriber.go:78-88: the record processor
+    * receives TERMINATE when "the shard is closed and all records have
+    * been delivered" and must checkpoint SHARD_END so child shards can
+    * begin). One terminal marker record is published at the shard's
+    * next sequence number with an eventType header of
+    * [[Subscriber.ShardEndType]]; no data record may follow it on this
+    * shard. The marker carries the shard's max arrival ts, so a
+    * watermarking consumer sees a monotone stream across the cut. */
+  def closeShard(spark: SparkSession, topicDir: String, shardId: Long,
+                 format: TopicFormat = ParquetTopic): Unit = {
+    val tail = format.readBatch(spark, topicDir)
+      .filter(col("shard_id") === shardId)
+      .agg(coalesce(max(col("seq")), lit(0L)).as("mx"),
+        max(col("ts")).as("mts"))
+    val msg = tail.select(
+      lit(s"shard-end-$shardId").as("uuid"),
+      lit(Array.emptyByteArray).as("payload"),
+      map(lit("eventType"), lit(Subscriber.ShardEndType)).as("headers"),
+      col("mx"), col("mts"))
+    val marker = msg.select(
+      lit(shardId).as("shard_id"),
+      (col("mx") / MaxBatch.toLong).cast("long").as("batch_id"),
+      (col("mx") + 1L).as("seq"),
+      lit(-1L).as("event_id"),
+      col("uuid"),
+      lit("").as("partition_key"),
+      format.marshalEnvelope(msg).as("envelope"),
+      col("mts").as("ts"))
+    format.write(marker, topicDir, "append")
+  }
 
   /** Streaming publisher: each micro-batch becomes one `publish` call
     * (the reference's `Publish(topic, msgs...)` is per-call batching,

@@ -73,6 +73,39 @@ object Subscriber {
   def subscribeJson(spark: SparkSession, topicDir: String): DataFrame =
     subscribe(spark, topicDir, JsonLinesTopic)
 
+  /** eventType header of a shard's terminal marker (the SHARD_END
+    * checkpoint of subscriber.go:78-88, published by
+    * [[Publisher.closeShard]] when a reshard closes the shard). */
+  val ShardEndType = "SHARD_END"
+
+  /** True on a shard's terminal marker record. A consumer filters
+    * these out of its data path but treats one as the signal that the
+    * shard is drained: once the marker's micro-batch commits, the
+    * parent's checkpoint is terminal and the child shards' records are
+    * everything that remains. */
+  def isShardEnd: org.apache.spark.sql.Column =
+    col("event_type") === lit(ShardEndType)
+
+  /** Resume a subscription from a per-shard SEQUENCE cursor — the
+    * checkpoint granularity KCL actually stores (one sequence number
+    * per shard), and the precision the reference leaves open at
+    * subscriber.go:44-46 ("TODO KCL-like: skip sent messages in first
+    * batch"): when the durable position points INSIDE a publish batch,
+    * re-reading that batch must not redeliver records at or below the
+    * cursor. `cursor` is a tiny (shard_id, seq) table — shards-sized,
+    * broadcast to the scan; shards absent from it deliver from the
+    * horizon. The filter composes with the file-source checkpoint:
+    * offsets bound WHICH files replay, the cursor bounds which RECORDS
+    * inside the replayed batch reach the consumer. */
+  def subscribeAfter(spark: SparkSession, topicDir: String, cursor: DataFrame,
+                     format: TopicFormat = ParquetTopic,
+                     maxFilesPerTrigger: Int = 8): DataFrame =
+    subscribe(spark, topicDir, format, maxFilesPerTrigger)
+      .join(broadcast(cursor.select(col("shard_id"), col("seq").as("_cursor_seq"))),
+        Seq("shard_id"), "left")
+      .filter(col("_cursor_seq").isNull || col("seq") > col("_cursor_seq"))
+      .drop("_cursor_seq")
+
   /** Subscribe starting from a KCL initial position. The position
     * filter is on the arrival timestamp — a source column — so
     * Catalyst pushes it beneath the envelope parse into the file scan

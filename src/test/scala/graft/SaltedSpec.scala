@@ -47,4 +47,33 @@ class SaltedSpec extends SparkSuite {
     assert(salted.exceptAll(naive).count() === 0)
     assert(naive.exceptAll(salted).count() === 0)
   }
+
+  test("autoJoin closes the audit loop mechanically and equals the naive join on skewed and uniform corpora") {
+    val dim = Tables.customer(spark, sf)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+
+    // skewed corpus: the audit flags the hot key, autoJoin salts only
+    // it — the answer is the naive join, bit for bit (multiset)
+    val factSkewed = skewed.select("event_id", "user_id")
+    val auto = Salted.autoJoin(factSkewed, dim, "user_id")
+    val naive = factSkewed.join(dim, "user_id")
+    assert(auto.count() === naive.count())
+    assert(auto.exceptAll(naive).count() === 0)
+    assert(naive.exceptAll(auto).count() === 0)
+    // the audit really split the hot path: rows exist on BOTH branches
+    // (hot key salted, cold keys plain) — check via the audit itself
+    val audit = Salted.skewAudit(factSkewed, "user_id").collect()
+    assert(audit.map(_.getLong(0)).contains(0L))
+
+    // uniform corpus: an empty audit, autoJoin degenerates to exactly
+    // the naive result (and its hot branch matches zero rows)
+    val factUniform = Tables.events(spark, sf).select("event_id", "user_id")
+    assert(Salted.skewAudit(factUniform, "user_id").isEmpty,
+      "the uniform corpus must not trip the skew threshold")
+    val autoU = Salted.autoJoin(factUniform, dim, "user_id")
+    val naiveU = factUniform.join(dim, "user_id")
+    assert(autoU.count() === naiveU.count())
+    assert(autoU.exceptAll(naiveU).count() === 0)
+    assert(naiveU.exceptAll(autoU).count() === 0)
+  }
 }

@@ -676,4 +676,168 @@ class StreamingSpec extends SparkSuite {
       Subscriber.Outcome("a", "resolved", 1),
       Subscriber.Outcome("b", "dlq", 4)))
   }
+
+  test("a reshard closes the parent with SHARD_END and hands its keyspace to children without loss or duplication") {
+    // The consumer side of Kinesis SplitShard (subscriber.go:78-88):
+    // on TERMINATE the processor checkpoints SHARD_END so child shards
+    // can begin. Composes m20 (the split decision), Publisher.closeShard
+    // (the terminal marker), Envelope.reshardedId (the child routing)
+    // and m18's order-insensitive digest (the cross-cut census).
+    import graft.operators.Envelope
+    val topic = tempDir("topic_reshard")
+    val ckpt = tempDir("ckpt")
+    val outDir = tempDir("processed")
+    val msgs = Envelope.messages(spark, sf)
+    val phase1 = msgs.filter(col("event_id") < 600)
+    val phase2 = msgs.filter(col("event_id") >= 600)
+    Publisher.publish(phase1, topic)
+
+    // phase 1: normal consumption up to the worker's checkpoint
+    Subscriber.drainToParquet(Subscriber.subscribe(spark, topic), outDir, ckpt)
+      .awaitTermination()
+    assert(spark.read.parquet(outDir).count() === 600)
+
+    // the split decision comes from m20's plan over the stream
+    val plan = SparkEntry.queries("m20_reshard_plan")(spark, sf).collect()
+      .filter(_.getAs[String]("action") == "split")
+    assert(plan.nonEmpty, "the stream must have a split-worthy hot shard")
+    val hottest = plan.maxBy(_.getAs[Long]("n_events"))
+    val parent = hottest.getAs[Long]("shard_id")
+    val nChildren = hottest.getAs[Long]("target_shards").toInt
+    assert(nChildren >= 2)
+    val base = Envelope.NumShards.toLong // children are NEW shard ids
+
+    // TERMINATE: the parent is closed, and the consumer drains it to a
+    // TERMINAL checkpoint — this drain delivers exactly the SHARD_END
+    // marker and durably commits it BEFORE any child record exists
+    Publisher.closeShard(spark, topic, parent)
+    Subscriber.drainToParquet(Subscriber.subscribe(spark, topic), outDir, ckpt)
+      .awaitTermination()
+    val afterClose = spark.read.parquet(outDir)
+    assert(afterClose.count() === 601)
+    val marker = afterClose.filter(Subscriber.isShardEnd).collect()
+    assert(marker.length === 1)
+    assert(marker.head.getAs[Long]("shard_id") === parent)
+    val parentMax = afterClose
+      .filter(col("shard_id") === parent && !Subscriber.isShardEnd)
+      .agg(max("seq")).head().getLong(0)
+    assert(marker.head.getAs[Long]("seq") === parentMax + 1,
+      "SHARD_END must be the parent's final sequence number")
+
+    // the post-cut traffic routes the parent's keys to the children
+    Publisher.publishRouted(
+      phase2.withColumn("shard_id",
+        Envelope.reshardedId(col("partition_key"), parent, nChildren, base)),
+      topic)
+    Subscriber.drainToParquet(Subscriber.subscribe(spark, topic), outDir, ckpt)
+      .awaitTermination()
+
+    val data = spark.read.parquet(outDir).filter(!Subscriber.isShardEnd)
+    // end-to-end census: every message exactly once across the reshard
+    assert(data.count() === 1000)
+    assert(data.select("uuid").distinct().count() === 1000)
+    // the parent received NOTHING after its terminal checkpoint
+    assert(data.filter(col("shard_id") === parent &&
+      col("uuid").cast("long") >= 600).count() === 0)
+    // the children received EXACTLY the parent's post-cut keyspace…
+    val childData = data.filter(col("shard_id") >= base)
+    val expectChild = phase2
+      .filter(Envelope.shardId(col("partition_key")) === parent)
+    assert(childData.count() === expectChild.count())
+    assert(childData.count() > 0, "the hot shard's keys must keep flowing")
+    // …each key on exactly ONE child, so per-key ordering survives
+    assert(childData.groupBy("partition_key")
+      .agg(countDistinct("shard_id").as("n")).filter(col("n") > 1).count() === 0)
+
+    // m18-style digest across the cut: parent's delivered phase-1 ids
+    // plus the children's delivered ids = the published ids of the
+    // parent keyspace — no loss, no duplication
+    def digest(df: org.apache.spark.sql.DataFrame,
+               id: org.apache.spark.sql.Column): String =
+      df.select(id.cast("long").as("x"))
+        .agg(md5(concat_ws("|",
+          transform(sort_array(collect_list(col("x"))),
+            v => v.cast("string"))).cast("binary")).as("d"))
+        .head().getString(0)
+    val delivered = data.filter(col("shard_id") === parent || col("shard_id") >= base)
+    val published = msgs.filter(Envelope.shardId(col("partition_key")) === parent)
+    assert(digest(delivered, col("uuid")) === digest(published, col("event_id")))
+  }
+
+  test("resume from a mid-batch sequence cursor redelivers nothing before the cut and misses nothing after") {
+    // KCL checkpoints a SEQUENCE NUMBER per shard; the reference's
+    // subscriber.go:44-46 leaves the mid-batch case open ("TODO
+    // KCL-like: skip sent messages in first batch"). subscribeAfter is
+    // that precision: the re-read publish batch must deliver exactly
+    // the records ABOVE the durable cursor.
+    import graft.operators.Envelope
+    val topic = tempDir("topic_cursor")
+    val msgs = Envelope.messages(spark, sf)
+    Publisher.publish(msgs, topic)
+    // every shard's records sit inside publish batch 0 (well under the
+    // 500 cap), so any per-shard cursor is a MID-BATCH position
+    assert(spark.read.parquet(topic).agg(max("batch_id")).head().getLong(0) === 0L)
+
+    // worker A's durable position: the median sequence per shard
+    val cursor = spark.read.parquet(topic)
+      .groupBy("shard_id").agg((max("seq") / 2).cast("long").as("seq"))
+    val cut = cursor.withColumnRenamed("seq", "cut")
+    val sent = spark.read.parquet(topic).join(cut, "shard_id")
+      .filter(col("seq") <= col("cut"))
+    val nSent = sent.count()
+    assert(nSent > 0 && nSent < 1000)
+
+    // worker B resumes from the cursor (fresh file-source checkpoint —
+    // the lease moved; the cursor is the durable position)
+    Subscriber.drainToMemory(
+      Subscriber.subscribeAfter(spark, topic, cursor), "cursor_resume", tempDir("ck")
+    ).awaitTermination()
+    val got = spark.table("cursor_resume")
+    // nothing at or below the cursor is redelivered…
+    assert(got.join(cut, "shard_id").filter(col("seq") <= col("cut")).count() === 0)
+    // …and everything above it arrives exactly once: A's sent set and
+    // B's delivery PARTITION the topic
+    assert(got.count() === 1000 - nSent)
+    assert(got.select("uuid").distinct().count() === 1000 - nSent)
+    assert(got.select("uuid").intersect(sent.select("uuid")).count() === 0)
+    assert(got.select("uuid").unionAll(sent.select("uuid"))
+      .distinct().count() === 1000)
+  }
+
+  test("streamed MIPS probes serve the identical top-k as the batch a14 answer") {
+    import spark.implicits._
+    import graft.queries.Similarity
+    implicit val sqlCtx = spark.sqlContext
+    val expected = SparkEntry.queries("a14_mips_lsh")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(expected.nonEmpty)
+
+    // The index is built OFFLINE (one augmented+bucketed corpus pass,
+    // frozen here); serving broadcasts it, so the live probe stream is
+    // pure map-side — no shuffle, no state store, each micro-batch
+    // served independently through the same code path as the batch
+    // acceptance gate (the hyperplanes are literals in the plan).
+    val index = Similarity.mipsCorpusIndex(spark, sf).localCheckpoint()
+    val probes = Similarity.mipsProbeVecs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val outDir = tempDir("mips_served")
+    val input = MemoryStream[(Long, Seq[Double])]
+    val q = input.toDF().toDF("probe_id", "emb")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", tempDir("ck"))
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        Similarity.mipsServeProbes(index,
+            batch.withColumn("nrm", graft.functions.Vec.norm(col("emb"))),
+            broadcastIndex = true)
+          .write.mode("append").parquet(outDir)
+      }
+      .start()
+    input.addData(probes.take(2)); q.processAllAvailable()
+    input.addData(probes.drop(2)); q.processAllAvailable()
+    q.stop()
+
+    val got = spark.read.parquet(outDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(got === expected)
+  }
 }
