@@ -671,6 +671,33 @@ object Analytics extends QueryPack {
           col("age_weeks"), col("cohort_size"), col("n_active"),
           round(col("n_active").cast("double") / col("cohort_size"), 6).as("retention"))
         .orderBy(col("cohort"), col("age_weeks"))
+    },
+
+    // Sessionization — split each user's event stream into visits at
+    // >30-min silence gaps (the islands-and-gaps idiom): one lag to
+    // flag session starts, one running sum to number them, one
+    // aggregate per session. Both windows partition by user_id, so at
+    // 100 TB this is a single shuffle on the user key with per-user
+    // state only — no global window anywhere; a billion users spread
+    // over every executor.
+    "q43_sessionize" -> { (s, d) =>
+      val gapUs = 30L * 60L * 1000000L
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+            (expr("unix_micros(ts)") - expr("unix_micros(prev_ts)")) > gapUs, 1L)
+            .otherwise(0L))
+        .withColumn("session_idx", sum(col("new_sess")).over(w))
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(count(lit(1)).as("n_events"),
+          (max(expr("unix_micros(ts)")) - min(expr("unix_micros(ts)"))).as("duration_us"),
+          round(sum(col("value")), 6).as("session_value"))
+        .select(col("user_id"), col("session_idx"), col("n_events"),
+          col("duration_us"), col("session_value"))
+        .orderBy(col("user_id"), col("session_idx"))
     }
   )
 
@@ -1037,6 +1064,28 @@ object Analytics extends QueryPack {
         |  round(n_active::DOUBLE / s.cohort_size, 6) AS retention
         |FROM ret r JOIN sizes s ON r.cohort = s.cohort
         |ORDER BY cohort, age_weeks""".stripMargin,
+
+    "q43_sessionize" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, value, ts::TIMESTAMP AS ts FROM events),
+        |lagd AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM ev),
+        |flags AS (
+        |  SELECT *, CASE WHEN prev_ts IS NULL
+        |      OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM lagd),
+        |sess AS (
+        |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS session_idx
+        |  FROM flags)
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        |  count(*)::BIGINT AS n_events,
+        |  CAST(max(epoch_us(ts)) - min(epoch_us(ts)) AS BIGINT) AS duration_us,
+        |  round(sum(value), 6) AS session_value
+        |FROM sess GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin,
 
     "q41_sketch_error" ->
       s"""WITH est AS ($HllSql),

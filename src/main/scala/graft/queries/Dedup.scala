@@ -448,6 +448,67 @@ object Dedup extends QueryPack {
           coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
           (coalesce(col("n_candidates"), lit(0L)) > 0L).as("matched"))
         .orderBy(col("doc_id"))
+    },
+
+    // Asymmetric-containment detection (Broder bottom-k sketch as the
+    // blocking key): Jaccard LSH (d3/d4) structurally misses SUBSET
+    // duplication — a truncated re-upload, a quoted doc embedded in a
+    // larger one — because J(A,B) ≈ |A|/|B| stays small even when
+    // A ⊂ B entirely. The right measure is containment
+    // C(A→B) = |A∩B|/|A|, and its blocking key is the bottom-k
+    // sketch: each doc's k smallest shingle hashes become join
+    // anchors, and if C(A→B) ≥ c then each of A's anchors lies in B
+    // with probability ≥ c, so a candidate pair is missed only when
+    // B's own bottom-k avoids ALL of A's shingles — P ≈ (1−c)^k,
+    // deterministic on a fixed corpus. Candidates join on anchor
+    // equality (never all-pairs: anchor groups are dup families, not
+    // the corpus); exact shingle sets are computed ONLY for candidate
+    // ids, d4-style. Planted: every 9th doc re-uploaded truncated to
+    // its first 40% of words — pure subset duplication invisible to a
+    // 0.5-Jaccard gate.
+    "d17_containment" -> { (s, d) =>
+      val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val wBase = base.withColumn("w", Portable.words(col("text")))
+      val trunc = wBase
+        .filter(col("doc_id") % 9 === 0 && size(col("w")) >= 8)
+        .select((col("doc_id") + 600000L).as("doc_id"),
+          concat_ws(" ",
+            slice(col("w"), lit(1),
+              floor(size(col("w")) * lit(0.4)).cast("int"))).as("text"))
+      val sh = base.unionAll(trunc)
+        .select(col("doc_id"),
+          graft.functions.TextHash.distinctShingles(col("text"), ShingleN).as("sh"))
+        .filter(size(col("sh")) > 0)
+        .localCheckpoint()
+      val anchors = sh.select(col("doc_id"),
+        explode(slice(array_sort(
+          transform(col("sh"), x => md5(x.cast("binary")))), 1, AnchorK)).as("anchor"))
+      val l = anchors.as("l"); val r = anchors.as("r")
+      val cand = l.join(r, col("l.anchor") === col("r.anchor") &&
+          col("l.doc_id") < col("r.doc_id"))
+        .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+        .distinct()
+      val candIds = cand.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+        .distinct()
+      val candSh = sh.join(broadcast(candIds), Seq("doc_id"), "left_semi")
+      cand
+        .join(broadcast(candSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))), Seq("doc_a"))
+        .join(broadcast(candSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))), Seq("doc_b"))
+        .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))))
+        .withColumn("containment_a",
+          round(col("n_common").cast("double") / size(col("sh_a")), 6))
+        .withColumn("containment_b",
+          round(col("n_common").cast("double") / size(col("sh_b")), 6))
+        .filter(greatest(col("containment_a"), col("containment_b")) >= 0.9)
+        .withColumn("relation",
+          when(col("containment_a") >= 0.9 && col("containment_b") >= 0.9, "mutual")
+            .when(col("containment_a") >= 0.9, "a_in_b")
+            .otherwise("b_in_a"))
+        .select(col("doc_a"), col("doc_b"),
+          size(col("sh_a")).cast("long").as("n_sh_a"),
+          size(col("sh_b")).cast("long").as("n_sh_b"),
+          col("containment_a"), col("containment_b"), col("relation"))
+        .orderBy(col("doc_a"), col("doc_b"))
     }
   )
 
@@ -456,6 +517,10 @@ object Dedup extends QueryPack {
   private val SemCentStride = 50
   private val SemDupCos = 0.98
   private val SemMaxCell = 64
+
+  /** d17: bottom-k containment-sketch width — miss probability for a
+    * containment-c pair is ≈ (1−c)^k; at c = 0.9, k = 8 that is 1e-8. */
+  private val AnchorK = 8
 
   /** SemDeDup-style within-cell near-dup pair mining with a HOT-CELL
     * BOUND. Every vector is assigned to its nearest broadcast centroid
@@ -985,6 +1050,44 @@ object Dedup extends QueryPack {
          |  coalesce(m.n_candidates, 0) > 0 AS matched
          |FROM batch_raw br LEFT JOIN m ON br.doc_id = m.doc_id
          |ORDER BY br.doc_id""".stripMargin
-    }
+    },
+
+    "d17_containment" ->
+      s"""WITH basew AS (
+         |  SELECT doc_id, CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+         |    ELSE regexp_split_to_array(trim(text), '\\s+') END AS w
+         |  FROM documents),
+         |corpus AS (
+         |  SELECT doc_id, w FROM basew
+         |  UNION ALL
+         |  SELECT doc_id + 600000, w[1 : CAST(floor(len(w) * 0.4) AS INT)] AS w
+         |  FROM basew WHERE doc_id % 9 = 0 AND len(w) >= 8),
+         |shn AS (
+         |  SELECT doc_id, dsh FROM (
+         |    SELECT doc_id, list_distinct($ShinglesSql) AS dsh FROM corpus) t
+         |  WHERE len(dsh) > 0),
+         |anchors AS (
+         |  SELECT doc_id,
+         |    unnest(list_sort(list_transform(dsh, x -> md5(x)))[1:$AnchorK]) AS anchor
+         |  FROM shn),
+         |cand AS (
+         |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+         |  FROM anchors l JOIN anchors r
+         |    ON l.anchor = r.anchor AND l.doc_id < r.doc_id),
+         |j AS (
+         |  SELECT doc_a, doc_b,
+         |    len(a.dsh) AS n_sh_a, len(b.dsh) AS n_sh_b,
+         |    round(len(list_intersect(a.dsh, b.dsh))::DOUBLE / len(a.dsh), 6) AS containment_a,
+         |    round(len(list_intersect(a.dsh, b.dsh))::DOUBLE / len(b.dsh), 6) AS containment_b
+         |  FROM cand JOIN shn a ON doc_a = a.doc_id JOIN shn b ON doc_b = b.doc_id)
+         |SELECT doc_a, doc_b,
+         |  CAST(n_sh_a AS BIGINT) AS n_sh_a, CAST(n_sh_b AS BIGINT) AS n_sh_b,
+         |  containment_a, containment_b,
+         |  CASE WHEN containment_a >= 0.9 AND containment_b >= 0.9 THEN 'mutual'
+         |       WHEN containment_a >= 0.9 THEN 'a_in_b'
+         |       ELSE 'b_in_a' END AS relation
+         |FROM j
+         |WHERE greatest(containment_a, containment_b) >= 0.9
+         |ORDER BY doc_a, doc_b""".stripMargin
   )
 }

@@ -331,6 +331,38 @@ object Messaging extends QueryPack {
         .orderBy(col("shard_id"))
     },
 
+    // Backlog-drain ETA — the operational question m16 (how far
+    // behind) and m17 (how fast the stream flows) exist to answer:
+    // starting from the checkpoint cut, how long until a consumer
+    // catches the tip? The consumer is modeled at 2× the shard's
+    // observed arrival rate (the standard reprocessing provision —
+    // a drain factor, not a measurement), so the net drain rate
+    // equals the arrival rate and eta = lag / rate. Same single
+    // envelope scan + 8-row rollup as m16; every derived column is
+    // arithmetic on that rollup, so the query costs one pass at any
+    // scale.
+    "m21_drain_eta" -> { (s, d) =>
+      val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+      Envelope.withShardSeq(Envelope.messages(s, d))
+        .groupBy(col("shard_id"))
+        .agg(max(col("seq")).as("last_seq"),
+          coalesce(max(when(col("ts") < cut, col("seq"))), lit(0L)).as("ckpt_seq"),
+          min(col("ts")).as("t0"), max(col("ts")).as("t1"))
+        .withColumn("lag_msgs", col("last_seq") - col("ckpt_seq"))
+        .withColumn("span_us", expr("unix_micros(t1)") - expr("unix_micros(t0)"))
+        .withColumn("rate_per_sec",
+          when(col("span_us") === 0L, lit(null))
+            .otherwise(col("last_seq").cast("double") /
+              (col("span_us").cast("double") / lit(1000000.0))))
+        .withColumn("eta_sec",
+          when(col("rate_per_sec").isNull || col("lag_msgs") === 0L, lit(0.0))
+            .otherwise(col("lag_msgs").cast("double") / col("rate_per_sec")))
+        .select(col("shard_id"), col("lag_msgs"),
+          round(col("rate_per_sec"), 6).as("rate_per_sec"),
+          round(col("eta_sec"), 6).as("eta_sec"))
+        .orderBy(col("shard_id"))
+    },
+
     // Replay/backfill window — a consumer reprocessing history between
     // two checkpoint cuts (the KCL TRIM_HORIZON→AT_TIMESTAMP restart):
     // per shard, the contiguous seq range inside the cut interval plus
@@ -593,6 +625,33 @@ object Messaging extends QueryPack {
          |  CAST(last_seq - ckpt_seq AS BIGINT) AS lag_msgs,
          |  CAST(epoch_us(tip_ts) - epoch_us(coalesce(ckpt_ts, start_ts)) AS BIGINT) AS lag_us
          |FROM agg
+         |ORDER BY shard_id""".stripMargin,
+
+    "m21_drain_eta" ->
+      s"""WITH seqd AS (
+         |  SELECT event_id, ts, ${shardSql("user_id::VARCHAR")} AS shard_id,
+         |    row_number() OVER (PARTITION BY ${shardSql("user_id::VARCHAR")}
+         |                       ORDER BY ts, event_id) AS seq
+         |  FROM ($Ev) e),
+         |agg AS (
+         |  SELECT shard_id,
+         |    max(seq) AS last_seq,
+         |    coalesce(max(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN seq END), 0) AS ckpt_seq,
+         |    min(ts) AS t0, max(ts) AS t1
+         |  FROM seqd GROUP BY shard_id),
+         |derived AS (
+         |  SELECT shard_id,
+         |    last_seq - ckpt_seq AS lag_msgs,
+         |    CASE WHEN epoch_us(t1) = epoch_us(t0) THEN NULL
+         |      ELSE last_seq::DOUBLE / ((epoch_us(t1) - epoch_us(t0))::DOUBLE / 1000000.0)
+         |    END AS rate_per_sec
+         |  FROM agg)
+         |SELECT shard_id,
+         |  CAST(lag_msgs AS BIGINT) AS lag_msgs,
+         |  round(rate_per_sec, 6) AS rate_per_sec,
+         |  round(CASE WHEN rate_per_sec IS NULL OR lag_msgs = 0 THEN 0.0
+         |    ELSE lag_msgs::DOUBLE / rate_per_sec END, 6) AS eta_sec
+         |FROM derived
          |ORDER BY shard_id""".stripMargin,
 
     "m17_throughput_stats" ->

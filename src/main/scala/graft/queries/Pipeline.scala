@@ -180,6 +180,53 @@ object Pipeline extends QueryPack {
           sum(col("df")).as("n_postings"),
           sum(col("tf_total")).as("total_tf"),
           max(col("df")).as("max_df")))
+    },
+
+    // Mixture EXECUTION — t17 plans the per-language weights; this
+    // builds the corpus those weights describe and publishes the
+    // realized manifest. Selection is a deterministic hash gate
+    // (md5-bucket of the doc id vs weight·2^20 — the t9 reproducible-
+    // sampling idiom), so the same manifest falls out of every run
+    // and every cluster size: no RNG state, no driver-side sampling.
+    // Two scans of (lang, toks) — one for the weight table (5 rows,
+    // broadcast), one gated map-side — plus 5-row rollups; the corpus
+    // text itself is never shuffled, so the plan is two map passes at
+    // any scale. realized_share vs target is the acceptance check:
+    // downsampled languages land on target, under-represented ones
+    // (weight = 1) keep their natural share.
+    "p5_mix_build" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          size(Portable.words(col("text"))).cast("long").as("toks"))
+      val perLang = docs.groupBy(col("lang"))
+        .agg(sum(col("toks")).as("tokens"))
+      val total = perLang.agg(sum(col("tokens")).as("total_toks"))
+      val weights = perLang.crossJoin(broadcast(total))
+        .withColumn("share", col("tokens").cast("double") / col("total_toks"))
+        .withColumn("target",
+          element_at(typedLit(TextOps.TargetMix.toMap), col("lang")))
+        .withColumn("weight", least(lit(1.0), col("target") / col("share")))
+        .select(col("lang"), col("share"), col("target"), col("weight"))
+      val gated = docs
+        .join(broadcast(weights), "lang")
+        .withColumn("bucket",
+          pmod(Portable.hash60(concat(lit("mix"), col("doc_id").cast("string"))),
+            lit(1048576L)))
+        .withColumn("selected",
+          col("bucket").cast("double") < col("weight") * 1048576.0)
+      val agg = gated.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("selected"), 1L).otherwise(0L)).as("sel_docs"),
+          sum(col("toks")).as("tokens"),
+          sum(when(col("selected"), col("toks")).otherwise(0L)).as("sel_tokens"))
+      val selTot = agg.agg(sum(col("sel_tokens")).as("total_sel"))
+      agg.join(broadcast(weights.select(col("lang"), col("target"), col("weight"))), "lang")
+        .crossJoin(broadcast(selTot))
+        .select(col("lang"), col("n_docs"), col("sel_docs"),
+          col("tokens"), col("sel_tokens"), col("target"),
+          round(col("weight"), 6).as("weight"),
+          round(col("sel_tokens").cast("double") / col("total_sel"), 6).as("realized_share"))
+        .orderBy(col("lang"))
     }
   )
 
@@ -339,6 +386,41 @@ object Pipeline extends QueryPack {
         |  CAST(sum(df) AS BIGINT) AS n_postings,
         |  CAST(sum(tf_total) AS BIGINT) AS total_tf,
         |  CAST(max(df) AS BIGINT) AS max_df
-        |FROM terms""".stripMargin
+        |FROM terms""".stripMargin,
+
+    "p5_mix_build" -> {
+      val targetSql = TextOps.TargetMix.map { case (l, t) => s"WHEN '$l' THEN $t" }
+        .mkString("CASE lang ", " ", " END")
+      s"""WITH docs AS (
+         |  SELECT doc_id, lang,
+         |    CAST(CASE WHEN trim(text) = '' THEN 0
+         |      ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS toks
+         |  FROM documents),
+         |pl AS (SELECT lang, sum(toks) AS tokens FROM docs GROUP BY lang),
+         |wts AS (
+         |  SELECT lang,
+         |    tokens::DOUBLE / sum(tokens) OVER () AS share,
+         |    $targetSql AS target
+         |  FROM pl),
+         |wts2 AS (
+         |  SELECT lang, share, target, least(1.0, target / share) AS weight FROM wts),
+         |gated AS (
+         |  SELECT d.lang, d.toks, w.target, w.weight,
+         |    (('0x' || substring(md5('mix' || d.doc_id::VARCHAR), 1, 15))::BIGINT
+         |      % 1048576)::DOUBLE < w.weight * 1048576.0 AS selected
+         |  FROM docs d JOIN wts2 w USING (lang)),
+         |agg AS (
+         |  SELECT lang, target, weight,
+         |    count(*)::BIGINT AS n_docs,
+         |    CAST(sum(CASE WHEN selected THEN 1 ELSE 0 END) AS BIGINT) AS sel_docs,
+         |    CAST(sum(toks) AS BIGINT) AS tokens,
+         |    CAST(sum(CASE WHEN selected THEN toks ELSE 0 END) AS BIGINT) AS sel_tokens
+         |  FROM gated GROUP BY lang, target, weight)
+         |SELECT lang, n_docs, sel_docs, tokens, sel_tokens, target,
+         |  round(weight, 6) AS weight,
+         |  round(sel_tokens::DOUBLE / sum(sel_tokens) OVER (), 6) AS realized_share
+         |FROM agg
+         |ORDER BY lang""".stripMargin
+    }
   )
 }

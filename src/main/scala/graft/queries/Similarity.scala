@@ -557,13 +557,23 @@ object Similarity extends QueryPack {
     * (vec_id, emb) relation — shared by a12 (raw vectors) and a17
     * (IVF residuals). Codebooks are the seed rows' subvectors,
     * broadcast; assignment is one scan; the rollup is m rows. */
-  private[graft] def pqCodebookStats(base: DataFrame, seeds: DataFrame,
-                                     m: Int, subDim: Int): DataFrame = {
-    def subVecs(df: DataFrame, idCol: String) = df.select(col(idCol),
+  /** Per-subspace slices of an (id, emb) relation: one (id, sub, sv)
+    * row per subspace — shared by the codebook build and the probe
+    * side of a18's ADC table. */
+  private def subVecsOf(df: DataFrame, idCol: String,
+                        m: Int, subDim: Int): DataFrame =
+    df.select(col(idCol),
       posexplode(array((0 until m).map(i =>
         slice(col("emb"), i * subDim + 1, subDim)): _*)).as(Seq("sub", "sv")))
-    val subs = subVecs(base, "vec_id")
-    val cents = subVecs(seeds, "vec_id")
+
+  /** PQ code assignment: every (vec_id, sub) subvector → its nearest
+    * (L2) broadcast codebook entry. Returns (vec_id, sub, cent_id,
+    * dist) — the CODES an IVF-PQ index stores (a18 serves them);
+    * [[pqCodebookStats]] is its QA rollup (a12/a17). */
+  private[graft] def pqAssignments(base: DataFrame, seeds: DataFrame,
+                                   m: Int, subDim: Int): DataFrame = {
+    val subs = subVecsOf(base, "vec_id", m, subDim)
+    val cents = subVecsOf(seeds, "vec_id", m, subDim)
       .select(col("vec_id").as("cent_id"), col("sub"), col("sv").as("cv"))
     val dist = graft.functions.Vec.dot(col("sv"), col("sv")) -
       lit(2.0) * graft.functions.Vec.dot(col("sv"), col("cv")) +
@@ -574,6 +584,12 @@ object Similarity extends QueryPack {
       .withColumn("dist", dist)
       .withColumn("r", row_number().over(w))
       .filter(col("r") === 1)
+      .select(col("vec_id"), col("sub"), col("cent_id"), col("dist"))
+  }
+
+  private[graft] def pqCodebookStats(base: DataFrame, seeds: DataFrame,
+                                     m: Int, subDim: Int): DataFrame = {
+    pqAssignments(base, seeds, m, subDim)
       .groupBy(col("sub"))
       .agg(count(lit(1)).as("n_vecs"),
         countDistinct(col("cent_id")).as("n_codes_used"),
@@ -620,6 +636,64 @@ object Similarity extends QueryPack {
         zip_with(col("emb"), col("c_emb"), (a, b) => a - b).as("emb"))
     val seeds = hashTopK(resid, "rcent", nCodes)
     pqCodebookStats(resid, seeds, m, subDim)
+  }
+
+  /** a18: the end-to-end IVF-ADC SERVE path — what an IVF-PQ index
+    * actually executes per query, composing the pieces the family
+    * builds and QAs separately (a3 routing, a12 codes, a10/a16
+    * gates): probes route to their nProbe nearest coarse cells;
+    * candidates are those cells' members only; scoring is the
+    * ASYMMETRIC distance — the probe's EXACT subvectors against each
+    * candidate's stored code word, Σ_sub ‖p_sub − cv(code)‖²
+    * (Jégou et al.'s ADC) — so candidates are ranked without ever
+    * touching their raw vectors. Scale shape: the routing table
+    * (probes × nProbe) and the ADC lookup table (probes × M × codes
+    * partial distances) are broadcast; the corpus contributes its
+    * (vec_id, cell) assignment and its M-row code table, and the only
+    * shuffle keys on vec_id to glue codes to routed candidates. The
+    * per-candidate cost is M table lookups + one M-term sum —
+    * independent of dims — which is exactly why serving reads codes,
+    * not vectors, at 100 TB. */
+  def ivfPqServe(s: SparkSession, d: String, geo: AnnGeometry = Geo,
+                 m: Int = PqM, subDim: Int = PqSubDim, k: Int = K): DataFrame = {
+    val v = vecs(s, d)
+    val cents = hashTopK(v, "cent", geo.nCentroids)
+      .select(col("vec_id").as("cell"), col("emb").as("c_emb"), col("nrm").as("c_nrm"))
+    val assigned = assignCells(v, cents).select(col("vec_id"), col("cell"))
+    val seeds = hashTopK(v, "cent", geo.nCentroids)
+    val codes = pqAssignments(v.select(col("vec_id"), col("emb")), seeds, m, subDim)
+      .select(col("vec_id"), col("sub"), col("cent_id").as("code_id"))
+    val probes = hashTopK(v, "probe", NProbes)
+      .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"), col("nrm").as("p_nrm"))
+    val wr = Window.partitionBy(col("probe_id")).orderBy(col("c_cos").desc, col("cell"))
+    val routes = probes.crossJoin(broadcast(cents))
+      .withColumn("c_cos", cosPre(col("p_emb"), col("p_nrm"), col("c_emb"), col("c_nrm")))
+      .withColumn("r", row_number().over(wr))
+      .filter(col("r") <= geo.nProbe)
+      .select(col("probe_id"), col("cell"))
+    val codebook = subVecsOf(seeds, "vec_id", m, subDim)
+      .select(col("vec_id").as("code_id"), col("sub"), col("sv").as("cv"))
+    val adc = subVecsOf(probes.select(col("probe_id"), col("p_emb").as("emb")),
+        "probe_id", m, subDim)
+      .select(col("probe_id"), col("sub"), col("sv").as("ps"))
+      .join(broadcast(codebook), Seq("sub"))
+      .select(col("probe_id"), col("sub"), col("code_id"),
+        (graft.functions.Vec.dot(col("ps"), col("ps")) -
+          lit(2.0) * graft.functions.Vec.dot(col("ps"), col("cv")) +
+          graft.functions.Vec.dot(col("cv"), col("cv"))).as("pdist"))
+    val cand = assigned.join(broadcast(routes), "cell")
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"))
+    val wk = Window.partitionBy(col("probe_id")).orderBy(col("adc_dist"), col("vec_id"))
+    cand.join(codes, "vec_id")
+      .join(broadcast(adc), Seq("probe_id", "sub", "code_id"))
+      .groupBy(col("probe_id"), col("vec_id"))
+      .agg(sum(col("pdist")).as("adc_dist"))
+      .withColumn("rank", row_number().over(wk))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank").cast("long").as("rank"),
+        col("vec_id"), round(col("adc_dist"), 6).as("adc_dist"))
+      .orderBy(col("probe_id"), col("rank"))
   }
 
   /** Maximum-inner-product search via the augmentation reduction
@@ -800,6 +874,7 @@ object Similarity extends QueryPack {
   }
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a18_ivf_pq_serve" -> ((s, d) => ivfPqServe(s, d)),
     "a17_residual_pq" -> ((s, d) => residualPqCodes(s, d)),
     "a16_mips_recall" -> ((s, d) => mipsRecallEval(s, d)),
     "a15_ivf_iterate" -> ((s, d) => ivfRefineIterated(s, d)),
@@ -873,6 +948,76 @@ object Similarity extends QueryPack {
   }
 
   def oracle: Map[String, String] = Map(
+    // Independent re-derivation of the full serve path: coarse
+    // assignment, code assignment, probe routing, the probe×code ADC
+    // table, and the final Σ-of-table-lookups ranking.
+    "a18_ivf_pq_serve" -> {
+      val hi = PqM - 1
+      val pSub = s"p.p_emb[c.sub*$PqSubDim+1 : c.sub*$PqSubDim+$PqSubDim]"
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |cs AS (SELECT vec_id AS cell, emb AS c_emb
+         |  FROM (SELECT * FROM v ${centSel(Geo.nCentroids)}) t),
+         |assigned AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT v.vec_id, c.cell,
+         |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |        list_dot_product(v.emb, c.c_emb) /
+         |          (sqrt(list_dot_product(v.emb, v.emb)) *
+         |           sqrt(list_dot_product(c.c_emb, c.c_emb))) DESC,
+         |        c.cell) AS crank
+         |    FROM v, cs c) t WHERE crank = 1),
+         |subs AS (
+         |  SELECT vec_id, m AS sub, emb[m*$PqSubDim+1 : m*$PqSubDim+$PqSubDim] AS sv
+         |  FROM v, unnest(generate_series(0, $hi)) AS t(m)),
+         |cseed AS (SELECT vec_id, emb FROM v ${centSel(Geo.nCentroids)}),
+         |cents AS (
+         |  SELECT vec_id AS code_id, m AS sub,
+         |    emb[m*$PqSubDim+1 : m*$PqSubDim+$PqSubDim] AS cv
+         |  FROM cseed, unnest(generate_series(0, $hi)) AS t(m)),
+         |codes AS (
+         |  SELECT vec_id, sub, code_id FROM (
+         |    SELECT s.vec_id, s.sub, c.code_id,
+         |      row_number() OVER (PARTITION BY s.vec_id, s.sub ORDER BY
+         |        list_dot_product(s.sv, s.sv) - 2.0 * list_dot_product(s.sv, c.cv)
+         |          + list_dot_product(c.cv, c.cv),
+         |        c.code_id) AS r
+         |    FROM subs s JOIN cents c ON s.sub = c.sub) t
+         |  WHERE r = 1),
+         |probes AS (SELECT vec_id AS probe_id, emb AS p_emb FROM v $probeSel),
+         |routes AS (
+         |  SELECT probe_id, cell FROM (
+         |    SELECT p.probe_id, c.cell,
+         |      row_number() OVER (PARTITION BY p.probe_id ORDER BY
+         |        list_dot_product(p.p_emb, c.c_emb) /
+         |          (sqrt(list_dot_product(p.p_emb, p.p_emb)) *
+         |           sqrt(list_dot_product(c.c_emb, c.c_emb))) DESC,
+         |        c.cell) AS r
+         |    FROM probes p, cs c) t WHERE r <= ${Geo.nProbe}),
+         |adc AS (
+         |  SELECT p.probe_id, c.sub, c.code_id,
+         |    list_dot_product($pSub, $pSub)
+         |      - 2.0 * list_dot_product($pSub, c.cv)
+         |      + list_dot_product(c.cv, c.cv) AS pdist
+         |  FROM probes p, cents c),
+         |cand AS (
+         |  SELECT r.probe_id, a.vec_id
+         |  FROM assigned a JOIN routes r ON a.cell = r.cell
+         |  WHERE a.vec_id <> r.probe_id),
+         |scored AS (
+         |  SELECT cd.probe_id, cd.vec_id, sum(adc.pdist) AS adc_dist
+         |  FROM cand cd
+         |  JOIN codes k ON cd.vec_id = k.vec_id
+         |  JOIN adc ON adc.probe_id = cd.probe_id AND adc.sub = k.sub
+         |    AND adc.code_id = k.code_id
+         |  GROUP BY cd.probe_id, cd.vec_id)
+         |SELECT probe_id, CAST(rnk AS BIGINT) AS rank, vec_id,
+         |  round(adc_dist, 6) AS adc_dist
+         |FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+         |    ORDER BY adc_dist, vec_id) AS rnk FROM scored) t
+         |WHERE rnk <= $K
+         |ORDER BY probe_id, rnk""".stripMargin
+    },
+
     "a17_residual_pq" -> {
       val hi = PqM - 1
       val distSql =

@@ -562,6 +562,48 @@ object TextOps extends QueryPack {
         .groupBy(col("pair")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("pair"))
         .limit(20)
+    },
+
+    // Segment-level dedup (the CCNet/RefinedWeb line-dedup step at
+    // fixed-window granularity — this corpus has no newlines, so the
+    // unit is a 10-word window): boilerplate and wholesale copies
+    // show up as segments shared across documents, and a doc whose
+    // segment mass is mostly shared is dropped even when no WHOLE-doc
+    // near-dup fires. The corpus plants both failure modes — a
+    // 20-word boilerplate PREFIX on every 5th doc (prefix, so the
+    // 10-word alignment is preserved across docs) and exact re-uploads
+    // of every 10th. Each segment is hashed to a 16-byte digest
+    // map-side; the shuffle carries (doc_id, digest) pairs and the
+    // dup decision is one digest-keyed count + one digest-keyed join
+    // — segment TEXT never shuffles, so at 100 TB this is the d1
+    // digest-dedup shape fanned out ~5× (segments per doc).
+    "t21_segment_dedup" -> { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val prefixed = docs.withColumn("text",
+        when(col("doc_id") % 5 === 0, concat(lit(SegBoiler + " "), col("text")))
+          .otherwise(col("text")))
+      val corpus = prefixed.unionAll(
+        prefixed.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 330000L).as("doc_id"), col("text")))
+      val segRows = corpus
+        .withColumn("w", Portable.words(col("text")))
+        .filter(size(col("w")) > 0)
+        .select(col("doc_id"), explode(expr(
+          s"transform(sequence(0, cast(ceil(size(w) / $SegLen.0) as int) - 1), " +
+            s"i -> concat_ws(' ', slice(w, i * $SegLen + 1, $SegLen)))")).as("seg"))
+        .select(col("doc_id"), Portable.md5hex(col("seg")).as("h"))
+      val perSeg = segRows.groupBy(col("h"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+      segRows.join(perSeg, "h")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_segs"),
+          sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup_segs"))
+        .withColumn("dup_ratio",
+          round(col("n_dup_segs").cast("double") / col("n_segs"), 6))
+        .withColumn("keep", col("dup_ratio") <= 0.5)
+        .select(col("doc_id"), col("n_segs"), col("n_dup_segs"),
+          col("dup_ratio"), col("keep"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -589,7 +631,7 @@ object TextOps extends QueryPack {
   private val AllStopwords: Seq[String] = Stopwords.flatMap(_._2)
 
   /** t17: target language mixture (must sum to 1). */
-  private val TargetMix: Seq[(String, Double)] =
+  private[queries] val TargetMix: Seq[(String, Double)] =
     Seq("en" -> 0.3, "de" -> 0.2, "es" -> 0.2, "fr" -> 0.2, "zh" -> 0.1)
 
   /** t18: keep floor between the repeated-text collapse (H = 0) and
@@ -598,6 +640,14 @@ object TextOps extends QueryPack {
 
   /** Tokens per packed training sequence (t8). */
   private val PackBudget = 512
+
+  /** t21: dedup window width (words per segment) and the planted
+    * 20-word boilerplate — exactly two full segments wide, prefixed
+    * so segment alignment is identical across carriers. */
+  private val SegLen = 10
+  private val SegBoiler =
+    "subscribe to our newsletter and follow our channel for daily " +
+      "updates about everything we publish here online every single day"
 
   /** The 100 TB packing path: bins never span partitions, so packing
     * is a single mapPartitions pass — zero shuffle, no global order
@@ -1020,6 +1070,36 @@ object TextOps extends QueryPack {
         |FROM pairs
         |GROUP BY pair
         |ORDER BY n DESC, pair
-        |LIMIT 20""".stripMargin
+        |LIMIT 20""".stripMargin,
+
+    "t21_segment_dedup" ->
+      s"""WITH base AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 5 = 0 THEN '$SegBoiler ' || text ELSE text END AS text
+         |  FROM documents),
+         |corpus AS (
+         |  SELECT doc_id, text FROM base
+         |  UNION ALL
+         |  SELECT doc_id + 330000, text FROM base WHERE doc_id % 10 = 0),
+         |words AS (
+         |  SELECT doc_id,
+         |    CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+         |      ELSE regexp_split_to_array(trim(text), '\\s+') END AS w
+         |  FROM corpus),
+         |segs AS (
+         |  SELECT doc_id,
+         |    md5(array_to_string(w[i*$SegLen+1 : i*$SegLen+$SegLen], ' ')) AS h
+         |  FROM words,
+         |    unnest(generate_series(0, CAST(ceil(len(w) / $SegLen.0) AS INT) - 1)) AS t(i)
+         |  WHERE len(w) > 0),
+         |perseg AS (SELECT h, count(DISTINCT doc_id) AS nd FROM segs GROUP BY h)
+         |SELECT s.doc_id,
+         |  count(*)::BIGINT AS n_segs,
+         |  CAST(sum(CASE WHEN p.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_segs,
+         |  round(sum(CASE WHEN p.nd >= 2 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS dup_ratio,
+         |  round(sum(CASE WHEN p.nd >= 2 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) <= 0.5 AS keep
+         |FROM segs s JOIN perseg p USING (h)
+         |GROUP BY s.doc_id
+         |ORDER BY s.doc_id""".stripMargin
   )
 }

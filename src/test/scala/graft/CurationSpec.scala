@@ -345,4 +345,114 @@ class CurationSpec extends SparkSuite {
       if (r.getAs[Long]("n_orders") === 0L) assert(avg.isEmpty)
     }
   }
+
+  test("q43 sessions partition each user's events at exactly the 30-min gap") {
+    val rows = SparkEntry.queries("q43_sessionize")(spark, sf).collect()
+    val total = Tables.events(spark, sf).count()
+    // conservation: every event lands in exactly one session
+    assert(rows.map(_.getAs[Long]("n_events")).sum === total)
+    // per-user session indexes are contiguous 1..n (the running-sum
+    // numbering skipped or repeated an index otherwise)
+    rows.groupBy(_.getLong(0)).foreach { case (u, rs) =>
+      val idx = rs.map(_.getAs[Long]("session_idx")).sorted
+      assert(idx.toSeq === (1L to idx.length).toSeq, s"user $u indexes: ${idx.toSeq}")
+    }
+    // multi-event sessions exist AND multi-session users exist — the
+    // gap threshold actually cuts somewhere on this corpus
+    assert(rows.exists(_.getAs[Long]("n_events") > 1))
+    assert(rows.groupBy(_.getLong(0)).exists(_._2.length > 1))
+    // a session never spans more than its events could: duration of a
+    // 1-event session is 0
+    rows.filter(_.getAs[Long]("n_events") === 1L)
+      .foreach(r => assert(r.getAs[Long]("duration_us") === 0L))
+  }
+
+  test("m21 drain ETA is the lag/rate quotient and zero only when caught up") {
+    val rows = SparkEntry.queries("m21_drain_eta")(spark, sf).collect()
+    assert(rows.length === 8)
+    rows.foreach { r =>
+      val lag = r.getAs[Long]("lag_msgs")
+      val rate = r.getAs[Double]("rate_per_sec")
+      val eta = r.getAs[Double]("eta_sec")
+      assert(lag >= 0L && rate > 0.0)
+      if (lag == 0L) assert(eta === 0.0)
+      // eta is computed from the UNROUNDED rate; the reported rate is
+      // rounded to 6 dp, so allow that rounding's relative slack
+      else assert(math.abs(eta * rate - lag) <= lag * 0.25 + 1.0,
+        s"shard ${r.getLong(0)}: eta $eta × rate $rate ≉ lag $lag")
+    }
+  }
+
+  test("t21 planted copies and boilerplate carriers are flagged; clean docs keep") {
+    val rows = SparkEntry.queries("t21_segment_dedup")(spark, sf).collect()
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    val copies = rows.filter(_.getLong(0) >= 330000L)
+    assert(copies.nonEmpty)
+    // an exact re-upload shares EVERY segment with its original:
+    // dup_ratio 1.0, dropped — and so is the original it copies
+    copies.foreach { r =>
+      assert(r.getAs[Double]("dup_ratio") === 1.0 && !r.getAs[Boolean]("keep"))
+      val orig = byId(r.getLong(0) - 330000L)
+      assert(orig.getAs[Double]("dup_ratio") === 1.0)
+    }
+    // every boilerplate carrier shows >= 2 dup segments (the planted
+    // prefix is exactly two aligned segments shared by ~n/5 docs)
+    val carriers = rows.filter(r => r.getLong(0) < 330000L && r.getLong(0) % 5 == 0)
+    assert(carriers.nonEmpty)
+    carriers.foreach(r => assert(r.getAs[Long]("n_dup_segs") >= 2L))
+    // unplanted docs are mostly untouched — the synthetic corpus does
+    // contain NATURAL exact dups and shared 10-word runs (its
+    // generator draws from a small vocabulary), and the operator is
+    // right to flag those too, so this is a large-majority bound,
+    // not an equality
+    val clean = rows.filter(r => r.getLong(0) < 330000L &&
+      r.getLong(0) % 5 != 0 && r.getLong(0) % 10 != 0 && !byId.contains(r.getLong(0) + 330000L))
+    assert(clean.count(r => r.getAs[Double]("dup_ratio") === 0.0) > clean.length / 2)
+    assert(clean.count(r => r.getAs[Boolean]("keep")) >= (clean.length * 85) / 100)
+  }
+
+  test("d17 bottom-k anchors recall the planted truncations as pure containment") {
+    val rows = SparkEntry.queries("d17_containment")(spark, sf).collect()
+    // planted: every 9th doc with >= 8 words re-uploaded as its first
+    // 40% of words — a shingle SUBSET, so containment_b is exactly 1
+    val planted = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(graft.functions.Portable.words(col("text"))).as("nw"))
+      .filter(col("doc_id") % 9 === 0 && col("nw") >= 8)
+      .collect().map(_.getLong(0)).toSet
+    val found = rows.filter(r => planted.contains(r.getLong(0)) &&
+      r.getLong(1) === r.getLong(0) + 600000L)
+    // miss probability per pair is (1−c)^k ≈ 0.6^8 ≈ 1.7% — demand
+    // the blocking recalls ≥ 90% of the planted subset pairs
+    assert(found.length >= (planted.size * 9) / 10,
+      s"${found.length} of ${planted.size} planted truncations recovered")
+    found.foreach { r =>
+      assert(r.getAs[Double]("containment_b") === 1.0)
+      assert(Set("b_in_a", "mutual").contains(r.getAs[String]("relation")))
+    }
+    // nothing below the containment gate leaks into the report
+    rows.foreach(r => assert(
+      math.max(r.getAs[Double]("containment_a"), r.getAs[Double]("containment_b")) >= 0.9))
+  }
+
+  test("p5 executes t17's plan: weight-1 strata intact, downsampled strata on-weight") {
+    val rows = SparkEntry.queries("p5_mix_build")(spark, sf).collect()
+    assert(math.abs(rows.map(_.getAs[Double]("realized_share")).sum - 1.0) <= 1e-4)
+    rows.foreach { r =>
+      val (nd, sel) = (r.getAs[Long]("n_docs"), r.getAs[Long]("sel_docs"))
+      val (toks, selToks) = (r.getAs[Long]("tokens"), r.getAs[Long]("sel_tokens"))
+      val w = r.getAs[Double]("weight")
+      if (w >= 0.999999) {
+        // under-represented stratum: the hash gate passes everything
+        assert(sel === nd && selToks === toks)
+      } else {
+        // downsampled stratum: the deterministic hash gate realizes
+        // the planned weight within hash-measure noise (~n^-1/2)
+        assert(math.abs(selToks.toDouble - w * toks) <= 0.08 * toks,
+          s"${r.getString(0)}: kept $selToks of $toks at weight $w")
+        // and the realized share cannot undershoot the target (the
+        // denominator shrinks, never grows)
+        assert(r.getAs[Double]("realized_share") >= r.getAs[Double]("target") - 0.02)
+      }
+    }
+  }
 }

@@ -315,4 +315,68 @@ class PipelineSpec extends SparkSuite {
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet === expected)
     assert(pairs.forall(_.getDouble(3 - 1) >= 0.95))
   }
+
+  test("a18 ADC scores ARE exact distances to the PQ reconstruction, over routed cells only") {
+    import graft.queries.{Similarity, AnnGeometry}
+    val geo = AnnGeometry()
+    val (m, subDim, k) = (8, 8, 3)
+    val served = Similarity.ivfPqServe(spark, sf, geo, m, subDim, k).collect()
+    // shape: exactly k ranked rows per probe, distances monotone
+    served.groupBy(_.getLong(0)).foreach { case (p, rs) =>
+      assert(rs.map(_.getAs[Long]("rank")).sorted.toSeq === (1L to k).toSeq)
+      val byRank = rs.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("adc_dist"))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a <= b }, s"probe $p not monotone")
+    }
+    // the PQ decomposition identity: Σ_sub ‖p_sub − cv(code)‖² must
+    // EQUAL the single 64-dim ‖p − recon‖² where recon concatenates
+    // the assigned code words — recomputed here through a different
+    // path (flatten + one dot) so a slicing or assignment off-by-one
+    // cannot cancel out
+    val v = Tables.embeddings(spark, sf).select(col("vec_id"),
+        col("embedding").cast("array<double>").as("emb"))
+      .withColumn("nrm", graft.functions.Vec.norm(col("emb")))
+    val seeds = Similarity.hashTopK(v, "cent", geo.nCentroids)
+    val cbSub = seeds.select(col("vec_id").as("code_id"),
+      posexplode(array((0 until m).map(i =>
+        slice(col("emb"), i * subDim + 1, subDim)): _*)).as(Seq("sub", "cv")))
+    val recon = Similarity.pqAssignments(v.select(col("vec_id"), col("emb")), seeds, m, subDim)
+      .select(col("vec_id"), col("sub"), col("cent_id").as("code_id"))
+      .join(cbSub, Seq("sub", "code_id"))
+      .groupBy(col("vec_id"))
+      .agg(flatten(transform(array_sort(collect_list(struct(col("sub"), col("cv")))),
+        e => e.getField("cv"))).as("remb"))
+    val probes = Similarity.hashTopK(v, "probe", 5)
+      .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"))
+    val exact = Similarity.ivfPqServe(spark, sf, geo, m, subDim, k)
+      .join(probes, "probe_id").join(recon, "vec_id")
+      .withColumn("diff", zip_with(col("p_emb"), col("remb"), (a, b) => a - b))
+      .withColumn("exact_d", graft.functions.Vec.dot(col("diff"), col("diff")))
+      .select(col("adc_dist"), col("exact_d")).collect()
+    assert(exact.nonEmpty)
+    exact.foreach(r => assert(
+      math.abs(r.getAs[Double]("adc_dist") - r.getAs[Double]("exact_d")) <= 2e-6,
+      s"ADC ${r.getAs[Double]("adc_dist")} vs exact ${r.getAs[Double]("exact_d")}"))
+    // routing honesty: every served candidate lies in one of its
+    // probe's nProbe routed cells — the serve path never peeked
+    // outside the index structure
+    val cents = Similarity.hashTopK(v, "cent", geo.nCentroids)
+      .select(col("vec_id").as("cell"), col("emb").as("c_emb"), col("nrm").as("c_nrm"))
+    val cellOf = Similarity.assignCells(v, cents)
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id")).orderBy(col("c_cos").desc, col("cell"))
+    val routed = Similarity.hashTopK(v, "probe", 5)
+      .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"), col("nrm").as("p_nrm"))
+      .crossJoin(broadcast(cents))
+      .withColumn("c_cos", graft.functions.Vec.dot(col("p_emb"), col("c_emb")) /
+        (col("p_nrm") * col("c_nrm")))
+      .withColumn("r", row_number().over(pw)).filter(col("r") <= geo.nProbe)
+      .select(col("probe_id"), col("cell")).collect()
+      .groupBy(_.getLong(0)).map { case (p, rs) => p -> rs.map(_.getLong(1)).toSet }
+    served.foreach { r =>
+      assert(routed(r.getLong(0)).contains(cellOf(r.getAs[Long]("vec_id"))),
+        s"probe ${r.getLong(0)} served vec ${r.getAs[Long]("vec_id")} from an unrouted cell")
+    }
+  }
 }
