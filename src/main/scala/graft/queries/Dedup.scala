@@ -462,10 +462,20 @@ object Dedup extends QueryPack {
     // B's own bottom-k avoids ALL of A's shingles — P ≈ (1−c)^k,
     // deterministic on a fixed corpus. Candidates join on anchor
     // equality (never all-pairs: anchor groups are dup families, not
-    // the corpus); exact shingle sets are computed ONLY for candidate
-    // ids, d4-style. Planted: every 9th doc re-uploaded truncated to
-    // its first 40% of words — pure subset duplication invisible to a
-    // 0.5-Jaccard gate.
+    // the corpus). Two fanout defenses, both required at scale:
+    // (1) d17 shingles are FIVE words wide, not d4's three — blocking
+    // hinges on anchors being identity-bearing, and in a
+    // small-vocabulary corpus 3-gram bottom hashes collide corpus-
+    // wide PAIRWISE even when no single anchor is hot (measured at
+    // sf0.1: 143k candidate pairs — essentially all-pairs — vs 998 at
+    // width 5, planted recall 98% either way); (2) anchors with
+    // doc-frequency > MaxAnchorDf (stock phrases, not identity) are
+    // dropped, bounding any one group at C(MaxAnchorDf, 2) pairs.
+    // Containment is measured in the SAME 5-word shingle space, and
+    // exact sets are computed ONLY for candidate ids, d4-style.
+    // Planted: every 9th doc re-uploaded truncated to its first 40%
+    // of words — pure subset duplication invisible to a 0.5-Jaccard
+    // gate.
     "d17_containment" -> { (s, d) =>
       val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
       val wBase = base.withColumn("w", Portable.words(col("text")))
@@ -477,12 +487,17 @@ object Dedup extends QueryPack {
               floor(size(col("w")) * lit(0.4)).cast("int"))).as("text"))
       val sh = base.unionAll(trunc)
         .select(col("doc_id"),
-          graft.functions.TextHash.distinctShingles(col("text"), ShingleN).as("sh"))
+          graft.functions.TextHash.distinctShingles(col("text"), D17ShingleN).as("sh"))
         .filter(size(col("sh")) > 0)
         .localCheckpoint()
-      val anchors = sh.select(col("doc_id"),
+      val rawAnchors = sh.select(col("doc_id"),
         explode(slice(array_sort(
           transform(col("sh"), x => md5(x.cast("binary")))), 1, AnchorK)).as("anchor"))
+      val coldAnchors = rawAnchors.groupBy(col("anchor"))
+        .agg(count(lit(1)).as("adf"))
+        .filter(col("adf") <= MaxAnchorDf)
+        .select(col("anchor"))
+      val anchors = rawAnchors.join(coldAnchors, Seq("anchor"), "left_semi")
       val l = anchors.as("l"); val r = anchors.as("r")
       val cand = l.join(r, col("l.anchor") === col("r.anchor") &&
           col("l.doc_id") < col("r.doc_id"))
@@ -519,8 +534,15 @@ object Dedup extends QueryPack {
   private val SemMaxCell = 64
 
   /** d17: bottom-k containment-sketch width — miss probability for a
-    * containment-c pair is ≈ (1−c)^k; at c = 0.9, k = 8 that is 1e-8. */
+    * containment-c pair is ≈ (1−c)^k; at c = 0.9, k = 8 that is 1e-8 —
+    * the d17 shingle width (5 words: anchors must be identity-bearing;
+    * see the operator comment), and the stop-shingle cap: anchors seen
+    * in more than MaxAnchorDf docs are corpus vocabulary, not
+    * identity, and are dropped so no anchor group's pair fanout
+    * exceeds C(MaxAnchorDf, 2). */
   private val AnchorK = 8
+  private val D17ShingleN = 5
+  private val MaxAnchorDf = 64
 
   /** SemDeDup-style within-cell near-dup pair mining with a HOT-CELL
     * BOUND. Every vector is assigned to its nearest broadcast centroid
@@ -1064,12 +1086,20 @@ object Dedup extends QueryPack {
          |  FROM basew WHERE doc_id % 9 = 0 AND len(w) >= 8),
          |shn AS (
          |  SELECT doc_id, dsh FROM (
-         |    SELECT doc_id, list_distinct($ShinglesSql) AS dsh FROM corpus) t
+         |    SELECT doc_id, list_distinct(list_transform(
+         |      generate_series(1, greatest(len(w) - ${D17ShingleN - 1}, 0)),
+         |      i -> array_to_string(w[i:i+${D17ShingleN - 1}], ' '))) AS dsh
+         |    FROM corpus) t
          |  WHERE len(dsh) > 0),
-         |anchors AS (
+         |raw_anchors AS (
          |  SELECT doc_id,
          |    unnest(list_sort(list_transform(dsh, x -> md5(x)))[1:$AnchorK]) AS anchor
          |  FROM shn),
+         |cold AS (
+         |  SELECT anchor FROM raw_anchors GROUP BY anchor
+         |  HAVING count(*) <= $MaxAnchorDf),
+         |anchors AS (
+         |  SELECT a.doc_id, a.anchor FROM raw_anchors a JOIN cold c USING (anchor)),
          |cand AS (
          |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
          |  FROM anchors l JOIN anchors r

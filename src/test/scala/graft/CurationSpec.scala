@@ -414,10 +414,12 @@ class CurationSpec extends SparkSuite {
   test("d17 bottom-k anchors recall the planted truncations as pure containment") {
     val rows = SparkEntry.queries("d17_containment")(spark, sf).collect()
     // planted: every 9th doc with >= 8 words re-uploaded as its first
-    // 40% of words — a shingle SUBSET, so containment_b is exactly 1
+    // 40% of words — a shingle SUBSET, so containment_b is exactly 1.
+    // The recall denominator needs the truncation to carry at least
+    // one 5-word shingle: floor(0.4·len) >= 5 ⟺ len >= 13
     val planted = Tables.documents(spark, sf)
       .select(col("doc_id"), size(graft.functions.Portable.words(col("text"))).as("nw"))
-      .filter(col("doc_id") % 9 === 0 && col("nw") >= 8)
+      .filter(col("doc_id") % 9 === 0 && col("nw") >= 13)
       .collect().map(_.getLong(0)).toSet
     val found = rows.filter(r => planted.contains(r.getLong(0)) &&
       r.getLong(1) === r.getLong(0) + 600000L)
