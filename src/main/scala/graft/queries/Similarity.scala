@@ -566,15 +566,11 @@ object Similarity extends QueryPack {
       posexplode(array((0 until m).map(i =>
         slice(col("emb"), i * subDim + 1, subDim)): _*)).as(Seq("sub", "sv")))
 
-  /** PQ code assignment: every (vec_id, sub) subvector → its nearest
-    * (L2) broadcast codebook entry. Returns (vec_id, sub, cent_id,
-    * dist) — the CODES an IVF-PQ index stores (a18 serves them);
-    * [[pqCodebookStats]] is its QA rollup (a12/a17). */
-  private[graft] def pqAssignments(base: DataFrame, seeds: DataFrame,
-                                   m: Int, subDim: Int): DataFrame = {
-    val subs = subVecsOf(base, "vec_id", m, subDim)
-    val cents = subVecsOf(seeds, "vec_id", m, subDim)
-      .select(col("vec_id").as("cent_id"), col("sub"), col("sv").as("cv"))
+  /** Nearest-codeword assignment over ANY (vec_id, sub, sv) split —
+    * the layout-independent core shared by the contiguous split
+    * (a12/a17/a18 via [[pqAssignments]]) and a19's variance-balanced
+    * permuted split. Codebooks broadcast; argmin per (vec, sub). */
+  private[graft] def pqAssignSubs(subs: DataFrame, cents: DataFrame): DataFrame = {
     val dist = graft.functions.Vec.dot(col("sv"), col("sv")) -
       lit(2.0) * graft.functions.Vec.dot(col("sv"), col("cv")) +
       graft.functions.Vec.dot(col("cv"), col("cv"))
@@ -586,6 +582,16 @@ object Similarity extends QueryPack {
       .filter(col("r") === 1)
       .select(col("vec_id"), col("sub"), col("cent_id"), col("dist"))
   }
+
+  /** PQ code assignment: every (vec_id, sub) subvector → its nearest
+    * (L2) broadcast codebook entry. Returns (vec_id, sub, cent_id,
+    * dist) — the CODES an IVF-PQ index stores (a18 serves them);
+    * [[pqCodebookStats]] is its QA rollup (a12/a17). */
+  private[graft] def pqAssignments(base: DataFrame, seeds: DataFrame,
+                                   m: Int, subDim: Int): DataFrame =
+    pqAssignSubs(subVecsOf(base, "vec_id", m, subDim),
+      subVecsOf(seeds, "vec_id", m, subDim)
+        .select(col("vec_id").as("cent_id"), col("sub"), col("sv").as("cv")))
 
   private[graft] def pqCodebookStats(base: DataFrame, seeds: DataFrame,
                                      m: Int, subDim: Int): DataFrame = {
@@ -636,6 +642,65 @@ object Similarity extends QueryPack {
         zip_with(col("emb"), col("c_emb"), (a, b) => a - b).as("emb"))
     val seeds = hashTopK(resid, "rcent", nCodes)
     pqCodebookStats(resid, seeds, m, subDim)
+  }
+
+  /** a19: variance-balanced PQ dimension allocation — the standard
+    * pre-rotation baseline from the OPQ literature (Ge et al. call it
+    * the balanced/natural partition): a12's CONTIGUOUS split assigns
+    * dims 0-7, 8-15, … to subspaces, so if variance concentrates in a
+    * dim range one codebook carries most of the corpus energy and the
+    * others quantize noise. Here dims are ranked by per-dim variance
+    * (a dims-sized stats aggregate, broadcast) and dealt round-robin
+    * to the M subspaces, evening per-subspace energy before any
+    * codebook is trained. Ranks come from an ordered-pair count over
+    * the 64-row stats table (t19's head-ranking idiom — NO global
+    * window, no single-partition exchange). The permuted subvectors
+    * are built by one (vec, sub) regroup of the exploded dims — the
+    * same shuffle shape a11's per-dim quantizer already pays — and
+    * code assignment reuses the shared pqAssignSubs core. Reported
+    * per subspace: dim count, total variance (the balance being
+    * audited), codes used, MSE. */
+  def pqBalanced(s: SparkSession, d: String,
+                 m: Int = PqM): DataFrame = {
+    val xs = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
+    // dvar is ROUNDED to 9 dp before any comparison: the ordered-pair
+    // rank join evaluates the aggregate on both sides, and engines
+    // (or a re-inlined CTE) may recompute it with different partial-
+    // sum order — last-ulp noise then makes > / = inconsistent and
+    // ranks collide. 1e-9 granularity is far above fp noise and far
+    // below real variance gaps.
+    val stats = xs.groupBy(col("dim"))
+      .agg((avg(col("x") * col("x")) - avg(col("x")) * avg(col("x"))).as("dvar"))
+      .withColumn("dvr", round(col("dvar"), 9))
+    val other = stats.select(col("dim").as("d2"), col("dvr").as("v2"))
+    val alloc = stats.join(broadcast(other),
+        col("v2") > col("dvr") ||
+          (col("v2") === col("dvr") && col("d2") < col("dim")), "left")
+      .groupBy(col("dim"), col("dvar"))
+      .agg(count(col("d2")).as("rk"))
+      .select(col("dim"), pmod(col("rk"), lit(m)).cast("int").as("sub"), col("dvar"))
+    val subs = xs.join(broadcast(alloc.select(col("dim"), col("sub"))), "dim")
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("x")))).as("pairs"))
+      .select(col("vec_id"), col("sub"),
+        expr("transform(pairs, p -> p.x)").as("sv"))
+    val seedIds = hashTopK(vecs(s, d), "cent", Geo.nCentroids).select(col("vec_id"))
+    val cents = subs.join(broadcast(seedIds), "vec_id")
+      .select(col("vec_id").as("cent_id"), col("sub"), col("sv").as("cv"))
+    val perSubVar = alloc.groupBy(col("sub"))
+      .agg(count(lit(1)).as("n_dims"), sum(col("dvar")).as("var_total"))
+    pqAssignSubs(subs, cents)
+      .groupBy(col("sub"))
+      .agg(count(lit(1)).as("n_vecs"),
+        countDistinct(col("cent_id")).as("n_codes_used"),
+        round(avg(col("dist")), 6).as("mse"))
+      .join(broadcast(perSubVar), "sub")
+      .select(col("sub").cast("long").as("sub"), col("n_dims"),
+        round(col("var_total"), 6).as("var_total"),
+        col("n_vecs"), col("n_codes_used"), col("mse"))
+      .orderBy(col("sub"))
   }
 
   /** a18: the end-to-end IVF-ADC SERVE path — what an IVF-PQ index
@@ -874,6 +939,7 @@ object Similarity extends QueryPack {
   }
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a19_pq_balance" -> ((s, d) => pqBalanced(s, d)),
     "a18_ivf_pq_serve" -> ((s, d) => ivfPqServe(s, d)),
     "a17_residual_pq" -> ((s, d) => residualPqCodes(s, d)),
     "a16_mips_recall" -> ((s, d) => mipsRecallEval(s, d)),
@@ -948,6 +1014,57 @@ object Similarity extends QueryPack {
   }
 
   def oracle: Map[String, String] = Map(
+    // Variance ranks, round-robin allocation, permuted subvectors,
+    // and the codeword argmin re-derived independently. The variance
+    // formula is spelled avg(x²)−avg(x)² on BOTH sides (not var_pop)
+    // so the engines round identically.
+    "a19_pq_balance" -> {
+      s"""WITH xs AS (
+         |  SELECT vec_id, dim, embedding[(dim + 1)::INTEGER]::DOUBLE AS x
+         |  FROM embeddings, unnest(generate_series(0, len(embedding) - 1)) AS t(dim)),
+         |st AS (
+         |  SELECT dim, avg(x * x) - avg(x) * avg(x) AS dvar,
+         |    round(avg(x * x) - avg(x) * avg(x), 9) AS dvr
+         |  FROM xs GROUP BY dim),
+         |ranked AS (
+         |  SELECT s.dim, s.dvar, count(o.dim) AS rk
+         |  FROM st s LEFT JOIN st o
+         |    ON o.dvr > s.dvr OR (o.dvr = s.dvr AND o.dim < s.dim)
+         |  GROUP BY s.dim, s.dvar),
+         |alloc AS (SELECT dim, dvar, (rk % $PqM)::INT AS sub FROM ranked),
+         |subs AS (
+         |  SELECT vec_id, sub, list(x ORDER BY xs.dim) AS sv
+         |  FROM xs JOIN alloc ON xs.dim = alloc.dim
+         |  GROUP BY vec_id, sub),
+         |v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |cseed AS (SELECT vec_id FROM v ${centSel(Geo.nCentroids)}),
+         |cents AS (
+         |  SELECT s.vec_id AS cent_id, s.sub, s.sv AS cv
+         |  FROM subs s JOIN cseed c ON s.vec_id = c.vec_id),
+         |assigned AS (
+         |  SELECT vec_id, sub, cent_id, dist FROM (
+         |    SELECT s.vec_id, s.sub, c.cent_id,
+         |      list_dot_product(s.sv, s.sv) - 2.0 * list_dot_product(s.sv, c.cv)
+         |        + list_dot_product(c.cv, c.cv) AS dist,
+         |      row_number() OVER (PARTITION BY s.vec_id, s.sub ORDER BY
+         |        list_dot_product(s.sv, s.sv) - 2.0 * list_dot_product(s.sv, c.cv)
+         |          + list_dot_product(c.cv, c.cv),
+         |        c.cent_id) AS r
+         |    FROM subs s JOIN cents c ON s.sub = c.sub) t
+         |  WHERE r = 1),
+         |pv AS (
+         |  SELECT sub, count(*)::BIGINT AS n_dims,
+         |    round(sum(dvar), 6) AS var_total
+         |  FROM alloc GROUP BY sub)
+         |SELECT CAST(a.sub AS BIGINT) AS sub, pv.n_dims, pv.var_total,
+         |  count(*)::BIGINT AS n_vecs,
+         |  CAST(count(DISTINCT a.cent_id) AS BIGINT) AS n_codes_used,
+         |  round(avg(a.dist), 6) AS mse
+         |FROM assigned a JOIN pv ON a.sub = pv.sub
+         |GROUP BY a.sub, pv.n_dims, pv.var_total
+         |ORDER BY sub""".stripMargin
+    },
+
     // Independent re-derivation of the full serve path: coarse
     // assignment, code assignment, probe routing, the probe×code ADC
     // table, and the final Σ-of-table-lookups ranking.

@@ -316,6 +316,35 @@ class PipelineSpec extends SparkSuite {
     assert(pairs.forall(_.getDouble(3 - 1) >= 0.95))
   }
 
+  test("a19 balanced allocation deals every dim once and evens subspace energy") {
+    import graft.queries.Similarity
+    val out = Similarity.pqBalanced(spark, sf).collect()
+    assert(out.length === 8)
+    // round-robin over 64 ranked dims: exactly 8 dims per subspace,
+    // every corpus vector coded in every subspace
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_dims") === 8L)
+      assert(r.getAs[Long]("n_vecs") === 500L)
+      assert(r.getAs[Long]("n_codes_used") > 1L)
+    }
+    // the point of the allocation: per-subspace energy is at least as
+    // even as the contiguous split's (strictly more even on any
+    // non-uniform variance profile)
+    val dvar = Tables.embeddings(spark, sf)
+      .select(posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
+      .groupBy(col("dim"))
+      .agg((avg(col("x") * col("x")) - avg(col("x")) * avg(col("x"))).as("v"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val contiguous = (0 until 8).map(s => (0 until 8).map(i => dvar(s * 8 + i)).sum)
+    val balanced = out.map(_.getAs[Double]("var_total"))
+    def spread(xs: Seq[Double]) = xs.max - xs.min
+    assert(spread(balanced.toSeq) <= spread(contiguous) + 1e-6,
+      s"balanced spread ${spread(balanced.toSeq)} vs contiguous ${spread(contiguous)}")
+    // and the deal order means var_total is non-increasing in sub id
+    // (sub 0 got ranks 0, 8, 16, … — the heaviest of each deal round)
+    balanced.toSeq.zip(balanced.tail).foreach { case (a, b) => assert(a >= b - 1e-6) }
+  }
+
   test("a18 ADC scores ARE exact distances to the PQ reconstruction, over routed cells only") {
     import graft.queries.{Similarity, AnnGeometry}
     val geo = AnnGeometry()
