@@ -721,6 +721,22 @@ object Similarity extends QueryPack {
     * not vectors, at 100 TB. */
   def ivfPqServe(s: SparkSession, d: String, geo: AnnGeometry = Geo,
                  m: Int = PqM, subDim: Int = PqSubDim, k: Int = K): DataFrame = {
+    val probes = hashTopK(vecs(s, d), "probe", NProbes)
+      .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"), col("nrm").as("p_nrm"))
+    ivfPqServeProbes(ivfPqIndex(s, d, geo, m, subDim), probes, geo, m, subDim, k)
+  }
+
+  /** The frozen a18 corpus index — the tables a serve path reads and
+    * nothing else: (vec_id → cell), (vec_id, sub → code_id), the
+    * coarse centroids, and the per-subspace codebook. Built offline
+    * in one corpus pass each; batch a18 and the StreamingSpec's live
+    * probe stream serve through the SAME tables, so the index is the
+    * unit that gets versioned/published, not the query. */
+  private[graft] final case class IvfPqIndex(assigned: DataFrame, codes: DataFrame,
+                                             cents: DataFrame, codebook: DataFrame)
+
+  private[graft] def ivfPqIndex(s: SparkSession, d: String, geo: AnnGeometry = Geo,
+                                m: Int = PqM, subDim: Int = PqSubDim): IvfPqIndex = {
     val v = vecs(s, d)
     val cents = hashTopK(v, "cent", geo.nCentroids)
       .select(col("vec_id").as("cell"), col("emb").as("c_emb"), col("nrm").as("c_nrm"))
@@ -728,29 +744,40 @@ object Similarity extends QueryPack {
     val seeds = hashTopK(v, "cent", geo.nCentroids)
     val codes = pqAssignments(v.select(col("vec_id"), col("emb")), seeds, m, subDim)
       .select(col("vec_id"), col("sub"), col("cent_id").as("code_id"))
-    val probes = hashTopK(v, "probe", NProbes)
-      .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"), col("nrm").as("p_nrm"))
+    val codebook = subVecsOf(seeds, "vec_id", m, subDim)
+      .select(col("vec_id").as("code_id"), col("sub"), col("sv").as("cv"))
+    IvfPqIndex(assigned, codes, cents, codebook)
+  }
+
+  /** Serve any (probe_id, p_emb, p_nrm) batch through a frozen
+    * [[IvfPqIndex]]: route, build the probe×code ADC table, glue to
+    * the routed candidates' codes, rank. The probe side is tiny
+    * relative to the index, so the candidate join broadcasts the
+    * probe-derived tables and the corpus index stays partitioned —
+    * the same asymmetry whether the batch is an offline acceptance
+    * gate or one micro-batch of a live stream. */
+  private[graft] def ivfPqServeProbes(ix: IvfPqIndex, probes: DataFrame,
+                                      geo: AnnGeometry = Geo, m: Int = PqM,
+                                      subDim: Int = PqSubDim, k: Int = K): DataFrame = {
     val wr = Window.partitionBy(col("probe_id")).orderBy(col("c_cos").desc, col("cell"))
-    val routes = probes.crossJoin(broadcast(cents))
+    val routes = probes.crossJoin(broadcast(ix.cents))
       .withColumn("c_cos", cosPre(col("p_emb"), col("p_nrm"), col("c_emb"), col("c_nrm")))
       .withColumn("r", row_number().over(wr))
       .filter(col("r") <= geo.nProbe)
       .select(col("probe_id"), col("cell"))
-    val codebook = subVecsOf(seeds, "vec_id", m, subDim)
-      .select(col("vec_id").as("code_id"), col("sub"), col("sv").as("cv"))
     val adc = subVecsOf(probes.select(col("probe_id"), col("p_emb").as("emb")),
         "probe_id", m, subDim)
       .select(col("probe_id"), col("sub"), col("sv").as("ps"))
-      .join(broadcast(codebook), Seq("sub"))
+      .join(broadcast(ix.codebook), Seq("sub"))
       .select(col("probe_id"), col("sub"), col("code_id"),
         (graft.functions.Vec.dot(col("ps"), col("ps")) -
           lit(2.0) * graft.functions.Vec.dot(col("ps"), col("cv")) +
           graft.functions.Vec.dot(col("cv"), col("cv"))).as("pdist"))
-    val cand = assigned.join(broadcast(routes), "cell")
+    val cand = ix.assigned.join(broadcast(routes), "cell")
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"))
     val wk = Window.partitionBy(col("probe_id")).orderBy(col("adc_dist"), col("vec_id"))
-    cand.join(codes, "vec_id")
+    cand.join(ix.codes, "vec_id")
       .join(broadcast(adc), Seq("probe_id", "sub", "code_id"))
       .groupBy(col("probe_id"), col("vec_id"))
       .agg(sum(col("pdist")).as("adc_dist"))

@@ -840,4 +840,46 @@ class StreamingSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
     assert(got === expected)
   }
+
+  test("streamed probes served through the frozen IVF-PQ index equal the batch a18 answer") {
+    import spark.implicits._
+    import graft.queries.Similarity
+    implicit val sqlCtx = spark.sqlContext
+    val expected = SparkEntry.queries("a18_ivf_pq_serve")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(expected.nonEmpty)
+
+    // The index (cells, codes, centroids, codebook) is built OFFLINE
+    // and frozen; each micro-batch of probes is served through the
+    // same ivfPqServeProbes path as the batch acceptance gate — the
+    // probe side is per-batch data, the corpus index is state that
+    // never changes, so serving needs no streaming state store at all.
+    val ix0 = Similarity.ivfPqIndex(spark, sf)
+    val ix = Similarity.IvfPqIndex(
+      ix0.assigned.localCheckpoint(), ix0.codes.localCheckpoint(),
+      ix0.cents.localCheckpoint(), ix0.codebook.localCheckpoint())
+    val pv = Similarity.hashTopK(
+        Tables.embeddings(spark, sf)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+          .withColumn("nrm", graft.functions.Vec.norm(col("emb"))), "probe", 5)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val outDir = tempDir("a18_served")
+    val input = MemoryStream[(Long, Seq[Double])]
+    val q = input.toDF().toDF("probe_id", "p_emb")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", tempDir("ck"))
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        Similarity.ivfPqServeProbes(ix,
+            batch.withColumn("p_nrm", graft.functions.Vec.norm(col("p_emb"))))
+          .write.mode("append").parquet(outDir)
+      }
+      .start()
+    input.addData(pv.take(2)); q.processAllAvailable()
+    input.addData(pv.drop(2)); q.processAllAvailable()
+    q.stop()
+
+    val got = spark.read.parquet(outDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got === expected)
+  }
 }
