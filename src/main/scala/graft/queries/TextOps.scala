@@ -585,13 +585,7 @@ object TextOps extends QueryPack {
       val corpus = prefixed.unionAll(
         prefixed.filter(col("doc_id") % 10 === 0)
           .select((col("doc_id") + 330000L).as("doc_id"), col("text")))
-      val segRows = corpus
-        .withColumn("w", Portable.words(col("text")))
-        .filter(size(col("w")) > 0)
-        .select(col("doc_id"), explode(expr(
-          s"transform(sequence(0, cast(ceil(size(w) / $SegLen.0) as int) - 1), " +
-            s"i -> concat_ws(' ', slice(w, i * $SegLen + 1, $SegLen)))")).as("seg"))
-        .select(col("doc_id"), Portable.md5hex(col("seg")).as("h"))
+      val segRows = segmentRows(corpus)
       val perSeg = segRows.groupBy(col("h"))
         .agg(countDistinct(col("doc_id")).as("nd"))
       segRows.join(perSeg, "h")
@@ -640,6 +634,20 @@ object TextOps extends QueryPack {
 
   /** Tokens per packed training sequence (t8). */
   private val PackBudget = 512
+
+  /** t21's segment space: one (doc_id, h) row per 10-word window
+    * (multiplicity kept), the segment text hashed to its 16-byte
+    * digest MAP-SIDE so downstream dedup machinery only ever moves
+    * digests. Shared by the batch audit (t21) and the incremental
+    * ingest step (streaming.DataPrep.segmentDedupStep). */
+  private[graft] def segmentRows(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("w", Portable.words(col("text")))
+      .filter(size(col("w")) > 0)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, cast(ceil(size(w) / $SegLen.0) as int) - 1), " +
+          s"i -> concat_ws(' ', slice(w, i * $SegLen + 1, $SegLen)))")).as("seg"))
+      .select(col("doc_id"), Portable.md5hex(col("seg")).as("h"))
 
   /** t21: dedup window width (words per segment) and the planted
     * 20-word boilerplate — exactly two full segments wide, prefixed

@@ -43,4 +43,38 @@ object DataPrep {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** One ingest step of segment-level dedup — t21's incremental form,
+    * d13's disposition pattern at segment granularity. `store` is the
+    * persistent digest table (`h`: one 16-byte digest per segment
+    * ever seen); `batch` is an incoming (doc_id, text) micro-batch.
+    * A segment is dup when the store already has it OR an earlier doc
+    * in the SAME batch carries it (first-arrival, d13's batch
+    * window). Returns the per-doc report (segments, dup segments,
+    * ratio, keep) and the digests this batch adds. The store records
+    * every segment SEEN — rejected docs' segments included — so a
+    * re-upload of even a rejected doc flags fully next time. Only
+    * digests shuffle; segment text never leaves the map side, and the
+    * driver loop (foreachBatch in a stream, a scheduler in nightly
+    * ingest) persists the returned delta — the store is durable
+    * storage, not stream-engine state. */
+  def segmentDedupStep(store: DataFrame, batch: DataFrame,
+                       maxDupRatio: Double = 0.5): (DataFrame, DataFrame) = {
+    val segs = graft.queries.TextOps.segmentRows(batch)
+    val firstDoc = segs.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
+    val report = segs
+      .join(store.select(col("h"), lit(true).as("in_store")), Seq("h"), "left")
+      .join(firstDoc, Seq("h"))
+      .withColumn("is_dup",
+        coalesce(col("in_store"), lit(false)) || col("first_doc") < col("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segs"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup_segs"))
+      .withColumn("dup_ratio",
+        round(col("n_dup_segs").cast("double") / col("n_segs"), 6))
+      .withColumn("keep", col("dup_ratio") <= maxDupRatio)
+    val added = segs.select(col("h")).distinct()
+      .join(store, Seq("h"), "left_anti")
+    (report, added)
+  }
 }

@@ -882,4 +882,57 @@ class StreamingSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
     assert(got === expected)
   }
+
+  test("incremental segment dedup: the digest store grows per micro-batch and later re-uploads flag against it") {
+    import spark.implicits._
+    import graft.streaming.DataPrep
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    // the corpus's segment digests are the pre-existing store
+    var store = graft.queries.TextOps.segmentRows(docs)
+      .select(col("h")).distinct().localCheckpoint()
+    val storeSize0 = store.count()
+
+    val corpusText = docs.filter(col("doc_id") === 7L)
+      .collect().head.getString(1)
+    val freshText = (1 to 25).map(i => s"zqx$i").mkString(" ")
+    val fresh2Text = (1 to 25).map(i => s"wvy$i").mkString(" ")
+    // batch 1: a verbatim corpus re-upload + a genuinely novel doc;
+    // batch 2: a re-upload OF THE BATCH-1 NOVEL DOC (dup only if the
+    // store grew) + a second novel doc
+    val b1 = Seq((900001L, corpusText), (900002L, freshText))
+    val b2 = Seq((900003L, freshText), (900004L, fresh2Text))
+
+    val reports = scala.collection.mutable.ArrayBuffer.empty[Map[Long, (Double, Boolean)]]
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", tempDir("ck_segdedup"))
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val (report, added) = DataPrep.segmentDedupStep(store, batch)
+          reports += report.collect()
+            .map(r => r.getLong(0) -> (r.getAs[Double]("dup_ratio"), r.getAs[Boolean]("keep"))).toMap
+          store = store.unionAll(added).localCheckpoint()
+        }
+      }
+      .start()
+    input.addData(b1); q.processAllAvailable()
+    input.addData(b2); q.processAllAvailable()
+    q.stop()
+
+    assert(reports.length === 2)
+    // batch 1: the corpus re-upload is fully dup; the novel doc is clean
+    assert(reports(0)(900001L) === ((1.0, false)))
+    assert(reports(0)(900002L) === ((0.0, true)))
+    // batch 2: the batch-1 novel doc now flags FULLY against the grown
+    // store — the evidence the store actually advanced between batches
+    assert(reports(1)(900003L) === ((1.0, false)))
+    assert(reports(1)(900004L) === ((0.0, true)))
+    // the store grew by exactly the two novel docs' distinct segments
+    val novelSegs = graft.queries.TextOps.segmentRows(
+        Seq((900002L, freshText), (900004L, fresh2Text)).toDF("doc_id", "text"))
+      .select(col("h")).distinct().count()
+    assert(store.count() === storeSize0 + novelSegs)
+  }
 }
