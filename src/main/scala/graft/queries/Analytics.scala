@@ -698,6 +698,38 @@ object Analytics extends QueryPack {
         .select(col("user_id"), col("session_idx"), col("n_events"),
           col("duration_us"), col("session_value"))
         .orderBy(col("user_id"), col("session_idx"))
+    },
+
+    // Ordered event funnel — the other product-analytics staple next
+    // to q42's cohorts and q43's sessions: signup → view → purchase,
+    // each stage within ONE HOUR of the previous (the strict window
+    // is what makes the funnel discriminate; with a month-wide window
+    // every active user trivially converts). Three selective filters
+    // (pushed to the scan) each followed by a per-user min — every
+    // join keys on user_id and every aggregation partial-combines, so
+    // the funnel costs three user-keyed shuffles at any fact size;
+    // the final stage counts are three 1-row aggregates.
+    "q44_event_funnel" -> { (s, d) =>
+      val hourUs = 3600L * 1000000L
+      val ev = Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+      val su = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_signup"))
+      val vw = ev.filter(col("event_type") === "view")
+        .join(su, "user_id")
+        .filter(expr("unix_micros(ts)") > expr("unix_micros(t_signup)") &&
+          expr("unix_micros(ts)") <= expr("unix_micros(t_signup)") + hourUs)
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+      val pu = ev.filter(col("event_type") === "purchase")
+        .join(vw, "user_id")
+        .filter(expr("unix_micros(ts)") > expr("unix_micros(t_view)") &&
+          expr("unix_micros(ts)") <= expr("unix_micros(t_view)") + hourUs)
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+      su.agg(count(lit(1)).as("n_signup"))
+        .crossJoin(broadcast(vw.agg(count(lit(1)).as("n_view_1h"))))
+        .crossJoin(broadcast(pu.agg(count(lit(1)).as("n_purchase_1h"))))
+        .select(col("n_signup"), col("n_view_1h"), col("n_purchase_1h"),
+          round(col("n_view_1h").cast("double") / col("n_signup"), 6).as("conv_view"),
+          round(col("n_purchase_1h").cast("double") / col("n_view_1h"), 6).as("conv_purchase"))
     }
   )
 
@@ -1086,6 +1118,33 @@ object Analytics extends QueryPack {
         |  round(sum(value), 6) AS session_value
         |FROM sess GROUP BY user_id, session_idx
         |ORDER BY user_id, session_idx""".stripMargin,
+
+    "q44_event_funnel" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, ts::TIMESTAMP AS ts FROM events),
+        |su AS (
+        |  SELECT user_id, min(ts) AS t_signup FROM ev
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |vw AS (
+        |  SELECT e.user_id, min(e.ts) AS t_view
+        |  FROM ev e JOIN su ON e.user_id = su.user_id
+        |  WHERE e.event_type = 'view'
+        |    AND epoch_us(e.ts) > epoch_us(su.t_signup)
+        |    AND epoch_us(e.ts) <= epoch_us(su.t_signup) + 3600000000
+        |  GROUP BY e.user_id),
+        |pu AS (
+        |  SELECT e.user_id, min(e.ts) AS t_purchase
+        |  FROM ev e JOIN vw ON e.user_id = vw.user_id
+        |  WHERE e.event_type = 'purchase'
+        |    AND epoch_us(e.ts) > epoch_us(vw.t_view)
+        |    AND epoch_us(e.ts) <= epoch_us(vw.t_view) + 3600000000
+        |  GROUP BY e.user_id)
+        |SELECT
+        |  (SELECT count(*) FROM su)::BIGINT AS n_signup,
+        |  (SELECT count(*) FROM vw)::BIGINT AS n_view_1h,
+        |  (SELECT count(*) FROM pu)::BIGINT AS n_purchase_1h,
+        |  round((SELECT count(*) FROM vw)::DOUBLE / (SELECT count(*) FROM su), 6) AS conv_view,
+        |  round((SELECT count(*) FROM pu)::DOUBLE / (SELECT count(*) FROM vw), 6) AS conv_purchase""".stripMargin,
 
     "q41_sketch_error" ->
       s"""WITH est AS ($HllSql),

@@ -241,10 +241,72 @@ object Multimodal extends QueryPack {
         .agg(count(lit(1)).as("n_objects"),
           round(avg(col("distinct_ratio")), 6).as("avg_distinct_ratio"))
         .orderBy(col("blob_class"))
+    },
+
+    // Shard-packing manifest (the webdataset/tar-shard planning step
+    // of multimodal corpus assembly): blobs are assigned to
+    // fixed-count shards per modality, sized so a shard lands near
+    // the target bytes. Assignment is a DETERMINISTIC hash of the
+    // blob id — not a running-sum window — because that is what a
+    // parallel shard writer actually does: every writer computes its
+    // own membership with zero coordination, no per-modality global
+    // ordering exists to bottleneck on, and adding corpus does not
+    // renumber old shards' contents within a version. Shard counts
+    // come from a modalities-sized rollup (broadcast); the manifest
+    // is one (modality, shard) aggregation. fill = bytes/target is
+    // the balance audit — hash placement concentrates around 1.0
+    // (n^-1/2 noise), and a skewed fill column is the signal to
+    // re-spec the target, not to re-sort the corpus.
+    "mm9_shard_pack" -> { (s, d) =>
+      val blobs = Tables.documents(s, d)
+        .select(col("doc_id"),
+          element_at(
+            array(lit("audio"), lit("image"), lit("text"), lit("video")),
+            (pmod(col("doc_id"), lit(4L)) + 1L).cast("int")).as("modality"),
+          length(col("text").cast("binary")).cast("long").as("n_bytes"))
+      val sizes = blobs.groupBy(col("modality"))
+        .agg(sum(col("n_bytes")).as("total_bytes"))
+        .withColumn("n_shards",
+          greatest(lit(1L),
+            ceil(col("total_bytes").cast("double") / ShardTargetBytes).cast("long")))
+      blobs.join(broadcast(sizes.select(col("modality"), col("n_shards"))), "modality")
+        .withColumn("shard_id",
+          pmod(Portable.hash60(concat(lit("shard|"), col("doc_id").cast("string"))),
+            col("n_shards")))
+        .groupBy(col("modality"), col("shard_id"))
+        .agg(count(lit(1)).as("n_blobs"), sum(col("n_bytes")).as("shard_bytes"))
+        .withColumn("fill",
+          round(col("shard_bytes").cast("double") / ShardTargetBytes, 6))
+        .orderBy(col("modality"), col("shard_id"))
     }
   )
 
+  /** mm9: target shard payload (bytes). Small here so the 500-doc
+    * corpus yields several shards per modality; a production corpus
+    * would use ~1 GB. */
+  private val ShardTargetBytes = 4096L
+
   def oracle: Map[String, String] = Map(
+    "mm9_shard_pack" ->
+      s"""WITH blobs AS (
+         |  SELECT doc_id,
+         |    ['audio', 'image', 'text', 'video'][(doc_id % 4 + 1)::INTEGER] AS modality,
+         |    CAST(octet_length(text::BLOB) AS BIGINT) AS n_bytes
+         |  FROM documents),
+         |sz AS (
+         |  SELECT modality,
+         |    greatest(1, CAST(ceil(sum(n_bytes)::DOUBLE / $ShardTargetBytes) AS BIGINT)) AS n_shards
+         |  FROM blobs GROUP BY modality)
+         |SELECT b.modality,
+         |  ('0x' || substring(md5('shard|' || b.doc_id::VARCHAR), 1, 15))::BIGINT
+         |    % s.n_shards AS shard_id,
+         |  count(*)::BIGINT AS n_blobs,
+         |  CAST(sum(b.n_bytes) AS BIGINT) AS shard_bytes,
+         |  round(sum(b.n_bytes)::DOUBLE / $ShardTargetBytes, 6) AS fill
+         |FROM blobs b JOIN sz s USING (modality)
+         |GROUP BY 1, 2, s.n_shards
+         |ORDER BY modality, shard_id""".stripMargin,
+
     "mm8_entropy_sniff" ->
       """WITH media AS (
         |  SELECT doc_id, text::BLOB AS payload FROM documents

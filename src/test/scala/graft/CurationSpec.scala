@@ -436,6 +436,43 @@ class CurationSpec extends SparkSuite {
       math.max(r.getAs[Double]("containment_a"), r.getAs[Double]("containment_b")) >= 0.9))
   }
 
+  test("mm9 shard packing conserves bytes and sizes shard counts to the target") {
+    val rows = SparkEntry.queries("mm9_shard_pack")(spark, sf).collect()
+    val target = 4096.0
+    val blobs = Tables.documents(spark, sf)
+      .select(
+        element_at(array(lit("audio"), lit("image"), lit("text"), lit("video")),
+          (pmod(col("doc_id"), lit(4L)) + 1L).cast("int")).as("modality"),
+        length(col("text").cast("binary")).cast("long").as("n_bytes"))
+      .groupBy(col("modality")).agg(sum(col("n_bytes")).as("total"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    rows.groupBy(_.getString(0)).foreach { case (m, shards) =>
+      val (total, nBlobs) = blobs(m)
+      // conservation: every blob lands in exactly one shard
+      assert(shards.map(_.getAs[Long]("shard_bytes")).sum === total)
+      assert(shards.map(_.getAs[Long]("n_blobs")).sum === nBlobs)
+      // the manifest's shard ids live inside the sized shard count
+      val nShards = math.max(1L, math.ceil(total / target).toLong)
+      assert(shards.map(_.getAs[Long]("shard_id")).forall(id => id >= 0 && id < nShards))
+      // hash placement keeps the AGGREGATE on target even when single
+      // shards wobble (n^-1/2): mean fill = total / (nShards·target)
+      val meanFill = shards.map(_.getAs[Double]("fill")).sum / shards.length
+      assert(meanFill >= 0.5 && meanFill <= 1.5, s"$m mean fill $meanFill")
+    }
+  }
+
+  test("q44 funnel stages are monotone and start from the exact signup population") {
+    val r = SparkEntry.queries("q44_event_funnel")(spark, sf).collect().head
+    val nSignup = Tables.events(spark, sf)
+      .filter(col("event_type") === "signup")
+      .select(col("user_id")).distinct().count()
+    assert(r.getAs[Long]("n_signup") === nSignup)
+    assert(r.getAs[Long]("n_view_1h") <= r.getAs[Long]("n_signup"))
+    assert(r.getAs[Long]("n_purchase_1h") <= r.getAs[Long]("n_view_1h"))
+    // the strict 1-hour windows actually discriminate on this corpus
+    assert(r.getAs[Long]("n_view_1h") < r.getAs[Long]("n_signup"))
+  }
+
   test("p5 executes t17's plan: weight-1 strata intact, downsampled strata on-weight") {
     val rows = SparkEntry.queries("p5_mix_build")(spark, sf).collect()
     assert(math.abs(rows.map(_.getAs[Double]("realized_share")).sum - 1.0) <= 1e-4)
