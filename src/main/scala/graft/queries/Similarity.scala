@@ -736,8 +736,11 @@ object Similarity extends QueryPack {
                                              cents: DataFrame, codebook: DataFrame)
 
   private[graft] def ivfPqIndex(s: SparkSession, d: String, geo: AnnGeometry = Geo,
-                                m: Int = PqM, subDim: Int = PqSubDim): IvfPqIndex = {
-    val v = vecs(s, d)
+                                m: Int = PqM, subDim: Int = PqSubDim): IvfPqIndex =
+    ivfPqIndexOf(vecs(s, d), geo, m, subDim)
+
+  private[graft] def ivfPqIndexOf(v: DataFrame, geo: AnnGeometry = Geo,
+                                  m: Int = PqM, subDim: Int = PqSubDim): IvfPqIndex = {
     val cents = hashTopK(v, "cent", geo.nCentroids)
       .select(col("vec_id").as("cell"), col("emb").as("c_emb"), col("nrm").as("c_nrm"))
     val assigned = assignCells(v, cents).select(col("vec_id"), col("cell"))
@@ -747,6 +750,29 @@ object Similarity extends QueryPack {
     val codebook = subVecsOf(seeds, "vec_id", m, subDim)
       .select(col("vec_id").as("code_id"), col("sub"), col("sv").as("cv"))
     IvfPqIndex(assigned, codes, cents, codebook)
+  }
+
+  /** Absorb a delta of new vectors into a FROZEN index without
+    * retraining — the between-retrains insert path of an IVF-PQ
+    * store: each new vector is assigned to its nearest EXISTING
+    * coarse cell and coded against the EXISTING codebooks; centroids
+    * and codebooks change only at the next a15-style rebuild. Cost is
+    * one pass over the delta (assignment + coding against broadcast
+    * tables), independent of the corpus already indexed. Because
+    * per-vector assignment is independent and the frozen tables are
+    * shared, inserting vectors that were never seed candidates is
+    * EXACTLY equivalent to having built the full index at once —
+    * the equivalence the spec asserts end-to-end through the serve
+    * path. */
+  private[graft] def ivfPqIndexDelta(ix: IvfPqIndex, newVecs: DataFrame,
+                                     m: Int = PqM, subDim: Int = PqSubDim): IvfPqIndex = {
+    val assignedNew = assignCells(newVecs, ix.cents).select(col("vec_id"), col("cell"))
+    val codesNew = pqAssignSubs(
+        subVecsOf(newVecs.select(col("vec_id"), col("emb")), "vec_id", m, subDim),
+        ix.codebook.select(col("code_id").as("cent_id"), col("sub"), col("cv")))
+      .select(col("vec_id"), col("sub"), col("cent_id").as("code_id"))
+    IvfPqIndex(ix.assigned.unionAll(assignedNew), ix.codes.unionAll(codesNew),
+      ix.cents, ix.codebook)
   }
 
   /** Serve any (probe_id, p_emb, p_nrm) batch through a frozen

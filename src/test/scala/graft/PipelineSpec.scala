@@ -345,6 +345,38 @@ class PipelineSpec extends SparkSuite {
     balanced.toSeq.zip(balanced.tail).foreach { case (a, b) => assert(a >= b - 1e-6) }
   }
 
+  test("a delta-inserted IVF-PQ index serves identically to a full build (no retrain needed)") {
+    import graft.queries.{Similarity, AnnGeometry}
+    val geo = AnnGeometry()
+    val v = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .withColumn("nrm", graft.functions.Vec.norm(col("emb")))
+    // the delta must avoid the full corpus's seed rows: hashTopK is
+    // order-by-salted-hash + limit, so REMOVING non-top rows leaves
+    // the top-k (and hence centroids and codebooks) identical — which
+    // is what makes delta-insert ≡ full-build an exact equality
+    val seedIds = Similarity.hashTopK(v, "cent", geo.nCentroids)
+      .collect().map(_.getLong(0)).toSet ++
+      Similarity.hashTopK(v, "probe", 5).collect().map(_.getLong(0)).toSet
+    val deltaIds = v.select(col("vec_id")).collect().map(_.getLong(0))
+      .filterNot(seedIds).sorted.takeRight(50).toSet
+    assert(deltaIds.size === 50)
+    val base = v.filter(!col("vec_id").isInCollection(deltaIds))
+    val delta = v.filter(col("vec_id").isInCollection(deltaIds))
+    val ixDelta = Similarity.ivfPqIndexDelta(Similarity.ivfPqIndexOf(base, geo), delta)
+    val probes = Similarity.hashTopK(v, "probe", 5)
+      .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"), col("nrm").as("p_nrm"))
+    val served = Similarity.ivfPqServeProbes(ixDelta, probes, geo).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val full = SparkEntry.queries("a18_ivf_pq_serve")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(served === full)
+    // and the delta genuinely entered the index: its vectors are
+    // assigned and coded
+    val ixed = ixDelta.assigned.filter(col("vec_id").isInCollection(deltaIds)).count()
+    assert(ixed === 50L)
+  }
+
   test("a18 ADC scores ARE exact distances to the PQ reconstruction, over routed cells only") {
     import graft.queries.{Similarity, AnnGeometry}
     val geo = AnnGeometry()
