@@ -35,6 +35,28 @@ class AnalyticsSpec extends SparkSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("round-8 operators keep their scale shapes in the physical plan") {
+    // q43: both windows partition by user_id — a sessionizer that
+    // fell back to a global window would single-partition the facts
+    val q43 = SparkEntry.queries("q43_sessionize")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!q43.contains("SinglePartition"), q43)
+    // d17/t21/a18: candidate generation is always keyed — no
+    // cartesian pair space anywhere
+    for (n <- Seq("d17_containment", "t21_segment_dedup", "a18_ivf_pq_serve",
+        "q44_event_funnel", "mm9_shard_pack", "p5_mix_build")) {
+      val plan = SparkEntry.queries(n)(spark, sf).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$n plans a cartesian:\n$plan")
+      assert(!plan.contains("SinglePartition Exchange"), s"$n single-partitions:\n$plan")
+    }
+    // mm9's shard-count table and p5's weight table attach by
+    // broadcast — the manifest never shuffles the blob/doc side twice
+    for (n <- Seq("mm9_shard_pack", "p5_mix_build")) {
+      val plan = SparkEntry.queries(n)(spark, sf).queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), s"$n lost its broadcast:\n$plan")
+    }
+  }
+
   test("native-kernel queries stay map-side: only the output sort shuffles") {
     // These compute their whole result per-row (one-pass kernels /
     // codegen builtins); the only exchange allowed is the final
