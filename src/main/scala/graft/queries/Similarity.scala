@@ -703,6 +703,46 @@ object Similarity extends QueryPack {
       .orderBy(col("sub"))
   }
 
+  /** a20: index-drift audit — m20's measure→DECIDE pattern applied
+    * to the ANN index lifecycle. ivfPqIndexDelta absorbs arrivals
+    * without retraining; this is the table that says when the frozen
+    * geometry has gone stale enough to force an a15 rebuild. The
+    * centroids are rebuilt from the BUILD-TIME snapshot (the base
+    * corpus, exactly what hashTopK chose then — removing none of the
+    * seed rows, the snapshot seeds are reproducible); every vector,
+    * base and delta alike, is assigned once, and the cells-sized
+    * rollup reports per cell: base/delta members, delta share, and
+    * the mean assignment cosine of each population — arrivals landing
+    * systematically farther from their centroid than the members the
+    * cell was trained on are the drift signal. One corpus scan + a
+    * cells-sized aggregate at any scale. */
+  def indexDrift(s: SparkSession, d: String, geo: AnnGeometry = Geo): DataFrame = {
+    val v = vecs(s, d)
+    val base = v.filter(pmod(col("vec_id"), lit(7L)) =!= 3L)
+    val cents = hashTopK(base, "cent", geo.nCentroids)
+      .select(col("vec_id").as("cell"), col("emb").as("c_emb"), col("nrm").as("c_nrm"))
+    assignCells(v, cents)
+      .withColumn("is_delta", pmod(col("vec_id"), lit(7L)) === 3L)
+      .groupBy(col("cell"))
+      .agg(sum(when(!col("is_delta"), 1L).otherwise(0L)).as("n_base"),
+        sum(when(col("is_delta"), 1L).otherwise(0L)).as("n_delta"),
+        avg(when(!col("is_delta"), col("c_cos"))).as("cb"),
+        avg(when(col("is_delta"), col("c_cos"))).as("cd"))
+      .withColumn("delta_frac",
+        round(col("n_delta").cast("double") / (col("n_base") + col("n_delta")), 6))
+      .select(col("cell"), col("n_base"), col("n_delta"), col("delta_frac"),
+        round(col("cb"), 6).as("mean_cos_base"),
+        round(col("cd"), 6).as("mean_cos_delta"),
+        (col("delta_frac") > RebuildCellFrac).as("rebuild"))
+      .orderBy(col("cell"))
+  }
+
+  /** a20: a cell whose membership is more than this fraction
+    * post-build arrivals was shaped by data its centroid never saw —
+    * the per-cell rebuild trigger (fleet mean here is 1/7 ≈ 0.14, so
+    * the 0.2 threshold flags genuinely delta-heavy cells, not all). */
+  private val RebuildCellFrac = 0.2
+
   /** a18: the end-to-end IVF-ADC SERVE path — what an IVF-PQ index
     * actually executes per query, composing the pieces the family
     * builds and QAs separately (a3 routing, a12 codes, a10/a16
@@ -992,6 +1032,7 @@ object Similarity extends QueryPack {
   }
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a20_index_drift" -> ((s, d) => indexDrift(s, d)),
     "a19_pq_balance" -> ((s, d) => pqBalanced(s, d)),
     "a18_ivf_pq_serve" -> ((s, d) => ivfPqServe(s, d)),
     "a17_residual_pq" -> ((s, d) => residualPqCodes(s, d)),
@@ -1067,6 +1108,39 @@ object Similarity extends QueryPack {
   }
 
   def oracle: Map[String, String] = Map(
+    // Build-time snapshot seeds, one assignment over everything,
+    // conditional per-population aggregates.
+    "a20_index_drift" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS emb,
+         |    vec_id % 7 = 3 AS is_delta
+         |  FROM embeddings),
+         |b AS (SELECT vec_id, emb FROM v WHERE NOT is_delta),
+         |cs AS (SELECT vec_id AS cell, emb AS c_emb
+         |  FROM (SELECT * FROM b ${centSel(Geo.nCentroids)}) t),
+         |assigned AS (
+         |  SELECT vec_id, is_delta, cell, c_cos FROM (
+         |    SELECT v.vec_id, v.is_delta, c.cell,
+         |      list_dot_product(v.emb, c.c_emb) /
+         |        (sqrt(list_dot_product(v.emb, v.emb)) *
+         |         sqrt(list_dot_product(c.c_emb, c.c_emb))) AS c_cos,
+         |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |        list_dot_product(v.emb, c.c_emb) /
+         |          (sqrt(list_dot_product(v.emb, v.emb)) *
+         |           sqrt(list_dot_product(c.c_emb, c.c_emb))) DESC,
+         |        c.cell) AS crank
+         |    FROM v, cs c) t WHERE crank = 1)
+         |SELECT cell,
+         |  CAST(sum(CASE WHEN NOT is_delta THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+         |  CAST(sum(CASE WHEN is_delta THEN 1 ELSE 0 END) AS BIGINT) AS n_delta,
+         |  round(sum(CASE WHEN is_delta THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS delta_frac,
+         |  round(avg(CASE WHEN NOT is_delta THEN c_cos END), 6) AS mean_cos_base,
+         |  round(avg(CASE WHEN is_delta THEN c_cos END), 6) AS mean_cos_delta,
+         |  round(sum(CASE WHEN is_delta THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) > 0.2 AS rebuild
+         |FROM assigned
+         |GROUP BY cell
+         |ORDER BY cell""".stripMargin,
+
     // Variance ranks, round-robin allocation, permuted subvectors,
     // and the codeword argmin re-derived independently. The variance
     // formula is spelled avg(x²)−avg(x)² on BOTH sides (not var_pop)

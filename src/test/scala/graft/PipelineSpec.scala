@@ -377,6 +377,25 @@ class PipelineSpec extends SparkSuite {
     assert(ixed === 50L)
   }
 
+  test("a20 drift audit partitions the corpus exactly and flags only delta-heavy cells") {
+    val rows = SparkEntry.queries("a20_index_drift")(spark, sf).collect()
+    val total = Tables.embeddings(spark, sf).count()
+    val nDelta = Tables.embeddings(spark, sf)
+      .filter(pmod(col("vec_id"), lit(7L)) === 3L).count()
+    // every vector, base and delta, is assigned to exactly one cell
+    assert(rows.map(r => r.getAs[Long]("n_base") + r.getAs[Long]("n_delta")).sum === total)
+    assert(rows.map(_.getAs[Long]("n_delta")).sum === nDelta)
+    rows.foreach { r =>
+      val frac = r.getAs[Double]("delta_frac")
+      assert(r.getAs[Boolean]("rebuild") === (frac > 0.2), s"cell ${r.getLong(0)}")
+      // a cell with no delta members reports null drift, not 0
+      if (r.getAs[Long]("n_delta") == 0L)
+        assert(r.isNullAt(r.fieldIndex("mean_cos_delta")))
+    }
+    // the 1/7 arrival rate means flags are informative, not universal
+    assert(rows.exists(!_.getAs[Boolean]("rebuild")))
+  }
+
   test("a18 ADC scores ARE exact distances to the PQ reconstruction, over routed cells only") {
     import graft.queries.{Similarity, AnnGeometry}
     val geo = AnnGeometry()
