@@ -1,5 +1,5 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Benchmark main (driver contract): one JSON line with per-query
   * seconds at SPARK_GRAFT_SF_DIR.
@@ -77,15 +77,35 @@ object Bench {
     // benches the named-substring subset.
     val Runs = sys.env.get("SPARK_GRAFT_RUNS").flatMap(_.toIntOption).getOrElse(3)
     val only = sys.env.getOrElse("SPARK_GRAFT_ONLY", "")
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter(_._1.contains(only)).map { case (name, fn) =>
-      val times = (0 until Runs).map { _ =>
+    // UNSTABLE readings re-measure themselves: five separate rounds
+    // produced phantom >=2x per-query flags (q32, m3, m4, q42, mm6 —
+    // every one re-adjudicated to normal with an 11-run median) and
+    // every one had the same signature — a sub-second query whose 3
+    // runs spread more than 2x because an external load burst ate one
+    // or two of them. When the default 3-run sample shows that
+    // signature, take 4 more runs and report the median of 7 — the
+    // widened median is exactly the manual adjudication protocol,
+    // applied automatically at bounded cost (only unstable queries
+    // pay; a quiet host re-measures almost nothing). The stderr
+    // diagnostics count the re-measured queries so an artifact reader
+    // can see how noisy the capture window was.
+    var widened = 0
+    def measure(fn: (SparkSession, String) => DataFrame, n: Int): Seq[Double] =
+      (0 until n).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).queryExecution.toRdd.count() }
         catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
-      }.sorted
-      name -> times(Runs / 2)
+      }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(_._1.contains(only)).map { case (name, fn) =>
+      val first = measure(fn, Runs).sorted
+      val times =
+        if (Runs == 3 && first.last > first.head * 2 && first(1) < 2.0) {
+          widened += 1
+          (first ++ measure(fn, 4)).sorted
+        } else first
+      name -> times(times.length / 2)
     }
     // The driver captures only the LAST 2000 chars of this run's
     // output and parses the JSON line out of that tail. Every prior
@@ -143,7 +163,7 @@ object Bench {
     // start_loadavg is the EXTERNAL load (sampled before any Spark
     // work); end_loadavg is dominated by this bench's own threads.
     System.err.println(
-      s"bench diagnostics: line=${line.length} chars, start_loadavg=${startLoad.mkString(",")}, end_loadavg=${loadavg().mkString(",")}, quiet_wait=${waited}s, runs=$Runs, stat=median")
+      s"bench diagnostics: line=${line.length} chars, start_loadavg=${startLoad.mkString(",")}, end_loadavg=${loadavg().mkString(",")}, quiet_wait=${waited}s, runs=$Runs, widened=$widened, stat=median")
     if (line.length > 1915)
       System.err.println(s"ERROR bench line ${line.length} chars EXCEEDS the ~1915-char capture budget — the driver will record parsed=null")
     spark.stop()
