@@ -577,6 +577,51 @@ object TextOps extends QueryPack {
     // dup decision is one digest-keyed count + one digest-keyed join
     // — segment TEXT never shuffles, so at 100 TB this is the d1
     // digest-dedup shape fanned out ~5× (segments per doc).
+    // Count-Min heavy hitters — the FREQUENCY sketch next to q30's
+    // cardinality HLL (Cormode & Muthukrishnan): token occurrences
+    // hash into a d×w grid of counters (d independent md5-salted
+    // rows), a token's estimate is the MIN of its d cells, and the
+    // estimate can only OVERCOUNT (collisions add, never subtract) —
+    // the soundness invariant the audit column verifies against the
+    // exact counts for the top-k tokens. The sketch is the mergeable
+    // shape: the grid is 4×512 counters regardless of corpus size
+    // (per-partition grids sum cell-wise on the exchange), the exact
+    // side is the t19 vocabulary rollup, and the top-k is a
+    // TakeOrderedAndProject. At 100 TB the sketch is what a streaming
+    // frequency monitor keeps per window; this operator is the
+    // offline acceptance gate that prices its error before anyone
+    // trusts it (the q41 pattern for frequencies).
+    "t22_heavy_hitters" -> { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .select(explode(Portable.words(col("text"))).as("w"))
+      val grid = toks
+        .select(explode(array((0 until CmsDepth).map { r =>
+          struct(lit(r).as("r"),
+            pmod(Portable.hash60(concat(lit(s"cms$r|"), col("w"))),
+              lit(CmsWidth.toLong)).as("b"))
+        }: _*)).as("rb"))
+        .select(col("rb.r").as("r"), col("rb.b").as("b"))
+        .groupBy(col("r"), col("b"))
+        .agg(count(lit(1)).as("bc"))
+      val top = toks.groupBy(col("w")).agg(count(lit(1)).as("exact"))
+        .orderBy(col("exact").desc, col("w")).limit(20)
+      top
+        .select(col("w"), col("exact"), explode(array((0 until CmsDepth).map { r =>
+          struct(lit(r).as("r"),
+            pmod(Portable.hash60(concat(lit(s"cms$r|"), col("w"))),
+              lit(CmsWidth.toLong)).as("b"))
+        }: _*)).as("rb"))
+        .select(col("w"), col("exact"), col("rb.r").as("r"), col("rb.b").as("b"))
+        .join(broadcast(grid), Seq("r", "b"))
+        .groupBy(col("w"), col("exact"))
+        .agg(min(col("bc")).as("est"))
+        .select(col("w"), col("exact"), col("est"),
+          (col("est") >= col("exact")).as("sound"),
+          round((col("est") - col("exact")).cast("double") / col("exact"), 6)
+            .as("overcount_frac"))
+        .orderBy(col("exact").desc, col("w"))
+    },
+
     "t21_segment_dedup" -> { (s, d) =>
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
       val prefixed = docs.withColumn("text",
@@ -648,6 +693,12 @@ object TextOps extends QueryPack {
         s"transform(sequence(0, cast(ceil(size(w) / $SegLen.0) as int) - 1), " +
           s"i -> concat_ws(' ', slice(w, i * $SegLen + 1, $SegLen)))")).as("seg"))
       .select(col("doc_id"), Portable.md5hex(col("seg")).as("h"))
+
+  /** t22: Count-Min grid geometry — depth 4 (independent salted
+    * hashes) × width 512 counters; error scales as total/width per
+    * row, min over rows. Constant sketch size at any corpus. */
+  private val CmsDepth = 4
+  private val CmsWidth = 512
 
   /** t21: dedup window width (words per segment) and the planted
     * 20-word boilerplate — exactly two full segments wide, prefixed
@@ -1079,6 +1130,35 @@ object TextOps extends QueryPack {
         |GROUP BY pair
         |ORDER BY n DESC, pair
         |LIMIT 20""".stripMargin,
+
+    "t22_heavy_hitters" ->
+      s"""WITH toks AS (
+         |  SELECT unnest(CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+         |    ELSE regexp_split_to_array(trim(text), '\\s+') END) AS w
+         |  FROM documents),
+         |grid AS (
+         |  SELECT r, b, count(*) AS bc FROM (
+         |    SELECT x.r,
+         |      ('0x' || substring(md5('cms' || x.r::VARCHAR || '|' || w), 1, 15))::BIGINT
+         |        % $CmsWidth AS b
+         |    FROM toks CROSS JOIN unnest(generate_series(0, ${CmsDepth - 1})) AS x(r)) g
+         |  GROUP BY r, b),
+         |top AS (
+         |  SELECT w, count(*)::BIGINT AS exact FROM toks GROUP BY w
+         |  ORDER BY exact DESC, w LIMIT 20),
+         |est AS (
+         |  SELECT t.w, t.exact, min(g.bc) AS est
+         |  FROM top t
+         |  CROSS JOIN unnest(generate_series(0, ${CmsDepth - 1})) AS x(r)
+         |  JOIN grid g ON g.r = x.r
+         |    AND g.b = ('0x' || substring(md5('cms' || x.r::VARCHAR || '|' || t.w), 1, 15))::BIGINT
+         |      % $CmsWidth
+         |  GROUP BY t.w, t.exact)
+         |SELECT w, exact, CAST(est AS BIGINT) AS est,
+         |  est >= exact AS sound,
+         |  round((est - exact)::DOUBLE / exact, 6) AS overcount_frac
+         |FROM est
+         |ORDER BY exact DESC, w""".stripMargin,
 
     "t21_segment_dedup" ->
       s"""WITH base AS (

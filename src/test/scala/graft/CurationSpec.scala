@@ -436,6 +436,20 @@ class CurationSpec extends SparkSuite {
       math.max(r.getAs[Double]("containment_a"), r.getAs[Double]("containment_b")) >= 0.9))
   }
 
+  test("t22 count-min estimates are sound (never undercount) and tight on heavy hitters") {
+    val rows = SparkEntry.queries("t22_heavy_hitters")(spark, sf).collect()
+    assert(rows.length === 20)
+    rows.foreach { r =>
+      // the CMS theorem: collisions only ADD — an estimate below the
+      // exact count means the sketch or the hash is broken
+      assert(r.getAs[Boolean]("sound"))
+      assert(r.getAs[Long]("est") >= r.getAs[Long]("exact"))
+      // 4×512 counters over this corpus keep heavy-hitter error small
+      assert(r.getAs[Double]("overcount_frac") <= 0.25,
+        s"token ${r.getString(0)} overcounts by ${r.getAs[Double]("overcount_frac")}")
+    }
+  }
+
   test("mm9 shard packing conserves bytes and sizes shard counts to the target") {
     val rows = SparkEntry.queries("mm9_shard_pack")(spark, sf).collect()
     val target = 4096.0
