@@ -450,6 +450,41 @@ object Dedup extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // Dedup-yield scaling curve — the capacity-planning table for the
+    // question every dedup deployment faces: the duplicate rate
+    // measured on a sample UNDERSTATES what the full corpus will
+    // show, because a pair is only visible when BOTH members land in
+    // the sample. Four nested deterministic hash subsets (25/50/75/
+    // 100% — nested so each level adds corpus rather than redrawing
+    // it) each report their exact-dup rate; the curve's growth is the
+    // empirical correction factor for extrapolating yield to 10×
+    // corpus. One scan computes every doc's level bucket map-side;
+    // each level is a digest-keyed aggregate — the d1 shape, four
+    // conditional counts wide, no extra scans.
+    "d18_dup_curve" -> { (s, d) =>
+      val docs = withExactDupes(s, d)
+        .select(col("doc_id"),
+          Portable.md5hex(Portable.normText(col("text"))).as("h"),
+          pmod(Portable.hash60(concat(lit("lvl|"), col("doc_id").cast("string"))),
+            lit(100L)).as("bucket"))
+      val levels = Seq(25, 50, 75, 100)
+      val levelCounts = levels.map(l =>
+        sum(when(col("bucket") < l, 1L).otherwise(0L)).as(s"n$l"))
+      val perHash = docs.groupBy(col("h"))
+        .agg(levelCounts.head, levelCounts.tail: _*)
+      val rollups = levels.flatMap(l => Seq(
+        sum(col(s"n$l")).as(s"docs$l"),
+        sum(when(col(s"n$l") > 1, col(s"n$l") - 1).otherwise(0L)).as(s"dups$l")))
+      perHash.agg(rollups.head, rollups.tail: _*)
+        .select(explode(array(levels.map(l => struct(
+          lit(l.toLong).as("level"),
+          col(s"docs$l").as("n_docs"),
+          col(s"dups$l").as("n_dups"),
+          round(col(s"dups$l").cast("double") / col(s"docs$l"), 6).as("dup_rate"))): _*)).as("r"))
+        .select(col("r.level"), col("r.n_docs"), col("r.n_dups"), col("r.dup_rate"))
+        .orderBy(col("level"))
+    },
+
     // Asymmetric-containment detection (Broder bottom-k sketch as the
     // blocking key): Jaccard LSH (d3/d4) structurally misses SUBSET
     // duplication — a truncated re-upload, a quoted doc embedded in a
@@ -1072,6 +1107,32 @@ object Dedup extends QueryPack {
          |  coalesce(m.n_candidates, 0) > 0 AS matched
          |FROM batch_raw br LEFT JOIN m ON br.doc_id = m.doc_id
          |ORDER BY br.doc_id""".stripMargin
+    },
+
+    "d18_dup_curve" -> {
+      val exactDupesSql =
+        """SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0""".stripMargin
+      s"""WITH corpus AS (
+         |  $exactDupesSql),
+         |docs AS (
+         |  SELECT doc_id,
+         |    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h,
+         |    ('0x' || substring(md5('lvl|' || doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS bucket
+         |  FROM corpus),
+         |lv AS (SELECT unnest([25, 50, 75, 100]) AS level),
+         |per_hash AS (
+         |  SELECT l.level, d.h, count(*) AS n
+         |  FROM docs d JOIN lv l ON d.bucket < l.level
+         |  GROUP BY l.level, d.h)
+         |SELECT CAST(level AS BIGINT) AS level,
+         |  CAST(sum(n) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS BIGINT) AS n_dups,
+         |  round(sum(CASE WHEN n > 1 THEN n - 1 ELSE 0 END)::DOUBLE / sum(n), 6) AS dup_rate
+         |FROM per_hash
+         |GROUP BY level
+         |ORDER BY level""".stripMargin
     },
 
     "d17_containment" ->

@@ -436,6 +436,31 @@ class CurationSpec extends SparkSuite {
       math.max(r.getAs[Double]("containment_a"), r.getAs[Double]("containment_b")) >= 0.9))
   }
 
+  test("d18's yield curve grows with corpus level and closes on the exact full accounting") {
+    import graft.functions.Portable
+    val rows = SparkEntry.queries("d18_dup_curve")(spark, sf).collect().sortBy(_.getLong(0))
+    assert(rows.map(_.getLong(0)).toSeq === Seq(25L, 50L, 75L, 100L))
+    // nested subsets: docs and dup rate must both be non-decreasing,
+    // and the full-corpus rate strictly dominates the 25% sample's —
+    // the sample-understates-dedup effect this table exists to price
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("n_docs") < b.getAs[Long]("n_docs"))
+      assert(a.getAs[Double]("dup_rate") <= b.getAs[Double]("dup_rate") + 1e-9)
+    }
+    assert(rows.last.getAs[Double]("dup_rate") >= rows.head.getAs[Double]("dup_rate") * 1.5)
+    // level 100 IS the exact full accounting: docs = corpus incl.
+    // plants, dups = docs − distinct normalized digests
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.unionAll(docs.filter(col("doc_id") % 10 === 0)
+      .withColumn("doc_id", col("doc_id") + 100000L))
+    val n = corpus.count()
+    val distinctH = corpus
+      .select(Portable.md5hex(Portable.normText(col("text"))).as("h"))
+      .distinct().count()
+    assert(rows.last.getAs[Long]("n_docs") === n)
+    assert(rows.last.getAs[Long]("n_dups") === n - distinctH)
+  }
+
   test("t22 count-min estimates are sound (never undercount) and tight on heavy hitters") {
     val rows = SparkEntry.queries("t22_heavy_hitters")(spark, sf).collect()
     assert(rows.length === 20)
