@@ -363,6 +363,45 @@ object Messaging extends QueryPack {
         .orderBy(col("shard_id"))
     },
 
+    // Hot-shard ROOT-CAUSE diagnosis — m17 measures a shard's load
+    // and m20 decides to split it, but a split only helps when the
+    // load spreads over many partition keys: a single hot KEY rides
+    // its md5 hash to exactly one child forever, and the fix is
+    // upstream key salting, not resharding. Per shard: events,
+    // distinct keys, the hottest key's share, and the disposition
+    // m20 should consult (split_effective vs hot_key). A planted
+    // 20× burst on one deterministic key (the minimum user id — a
+    // 1-row broadcast, no magic constants) must flip its shard to
+    // hot_key while every other shard stays splittable.
+    // (shard, key) counts partial-combine map-side; the rollup is
+    // shards-sized and the per-shard max rides the same aggregate —
+    // one scan at any stream volume.
+    "m22_hot_key_audit" -> { (s, d) =>
+      val ev = Tables.events(s, d).select(col("user_id"))
+      val mu = ev.agg(min(col("user_id")).as("mu"))
+      val burst = ev.crossJoin(broadcast(mu))
+        .filter(col("user_id") === col("mu"))
+        .select(col("user_id"), explode(sequence(lit(1), lit(20))).as("i"))
+        .select(col("user_id"))
+      val perKey = ev.unionAll(burst)
+        .select(Envelope.shardId(col("user_id").cast("string")).as("shard_id"),
+          col("user_id"))
+        .groupBy(col("shard_id"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+      perKey.groupBy(col("shard_id"))
+        .agg(sum(col("n")).as("n_events"),
+          count(lit(1)).as("n_keys"),
+          max(col("n")).as("top_key_n"))
+        .withColumn("top_key_share",
+          round(col("top_key_n").cast("double") / col("n_events"), 6))
+        .withColumn("disposition",
+          when(col("top_key_share") > 0.5, "hot_key")
+            .otherwise("split_effective"))
+        .select(col("shard_id"), col("n_events"), col("n_keys"),
+          col("top_key_n"), col("top_key_share"), col("disposition"))
+        .orderBy(col("shard_id"))
+    },
+
     // Replay/backfill window — a consumer reprocessing history between
     // two checkpoint cuts (the KCL TRIM_HORIZON→AT_TIMESTAMP restart):
     // per shard, the contiguous seq range inside the cut interval plus
@@ -690,6 +729,29 @@ object Messaging extends QueryPack {
          |       THEN CAST(ceil(n_events / (total::DOUBLE / n_shards)) AS BIGINT)
          |       ELSE 1 END AS target_shards
          |FROM per_shard, tot
+         |ORDER BY shard_id""".stripMargin,
+
+    "m22_hot_key_audit" ->
+      s"""WITH ev AS (SELECT user_id FROM events),
+         |mu AS (SELECT min(user_id) AS mu FROM ev),
+         |burst AS (
+         |  SELECT e.user_id
+         |  FROM ev e, mu, unnest(generate_series(1, 20)) AS t(i)
+         |  WHERE e.user_id = mu.mu),
+         |all_ev AS (SELECT user_id FROM ev UNION ALL SELECT user_id FROM burst),
+         |pk AS (
+         |  SELECT ${shardSql("user_id::VARCHAR")} AS shard_id, user_id,
+         |    count(*) AS n
+         |  FROM all_ev GROUP BY 1, 2)
+         |SELECT shard_id,
+         |  CAST(sum(n) AS BIGINT) AS n_events,
+         |  count(*)::BIGINT AS n_keys,
+         |  CAST(max(n) AS BIGINT) AS top_key_n,
+         |  round(max(n)::DOUBLE / sum(n), 6) AS top_key_share,
+         |  CASE WHEN round(max(n)::DOUBLE / sum(n), 6) > 0.5
+         |    THEN 'hot_key' ELSE 'split_effective' END AS disposition
+         |FROM pk
+         |GROUP BY shard_id
          |ORDER BY shard_id""".stripMargin,
 
     "m18_replay_window" ->

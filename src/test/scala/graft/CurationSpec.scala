@@ -436,6 +436,34 @@ class CurationSpec extends SparkSuite {
       math.max(r.getAs[Double]("containment_a"), r.getAs[Double]("containment_b")) >= 0.9))
   }
 
+  test("m22 flags the planted hot key's shard and dispositions stay internally consistent") {
+    val rows = SparkEntry.queries("m22_hot_key_audit")(spark, sf).collect()
+    assert(rows.length === 8)
+    // disposition is a pure function of the reported share — the
+    // column a reader acts on cannot disagree with the number
+    rows.foreach { r =>
+      val expect = if (r.getAs[Double]("top_key_share") > 0.5) "hot_key" else "split_effective"
+      assert(r.getAs[String]("disposition") === expect)
+      assert(r.getAs[Long]("top_key_n") <= r.getAs[Long]("n_events"))
+      assert(r.getAs[Long]("n_keys") >= 1L)
+    }
+    // the planted 20× burst makes its shard the unambiguous worst
+    // case: the max-top-key shard must be hot with a dominant share
+    // (at tiny SFs OTHER shards may hold one key and be legitimately
+    // hot too — a one-key shard truly cannot be split — so the pin is
+    // on the burst shard, not on a global count)
+    val worst = rows.maxBy(_.getAs[Long]("top_key_n"))
+    val burstN = Tables.events(spark, sf)
+      .filter(col("user_id") === Tables.events(spark, sf)
+        .agg(min(col("user_id"))).collect().head.getLong(0)).count()
+    assert(worst.getAs[Long]("top_key_n") === 21L * burstN)
+    assert(worst.getAs[String]("disposition") === "hot_key")
+    assert(worst.getAs[Double]("top_key_share") > 0.5)
+    // the audit conserves the stream: events = base + 20× burst
+    val base = Tables.events(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_events")).sum === base + 20L * burstN)
+  }
+
   test("d18's yield curve grows with corpus level and closes on the exact full accounting") {
     import graft.functions.Portable
     val rows = SparkEntry.queries("d18_dup_curve")(spark, sf).collect().sortBy(_.getLong(0))
