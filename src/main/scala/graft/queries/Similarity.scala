@@ -674,6 +674,10 @@ object Similarity extends QueryPack {
     val stats = xs.groupBy(col("dim"))
       .agg((avg(col("x") * col("x")) - avg(col("x")) * avg(col("x"))).as("dvar"))
       .withColumn("dvr", round(col("dvar"), 9))
+      // dims-sized; checkpointed so the rank self-join, the subvector
+      // regroup, and the per-sub energy rollup don't each re-run the
+      // corpus-wide variance aggregate (18 scans in the uncut plan)
+      .localCheckpoint()
     val other = stats.select(col("dim").as("d2"), col("dvr").as("v2"))
     val alloc = stats.join(broadcast(other),
         col("v2") > col("dvr") ||
@@ -691,6 +695,109 @@ object Similarity extends QueryPack {
       .select(col("vec_id").as("cent_id"), col("sub"), col("sv").as("cv"))
     val perSubVar = alloc.groupBy(col("sub"))
       .agg(count(lit(1)).as("n_dims"), sum(col("dvar")).as("var_total"))
+    pqAssignSubs(subs, cents)
+      .groupBy(col("sub"))
+      .agg(count(lit(1)).as("n_vecs"),
+        countDistinct(col("cent_id")).as("n_codes_used"),
+        round(avg(col("dist")), 6).as("mse"))
+      .join(broadcast(perSubVar), "sub")
+      .select(col("sub").cast("long").as("sub"), col("n_dims"),
+        round(col("var_total"), 6).as("var_total"),
+        col("n_vecs"), col("n_codes_used"), col("mse"))
+      .orderBy(col("sub"))
+  }
+
+  /** a21: OPQ-style LEARNED rotation past a19's permutation baseline.
+    * a19 only reorders dims, so when most energy sits in a handful of
+    * dims no deal can even the subspaces — round-robin hands sub 0
+    * the heaviest dim of every round. A rotation MIXES energy across
+    * dims before the split. Full OPQ solves a Procrustes/SVD
+    * alternation; the closed-form member of that family is one
+    * BUTTERFLY ROUND of Givens(45°) rotations: rank dims by variance,
+    * pair rank r with rank d−1−r (heaviest with lightest), and send
+    * each pair (h, l) → ((h+l)/√2, (h−l)/√2). The pair's energy
+    * splits to (v_h+v_l)/2 ± cov — near-halved whenever the pair is
+    * weakly correlated — so after ONE parallel round the variance
+    * profile is dramatically flatter, and the a19 deal over the
+    * ROTATED profile allocates what imbalance remains. The d/2
+    * rotations touch disjoint dims, so the whole round is one
+    * broadcast-pair regroup of the exploded corpus — the (vec, pair)
+    * shuffle a19 already pays as (vec, sub) — not d sequential jobs;
+    * this disjoint-round structure is exactly why fast-rotation ANN
+    * stacks build their transforms from butterflies. The rotation is
+    * orthogonal (distances are preserved, so the PQ codes quantize
+    * the same geometry) and its matrix is DATA-DERIVED: the pairing
+    * comes from the measured variance ranking, i.e. the rotation is
+    * learned from the corpus, not sampled. Reported per subspace as
+    * a19: dims, post-rotation energy, codes used, MSE — the spec
+    * asserts the rotated allocation's energy spread undercuts both
+    * the contiguous split and a19's permutation-only deal. */
+  def opqRotated(s: SparkSession, d: String, m: Int = PqM): DataFrame = {
+    val xs = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
+    // rank raw dims by ROUNDED variance (a19's cross-engine rank rule).
+    // Both dims-sized stats tables are localCheckpoint'ed (the a15 /
+    // Components practice): everything downstream — pairing, rotation,
+    // re-ranking, allocation — reuses them along several branches, and
+    // an uncut lineage re-evaluates the corpus-wide variance aggregate
+    // at every reuse (66 corpus scans in the first draft's plan; 64-row
+    // checkpoints cut it to one scan per corpus-touching stage).
+    val stats = xs.groupBy(col("dim"))
+      .agg((avg(col("x") * col("x")) - avg(col("x")) * avg(col("x"))).as("dvar"))
+      .withColumn("dvr", round(col("dvar"), 9))
+      .localCheckpoint()
+    val other = stats.select(col("dim").as("d2"), col("dvr").as("v2"))
+    val ranked = stats.join(broadcast(other),
+        col("v2") > col("dvr") ||
+          (col("v2") === col("dvr") && col("d2") < col("dim")), "left")
+      .groupBy(col("dim"))
+      .agg(count(col("d2")).as("rk"))
+    // butterfly pairing: rank r ↔ rank nd−1−r; odd-dim middle passes
+    // through unrotated (none at d=64, but the shape is general)
+    val nd = ranked.agg(count(lit(1)).as("nd"))
+    val pairs = ranked.crossJoin(broadcast(nd))
+      .select(col("dim"),
+        least(col("rk"), col("nd") - 1 - col("rk")).as("pair"),
+        (col("rk") < col("nd") - 1 - col("rk")).as("is_hi"),
+        (col("rk") === col("nd") - 1 - col("rk")).as("solo"))
+    val rot0 = xs.join(broadcast(pairs), "dim")
+      .groupBy(col("vec_id"), col("pair"))
+      .agg(max(when(col("is_hi"), col("x"))).as("xh"),
+        max(when(!col("is_hi") && !col("solo"), col("x"))).as("xl"),
+        max(when(col("solo"), col("x"))).as("xm"),
+        max(when(col("is_hi"), col("dim"))).as("dh"),
+        max(when(!col("is_hi") && !col("solo"), col("dim"))).as("dl"),
+        max(when(col("solo"), col("dim"))).as("dm"))
+    val sq2 = lit(math.sqrt(2.0))
+    val rx = rot0.select(col("vec_id"), explode(array(
+        struct(col("dh").as("dim"), ((col("xh") + col("xl")) / sq2).as("x")),
+        struct(col("dl").as("dim"), ((col("xh") - col("xl")) / sq2).as("x")),
+        struct(col("dm").as("dim"), col("xm").as("x")))).as("r"))
+      .select(col("vec_id"), col("r.dim").as("dim"), col("r.x").as("x"))
+      .filter(col("dim").isNotNull)
+    // a19's deal, over the ROTATED variance profile
+    val rstats = rx.groupBy(col("dim"))
+      .agg((avg(col("x") * col("x")) - avg(col("x")) * avg(col("x"))).as("rvar"))
+      .withColumn("rvr", round(col("rvar"), 9))
+      .localCheckpoint()
+    val rother = rstats.select(col("dim").as("d2"), col("rvr").as("v2"))
+    val alloc = rstats.join(broadcast(rother),
+        col("v2") > col("rvr") ||
+          (col("v2") === col("rvr") && col("d2") < col("dim")), "left")
+      .groupBy(col("dim"), col("rvar"))
+      .agg(count(col("d2")).as("rk"))
+      .select(col("dim"), pmod(col("rk"), lit(m)).cast("int").as("sub"), col("rvar"))
+    val subs = rx.join(broadcast(alloc.select(col("dim"), col("sub"))), "dim")
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("x")))).as("pairs"))
+      .select(col("vec_id"), col("sub"),
+        expr("transform(pairs, p -> p.x)").as("sv"))
+    val seedIds = hashTopK(vecs(s, d), "cent", Geo.nCentroids).select(col("vec_id"))
+    val cents = subs.join(broadcast(seedIds), "vec_id")
+      .select(col("vec_id").as("cent_id"), col("sub"), col("sv").as("cv"))
+    val perSubVar = alloc.groupBy(col("sub"))
+      .agg(count(lit(1)).as("n_dims"), sum(col("rvar")).as("var_total"))
     pqAssignSubs(subs, cents)
       .groupBy(col("sub"))
       .agg(count(lit(1)).as("n_vecs"),
@@ -742,6 +849,72 @@ object Similarity extends QueryPack {
     * the per-cell rebuild trigger (fleet mean here is 1/7 ≈ 0.14, so
     * the 0.2 threshold flags genuinely delta-heavy cells, not all). */
   private val RebuildCellFrac = 0.2
+
+  /** a22: a delta-heavy cell is only WORTH retraining when its
+    * arrivals also sit measurably farther from the centroid than the
+    * members it was trained on — below this assignment-cosine gap the
+    * geometry still fits and merging posting lists suffices. */
+  private val DriftCosGap = 0.05
+
+  /** a22: the COMPACTION POLICY over a delta-grown index — the
+    * decision layer a20's drift stats feed. ivfPqIndexDelta absorbs
+    * arrivals forever; something must eventually say what the next
+    * maintenance window does with each cell, and that split is
+    * two-dimensional: delta SHARE says how much of the cell the
+    * frozen geometry never saw, the assignment-cosine GAP says
+    * whether those arrivals actually fit it. Per cell:
+    * `rebuild` (delta-heavy AND drifted — the centroid no longer
+    * describes its members; re-run a15 over the cell's keyspace),
+    * `compact` (delta-heavy but geometrically fine — rewrite the
+    * fragmented delta posting lists into the base segment, no
+    * retraining), `keep` otherwise. The index-level verdict — the
+    * "when does delta force an a15 rebuild" answer — trips when over
+    * a quarter of cells want rebuild or the delta outweighs the base
+    * corpus-wide (integer-arithmetic compares, so both engines
+    * decide identically). Same cost shape as a20: one corpus
+    * assignment pass + a cells-sized rollup; the global verdict is a
+    * 1-row broadcast. The default delta split is a20's uniform 1/7
+    * sample (geometrically benign, so it exercises compact-vs-keep);
+    * the spec injects a drifted cluster through [[compactPolicyOf]]
+    * to prove the rebuild arm fires. */
+  def compactPolicy(s: SparkSession, d: String, geo: AnnGeometry = Geo): DataFrame =
+    compactPolicyOf(vecs(s, d), pmod(col("vec_id"), lit(7L)) === 3L, geo)
+
+  private[graft] def compactPolicyOf(v: DataFrame, isDelta: Column,
+                                     geo: AnnGeometry = Geo): DataFrame = {
+    val base = v.filter(!isDelta)
+    val cents = hashTopK(base, "cent", geo.nCentroids)
+      .select(col("vec_id").as("cell"), col("emb").as("c_emb"), col("nrm").as("c_nrm"))
+    val perCell = assignCells(v, cents)
+      .withColumn("is_delta", isDelta)
+      .groupBy(col("cell"))
+      .agg(sum(when(!col("is_delta"), 1L).otherwise(0L)).as("n_base"),
+        sum(when(col("is_delta"), 1L).otherwise(0L)).as("n_delta"),
+        avg(when(!col("is_delta"), col("c_cos"))).as("cb"),
+        avg(when(col("is_delta"), col("c_cos"))).as("cd"))
+      .withColumn("delta_frac",
+        round(col("n_delta").cast("double") / (col("n_base") + col("n_delta")), 6))
+      .withColumn("cos_gap", round(coalesce(col("cb") - col("cd"), lit(0.0)), 6))
+      .withColumn("action",
+        when(col("delta_frac") > RebuildCellFrac && col("cos_gap") > DriftCosGap,
+          "rebuild")
+          .when(col("delta_frac") > RebuildCellFrac, "compact")
+          .otherwise("keep"))
+    val glob = perCell.agg(
+        sum(when(col("action") === "rebuild", 1L).otherwise(0L)).as("rebuild_cells"),
+        count(lit(1)).as("n_cells"),
+        sum(col("n_base")).as("tb"), sum(col("n_delta")).as("td"))
+      .select(col("rebuild_cells"),
+        round(col("td").cast("double") / (col("tb") + col("td")), 6)
+          .as("global_delta_frac"),
+        (col("rebuild_cells") * 4 > col("n_cells") ||
+          col("td") * 2 > col("tb") + col("td")).as("rebuild_index"))
+    perCell.crossJoin(broadcast(glob))
+      .select(col("cell"), col("n_base"), col("n_delta"), col("delta_frac"),
+        col("cos_gap"), col("action"), col("rebuild_cells"),
+        col("global_delta_frac"), col("rebuild_index"))
+      .orderBy(col("cell"))
+  }
 
   /** a18: the end-to-end IVF-ADC SERVE path — what an IVF-PQ index
     * actually executes per query, composing the pieces the family
@@ -1032,6 +1205,8 @@ object Similarity extends QueryPack {
   }
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a22_compact_policy" -> ((s, d) => compactPolicy(s, d)),
+    "a21_opq_rotate" -> ((s, d) => opqRotated(s, d)),
     "a20_index_drift" -> ((s, d) => indexDrift(s, d)),
     "a19_pq_balance" -> ((s, d) => pqBalanced(s, d)),
     "a18_ivf_pq_serve" -> ((s, d) => ivfPqServe(s, d)),
@@ -1140,6 +1315,140 @@ object Similarity extends QueryPack {
          |FROM assigned
          |GROUP BY cell
          |ORDER BY cell""".stripMargin,
+
+    // a20's per-cell stats re-derived, then the policy arms and the
+    // integer-compare global verdict on top.
+    "a22_compact_policy" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS emb,
+         |    vec_id % 7 = 3 AS is_delta
+         |  FROM embeddings),
+         |b AS (SELECT vec_id, emb FROM v WHERE NOT is_delta),
+         |cs AS (SELECT vec_id AS cell, emb AS c_emb
+         |  FROM (SELECT * FROM b ${centSel(Geo.nCentroids)}) t),
+         |assigned AS (
+         |  SELECT vec_id, is_delta, cell, c_cos FROM (
+         |    SELECT v.vec_id, v.is_delta, c.cell,
+         |      list_dot_product(v.emb, c.c_emb) /
+         |        (sqrt(list_dot_product(v.emb, v.emb)) *
+         |         sqrt(list_dot_product(c.c_emb, c.c_emb))) AS c_cos,
+         |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |        list_dot_product(v.emb, c.c_emb) /
+         |          (sqrt(list_dot_product(v.emb, v.emb)) *
+         |           sqrt(list_dot_product(c.c_emb, c.c_emb))) DESC,
+         |        c.cell) AS crank
+         |    FROM v, cs c) t WHERE crank = 1),
+         |per_cell AS (
+         |  SELECT cell,
+         |    CAST(sum(CASE WHEN NOT is_delta THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+         |    CAST(sum(CASE WHEN is_delta THEN 1 ELSE 0 END) AS BIGINT) AS n_delta,
+         |    round(sum(CASE WHEN is_delta THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+         |      AS delta_frac,
+         |    round(coalesce(avg(CASE WHEN NOT is_delta THEN c_cos END)
+         |      - avg(CASE WHEN is_delta THEN c_cos END), 0.0), 6) AS cos_gap
+         |  FROM assigned GROUP BY cell),
+         |acted AS (
+         |  SELECT *, CASE
+         |    WHEN delta_frac > 0.2 AND cos_gap > 0.05 THEN 'rebuild'
+         |    WHEN delta_frac > 0.2 THEN 'compact'
+         |    ELSE 'keep' END AS action
+         |  FROM per_cell),
+         |gv AS (
+         |  SELECT
+         |    CAST(sum(CASE WHEN action = 'rebuild' THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS rebuild_cells,
+         |    count(*) AS n_cells,
+         |    sum(n_base) AS tb, sum(n_delta) AS td
+         |  FROM acted)
+         |SELECT a.cell, a.n_base, a.n_delta, a.delta_frac, a.cos_gap, a.action,
+         |  g.rebuild_cells,
+         |  round(g.td::DOUBLE / (g.tb + g.td), 6) AS global_delta_frac,
+         |  (g.rebuild_cells * 4 > g.n_cells OR g.td * 2 > g.tb + g.td)
+         |    AS rebuild_index
+         |FROM acted a, gv g
+         |ORDER BY a.cell""".stripMargin,
+
+    // Independent re-derivation of the butterfly round: variance rank,
+    // anti-sorted pairing, the 45° Givens combine, then the a19 deal
+    // and PQ tail over the rotated coordinates.
+    "a21_opq_rotate" -> {
+      s"""WITH xs AS (
+         |  SELECT vec_id, dim, embedding[(dim + 1)::INTEGER]::DOUBLE AS x
+         |  FROM embeddings, unnest(generate_series(0, len(embedding) - 1)) AS t(dim)),
+         |st AS (
+         |  SELECT dim, round(avg(x * x) - avg(x) * avg(x), 9) AS dvr
+         |  FROM xs GROUP BY dim),
+         |rk AS (
+         |  SELECT s.dim, count(o.dim) AS rk
+         |  FROM st s LEFT JOIN st o
+         |    ON o.dvr > s.dvr OR (o.dvr = s.dvr AND o.dim < s.dim)
+         |  GROUP BY s.dim),
+         |nd AS (SELECT count(*) AS nd FROM st),
+         |pairs AS (
+         |  SELECT dim, least(rk, nd - 1 - rk) AS pair,
+         |    rk < nd - 1 - rk AS is_hi, rk = nd - 1 - rk AS solo
+         |  FROM rk, nd),
+         |rot0 AS (
+         |  SELECT x.vec_id, p.pair,
+         |    max(CASE WHEN p.is_hi THEN x.x END) AS xh,
+         |    max(CASE WHEN NOT p.is_hi AND NOT p.solo THEN x.x END) AS xl,
+         |    max(CASE WHEN p.solo THEN x.x END) AS xm,
+         |    max(CASE WHEN p.is_hi THEN x.dim END) AS dh,
+         |    max(CASE WHEN NOT p.is_hi AND NOT p.solo THEN x.dim END) AS dl,
+         |    max(CASE WHEN p.solo THEN x.dim END) AS dm
+         |  FROM xs x JOIN pairs p ON x.dim = p.dim
+         |  GROUP BY x.vec_id, p.pair),
+         |rx AS (
+         |  SELECT vec_id, dh AS dim, (xh + xl) / sqrt(2.0) AS x
+         |  FROM rot0 WHERE dh IS NOT NULL
+         |  UNION ALL
+         |  SELECT vec_id, dl AS dim, (xh - xl) / sqrt(2.0) AS x
+         |  FROM rot0 WHERE dl IS NOT NULL
+         |  UNION ALL
+         |  SELECT vec_id, dm AS dim, xm AS x
+         |  FROM rot0 WHERE dm IS NOT NULL),
+         |rst AS (
+         |  SELECT dim, avg(x * x) - avg(x) * avg(x) AS rvar,
+         |    round(avg(x * x) - avg(x) * avg(x), 9) AS rvr
+         |  FROM rx GROUP BY dim),
+         |rrk AS (
+         |  SELECT s.dim, s.rvar, count(o.dim) AS rk
+         |  FROM rst s LEFT JOIN rst o
+         |    ON o.rvr > s.rvr OR (o.rvr = s.rvr AND o.dim < s.dim)
+         |  GROUP BY s.dim, s.rvar),
+         |alloc AS (SELECT dim, rvar, (rk % $PqM)::INT AS sub FROM rrk),
+         |subs AS (
+         |  SELECT vec_id, sub, list(x ORDER BY rx.dim) AS sv
+         |  FROM rx JOIN alloc ON rx.dim = alloc.dim
+         |  GROUP BY vec_id, sub),
+         |v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |cseed AS (SELECT vec_id FROM v ${centSel(Geo.nCentroids)}),
+         |cents AS (
+         |  SELECT s.vec_id AS cent_id, s.sub, s.sv AS cv
+         |  FROM subs s JOIN cseed c ON s.vec_id = c.vec_id),
+         |assigned AS (
+         |  SELECT vec_id, sub, cent_id, dist FROM (
+         |    SELECT s.vec_id, s.sub, c.cent_id,
+         |      list_dot_product(s.sv, s.sv) - 2.0 * list_dot_product(s.sv, c.cv)
+         |        + list_dot_product(c.cv, c.cv) AS dist,
+         |      row_number() OVER (PARTITION BY s.vec_id, s.sub ORDER BY
+         |        list_dot_product(s.sv, s.sv) - 2.0 * list_dot_product(s.sv, c.cv)
+         |          + list_dot_product(c.cv, c.cv),
+         |        c.cent_id) AS r
+         |    FROM subs s JOIN cents c ON s.sub = c.sub) t
+         |  WHERE r = 1),
+         |pv AS (
+         |  SELECT sub, count(*)::BIGINT AS n_dims,
+         |    round(sum(rvar), 6) AS var_total
+         |  FROM alloc GROUP BY sub)
+         |SELECT CAST(a.sub AS BIGINT) AS sub, pv.n_dims, pv.var_total,
+         |  count(*)::BIGINT AS n_vecs,
+         |  CAST(count(DISTINCT a.cent_id) AS BIGINT) AS n_codes_used,
+         |  round(avg(a.dist), 6) AS mse
+         |FROM assigned a JOIN pv ON a.sub = pv.sub
+         |GROUP BY a.sub, pv.n_dims, pv.var_total
+         |ORDER BY sub""".stripMargin
+    },
 
     // Variance ranks, round-robin allocation, permuted subvectors,
     // and the codeword argmin re-derived independently. The variance

@@ -345,6 +345,93 @@ class PipelineSpec extends SparkSuite {
     balanced.toSeq.zip(balanced.tail).foreach { case (a, b) => assert(a >= b - 1e-6) }
   }
 
+  test("a21 butterfly rotation flattens subspace energy beyond a19's permutation-only deal") {
+    import graft.queries.Similarity
+    val out = Similarity.opqRotated(spark, sf).collect()
+    assert(out.length === 8)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_dims") === 8L)
+      assert(r.getAs[Long]("n_vecs") === 500L)
+      assert(r.getAs[Long]("n_codes_used") > 1L)
+    }
+    val dvar = Tables.embeddings(spark, sf)
+      .select(posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
+      .groupBy(col("dim"))
+      .agg((avg(col("x") * col("x")) - avg(col("x")) * avg(col("x"))).as("v"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    // the rotation is orthogonal: total corpus energy is preserved
+    // (var_total is rounded to 6 dp per subspace, so tolerance 1e-4)
+    val rotated = out.map(_.getAs[Double]("var_total")).toSeq
+    assert(math.abs(rotated.sum - dvar.values.sum) < 1e-4,
+      s"rotated energy ${rotated.sum} vs raw ${dvar.values.sum}")
+    def spread(xs: Seq[Double]) = xs.max - xs.min
+    val contiguous = (0 until 8).map(s => (0 until 8).map(i => dvar(s * 8 + i)).sum)
+    val permuted = Similarity.pqBalanced(spark, sf).collect()
+      .map(_.getAs[Double]("var_total")).toSeq
+    // the point of rotating first: the deal over the mixed profile is
+    // flatter than BOTH the contiguous split and the deal alone
+    assert(spread(rotated) <= spread(contiguous) + 1e-6,
+      s"rotated spread ${spread(rotated)} vs contiguous ${spread(contiguous)}")
+    assert(spread(rotated) <= spread(permuted) + 1e-6,
+      s"rotated spread ${spread(rotated)} vs permuted ${spread(permuted)}")
+  }
+
+  test("a22 policy arms follow the thresholds exactly and an injected drifted cluster forces rebuild") {
+    import graft.queries.Similarity
+    val out = SparkEntry.queries("a22_compact_policy")(spark, sf).collect()
+    // every vector is dispatched to exactly one cell and the arms are
+    // the thresholds, row by row (the policy IS this table)
+    assert(out.map(r => r.getAs[Long]("n_base") + r.getAs[Long]("n_delta")).sum === 500L)
+    out.foreach { r =>
+      val (df, gap) = (r.getAs[Double]("delta_frac"), r.getAs[Double]("cos_gap"))
+      val want = if (df > 0.2 && gap > 0.05) "rebuild"
+                 else if (df > 0.2) "compact" else "keep"
+      assert(r.getAs[String]("action") === want, s"cell ${r.getAs[Long]("cell")}")
+    }
+    // the uniform 1/7 delta leaves the index verdict off: drift is a
+    // per-cell accident here (one borderline cell may trip), not an
+    // index-wide state
+    assert(out.forall(!_.getAs[Boolean]("rebuild_index")))
+    assert(math.abs(out.head.getAs[Double]("global_delta_frac") - 1.0 / 7) < 0.02)
+    // inject real drift: 150 arrivals clustered along a direction the
+    // frozen geometry cannot describe. A haphazard fixed direction is
+    // NOT enough — its best-of-centroids cosine is a draw from the
+    // same distribution as any base member's, so the gap is luck. The
+    // drifted direction is built orthogonal to EVERY centroid
+    // (Gram-Schmidt over the seed rows, which the spec derives
+    // exactly) plus a 0.05 bias toward one centroid: every arrival
+    // lands in that cell with assignment cosine pinned near 0.05,
+    // far below any cell's base mean — drift by construction.
+    val v = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .withColumn("nrm", graft.functions.Vec.norm(col("emb")))
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val cents = Similarity.hashTopK(v, "cent", graft.queries.AnnGeometry().nCentroids)
+      .collect().map(_.getSeq[Double](1).toArray)
+    var dir = Array.tabulate(64)(j => math.sin(j + 1.0))
+    cents.foreach { c => val p = dot(dir, c) / dot(c, c)
+      dir = dir.zip(c).map { case (x, y) => x - p * y } }
+    val dn = math.sqrt(dot(dir, dir))
+    val k0 = cents.head; val k0n = math.sqrt(dot(k0, k0))
+    val driftDir = dir.zip(k0).map { case (x, y) => x / dn + 0.05 * y / k0n }
+    import spark.implicits._
+    val drifted = (0 until 150)
+      .map(i => (1000000L + i, driftDir.map(_ * (1.0 + 0.001 * i)).toSeq))
+      .toDF("vec_id", "emb")
+      .withColumn("nrm", graft.functions.Vec.norm(col("emb")))
+    val out2 = Similarity.compactPolicyOf(v.unionByName(drifted),
+      col("vec_id") >= 1000000L).collect()
+    val landing = out2.filter(_.getAs[Long]("n_delta") > 100L)
+    assert(landing.nonEmpty, "drifted cluster scattered instead of landing")
+    landing.foreach { r =>
+      assert(r.getAs[Double]("delta_frac") > 0.5)
+      assert(r.getAs[Double]("cos_gap") > 0.05,
+        s"gap ${r.getAs[Double]("cos_gap")}")
+      assert(r.getAs[String]("action") === "rebuild")
+    }
+  }
+
   test("a delta-inserted IVF-PQ index serves identically to a full build (no retrain needed)") {
     import graft.queries.{Similarity, AnnGeometry}
     val geo = AnnGeometry()
