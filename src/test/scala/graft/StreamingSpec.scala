@@ -973,4 +973,58 @@ class StreamingSpec extends SparkSuite {
       .select(col("h")).distinct().count()
     assert(store.count() === storeSize0 + novelSegs)
   }
+
+  test("streamed 1-hour funnel emits every signed-up user exactly as the batch q44 stages") {
+    import spark.implicits._
+    import graft.streaming.Funnel
+    implicit val sqlCtx = spark.sqlContext
+    val hourUs = 3600L * 1000000L
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .filter(col("event_type").isin("signup", "view", "purchase"))
+    val rows = ev.as[(Long, String, java.sql.Timestamp)].collect().toSeq
+    val maxTs = rows.map(_._3.getTime).max
+    // a far-future no-op advances the watermark past every user's
+    // 2-hour funnel window, so every pending timeout fires before the
+    // stream drains — the streamed answer must then be COMPLETE, not
+    // just consistent
+    val sentinel = Seq((-1L, "noop",
+      new java.sql.Timestamp(maxTs + 30L * 24 * 3600 * 1000)))
+
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val done = Funnel.funnelStream(input.toDF().toDF("user_id", "event_type", "ts"))
+    val q = done.writeStream.outputMode("append")
+      .format("memory").queryName("funnel_done")
+      .option("checkpointLocation", tempDir("ck_funnel"))
+      .start()
+    input.addData(rows); q.processAllAvailable()
+    input.addData(sentinel); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("funnel_done").as[Funnel.FunnelDone].collect()
+      .map(d => (d.user_id, d.t_signup_us, d.t_view_us, d.t_purchase_us)).toSet
+
+    // q44's three batch stages, kept per user instead of aggregated
+    val su = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(expr("unix_micros(ts)")).as("t_s"))
+    val vw = ev.filter(col("event_type") === "view")
+      .join(su, "user_id")
+      .filter(expr("unix_micros(ts)") > col("t_s") &&
+        expr("unix_micros(ts)") <= col("t_s") + hourUs)
+      .groupBy(col("user_id")).agg(min(expr("unix_micros(ts)")).as("t_v"))
+    val pu = ev.filter(col("event_type") === "purchase")
+      .join(vw, "user_id")
+      .filter(expr("unix_micros(ts)") > col("t_v") &&
+        expr("unix_micros(ts)") <= col("t_v") + hourUs)
+      .groupBy(col("user_id")).agg(min(expr("unix_micros(ts)")).as("t_p"))
+    val want = su.join(vw, Seq("user_id"), "left").join(pu, Seq("user_id"), "left")
+      .select(col("user_id"), col("t_s"),
+        coalesce(col("t_v"), lit(-1L)), coalesce(col("t_p"), lit(-1L)))
+      .as[(Long, Long, Long, Long)].collect().toSet
+
+    assert(want.nonEmpty)
+    assert(got === want,
+      s"streamed funnel diverged: ${(got diff want).take(3)} vs ${(want diff got).take(3)}")
+    // the strict window must discriminate: converters AND non-converters
+    assert(got.exists(_._3 >= 0) && got.exists(_._3 === -1L))
+  }
 }
