@@ -1,0 +1,155 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Portable, TextHash, Vec}
+import graft.operators.{AsOf, Components, Percentiles, Salted, Sketches}
+
+/** The Column-API facade: the library's kernels and whole-operator
+  * building blocks as fluent extension methods, so a user composes
+  * them like built-in `org.apache.spark.sql.functions` instead of
+  * calling the named query pack entries (which remain the oracle-
+  * checked forms — every method here DELEGATES to the same code path
+  * a pack query runs, it never re-implements).
+  *
+  * ```scala
+  * import graft.dsl._
+  * docs.select($"doc_id", $"text".minhashSig(), $"text".simhash16)
+  * docs.nearDupPairs()                // d3's band-join candidates
+  * fact.autoJoinSkewed(dim, "part_id") // q40's audit applied (Salted)
+  * trades.joinAsOf(quotes, "id", "ts", Seq("price"))
+  * ```
+  *
+  * Everything stays a lazy Catalyst plan: a facade expression inherits
+  * the same codegen kernels, broadcast hints, and shuffle shapes the
+  * pack queries are plan-audited for — DslSpec pins facade ≡ pack
+  * output on the shared test tables.
+  */
+package object dsl {
+
+  /** Scalar kernels as `Column` methods. */
+  implicit class GraftColumnOps(private val c: Column) extends AnyVal {
+
+    /** Whitespace-collapsed, trimmed, lower-cased text — the
+      * normalization every dedup digest here starts from. */
+    def normText: Column = Portable.normText(c)
+
+    /** Whitespace word split ('' → empty array, never [""]). */
+    def words: Column = Portable.words(c)
+
+    /** Distinct n-word shingles of a text column. */
+    def shingles(n: Int = 3): Column = TextHash.distinctShingles(c, n)
+
+    /** Portable md5 hex digest (md5 over the value cast to binary —
+      * matches the DuckDB oracle convention byte for byte). */
+    def md5Hex: Column = Portable.md5hex(c)
+
+    /** k-component KM (Kirsch-Mitzenmacher) minhash signature over
+      * n-word shingles — one native map-side pass, `array<long>`. */
+    def minhashSig(n: Int = 3, k: Int = 16): Column = TextHash.kmMinHash(c, n, k)
+
+    /** 16-bit SimHash fingerprint from per-token md5 bits. */
+    def simhash16: Column = TextHash.simHash16(c)
+
+    /** Content-defined chunk digests (rolling-hash boundaries with
+      * expected chunk length `div` bytes). */
+    def cdcChunks(div: Int = 64): Column = TextHash.cdcChunks(c, div)
+
+    /** Dot product of two `array<double>` vector columns (codegen'd
+      * kernel — higher-order `aggregate` evaluates interpreted). */
+    def dot(other: Column): Column = Vec.dot(c, other)
+
+    /** Euclidean norm of an `array<double>` vector column. */
+    def l2norm: Column = Vec.norm(c)
+
+    /** Cosine similarity of two `array<double>` vector columns. */
+    def cosine(other: Column): Column = Portable.cosineD(c, other)
+  }
+
+  /** Whole-operator building blocks as `DataFrame` methods. */
+  implicit class GraftDataFrameOps(private val df: DataFrame) extends AnyVal {
+
+    /** d1's exact dedup: keep the min-`idCol` row per normalized-text
+      * digest. Shuffles 16-byte digests only, never text. */
+    def dedupExact(idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      val keep = df
+        .select(col(idCol), Portable.md5hex(Portable.normText(col(textCol))).as("_h"))
+        .groupBy(col("_h")).agg(min(col(idCol)).as(idCol))
+        .select(col(idCol))
+      df.join(keep, Seq(idCol), "left_semi")
+    }
+
+    /** d2's per-document minhash signature table
+      * (`idCol, s0..s{k-1}`) — the shared input to [[nearDupPairs]]
+      * and any signature-agreement diagnostics. */
+    def minhashSignatures(idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+      queries.Dedup.kmSignatures(
+        df.select(col(idCol).as("doc_id"), col(textCol).as("text")),
+        materialize = true)
+      .withColumnRenamed("doc_id", idCol)
+
+    /** d3's LSH candidate pairs (4 bands × 4 rows over the 16-minhash
+      * signature): docs sharing any band hash, as (doc_a, doc_b) with
+      * doc_a < doc_b. The O(n²) pair space never materializes. */
+    def nearDupPairs(idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+      queries.Dedup.lshPairsFrom(
+        queries.Dedup.kmSignatures(
+          df.select(col(idCol).as("doc_id"), col(textCol).as("text")),
+          materialize = true))
+
+    /** d9's fixpoint connected components over an edge list
+      * (`node`, `nbr`) — O(diameter) rounds, shuffles (id,label)
+      * pairs only. Adds `comp_id` (min node id of the component). */
+    def dupComponents(maxIter: Int = 20): DataFrame =
+      Components.connected(df, maxIter)
+
+    /** q23's as-of join: for each left row, the latest right row at
+      * or before its `ts`, matched on `key`. One user-keyed shuffle,
+      * no range explosion. */
+    def joinAsOf(right: DataFrame, key: String, ts: String,
+                 valueCols: Seq[String]): DataFrame =
+      AsOf.joinAsOf(df, right, key, ts, valueCols)
+
+    /** q40+q31 composed (Salted.autoJoin): audit this fact's `key`
+      * distribution, salt only the flagged-hot keys, leave cold keys
+      * on the plain equi-join. ≡ `df.join(dim, key)` on any input. */
+    def autoJoinSkewed(dim: DataFrame, key: String, minSkew: Double = 4.0): DataFrame =
+      Salted.autoJoin(df, dim, key, minSkew)
+
+    /** q21's exact two-phase grouped percentiles — never buffers a
+      * group's values in one task (the built-in percentile_cont
+      * does). */
+    def percentilesExact(keyCol: String, valCol: String,
+                         ps: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame =
+      Percentiles.exact(df, keyCol, valCol,
+        ps.map(p => (s"p${(p * 100).round}", p)))
+
+    /** q30-style mergeable distinct counts: per-group HLL sketches
+      * (store these per day/source; union for any rollup). */
+    def hllSketchBy(groupCol: String, valueCol: String, lgK: Int = 12): DataFrame =
+      Sketches.sketchBy(df, groupCol, valueCol, lgK)
+
+    /** p1's shared quality features over `text`: adds n_words,
+      * stop_ratio, punct_ratio, quality — the same score the batch
+      * pipeline (p1/p4) and streaming DataPrep.curate filter on. */
+    def withQualityScore: DataFrame = queries.Pipeline.withQuality(df)
+
+    /** q43's gaps-and-islands sessionization: events more than
+      * `gapUs` apart (per `keyCol`, ordered by `tsCol`, ties broken
+      * by `tieCol`) start a new session. Adds `session_idx`
+      * (1-based per key). One key-partitioned window, no self-join. */
+    def sessionize(keyCol: String, tsCol: String, tieCol: String,
+                   gapUs: Long = 30L * 60L * 1000000L): DataFrame = {
+      val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+      df.withColumn("_prev_ts", lag(col(tsCol), 1).over(w))
+        .withColumn("_new_sess",
+          when(col("_prev_ts").isNull ||
+            (expr(s"unix_micros($tsCol)") - expr("unix_micros(_prev_ts)")) > gapUs, 1L)
+            .otherwise(0L))
+        .withColumn("session_idx", sum(col("_new_sess")).over(w))
+        .drop("_prev_ts", "_new_sess")
+    }
+  }
+}

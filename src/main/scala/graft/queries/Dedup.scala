@@ -62,7 +62,7 @@ object Dedup extends QueryPack {
     * both join sides reuse. Without it, projection collapse inlines
     * the kernel into every consumer and each self-join side
     * re-hashes the full corpus (measured 7× slower at sf0.1). */
-  private def kmSignatures(docs: DataFrame, materialize: Boolean = false): DataFrame = {
+  private[graft] def kmSignatures(docs: DataFrame, materialize: Boolean = false): DataFrame = {
     val sigs = docs
       .select(col("doc_id"),
         graft.functions.TextHash.kmMinHash(col("text"), ShingleN, K).as("sig"))
@@ -702,7 +702,7 @@ object Dedup extends QueryPack {
   /** Band join over an ALREADY-materialized signature table — lets a
     * caller that also needs the raw signatures (d15) pay for exactly
     * one km_minhash corpus pass shared by every consumer. */
-  private def lshPairsFrom(sigs: DataFrame): DataFrame = {
+  private[graft] def lshPairsFrom(sigs: DataFrame): DataFrame = {
     val bands = sigs.select(col("doc_id"),
       posexplode(array((0 until Bands).map { b =>
         md5(concat_ws("|", (0 until 4).map(r => col(s"s${b * 4 + r}")): _*).cast("binary"))

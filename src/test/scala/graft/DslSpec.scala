@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dsl._
+
+/** The Column-API facade must be a TRANSPARENT skin: every method
+  * delegates to the same code path the oracle-checked pack queries
+  * run, so facade compositions must reproduce pack outputs exactly
+  * (not approximately) on the shared test tables. */
+class DslSpec extends SparkSuite {
+
+  test("facade sessionize + agg reproduces q43_sessionize row for row") {
+    val gapUs = 30L * 60L * 1000000L
+    val viaDsl = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .sessionize("user_id", "ts", "event_id", gapUs)
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        (max(expr("unix_micros(ts)")) - min(expr("unix_micros(ts)"))).as("duration_us"),
+        round(sum(col("value")), 6).as("session_value"))
+      .select(col("user_id"), col("session_idx"), col("n_events"),
+        col("duration_us"), col("session_value"))
+      .orderBy(col("user_id"), col("session_idx"))
+      .collect()
+    val viaPack = SparkEntry.queries("q43_sessionize")(spark, sf).collect()
+    assert(viaDsl.nonEmpty && viaDsl.toSeq === viaPack.toSeq)
+  }
+
+  test("dedupExact keeps exactly the min-id survivor per normalized text") {
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
+    // plant exact copies (whitespace-noised: normalization must see
+    // through them) of 20 docs under fresh higher ids
+    val copies = docs.orderBy(col("doc_id")).limit(20)
+      .select((col("doc_id") + maxId + 1).as("doc_id"),
+        concat(lit("  "), col("text"), lit(" \t")).as("text"))
+    val corpus = docs.unionByName(copies)
+    val kept = corpus.dedupExact()
+    // every planted copy must lose to its lower-id original
+    assert(kept.filter(col("doc_id") > maxId).count() === 0)
+    // survivors are unique per digest and nothing else was dropped
+    val distinctDigests = corpus
+      .select(functions.Portable.md5hex(
+        functions.Portable.normText(col("text"))).as("h")).distinct().count()
+    assert(kept.count() === distinctDigests)
+    // schema passes through untouched
+    assert(kept.columns.toSeq === Seq("doc_id", "text"))
+  }
+
+  test("nearDupPairs surfaces every planted near-identical copy") {
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .filter(length(col("text")) > 50)
+    val maxId = Tables.documents(spark, sf).agg(max(col("doc_id"))).head.getLong(0)
+    val copies = docs.orderBy(col("doc_id")).limit(20)
+      .select((col("doc_id") + maxId + 1).as("doc_id"), col("text"))
+    val pairs = docs.unionByName(copies).nearDupPairs().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = docs.orderBy(col("doc_id")).limit(20)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+      .map(id => (id, id + maxId + 1)).toSet
+    // identical text ⇒ identical signature ⇒ all 4 bands agree
+    assert((planted -- pairs).isEmpty,
+      s"missed planted dup pairs: ${(planted -- pairs).take(3)}")
+    // orientation invariant holds for everything surfaced
+    assert(pairs.forall { case (a, b) => a < b })
+  }
+
+  test("column kernels match their pack-side formulations") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).limit(100)
+    // minhashSig ≡ d2's signature components
+    val viaDsl = docs.select(col("doc_id"), col("text").minhashSig().as("sig"))
+    val viaPack = docs.minhashSignatures()
+    val joined = viaDsl.join(viaPack, "doc_id")
+    val agree = joined.filter((0 until 16).map(i =>
+      col("sig").getItem(i) === col(s"s$i")).reduce(_ && _)).count()
+    assert(agree === joined.count() && agree > 0)
+    // dot/cosine on a known pair
+    val v = spark.sql(
+      "SELECT array(1.0D, 2.0D, 2.0D) AS a, array(2.0D, 0.0D, 1.0D) AS b")
+    val r = v.select(col("a").dot(col("b")).as("d"),
+      col("a").l2norm.as("na"), col("a").cosine(col("b")).as("c")).head
+    assert(r.getDouble(0) === 4.0)
+    assert(math.abs(r.getDouble(1) - 3.0) < 1e-12)
+    assert(math.abs(r.getDouble(2) - 4.0 / (3.0 * math.sqrt(5.0))) < 1e-12)
+  }
+
+  test("autoJoinSkewed and joinAsOf facades delegate intact") {
+    import spark.implicits._
+    val fact = Seq((1L, "x"), (1L, "y"), (2L, "z")).toDF("k", "v")
+    val dim = Seq((1L, "A"), (2L, "B")).toDF("k", "name")
+    val got = fact.autoJoinSkewed(dim, "k")
+      .select(col("k"), col("v"), col("name"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got === Set((1L, "x", "A"), (1L, "y", "A"), (2L, "z", "B")))
+
+    val quotes = Seq((1L, 10L, 99.0), (1L, 20L, 101.0)).toDF("id", "ts", "price")
+    val trades = Seq((1L, 15L), (1L, 25L)).toDF("id", "ts")
+    val asof = trades.joinAsOf(quotes, "id", "ts", Seq("price"))
+      .select(col("ts"), col("asof_price"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(asof === Set((15L, 99.0), (25L, 101.0)))
+  }
+}
