@@ -227,6 +227,63 @@ object Pipeline extends QueryPack {
           round(col("weight"), 6).as("weight"),
           round(col("sel_tokens").cast("double") / col("total_sel"), 6).as("realized_share"))
         .orderBy(col("lang"))
+    },
+
+    // Per-source quality DRIFT monitor — the ops check behind p4's
+    // gate: a source whose incoming quality degrades should be caught
+    // by the monitor, not discovered downstream in training. Docs map
+    // onto (source, ingest_day) cells (day = doc_id % 7 — the
+    // deterministic stand-in for an ingest-date column). A fixed
+    // drift threshold is a trap: small cells swing wildly (at tiny SF
+    // a 3-doc cell drifts ±0.14 naturally), so each cell is scored by
+    // a TWO-SAMPLE Z-TEST against the rest of its own source — the
+    // leave-one-cell-out mean and per-doc variance come free from the
+    // same (n, Σq, Σq²) aggregate, and the standard error
+    // rest_sd·√(1/n + 1/rest_n) scales the threshold to how much
+    // evidence the cell actually carries. z < -3 flags. The corpus
+    // plants a degraded cell — 5 symbol-spam docs per original
+    // landing on (min source, day 6), z ≈ -8 — while the worst
+    // natural cell sits near -2.6 at sf0.001. ONE corpus scan
+    // (quality is map-side), a (sources × 7)-row aggregate, and
+    // window math over that tiny table: nothing past the first agg
+    // grows with the corpus.
+    "p6_source_drift" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), col("source"))
+      val minSrc = docs.agg(min(col("source")).as("plant_src"))
+      val plant = docs.crossJoin(broadcast(minSrc))
+        .filter(col("source") === col("plant_src") && col("doc_id") % 7 === 6)
+        .withColumn("k", explode(sequence(lit(0L), lit(4L))))
+        .select((col("doc_id") + 700000L + col("k") * 70000L).as("doc_id"),
+          concat(concat_ws(" ", array_repeat(lit("!?!?"), 30)),
+            lit(" "), col("doc_id").cast("string")).as("text"),
+          col("source"))
+      val cells = withQuality(docs.unionByName(plant))
+        .withColumn("ingest_day", pmod(col("doc_id"), lit(7L)))
+        .groupBy(col("source"), col("ingest_day"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("quality")).as("s1"),
+          sum(col("quality") * col("quality")).as("s2"))
+      val w = Window.partitionBy(col("source"))
+      cells
+        .withColumn("rest_n", sum(col("n_docs")).over(w) - col("n_docs"))
+        .withColumn("rest_mean",
+          (sum(col("s1")).over(w) - col("s1")) / col("rest_n"))
+        .withColumn("rest_var", greatest(
+          (sum(col("s2")).over(w) - col("s2")) / col("rest_n") -
+            col("rest_mean") * col("rest_mean"), lit(0.0)))
+        .withColumn("mq", col("s1") / col("n_docs"))
+        .withColumn("se", greatest(sqrt(col("rest_var")), lit(1e-9)) *
+          sqrt(lit(1.0) / col("n_docs") + lit(1.0) / col("rest_n")))
+        .withColumn("z", (col("mq") - col("rest_mean")) / col("se"))
+        .select(col("source"), col("ingest_day"), col("n_docs"),
+          round(col("mq"), 6).as("mean_q"),
+          round(col("rest_mean"), 6).as("baseline"),
+          round(col("mq") - col("rest_mean"), 6).as("drift"),
+          round(col("z"), 6).as("zscore"),
+          (col("z") < -3.0).as("flagged"))
+        .orderBy(col("source"), col("ingest_day"))
     }
   )
 
@@ -421,6 +478,55 @@ object Pipeline extends QueryPack {
          |  round(sel_tokens::DOUBLE / sum(sel_tokens) OVER (), 6) AS realized_share
          |FROM agg
          |ORDER BY lang""".stripMargin
-    }
+    },
+
+    "p6_source_drift" ->
+      """WITH docs AS (SELECT doc_id, text, source FROM documents),
+        |plant AS (
+        |  SELECT d.doc_id + 700000 + g.k * 70000 AS doc_id,
+        |    trim(repeat('!?!? ', 30)) || ' ' || d.doc_id::VARCHAR AS text,
+        |    d.source
+        |  FROM docs d CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS k) g
+        |  WHERE d.source = (SELECT min(source) FROM docs) AND d.doc_id % 7 = 6),
+        |corpus AS (SELECT * FROM docs UNION ALL SELECT * FROM plant),
+        |feat AS (
+        |  SELECT source, doc_id % 7 AS ingest_day,
+        |    (CASE WHEN len(w) = 0 THEN 0.0
+        |      ELSE len(list_filter(w, x -> list_contains(['the','a','of','and','to'], x)))::DOUBLE / len(w) END) * 0.4
+        |    + least(len(w)::DOUBLE / 100.0, 1.0) * 0.4
+        |    + (1.0 - (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE / length(text)) * 0.2
+        |      AS quality
+        |  FROM (SELECT source, doc_id, text,
+        |      CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+        |        ELSE regexp_split_to_array(trim(text), '\s+') END AS w
+        |    FROM corpus) t),
+        |cells AS (
+        |  SELECT source, CAST(ingest_day AS BIGINT) AS ingest_day,
+        |    count(*)::BIGINT AS n_docs,
+        |    sum(quality) AS s1, sum(quality * quality) AS s2
+        |  FROM feat GROUP BY source, ingest_day),
+        |based AS (
+        |  SELECT source, ingest_day, n_docs, s1, s2,
+        |    sum(n_docs) OVER (PARTITION BY source) - n_docs AS rest_n,
+        |    (sum(s1) OVER (PARTITION BY source) - s1) AS rest_s1,
+        |    (sum(s2) OVER (PARTITION BY source) - s2) AS rest_s2
+        |  FROM cells),
+        |scored AS (
+        |  SELECT source, ingest_day, n_docs,
+        |    s1 / n_docs AS mq,
+        |    rest_s1 / rest_n AS rest_mean,
+        |    greatest(sqrt(greatest(
+        |        rest_s2 / rest_n - (rest_s1 / rest_n) * (rest_s1 / rest_n),
+        |        0.0)), 1e-9)
+        |      * sqrt(1.0 / n_docs + 1.0 / rest_n) AS se
+        |  FROM based)
+        |SELECT source, ingest_day, n_docs,
+        |  round(mq, 6) AS mean_q,
+        |  round(rest_mean, 6) AS baseline,
+        |  round(mq - rest_mean, 6) AS drift,
+        |  round((mq - rest_mean) / se, 6) AS zscore,
+        |  (mq - rest_mean) / se < -3.0 AS flagged
+        |FROM scored
+        |ORDER BY source, ingest_day""".stripMargin
   )
 }

@@ -546,4 +546,25 @@ class PipelineSpec extends SparkSuite {
         s"probe ${r.getLong(0)} served vec ${r.getAs[Long]("vec_id")} from an unrouted cell")
     }
   }
+
+  test("p6 drift monitor flags exactly the planted degraded cell") {
+    val cells = SparkEntry.queries("p6_source_drift")(spark, sf).collect()
+    val plantSrc = Tables.documents(spark, sf)
+      .agg(min(col("source"))).head.getString(0)
+    val flagged = cells.filter(_.getAs[Boolean]("flagged"))
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("ingest_day"))).toSet
+    assert(flagged === Set((plantSrc, 6L)),
+      s"expected only ($plantSrc, 6) flagged, got $flagged")
+    // the flagged cell's evidence is decisive, not threshold noise —
+    // and the z-test keeps a real gap between it and natural swing
+    val plantZ = cells.filter(r => r.getAs[String]("source") == plantSrc &&
+      r.getAs[Long]("ingest_day") == 6L).head.getAs[Double]("zscore")
+    assert(plantZ < -5.0, s"planted cell z $plantZ too shallow")
+    val worstNatural = cells.filter(!_.getAs[Boolean]("flagged"))
+      .map(_.getAs[Double]("zscore")).min
+    assert(worstNatural > -3.0)
+    // every source reports a full 7-day grid (the monitor never
+    // silently drops a cell)
+    assert(cells.groupBy(_.getAs[String]("source")).forall(_._2.length == 7))
+  }
 }
