@@ -63,7 +63,7 @@ object Similarity extends QueryPack {
     * downstream pair then costs a single codegen'd dot product. The
     * float→double widening is a native array cast (codegen), not an
     * interpreted per-element transform lambda. */
-  private def vecs(s: SparkSession, d: String): DataFrame =
+  private[graft] def vecs(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
       .withColumn("nrm", graft.functions.Vec.norm(col("emb")))
@@ -885,13 +885,24 @@ object Similarity extends QueryPack {
     val base = v.filter(!isDelta)
     val cents = hashTopK(base, "cent", geo.nCentroids)
       .select(col("vec_id").as("cell"), col("emb").as("c_emb"), col("nrm").as("c_nrm"))
-    val perCell = assignCells(v, cents)
+    policyFromStats(assignCells(v, cents)
       .withColumn("is_delta", isDelta)
       .groupBy(col("cell"))
       .agg(sum(when(!col("is_delta"), 1L).otherwise(0L)).as("n_base"),
+        sum(when(!col("is_delta"), col("c_cos")).otherwise(lit(0.0))).as("s_base"),
         sum(when(col("is_delta"), 1L).otherwise(0L)).as("n_delta"),
-        avg(when(!col("is_delta"), col("c_cos"))).as("cb"),
-        avg(when(col("is_delta"), col("c_cos"))).as("cd"))
+        sum(when(col("is_delta"), col("c_cos")).otherwise(lit(0.0))).as("s_delta")))
+  }
+
+  /** a22's decision layer over per-cell stats — shared by the one-shot
+    * batch policy above and the INCREMENTAL monitor
+    * ([[compactStatsStep]]/[[policyOfStores]]). Stats are (count,
+    * Σcos) SUMS per population, not averages, precisely so they merge
+    * associatively across micro-batches. */
+  private[graft] def policyFromStats(stats: DataFrame): DataFrame = {
+    val perCell = stats
+      .withColumn("cb", when(col("n_base") > 0, col("s_base") / col("n_base")))
+      .withColumn("cd", when(col("n_delta") > 0, col("s_delta") / col("n_delta")))
       .withColumn("delta_frac",
         round(col("n_delta").cast("double") / (col("n_base") + col("n_delta")), 6))
       .withColumn("cos_gap", round(coalesce(col("cb") - col("cd"), lit(0.0)), 6))
@@ -915,6 +926,35 @@ object Similarity extends QueryPack {
         col("global_delta_frac"), col("rebuild_index"))
       .orderBy(col("cell"))
   }
+
+  /** Base-population stats frozen at index-build time — the static
+    * side the live monitor compares arrivals against. */
+  private[graft] def baseStatsOf(base: DataFrame, cents: DataFrame): DataFrame =
+    assignCells(base, cents).groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_base"), sum(col("c_cos")).as("s_base"))
+
+  /** One live-monitor step: absorb a micro-batch of arrivals into the
+    * per-cell delta-stats store (cell, n_delta, s_delta). The store —
+    * like segmentDedupStep's digest store — is durable storage the
+    * caller persists between batches, cells-sized forever; each step
+    * is one map-side broadcast assignment + a cells-sized merge. */
+  private[graft] def compactStatsStep(cents: DataFrame, store: DataFrame,
+                                      batch: DataFrame): DataFrame =
+    store.unionByName(
+        assignCells(batch, cents).groupBy(col("cell"))
+          .agg(count(lit(1)).as("n_delta"), sum(col("c_cos")).as("s_delta")))
+      .groupBy(col("cell"))
+      .agg(sum(col("n_delta")).as("n_delta"), sum(col("s_delta")).as("s_delta"))
+
+  /** The live monitor's verdict: frozen base stats + the grown delta
+    * store → exactly the batch a22 policy table (spec-proved). Cells
+    * with no arrivals yet coalesce to zero delta. */
+  private[graft] def policyOfStores(baseStats: DataFrame,
+                                    deltaStore: DataFrame): DataFrame =
+    policyFromStats(baseStats.join(deltaStore, Seq("cell"), "left")
+      .select(col("cell"), col("n_base"), col("s_base"),
+        coalesce(col("n_delta"), lit(0L)).as("n_delta"),
+        coalesce(col("s_delta"), lit(0.0)).as("s_delta")))
 
   /** a18: the end-to-end IVF-ADC SERVE path — what an IVF-PQ index
     * actually executes per query, composing the pieces the family

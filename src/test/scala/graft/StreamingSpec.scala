@@ -974,6 +974,67 @@ class StreamingSpec extends SparkSuite {
     assert(store.count() === storeSize0 + novelSegs)
   }
 
+  test("the live compaction monitor converges to exactly the batch a22 policy") {
+    import spark.implicits._
+    import graft.queries.Similarity
+    implicit val sqlCtx = spark.sqlContext
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+        r.getString(5), r.getLong(6), r.getDouble(7), r.getBoolean(8))
+    val expected = SparkEntry.queries("a22_compact_policy")(spark, sf)
+      .collect().map(key).toSet
+    assert(expected.nonEmpty)
+
+    // freeze the index-build-time side: centroids from the base
+    // corpus, plus each cell's base-population stats — the monitor
+    // never rescans the base after this point
+    val v = Similarity.vecs(spark, sf)
+    val base = v.filter(pmod(col("vec_id"), lit(7L)) =!= 3L)
+    val cents = Similarity.hashTopK(base, "cent", 10)
+      .select(col("vec_id").as("cell"), col("emb").as("c_emb"), col("nrm").as("c_nrm"))
+      .localCheckpoint()
+    val baseStats = Similarity.baseStatsOf(base, cents).localCheckpoint()
+
+    // the post-build arrivals (a22's 1/7 delta split) come in as a
+    // LIVE stream; each micro-batch costs one broadcast assignment +
+    // a cells-sized merge into the durable delta-stats store
+    val delta = v.filter(pmod(col("vec_id"), lit(7L)) === 3L)
+      .select(col("vec_id"), col("emb")).as[(Long, Seq[Double])].collect()
+    var store = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cell",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n_delta",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("s_delta",
+          org.apache.spark.sql.types.DoubleType))))
+    val input = MemoryStream[(Long, Seq[Double])]
+    val q = input.toDF().toDF("vec_id", "emb")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", tempDir("ck_compact"))
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        store = Similarity.compactStatsStep(cents, store,
+          batch.withColumn("nrm", graft.functions.Vec.norm(col("emb"))))
+          .localCheckpoint()
+      }
+      .start()
+    // three uneven micro-batches: the merge must be order-insensitive
+    input.addData(delta.take(5)); q.processAllAvailable()
+    input.addData(delta.slice(5, 7)); q.processAllAvailable()
+    input.addData(delta.drop(7)); q.processAllAvailable()
+    q.stop()
+
+    val got = Similarity.policyOfStores(baseStats, store).collect().map(key).toSet
+    assert(got === expected)
+
+    // and the monitor is consultable mid-stream: a fresh store with
+    // NO arrivals must report every cell keep, nothing to rebuild
+    val idle = Similarity.policyOfStores(baseStats,
+      store.filter(lit(false))).collect()
+    assert(idle.forall(r => r.getString(5) == "keep" && !r.getBoolean(8)))
+  }
+
   test("streamed 1-hour funnel emits every signed-up user exactly as the batch q44 stages") {
     import spark.implicits._
     import graft.streaming.Funnel
