@@ -248,7 +248,6 @@ object Pipeline extends QueryPack {
     // window math over that tiny table: nothing past the first agg
     // grows with the corpus.
     "p6_source_drift" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), col("text"), col("source"))
       val minSrc = docs.agg(min(col("source")).as("plant_src"))
@@ -259,33 +258,57 @@ object Pipeline extends QueryPack {
           concat(concat_ws(" ", array_repeat(lit("!?!?"), 30)),
             lit(" "), col("doc_id").cast("string")).as("text"),
           col("source"))
-      val cells = withQuality(docs.unionByName(plant))
-        .withColumn("ingest_day", pmod(col("doc_id"), lit(7L)))
-        .groupBy(col("source"), col("ingest_day"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("quality")).as("s1"),
-          sum(col("quality") * col("quality")).as("s2"))
-      val w = Window.partitionBy(col("source"))
-      cells
-        .withColumn("rest_n", sum(col("n_docs")).over(w) - col("n_docs"))
-        .withColumn("rest_mean",
-          (sum(col("s1")).over(w) - col("s1")) / col("rest_n"))
-        .withColumn("rest_var", greatest(
-          (sum(col("s2")).over(w) - col("s2")) / col("rest_n") -
-            col("rest_mean") * col("rest_mean"), lit(0.0)))
-        .withColumn("mq", col("s1") / col("n_docs"))
-        .withColumn("se", greatest(sqrt(col("rest_var")), lit(1e-9)) *
-          sqrt(lit(1.0) / col("n_docs") + lit(1.0) / col("rest_n")))
-        .withColumn("z", (col("mq") - col("rest_mean")) / col("se"))
-        .select(col("source"), col("ingest_day"), col("n_docs"),
-          round(col("mq"), 6).as("mean_q"),
-          round(col("rest_mean"), 6).as("baseline"),
-          round(col("mq") - col("rest_mean"), 6).as("drift"),
-          round(col("z"), 6).as("zscore"),
-          (col("z") < -3.0).as("flagged"))
-        .orderBy(col("source"), col("ingest_day"))
+      driftFromCells(qualityCells(docs.unionByName(plant)))
     }
   )
+
+  /** p6's per-(source, ingest_day) quality cells — (count, Σq, Σq²)
+    * SUMS so they merge associatively across micro-batches (the a22
+    * monitor's idiom). One map-side quality pass + a cells-sized
+    * aggregate. */
+  private[graft] def qualityCells(docs: DataFrame): DataFrame =
+    withQuality(docs)
+      .withColumn("ingest_day", pmod(col("doc_id"), lit(7L)))
+      .groupBy(col("source"), col("ingest_day"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("quality")).as("s1"),
+        sum(col("quality") * col("quality")).as("s2"))
+
+  /** One live-monitor step: merge a micro-batch's quality cells into
+    * the durable cells store — cells-sized forever, no corpus
+    * rescan. */
+  private[graft] def qualityCellsStep(store: DataFrame, batch: DataFrame): DataFrame =
+    store.unionByName(qualityCells(batch))
+      .groupBy(col("source"), col("ingest_day"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("s1")).as("s1"), sum(col("s2")).as("s2"))
+
+  /** p6's decision layer: each cell's two-sample z-test against the
+    * rest of its own source, derived purely from the mergeable cell
+    * sums — shared verbatim by the batch query and the streaming
+    * ingest monitor (StreamingSpec proves streamed ≡ batch). */
+  private[graft] def driftFromCells(cells: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+    cells
+      .withColumn("rest_n", sum(col("n_docs")).over(w) - col("n_docs"))
+      .withColumn("rest_mean",
+        (sum(col("s1")).over(w) - col("s1")) / col("rest_n"))
+      .withColumn("rest_var", greatest(
+        (sum(col("s2")).over(w) - col("s2")) / col("rest_n") -
+          col("rest_mean") * col("rest_mean"), lit(0.0)))
+      .withColumn("mq", col("s1") / col("n_docs"))
+      .withColumn("se", greatest(sqrt(col("rest_var")), lit(1e-9)) *
+        sqrt(lit(1.0) / col("n_docs") + lit(1.0) / col("rest_n")))
+      .withColumn("z", (col("mq") - col("rest_mean")) / col("se"))
+      .select(col("source"), col("ingest_day"), col("n_docs"),
+        round(col("mq"), 6).as("mean_q"),
+        round(col("rest_mean"), 6).as("baseline"),
+        round(col("mq") - col("rest_mean"), 6).as("drift"),
+        round(col("z"), 6).as("zscore"),
+        (col("z") < -3.0).as("flagged"))
+      .orderBy(col("source"), col("ingest_day"))
+  }
 
   def oracle: Map[String, String] = Map(
     "p1_dataprep" ->

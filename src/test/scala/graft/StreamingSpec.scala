@@ -974,6 +974,63 @@ class StreamingSpec extends SparkSuite {
     assert(store.count() === storeSize0 + novelSegs)
   }
 
+  test("the live ingest-drift monitor converges to exactly the batch p6 table") {
+    import spark.implicits._
+    import graft.queries.Pipeline
+    implicit val sqlCtx = spark.sqlContext
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getBoolean(7))
+    val expected = SparkEntry.queries("p6_source_drift")(spark, sf)
+      .collect().map(key).toSet
+
+    // the same corpus p6 audits — originals plus the planted degraded
+    // cell — arrives as a live ingest stream instead of a table
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"), col("source"))
+    val plantSrc = docs.agg(min(col("source"))).head.getString(0)
+    val plant = docs
+      .filter(col("source") === plantSrc && col("doc_id") % 7 === 6)
+      .withColumn("k", explode(sequence(lit(0L), lit(4L))))
+      .select((col("doc_id") + 700000L + col("k") * 70000L).as("doc_id"),
+        concat(concat_ws(" ", array_repeat(lit("!?!?"), 30)),
+          lit(" "), col("doc_id").cast("string")).as("text"),
+        col("source"))
+    val rows = docs.unionByName(plant)
+      .as[(Long, String, String)].collect()
+
+    var store = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("source",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("ingest_day",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n_docs",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("s1",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("s2",
+          org.apache.spark.sql.types.DoubleType))))
+    val input = MemoryStream[(Long, String, String)]
+    val q = input.toDF().toDF("doc_id", "text", "source")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", tempDir("ck_drift"))
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        store = Pipeline.qualityCellsStep(store, batch).localCheckpoint()
+      }
+      .start()
+    // uneven micro-batches that SPLIT cells across batches — the
+    // mergeable-sums contract is what's under test
+    input.addData(rows.take(100)); q.processAllAvailable()
+    input.addData(rows.slice(100, 317)); q.processAllAvailable()
+    input.addData(rows.drop(317)); q.processAllAvailable()
+    q.stop()
+
+    val got = Pipeline.driftFromCells(store).collect().map(key).toSet
+    assert(got === expected)
+  }
+
   test("the live compaction monitor converges to exactly the batch a22 policy") {
     import spark.implicits._
     import graft.queries.Similarity
