@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{Portable, TextHash, Vec}
 import graft.operators.{AsOf, Components, Percentiles, Salted, Sketches}
+import graft.queries.{AnnGeometry, Similarity}
 
 /** The Column-API facade: the library's kernels and whole-operator
   * building blocks as fluent extension methods, so a user composes
@@ -136,6 +137,17 @@ package object dsl {
       * pipeline (p1/p4) and streaming DataPrep.curate filter on. */
     def withQualityScore: DataFrame = queries.Pipeline.withQuality(df)
 
+    /** a18's offline index build over a vector frame: coarse cells +
+      * PQ codes + centroids + codebook, each one corpus pass. The
+      * returned [[graft.queries.Similarity.IvfPqIndex]] is the
+      * versioned/published unit — serve batches or streams through it
+      * with [[GraftIndexOps.serve]], absorb arrivals without
+      * retraining via [[GraftIndexOps.absorb]]. */
+    def ivfPqIndex(idCol: String = "vec_id", embCol: String = "embedding",
+                   geo: AnnGeometry = AnnGeometry(),
+                   m: Int = 8, subDim: Int = 8): Similarity.IvfPqIndex =
+      Similarity.ivfPqIndexOf(normVecs(df, idCol, embCol), geo, m, subDim)
+
     /** q43's gaps-and-islands sessionization: events more than
       * `gapUs` apart (per `keyCol`, ordered by `tsCol`, ties broken
       * by `tieCol`) start a new session. Adds `session_idx`
@@ -152,4 +164,37 @@ package object dsl {
         .drop("_prev_ts", "_new_sess")
     }
   }
+
+  /** Serve/maintain a published [[Similarity.IvfPqIndex]]. */
+  implicit class GraftIndexOps(private val ix: Similarity.IvfPqIndex) extends AnyVal {
+
+    /** Serve a probe batch (or one micro-batch of a live stream)
+      * through the frozen index — route to nProbe cells, rank
+      * routed candidates by the asymmetric ADC distance. */
+    def serve(probes: DataFrame, idCol: String = "vec_id",
+              embCol: String = "embedding", geo: AnnGeometry = AnnGeometry(),
+              m: Int = 8, subDim: Int = 8, k: Int = 3): DataFrame =
+      Similarity.ivfPqServeProbes(ix,
+        normVecs(probes, idCol, embCol)
+          .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"),
+            col("nrm").as("p_nrm")),
+        geo, m, subDim, k)
+
+    /** Absorb new vectors into the frozen index WITHOUT retraining —
+      * nearest existing cell, nearest existing code words (the
+      * between-retrains insert path; a22's policy says when the
+      * accumulated delta forces a real rebuild). */
+    def absorb(newVecs: DataFrame, idCol: String = "vec_id",
+               embCol: String = "embedding",
+               m: Int = 8, subDim: Int = 8): Similarity.IvfPqIndex =
+      Similarity.ivfPqIndexDelta(ix, normVecs(newVecs, idCol, embCol), m, subDim)
+  }
+
+  /** (id, embedding) in any numeric array type → the (vec_id, emb,
+    * nrm) frame every similarity kernel reads: one map-side cast +
+    * norm, the float→double widening a native array cast. */
+  private def normVecs(df: DataFrame, idCol: String, embCol: String): DataFrame =
+    df.select(col(idCol).as("vec_id"),
+        col(embCol).cast("array<double>").as("emb"))
+      .withColumn("nrm", Vec.norm(col("emb")))
 }

@@ -985,14 +985,14 @@ object Similarity extends QueryPack {
     * in one corpus pass each; batch a18 and the StreamingSpec's live
     * probe stream serve through the SAME tables, so the index is the
     * unit that gets versioned/published, not the query. */
-  private[graft] final case class IvfPqIndex(assigned: DataFrame, codes: DataFrame,
+  final case class IvfPqIndex(assigned: DataFrame, codes: DataFrame,
                                              cents: DataFrame, codebook: DataFrame)
 
   private[graft] def ivfPqIndex(s: SparkSession, d: String, geo: AnnGeometry = Geo,
                                 m: Int = PqM, subDim: Int = PqSubDim): IvfPqIndex =
     ivfPqIndexOf(vecs(s, d), geo, m, subDim)
 
-  private[graft] def ivfPqIndexOf(v: DataFrame, geo: AnnGeometry = Geo,
+  def ivfPqIndexOf(v: DataFrame, geo: AnnGeometry = Geo,
                                   m: Int = PqM, subDim: Int = PqSubDim): IvfPqIndex = {
     val cents = hashTopK(v, "cent", geo.nCentroids)
       .select(col("vec_id").as("cell"), col("emb").as("c_emb"), col("nrm").as("c_nrm"))
@@ -1017,7 +1017,7 @@ object Similarity extends QueryPack {
     * EXACTLY equivalent to having built the full index at once —
     * the equivalence the spec asserts end-to-end through the serve
     * path. */
-  private[graft] def ivfPqIndexDelta(ix: IvfPqIndex, newVecs: DataFrame,
+  def ivfPqIndexDelta(ix: IvfPqIndex, newVecs: DataFrame,
                                      m: Int = PqM, subDim: Int = PqSubDim): IvfPqIndex = {
     val assignedNew = assignCells(newVecs, ix.cents).select(col("vec_id"), col("cell"))
     val codesNew = pqAssignSubs(
@@ -1035,7 +1035,7 @@ object Similarity extends QueryPack {
     * probe-derived tables and the corpus index stays partitioned —
     * the same asymmetry whether the batch is an offline acceptance
     * gate or one micro-batch of a live stream. */
-  private[graft] def ivfPqServeProbes(ix: IvfPqIndex, probes: DataFrame,
+  def ivfPqServeProbes(ix: IvfPqIndex, probes: DataFrame,
                                       geo: AnnGeometry = Geo, m: Int = PqM,
                                       subDim: Int = PqSubDim, k: Int = K): DataFrame = {
     val wr = Window.partitionBy(col("probe_id")).orderBy(col("c_cos").desc, col("cell"))

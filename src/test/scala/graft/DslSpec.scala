@@ -85,6 +85,31 @@ class DslSpec extends SparkSuite {
     assert(math.abs(r.getDouble(2) - 4.0 / (3.0 * math.sqrt(5.0))) < 1e-12)
   }
 
+  test("ivfPqIndex facade builds, serves, and absorbs through the a18 path") {
+    import graft.queries.Similarity
+    val expected = SparkEntry.queries("a18_ivf_pq_serve")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(expected.nonEmpty)
+
+    val emb = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val ix = emb.ivfPqIndex()
+    // same acceptance-gate probe set as the batch a18 query
+    val probeIds = Similarity.hashTopK(Similarity.vecs(spark, sf), "probe", 5)
+      .select(col("vec_id"))
+    val got = ix.serve(emb.join(probeIds, "vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got === expected)
+
+    // absorb = the no-retrain insert path: geometry frozen, the
+    // index's posting lists and code table grow by exactly the delta
+    val base = emb.filter(col("vec_id") % 7 =!= 3L)
+    val delta = emb.filter(col("vec_id") % 7 === 3L)
+    val grown = base.ivfPqIndex().absorb(delta)
+    assert(grown.assigned.count() === emb.count())
+    assert(grown.cents.collect().toSeq ===
+      base.ivfPqIndex().cents.collect().toSeq)
+  }
+
   test("autoJoinSkewed and joinAsOf facades delegate intact") {
     import spark.implicits._
     val fact = Seq((1L, "x"), (1L, "y"), (2L, "z")).toDF("k", "v")
