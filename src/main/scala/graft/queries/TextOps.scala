@@ -181,21 +181,31 @@ object TextOps extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
-    // Sequence packing (GPT-style concat-and-chunk): documents are
-    // concatenated in doc_id order and a new training sequence (bin)
-    // starts every `PackBudget` tokens — a doc belongs to the bin its
-    // first token lands in. Verifiable form uses ONE global running
-    // sum; at 100 TB bins are arbitrary groupings, so packing runs
-    // per partition (mapPartitions cumsum, zero shuffle) and bin ids
-    // get a partition prefix — same manifest shape, no global sort.
+    // Sequence packing (GPT-style concat-and-chunk): a new training
+    // sequence (bin) starts every `PackBudget` tokens; a doc belongs
+    // to the bin its first token lands in. Bins are arbitrary
+    // groupings — nothing requires ONE global stream — so docs are
+    // routed to `PackParts` deterministic hash-bucket streams that
+    // pack independently in doc_id order. The window is PARTITIONED
+    // by bucket: one shuffle on part_id, then every bucket's running
+    // sum proceeds in parallel — no single-partition sort anywhere,
+    // the shape that survives 100 TB (a global-order window would
+    // serialize the corpus through one task). bin_id is bucket-
+    // prefixed: part_id * 2^20 + local bin. The zero-shuffle
+    // mapPartitions twin over physical partitions is
+    // packSequencesPerPartition (PipelineSpec proves its invariants).
     "t8_sequence_pack" -> { (s, d) =>
       import org.apache.spark.sql.expressions.Window
-      val w = Window.orderBy(col("doc_id"))
+      val w = Window.partitionBy(col("part_id")).orderBy(col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, -1)
       Tables.documents(s, d)
         .select(col("doc_id"), size(Portable.words(col("text"))).cast("long").as("tokens"))
+        .withColumn("part_id",
+          pmod(Portable.hash60(concat(col("doc_id").cast("string"), lit("|p"))),
+            lit(PackParts)))
         .withColumn("cum_before", coalesce(sum(col("tokens")).over(w), lit(0L)))
-        .withColumn("bin_id", expr(s"cum_before div $PackBudget"))
+        .withColumn("bin_id",
+          col("part_id") * lit(1048576L) + expr(s"cum_before div $PackBudget"))
         .groupBy(col("bin_id"))
         .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("n_tokens"),
           min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
@@ -680,6 +690,11 @@ object TextOps extends QueryPack {
   /** Tokens per packed training sequence (t8). */
   private val PackBudget = 512
 
+  /** t8: number of independent packing streams. 32 here (≈ the local
+    * core count); thousands on a real cluster — the count only shifts
+    * bin-id prefixes, never the per-bucket greedy fill. */
+  private val PackParts = 32L
+
   /** t21's segment space: one (doc_id, h) row per 10-word window
     * (multiplicity kept), the segment text hashed to its 16-byte
     * digest MAP-SIDE so downstream dedup machinery only ever moves
@@ -849,12 +864,18 @@ object TextOps extends QueryPack {
     "t8_sequence_pack" ->
       s"""WITH toks AS (
          |  SELECT doc_id, CAST(len(w) AS BIGINT) AS tokens FROM ($WordsSql) t),
-         |packed AS (
+         |bucketed AS (
          |  SELECT doc_id, tokens,
-         |    COALESCE(sum(tokens) OVER (ORDER BY doc_id
+         |    ('0x' || substring(md5(doc_id::VARCHAR || '|p'), 1, 15))::BIGINT % $PackParts
+         |      AS part_id
+         |  FROM toks),
+         |packed AS (
+         |  SELECT part_id, doc_id, tokens,
+         |    COALESCE(sum(tokens) OVER (PARTITION BY part_id ORDER BY doc_id
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
-         |  FROM toks)
-         |SELECT CAST(cum_before // $PackBudget AS BIGINT) AS bin_id, count(*) AS n_docs,
+         |  FROM bucketed)
+         |SELECT CAST(part_id * 1048576 + cum_before // $PackBudget AS BIGINT) AS bin_id,
+         |  count(*) AS n_docs,
          |  CAST(sum(tokens) AS BIGINT) AS n_tokens,
          |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
          |FROM packed

@@ -9,6 +9,22 @@ import org.apache.spark.sql.functions._
   */
 class TextSpec extends SparkSuite {
 
+  test("t8's packing window is partitioned — no single-partition sort in the plan") {
+    val df = SparkEntry.queries("t8_sequence_pack")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // the scale-killer shape this guards against: WindowExec with an
+    // empty partition spec forces `Exchange SinglePartition` + a
+    // global sort. The bucketed design must hash-partition on part_id.
+    assert(!plan.contains("Exchange SinglePartition"), plan)
+    assert(plan.contains("hashpartitioning(part_id"), plan)
+    // every doc packed exactly once, bins respect the budget's greedy
+    // fill (bin tokens − its last doc < budget ⟹ no bin starts past
+    // the boundary it was opened on)
+    val rows = df.collect()
+    assert(rows.map(_.getLong(1)).sum === Tables.documents(spark, sf).count())
+    assert(rows.forall(r => r.getLong(2) > 0L))
+  }
+
   test("t12 flags every eval source doc and every engineered leak") {
     val out = SparkEntry.queries("t12_decontaminate")(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
