@@ -66,7 +66,17 @@ object Subscriber {
   def subscribe(spark: SparkSession, topicDir: String,
                 format: TopicFormat = ParquetTopic,
                 maxFilesPerTrigger: Int = 8): DataFrame =
-    unmarshalled(format.readStream(spark, topicDir, maxFilesPerTrigger), format)
+    subscribe(spark, FileTopicSource(format, maxFilesPerTrigger), topicDir)
+
+  /** Subscribe through a transport seam ([[SourceFormat]]): the
+    * file-dir methods above are this with [[FileTopicSource]]; a real
+    * cluster passes [[KinesisSource]] and the same downstream code —
+    * unmarshalling, ordering, state, DLQ — runs unchanged. This is
+    * the reference's SubscriberBuilder split along its own seams: the
+    * KCL config names the transport, WithUnmarshaller names the codec
+    * (subscriber.go:96-124). */
+  def subscribe(spark: SparkSession, source: SourceFormat, topic: String): DataFrame =
+    unmarshalled(source.records(spark, topic), source.codec)
 
   /** Subscribe to a JSON-lines topic (Publisher.publishJson) — same
     * message stream, different wire encoding. */
@@ -117,15 +127,23 @@ object Subscriber {
     */
   def subscribeFrom(spark: SparkSession, topicDir: String, position: StartPosition,
                     format: TopicFormat = ParquetTopic,
-                    maxFilesPerTrigger: Int = 8): DataFrame = {
-    val base = subscribe(spark, topicDir, format, maxFilesPerTrigger)
+                    maxFilesPerTrigger: Int = 8): DataFrame =
+    subscribeFrom(spark, FileTopicSource(format, maxFilesPerTrigger), topicDir, position)
+
+  /** [[subscribeFrom]] through the transport seam. A transport with no
+    * batch snapshot (a pure push source like Kinesis) handles `Latest`
+    * at the source itself — `KinesisSource.options` carries
+    * `startingPosition` — so the post-hoc cutoff only applies where a
+    * snapshot exists. */
+  def subscribeFrom(spark: SparkSession, source: SourceFormat, topic: String,
+                    position: StartPosition): DataFrame = {
+    val base = subscribe(spark, source, topic)
     position match {
       case TrimHorizon    => base
       case AtTimestamp(t) => base.filter(col("ts") >= lit(t))
       case Latest =>
-        val cutoff =
-          try Option(format.readBatch(spark, topicDir).agg(max(col("ts"))).head.getTimestamp(0))
-          catch { case _: org.apache.spark.sql.AnalysisException => None } // topic not created yet
+        val cutoff = source.snapshot(spark, topic)
+          .flatMap(df => Option(df.agg(max(col("ts"))).head.getTimestamp(0)))
         cutoff.fold(base)(t => base.filter(col("ts") > lit(t)))
     }
   }

@@ -29,6 +29,44 @@ class StreamingSpec extends SparkSuite {
     assert(bad.count() === 0)
   }
 
+  test("the transport seam reproduces the file subscription and maps KCL config to connector options") {
+    import graft.streaming.{FileTopicSource, KinesisSource, KinesisSourceConfig, Latest}
+    val topic = tempDir("topic_seam")
+    val ckpt = tempDir("ckpt_seam")
+    Publisher.publish(Envelope.messages(spark, sf), topic)
+
+    // subscribe constructed THROUGH the seam: byte-identical behavior
+    // to the file-dir entry point (which now delegates here)
+    val q = Subscriber.drainToMemory(
+      Subscriber.subscribe(spark, FileTopicSource(), topic), "sub_seam", ckpt)
+    q.awaitTermination()
+    assert(spark.table("sub_seam").count() === 1000)
+
+    // the Kinesis transport's option mapping is pure and mirrors the
+    // reference's worker config derivation (subscriber.go:115-124 +
+    // example/cmd/subscribe/main.go:25-38): topic overwrites the
+    // stream name, endpoints pass through for Localstack, the KCL
+    // initial position becomes startingPosition
+    val cfg = KinesisSourceConfig(
+      applicationName = "graft-app", region = "us-west-2", workerId = "w-1",
+      kinesisEndpoint = Some("http://127.0.0.1:4566"),
+      maxRecords = 100, maxLeasesForWorker = Some(6),
+      enableLeaseStealing = true, initialPosition = Latest)
+    val opts = KinesisSource(cfg).options("my-stream")
+    assert(opts("streamName") === "my-stream")
+    assert(opts("region") === "us-west-2")
+    assert(opts("consumerName") === "graft-app")
+    assert(opts("workerId") === "w-1")
+    assert(opts("endpointUrl") === "http://127.0.0.1:4566")
+    assert(opts("maxRecordsPerFetch") === "100")
+    assert(opts("maxLeasesPerWorker") === "6")
+    assert(opts("leaseStealing") === "true")
+    assert(opts("startingPosition") === "latest")
+    // a push transport has no batch snapshot — Latest is handled at
+    // the source via startingPosition, not a post-hoc cutoff
+    assert(KinesisSource(cfg).snapshot(spark, "my-stream").isEmpty)
+  }
+
   test("publisher enforces the 500-record batch cap per shard") {
     val topic = tempDir("topic")
     Publisher.publish(Envelope.messages(spark, sf), topic)
