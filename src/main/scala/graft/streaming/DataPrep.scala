@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
 import graft.functions.Portable
@@ -43,6 +43,94 @@ object DataPrep {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** [[curate]] with p6's drift monitor riding the SAME ingest stream
+    * under ONE checkpoint: each micro-batch writes its (source,
+    * ingest_day) quality cells — mergeable (n, Σq, Σq²) sums — to
+    * `cellsDir` and its curated docs to `outDir`. Ordering matters and
+    * is deliberate: the monitor observes RAW ARRIVALS, before dedup
+    * and before the quality filter — a degraded source typically ships
+    * repetitive spam, which is exactly what content dedup collapses
+    * and the filter drops, so a post-curation monitor would watch the
+    * corpus its own pipeline already cleaned and see no drift. Source
+    * attribution is `sourceCol` (default: the partition key, the
+    * producer-set provenance field).
+    *
+    * Because the monitor needs pre-dedup rows and a streaming query
+    * exposes only one stage to its sink, dedup here is the durable-
+    * digest-store pattern ([[segmentDedupStep]]'s idiom) instead of
+    * engine state: first arrival per content hash within the batch,
+    * then left-anti against every digest ever seen. That makes the
+    * dedup EXACT over all history (16 bytes/doc of plain parquet, vs
+    * [[curate]]'s watermark-bounded engine state) at the cost of one
+    * digest-store scan per micro-batch — digests only, never text.
+    * All three writes are idempotent per micro-batch
+    * (`<dir>/micro_batch_id=N` overwrite, the drainWithDlq pattern),
+    * so a crash between them replays cleanly, and the cells dir is
+    * append-only partial aggregates folded on read by [[ingestDrift]]
+    * — (sources × days) rows per micro-batch, no read-modify-write. */
+  def curateMonitored(msgs: DataFrame, outDir: String, cellsDir: String,
+                      hStoreDir: String, checkpointDir: String,
+                      minQuality: Double = 0.5,
+                      sourceCol: Column = col("partition_key")): StreamingQuery =
+    graft.queries.Pipeline.withQuality(
+      msgs.select(
+          col("uuid").cast("long").as("doc_id"),
+          col("payload").cast("string").as("text"),
+          sourceCol.cast("string").as("source"),
+          col("ts"))
+        .withColumn("h", Portable.md5hex(Portable.normText(col("text")))))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.cache()
+        try {
+          graft.queries.Pipeline.qualityCells(
+              b.select(col("doc_id"), col("text"), col("source")))
+            .write.mode("overwrite").parquet(s"$cellsDir/micro_batch_id=$batchId")
+          val store =
+            try spark.read.parquet(hStoreDir).select(col("h"))
+            catch { case _: org.apache.spark.sql.AnalysisException =>
+              spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+                org.apache.spark.sql.types.StructType(Seq(
+                  org.apache.spark.sql.types.StructField("h",
+                    org.apache.spark.sql.types.StringType))))
+            }
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("h")).orderBy(col("ts"), col("doc_id"))
+          val fresh = b
+            .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+            .join(store, Seq("h"), "left_anti")
+            .cache()
+          try {
+            fresh.filter(col("quality") >= minQuality)
+              .select(col("doc_id"), col("h"), col("n_words"), col("quality"),
+                col("text"), col("ts"))
+              .write.mode("overwrite").parquet(s"$outDir/micro_batch_id=$batchId")
+            // the store records every digest SEEN — quality-rejected
+            // docs included, so a re-upload of a rejected doc never
+            // reaches the filter twice
+            fresh.select(col("h"))
+              .write.mode("overwrite").parquet(s"$hStoreDir/micro_batch_id=$batchId")
+          } finally fresh.unpersist()
+        } finally b.unpersist()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** The drift table over a [[curateMonitored]] cells dir: fold the
+    * per-micro-batch partial cells (associative sums) and apply p6's
+    * z-test decision layer — the identical code path as the batch
+    * query, so streamed ≡ batch by construction. Cells-sized work:
+    * nothing here grows with the corpus. */
+  def ingestDrift(spark: SparkSession, cellsDir: String): DataFrame =
+    graft.queries.Pipeline.driftFromCells(
+      spark.read.parquet(cellsDir)
+        .groupBy(col("source"), col("ingest_day"))
+        .agg(sum(col("n_docs")).as("n_docs"),
+          sum(col("s1")).as("s1"), sum(col("s2")).as("s2")))
 
   /** One ingest step of segment-level dedup — t21's incremental form,
     * d13's disposition pattern at segment granularity. `store` is the

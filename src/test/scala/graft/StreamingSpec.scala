@@ -1012,6 +1012,60 @@ class StreamingSpec extends SparkSuite {
     assert(store.count() === storeSize0 + novelSegs)
   }
 
+  test("the drift monitor riding the curate ingest path equals batch p6") {
+    import graft.streaming.DataPrep
+    val topic = tempDir("topic_cm")
+    val outDir = tempDir("curated_cm")
+    val cellsDir = tempDir("cells_cm")
+
+    // the p6 corpus — originals plus the planted degraded cell —
+    // published as messages with the SOURCE as partition key (the
+    // producer-set provenance field curateMonitored attributes cells to)
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"), col("source"))
+    val plantSrc = docs.agg(min(col("source"))).head.getString(0)
+    val plant = docs
+      .filter(col("source") === plantSrc && col("doc_id") % 7 === 6)
+      .withColumn("k", explode(sequence(lit(0L), lit(4L))))
+      .select((col("doc_id") + 700000L + col("k") * 70000L).as("doc_id"),
+        concat(concat_ws(" ", array_repeat(lit("!?!?"), 30)),
+          lit(" "), col("doc_id").cast("string")).as("text"),
+        col("source"))
+    def asMsgs(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("doc_id").as("event_id"),
+      col("doc_id").cast("string").as("uuid"),
+      col("source").as("partition_key"),
+      col("text").cast("binary").as("payload"),
+      lit("doc").as("event_type"),
+      lit(0.0).as("value"),
+      expr("timestamp '2024-01-01 00:00:00' + make_interval(0, 0, 0, 0, 0, 0, doc_id)").as("ts"),
+      map(lit("eventType"), lit("doc")).as("headers"))
+    Publisher.publish(asMsgs(docs), topic)
+    Publisher.publish(asMsgs(plant), topic)
+
+    val q = DataPrep.curateMonitored(
+      Subscriber.subscribe(spark, topic, maxFilesPerTrigger = 3),
+      outDir, cellsDir, tempDir("hstore_cm"), tempDir("ck_cm"))
+    q.awaitTermination()
+
+    // curated corpus only holds docs passing the filter; the monitor
+    // saw everything — the planted spam cell must be flagged even
+    // though the filter kept it out of outDir
+    val curated = spark.read.parquet(outDir)
+    assert(curated.filter(col("quality") < 0.5).count() === 0)
+    // the digest-store dedup curated each content hash exactly once
+    // even though the monitor saw every raw arrival
+    assert(curated.count() === curated.select("h").distinct().count())
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getBoolean(7))
+    val expected = SparkEntry.queries("p6_source_drift")(spark, sf)
+      .collect().map(key).toSet
+    val got = DataPrep.ingestDrift(spark, cellsDir).collect().map(key).toSet
+    assert(got === expected)
+    assert(got.exists(_._8), "the planted degraded cell was not flagged")
+  }
+
   test("the live ingest-drift monitor converges to exactly the batch p6 table") {
     import spark.implicits._
     import graft.queries.Pipeline
