@@ -402,6 +402,74 @@ object Messaging extends QueryPack {
         .orderBy(col("shard_id"))
     },
 
+    // Per-shard COST attribution — m17's throughput accounting joined
+    // with m22's key-concentration audit into the one table a capacity
+    // owner actually bills against (closes SURVEY §7.14). Provisioned
+    // capacity is paid at the PEAK minute while fair-share math uses
+    // totals, so both live side by side: cost_share (fraction of fleet
+    // events), burst_ratio (peak-minute rate over the shard's own
+    // mean — the overprovision factor), and m22's top_key_share. The
+    // disposition applies them in precedence order: a >50%-one-key
+    // shard gets "isolate_key" (splitting moves the whole key with it
+    // — m22's finding), a shard carrying over 2x its fair share gets
+    // "split", the rest "keep". Two planted bursts exercise both
+    // non-keep branches (the p6/m22 planting idiom): the min user's
+    // events x31 concentrate one key past 50% of its shard, and the
+    // max user's whole SHARD x3 carries over 2x fair share without
+    // any single key dominating. Two shard-keyed aggregates + an
+    // 8-row join with a broadcast 1-row fleet total: nothing past the
+    // first aggs grows with the stream.
+    "m23_shard_cost" -> { (s, d) =>
+      val ev = Tables.events(s, d).select(col("user_id"), col("ts"))
+      val mu = ev.agg(min(col("user_id")).as("mu"))
+      val hot = ev.crossJoin(broadcast(mu))
+        .filter(col("user_id") === col("mu"))
+        .withColumn("i", explode(sequence(lit(1), lit(30))))
+        .select(col("user_id"), col("ts"))
+      val base = ev.unionAll(hot)
+        .select(Envelope.shardId(col("user_id").cast("string")).as("shard_id"),
+          col("user_id"), col("ts"))
+      val busy = ev.agg(max(col("user_id")).as("mx"))
+        .select(Envelope.shardId(col("mx").cast("string")).as("busy_shard"))
+      val diffuse = base.crossJoin(broadcast(busy))
+        .filter(col("shard_id") === col("busy_shard"))
+        .withColumn("i", explode(sequence(lit(1), lit(2))))
+        .select(col("shard_id"), col("user_id"), col("ts"))
+      val all = base.unionAll(diffuse)
+      val perKey = all.groupBy(col("shard_id"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("shard_id"))
+        .agg(count(lit(1)).as("n_keys"), max(col("n")).as("top_key_n"))
+      val perShard = all
+        .select(col("shard_id"), date_trunc("minute", col("ts")).as("minute"))
+        .groupBy(col("shard_id"), col("minute"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("shard_id"))
+        .agg(sum(col("n")).as("n_events"), max(col("n")).as("peak_minute"),
+          count(lit(1)).as("n_active_minutes"))
+      val fleet = perShard
+        .agg(sum(col("n_events")).as("fleet_events"),
+          count(lit(1)).as("n_shards"))
+      perShard.join(perKey, "shard_id").crossJoin(broadcast(fleet))
+        .withColumn("top_key_share",
+          round(col("top_key_n").cast("double") / col("n_events"), 6))
+        .withColumn("mean_per_minute",
+          col("n_events").cast("double") / col("n_active_minutes"))
+        .withColumn("burst_ratio",
+          round(col("peak_minute").cast("double") / col("mean_per_minute"), 6))
+        .withColumn("cost_share",
+          round(col("n_events").cast("double") / col("fleet_events"), 6))
+        .withColumn("disposition",
+          when(col("top_key_share") > 0.5, "isolate_key")
+            .when(col("cost_share") * col("n_shards") > 2.0, "split")
+            .otherwise("keep"))
+        .select(col("shard_id"), col("n_events"), col("n_keys"),
+          col("top_key_n"), col("top_key_share"), col("peak_minute"),
+          round(col("mean_per_minute"), 6).as("mean_per_minute"),
+          col("burst_ratio"), col("cost_share"), col("disposition"))
+        .orderBy(col("shard_id"))
+    },
+
     // Replay/backfill window — a consumer reprocessing history between
     // two checkpoint cuts (the KCL TRIM_HORIZON→AT_TIMESTAMP restart):
     // per shard, the contiguous seq range inside the cut interval plus
@@ -753,6 +821,59 @@ object Messaging extends QueryPack {
          |FROM pk
          |GROUP BY shard_id
          |ORDER BY shard_id""".stripMargin,
+
+    "m23_shard_cost" ->
+      s"""WITH ev AS (SELECT user_id, ts::TIMESTAMP AS ts FROM events),
+         |mu AS (SELECT min(user_id) AS mu FROM ev),
+         |hot AS (
+         |  SELECT e.user_id, e.ts
+         |  FROM ev e, mu, unnest(generate_series(1, 30)) AS t(i)
+         |  WHERE e.user_id = mu.mu),
+         |base AS (
+         |  SELECT ${shardSql("user_id::VARCHAR")} AS shard_id, user_id, ts
+         |  FROM (SELECT user_id, ts FROM ev UNION ALL SELECT user_id, ts FROM hot) u),
+         |busy AS (
+         |  SELECT ${shardSql("mx::VARCHAR")} AS busy_shard
+         |  FROM (SELECT max(user_id) AS mx FROM ev) x),
+         |diffuse AS (
+         |  SELECT b.shard_id, b.user_id, b.ts
+         |  FROM base b, busy, unnest(generate_series(1, 2)) AS t(i)
+         |  WHERE b.shard_id = busy.busy_shard),
+         |all_ev AS (
+         |  SELECT shard_id, user_id, ts FROM base
+         |  UNION ALL SELECT shard_id, user_id, ts FROM diffuse),
+         |pk AS (
+         |  SELECT shard_id, count(*)::BIGINT AS n_keys,
+         |    CAST(max(n) AS BIGINT) AS top_key_n
+         |  FROM (SELECT shard_id, user_id, count(*) AS n
+         |        FROM all_ev GROUP BY 1, 2) k
+         |  GROUP BY shard_id),
+         |pm AS (
+         |  SELECT shard_id, CAST(sum(n) AS BIGINT) AS n_events,
+         |    CAST(max(n) AS BIGINT) AS peak_minute,
+         |    count(*)::BIGINT AS n_active_minutes
+         |  FROM (SELECT shard_id, date_trunc('minute', ts) AS minute,
+         |          count(*) AS n
+         |        FROM all_ev GROUP BY 1, 2) m
+         |  GROUP BY shard_id),
+         |fleet AS (
+         |  SELECT CAST(sum(n_events) AS BIGINT) AS fleet_events,
+         |    count(*)::BIGINT AS n_shards FROM pm)
+         |SELECT pm.shard_id, pm.n_events, pk.n_keys, pk.top_key_n,
+         |  round(pk.top_key_n::DOUBLE / pm.n_events, 6) AS top_key_share,
+         |  pm.peak_minute,
+         |  round(pm.n_events::DOUBLE / pm.n_active_minutes, 6) AS mean_per_minute,
+         |  round(pm.peak_minute::DOUBLE /
+         |    (pm.n_events::DOUBLE / pm.n_active_minutes), 6) AS burst_ratio,
+         |  round(pm.n_events::DOUBLE / fleet.fleet_events, 6) AS cost_share,
+         |  CASE
+         |    WHEN round(pk.top_key_n::DOUBLE / pm.n_events, 6) > 0.5 THEN 'isolate_key'
+         |    WHEN round(pm.n_events::DOUBLE / fleet.fleet_events, 6) * fleet.n_shards > 2.0
+         |      THEN 'split'
+         |    ELSE 'keep' END AS disposition
+         |FROM pm JOIN pk ON pm.shard_id = pk.shard_id
+         |CROSS JOIN fleet
+         |ORDER BY pm.shard_id""".stripMargin,
 
     "m18_replay_window" ->
       s"""WITH seqd AS (
