@@ -392,6 +392,69 @@ object Analytics extends QueryPack {
     // measure-before-serve pattern as a8/a11/a16/d15). The exact leg
     // is the expensive baseline by design; at 100 TB it runs on a
     // sample or a single acceptance partition.
+    // Mergeable QUANTILE sketch + its acceptance audit — the scale
+    // path q21's exact operator trades against (q41's est-vs-exact
+    // pattern applied to quantiles, alongside q30/t22's HLL/CMS).
+    // The sketch is a 256-bin equi-width histogram: one (min,max)
+    // aggregate, one binning scan into 256 partial-combining counts —
+    // mergeable across partitions/days/corpora by bin-wise addition,
+    // while exact percentile_cont needs the full distribution
+    // resident. Quantile p reads from the crossing bin by linear
+    // interpolation, computed ARRAY-NATIVELY over the one-row packed
+    // histogram (a window cumsum over the bins would be an
+    // Exchange SinglePartition — the t8 lesson applies even to
+    // 256-row frames). The audit joins q21's exact two-phase operator
+    // on the same quantiles: the estimate is within-2-bins by
+    // construction, and within_tol records it.
+    "q45_quantile_sketch" -> { (s, d) =>
+      val nb = 256
+      val v = Tables.lineitem(s, d)
+        .select(col("l_extendedprice").cast("double").as("x"))
+      val stats = v.agg(count(lit(1)).as("n"),
+        min(col("x")).as("vmin"), max(col("x")).as("vmax"))
+      val hist = v.crossJoin(broadcast(stats))
+        .select(least(
+          floor((col("x") - col("vmin")) / (col("vmax") - col("vmin")) * nb)
+            .cast("long"),
+          lit(nb - 1L)).as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("bn"))
+      val est = hist
+        .agg(sort_array(collect_list(struct(col("bucket"), col("bn")))).as("hb"))
+        .crossJoin(broadcast(stats))
+        .select(col("hb"), col("n"), col("vmin"), col("vmax"),
+          explode(array(lit(0.5), lit(0.9), lit(0.99))).as("p"))
+        .withColumn("r", col("p") * col("n").cast("double"))
+        .withColumn("w", (col("vmax") - col("vmin")) / lit(nb.toDouble))
+        // walk the packed bins once: capture the interpolated value in
+        // the bin where the continuous rank r crosses the cumsum
+        // (cum_before < r <= cum — the same selection rule the oracle
+        // states relationally)
+        .withColumn("est", expr(
+          """aggregate(hb,
+            |  struct(CAST(0 AS BIGINT) AS cum, CAST(NULL AS DOUBLE) AS q),
+            |  (acc, b) -> struct(
+            |    acc.cum + b.bn AS cum,
+            |    CASE WHEN acc.q IS NULL AND CAST(acc.cum AS DOUBLE) < r
+            |           AND CAST(acc.cum + b.bn AS DOUBLE) >= r
+            |      THEN vmin + (CAST(b.bucket AS DOUBLE) +
+            |             (r - CAST(acc.cum AS DOUBLE)) / CAST(b.bn AS DOUBLE)) * w
+            |      ELSE acc.q END AS q),
+            |  acc -> acc.q)""".stripMargin))
+      val exact = graft.operators.Percentiles.exact(
+          Tables.lineitem(s, d).withColumn("g", lit(1)), "g", "l_extendedprice",
+          Seq("e50" -> 0.5, "e90" -> 0.9, "e99" -> 0.99))
+        .select(expr("stack(3, 0.5D, e50, 0.9D, e90, 0.99D, e99) AS (p, exact)"))
+      est.join(broadcast(exact), "p")
+        .select(col("p"),
+          round(col("est"), 6).as("est"),
+          round(col("exact"), 6).as("exact"),
+          round(abs(col("est") - col("exact")), 6).as("abs_err"),
+          round(abs(col("est") - col("exact")) / (col("vmax") - col("vmin")), 6)
+            .as("range_err"),
+          (abs(col("est") - col("exact")) <= lit(2.0) * col("w")).as("within_tol"))
+        .orderBy(col("p"))
+    },
+
     "q41_sketch_error" -> { (s, d) =>
       val est = hllCardinality(s, d)
         .select(col("l_returnflag"), col("est_distinct"))
@@ -1145,6 +1208,40 @@ object Analytics extends QueryPack {
         |  (SELECT count(*) FROM pu)::BIGINT AS n_purchase_1h,
         |  round((SELECT count(*) FROM vw)::DOUBLE / (SELECT count(*) FROM su), 6) AS conv_view,
         |  round((SELECT count(*) FROM pu)::DOUBLE / (SELECT count(*) FROM vw), 6) AS conv_purchase""".stripMargin,
+
+    "q45_quantile_sketch" ->
+      """WITH v AS (SELECT l_extendedprice::DOUBLE AS x FROM lineitem),
+        |s AS (SELECT count(*)::BIGINT AS n, min(x) AS vmin, max(x) AS vmax FROM v),
+        |h AS (
+        |  SELECT least(CAST(floor((x - vmin) / (vmax - vmin) * 256) AS BIGINT),
+        |           255) AS bucket,
+        |    count(*)::BIGINT AS bn
+        |  FROM v, s GROUP BY 1),
+        |c AS (
+        |  SELECT bucket, bn,
+        |    (sum(bn) OVER (ORDER BY bucket) - bn)::BIGINT AS cum_before
+        |  FROM h),
+        |p AS (SELECT unnest([0.5, 0.9, 0.99]) AS p),
+        |e AS (
+        |  SELECT p.p,
+        |    min(s.vmin + (c.bucket::DOUBLE +
+        |      (p.p * s.n::DOUBLE - c.cum_before::DOUBLE) / c.bn::DOUBLE)
+        |      * ((s.vmax - s.vmin) / 256.0)) AS est
+        |  FROM p, c, s
+        |  WHERE c.cum_before::DOUBLE < p.p * s.n::DOUBLE
+        |    AND (c.cum_before + c.bn)::DOUBLE >= p.p * s.n::DOUBLE
+        |  GROUP BY p.p),
+        |x AS (
+        |  SELECT unnest([0.5, 0.9, 0.99]) AS p,
+        |    unnest([quantile_cont(x, 0.5), quantile_cont(x, 0.9),
+        |            quantile_cont(x, 0.99)]) AS exact
+        |  FROM v)
+        |SELECT e.p, round(e.est, 6) AS est, round(x.exact, 6) AS exact,
+        |  round(abs(e.est - x.exact), 6) AS abs_err,
+        |  round(abs(e.est - x.exact) / (s.vmax - s.vmin), 6) AS range_err,
+        |  abs(e.est - x.exact) <= 2.0 * ((s.vmax - s.vmin) / 256.0) AS within_tol
+        |FROM e JOIN x USING (p), s
+        |ORDER BY e.p""".stripMargin,
 
     "q41_sketch_error" ->
       s"""WITH est AS ($HllSql),
