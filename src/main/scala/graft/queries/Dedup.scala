@@ -559,6 +559,61 @@ object Dedup extends QueryPack {
           size(col("sh_b")).cast("long").as("n_sh_b"),
           col("containment_a"), col("containment_b"), col("relation"))
         .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // Bloom-filter membership probe + its false-positive audit — the
+    // BOUNDED-size incremental dedup primitive next to d13's exact
+    // digest store: the filter is m bits regardless of corpus size
+    // and merges by bitwise OR (here: a distinct set of ≤ m bit
+    // positions, the relational encoding of the bitset), so a fleet
+    // of ingest workers can each build one over their slice and union
+    // them for free — while d13's store grows with the corpus and
+    // must be joined against. The price is false positives, so the
+    // operator IS the acceptance audit (q41/q45/t22's pattern): base
+    // corpus → k=4 seeded bit positions per content digest; probes
+    // (fresh docs + re-uploads under new ids) predict dup when ALL k
+    // bits are set; the exact digest join supplies ground truth, and
+    // the contingency table carries the observed classes next to the
+    // theoretical (1-(1-1/m)^(kn))^k rate. m=1024 is deliberately
+    // small so false positives actually occur at test SF — the audit
+    // has to have something to catch. Recall is exact by
+    // construction: a bloom never false-negatives, and the spec-free
+    // proof is in the table (no predicted=false, actual=true row).
+    "d19_bloom_probe" -> { (s, d) =>
+      val m = 1024L
+      val k = 4
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        Portable.md5hex(Portable.normText(col("text"))).as("h"))
+      val base = docs.filter(col("doc_id") % 7 =!= 3)
+      val probes = docs.filter(col("doc_id") % 7 === 3)
+        .unionByName(base.filter(col("doc_id") % 11 === 0)
+          .withColumn("doc_id", col("doc_id") + 900000L))
+      def bits(h: Column) = array((0 until k).map(i =>
+        pmod(Portable.hash60(concat(lit(s"bloom$i|"), h)), lit(m))): _*)
+      val baseBits = base.select(explode(bits(col("h"))).as("bit")).distinct()
+      val baseH = base.select(col("h")).distinct()
+      val stats = baseBits.agg(count(lit(1)).as("n_bits_set"))
+        .crossJoin(baseH.agg(count(lit(1)).as("n_base")))
+        .crossJoin(probes.agg(count(lit(1)).as("n_probes")))
+      val hits = probes
+        .select(col("doc_id"), col("h"), explode(bits(col("h"))).as("bit"))
+        .join(broadcast(baseBits.withColumn("set", lit(true))), Seq("bit"), "left")
+        .groupBy(col("doc_id"), col("h"))
+        .agg(sum(when(col("set"), 1).otherwise(0)).as("n_hits"))
+        .withColumn("predicted_dup", col("n_hits") === k)
+      val actual = hits.join(
+        broadcast(baseH.withColumn("actual_dup", lit(true))), Seq("h"), "left")
+        .withColumn("actual_dup", coalesce(col("actual_dup"), lit(false)))
+      actual.groupBy(col("predicted_dup"), col("actual_dup"))
+        .agg(count(lit(1)).as("n_docs"))
+        .crossJoin(broadcast(stats))
+        .select(col("predicted_dup"), col("actual_dup"), col("n_docs"),
+          round(col("n_docs").cast("double") / col("n_probes"), 6).as("share"),
+          col("n_bits_set"),
+          round(col("n_bits_set").cast("double") / m, 6).as("fill_ratio"),
+          round(pow(lit(1.0) - pow(lit(1.0) - lit(1.0) / m,
+            col("n_base").cast("double") * k), k), 6).as("expected_fp_rate"))
+        .orderBy(col("predicted_dup"), col("actual_dup"))
     }
   )
 
@@ -1134,6 +1189,51 @@ object Dedup extends QueryPack {
          |GROUP BY level
          |ORDER BY level""".stripMargin
     },
+
+    "d19_bloom_probe" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS h
+        |  FROM documents),
+        |base AS (SELECT doc_id, h FROM docs WHERE doc_id % 7 <> 3),
+        |probes AS (
+        |  SELECT doc_id, h FROM docs WHERE doc_id % 7 = 3
+        |  UNION ALL
+        |  SELECT doc_id + 900000 AS doc_id, h FROM base WHERE doc_id % 11 = 0),
+        |bb AS (
+        |  SELECT DISTINCT
+        |    ('0x' || substring(md5('bloom' || t.i || '|' || b.h), 1, 15))::BIGINT
+        |      % 1024 AS bit
+        |  FROM base b, unnest(generate_series(0, 3)) AS t(i)),
+        |bh AS (SELECT DISTINCT h FROM base),
+        |stats AS (
+        |  SELECT (SELECT count(*) FROM bb)::BIGINT AS n_bits_set,
+        |    (SELECT count(*) FROM bh)::BIGINT AS n_base,
+        |    (SELECT count(*) FROM probes)::BIGINT AS n_probes),
+        |pb AS (
+        |  SELECT p.doc_id, p.h,
+        |    ('0x' || substring(md5('bloom' || t.i || '|' || p.h), 1, 15))::BIGINT
+        |      % 1024 AS bit
+        |  FROM probes p, unnest(generate_series(0, 3)) AS t(i)),
+        |hits AS (
+        |  SELECT pb.doc_id, pb.h,
+        |    sum(CASE WHEN bb.bit IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hits
+        |  FROM pb LEFT JOIN bb ON pb.bit = bb.bit
+        |  GROUP BY pb.doc_id, pb.h),
+        |cls AS (
+        |  SELECT hits.doc_id, hits.n_hits = 4 AS predicted_dup,
+        |    bh.h IS NOT NULL AS actual_dup
+        |  FROM hits LEFT JOIN bh ON hits.h = bh.h)
+        |SELECT predicted_dup, actual_dup, count(*)::BIGINT AS n_docs,
+        |  round(count(*)::DOUBLE / stats.n_probes, 6) AS share,
+        |  stats.n_bits_set,
+        |  round(stats.n_bits_set::DOUBLE / 1024, 6) AS fill_ratio,
+        |  round(power(1.0 - power(1.0 - 1.0 / 1024, stats.n_base::DOUBLE * 4), 4),
+        |    6) AS expected_fp_rate
+        |FROM cls, stats
+        |GROUP BY predicted_dup, actual_dup, stats.n_probes, stats.n_bits_set,
+        |  stats.n_base
+        |ORDER BY predicted_dup, actual_dup""".stripMargin,
 
     "d17_containment" ->
       s"""WITH basew AS (
