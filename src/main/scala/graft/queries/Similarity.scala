@@ -215,6 +215,59 @@ object Similarity extends QueryPack {
   /** IVF: coarse centroids (`nCentroids` hash-sampled vectors), each
     * vector assigned to its nearest cell; a probe searches only its
     * nProbe nearest cells. Centroid set is broadcast everywhere. */
+  /** a23: metadata-FILTERED IVF serve — top-k among vectors sharing
+    * the probe's label, the constrained-search shape every production
+    * vector store exposes. The filter composes with routing as a join
+    * predicate on the ASSIGNED side (label equality evaluated inside
+    * the broadcast-hash candidate join, before any scoring), so the
+    * candidate set shrinks at the cell scan — the pushdown form.
+    * POST-filtering a3's unfiltered top-k would be both wrong and
+    * wasteful: with L labels a k-list post-filtered to one label
+    * under-fills to ~k/L rows, and every discarded candidate still
+    * paid its dot product. Same routed-cells-only candidacy as
+    * [[ivfKnn]]; k widened to pass the under-fill the filter causes
+    * inside the probed cells honestly through to the output (a probe
+    * with fewer same-label vectors in its probed cells returns fewer
+    * rows — visible, not padded). */
+  def filteredKnn(s: SparkSession, d: String, geo: AnnGeometry = Geo,
+                  k: Int = K): DataFrame = {
+    val v = vecs(s, d).join(
+      Tables.embeddings(s, d).select(col("vec_id"), col("label")), "vec_id")
+    val cents = hashTopK(v, "cent", geo.nCentroids)
+      .select(col("vec_id").as("cent_id"), col("emb").as("c_emb"), col("nrm").as("c_nrm"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_cos").desc, col("cent_id"))
+    val assigned = v.join(broadcast(cents))
+      .withColumn("c_cos", cosPre(col("emb"), col("nrm"), col("c_emb"), col("c_nrm")))
+      .withColumn("crank", row_number().over(wAssign))
+      .filter(col("crank") === 1)
+      .select(col("vec_id"), col("emb"), col("nrm"), col("label"),
+        col("cent_id").as("cell"))
+    val probes = hashTopK(v, "probe", NProbes)
+      .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"),
+        col("nrm").as("p_nrm"), col("label").as("p_label"))
+    val wProbe = Window.partitionBy(col("probe_id"))
+      .orderBy(col("pc_cos").desc, col("cent_id"))
+    val probeCells = probes.join(broadcast(cents))
+      .withColumn("pc_cos", cosPre(col("p_emb"), col("p_nrm"), col("c_emb"), col("c_nrm")))
+      .withColumn("crank", row_number().over(wProbe))
+      .filter(col("crank") <= geo.nProbe)
+      .select(col("probe_id"), col("p_emb"), col("p_nrm"), col("p_label"),
+        col("cent_id").as("cell"))
+    val wRank = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    assigned.join(broadcast(probeCells),
+        assigned("cell") === probeCells("cell") &&
+          col("vec_id") =!= col("probe_id") &&
+          col("label") === col("p_label"))
+      .withColumn("cosine", cosPre(col("p_emb"), col("p_nrm"), col("emb"), col("nrm")))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("p_label").cast("int").as("label"),
+        col("vec_id"), col("rank"), col("cosine"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
   def ivfKnn(s: SparkSession, d: String, geo: AnnGeometry = Geo, k: Int = K): DataFrame = {
     val v = vecs(s, d)
     val cents = hashTopK(v, "cent", geo.nCentroids)
@@ -1296,7 +1349,8 @@ object Similarity extends QueryPack {
     "a3_ivf_knn" -> ((s, d) => ivfKnn(s, d)),
     "a6_knn_multiprobe" -> ((s, d) => multiProbeKnn(s, d)),
     "a5_ivf_refine" -> ((s, d) => ivfRefine(s, d)),
-    "a4_cross_label_nn" -> ((s, d) => crossLabelNN(s, d))
+    "a4_cross_label_nn" -> ((s, d) => crossLabelNN(s, d)),
+    "a23_filtered_knn" -> ((s, d) => filteredKnn(s, d))
   )
 
   /** a13's oracle: plain inner-product ranking (shared with a16). */
@@ -1940,6 +1994,41 @@ object Similarity extends QueryPack {
          |  FROM probe_cells p JOIN assigned v
          |    ON v.cell = p.cell AND v.vec_id <> p.probe_id)
          |SELECT probe_id, vec_id, CAST(rank AS INTEGER) AS rank, cosine
+         |FROM scored WHERE rank <= $K
+         |ORDER BY probe_id, rank""".stripMargin,
+
+    "a23_filtered_knn" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings),
+         |c AS (SELECT vec_id AS cent_id, emb AS c_emb FROM (SELECT * FROM v ${centSel(Geo.nCentroids)}) cs),
+         |assigned AS (
+         |  SELECT vec_id, emb, label, cell FROM (
+         |    SELECT v.vec_id, v.emb, v.label, c.cent_id AS cell,
+         |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |        list_dot_product(v.emb, c.c_emb) /
+         |          (sqrt(list_dot_product(v.emb, v.emb)) * sqrt(list_dot_product(c.c_emb, c.c_emb))) DESC,
+         |        c.cent_id) AS crank
+         |    FROM v, c) t WHERE crank = 1),
+         |probe_cells AS (
+         |  SELECT probe_id, p_emb, p_label, cell FROM (
+         |    SELECT v.vec_id AS probe_id, v.emb AS p_emb, v.label AS p_label,
+         |      c.cent_id AS cell,
+         |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |        list_dot_product(v.emb, c.c_emb) /
+         |          (sqrt(list_dot_product(v.emb, v.emb)) * sqrt(list_dot_product(c.c_emb, c.c_emb))) DESC,
+         |        c.cent_id) AS crank
+         |    FROM (SELECT * FROM v $probeSel) v, c) t WHERE crank <= ${Geo.nProbe}),
+         |scored AS (
+         |  SELECT p.probe_id, p.p_label, v.vec_id,
+         |    list_dot_product(p.p_emb, v.emb) /
+         |      (sqrt(list_dot_product(p.p_emb, p.p_emb)) * sqrt(list_dot_product(v.emb, v.emb))) AS cosine,
+         |    row_number() OVER (PARTITION BY p.probe_id ORDER BY
+         |      list_dot_product(p.p_emb, v.emb) /
+         |        (sqrt(list_dot_product(p.p_emb, p.p_emb)) * sqrt(list_dot_product(v.emb, v.emb))) DESC,
+         |      v.vec_id) AS rank
+         |  FROM probe_cells p JOIN assigned v
+         |    ON v.cell = p.cell AND v.vec_id <> p.probe_id
+         |   AND v.label = p.p_label)
+         |SELECT probe_id, p_label AS label, vec_id, CAST(rank AS INTEGER) AS rank, cosine
          |FROM scored WHERE rank <= $K
          |ORDER BY probe_id, rank""".stripMargin,
 
