@@ -278,6 +278,43 @@ object Multimodal extends QueryPack {
         .withColumn("fill",
           round(col("shard_bytes").cast("double") / ShardTargetBytes, 6))
         .orderBy(col("modality"), col("shard_id"))
+    },
+
+    // Shard integrity manifest — the verification side of mm9's plan:
+    // after a fleet of writers packs shards and a copy moves them, the
+    // reader must prove it holds exactly the planned content. The
+    // checksum is an XOR-fold of per-blob digests (identity ⊕ content:
+    // hash60 of doc_id + payload md5) — commutative and associative,
+    // so ANY worker can fold its slice in ANY order and partial
+    // manifests merge for free: the property a distributed copy
+    // verification actually needs (an ordered hash chain would force
+    // a serial read). XOR's known blind spot — an identical blob PAIR
+    // cancels — is why n_blobs and shard_bytes ride alongside: the
+    // triple (count, bytes, xor) catches duplication, truncation, and
+    // substitution. One scan, shard-keyed partial-combining aggregate.
+    "mm10_shard_checksum" -> { (s, d) =>
+      val blobs = Tables.documents(s, d)
+        .select(col("doc_id"),
+          element_at(
+            array(lit("audio"), lit("image"), lit("text"), lit("video")),
+            (pmod(col("doc_id"), lit(4L)) + 1L).cast("int")).as("modality"),
+          length(col("text").cast("binary")).cast("long").as("n_bytes"),
+          Portable.hash60(concat(lit("ck|"), col("doc_id").cast("string"),
+            lit("|"), md5(col("text").cast("binary")))).as("digest"))
+      val sizes = blobs.groupBy(col("modality"))
+        .agg(sum(col("n_bytes")).as("total_bytes"))
+        .withColumn("n_shards",
+          greatest(lit(1L),
+            ceil(col("total_bytes").cast("double") / ShardTargetBytes).cast("long")))
+      blobs.join(broadcast(sizes.select(col("modality"), col("n_shards"))), "modality")
+        .withColumn("shard_id",
+          pmod(Portable.hash60(concat(lit("shard|"), col("doc_id").cast("string"))),
+            col("n_shards")))
+        .groupBy(col("modality"), col("shard_id"))
+        .agg(count(lit(1)).as("n_blobs"), sum(col("n_bytes")).as("shard_bytes"),
+          expr("bit_xor(digest)").as("checksum60"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .orderBy(col("modality"), col("shard_id"))
     }
   )
 
@@ -303,6 +340,29 @@ object Multimodal extends QueryPack {
          |  count(*)::BIGINT AS n_blobs,
          |  CAST(sum(b.n_bytes) AS BIGINT) AS shard_bytes,
          |  round(sum(b.n_bytes)::DOUBLE / $ShardTargetBytes, 6) AS fill
+         |FROM blobs b JOIN sz s USING (modality)
+         |GROUP BY 1, 2, s.n_shards
+         |ORDER BY modality, shard_id""".stripMargin,
+
+    "mm10_shard_checksum" ->
+      s"""WITH blobs AS (
+         |  SELECT doc_id,
+         |    ['audio', 'image', 'text', 'video'][(doc_id % 4 + 1)::INTEGER] AS modality,
+         |    CAST(octet_length(text::BLOB) AS BIGINT) AS n_bytes,
+         |    ('0x' || substring(md5('ck|' || doc_id::VARCHAR || '|' || md5(text)),
+         |      1, 15))::BIGINT AS digest
+         |  FROM documents),
+         |sz AS (
+         |  SELECT modality,
+         |    greatest(1, CAST(ceil(sum(n_bytes)::DOUBLE / $ShardTargetBytes) AS BIGINT)) AS n_shards
+         |  FROM blobs GROUP BY modality)
+         |SELECT b.modality,
+         |  ('0x' || substring(md5('shard|' || b.doc_id::VARCHAR), 1, 15))::BIGINT
+         |    % s.n_shards AS shard_id,
+         |  count(*)::BIGINT AS n_blobs,
+         |  CAST(sum(b.n_bytes) AS BIGINT) AS shard_bytes,
+         |  CAST(bit_xor(b.digest) AS BIGINT) AS checksum60,
+         |  min(b.doc_id) AS first_doc, max(b.doc_id) AS last_doc
          |FROM blobs b JOIN sz s USING (modality)
          |GROUP BY 1, 2, s.n_shards
          |ORDER BY modality, shard_id""".stripMargin,

@@ -115,6 +115,35 @@ object TextOps extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // Tokenizer-fertility audit per language — the mix-planning input
+    // t17's weights consume: training budgets are set in TOKENS, but
+    // corpora are weighed in documents/words/bytes, and the exchange
+    // rate (fertility = subword tokens per whitespace word,
+    // chars_per_token) differs by language — a fixed-document mix
+    // silently over-trains low-fertility languages. token_share is
+    // each language's fraction of the total token budget this corpus
+    // would actually consume. t3's per-doc counts rolled up: one
+    // map-side tokenize pass, a langs-sized aggregate, token totals
+    // vs a broadcast 1-row corpus total.
+    "t23_token_fertility" -> { (s, d) =>
+      val perDoc = Tables.documents(s, d)
+        .select(col("lang"),
+          size(Portable.words(col("text"))).cast("long").as("nw"),
+          size(expr(s"regexp_extract_all(text, '$TokenReSpark', 0)")).cast("long").as("nt"),
+          length(col("text")).cast("long").as("nc"))
+      val perLang = perDoc.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nw")).as("n_words"),
+          sum(col("nt")).as("n_tokens"), sum(col("nc")).as("n_chars"))
+      perLang
+        .crossJoin(broadcast(perLang.agg(sum(col("n_tokens")).as("tot_tokens"))))
+        .select(col("lang"), col("n_docs"), col("n_words"), col("n_tokens"),
+          col("n_chars"),
+          round(col("n_tokens").cast("double") / col("n_words"), 6).as("fertility"),
+          round(col("n_chars").cast("double") / col("n_tokens"), 6).as("chars_per_token"),
+          round(col("n_tokens").cast("double") / col("tot_tokens"), 6).as("token_share"))
+        .orderBy(col("lang"))
+    },
+
     // Document fingerprint: md5 of normalized text + 60-bit prefix.
     "t4_fingerprint" -> { (s, d) =>
       Tables.documents(s, d)
@@ -807,6 +836,27 @@ object TextOps extends QueryPack {
          |  CAST(len(regexp_extract_all(text, '$TokenRe', 0)) AS BIGINT) AS n_re_tokens
          |FROM ($WordsSql) t
          |ORDER BY doc_id""".stripMargin,
+
+    "t23_token_fertility" ->
+      s"""WITH per_doc AS (
+         |  SELECT lang,
+         |    CAST(len(w) AS BIGINT) AS nw,
+         |    CAST(len(regexp_extract_all(text, '$TokenRe', 0)) AS BIGINT) AS nt,
+         |    CAST(length(text) AS BIGINT) AS nc
+         |  FROM ($WordsSql) t),
+         |per_lang AS (
+         |  SELECT lang, count(*)::BIGINT AS n_docs,
+         |    CAST(sum(nw) AS BIGINT) AS n_words,
+         |    CAST(sum(nt) AS BIGINT) AS n_tokens,
+         |    CAST(sum(nc) AS BIGINT) AS n_chars
+         |  FROM per_doc GROUP BY lang),
+         |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens FROM per_lang)
+         |SELECT lang, n_docs, n_words, n_tokens, n_chars,
+         |  round(n_tokens::DOUBLE / n_words, 6) AS fertility,
+         |  round(n_chars::DOUBLE / n_tokens, 6) AS chars_per_token,
+         |  round(n_tokens::DOUBLE / tot.tot_tokens, 6) AS token_share
+         |FROM per_lang, tot
+         |ORDER BY lang""".stripMargin,
 
     "t4_fingerprint" ->
       """SELECT doc_id,
