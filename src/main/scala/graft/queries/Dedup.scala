@@ -25,6 +25,32 @@ object Dedup extends QueryPack {
   private val Bands = 4      // LSH bands (4 rows each)
   private val ShingleN = 3   // word shingle width
 
+  /** d19: bloom size in bits (deliberately small — the audit needs
+    * observable false positives at test SF) and hash count. */
+  private[graft] val BloomBits = 1024L
+  private[graft] val BloomK = 4
+
+  /** d19: the k seeded bit positions of a content digest `h`. */
+  private[graft] def bloomPositions(h: Column): Column =
+    array((0 until BloomK).map(i =>
+      pmod(Portable.hash60(concat(lit(s"bloom$i|"), h)), lit(BloomBits))): _*)
+
+  /** d19: a corpus slice's bloom filter as a distinct bit-position
+    * set (the relational bitset — ≤ BloomBits rows). Slices union by
+    * plain `unionByName(...).distinct()`: bitwise OR. */
+  private[graft] def bloomOf(docs: DataFrame): DataFrame =
+    docs.select(explode(bloomPositions(col("h"))).as("bit")).distinct()
+
+  /** d19: probe `(doc_id, h)` rows against a bloom bit set —
+    * predicted_dup when all k positions are present. */
+  private[graft] def bloomProbe(probes: DataFrame, bloom: DataFrame): DataFrame =
+    probes
+      .select(col("doc_id"), col("h"), explode(bloomPositions(col("h"))).as("bit"))
+      .join(broadcast(bloom.withColumn("set", lit(true))), Seq("bit"), "left")
+      .groupBy(col("doc_id"), col("h"))
+      .agg(sum(when(col("set"), 1).otherwise(0)).as("n_hits"))
+      .withColumn("predicted_dup", col("n_hits") === BloomK)
+
   /** documents ∪ exact copies of every 10th doc (new ids ≥ 100000). */
   private def withExactDupes(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
@@ -580,27 +606,20 @@ object Dedup extends QueryPack {
     // construction: a bloom never false-negatives, and the spec-free
     // proof is in the table (no predicted=false, actual=true row).
     "d19_bloom_probe" -> { (s, d) =>
-      val m = 1024L
-      val k = 4
+      val m = BloomBits
+      val k = BloomK
       val docs = Tables.documents(s, d).select(col("doc_id"),
         Portable.md5hex(Portable.normText(col("text"))).as("h"))
       val base = docs.filter(col("doc_id") % 7 =!= 3)
       val probes = docs.filter(col("doc_id") % 7 === 3)
         .unionByName(base.filter(col("doc_id") % 11 === 0)
           .withColumn("doc_id", col("doc_id") + 900000L))
-      def bits(h: Column) = array((0 until k).map(i =>
-        pmod(Portable.hash60(concat(lit(s"bloom$i|"), h)), lit(m))): _*)
-      val baseBits = base.select(explode(bits(col("h"))).as("bit")).distinct()
+      val baseBits = bloomOf(base)
       val baseH = base.select(col("h")).distinct()
       val stats = baseBits.agg(count(lit(1)).as("n_bits_set"))
         .crossJoin(baseH.agg(count(lit(1)).as("n_base")))
         .crossJoin(probes.agg(count(lit(1)).as("n_probes")))
-      val hits = probes
-        .select(col("doc_id"), col("h"), explode(bits(col("h"))).as("bit"))
-        .join(broadcast(baseBits.withColumn("set", lit(true))), Seq("bit"), "left")
-        .groupBy(col("doc_id"), col("h"))
-        .agg(sum(when(col("set"), 1).otherwise(0)).as("n_hits"))
-        .withColumn("predicted_dup", col("n_hits") === k)
+      val hits = bloomProbe(probes, baseBits)
       val actual = hits.join(
         broadcast(baseH.withColumn("actual_dup", lit(true))), Seq("h"), "left")
         .withColumn("actual_dup", coalesce(col("actual_dup"), lit(false)))

@@ -561,4 +561,37 @@ class CurationSpec extends SparkSuite {
       }
     }
   }
+
+  test("d19's bloom merges associatively across ingest slices and never false-negatives") {
+    import graft.queries.Dedup
+    import graft.functions.Portable
+    val docs = Tables.documents(spark, sf).select(col("doc_id"),
+      Portable.md5hex(Portable.normText(col("text"))).as("h"))
+    val base = docs.filter(col("doc_id") % 7 =!= 3)
+
+    // mergeability — the property that lets one filter per ingest
+    // worker union into the fleet filter: three disjoint slices'
+    // blooms, unioned, equal the one-pass bloom bit-for-bit
+    val slices = Seq(
+      base.filter(col("doc_id") % 3 === 0),
+      base.filter(col("doc_id") % 3 === 1),
+      base.filter(col("doc_id") % 3 === 2))
+    val merged = slices.map(Dedup.bloomOf)
+      .reduce(_ unionByName _).distinct()
+    val onePass = Dedup.bloomOf(base)
+    assert(merged.exceptAll(onePass).isEmpty && onePass.exceptAll(merged).isEmpty)
+
+    // zero false negatives — every base doc re-probed against the
+    // grown filter must predict dup (the bloom guarantee; the d19
+    // table exhibits it as the absent predicted=false/actual=true row)
+    val reprobe = Dedup.bloomProbe(base, merged)
+    assert(reprobe.filter(!col("predicted_dup")).count() === 0)
+
+    // and a doc ingested in slice 0 re-uploaded after slice 2 merged
+    // in is flagged by the incremental store, the d13-style cross-
+    // batch contract
+    val reup = base.filter(col("doc_id") % 3 === 0).limit(5)
+      .withColumn("doc_id", col("doc_id") + 900000L)
+    assert(Dedup.bloomProbe(reup, merged).filter(!col("predicted_dup")).count() === 0)
+  }
 }
