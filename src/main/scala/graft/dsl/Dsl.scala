@@ -137,6 +137,26 @@ package object dsl {
       * pipeline (p1/p4) and streaming DataPrep.curate filter on. */
     def withQualityScore: DataFrame = queries.Pipeline.withQuality(df)
 
+    /** d19's bloom filter over this frame's normalized-text digests:
+      * a ≤1024-row bit-position set. Filters from disjoint slices
+      * union (`unionByName(...).distinct()`) into the fleet filter —
+      * bitwise OR, the bounded-size alternative to a growing digest
+      * store. */
+    def bloomFilter(textCol: String = "text"): DataFrame =
+      queries.Dedup.bloomOf(df.select(
+        Portable.md5hex(Portable.normText(col(textCol))).as("h")))
+
+    /** d19's membership probe against a [[bloomFilter]]: adds
+      * `predicted_dup` per row (true = all k bits set — possibly a
+      * false positive, NEVER a false negative). */
+    def bloomProbe(bloom: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame =
+      queries.Dedup.bloomProbe(
+        df.select(col(idCol).as("doc_id"),
+          Portable.md5hex(Portable.normText(col(textCol))).as("h")),
+        bloom)
+      .withColumnRenamed("doc_id", idCol)
+
     /** a18's offline index build over a vector frame: coarse cells +
       * PQ codes + centroids + codebook, each one corpus pass. The
       * returned [[graft.queries.Similarity.IvfPqIndex]] is the

@@ -57,6 +57,43 @@ class AnalyticsSpec extends SparkSuite {
     }
   }
 
+  test("round-9 operators keep their scale shapes in the physical plan") {
+    // no cartesian pair space and no data-sized single-partition
+    // funnel in any of the new operators (keyless 1-row total merges
+    // are the only SinglePartition allowed and carry no data)
+    // (BroadcastNestedLoopJoin is allowed ONLY as the 1-row stats
+    // attach — the broadcast-cross idiom m23/q45/d19/t23 use for
+    // fleet totals; an unkeyed join of two DATA-sized sides would be
+    // CartesianProduct, which stays banned)
+    for (n <- Seq("m23_shard_cost", "q45_quantile_sketch", "d19_bloom_probe",
+        "a23_filtered_knn", "t23_token_fertility", "mm10_shard_checksum",
+        "t8_sequence_pack")) {
+      val plan = SparkEntry.queries(n)(spark, sf).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$n plans a cartesian:\n$plan")
+    }
+    // q45 walks the packed histogram array-natively: the sketch path
+    // must carry the interpolation inside an `aggregate(hb, ...)`
+    // lambda, not a cumsum window over the bins (the rejected design);
+    // the only windows in the full plan belong to the exact-audit
+    // side's Percentiles operator, which partitions by its group key
+    val q45 = SparkEntry.queries("q45_quantile_sketch")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(q45.contains("aggregate(hb"), q45)
+    // a23's label filter rides the routed-cell candidate join: the
+    // plan's candidate BroadcastHashJoin must hash on BOTH cell and
+    // label (the pushdown claim — candidates shrink at the join key,
+    // not in a post-filter). The only nested-loop joins allowed are
+    // the tiny broadcast centroid crosses a3 also plans.
+    val a23 = SparkEntry.queries("a23_filtered_knn")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(a23.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("cell") && l.contains("label")), a23)
+    // d19's bloom probe joins the ≤1024-row bit set by broadcast
+    val d19 = SparkEntry.queries("d19_bloom_probe")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(d19.contains("BroadcastHashJoin"), d19)
+  }
+
   test("native-kernel queries stay map-side: only the output sort shuffles") {
     // These compute their whole result per-row (one-pass kernels /
     // codegen builtins); the only exchange allowed is the final

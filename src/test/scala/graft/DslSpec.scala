@@ -126,4 +126,18 @@ class DslSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
     assert(asof === Set((15L, 99.0), (25L, 101.0)))
   }
+
+  test("bloomFilter/bloomProbe facades delegate to the d19 helpers intact") {
+    val docs = Tables.documents(spark, sf).limit(100)
+    val bloom = docs.bloomFilter()
+    // identical to the pack-side construction
+    val packBloom = graft.queries.Dedup.bloomOf(docs.select(
+      graft.functions.Portable.md5hex(
+        graft.functions.Portable.normText(col("text"))).as("h")))
+    assert(bloom.exceptAll(packBloom).isEmpty && packBloom.exceptAll(bloom).isEmpty)
+    // members always predicted (no false negatives through the facade)
+    val probed = docs.bloomProbe(bloom)
+    assert(probed.filter(!col("predicted_dup")).count() === 0)
+    assert(probed.count() === docs.count())
+  }
 }
