@@ -268,6 +268,70 @@ object Similarity extends QueryPack {
       .orderBy(col("probe_id"), col("rank"))
   }
 
+  /** a24: the nProbe TUNING SWEEP — the acceptance table that picks
+    * a3/a23's probe width. Serving cost scales with candidates
+    * scanned and recall with cells probed; this emits both per level
+    * (1..maxProbe) so the operator choosing nProbe reads one table
+    * instead of re-running a8 per setting. ONE assignment and one
+    * probe-ranking pass serve every level: candidates are joined once
+    * against the union of probed cells at the WIDEST level with the
+    * cell's probe rank attached, and each level is a filter
+    * `crank <= np` over that shared frame — levels are nested, so the
+    * sweep costs the same corpus work as a single widest-level query
+    * plus a levels-sized explode on the tiny probe-cells side. */
+  def nprobeSweep(s: SparkSession, d: String, geo: AnnGeometry = Geo,
+                  k: Int = K, maxProbe: Int = 4): DataFrame = {
+    val v = vecs(s, d)
+    val cents = hashTopK(v, "cent", geo.nCentroids)
+      .select(col("vec_id").as("cent_id"), col("emb").as("c_emb"), col("nrm").as("c_nrm"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_cos").desc, col("cent_id"))
+    val assigned = v.join(broadcast(cents))
+      .withColumn("c_cos", cosPre(col("emb"), col("nrm"), col("c_emb"), col("c_nrm")))
+      .withColumn("crank", row_number().over(wAssign))
+      .filter(col("crank") === 1)
+      .select(col("vec_id"), col("emb"), col("nrm"), col("cent_id").as("cell"))
+    val probes = hashTopK(v, "probe", NProbes)
+      .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"), col("nrm").as("p_nrm"))
+    val wProbe = Window.partitionBy(col("probe_id"))
+      .orderBy(col("pc_cos").desc, col("cent_id"))
+    val lv = probes.join(broadcast(cents))
+      .withColumn("pc_cos", cosPre(col("p_emb"), col("p_nrm"), col("c_emb"), col("c_nrm")))
+      .withColumn("crank", row_number().over(wProbe))
+      .filter(col("crank") <= maxProbe)
+      .withColumn("np", explode(sequence(lit(1), lit(maxProbe))))
+      .filter(col("crank") <= col("np"))
+      .select(col("np"), col("probe_id"), col("p_emb"), col("p_nrm"), col("cent_id").as("cell"))
+    val cand = assigned.join(broadcast(lv),
+        assigned("cell") === lv("cell") && col("vec_id") =!= col("probe_id"))
+      .withColumn("cosine", cosPre(col("p_emb"), col("p_nrm"), col("emb"), col("nrm")))
+    val wRank = Window.partitionBy(col("np"), col("probe_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    val approx = cand
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("np").as("a_np"), col("probe_id").as("a_probe"), col("vec_id").as("a_vec"))
+    val scanned = cand.groupBy(col("np"), col("probe_id"))
+      .agg(count(lit(1)).as("n_cand"))
+    val exact = bruteKnn(s, d, k)
+      .select(col("probe_id"), col("vec_id"))
+      .withColumn("np", explode(sequence(lit(1), lit(maxProbe))))
+    val per = exact.join(approx,
+        col("np") === col("a_np") && col("probe_id") === col("a_probe") &&
+          col("vec_id") === col("a_vec"), "left")
+      .groupBy(col("np"), col("probe_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(when(col("a_vec").isNotNull, 1L).otherwise(0L)).as("n_hit"))
+    per.join(scanned, Seq("np", "probe_id"), "left")
+      .groupBy(col("np"))
+      .agg(count(lit(1)).as("n_probes"),
+        round(avg(coalesce(col("n_cand"), lit(0L)).cast("double")), 6).as("avg_scanned"),
+        round(avg(col("n_hit").cast("double") / col("n_exact")), 6).as("avg_recall"))
+      .select(col("np").cast("long").as("np"), col("n_probes"),
+        col("avg_scanned"), col("avg_recall"))
+      .orderBy(col("np"))
+  }
+
   def ivfKnn(s: SparkSession, d: String, geo: AnnGeometry = Geo, k: Int = K): DataFrame = {
     val v = vecs(s, d)
     val cents = hashTopK(v, "cent", geo.nCentroids)
@@ -1350,7 +1414,8 @@ object Similarity extends QueryPack {
     "a6_knn_multiprobe" -> ((s, d) => multiProbeKnn(s, d)),
     "a5_ivf_refine" -> ((s, d) => ivfRefine(s, d)),
     "a4_cross_label_nn" -> ((s, d) => crossLabelNN(s, d)),
-    "a23_filtered_knn" -> ((s, d) => filteredKnn(s, d))
+    "a23_filtered_knn" -> ((s, d) => filteredKnn(s, d)),
+    "a24_nprobe_sweep" -> ((s, d) => nprobeSweep(s, d))
   )
 
   /** a13's oracle: plain inner-product ranking (shared with a16). */
@@ -2031,6 +2096,66 @@ object Similarity extends QueryPack {
          |SELECT probe_id, p_label AS label, vec_id, CAST(rank AS INTEGER) AS rank, cosine
          |FROM scored WHERE rank <= $K
          |ORDER BY probe_id, rank""".stripMargin,
+
+    "a24_nprobe_sweep" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |c AS (SELECT vec_id AS cent_id, emb AS c_emb FROM (SELECT * FROM v ${centSel(Geo.nCentroids)}) cs),
+         |assigned AS (
+         |  SELECT vec_id, emb, cell FROM (
+         |    SELECT v.vec_id, v.emb, c.cent_id AS cell,
+         |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |        list_dot_product(v.emb, c.c_emb) /
+         |          (sqrt(list_dot_product(v.emb, v.emb)) * sqrt(list_dot_product(c.c_emb, c.c_emb))) DESC,
+         |        c.cent_id) AS crank
+         |    FROM v, c) t WHERE crank = 1),
+         |pc AS (
+         |  SELECT probe_id, p_emb, cell, crank FROM (
+         |    SELECT v.vec_id AS probe_id, v.emb AS p_emb, c.cent_id AS cell,
+         |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |        list_dot_product(v.emb, c.c_emb) /
+         |          (sqrt(list_dot_product(v.emb, v.emb)) * sqrt(list_dot_product(c.c_emb, c.c_emb))) DESC,
+         |        c.cent_id) AS crank
+         |    FROM (SELECT * FROM v $probeSel) v, c) t WHERE crank <= 4),
+         |lv AS (
+         |  SELECT n.np, p.probe_id, p.p_emb, p.cell
+         |  FROM pc p JOIN (SELECT unnest([1, 2, 3, 4]) AS np) n ON p.crank <= n.np),
+         |cand AS (
+         |  SELECT l.np, l.probe_id, a.vec_id,
+         |    list_dot_product(l.p_emb, a.emb) /
+         |      (sqrt(list_dot_product(l.p_emb, l.p_emb)) * sqrt(list_dot_product(a.emb, a.emb))) AS cosine
+         |  FROM lv l JOIN assigned a ON a.cell = l.cell AND a.vec_id <> l.probe_id),
+         |approx AS (
+         |  SELECT np, probe_id, vec_id FROM (
+         |    SELECT np, probe_id, vec_id,
+         |      row_number() OVER (PARTITION BY np, probe_id
+         |        ORDER BY cosine DESC, vec_id) AS rank
+         |    FROM cand) t WHERE rank <= $K),
+         |scanned AS (
+         |  SELECT np, probe_id, count(*)::BIGINT AS n_cand FROM cand GROUP BY 1, 2),
+         |probes AS (SELECT vec_id AS probe_id, emb AS p_emb FROM v $probeSel),
+         |exact AS (
+         |  SELECT probe_id, vec_id FROM (
+         |    SELECT p.probe_id, v.vec_id,
+         |      row_number() OVER (PARTITION BY p.probe_id ORDER BY
+         |        list_dot_product(p.p_emb, v.emb) /
+         |          (sqrt(list_dot_product(p.p_emb, p.p_emb)) * sqrt(list_dot_product(v.emb, v.emb))) DESC,
+         |        v.vec_id) AS rank
+         |    FROM probes p JOIN v ON v.vec_id <> p.probe_id) t WHERE rank <= $K),
+         |per AS (
+         |  SELECT n.np, e.probe_id, count(*)::BIGINT AS n_exact,
+         |    CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+         |  FROM exact e
+         |  CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS np) n
+         |  LEFT JOIN approx a
+         |    ON a.np = n.np AND a.probe_id = e.probe_id AND a.vec_id = e.vec_id
+         |  GROUP BY 1, 2)
+         |SELECT CAST(per.np AS BIGINT) AS np, count(*)::BIGINT AS n_probes,
+         |  round(avg(coalesce(s.n_cand, 0)::DOUBLE), 6) AS avg_scanned,
+         |  round(avg(per.n_hit::DOUBLE / per.n_exact), 6) AS avg_recall
+         |FROM per LEFT JOIN scanned s
+         |  ON s.np = per.np AND s.probe_id = per.probe_id
+         |GROUP BY per.np
+         |ORDER BY np""".stripMargin,
 
     "a6_knn_multiprobe" -> {
       val flips = (0 until Geo.planes).map(i => flipSql(Seq(i), Geo.planes)).mkString(", ")
