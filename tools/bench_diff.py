@@ -76,8 +76,14 @@ def main():
     else:
         print(f"\nno per-query move >= {thresh}s")
     # exit 1 when a shared query regressed by >= max(thresh, 2x) —
-    # wire-able into a round's gate
-    bad = [k for k, o, n, d in movers if d >= thresh and n >= 2 * o and n >= 0.2]
+    # wire-able into a round's gate. A sub-floor OLD reading is not a
+    # baseline: it's scheduler jitter or a failure stub (the round-8
+    # artifact recorded ~0.01 s for every ts-broken query — reviving
+    # them must not read as a 100x regression). Floor per
+    # BENCH_DIFF_r08_to_r09.md's stated counting rule.
+    FLOOR = 0.05
+    bad = [k for k, o, n, d in movers
+           if d >= thresh and o >= FLOOR and n >= 2 * o and n >= 0.2]
     if bad:
         print(f"\nREGRESSIONS (>=2x and >=+{thresh}s): {', '.join(bad)}")
         sys.exit(1)
