@@ -410,8 +410,12 @@ object Analytics extends QueryPack {
       val nb = 256
       val v = Tables.lineitem(s, d)
         .select(col("l_extendedprice").cast("double").as("x"))
+      // 1-row corpus aggregate reused along two branches (binning and
+      // estimation) — localCheckpoint cuts the lineage so the full
+      // scan+aggregate runs once, not per consumer (the a21 practice)
       val stats = v.agg(count(lit(1)).as("n"),
         min(col("x")).as("vmin"), max(col("x")).as("vmax"))
+        .localCheckpoint()
       val hist = v.crossJoin(broadcast(stats))
         .select(least(
           floor((col("x") - col("vmin")) / (col("vmax") - col("vmin")) * nb)

@@ -258,21 +258,7 @@ object Multimodal extends QueryPack {
     // (n^-1/2 noise), and a skewed fill column is the signal to
     // re-spec the target, not to re-sort the corpus.
     "mm9_shard_pack" -> { (s, d) =>
-      val blobs = Tables.documents(s, d)
-        .select(col("doc_id"),
-          element_at(
-            array(lit("audio"), lit("image"), lit("text"), lit("video")),
-            (pmod(col("doc_id"), lit(4L)) + 1L).cast("int")).as("modality"),
-          length(col("text").cast("binary")).cast("long").as("n_bytes"))
-      val sizes = blobs.groupBy(col("modality"))
-        .agg(sum(col("n_bytes")).as("total_bytes"))
-        .withColumn("n_shards",
-          greatest(lit(1L),
-            ceil(col("total_bytes").cast("double") / ShardTargetBytes).cast("long")))
-      blobs.join(broadcast(sizes.select(col("modality"), col("n_shards"))), "modality")
-        .withColumn("shard_id",
-          pmod(Portable.hash60(concat(lit("shard|"), col("doc_id").cast("string"))),
-            col("n_shards")))
+      shardedBlobs(s, d)
         .groupBy(col("modality"), col("shard_id"))
         .agg(count(lit(1)).as("n_blobs"), sum(col("n_bytes")).as("shard_bytes"))
         .withColumn("fill",
@@ -293,23 +279,10 @@ object Multimodal extends QueryPack {
     // triple (count, bytes, xor) catches duplication, truncation, and
     // substitution. One scan, shard-keyed partial-combining aggregate.
     "mm10_shard_checksum" -> { (s, d) =>
-      val blobs = Tables.documents(s, d)
-        .select(col("doc_id"),
-          element_at(
-            array(lit("audio"), lit("image"), lit("text"), lit("video")),
-            (pmod(col("doc_id"), lit(4L)) + 1L).cast("int")).as("modality"),
-          length(col("text").cast("binary")).cast("long").as("n_bytes"),
+      shardedBlobs(s, d)
+        .join(Tables.documents(s, d).select(col("doc_id"),
           Portable.hash60(concat(lit("ck|"), col("doc_id").cast("string"),
-            lit("|"), md5(col("text").cast("binary")))).as("digest"))
-      val sizes = blobs.groupBy(col("modality"))
-        .agg(sum(col("n_bytes")).as("total_bytes"))
-        .withColumn("n_shards",
-          greatest(lit(1L),
-            ceil(col("total_bytes").cast("double") / ShardTargetBytes).cast("long")))
-      blobs.join(broadcast(sizes.select(col("modality"), col("n_shards"))), "modality")
-        .withColumn("shard_id",
-          pmod(Portable.hash60(concat(lit("shard|"), col("doc_id").cast("string"))),
-            col("n_shards")))
+            lit("|"), md5(col("text").cast("binary")))).as("digest")), "doc_id")
         .groupBy(col("modality"), col("shard_id"))
         .agg(count(lit(1)).as("n_blobs"), sum(col("n_bytes")).as("shard_bytes"),
           expr("bit_xor(digest)").as("checksum60"),
@@ -318,53 +291,79 @@ object Multimodal extends QueryPack {
     }
   )
 
+  /** The ONE shard-assignment derivation mm9 plans and mm10 verifies
+    * — a single definition so the pack manifest and the integrity
+    * manifest can never silently diverge on modality mapping, shard
+    * sizing, or the assignment hash. Returns one row per blob:
+    * (doc_id, modality, n_bytes, shard_id). */
+  private def shardedBlobs(s: SparkSession, d: String): DataFrame = {
+    val blobs = Tables.documents(s, d)
+      .select(col("doc_id"),
+        element_at(
+          array(lit("audio"), lit("image"), lit("text"), lit("video")),
+          (pmod(col("doc_id"), lit(4L)) + 1L).cast("int")).as("modality"),
+        length(col("text").cast("binary")).cast("long").as("n_bytes"))
+    val sizes = blobs.groupBy(col("modality"))
+      .agg(sum(col("n_bytes")).as("total_bytes"))
+      .withColumn("n_shards",
+        greatest(lit(1L),
+          ceil(col("total_bytes").cast("double") / ShardTargetBytes).cast("long")))
+    blobs.join(broadcast(sizes.select(col("modality"), col("n_shards"))), "modality")
+      .withColumn("shard_id",
+        pmod(Portable.hash60(concat(lit("shard|"), col("doc_id").cast("string"))),
+          col("n_shards")))
+      .select(col("doc_id"), col("modality"), col("n_bytes"), col("shard_id"))
+  }
+
   /** mm9: target shard payload (bytes). Small here so the 500-doc
     * corpus yields several shards per modality; a production corpus
     * would use ~1 GB. */
   private val ShardTargetBytes = 4096L
 
+  /** Oracle mirror of [[shardedBlobs]] — one text, spliced into both
+    * the mm9 and mm10 oracles so the SQL sides can't diverge either.
+    * Yields `sharded(doc_id, modality, n_bytes, shard_id)`. */
+  private val ShardedBlobsSql =
+    s"""blobs AS (
+       |  SELECT doc_id,
+       |    ['audio', 'image', 'text', 'video'][(doc_id % 4 + 1)::INTEGER] AS modality,
+       |    CAST(octet_length(text::BLOB) AS BIGINT) AS n_bytes
+       |  FROM documents),
+       |sz AS (
+       |  SELECT modality,
+       |    greatest(1, CAST(ceil(sum(n_bytes)::DOUBLE / $ShardTargetBytes) AS BIGINT)) AS n_shards
+       |  FROM blobs GROUP BY modality),
+       |sharded AS (
+       |  SELECT b.doc_id, b.modality, b.n_bytes,
+       |    ('0x' || substring(md5('shard|' || b.doc_id::VARCHAR), 1, 15))::BIGINT
+       |      % s.n_shards AS shard_id
+       |  FROM blobs b JOIN sz s USING (modality))""".stripMargin
+
   def oracle: Map[String, String] = Map(
     "mm9_shard_pack" ->
-      s"""WITH blobs AS (
-         |  SELECT doc_id,
-         |    ['audio', 'image', 'text', 'video'][(doc_id % 4 + 1)::INTEGER] AS modality,
-         |    CAST(octet_length(text::BLOB) AS BIGINT) AS n_bytes
-         |  FROM documents),
-         |sz AS (
-         |  SELECT modality,
-         |    greatest(1, CAST(ceil(sum(n_bytes)::DOUBLE / $ShardTargetBytes) AS BIGINT)) AS n_shards
-         |  FROM blobs GROUP BY modality)
-         |SELECT b.modality,
-         |  ('0x' || substring(md5('shard|' || b.doc_id::VARCHAR), 1, 15))::BIGINT
-         |    % s.n_shards AS shard_id,
+      s"""WITH $ShardedBlobsSql
+         |SELECT modality, shard_id,
          |  count(*)::BIGINT AS n_blobs,
-         |  CAST(sum(b.n_bytes) AS BIGINT) AS shard_bytes,
-         |  round(sum(b.n_bytes)::DOUBLE / $ShardTargetBytes, 6) AS fill
-         |FROM blobs b JOIN sz s USING (modality)
-         |GROUP BY 1, 2, s.n_shards
+         |  CAST(sum(n_bytes) AS BIGINT) AS shard_bytes,
+         |  round(sum(n_bytes)::DOUBLE / $ShardTargetBytes, 6) AS fill
+         |FROM sharded
+         |GROUP BY 1, 2
          |ORDER BY modality, shard_id""".stripMargin,
 
     "mm10_shard_checksum" ->
-      s"""WITH blobs AS (
+      s"""WITH $ShardedBlobsSql,
+         |dg AS (
          |  SELECT doc_id,
-         |    ['audio', 'image', 'text', 'video'][(doc_id % 4 + 1)::INTEGER] AS modality,
-         |    CAST(octet_length(text::BLOB) AS BIGINT) AS n_bytes,
          |    ('0x' || substring(md5('ck|' || doc_id::VARCHAR || '|' || md5(text)),
          |      1, 15))::BIGINT AS digest
-         |  FROM documents),
-         |sz AS (
-         |  SELECT modality,
-         |    greatest(1, CAST(ceil(sum(n_bytes)::DOUBLE / $ShardTargetBytes) AS BIGINT)) AS n_shards
-         |  FROM blobs GROUP BY modality)
-         |SELECT b.modality,
-         |  ('0x' || substring(md5('shard|' || b.doc_id::VARCHAR), 1, 15))::BIGINT
-         |    % s.n_shards AS shard_id,
+         |  FROM documents)
+         |SELECT s.modality, s.shard_id,
          |  count(*)::BIGINT AS n_blobs,
-         |  CAST(sum(b.n_bytes) AS BIGINT) AS shard_bytes,
-         |  CAST(bit_xor(b.digest) AS BIGINT) AS checksum60,
-         |  min(b.doc_id) AS first_doc, max(b.doc_id) AS last_doc
-         |FROM blobs b JOIN sz s USING (modality)
-         |GROUP BY 1, 2, s.n_shards
+         |  CAST(sum(s.n_bytes) AS BIGINT) AS shard_bytes,
+         |  CAST(bit_xor(dg.digest) AS BIGINT) AS checksum60,
+         |  min(s.doc_id) AS first_doc, max(s.doc_id) AS last_doc
+         |FROM sharded s JOIN dg USING (doc_id)
+         |GROUP BY 1, 2
          |ORDER BY modality, shard_id""".stripMargin,
 
     "mm8_entropy_sniff" ->

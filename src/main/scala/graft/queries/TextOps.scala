@@ -220,7 +220,11 @@ object TextOps extends QueryPack {
     // sum proceeds in parallel — no single-partition sort anywhere,
     // the shape that survives 100 TB (a global-order window would
     // serialize the corpus through one task). bin_id is bucket-
-    // prefixed: part_id * 2^20 + local bin. The zero-shuffle
+    // prefixed: part_id * 2^40 + local bin — 2^40 local bins ×
+    // PackBudget tokens ≈ 5.6e14 tokens per bucket before a prefix
+    // collision (a 2^20 prefix would collide at ~5e8 tokens/bucket,
+    // i.e. below the target scale), while part_id * 2^40 stays within
+    // Long for bucket counts up to 2^23. The zero-shuffle
     // mapPartitions twin over physical partitions is
     // packSequencesPerPartition (PipelineSpec proves its invariants).
     "t8_sequence_pack" -> { (s, d) =>
@@ -234,7 +238,7 @@ object TextOps extends QueryPack {
             lit(PackParts)))
         .withColumn("cum_before", coalesce(sum(col("tokens")).over(w), lit(0L)))
         .withColumn("bin_id",
-          col("part_id") * lit(1048576L) + expr(s"cum_before div $PackBudget"))
+          col("part_id") * lit(1099511627776L) + expr(s"cum_before div $PackBudget"))
         .groupBy(col("bin_id"))
         .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("n_tokens"),
           min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
@@ -924,7 +928,7 @@ object TextOps extends QueryPack {
          |    COALESCE(sum(tokens) OVER (PARTITION BY part_id ORDER BY doc_id
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
          |  FROM bucketed)
-         |SELECT CAST(part_id * 1048576 + cum_before // $PackBudget AS BIGINT) AS bin_id,
+         |SELECT CAST(part_id * 1099511627776 + cum_before // $PackBudget AS BIGINT) AS bin_id,
          |  count(*) AS n_docs,
          |  CAST(sum(tokens) AS BIGINT) AS n_tokens,
          |  min(doc_id) AS first_doc, max(doc_id) AS last_doc

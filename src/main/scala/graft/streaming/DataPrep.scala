@@ -90,8 +90,14 @@ object DataPrep {
           graft.queries.Pipeline.qualityCells(
               b.select(col("doc_id"), col("text"), col("source")))
             .write.mode("overwrite").parquet(s"$cellsDir/micro_batch_id=$batchId")
+          // exclude THIS batch's own partition from the store read: on
+          // crash-replay the partial write from the failed attempt is
+          // already on disk, and anti-joining against it would empty
+          // `fresh` — the overwrite below would then erase the batch's
+          // docs and digests instead of replaying them
           val store =
-            try spark.read.parquet(hStoreDir).select(col("h"))
+            try spark.read.parquet(hStoreDir)
+              .filter(col("micro_batch_id") =!= batchId).select(col("h"))
             catch { case _: org.apache.spark.sql.AnalysisException =>
               spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
                 org.apache.spark.sql.types.StructType(Seq(

@@ -115,11 +115,20 @@ final case class KinesisSource(conf: KinesisSourceConfig,
     // 28-44). shard_id arrives as "shardId-000000000042"; keep the
     // numeric suffix so downstream per-shard operators (ordering,
     // lag, lease audit) see the same long ids the file transport uses.
+    // `seq` can NOT be a cast of `sequenceNumber`: real Kinesis
+    // sequence numbers are ~56-digit decimal strings that overflow
+    // BIGINT (the cast would silently null every record's seq and
+    // break all seq-based operators). The transport's monotone
+    // surrogate is the arrival timestamp in microseconds — per-shard
+    // monotone at the connector's arrival granularity, the scale the
+    // schema's seq-based ordering/lag math actually consumes; exact
+    // resume positions live in the connector's own checkpoint (as in
+    // KCL), never in this column.
     reader.load()
       .select(
         regexp_extract(col("shardId"), "(\\d+)$", 1).cast("long").as("shard_id"),
         lit(-1L).as("batch_id"),
-        col("sequenceNumber").cast("long").as("seq"),
+        unix_micros(col("approximateArrivalTimestamp").cast("timestamp")).as("seq"),
         lit(-1L).as("event_id"),
         lit(null).cast("string").as("uuid"),
         col("partitionKey").as("partition_key"),

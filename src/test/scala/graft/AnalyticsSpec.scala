@@ -66,8 +66,8 @@ class AnalyticsSpec extends SparkSuite {
     // fleet totals; an unkeyed join of two DATA-sized sides would be
     // CartesianProduct, which stays banned)
     for (n <- Seq("m23_shard_cost", "q45_quantile_sketch", "d19_bloom_probe",
-        "a23_filtered_knn", "t23_token_fertility", "mm10_shard_checksum",
-        "t8_sequence_pack")) {
+        "a23_filtered_knn", "a24_nprobe_sweep", "t23_token_fertility",
+        "mm10_shard_checksum", "t8_sequence_pack")) {
       val plan = SparkEntry.queries(n)(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$n plans a cartesian:\n$plan")
     }

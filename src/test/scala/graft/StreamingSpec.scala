@@ -1066,6 +1066,42 @@ class StreamingSpec extends SparkSuite {
     assert(got.exists(_._8), "the planted degraded cell was not flagged")
   }
 
+  test("curateMonitored replays a crashed micro-batch instead of erasing it") {
+    import graft.streaming.DataPrep
+    import graft.functions.Portable
+    val topic = tempDir("topic_cr")
+    val outDir = tempDir("curated_cr")
+    val hStore = tempDir("hstore_cr")
+    val docs = Tables.documents(spark, sf).limit(50)
+      .select(col("doc_id"), col("text"), lit("s").as("source"))
+    Publisher.publish(docs.select(
+      col("doc_id").as("event_id"), col("doc_id").cast("string").as("uuid"),
+      col("source").as("partition_key"), col("text").cast("binary").as("payload"),
+      lit("doc").as("event_type"), lit(0.0).as("value"),
+      expr("timestamp '2024-01-01 00:00:00' + make_interval(0, 0, 0, 0, 0, 0, doc_id)").as("ts"),
+      map(lit("eventType"), lit("doc")).as("headers")), topic)
+
+    // simulate the crash the fix exists for: a previous attempt of
+    // batch 0 already wrote its digest partition, then died before
+    // the checkpoint committed — the replay must NOT anti-join
+    // against its own partial write (that would empty the batch and
+    // overwrite its outputs with nothing)
+    docs.select(Portable.md5hex(Portable.normText(col("text"))).as("h"))
+      .distinct().write.parquet(s"$hStore/micro_batch_id=0")
+
+    val q = DataPrep.curateMonitored(
+      Subscriber.subscribe(spark, topic, maxFilesPerTrigger = 64),
+      outDir, tempDir("cells_cr"), hStore, tempDir("ck_cr"))
+    q.awaitTermination()
+
+    val curated = spark.read.parquet(outDir)
+    val expected = graft.queries.Pipeline.withQuality(
+        docs.withColumn("h", Portable.md5hex(Portable.normText(col("text")))))
+      .filter(col("quality") >= 0.5).select("h").distinct().count()
+    assert(curated.count() === expected,
+      s"replayed batch curated ${curated.count()} docs, expected $expected")
+  }
+
   test("the live ingest-drift monitor converges to exactly the batch p6 table") {
     import spark.implicits._
     import graft.queries.Pipeline

@@ -76,14 +76,18 @@ def main():
     else:
         print(f"\nno per-query move >= {thresh}s")
     # exit 1 when a shared query regressed by >= max(thresh, 2x) —
-    # wire-able into a round's gate. A sub-floor OLD reading is not a
-    # baseline: it's scheduler jitter or a failure stub (the round-8
-    # artifact recorded ~0.01 s for every ts-broken query — reviving
-    # them must not read as a 100x regression). Floor per
-    # BENCH_DIFF_r08_to_r09.md's stated counting rule.
-    FLOOR = 0.05
+    # wire-able into a round's gate, per BENCH_DIFF_r08_to_r09.md's
+    # counting rule: ratio over floored values (FLOOR = 0.05 s noise
+    # floor), and failure STUBS excluded from the shared-live set.
+    # A stub is a near-zero old reading (the round-8 artifact recorded
+    # ~0.01 s for every ts-broken query — reviving them must not read
+    # as a 100x regression); a genuinely fast sub-floor query is still
+    # compared against the floored baseline, so a 0.04 s -> 5 s
+    # regression DOES fail.
+    FLOOR, STUB = 0.05, 0.02
     bad = [k for k, o, n, d in movers
-           if d >= thresh and o >= FLOOR and n >= 2 * o and n >= 0.2]
+           if d >= thresh and o >= STUB and n >= 0.2
+           and max(n, FLOOR) >= 2 * max(o, FLOOR)]
     if bad:
         print(f"\nREGRESSIONS (>=2x and >=+{thresh}s): {', '.join(bad)}")
         sys.exit(1)
