@@ -436,38 +436,8 @@ object Messaging extends QueryPack {
         .withColumn("i", explode(sequence(lit(1), lit(2))))
         .select(col("shard_id"), col("user_id"), col("ts"))
       val all = base.unionAll(diffuse)
-      val perKey = all.groupBy(col("shard_id"), col("user_id"))
-        .agg(count(lit(1)).as("n"))
-        .groupBy(col("shard_id"))
-        .agg(count(lit(1)).as("n_keys"), max(col("n")).as("top_key_n"))
-      val perShard = all
-        .select(col("shard_id"), date_trunc("minute", col("ts")).as("minute"))
-        .groupBy(col("shard_id"), col("minute"))
-        .agg(count(lit(1)).as("n"))
-        .groupBy(col("shard_id"))
-        .agg(sum(col("n")).as("n_events"), max(col("n")).as("peak_minute"),
-          count(lit(1)).as("n_active_minutes"))
-      val fleet = perShard
-        .agg(sum(col("n_events")).as("fleet_events"),
-          count(lit(1)).as("n_shards"))
-      perShard.join(perKey, "shard_id").crossJoin(broadcast(fleet))
-        .withColumn("top_key_share",
-          round(col("top_key_n").cast("double") / col("n_events"), 6))
-        .withColumn("mean_per_minute",
-          col("n_events").cast("double") / col("n_active_minutes"))
-        .withColumn("burst_ratio",
-          round(col("peak_minute").cast("double") / col("mean_per_minute"), 6))
-        .withColumn("cost_share",
-          round(col("n_events").cast("double") / col("fleet_events"), 6))
-        .withColumn("disposition",
-          when(col("top_key_share") > 0.5, "isolate_key")
-            .when(col("cost_share") * col("n_shards") > 2.0, "split")
-            .otherwise("keep"))
-        .select(col("shard_id"), col("n_events"), col("n_keys"),
-          col("top_key_n"), col("top_key_share"), col("peak_minute"),
-          round(col("mean_per_minute"), 6).as("mean_per_minute"),
-          col("burst_ratio"), col("cost_share"), col("disposition"))
-        .orderBy(col("shard_id"))
+      val (minCells, keyCells) = costCells(all)
+      shardCostFromCells(minCells, keyCells)
     },
 
     // Replay/backfill window — a consumer reprocessing history between
@@ -527,6 +497,70 @@ object Messaging extends QueryPack {
         .orderBy(col("shard_id"))
     }
   )
+
+  /** m23's mergeable cells from a slice of sharded events
+    * ((shard_id, user_id, ts) rows): (shard, minute) counts and
+    * (shard, key) counts — associative sums, so per-micro-batch cells
+    * union into the running stores by plain groupBy-sum (the
+    * p6/a22 monitor idiom). */
+  private[graft] def costCells(events: DataFrame): (DataFrame, DataFrame) = {
+    val minCells = events
+      .select(col("shard_id"), date_trunc("minute", col("ts")).as("minute"))
+      .groupBy(col("shard_id"), col("minute"))
+      .agg(count(lit(1)).as("n"))
+    val keyCells = events
+      .groupBy(col("shard_id"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    (minCells, keyCells)
+  }
+
+  /** One live-monitor step: fold a micro-batch's cost cells into the
+    * running stores. Store size is (shards × minutes) +
+    * (shards × keys) — never the event stream. */
+  private[graft] def costCellsStep(minStore: DataFrame, keyStore: DataFrame,
+                                   batch: DataFrame): (DataFrame, DataFrame) = {
+    val (bm, bk) = costCells(batch)
+    (minStore.unionByName(bm).groupBy(col("shard_id"), col("minute"))
+       .agg(sum(col("n")).as("n")),
+     keyStore.unionByName(bk).groupBy(col("shard_id"), col("user_id"))
+       .agg(sum(col("n")).as("n")))
+  }
+
+  /** m23's decision layer over the mergeable cells — shared verbatim
+    * by the batch query and the streaming cost monitor (StreamingSpec
+    * proves streamed ≡ batch), exactly as p6's driftFromCells and
+    * a22's policyOfStores share theirs. */
+  private[graft] def shardCostFromCells(minCells: DataFrame,
+                                        keyCells: DataFrame): DataFrame = {
+    val perKey = keyCells
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_keys"), max(col("n")).as("top_key_n"))
+    val perShard = minCells
+      .groupBy(col("shard_id"))
+      .agg(sum(col("n")).as("n_events"), max(col("n")).as("peak_minute"),
+        count(lit(1)).as("n_active_minutes"))
+    val fleet = perShard
+      .agg(sum(col("n_events")).as("fleet_events"),
+        count(lit(1)).as("n_shards"))
+    perShard.join(perKey, "shard_id").crossJoin(broadcast(fleet))
+      .withColumn("top_key_share",
+        round(col("top_key_n").cast("double") / col("n_events"), 6))
+      .withColumn("mean_per_minute",
+        col("n_events").cast("double") / col("n_active_minutes"))
+      .withColumn("burst_ratio",
+        round(col("peak_minute").cast("double") / col("mean_per_minute"), 6))
+      .withColumn("cost_share",
+        round(col("n_events").cast("double") / col("fleet_events"), 6))
+      .withColumn("disposition",
+        when(col("top_key_share") > 0.5, "isolate_key")
+          .when(col("cost_share") * col("n_shards") > 2.0, "split")
+          .otherwise("keep"))
+      .select(col("shard_id"), col("n_events"), col("n_keys"),
+        col("top_key_n"), col("top_key_share"), col("peak_minute"),
+        round(col("mean_per_minute"), 6).as("mean_per_minute"),
+        col("burst_ratio"), col("cost_share"), col("disposition"))
+      .orderBy(col("shard_id"))
+  }
 
   def oracle: Map[String, String] = Map(
     // struct_pack fields listed in ascending key order — the kernel

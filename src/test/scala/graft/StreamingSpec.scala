@@ -1159,6 +1159,73 @@ class StreamingSpec extends SparkSuite {
     assert(got === expected)
   }
 
+  test("the live shard-cost monitor converges to exactly the batch m23 table") {
+    import spark.implicits._
+    import graft.queries.Messaging
+    import graft.operators.Envelope
+    implicit val sqlCtx = spark.sqlContext
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+        r.getLong(5), r.getDouble(6), r.getDouble(7), r.getDouble(8), r.getString(9))
+    val expected = SparkEntry.queries("m23_shard_cost")(spark, sf)
+      .collect().map(key).toSet
+    // at this SF the hot-key burst always fires; whether "split" also
+    // appears depends on which shard the max user hashes to (it does
+    // at sf0.01 — the driver-checked SF)
+    assert(expected.exists(_._10 == "isolate_key"))
+
+    // the SAME event stream m23 audits — originals plus both planted
+    // bursts — arrives as live micro-batches; the monitor grows two
+    // mergeable cell stores ((shard, minute) and (shard, key) counts)
+    // and the decision layer reads them, never the event stream
+    val ev = Tables.events(spark, sf).select(col("user_id"), col("ts"))
+    val mu = ev.agg(min(col("user_id")).as("mu"))
+    val hot = ev.crossJoin(broadcast(mu))
+      .filter(col("user_id") === col("mu"))
+      .withColumn("i", explode(sequence(lit(1), lit(30))))
+      .select(col("user_id"), col("ts"))
+    val base = ev.unionAll(hot)
+      .select(Envelope.shardId(col("user_id").cast("string")).as("shard_id"),
+        col("user_id"), col("ts"))
+    val busy = ev.agg(max(col("user_id")).as("mx"))
+      .select(Envelope.shardId(col("mx").cast("string")).as("busy_shard"))
+    val diffuse = base.crossJoin(broadcast(busy))
+      .filter(col("shard_id") === col("busy_shard"))
+      .withColumn("i", explode(sequence(lit(1), lit(2))))
+      .select(col("shard_id"), col("user_id"), col("ts"))
+    val rows = base.unionAll(diffuse)
+      .as[(Long, Long, java.sql.Timestamp)].collect()
+
+    def emptyCells(cols: (String, org.apache.spark.sql.types.DataType)*) =
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(cols.map { case (n, t) =>
+          org.apache.spark.sql.types.StructField(n, t) }))
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    var minStore = emptyCells("shard_id" -> LongType, "minute" -> TimestampType,
+      "n" -> LongType)
+    var keyStore = emptyCells("shard_id" -> LongType, "user_id" -> LongType,
+      "n" -> LongType)
+    val input = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val q = input.toDF().toDF("shard_id", "user_id", "ts")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", tempDir("ck_cost"))
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val (m2, k2) = Messaging.costCellsStep(minStore, keyStore, batch)
+        minStore = m2.localCheckpoint(); keyStore = k2.localCheckpoint()
+      }
+      .start()
+    // uneven micro-batches SPLIT minutes and keys across batches —
+    // the mergeable-sums contract is what's under test
+    input.addData(rows.take(1000).toIndexedSeq); q.processAllAvailable()
+    input.addData(rows.slice(1000, 4321).toIndexedSeq); q.processAllAvailable()
+    input.addData(rows.drop(4321).toIndexedSeq); q.processAllAvailable()
+    q.stop()
+
+    val got = Messaging.shardCostFromCells(minStore, keyStore)
+      .collect().map(key).toSet
+    assert(got === expected)
+  }
+
   test("the live compaction monitor converges to exactly the batch a22 policy") {
     import spark.implicits._
     import graft.queries.Similarity
