@@ -90,23 +90,31 @@ object Bench {
     // diagnostics count the re-measured queries so an artifact reader
     // can see how noisy the capture window was.
     var widened = 0
-    def measure(fn: (SparkSession, String) => DataFrame, n: Int): Seq[Double] =
+    // A query that THROWS still records its (near-zero) wall time in the
+    // line — the contract shape has no status field — so its name is
+    // reported to stderr here, and tools/bench_status.json (the explicit
+    // known-broken list tools/bench_diff.py consults) can be updated
+    // mechanically instead of inferring stub-ness from a time threshold.
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
+    def measure(name: String, fn: (SparkSession, String) => DataFrame, n: Int): Seq[Double] =
       (0 until n).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).queryExecution.toRdd.count() }
-        catch { case _: Throwable => -1L }
+        catch { case _: Throwable => failed += name }
         (System.nanoTime() - t0) / 1e9
       }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(_._1.contains(only)).map { case (name, fn) =>
-      val first = measure(fn, Runs).sorted
+      val first = measure(name, fn, Runs).sorted
       val times =
         if (Runs == 3 && first.last > first.head * 2 && first(1) < 2.0) {
           widened += 1
-          (first ++ measure(fn, 4)).sorted
+          (first ++ measure(name, fn, 4)).sorted
         } else first
       name -> times(times.length / 2)
     }
+    if (failed.nonEmpty)
+      System.err.println(s"bench FAILED queries (times are stubs; add to tools/bench_status.json): ${failed.mkString(", ")}")
     // The driver captures only the LAST 2000 chars of this run's
     // output and parses the JSON line out of that tail. Every prior
     // round recorded parsed=null — including rounds whose complete

@@ -147,15 +147,20 @@ package object dsl {
         Portable.md5hex(Portable.normText(col(textCol))).as("h")))
 
     /** d19's membership probe against a [[bloomFilter]]: adds
-      * `predicted_dup` per row (true = all k bits set — possibly a
-      * false positive, NEVER a false negative). */
+      * `n_hits` and `predicted_dup` to EVERY row of this frame, all
+      * caller columns intact (true = all k bits set — possibly a
+      * false positive, NEVER a false negative). The verdict is
+      * computed on the (id, digest) projection and joined back by
+      * `idCol`, so the caller's text never rides the probe shuffle. */
     def bloomProbe(bloom: DataFrame, idCol: String = "doc_id",
-                   textCol: String = "text"): DataFrame =
-      queries.Dedup.bloomProbe(
+                   textCol: String = "text"): DataFrame = {
+      val verdicts = queries.Dedup.bloomProbe(
         df.select(col(idCol).as("doc_id"),
           Portable.md5hex(Portable.normText(col(textCol))).as("h")),
         bloom)
-      .withColumnRenamed("doc_id", idCol)
+        .select(col("doc_id").as(idCol), col("n_hits"), col("predicted_dup"))
+      df.join(verdicts, Seq(idCol))
+    }
 
     /** a18's offline index build over a vector frame: coarse cells +
       * PQ codes + centroids + codebook, each one corpus pass. The

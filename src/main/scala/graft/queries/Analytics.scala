@@ -408,11 +408,18 @@ object Analytics extends QueryPack {
     // construction, and within_tol records it.
     "q45_quantile_sketch" -> { (s, d) =>
       val nb = 256
+      // THREE consumers read the same 1-column projection (the stats
+      // aggregate, the binning pass, and the exact-audit leg below) —
+      // localCheckpoint materializes the pruned scan once so the
+      // lineitem parquet is read a single time instead of three
+      // (round-9 verdict item 9). At 100 TB the audit leg runs on a
+      // sample anyway; sharing the scan is the steady-state shape.
       val v = Tables.lineitem(s, d)
         .select(col("l_extendedprice").cast("double").as("x"))
+        .localCheckpoint()
       // 1-row corpus aggregate reused along two branches (binning and
-      // estimation) — localCheckpoint cuts the lineage so the full
-      // scan+aggregate runs once, not per consumer (the a21 practice)
+      // estimation) — localCheckpoint cuts the lineage so the
+      // aggregate runs once, not per consumer (the a21 practice)
       val stats = v.agg(count(lit(1)).as("n"),
         min(col("x")).as("vmin"), max(col("x")).as("vmax"))
         .localCheckpoint()
@@ -445,7 +452,7 @@ object Analytics extends QueryPack {
             |      ELSE acc.q END AS q),
             |  acc -> acc.q)""".stripMargin))
       val exact = graft.operators.Percentiles.exact(
-          Tables.lineitem(s, d).withColumn("g", lit(1)), "g", "l_extendedprice",
+          v.withColumn("g", lit(1)), "g", "x",
           Seq("e50" -> 0.5, "e90" -> 0.9, "e99" -> 0.99))
         .select(expr("stack(3, 0.5D, e50, 0.9D, e90, 0.99D, e99) AS (p, exact)"))
       est.join(broadcast(exact), "p")

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators.Envelope
@@ -255,19 +255,7 @@ object Messaging extends QueryPack {
     // sequencing itself; the rollup ships one row per shard.
     "m16_consumer_lag" -> { (s, d) =>
       val cut = lit("2024-01-16 00:00:00").cast("timestamp")
-      Envelope.withShardSeq(Envelope.messages(s, d))
-        .groupBy(col("shard_id"))
-        .agg(max(col("seq")).as("last_seq"),
-          coalesce(max(when(col("ts") < cut, col("seq"))), lit(0L)).as("ckpt_seq"),
-          max(col("ts")).as("tip_ts"),
-          max(when(col("ts") < cut, col("ts"))).as("ckpt_ts"),
-          min(col("ts")).as("start_ts"))
-        .select(col("shard_id"),
-          col("last_seq"), col("ckpt_seq"),
-          (col("last_seq") - col("ckpt_seq")).as("lag_msgs"),
-          (expr("unix_micros(tip_ts)") -
-            expr("unix_micros(coalesce(ckpt_ts, start_ts))")).as("lag_us"))
-        .orderBy(col("shard_id"))
+      lagFromCells(lagCells(Envelope.withShardSeq(Envelope.messages(s, d)), cut))
     },
 
     // Per-shard throughput accounting — the capacity-planning query a
@@ -343,24 +331,7 @@ object Messaging extends QueryPack {
     // scale.
     "m21_drain_eta" -> { (s, d) =>
       val cut = lit("2024-01-16 00:00:00").cast("timestamp")
-      Envelope.withShardSeq(Envelope.messages(s, d))
-        .groupBy(col("shard_id"))
-        .agg(max(col("seq")).as("last_seq"),
-          coalesce(max(when(col("ts") < cut, col("seq"))), lit(0L)).as("ckpt_seq"),
-          min(col("ts")).as("t0"), max(col("ts")).as("t1"))
-        .withColumn("lag_msgs", col("last_seq") - col("ckpt_seq"))
-        .withColumn("span_us", expr("unix_micros(t1)") - expr("unix_micros(t0)"))
-        .withColumn("rate_per_sec",
-          when(col("span_us") === 0L, lit(null))
-            .otherwise(col("last_seq").cast("double") /
-              (col("span_us").cast("double") / lit(1000000.0))))
-        .withColumn("eta_sec",
-          when(col("rate_per_sec").isNull || col("lag_msgs") === 0L, lit(0.0))
-            .otherwise(col("lag_msgs").cast("double") / col("rate_per_sec")))
-        .select(col("shard_id"), col("lag_msgs"),
-          round(col("rate_per_sec"), 6).as("rate_per_sec"),
-          round(col("eta_sec"), 6).as("eta_sec"))
-        .orderBy(col("shard_id"))
+      drainEtaFromCells(lagCells(Envelope.withShardSeq(Envelope.messages(s, d)), cut))
     },
 
     // Hot-shard ROOT-CAUSE diagnosis — m17 measures a shard's load
@@ -561,6 +532,71 @@ object Messaging extends QueryPack {
         col("burst_ratio"), col("cost_share"), col("disposition"))
       .orderBy(col("shard_id"))
   }
+
+  /** m16/m21's mergeable per-shard lag cells from any slice of
+    * sequenced records ((shard_id, seq, ts) columns — one topic
+    * micro-batch or the whole stream): every field is a max or min,
+    * so cells from disjoint slices merge by the same max/min rollup
+    * ([[lagCellsStep]]) and the store is SHARDS-sized regardless of
+    * stream volume (the m23/p6/a22 monitor idiom). `cut` is the
+    * checkpoint instant the lag is measured against. */
+  private[graft] def lagCells(msgs: DataFrame, cut: Column): DataFrame =
+    msgs.groupBy(col("shard_id"))
+      .agg(max(col("seq")).as("last_seq"),
+        max(when(col("ts") < cut, col("seq"))).as("ckpt_seq"),
+        max(col("ts")).as("tip_ts"),
+        max(when(col("ts") < cut, col("ts"))).as("ckpt_ts"),
+        min(col("ts")).as("start_ts"))
+
+  /** One live-monitor step: fold a micro-batch's lag cells into the
+    * running per-shard store. max/max/max/max/min — associative and
+    * null-tolerant (max ignores nulls), so batches that straddle the
+    * checkpoint cut or arrive out of order fold correctly. */
+  private[graft] def lagCellsStep(store: DataFrame, batch: DataFrame,
+                                  cut: Column): DataFrame =
+    store.unionByName(lagCells(batch, cut))
+      .groupBy(col("shard_id"))
+      .agg(max(col("last_seq")).as("last_seq"),
+        max(col("ckpt_seq")).as("ckpt_seq"),
+        max(col("tip_ts")).as("tip_ts"),
+        max(col("ckpt_ts")).as("ckpt_ts"),
+        min(col("start_ts")).as("start_ts"))
+
+  /** m16's decision layer over the lag cells — shared verbatim by the
+    * batch query and the live lag monitor (StreamingSpec proves
+    * streamed ≡ batch): lag in messages (tip seq − checkpointed seq)
+    * and in event-time microseconds. A shard that never checkpointed
+    * measures from the stream start. */
+  private[graft] def lagFromCells(cells: DataFrame): DataFrame =
+    cells
+      .select(col("shard_id"),
+        col("last_seq"),
+        coalesce(col("ckpt_seq"), lit(0L)).as("ckpt_seq"),
+        (col("last_seq") - coalesce(col("ckpt_seq"), lit(0L))).as("lag_msgs"),
+        (expr("unix_micros(tip_ts)") -
+          expr("unix_micros(coalesce(ckpt_ts, start_ts))")).as("lag_us"))
+      .orderBy(col("shard_id"))
+
+  /** m21's decision layer over the SAME lag cells: catch-up ETA from
+    * the observed arrival rate (consumer modeled at 2× arrivals, so
+    * the net drain rate equals the arrival rate). */
+  private[graft] def drainEtaFromCells(cells: DataFrame): DataFrame =
+    cells
+      .withColumn("ckpt_seq0", coalesce(col("ckpt_seq"), lit(0L)))
+      .withColumn("lag_msgs", col("last_seq") - col("ckpt_seq0"))
+      .withColumn("span_us",
+        expr("unix_micros(tip_ts)") - expr("unix_micros(start_ts)"))
+      .withColumn("rate_per_sec",
+        when(col("span_us") === 0L, lit(null))
+          .otherwise(col("last_seq").cast("double") /
+            (col("span_us").cast("double") / lit(1000000.0))))
+      .withColumn("eta_sec",
+        when(col("rate_per_sec").isNull || col("lag_msgs") === 0L, lit(0.0))
+          .otherwise(col("lag_msgs").cast("double") / col("rate_per_sec")))
+      .select(col("shard_id"), col("lag_msgs"),
+        round(col("rate_per_sec"), 6).as("rate_per_sec"),
+        round(col("eta_sec"), 6).as("eta_sec"))
+      .orderBy(col("shard_id"))
 
   def oracle: Map[String, String] = Map(
     // struct_pack fields listed in ascending key order — the kernel

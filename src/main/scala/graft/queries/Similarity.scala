@@ -332,6 +332,49 @@ object Similarity extends QueryPack {
       .orderBy(col("np"))
   }
 
+  /** a25: the DECISION step a24's sweep exists to feed — the m20
+    * pattern (measure → decide) applied to index tuning: chosen
+    * nProbe = the SMALLEST level whose measured recall clears
+    * `recallFloor` while its candidate cost stays under the ceiling
+    * (`costFrac` × the widest level's scan cost — the region where
+    * probing wider stops being cheaper than brute force). When no
+    * level clears the floor inside the ceiling, fall back to the
+    * best-recall level that fits the ceiling (ties → smallest np).
+    * One sweep + two 1-row broadcast aggregates — the decision layer
+    * adds nothing to the sweep's scale shape, and the output carries
+    * every level with its flags so the choice is auditable, not just
+    * announced. */
+  def nprobeDecide(s: SparkSession, d: String,
+                   recallFloor: Double = 0.85,
+                   costFrac: Double = 0.75): DataFrame = {
+    // 4-row result consumed by three branches (cap, choice, output) —
+    // localCheckpoint so the sweep's corpus passes run once
+    val sweep = nprobeSweep(s, d).localCheckpoint()
+    val cap = sweep.agg(max(col("avg_scanned")).as("max_scanned"))
+    val flagged = sweep.crossJoin(broadcast(cap))
+      .withColumn("cost_cap", round(col("max_scanned") * lit(costFrac), 6))
+      .withColumn("meets_recall", col("avg_recall") >= lit(recallFloor))
+      .withColumn("within_cost", col("avg_scanned") <= col("cost_cap"))
+    val bestRecall = flagged.filter(col("within_cost"))
+      .agg(max(col("avg_recall")).as("best_recall"))
+    val choice = flagged.crossJoin(broadcast(bestRecall))
+      .agg(
+        min(when(col("meets_recall") && col("within_cost"), col("np"))).as("elig_np"),
+        min(when(col("within_cost") && col("avg_recall") === col("best_recall"),
+          col("np"))).as("fallback_np"))
+    flagged.crossJoin(broadcast(choice))
+      .withColumn("chosen_np", coalesce(col("elig_np"), col("fallback_np")))
+      .withColumn("chosen", col("np") === col("chosen_np"))
+      .withColumn("decision",
+        when(!col("chosen"), lit(""))
+          .when(col("elig_np").isNotNull, lit("meets_floor"))
+          .otherwise(lit("best_effort")))
+      .select(col("np"), col("n_probes"), col("avg_scanned"), col("avg_recall"),
+        col("cost_cap"), col("meets_recall"), col("within_cost"),
+        col("chosen"), col("decision"))
+      .orderBy(col("np"))
+  }
+
   def ivfKnn(s: SparkSession, d: String, geo: AnnGeometry = Geo, k: Int = K): DataFrame = {
     val v = vecs(s, d)
     val cents = hashTopK(v, "cent", geo.nCentroids)
@@ -1415,7 +1458,8 @@ object Similarity extends QueryPack {
     "a5_ivf_refine" -> ((s, d) => ivfRefine(s, d)),
     "a4_cross_label_nn" -> ((s, d) => crossLabelNN(s, d)),
     "a23_filtered_knn" -> ((s, d) => filteredKnn(s, d)),
-    "a24_nprobe_sweep" -> ((s, d) => nprobeSweep(s, d))
+    "a24_nprobe_sweep" -> ((s, d) => nprobeSweep(s, d)),
+    "a25_nprobe_decide" -> ((s, d) => nprobeDecide(s, d))
   )
 
   /** a13's oracle: plain inner-product ranking (shared with a16). */
@@ -1470,6 +1514,71 @@ object Similarity extends QueryPack {
        |FROM scored WHERE rank <= $K
        |ORDER BY probe_id, rank""".stripMargin
   }
+
+  /** a24's sweep as reusable SQL parts: the CTE chain (through `per`)
+    * and the per-level rollup — a24 publishes the rollup directly;
+    * a25 wraps it as one more CTE and layers the decision on top, so
+    * the two oracles can never drift apart. */
+  private lazy val NprobeSweepCtes =
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |c AS (SELECT vec_id AS cent_id, emb AS c_emb FROM (SELECT * FROM v ${centSel(Geo.nCentroids)}) cs),
+       |assigned AS (
+       |  SELECT vec_id, emb, cell FROM (
+       |    SELECT v.vec_id, v.emb, c.cent_id AS cell,
+       |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |        list_dot_product(v.emb, c.c_emb) /
+       |          (sqrt(list_dot_product(v.emb, v.emb)) * sqrt(list_dot_product(c.c_emb, c.c_emb))) DESC,
+       |        c.cent_id) AS crank
+       |    FROM v, c) t WHERE crank = 1),
+       |pc AS (
+       |  SELECT probe_id, p_emb, cell, crank FROM (
+       |    SELECT v.vec_id AS probe_id, v.emb AS p_emb, c.cent_id AS cell,
+       |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |        list_dot_product(v.emb, c.c_emb) /
+       |          (sqrt(list_dot_product(v.emb, v.emb)) * sqrt(list_dot_product(c.c_emb, c.c_emb))) DESC,
+       |        c.cent_id) AS crank
+       |    FROM (SELECT * FROM v $probeSel) v, c) t WHERE crank <= 4),
+       |lv AS (
+       |  SELECT n.np, p.probe_id, p.p_emb, p.cell
+       |  FROM pc p JOIN (SELECT unnest([1, 2, 3, 4]) AS np) n ON p.crank <= n.np),
+       |cand AS (
+       |  SELECT l.np, l.probe_id, a.vec_id,
+       |    list_dot_product(l.p_emb, a.emb) /
+       |      (sqrt(list_dot_product(l.p_emb, l.p_emb)) * sqrt(list_dot_product(a.emb, a.emb))) AS cosine
+       |  FROM lv l JOIN assigned a ON a.cell = l.cell AND a.vec_id <> l.probe_id),
+       |approx AS (
+       |  SELECT np, probe_id, vec_id FROM (
+       |    SELECT np, probe_id, vec_id,
+       |      row_number() OVER (PARTITION BY np, probe_id
+       |        ORDER BY cosine DESC, vec_id) AS rank
+       |    FROM cand) t WHERE rank <= $K),
+       |scanned AS (
+       |  SELECT np, probe_id, count(*)::BIGINT AS n_cand FROM cand GROUP BY 1, 2),
+       |probes AS (SELECT vec_id AS probe_id, emb AS p_emb FROM v $probeSel),
+       |exact AS (
+       |  SELECT probe_id, vec_id FROM (
+       |    SELECT p.probe_id, v.vec_id,
+       |      row_number() OVER (PARTITION BY p.probe_id ORDER BY
+       |        list_dot_product(p.p_emb, v.emb) /
+       |          (sqrt(list_dot_product(p.p_emb, p.p_emb)) * sqrt(list_dot_product(v.emb, v.emb))) DESC,
+       |        v.vec_id) AS rank
+       |    FROM probes p JOIN v ON v.vec_id <> p.probe_id) t WHERE rank <= $K),
+       |per AS (
+       |  SELECT n.np, e.probe_id, count(*)::BIGINT AS n_exact,
+       |    CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+       |  FROM exact e
+       |  CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS np) n
+       |  LEFT JOIN approx a
+       |    ON a.np = n.np AND a.probe_id = e.probe_id AND a.vec_id = e.vec_id
+       |  GROUP BY 1, 2)""".stripMargin
+
+  private lazy val NprobeSweepSelect =
+    """SELECT CAST(per.np AS BIGINT) AS np, count(*)::BIGINT AS n_probes,
+      |  round(avg(coalesce(s.n_cand, 0)::DOUBLE), 6) AS avg_scanned,
+      |  round(avg(per.n_hit::DOUBLE / per.n_exact), 6) AS avg_recall
+      |FROM per LEFT JOIN scanned s
+      |  ON s.np = per.np AND s.probe_id = per.probe_id
+      |GROUP BY per.np""".stripMargin
 
   def oracle: Map[String, String] = Map(
     // Build-time snapshot seeds, one assignment over everything,
@@ -2098,63 +2207,40 @@ object Similarity extends QueryPack {
          |ORDER BY probe_id, rank""".stripMargin,
 
     "a24_nprobe_sweep" ->
-      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-         |c AS (SELECT vec_id AS cent_id, emb AS c_emb FROM (SELECT * FROM v ${centSel(Geo.nCentroids)}) cs),
-         |assigned AS (
-         |  SELECT vec_id, emb, cell FROM (
-         |    SELECT v.vec_id, v.emb, c.cent_id AS cell,
-         |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
-         |        list_dot_product(v.emb, c.c_emb) /
-         |          (sqrt(list_dot_product(v.emb, v.emb)) * sqrt(list_dot_product(c.c_emb, c.c_emb))) DESC,
-         |        c.cent_id) AS crank
-         |    FROM v, c) t WHERE crank = 1),
-         |pc AS (
-         |  SELECT probe_id, p_emb, cell, crank FROM (
-         |    SELECT v.vec_id AS probe_id, v.emb AS p_emb, c.cent_id AS cell,
-         |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
-         |        list_dot_product(v.emb, c.c_emb) /
-         |          (sqrt(list_dot_product(v.emb, v.emb)) * sqrt(list_dot_product(c.c_emb, c.c_emb))) DESC,
-         |        c.cent_id) AS crank
-         |    FROM (SELECT * FROM v $probeSel) v, c) t WHERE crank <= 4),
-         |lv AS (
-         |  SELECT n.np, p.probe_id, p.p_emb, p.cell
-         |  FROM pc p JOIN (SELECT unnest([1, 2, 3, 4]) AS np) n ON p.crank <= n.np),
-         |cand AS (
-         |  SELECT l.np, l.probe_id, a.vec_id,
-         |    list_dot_product(l.p_emb, a.emb) /
-         |      (sqrt(list_dot_product(l.p_emb, l.p_emb)) * sqrt(list_dot_product(a.emb, a.emb))) AS cosine
-         |  FROM lv l JOIN assigned a ON a.cell = l.cell AND a.vec_id <> l.probe_id),
-         |approx AS (
-         |  SELECT np, probe_id, vec_id FROM (
-         |    SELECT np, probe_id, vec_id,
-         |      row_number() OVER (PARTITION BY np, probe_id
-         |        ORDER BY cosine DESC, vec_id) AS rank
-         |    FROM cand) t WHERE rank <= $K),
-         |scanned AS (
-         |  SELECT np, probe_id, count(*)::BIGINT AS n_cand FROM cand GROUP BY 1, 2),
-         |probes AS (SELECT vec_id AS probe_id, emb AS p_emb FROM v $probeSel),
-         |exact AS (
-         |  SELECT probe_id, vec_id FROM (
-         |    SELECT p.probe_id, v.vec_id,
-         |      row_number() OVER (PARTITION BY p.probe_id ORDER BY
-         |        list_dot_product(p.p_emb, v.emb) /
-         |          (sqrt(list_dot_product(p.p_emb, p.p_emb)) * sqrt(list_dot_product(v.emb, v.emb))) DESC,
-         |        v.vec_id) AS rank
-         |    FROM probes p JOIN v ON v.vec_id <> p.probe_id) t WHERE rank <= $K),
-         |per AS (
-         |  SELECT n.np, e.probe_id, count(*)::BIGINT AS n_exact,
-         |    CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
-         |  FROM exact e
-         |  CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS np) n
-         |  LEFT JOIN approx a
-         |    ON a.np = n.np AND a.probe_id = e.probe_id AND a.vec_id = e.vec_id
-         |  GROUP BY 1, 2)
-         |SELECT CAST(per.np AS BIGINT) AS np, count(*)::BIGINT AS n_probes,
-         |  round(avg(coalesce(s.n_cand, 0)::DOUBLE), 6) AS avg_scanned,
-         |  round(avg(per.n_hit::DOUBLE / per.n_exact), 6) AS avg_recall
-         |FROM per LEFT JOIN scanned s
-         |  ON s.np = per.np AND s.probe_id = per.probe_id
-         |GROUP BY per.np
+      s"""$NprobeSweepCtes
+         |$NprobeSweepSelect
+         |ORDER BY np""".stripMargin,
+
+    // a25: a24's sweep as a CTE + the decision layer — recall floor
+    // 0.85, cost ceiling 0.75 x the widest level's scan cost, chosen =
+    // min eligible np, else best within-cost recall (ties -> min np).
+    "a25_nprobe_decide" ->
+      s"""$NprobeSweepCtes,
+         |sweep AS (
+         |$NprobeSweepSelect),
+         |cap AS (SELECT max(avg_scanned) AS max_scanned FROM sweep),
+         |flagged AS (
+         |  SELECT s.np, s.n_probes, s.avg_scanned, s.avg_recall,
+         |    round(c.max_scanned * 0.75, 6) AS cost_cap,
+         |    s.avg_recall >= 0.85 AS meets_recall,
+         |    s.avg_scanned <= round(c.max_scanned * 0.75, 6) AS within_cost
+         |  FROM sweep s CROSS JOIN cap c),
+         |best AS (
+         |  SELECT max(avg_recall) AS best_recall FROM flagged WHERE within_cost),
+         |choice AS (
+         |  SELECT
+         |    min(CASE WHEN meets_recall AND within_cost THEN np END) AS elig_np,
+         |    min(CASE WHEN within_cost
+         |          AND avg_recall = (SELECT best_recall FROM best)
+         |        THEN np END) AS fallback_np
+         |  FROM flagged)
+         |SELECT f.np, f.n_probes, f.avg_scanned, f.avg_recall, f.cost_cap,
+         |  f.meets_recall, f.within_cost,
+         |  f.np = coalesce(ch.elig_np, ch.fallback_np) AS chosen,
+         |  CASE WHEN f.np <> coalesce(ch.elig_np, ch.fallback_np) THEN ''
+         |       WHEN ch.elig_np IS NOT NULL THEN 'meets_floor'
+         |       ELSE 'best_effort' END AS decision
+         |FROM flagged f CROSS JOIN choice ch
          |ORDER BY np""".stripMargin,
 
     "a6_knn_multiprobe" -> {

@@ -77,6 +77,15 @@ final case class KinesisSourceConfig(
   * is pure and spec-tested, and on a cluster with a connector on the
   * classpath this class is the only thing a user changes:
   * `Subscriber.subscribe(spark, KinesisSource(cfg), "my-stream")`.
+  *
+  * `seq` semantics on this transport: arrival-micros × 4096 + a
+  * deterministic sequenceNumber hash tie-break — per-shard monotone
+  * at arrival granularity, distinct w.h.p. within a GetRecords batch,
+  * stable across replays. Supported seq consumers: ordering (m5),
+  * first-arrival dedup (m7), lag/drain math (m16/m21), replay cuts by
+  * value (m18's range selection). UNSUPPORTED: anything assuming the
+  * file transport's dense contiguous seq (m18's gaplessness audit) —
+  * intra-tick order is hash-arbitrary and values are sparse.
   */
 final case class KinesisSource(conf: KinesisSourceConfig,
                                codec: TopicFormat = JsonLinesTopic) extends SourceFormat {
@@ -119,16 +128,27 @@ final case class KinesisSource(conf: KinesisSourceConfig,
     // sequence numbers are ~56-digit decimal strings that overflow
     // BIGINT (the cast would silently null every record's seq and
     // break all seq-based operators). The transport's monotone
-    // surrogate is the arrival timestamp in microseconds — per-shard
-    // monotone at the connector's arrival granularity, the scale the
-    // schema's seq-based ordering/lag math actually consumes; exact
-    // resume positions live in the connector's own checkpoint (as in
-    // KCL), never in this column.
+    // surrogate is the arrival timestamp in microseconds — but every
+    // record in one GetRecords batch shares ONE arrival timestamp, so
+    // micros alone would tie heavily and seq-distinctness consumers
+    // (m16 lag counting, m7 first-arrival dedup ordering) would see
+    // collapsed positions. The low 12 bits carry a deterministic
+    // xxhash64 of the connector's own `sequenceNumber` as a
+    // tie-break: unique-w.h.p. within a batch, stable across replays
+    // of the same record, and micros*4096 stays under Long.Max until
+    // ~2042. LIMITS, by construction (scaladoc'd on the class):
+    // intra-tick ORDER is hash-arbitrary (true sub-tick order lives
+    // only in the 56-digit sequenceNumber), and seq is sparse — the
+    // file transport's DENSE per-shard seq contract does not hold, so
+    // m18's gaplessness check is unsupported over this transport
+    // (replay cuts by timestamp instead). Exact resume positions live
+    // in the connector's own checkpoint (as in KCL), never here.
     reader.load()
       .select(
         regexp_extract(col("shardId"), "(\\d+)$", 1).cast("long").as("shard_id"),
         lit(-1L).as("batch_id"),
-        unix_micros(col("approximateArrivalTimestamp").cast("timestamp")).as("seq"),
+        (unix_micros(col("approximateArrivalTimestamp").cast("timestamp")) * 4096L +
+          pmod(xxhash64(col("sequenceNumber")), lit(4096L))).as("seq"),
         lit(-1L).as("event_id"),
         lit(null).cast("string").as("uuid"),
         col("partitionKey").as("partition_key"),

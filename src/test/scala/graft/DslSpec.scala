@@ -139,5 +139,7 @@ class DslSpec extends SparkSuite {
     val probed = docs.bloomProbe(bloom)
     assert(probed.filter(!col("predicted_dup")).count() === 0)
     assert(probed.count() === docs.count())
+    // the verdict is ADDED to the caller's frame — no column dropped
+    assert(docs.columns.toSet.subsetOf(probed.columns.toSet))
   }
 }

@@ -1226,6 +1226,52 @@ class StreamingSpec extends SparkSuite {
     assert(got === expected)
   }
 
+  test("the live consumer-lag monitor converges to exactly the batch m16/m21 tables") {
+    import graft.queries.Messaging
+    // the SAME stream the batch operators audit, as a LIVE subscription
+    val topic = tempDir("topic")
+    Publisher.publish(Envelope.messages(spark, sf), topic)
+    val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+    val expectedLag = SparkEntry.queries("m16_consumer_lag")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val expectedEta = SparkEntry.queries("m21_drain_eta")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toSet
+    assert(expectedLag.nonEmpty && expectedEta.nonEmpty)
+
+    // the monitor grows ONE shards-sized mergeable cell store; the
+    // decision layers (shared verbatim with the batch m16/m21) read
+    // only the store, never the stream
+    import org.apache.spark.sql.types.{LongType, StructField, StructType, TimestampType}
+    var store = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("shard_id", LongType),
+        StructField("last_seq", LongType), StructField("ckpt_seq", LongType),
+        StructField("tip_ts", TimestampType), StructField("ckpt_ts", TimestampType),
+        StructField("start_ts", TimestampType))))
+    // one topic file per micro-batch, so shards SPLIT across batches —
+    // the mergeable max/min contract is what's under test
+    val q = Subscriber.subscribe(spark, topic, maxFilesPerTrigger = 1)
+      .select(col("shard_id"), col("seq"), col("ts"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", tempDir("ck_lag"))
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        store = Messaging.lagCellsStep(store, batch, cut).localCheckpoint()
+      }
+      .start()
+    q.processAllAvailable(); q.stop()
+
+    val gotLag = Messaging.lagFromCells(store)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val gotEta = Messaging.drainEtaFromCells(store)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toSet
+    assert(gotLag === expectedLag)
+    assert(gotEta === expectedEta)
+  }
+
   test("the live compaction monitor converges to exactly the batch a22 policy") {
     import spark.implicits._
     import graft.queries.Similarity

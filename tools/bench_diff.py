@@ -1,17 +1,30 @@
 #!/usr/bin/env python3
-"""Per-query bench regression diff: compare two bench artifacts and
-print a markdown table of movers, so a q32-style anomaly is caught in
-the round it appears instead of costing judge adjudication.
+"""Per-query bench regression diff: compare a new bench artifact against
+the most recent LIVE baseline for each query, so a q32-style anomaly is
+caught in the round it appears instead of costing judge adjudication.
 
 Usage:
-  python3 tools/bench_diff.py BENCH_r05.json BENCH_r06.json [--thresh 0.1]
+  python3 tools/bench_diff.py OLD1 [OLD2 ...] NEW [--thresh 0.1]
+
+The LAST positional argument is the new artifact; every earlier one is a
+candidate baseline, ordered oldest -> newest. For each query the baseline
+is the NEWEST prior artifact in which the query (a) appears and (b) is
+not listed as broken in tools/bench_status.json. That closes the r9
+blind spot where m6's 9x swing vs r7 was invisible because its r8 entry
+was a failure stub and only r8 was consulted.
+
+Brokenness is an EXPLICIT per-artifact list (tools/bench_status.json),
+not a time threshold: a genuinely fast query (e.g. 0.015 s) regressing
+to seconds is still compared (against the 0.05 s noise floor) and still
+fails. graft.Bench prints "bench FAILED queries: ..." to stderr so the
+next status entry is mechanical, not forensic.
 
 Accepts either the driver's BENCH_r{N}.json wrapper (reads .parsed,
 falling back to the last JSON object embedded in .tail for rounds the
 driver failed to parse) or a raw one-line bench JSON from
 `runMain graft.Bench`.
 """
-import json, re, sys
+import json, os, re, sys
 
 
 def load_queries(path):
@@ -40,56 +53,81 @@ def fam(key):
     return key.split("_", 1)[0]
 
 
+def load_status():
+    p = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "bench_status.json")
+    try:
+        doc = json.load(open(p))
+    except Exception:
+        return {}
+    return {name: set(fam(q) for q in entry.get("broken", []))
+            for name, entry in doc.items() if isinstance(entry, dict)}
+
+
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     thresh = 0.1
     for a in sys.argv[1:]:
         if a.startswith("--thresh"):
             thresh = float(a.split("=", 1)[1]) if "=" in a else thresh
-    old_path, new_path = args
-    old_q, old_total = load_queries(old_path)
+    if len(args) < 2:
+        raise SystemExit(__doc__)
+    old_paths, new_path = args[:-1], args[-1]
+    status = load_status()
+
     new_q, new_total = load_queries(new_path)
-    old = {fam(k): v for k, v in old_q.items()}
     new = {fam(k): v for k, v in new_q.items()}
 
-    shared = sorted(set(old) & set(new))
-    added = sorted(set(new) - set(old))
-    removed = sorted(set(old) - set(new))
-    movers = [(k, old[k], new[k], new[k] - old[k]) for k in shared
-              if abs(new[k] - old[k]) >= thresh]
+    # For each query: newest prior artifact with a LIVE reading.
+    base = {}       # fam -> (value, path)
+    old_totals = {}
+    for p in old_paths:  # oldest -> newest; later artifacts overwrite
+        q, total = load_queries(p)
+        old_totals[p] = total
+        broken = status.get(os.path.basename(p), set())
+        for k, v in q.items():
+            f = fam(k)
+            if f in broken:
+                continue
+            base[f] = (v, p)
+
+    shared = sorted(set(base) & set(new))
+    added = sorted(set(new) - set(base))
+    removed = sorted(set(base) - set(new))
+    movers = [(k, base[k][0], new[k], new[k] - base[k][0], base[k][1])
+              for k in shared if abs(new[k] - base[k][0]) >= thresh]
     movers.sort(key=lambda t: -abs(t[3]))
 
-    print(f"# bench diff: {old_path} -> {new_path}")
-    so, sn = sum(old[k] for k in shared), sum(new[k] for k in shared)
-    print(f"\nshared {len(shared)} queries: {so:.2f}s -> {sn:.2f}s "
-          f"({sn / so:.2f}x); totals {old_total} -> {new_total}")
+    print(f"# bench diff: {', '.join(old_paths)} -> {new_path}")
+    so, sn = sum(base[k][0] for k in shared), sum(new[k] for k in shared)
+    print(f"\nshared {len(shared)} queries (each vs its last live "
+          f"baseline): {so:.2f}s -> {sn:.2f}s ({sn / so:.2f}x); "
+          f"totals {[old_totals[p] for p in old_paths]} -> {new_total}")
     if added:
         print(f"new: {', '.join(added)} "
               f"(+{sum(new[k] for k in added):.2f}s combined)")
     if removed:
         print(f"removed: {', '.join(removed)}")
     if movers:
-        print(f"\n| query | {old_path} | {new_path} | delta |")
-        print("| --- | --- | --- | --- |")
-        for k, o, n, d in movers:
-            print(f"| {k} | {o:.2f} | {n:.2f} | {d:+.2f} |")
+        print(f"\n| query | baseline | from | {new_path} | delta |")
+        print("| --- | --- | --- | --- | --- |")
+        for k, o, n, d, src in movers:
+            print(f"| {k} | {o:.2f} | {os.path.basename(src)} | "
+                  f"{n:.2f} | {d:+.2f} |")
     else:
         print(f"\nno per-query move >= {thresh}s")
-    # exit 1 when a shared query regressed by >= max(thresh, 2x) —
-    # wire-able into a round's gate, per BENCH_DIFF_r08_to_r09.md's
-    # counting rule: ratio over floored values (FLOOR = 0.05 s noise
-    # floor), and failure STUBS excluded from the shared-live set.
-    # A stub is a near-zero old reading (the round-8 artifact recorded
-    # ~0.01 s for every ts-broken query — reviving them must not read
-    # as a 100x regression); a genuinely fast sub-floor query is still
-    # compared against the floored baseline, so a 0.04 s -> 5 s
-    # regression DOES fail.
-    FLOOR, STUB = 0.05, 0.02
-    bad = [k for k, o, n, d in movers
-           if d >= thresh and o >= STUB and n >= 0.2
+    # exit 1 when a query regressed >= max(thresh, 2x) vs its last live
+    # baseline. Ratio over floored values (FLOOR = 0.05 s noise floor)
+    # applied UNIFORMLY: fast-but-live baselines are floored, never
+    # excluded, so a 0.015 s -> 5 s regression fails. Only explicitly
+    # status-listed stub entries are outside the comparison set.
+    FLOOR = 0.05
+    bad = [k for k, o, n, d, _ in movers
+           if d >= thresh and n >= 0.2
            and max(n, FLOOR) >= 2 * max(o, FLOOR)]
     if bad:
-        print(f"\nREGRESSIONS (>=2x and >=+{thresh}s): {', '.join(bad)}")
+        print(f"\nREGRESSIONS (>=2x vs last live and >=+{thresh}s): "
+              f"{', '.join(bad)}")
         sys.exit(1)
 
 

@@ -12,13 +12,18 @@ cd "$(dirname "$0")/.."
 # TIMESTAMP(MICROS) unannounced between rounds 7 and 8; when it changes
 # again, this block plus the loader-level Tables.checkSchema turn the
 # break into a one-line diagnosis instead of 31 Catalyst errors.
-echo "== testdata schemas (sf0.01) =="
+# Both dirs the gate exercises: Verify reads sf0.01, tests+Bench read
+# $SPARK_GRAFT_SF_DIR (default sf0.1) — drift in either must show here.
 python3 - <<'EOF'
 import pyarrow.parquet as pq, glob, os
-for p in sorted(glob.glob('/root/testdata/sf0.01/*.parquet')):
-    s = pq.read_schema(p)
-    cols = ', '.join(f'{f.name}:{f.type}' for f in s)
-    print(f'  {os.path.basename(p)}: {cols}')
+for d in dict.fromkeys(['/root/testdata/sf0.01',
+                        os.environ.get('SPARK_GRAFT_SF_DIR',
+                                       '/root/testdata/sf0.1')]):
+    print(f'== testdata schemas ({os.path.basename(d)}) ==')
+    for p in sorted(glob.glob(f'{d}/*.parquet')):
+        s = pq.read_schema(p)
+        cols = ', '.join(f'{f.name}:{f.type}' for f in s)
+        print(f'  {os.path.basename(p)}: {cols}')
 EOF
 
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32} \
@@ -26,13 +31,15 @@ SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32}
   | tee /tmp/gate_out.txt
 python3 tools/compare.py /root/testdata/sf0.01 /tmp/gate_v01
 
-# Regression watch: diff this run's bench line against the newest
-# driver-recorded round (>=2x per-query slowdowns exit nonzero — the
-# check that would have caught q32's round-6 anomaly in-round).
-# Advisory only when no prior BENCH exists.
+# Regression watch: diff this run's bench line against the most recent
+# LIVE reading per query across ALL driver-recorded rounds (>=2x
+# per-query slowdowns exit nonzero). Passing every artifact closes the
+# r9 blind spot where a query's r-1 entry was a failure stub and its
+# real swing vs the last live round went unseen. Advisory only when no
+# prior BENCH exists.
 grep -o '{"metric".*}' /tmp/gate_out.txt | tail -1 > /tmp/gate_bench.json
-last_bench=$(ls BENCH_r*.json 2>/dev/null | sort | tail -1)
-if [ -n "$last_bench" ] && [ -s /tmp/gate_bench.json ]; then
-  python3 tools/bench_diff.py "$last_bench" /tmp/gate_bench.json
+benches=$(ls BENCH_r*.json 2>/dev/null | sort)
+if [ -n "$benches" ] && [ -s /tmp/gate_bench.json ]; then
+  python3 tools/bench_diff.py $benches /tmp/gate_bench.json
 fi
 echo "GATE GREEN"
