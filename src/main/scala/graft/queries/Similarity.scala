@@ -1195,6 +1195,53 @@ object Similarity extends QueryPack {
     IvfPqIndex(assigned, codes, cents, codebook)
   }
 
+  /** Persisted-index format version — bumped on any frame-schema
+    * change so a loader can refuse an incompatible artifact by name. */
+  val IvfPqFormatVersion = 1
+
+  /** Persist a frozen [[IvfPqIndex]] as a versioned directory
+    * artifact — the "publishable unit" (SURVEY §2.D) made
+    * operational: the four frames as parquet plus `manifest.json`
+    * carrying the format version and per-frame row counts. A loader
+    * can then refuse an incompatible or truncated artifact with ONE
+    * named diagnosis instead of a downstream join silently
+    * under-returning. One write per frame; the corpus-sized frames
+    * (assigned, codes) stay partitioned on write. */
+  def saveIvfPqIndex(ix: IvfPqIndex, dir: String): Unit = {
+    ix.assigned.write.mode("overwrite").parquet(s"$dir/assigned")
+    ix.codes.write.mode("overwrite").parquet(s"$dir/codes")
+    ix.cents.write.mode("overwrite").parquet(s"$dir/cents")
+    ix.codebook.write.mode("overwrite").parquet(s"$dir/codebook")
+    val m = s"""{"format_version":$IvfPqFormatVersion,"assigned":${ix.assigned.count()},"codes":${ix.codes.count()},"cents":${ix.cents.count()},"codebook":${ix.codebook.count()}}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/manifest.json"), m)
+  }
+
+  /** Load a persisted [[IvfPqIndex]], verifying the manifest: format
+    * version must match and every frame's row count must equal the
+    * manifest's (parquet serves count() from footer metadata, so the
+    * integrity check costs no data scan even on a corpus-sized
+    * frame). The loaded index serves and absorbs deltas identically
+    * to the in-memory build — spec-proved. */
+  def loadIvfPqIndex(s: SparkSession, dir: String): IvfPqIndex = {
+    val m = java.nio.file.Files.readString(java.nio.file.Paths.get(s"$dir/manifest.json"))
+    def field(k: String): Long =
+      s""""$k":(\\d+)""".r.findFirstMatchIn(m)
+        .getOrElse(throw new IllegalStateException(
+          s"[graft] IVF-PQ index manifest at $dir missing field '$k': $m"))
+        .group(1).toLong
+    val ver = field("format_version")
+    require(ver == IvfPqFormatVersion,
+      s"[graft] IVF-PQ index at $dir has format_version $ver; this build reads $IvfPqFormatVersion")
+    val frames = Seq("assigned", "codes", "cents", "codebook")
+      .map(n => n -> s.read.parquet(s"$dir/$n")).toMap
+    frames.foreach { case (n, df) =>
+      val got = df.count()
+      require(got == field(n),
+        s"[graft] IVF-PQ index frame '$n' at $dir has $got rows; manifest says ${field(n)} — truncated or mixed-version artifact")
+    }
+    IvfPqIndex(frames("assigned"), frames("codes"), frames("cents"), frames("codebook"))
+  }
+
   /** Absorb a delta of new vectors into a FROZEN index without
     * retraining — the between-retrains insert path of an IVF-PQ
     * store: each new vector is assigned to its nearest EXISTING

@@ -607,6 +607,68 @@ object TextOps extends QueryPack {
         .limit(20)
     },
 
+    // ITERATED BPE training (round 10 — t20 is iteration-0's pair
+    // stats; this TRAINS): k rounds of [count adjacent token pairs →
+    // take the most frequent (ties → lexicographic) → merge every
+    // occurrence → re-count], with per-round vocabulary and
+    // compression stats — a15's iterate pattern applied to tokenizer
+    // training. Token sequences ride as strings (tokens double-space-
+    // joined, single space at each edge), so APPLYING a merge is one
+    // codegen'd `replace(' a  b ' → ' ab ')` per round: left-to-right
+    // non-overlapping — exactly BPE's greedy application — because
+    // each replacement consumes one of the two separator spaces and
+    // leaves the neighbor's other space intact ('a a a' merges to
+    // [aa, a], never [a, aa]). Per round: one pair-count scan (map-
+    // side combining), a 1-row TakeOrderedAndProject top pair
+    // broadcast into one map-pass merge, one stats scan —
+    // localCheckpointed between rounds so round k's plan doesn't
+    // re-run rounds 1..k-1 (at 100 TB: persist, same shape). The
+    // convergence contract (n_tokens strictly decreases by pair_n,
+    // pair_n non-increasing in expectation, vocab grows ≤ 1/round) is
+    // spec-pinned in TextSpec.
+    "t24_bpe_train" -> { (s, d) =>
+      val Rounds = 3
+      // " h  e  l  l  o " — one regexp pass builds the spaced form
+      val spaced = Tables.documents(s, d)
+        .select(explode(Portable.words(col("text"))).as("w"))
+        .select(regexp_replace(col("w"), "(.)", " $1 ").as("s"))
+        .localCheckpoint()
+      val base = spaced
+        .select(size(split(trim(col("s")), "  ")).cast("long").as("n"))
+        .agg(sum(col("n")).as("base_toks"))
+        .localCheckpoint()
+      var cur = spaced
+      var stats: DataFrame = null
+      for (r <- 1 to Rounds) {
+        val pairs = cur
+          .select(split(trim(col("s")), "  ").as("t"))
+          .select(explode(when(size(col("t")) > 1, expr(
+            "transform(sequence(1, size(t) - 1), i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"))
+            .otherwise(array().cast("array<string>"))).as("pair"))
+          .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+        val top1 = pairs.orderBy(col("n").desc, col("pair")).limit(1)
+          .select(col("pair").as("merged_pair"), col("n").as("pair_n"))
+        cur = cur.crossJoin(broadcast(top1))
+          .select(expr(
+            "replace(s, ' ' || replace(merged_pair, ' ', '  ') || ' ', ' ' || replace(merged_pair, ' ', '') || ' ')")
+            .as("s"))
+          .localCheckpoint()
+        val st = cur
+          .select(explode(split(trim(col("s")), "  ")).as("tok"))
+          .agg(count(lit(1)).as("n_tokens"),
+            countDistinct(col("tok")).as("vocab_size"))
+          .crossJoin(broadcast(top1))
+          .select(lit(r.toLong).as("round"), col("merged_pair"), col("pair_n"),
+            col("vocab_size"), col("n_tokens"))
+        stats = if (stats == null) st else stats.unionAll(st)
+      }
+      stats.crossJoin(broadcast(base))
+        .select(col("round"), col("merged_pair"), col("pair_n"),
+          col("vocab_size"), col("n_tokens"),
+          round(col("n_tokens").cast("double") / col("base_toks"), 6).as("compression"))
+        .orderBy(col("round"))
+    },
+
     // Segment-level dedup (the CCNet/RefinedWeb line-dedup step at
     // fixed-window granularity — this corpus has no newlines, so the
     // unit is a 10-word window): boilerplate and wholesale copies
@@ -1205,6 +1267,71 @@ object TextOps extends QueryPack {
         |GROUP BY pair
         |ORDER BY n DESC, pair
         |LIMIT 20""".stripMargin,
+
+    // Three unrolled BPE rounds over the same spaced-token encoding;
+    // merge application is the same non-overlapping replace().
+    "t24_bpe_train" ->
+      """WITH w AS (
+        |  SELECT unnest(CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+        |    ELSE regexp_split_to_array(trim(text), '\s+') END) AS w
+        |  FROM documents),
+        |r0 AS (SELECT regexp_replace(w, '(.)', ' \1 ', 'g') AS s FROM w),
+        |base AS (
+        |  SELECT CAST(sum(len(string_split(trim(s), '  '))) AS BIGINT) AS base_toks
+        |  FROM r0),
+        |p1 AS (
+        |  SELECT pair, count(*)::BIGINT AS n FROM (
+        |    SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+        |      i -> t[i] || ' ' || t[i + 1])) AS pair
+        |    FROM (SELECT string_split(trim(s), '  ') AS t FROM r0) t0) x
+        |  GROUP BY pair ORDER BY n DESC, pair LIMIT 1),
+        |r1 AS (
+        |  SELECT replace(s, ' ' || replace(p.pair, ' ', '  ') || ' ',
+        |    ' ' || replace(p.pair, ' ', '') || ' ') AS s
+        |  FROM r0 CROSS JOIN p1 p),
+        |s1 AS (
+        |  SELECT 1::BIGINT AS round, (SELECT pair FROM p1) AS merged_pair,
+        |    (SELECT n FROM p1) AS pair_n,
+        |    CAST(count(DISTINCT tok) AS BIGINT) AS vocab_size,
+        |    count(*)::BIGINT AS n_tokens
+        |  FROM (SELECT unnest(string_split(trim(s), '  ')) AS tok FROM r1) t),
+        |p2 AS (
+        |  SELECT pair, count(*)::BIGINT AS n FROM (
+        |    SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+        |      i -> t[i] || ' ' || t[i + 1])) AS pair
+        |    FROM (SELECT string_split(trim(s), '  ') AS t FROM r1) t1) x
+        |  GROUP BY pair ORDER BY n DESC, pair LIMIT 1),
+        |r2 AS (
+        |  SELECT replace(s, ' ' || replace(p.pair, ' ', '  ') || ' ',
+        |    ' ' || replace(p.pair, ' ', '') || ' ') AS s
+        |  FROM r1 CROSS JOIN p2 p),
+        |s2 AS (
+        |  SELECT 2::BIGINT AS round, (SELECT pair FROM p2) AS merged_pair,
+        |    (SELECT n FROM p2) AS pair_n,
+        |    CAST(count(DISTINCT tok) AS BIGINT) AS vocab_size,
+        |    count(*)::BIGINT AS n_tokens
+        |  FROM (SELECT unnest(string_split(trim(s), '  ')) AS tok FROM r2) t),
+        |p3 AS (
+        |  SELECT pair, count(*)::BIGINT AS n FROM (
+        |    SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+        |      i -> t[i] || ' ' || t[i + 1])) AS pair
+        |    FROM (SELECT string_split(trim(s), '  ') AS t FROM r2) t2) x
+        |  GROUP BY pair ORDER BY n DESC, pair LIMIT 1),
+        |r3 AS (
+        |  SELECT replace(s, ' ' || replace(p.pair, ' ', '  ') || ' ',
+        |    ' ' || replace(p.pair, ' ', '') || ' ') AS s
+        |  FROM r2 CROSS JOIN p3 p),
+        |s3 AS (
+        |  SELECT 3::BIGINT AS round, (SELECT pair FROM p3) AS merged_pair,
+        |    (SELECT n FROM p3) AS pair_n,
+        |    CAST(count(DISTINCT tok) AS BIGINT) AS vocab_size,
+        |    count(*)::BIGINT AS n_tokens
+        |  FROM (SELECT unnest(string_split(trim(s), '  ')) AS tok FROM r3) t)
+        |SELECT round, merged_pair, pair_n, vocab_size, n_tokens,
+        |  round(n_tokens::DOUBLE / (SELECT base_toks FROM base), 6) AS compression
+        |FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+        |  UNION ALL SELECT * FROM s3) u
+        |ORDER BY round""".stripMargin,
 
     "t22_heavy_hitters" ->
       s"""WITH toks AS (

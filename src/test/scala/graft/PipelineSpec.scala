@@ -308,6 +308,46 @@ class PipelineSpec extends SparkSuite {
     assert(out.sortBy(_.docId).toSeq === again.sortBy(_.docId).toSeq)
   }
 
+  test("parseHeader recovers real BMP/WAV binary header fields exactly") {
+    import spark.implicits._
+    // genuine binary layouts, built byte-for-byte in the test
+    def le32(v: Long): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def le16(v: Long): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def bmp(w: Long, h: Long): Array[Byte] =
+      "BM".getBytes ++ le32(38) ++ le32(0) ++ le32(54) ++ le32(40) ++
+        le32(w) ++ le32(h) ++ le16(1) ++ le16(24) ++ Array.fill(8)(0x7f.toByte)
+    def wav(rate: Long, ch: Long): Array[Byte] =
+      "RIFF".getBytes ++ le32(44) ++ "WAVE".getBytes ++ "fmt ".getBytes ++
+        le32(16) ++ le16(1) ++ le16(ch) ++ le32(rate) ++ le32(rate * ch * 2) ++
+        le16(ch * 2) ++ le16(16) ++ "data".getBytes ++ le32(8) ++ Array.fill(8)(0x55.toByte)
+
+    assert(MediaDecode.parseHeader(bmp(1234, 777)) ===
+      ("bmp", 1234L, 777L, 0L, 0L, true))
+    assert(MediaDecode.parseHeader(wav(44100, 2)) ===
+      ("wav", 0L, 0L, 44100L, 2L, true))
+    assert(MediaDecode.parseHeader("not a media file at all...".getBytes)._1 === "unknown")
+    assert(!MediaDecode.parseHeader(Array[Byte](0x42, 0x4d))._6) // truncated BMP
+
+    // the mapPartitions batch path round-trips a mixed set
+    val media = Seq(
+      MediaDecode.Media(1L, bmp(640, 480)),
+      MediaDecode.Media(2L, wav(16000, 1)),
+      MediaDecode.Media(3L, "garbage".getBytes)).toDS()
+    val out = MediaDecode.parseHeaderBatch(media).collect().sortBy(_.docId)
+    assert(out.map(_.container).toSeq === Seq("bmp", "wav", "unknown"))
+    assert(out(0).width === 640L && out(0).height === 480L && out(0).ok)
+    assert(out(1).sampleRate === 16000L && out(1).nChannels === 1L && out(1).ok)
+    assert(!out(2).ok)
+
+    // and the mm11 columnar decode agrees with itself end-to-end:
+    // every planted header is recovered exactly on every row
+    val mm11 = SparkEntry.queries("mm11_header_decode")(spark, sf)
+    assert(mm11.filter(!col("matches_plant") || !col("header_ok")).count() === 0)
+    assert(mm11.filter(col("container") === "unknown").count() === 0)
+  }
+
   test("d6 finds exactly the synthesized scaled near-dupes") {
     val pairs = SparkEntry.queries("d6_embedding_dup")(spark, sf).collect()
     // every 25th vec_id gets a scaled twin at +100000
@@ -462,6 +502,58 @@ class PipelineSpec extends SparkSuite {
     // assigned and coded
     val ixed = ixDelta.assigned.filter(col("vec_id").isInCollection(deltaIds)).count()
     assert(ixed === 50L)
+  }
+
+  test("a saved IVF-PQ index loads, serves, and absorbs deltas exactly like the build") {
+    import graft.queries.{Similarity, AnnGeometry}
+    val geo = AnnGeometry()
+    val v = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .withColumn("nrm", graft.functions.Vec.norm(col("emb")))
+    val probes = Similarity.hashTopK(v, "probe", 5)
+      .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"), col("nrm").as("p_nrm"))
+    def serve(ix: Similarity.IvfPqIndex) =
+      Similarity.ivfPqServeProbes(ix, probes, geo).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+
+    // load-then-serve ≡ build-then-serve
+    val built = Similarity.ivfPqIndexOf(v, geo)
+    val dir = tempDir("ivfpq_artifact")
+    Similarity.saveIvfPqIndex(built, dir)
+    val loaded = Similarity.loadIvfPqIndex(spark, dir)
+    assert(serve(loaded) === serve(built))
+
+    // delta-absorb works on a LOADED index: save the base-only index,
+    // load it, absorb the held-out delta, and the serve output equals
+    // the full in-memory build (same construction as the delta spec —
+    // non-seed rows removed leave centroids/codebooks identical)
+    val seedIds = Similarity.hashTopK(v, "cent", geo.nCentroids)
+      .collect().map(_.getLong(0)).toSet ++
+      Similarity.hashTopK(v, "probe", 5).collect().map(_.getLong(0)).toSet
+    val deltaIds = v.select(col("vec_id")).collect().map(_.getLong(0))
+      .filterNot(seedIds).sorted.takeRight(50).toSet
+    val baseDir = tempDir("ivfpq_base")
+    Similarity.saveIvfPqIndex(
+      Similarity.ivfPqIndexOf(v.filter(!col("vec_id").isInCollection(deltaIds)), geo),
+      baseDir)
+    val absorbed = Similarity.ivfPqIndexDelta(
+      Similarity.loadIvfPqIndex(spark, baseDir),
+      v.filter(col("vec_id").isInCollection(deltaIds)))
+    assert(serve(absorbed) === serve(built))
+
+    // version / truncation guards refuse by name
+    val mPath = java.nio.file.Paths.get(s"$dir/manifest.json")
+    val good = java.nio.file.Files.readString(mPath)
+    java.nio.file.Files.writeString(mPath,
+      good.replace("\"format_version\":1", "\"format_version\":99"))
+    val e1 = intercept[IllegalArgumentException](Similarity.loadIvfPqIndex(spark, dir))
+    assert(e1.getMessage.contains("format_version"))
+    java.nio.file.Files.writeString(mPath,
+      good.replaceFirst("\"cents\":\\d+", "\"cents\":12345"))
+    val e2 = intercept[IllegalArgumentException](Similarity.loadIvfPqIndex(spark, dir))
+    assert(e2.getMessage.contains("truncated"))
+    java.nio.file.Files.writeString(mPath, good)
+    assert(serve(Similarity.loadIvfPqIndex(spark, dir)) === serve(built))
   }
 
   test("a20 drift audit partitions the corpus exactly and flags only delta-heavy cells") {

@@ -63,4 +63,34 @@ class TextSpec extends SparkSuite {
     assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
     assert(scores.head > 0.0)
   }
+
+  test("t24 BPE training converges monotonically round over round") {
+    // the IvfSpec monotone-objective proof applied to tokenizer
+    // training: each round merges the top pair, so token count must
+    // strictly DECREASE, by at most that pair's count (greedy
+    // non-overlapping application can merge fewer occurrences than
+    // the pair count when occurrences overlap, never more); the
+    // vocabulary grows by at most the one new merged symbol per
+    // round; compression is strictly decreasing.
+    val rows = SparkEntry.queries("t24_bpe_train")(spark, sf)
+      .collect().sortBy(_.getLong(0))
+    assert(rows.length === 3)
+    val base = SparkEntry.queries("t3_token_count")(spark, sf) // sanity anchor only
+    assert(base.count() > 0)
+    rows.foreach { r => assert(r.getLong(2) >= 1L, s"round ${r.getLong(0)} merged a zero-count pair") }
+    val toks = rows.map(_.getLong(4))
+    val pairN = rows.map(_.getLong(2))
+    val vocab = rows.map(_.getLong(3))
+    val comp = rows.map(_.getDouble(5))
+    // round 1 vs rounds 2..3
+    toks.zip(toks.tail).zipWithIndex.foreach { case ((prev, next), i) =>
+      assert(next < prev, s"round ${i + 2}: token count did not decrease")
+      assert(next >= prev - pairN(i + 1), s"round ${i + 2}: merged more than the pair count")
+    }
+    vocab.zip(vocab.tail).foreach { case (prev, next) =>
+      assert(next <= prev + 1, "vocabulary grew by more than the one merged symbol")
+    }
+    comp.zip(comp.tail).foreach { case (a, b) => assert(b < a) }
+    assert(comp.forall(c => c > 0.0 && c < 1.0))
+  }
 }
