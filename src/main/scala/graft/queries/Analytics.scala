@@ -466,6 +466,44 @@ object Analytics extends QueryPack {
         .orderBy(col("p"))
     },
 
+    // Robust per-group anomaly detection via MAD (median absolute
+    // deviation): the outlier gate that survives heavy tails, where
+    // mean/stddev z-scores are dragged by the very outliers they are
+    // supposed to flag (Iglewicz–Hoaglin modified z-score,
+    // 0.6745·|v−med|/MAD, flag > 3.5). Both medians are EXACT but
+    // distributed — two Percentiles.exact passes (bucket-locate +
+    // needed-buckets-only rank, no per-group full sort), each
+    // yielding a groups-sized frame that broadcasts back onto the
+    // rows. The 2-column events projection is localCheckpointed once
+    // and feeds all three passes (median, deviation median, flagging)
+    // — one parquet read, not three. At 100 TB: two O(data) map
+    // passes + two tiny rank lookups; nothing per-group ever sorts.
+    "q46_mad_outliers" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), col("value").cast("double").as("v"))
+        .localCheckpoint()
+      val med = graft.operators.Percentiles.exact(ev, "event_type", "v",
+          Seq("med" -> 0.5))
+        .select(col("event_type"), col("med"))
+      val dev = ev.join(broadcast(med), Seq("event_type"))
+        .select(col("event_type"), abs(col("v") - col("med")).as("ad"))
+      val mad = graft.operators.Percentiles.exact(dev, "event_type", "ad",
+          Seq("mad" -> 0.5))
+        .select(col("event_type"), col("mad"))
+      ev.join(broadcast(med), Seq("event_type"))
+        .join(broadcast(mad), Seq("event_type"))
+        .withColumn("rz", when(col("mad") > 0,
+          lit(0.6745) * abs(col("v") - col("med")) / col("mad")))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(max(col("med")), 6).as("med"),
+          round(max(col("mad")), 6).as("mad"),
+          sum(when(col("rz") > 3.5, 1L).otherwise(0L)).as("n_outliers"),
+          round(avg(when(col("rz") > 3.5, 1.0).otherwise(0.0)), 6).as("outlier_frac"),
+          round(max(col("rz")), 6).as("max_rz"))
+        .orderBy(col("event_type"))
+    },
+
     "q41_sketch_error" -> { (s, d) =>
       val est = hllCardinality(s, d)
         .select(col("l_returnflag"), col("est_distinct"))
@@ -1304,6 +1342,31 @@ object Analytics extends QueryPack {
         |SELECT 'big_only' AS pop, o_custkey FROM (
         |  SELECT o_custkey FROM big EXCEPT SELECT o_custkey FROM urgent)
         |ORDER BY pop, o_custkey""".stripMargin,
+
+    // Same exact-median semantics (quantile_cont interpolation) on
+    // both engines; null rz rows (MAD = 0 groups) count as
+    // non-outliers on both.
+    "q46_mad_outliers" ->
+      """WITH med AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY event_type),
+        |mad AS (
+        |  SELECT e.event_type, quantile_cont(abs(e.value - m.med), 0.5) AS mad
+        |  FROM events e JOIN med m USING (event_type)
+        |  GROUP BY e.event_type),
+        |z AS (
+        |  SELECT e.event_type, m.med, d.mad,
+        |    CASE WHEN d.mad > 0
+        |      THEN 0.6745 * abs(e.value - m.med) / d.mad END AS rz
+        |  FROM events e JOIN med m USING (event_type)
+        |  JOIN mad d USING (event_type))
+        |SELECT event_type, count(*) AS n,
+        |  round(max(med), 6) AS med, round(max(mad), 6) AS mad,
+        |  CAST(sum(CASE WHEN rz > 3.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  round(avg(CASE WHEN rz > 3.5 THEN 1.0 ELSE 0.0 END), 6) AS outlier_frac,
+        |  round(max(rz), 6) AS max_rz
+        |FROM z GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     "q36_winsorize" ->
       """WITH bands AS (

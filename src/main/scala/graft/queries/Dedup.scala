@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.functions.Portable
 
@@ -633,8 +634,74 @@ object Dedup extends QueryPack {
           round(pow(lit(1.0) - pow(lit(1.0) - lit(1.0) / m,
             col("n_base").cast("double") * k), k), 6).as("expected_fp_rate"))
         .orderBy(col("predicted_dup"), col("actual_dup"))
+    },
+
+    // Duplicated-SUBSTRING span detection (the Lee et al.
+    // "Deduplicating Training Data" exact-substring step, re-expressed
+    // relationally): whole-doc and segment dedup both miss a long
+    // passage copied INTO an otherwise-distinct doc, and training on
+    // the repeated passage is what memorization studies actually
+    // penalize. Suffix arrays don't distribute; the MapReduce-standard
+    // approximation is overlapping fixed-width window digests —
+    // every 10-word stride-1 window hashes to 16 bytes, windows seen
+    // in ≥2 docs are duplicated, and per doc the dup windows merge
+    // into MAXIMAL word-space spans (interval merge via lag + running
+    // sum — a new span starts when the next window clears the
+    // previous one's reach). The corpus plants the failure mode:
+    // every 6th doc spawns a copy (ids ≥ 500000) sharing its first
+    // 30 words but with a unique-vocabulary tail, detectable ONLY at
+    // span granularity. Shuffles carry (doc_id, widx, digest) —
+    // window TEXT never moves; at 100 TB this is t21's segment shape
+    // fanned ~10× (stride 1 vs stride 10), the price of exact span
+    // boundaries.
+    "d20_span_dedup" -> { (s, d) =>
+      val w = SpanW
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), Portable.words(col("text")).as("w"))
+      val planted = docs.filter(col("doc_id") % 6 === 0)
+        .select((col("doc_id") + 500000L).as("doc_id"),
+          concat(slice(col("w"), 1, 30),
+            transform(slice(col("w"), 31, 20),
+              x => concat(x, lit("_"), col("doc_id").cast("string")))).as("w"))
+      val corpus = docs.unionAll(planted)
+        .withColumn("n_words", size(col("w")).cast("long"))
+      val wins = corpus.filter(col("n_words") >= w)
+        .select(col("doc_id"), col("n_words"),
+          posexplode(transform(sequence(lit(1L), col("n_words") - (w - 1)),
+            i => Portable.md5hex(array_join(slice(col("w"), i.cast("int"), lit(w)), " "))))
+            .as(Seq("pos", "h")))
+        .select(col("doc_id"), col("n_words"),
+          (col("pos") + 1).cast("long").as("i"), col("h"))
+      val dupH = wins.groupBy(col("h"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2)
+        .select(col("h"))
+      val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+      val spans = wins.join(dupH, "h")
+        .withColumn("newspan",
+          when(col("i") - lag(col("i"), 1).over(wOrd) > w, 1L).otherwise(0L))
+        .withColumn("grp", sum(col("newspan")).over(wOrd))
+        .groupBy(col("doc_id"), col("n_words"), col("grp"))
+        .agg(min(col("i")).as("s"),
+          (max(col("i")) + (w - 1)).as("e"),
+          count(lit(1)).as("nw"))
+      spans.groupBy(col("doc_id"), col("n_words"))
+        .agg(count(lit(1)).as("n_spans"),
+          sum(col("nw")).as("n_dup_windows"),
+          max(col("e") - col("s") + 1).as("max_span_words"),
+          sum(col("e") - col("s") + 1).as("covered_words"))
+        .withColumn("dup_frac",
+          round(col("covered_words").cast("double") / col("n_words"), 6))
+        .withColumn("keep", col("dup_frac") <= 0.5)
+        .select(col("doc_id"), col("n_words"), col("n_dup_windows"),
+          col("n_spans"), col("max_span_words"), col("covered_words"),
+          col("dup_frac"), col("keep"))
+        .orderBy(col("doc_id"))
     }
   )
+
+  /** d20: duplicated-span window width (words, stride 1). */
+  private val SpanW = 10
 
   /** d12: centroid seed stride + within-cell near-dup threshold +
     * hot-cell block bound. */
@@ -1253,6 +1320,52 @@ object Dedup extends QueryPack {
         |GROUP BY predicted_dup, actual_dup, stats.n_probes, stats.n_bits_set,
         |  stats.n_base
         |ORDER BY predicted_dup, actual_dup""".stripMargin,
+
+    // Same stride-1 window digests, same interval merge (lag + running
+    // sum over dup windows), same planted 30-word shared prefix with
+    // the unique-vocabulary tail.
+    "d20_span_dedup" ->
+      s"""WITH src AS (
+         |  SELECT doc_id, CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+         |    ELSE regexp_split_to_array(trim(text), '\\s+') END AS w
+         |  FROM documents),
+         |corpus AS (
+         |  SELECT doc_id, w FROM src
+         |  UNION ALL
+         |  SELECT doc_id + 500000,
+         |    w[1:30] || list_transform(w[31:50], x -> x || '_' || doc_id::VARCHAR)
+         |  FROM src WHERE doc_id % 6 = 0),
+         |sized AS (SELECT doc_id, w, len(w)::BIGINT AS n_words FROM corpus),
+         |wins AS (
+         |  SELECT doc_id, n_words, i::BIGINT AS i,
+         |    md5(array_to_string(w[i : i + ${SpanW - 1}], ' ')) AS h
+         |  FROM sized,
+         |    unnest(generate_series(1, CAST(n_words AS INT) - ${SpanW - 1})) AS t(i)
+         |  WHERE n_words >= $SpanW),
+         |duph AS (SELECT h FROM wins GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+         |dw AS (
+         |  SELECT w.doc_id, w.n_words, w.i,
+         |    CASE WHEN w.i - lag(w.i) OVER (PARTITION BY w.doc_id ORDER BY w.i)
+         |      > $SpanW THEN 1 ELSE 0 END AS newspan
+         |  FROM wins w JOIN duph USING (h)),
+         |isl AS (
+         |  SELECT doc_id, n_words, i,
+         |    sum(newspan) OVER (PARTITION BY doc_id ORDER BY i) AS grp
+         |  FROM dw),
+         |spans AS (
+         |  SELECT doc_id, n_words, grp, min(i) AS s, max(i) + ${SpanW - 1} AS e,
+         |    count(*)::BIGINT AS nw
+         |  FROM isl GROUP BY doc_id, n_words, grp)
+         |SELECT doc_id, n_words,
+         |  CAST(sum(nw) AS BIGINT) AS n_dup_windows,
+         |  count(*)::BIGINT AS n_spans,
+         |  CAST(max(e - s + 1) AS BIGINT) AS max_span_words,
+         |  CAST(sum(e - s + 1) AS BIGINT) AS covered_words,
+         |  round(sum(e - s + 1)::DOUBLE / n_words, 6) AS dup_frac,
+         |  round(sum(e - s + 1)::DOUBLE / n_words, 6) <= 0.5 AS keep
+         |FROM spans
+         |GROUP BY doc_id, n_words
+         |ORDER BY doc_id""".stripMargin,
 
     "d17_containment" ->
       s"""WITH basew AS (

@@ -359,6 +359,113 @@ object Multimodal extends QueryPack {
           col("sample_rate"), col("n_channels"), col("header_ok"),
           col("matches_plant"))
         .orderBy(col("doc_id"))
+    },
+
+    // REAL payload-DATA decode (round 10 — the step past mm11's
+    // header fields; after this the only undecodable content is a
+    // compressed codec, which genuinely needs external libraries):
+    // each wire carries a complete, valid container — a 54-byte BMP
+    // (16×1, 24bpp, 48 pixel bytes) or a 44-byte WAV (mono s16 PCM,
+    // 16 samples) — with PLANTED payloads derived from doc_id. The
+    // decode side reads ONLY the wire: magic sniff, then the PCM
+    // samples / BGR pixel triplets extracted sample-by-sample by
+    // offset arithmetic (u16-LE + two's complement for audio, byte
+    // triplets for pixels) and folded into the stats a curation
+    // pipeline actually filters on — mean/RMS/peak amplitude for
+    // audio (silence / clipping gates), per-channel means + mean
+    // brightness for images (black-frame / solid-color gates).
+    // matches_plant compares the wire-decoded stats to closed-form
+    // stats computed from the plant arrays WITHOUT the wire — true on
+    // every row proves the byte round-trip exactly. One map pass, no
+    // shuffle before the output sort; the per-element transforms are
+    // interpreted HOFs over 16-element arrays (fine here; a 100 TB
+    // run would hoist them into a graftvec-style codegen kernel, the
+    // declared fast path for real media batches).
+    "mm12_payload_decode" -> { (s, d) =>
+      val isBmp = pmod(col("doc_id"), lit(2L)) === 0L
+      val idx = sequence(lit(0L), lit(15L))
+      def hex2(v: org.apache.spark.sql.Column) =
+        format_string("%02x", v.cast("int"))
+      // planted payloads (never read by the decode side)
+      val samples = transform(idx, i =>
+        pmod(col("doc_id") * 37L + i * 101L, lit(2048L)) - 1024L)
+      val wavHeader = "52494646" + "44000000" + "57415645" + "666d7420" +
+        "10000000" + "0100" + "0100" + "803e0000" + "007d0000" + "0200" +
+        "1000" + "64617461" + "20000000"
+      val wavWire = concat(lit(wavHeader),
+        array_join(transform(samples, v => le16(pmod(v, lit(65536L)))), ""))
+      val bmpHeader = "424d" + "66000000" + "00000000" + "36000000" +
+        "28000000" + "10000000" + "01000000" + "0100" + "1800" + "00000000" +
+        "30000000" + "00000000" + "00000000" + "00000000" + "00000000"
+      val bmpWire = concat(lit(bmpHeader),
+        array_join(transform(idx, j => concat(
+          hex2(pmod(col("doc_id") * 7L + j * 13L, lit(256L))),
+          hex2(pmod(col("doc_id") * 11L + j * 29L, lit(256L))),
+          hex2(pmod(col("doc_id") * 3L + j * 53L, lit(256L))))), ""))
+      def meanOf(arr: org.apache.spark.sql.Column) =
+        aggregate(arr, lit(0.0), (a, x) => a + x.cast("double")) / 16.0
+      def rmsOf(arr: org.apache.spark.sql.Column) =
+        sqrt(aggregate(arr, lit(0.0), (a, x) =>
+          a + x.cast("double") * x.cast("double")) / 16.0)
+      def peakOf(arr: org.apache.spark.sql.Column) =
+        aggregate(arr, lit(0.0), (a, x) => greatest(a, abs(x.cast("double"))))
+      val wired = Tables.documents(s, d)
+        .select(col("doc_id"), when(isBmp, bmpWire).otherwise(wavWire).as("wire"),
+          // closed-form plant stats (no wire involved)
+          round(meanOf(samples), 6).as("p_mean_sig"),
+          round(rmsOf(samples), 6).as("p_rms"),
+          round(peakOf(samples), 6).as("p_peak"),
+          round(meanOf(transform(idx, j =>
+            pmod(col("doc_id") * 3L + j * 53L, lit(256L)))), 6).as("p_mean_r"),
+          round(meanOf(transform(idx, j =>
+            pmod(col("doc_id") * 11L + j * 29L, lit(256L)))), 6).as("p_mean_g"),
+          round(meanOf(transform(idx, j =>
+            pmod(col("doc_id") * 7L + j * 13L, lit(256L)))), 6).as("p_mean_b"))
+      // -- decode side: reads `wire` only --------------------------------
+      val decSamples = transform(idx, i => {
+        val u = leVal16(substring(col("wire"),
+          (lit(89L) + i * 4L).cast("int"), lit(4)))
+        u - when(u >= 32768L, 65536L).otherwise(0L)
+      })
+      def px(off: Int) = transform(idx, j =>
+        conv(substring(col("wire"), (lit(109L + off) + j * 6L).cast("int"), lit(2)),
+          16, 10).cast("long"))
+      val decB = px(0)   // BGR byte order on the wire
+      val decG = px(2)
+      val decR = px(4)
+      wired
+        .withColumn("container",
+          when(substring(col("wire"), 1, 4) === "424d", "bmp")
+            .when(substring(col("wire"), 1, 8) === "52494646" &&
+              substring(col("wire"), 17, 8) === "57415645", "wav")
+            .otherwise("unknown"))
+        .withColumn("n_units", lit(16L))
+        .withColumn("mean_signal",
+          when(col("container") === "wav", round(meanOf(decSamples), 6))
+            .otherwise(round((meanOf(decR) + meanOf(decG) + meanOf(decB)) / 3.0, 6)))
+        .withColumn("rms",
+          when(col("container") === "wav", round(rmsOf(decSamples), 6)))
+        .withColumn("peak",
+          when(col("container") === "wav", round(peakOf(decSamples), 6)))
+        .withColumn("mean_r",
+          when(col("container") === "bmp", round(meanOf(decR), 6)))
+        .withColumn("mean_g",
+          when(col("container") === "bmp", round(meanOf(decG), 6)))
+        .withColumn("mean_b",
+          when(col("container") === "bmp", round(meanOf(decB), 6)))
+        .withColumn("matches_plant",
+          when(col("container") === "wav",
+            col("mean_signal") === col("p_mean_sig") &&
+              col("rms") === col("p_rms") && col("peak") === col("p_peak"))
+            .when(col("container") === "bmp",
+              col("mean_r") === col("p_mean_r") &&
+                col("mean_g") === col("p_mean_g") &&
+                col("mean_b") === col("p_mean_b"))
+            .otherwise(lit(false)))
+        .select(col("doc_id"), col("container"), col("n_units"),
+          col("mean_signal"), col("rms"), col("peak"),
+          col("mean_r"), col("mean_g"), col("mean_b"), col("matches_plant"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -520,6 +627,101 @@ object Multimodal extends QueryPack {
         |    WHEN container = 'wav' THEN sample_rate = p_rate AND n_channels = p_chans
         |    ELSE false END AS matches_plant
         |FROM decoded
+        |ORDER BY doc_id""".stripMargin,
+
+    // Same planted payloads, same complete BMP/WAV wires, decoded by
+    // the same offset arithmetic ('0x'-hex casts, two's complement
+    // for the s16 samples), stats folded over DOUBLE lists in the
+    // same left-to-right order.
+    "mm12_payload_decode" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    doc_id % 2 = 0 AS is_bmp,
+        |    list_transform(range(0, 16),
+        |      i -> (doc_id * 37 + i * 101) % 2048 - 1024) AS samples
+        |  FROM documents),
+        |wired AS (
+        |  SELECT doc_id,
+        |    CASE WHEN is_bmp THEN
+        |      '424d' || '66000000' || '00000000' || '36000000' || '28000000' ||
+        |      '10000000' || '01000000' || '0100' || '1800' || '00000000' ||
+        |      '30000000' || '00000000' || '00000000' || '00000000' || '00000000' ||
+        |      array_to_string(list_transform(range(0, 16), j ->
+        |        printf('%02x', (doc_id * 7 + j * 13) % 256) ||
+        |        printf('%02x', (doc_id * 11 + j * 29) % 256) ||
+        |        printf('%02x', (doc_id * 3 + j * 53) % 256)), '')
+        |    ELSE
+        |      '52494646' || '44000000' || '57415645' || '666d7420' ||
+        |      '10000000' || '0100' || '0100' || '803e0000' || '007d0000' ||
+        |      '0200' || '1000' || '64617461' || '20000000' ||
+        |      array_to_string(list_transform(samples, s ->
+        |        printf('%02x', (((s % 65536) + 65536) % 65536) % 256) ||
+        |        printf('%02x', ((((s % 65536) + 65536) % 65536) // 256) % 256)), '')
+        |    END AS wire,
+        |    round(list_sum(list_transform(samples, s -> s::DOUBLE)) / 16.0,
+        |      6) AS p_mean_sig,
+        |    round(sqrt(list_sum(list_transform(samples, s -> s::DOUBLE * s)) / 16.0),
+        |      6) AS p_rms,
+        |    round(list_max(list_transform(samples, s -> abs(s::DOUBLE))),
+        |      6) AS p_peak,
+        |    round(list_sum(list_transform(range(0, 16),
+        |      j -> ((doc_id * 3 + j * 53) % 256)::DOUBLE)) / 16.0, 6) AS p_mean_r,
+        |    round(list_sum(list_transform(range(0, 16),
+        |      j -> ((doc_id * 11 + j * 29) % 256)::DOUBLE)) / 16.0, 6) AS p_mean_g,
+        |    round(list_sum(list_transform(range(0, 16),
+        |      j -> ((doc_id * 7 + j * 13) % 256)::DOUBLE)) / 16.0, 6) AS p_mean_b
+        |  FROM p),
+        |sniffed AS (
+        |  SELECT *, CASE WHEN substr(wire, 1, 4) = '424d' THEN 'bmp'
+        |      WHEN substr(wire, 1, 8) = '52494646'
+        |        AND substr(wire, 17, 8) = '57415645' THEN 'wav'
+        |      ELSE 'unknown' END AS container
+        |  FROM wired),
+        |dec AS (
+        |  SELECT doc_id, container,
+        |    p_mean_sig, p_rms, p_peak, p_mean_r, p_mean_g, p_mean_b,
+        |    CASE WHEN container = 'wav' THEN list_transform(
+        |      list_transform(range(0, 16), i ->
+        |        ('0x' || substr(wire, CAST(91 + i * 4 AS INT), 2)
+        |          || substr(wire, CAST(89 + i * 4 AS INT), 2))::BIGINT),
+        |      u -> (u - CASE WHEN u >= 32768 THEN 65536 ELSE 0 END)::DOUBLE)
+        |      END AS ss,
+        |    CASE WHEN container = 'bmp' THEN list_transform(range(0, 16), j ->
+        |      ('0x' || substr(wire, CAST(109 + j * 6 AS INT), 2))::BIGINT::DOUBLE)
+        |      END AS db,
+        |    CASE WHEN container = 'bmp' THEN list_transform(range(0, 16), j ->
+        |      ('0x' || substr(wire, CAST(111 + j * 6 AS INT), 2))::BIGINT::DOUBLE)
+        |      END AS dg,
+        |    CASE WHEN container = 'bmp' THEN list_transform(range(0, 16), j ->
+        |      ('0x' || substr(wire, CAST(113 + j * 6 AS INT), 2))::BIGINT::DOUBLE)
+        |      END AS dr
+        |  FROM sniffed)
+        |SELECT doc_id, container, CAST(16 AS BIGINT) AS n_units,
+        |  CASE WHEN container = 'wav' THEN round(list_sum(ss) / 16.0, 6)
+        |    ELSE round((list_sum(dr) / 16.0 + list_sum(dg) / 16.0
+        |      + list_sum(db) / 16.0) / 3.0, 6) END AS mean_signal,
+        |  CASE WHEN container = 'wav' THEN
+        |    round(sqrt(list_sum(list_transform(ss, s -> s * s)) / 16.0), 6)
+        |    END AS rms,
+        |  CASE WHEN container = 'wav' THEN
+        |    round(list_max(list_transform(ss, s -> abs(s))), 6) END AS peak,
+        |  CASE WHEN container = 'bmp' THEN round(list_sum(dr) / 16.0, 6)
+        |    END AS mean_r,
+        |  CASE WHEN container = 'bmp' THEN round(list_sum(dg) / 16.0, 6)
+        |    END AS mean_g,
+        |  CASE WHEN container = 'bmp' THEN round(list_sum(db) / 16.0, 6)
+        |    END AS mean_b,
+        |  CASE WHEN container = 'wav' THEN
+        |      round(list_sum(ss) / 16.0, 6) = p_mean_sig
+        |      AND round(sqrt(list_sum(list_transform(ss, s -> s * s)) / 16.0), 6)
+        |        = p_rms
+        |      AND round(list_max(list_transform(ss, s -> abs(s))), 6) = p_peak
+        |    WHEN container = 'bmp' THEN
+        |      round(list_sum(dr) / 16.0, 6) = p_mean_r
+        |      AND round(list_sum(dg) / 16.0, 6) = p_mean_g
+        |      AND round(list_sum(db) / 16.0, 6) = p_mean_b
+        |    ELSE false END AS matches_plant
+        |FROM dec
         |ORDER BY doc_id""".stripMargin,
 
     "mm8_entropy_sniff" ->

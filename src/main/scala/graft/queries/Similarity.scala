@@ -375,6 +375,96 @@ object Similarity extends QueryPack {
       .orderBy(col("np"))
   }
 
+  /** a26: QUERY-ADAPTIVE probe width — the serve-time refinement a24/
+    * a25 can't express: a single global nProbe over-scans easy
+    * queries and under-scans hard ones. The hardness signal is the
+    * CENTROID MARGIN (nearest-centroid cosine minus second-nearest):
+    * a query deep inside one cell (large margin) has its true
+    * neighbors in that cell and probing wider is waste; a query near
+    * a cell boundary (small margin) has neighbors split across cells
+    * and MUST probe wide. Per-query np = margin tercile (top third →
+    * 1 probe, middle → 2, bottom → maxProbe) — self-calibrating, no
+    * fixed threshold to tune per corpus. The output is a24's table
+    * with an `adaptive` row next to the fixed levels, plus avg_np
+    * (the real scan budget): the payoff claim — adaptive reaches
+    * near-wide recall at near-narrow cost — is readable directly.
+    * Scale shape: identical to the sweep (probe set is
+    * corpus-size-independent, candidates only from routed cells);
+    * the tercile window orders only the probes-sized margin frame.
+    * The routed (probe, cell, rank) frame is localCheckpointed — it
+    * feeds both the margin aggregate and the serve join. */
+  def adaptiveNprobe(s: SparkSession, d: String, geo: AnnGeometry = Geo,
+                     k: Int = K, maxProbe: Int = 4): DataFrame = {
+    val v = vecs(s, d)
+    val cents = hashTopK(v, "cent", geo.nCentroids)
+      .select(col("vec_id").as("cent_id"), col("emb").as("c_emb"), col("nrm").as("c_nrm"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_cos").desc, col("cent_id"))
+    val assigned = v.join(broadcast(cents))
+      .withColumn("c_cos", cosPre(col("emb"), col("nrm"), col("c_emb"), col("c_nrm")))
+      .withColumn("crank", row_number().over(wAssign))
+      .filter(col("crank") === 1)
+      .select(col("vec_id"), col("emb"), col("nrm"), col("cent_id").as("cell"))
+    val probes = hashTopK(v, "probe", NProbes)
+      .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"), col("nrm").as("p_nrm"))
+    val wProbe = Window.partitionBy(col("probe_id"))
+      .orderBy(col("pc_cos").desc, col("cent_id"))
+    val pc = probes.join(broadcast(cents))
+      .withColumn("pc_cos", cosPre(col("p_emb"), col("p_nrm"), col("c_emb"), col("c_nrm")))
+      .withColumn("crank", row_number().over(wProbe))
+      .filter(col("crank") <= maxProbe)
+      .select(col("probe_id"), col("p_emb"), col("p_nrm"),
+        col("cent_id").as("cell"), col("crank"), col("pc_cos"))
+      .localCheckpoint()
+    val margins = pc.groupBy(col("probe_id"))
+      .agg((max(when(col("crank") === 1, col("pc_cos"))) -
+        max(when(col("crank") === 2, col("pc_cos")))).as("margin"))
+      .withColumn("tercile",
+        ntile(3).over(Window.orderBy(col("margin").desc, col("probe_id"))))
+      .withColumn("np_q",
+        when(col("tercile") === 1, 1).when(col("tercile") === 2, 2)
+          .otherwise(maxProbe))
+    val policies = margins.select(col("probe_id"),
+        explode(array(
+          (1 to maxProbe).map(n =>
+            struct(lit(s"fixed_$n").as("policy"), lit(n).as("np"))) :+
+            struct(lit("adaptive").as("policy"), col("np_q").as("np")): _*)).as("pol"))
+      .select(col("probe_id"), col("pol.policy").as("policy"), col("pol.np").as("np"))
+    val lv = pc.join(policies, Seq("probe_id"))
+      .filter(col("crank") <= col("np"))
+      .select(col("policy"), col("probe_id"), col("p_emb"), col("p_nrm"), col("cell"))
+    val cand = assigned.join(broadcast(lv),
+        assigned("cell") === lv("cell") && col("vec_id") =!= col("probe_id"))
+      .withColumn("cosine", cosPre(col("p_emb"), col("p_nrm"), col("emb"), col("nrm")))
+    val wRank = Window.partitionBy(col("policy"), col("probe_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    val approx = cand
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("policy").as("a_policy"), col("probe_id").as("a_probe"),
+        col("vec_id").as("a_vec"))
+    val scanned = cand.groupBy(col("policy"), col("probe_id"))
+      .agg(count(lit(1)).as("n_cand"))
+    val polNames = (1 to maxProbe).map(n => s"fixed_$n") :+ "adaptive"
+    val exact = bruteKnn(s, d, k)
+      .select(col("probe_id"), col("vec_id"))
+      .withColumn("policy", explode(array(polNames.map(lit): _*)))
+    val per = exact.join(approx,
+        col("policy") === col("a_policy") && col("probe_id") === col("a_probe") &&
+          col("vec_id") === col("a_vec"), "left")
+      .groupBy(col("policy"), col("probe_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(when(col("a_vec").isNotNull, 1L).otherwise(0L)).as("n_hit"))
+    per.join(scanned, Seq("policy", "probe_id"), "left")
+      .join(policies, Seq("policy", "probe_id"))
+      .groupBy(col("policy"))
+      .agg(count(lit(1)).as("n_probes"),
+        round(avg(col("np").cast("double")), 6).as("avg_np"),
+        round(avg(coalesce(col("n_cand"), lit(0L)).cast("double")), 6).as("avg_scanned"),
+        round(avg(col("n_hit").cast("double") / col("n_exact")), 6).as("avg_recall"))
+      .orderBy(col("policy"))
+  }
+
   def ivfKnn(s: SparkSession, d: String, geo: AnnGeometry = Geo, k: Int = K): DataFrame = {
     val v = vecs(s, d)
     val cents = hashTopK(v, "cent", geo.nCentroids)
@@ -1506,7 +1596,8 @@ object Similarity extends QueryPack {
     "a4_cross_label_nn" -> ((s, d) => crossLabelNN(s, d)),
     "a23_filtered_knn" -> ((s, d) => filteredKnn(s, d)),
     "a24_nprobe_sweep" -> ((s, d) => nprobeSweep(s, d)),
-    "a25_nprobe_decide" -> ((s, d) => nprobeDecide(s, d))
+    "a25_nprobe_decide" -> ((s, d) => nprobeDecide(s, d)),
+    "a26_adaptive_nprobe" -> ((s, d) => adaptiveNprobe(s, d))
   )
 
   /** a13's oracle: plain inner-product ranking (shared with a16). */
@@ -2257,6 +2348,90 @@ object Similarity extends QueryPack {
       s"""$NprobeSweepCtes
          |$NprobeSweepSelect
          |ORDER BY np""".stripMargin,
+
+    // a26: the sweep's CTE chain with the per-probe margin terciles
+    // and a policy dimension (fixed_1..4 + adaptive) instead of the
+    // bare np levels; same ntile/tiebreak semantics both engines.
+    "a26_adaptive_nprobe" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |c AS (SELECT vec_id AS cent_id, emb AS c_emb FROM (SELECT * FROM v ${centSel(Geo.nCentroids)}) cs),
+         |assigned AS (
+         |  SELECT vec_id, emb, cell FROM (
+         |    SELECT v.vec_id, v.emb, c.cent_id AS cell,
+         |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |        list_dot_product(v.emb, c.c_emb) /
+         |          (sqrt(list_dot_product(v.emb, v.emb)) * sqrt(list_dot_product(c.c_emb, c.c_emb))) DESC,
+         |        c.cent_id) AS crank
+         |    FROM v, c) t WHERE crank = 1),
+         |pc AS (
+         |  SELECT probe_id, p_emb, cell, crank, pc_cos FROM (
+         |    SELECT v.vec_id AS probe_id, v.emb AS p_emb, c.cent_id AS cell,
+         |      list_dot_product(v.emb, c.c_emb) /
+         |        (sqrt(list_dot_product(v.emb, v.emb)) * sqrt(list_dot_product(c.c_emb, c.c_emb))) AS pc_cos,
+         |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |        list_dot_product(v.emb, c.c_emb) /
+         |          (sqrt(list_dot_product(v.emb, v.emb)) * sqrt(list_dot_product(c.c_emb, c.c_emb))) DESC,
+         |        c.cent_id) AS crank
+         |    FROM (SELECT * FROM v $probeSel) v, c) t WHERE crank <= 4),
+         |margins AS (
+         |  SELECT probe_id,
+         |    max(CASE WHEN crank = 1 THEN pc_cos END)
+         |      - max(CASE WHEN crank = 2 THEN pc_cos END) AS margin
+         |  FROM pc GROUP BY probe_id),
+         |npq AS (
+         |  SELECT probe_id,
+         |    CASE ntile(3) OVER (ORDER BY margin DESC, probe_id)
+         |      WHEN 1 THEN 1 WHEN 2 THEN 2 ELSE 4 END AS np_q
+         |  FROM margins),
+         |policies AS (
+         |  SELECT probe_id, 'fixed_' || n::VARCHAR AS policy, n AS np
+         |  FROM npq, unnest([1, 2, 3, 4]) AS t(n)
+         |  UNION ALL
+         |  SELECT probe_id, 'adaptive', np_q FROM npq),
+         |lv AS (
+         |  SELECT po.policy, po.np, p.probe_id, p.p_emb, p.cell
+         |  FROM pc p JOIN policies po USING (probe_id) WHERE p.crank <= po.np),
+         |cand AS (
+         |  SELECT l.policy, l.probe_id, a.vec_id,
+         |    list_dot_product(l.p_emb, a.emb) /
+         |      (sqrt(list_dot_product(l.p_emb, l.p_emb)) * sqrt(list_dot_product(a.emb, a.emb))) AS cosine
+         |  FROM lv l JOIN assigned a ON a.cell = l.cell AND a.vec_id <> l.probe_id),
+         |approx AS (
+         |  SELECT policy, probe_id, vec_id FROM (
+         |    SELECT policy, probe_id, vec_id,
+         |      row_number() OVER (PARTITION BY policy, probe_id
+         |        ORDER BY cosine DESC, vec_id) AS rank
+         |    FROM cand) t WHERE rank <= $K),
+         |scanned AS (
+         |  SELECT policy, probe_id, count(*)::BIGINT AS n_cand FROM cand GROUP BY 1, 2),
+         |probes AS (SELECT vec_id AS probe_id, emb AS p_emb FROM v $probeSel),
+         |exact AS (
+         |  SELECT probe_id, vec_id FROM (
+         |    SELECT p.probe_id, v.vec_id,
+         |      row_number() OVER (PARTITION BY p.probe_id ORDER BY
+         |        list_dot_product(p.p_emb, v.emb) /
+         |          (sqrt(list_dot_product(p.p_emb, p.p_emb)) * sqrt(list_dot_product(v.emb, v.emb))) DESC,
+         |        v.vec_id) AS rank
+         |    FROM probes p JOIN v ON v.vec_id <> p.probe_id) t WHERE rank <= $K),
+         |polnames AS (SELECT unnest(['fixed_1', 'fixed_2', 'fixed_3', 'fixed_4',
+         |  'adaptive']) AS policy),
+         |per AS (
+         |  SELECT pn.policy, e.probe_id, count(*)::BIGINT AS n_exact,
+         |    CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+         |  FROM exact e
+         |  CROSS JOIN polnames pn
+         |  LEFT JOIN approx a
+         |    ON a.policy = pn.policy AND a.probe_id = e.probe_id AND a.vec_id = e.vec_id
+         |  GROUP BY 1, 2)
+         |SELECT per.policy, count(*)::BIGINT AS n_probes,
+         |  round(avg(po.np::DOUBLE), 6) AS avg_np,
+         |  round(avg(coalesce(s.n_cand, 0)::DOUBLE), 6) AS avg_scanned,
+         |  round(avg(per.n_hit::DOUBLE / per.n_exact), 6) AS avg_recall
+         |FROM per
+         |LEFT JOIN scanned s ON s.policy = per.policy AND s.probe_id = per.probe_id
+         |JOIN policies po ON po.policy = per.policy AND po.probe_id = per.probe_id
+         |GROUP BY per.policy
+         |ORDER BY per.policy""".stripMargin,
 
     // a25: a24's sweep as a CTE + the decision layer — recall floor
     // 0.85, cost ceiling 0.75 x the widest level's scan cost, chosen =

@@ -727,6 +727,56 @@ object TextOps extends QueryPack {
         .orderBy(col("exact").desc, col("w"))
     },
 
+    // Code-vs-prose detection (the training-mix router that decides
+    // whether a crawled doc goes to the code or the NL bucket, and
+    // the gate that keeps markup/code out of an NL-only corpus). The
+    // corpus is pure prose, so code docs are PLANTED: every 7th doc
+    // gets a mutated copy (ids ≥ 400000) whose words are rewritten
+    // into statement lines (`if (w) { var w = 1; }`) — real code
+    // surface shape (braces, semicolons, keywords, symbols) built
+    // from the doc's own vocabulary. Four map-side signals — ';'
+    // density, brace density, keyword token ratio, symbol ratio —
+    // fold into one score; is_code = score > 0.3, and `correct`
+    // audits the classifier against the plant (should be TRUE on
+    // every row: planted lines score ≈0.8, prose ≈0.04). One scan,
+    // zero shuffles before the output sort; at 100 TB this rides the
+    // same pass as t2/t16's quality signals.
+    "t25_code_detect" -> { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val planted = docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 400000L).as("doc_id"),
+          array_join(transform(Portable.words(col("text")),
+            w => concat(lit("if ("), w, lit(") { var "), w, lit(" = 1; }"))),
+            " ").as("text"))
+      def density(stripped: Column): Column =
+        when(col("n_chars") === 0, 0.0)
+          .otherwise((col("n_chars") - length(stripped)).cast("double") / col("n_chars"))
+      docs.unionAll(planted)
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .withColumn("w", Portable.words(col("text")))
+        .withColumn("semi_density",
+          density(regexp_replace(col("text"), ";", "")))
+        .withColumn("brace_density",
+          density(regexp_replace(col("text"), "[{}]", "")))
+        .withColumn("kw_ratio", hitRatio(col("w"),
+          Seq("if", "else", "var", "return", "function", "def")))
+        .withColumn("symbol_ratio",
+          density(regexp_replace(col("text"), "[^A-Za-z0-9 ]", "")))
+        .withColumn("code_score", round(
+          col("semi_density") * 4.0 + col("brace_density") * 3.0 +
+            col("kw_ratio") + col("symbol_ratio"), 6))
+        .withColumn("is_code", col("code_score") > 0.3)
+        .withColumn("is_planted", col("doc_id") >= 400000L)
+        .withColumn("correct", col("is_code") === col("is_planted"))
+        .select(col("doc_id"), col("n_chars"),
+          round(col("semi_density"), 6).as("semi_density"),
+          round(col("brace_density"), 6).as("brace_density"),
+          round(col("kw_ratio"), 6).as("kw_ratio"),
+          round(col("symbol_ratio"), 6).as("symbol_ratio"),
+          col("code_score"), col("is_code"), col("is_planted"), col("correct"))
+        .orderBy(col("doc_id"))
+    },
+
     "t21_segment_dedup" -> { (s, d) =>
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
       val prefixed = docs.withColumn("text",
@@ -1361,6 +1411,55 @@ object TextOps extends QueryPack {
          |  round((est - exact)::DOUBLE / exact, 6) AS overcount_frac
          |FROM est
          |ORDER BY exact DESC, w""".stripMargin,
+
+    // Same planted statement lines, same four signals; replace() for
+    // the literal ';' strip, regexp_replace(..., 'g') for the char
+    // classes, and the shared stopword-ratio shape for keywords.
+    "t25_code_detect" ->
+      s"""WITH src AS (
+         |  SELECT doc_id, text,
+         |    CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+         |      ELSE regexp_split_to_array(trim(text), '\\s+') END AS pw
+         |  FROM documents),
+         |corpus AS (
+         |  SELECT doc_id, text FROM src
+         |  UNION ALL
+         |  SELECT doc_id + 400000,
+         |    array_to_string(list_transform(pw,
+         |      x -> 'if (' || x || ') { var ' || x || ' = 1; }'), ' ')
+         |  FROM src WHERE doc_id % 7 = 0),
+         |sig AS (
+         |  SELECT doc_id, length(text)::BIGINT AS n_chars,
+         |    CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+         |      ELSE regexp_split_to_array(trim(text), '\\s+') END AS w,
+         |    CASE WHEN length(text) = 0 THEN 0.0
+         |      ELSE (length(text) - length(replace(text, ';', '')))::DOUBLE
+         |        / length(text) END AS semi_density,
+         |    CASE WHEN length(text) = 0 THEN 0.0
+         |      ELSE (length(text) - length(regexp_replace(text, '[{}]', '', 'g')))::DOUBLE
+         |        / length(text) END AS brace_density,
+         |    CASE WHEN length(text) = 0 THEN 0.0
+         |      ELSE (length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))::DOUBLE
+         |        / length(text) END AS symbol_ratio
+         |  FROM corpus),
+         |scored AS (
+         |  SELECT doc_id, n_chars, semi_density, brace_density, symbol_ratio,
+         |    ${hitRatioSql(Seq("if", "else", "var", "return", "function", "def"))} AS kw_ratio
+         |  FROM sig)
+         |SELECT doc_id, n_chars,
+         |  round(semi_density, 6) AS semi_density,
+         |  round(brace_density, 6) AS brace_density,
+         |  round(kw_ratio, 6) AS kw_ratio,
+         |  round(symbol_ratio, 6) AS symbol_ratio,
+         |  round(semi_density * 4.0 + brace_density * 3.0 + kw_ratio + symbol_ratio,
+         |    6) AS code_score,
+         |  round(semi_density * 4.0 + brace_density * 3.0 + kw_ratio + symbol_ratio,
+         |    6) > 0.3 AS is_code,
+         |  doc_id >= 400000 AS is_planted,
+         |  (round(semi_density * 4.0 + brace_density * 3.0 + kw_ratio + symbol_ratio,
+         |    6) > 0.3) = (doc_id >= 400000) AS correct
+         |FROM scored
+         |ORDER BY doc_id""".stripMargin,
 
     "t21_segment_dedup" ->
       s"""WITH base AS (
