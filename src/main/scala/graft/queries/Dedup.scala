@@ -636,6 +636,101 @@ object Dedup extends QueryPack {
         .orderBy(col("predicted_dup"), col("actual_dup"))
     },
 
+    // LSH band-layout TUNING (round 10) — d15 calibrates the
+    // signature's Jaccard estimate; this picks the BAND GEOMETRY the
+    // d3/d14 screens run with. For each (b bands × r rows) factoring
+    // of the same K=16 signature, the S-curve midpoint (1/b)^(1/r)
+    // says which similarity the layout targets ANALYTICALLY, and the
+    // corpus says what it does EMPIRICALLY: candidate volume (the
+    // verify-stage bill) and recall of the planted near-dup pairs.
+    // All four layouts band the one materialized signature relation
+    // and join in ONE (layout, band, hash)-keyed self-join — tuning
+    // costs one screen pass, not four. The table reads as: 16x1
+    // catches everything and floods verify; 2x8 is nearly free and
+    // misses; 4x4 (the production layout) sits on the knee. At
+    // 100 TB the pair explosion is the whole dedup bill — this is
+    // the operator that prices it before anyone re-bands a corpus.
+    "d21_band_layout" -> { (s, d) =>
+      val layouts = Seq((16, 1), (8, 2), (4, 4), (2, 8))
+      // two planted similarity classes so the S-curve spread is
+      // OBSERVABLE, not just analytic: appended-tail copies sit at
+      // J ≈ 0.9 (every layout should catch them) and doubled copies —
+      // the doc's own words plus a unique-vocabulary echo — at
+      // J ≈ 0.47 (2x8 must miss most, 16x1 must catch all: the mid
+      // class is where the layouts actually disagree)
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val corpus = docs
+        .unionAll(docs.filter(col("doc_id") % 20 === 0)
+          .withColumn("doc_id", col("doc_id") + 100000L)
+          .withColumn("text", concat(col("text"), lit(" extra tail words"))))
+        .unionAll(docs.filter(col("doc_id") % 20 === 10)
+          .select(col("doc_id").as("orig_id"), col("text"))
+          .select((col("orig_id") + 300000L).as("doc_id"),
+            array_join(concat(Portable.words(col("text")),
+              transform(Portable.words(col("text")),
+                x => concat(x, lit("_z"), col("orig_id").cast("string")))), " ")
+              .as("text")))
+      val sigs = kmSignatures(corpus, materialize = true)
+      val bands = sigs.select(col("doc_id"),
+        explode(array(layouts.flatMap { case (b, r) =>
+          (0 until b).map { bi =>
+            struct(lit(s"${b}x$r").as("layout"), lit(bi).as("band_id"),
+              md5(concat_ws("|",
+                (0 until r).map(j => col(s"s${bi * r + j}")): _*).cast("binary"))
+                .as("band_hash"))
+          }
+        }: _*)).as("e"))
+        .select(col("doc_id"), col("e.layout").as("layout"),
+          col("e.band_id").as("band_id"), col("e.band_hash").as("band_hash"))
+      val l = bands.as("l"); val rr = bands.as("r")
+      val cand = l.join(rr,
+          col("l.layout") === col("r.layout") &&
+            col("l.band_id") === col("r.band_id") &&
+            col("l.band_hash") === col("r.band_hash") &&
+            col("l.doc_id") < col("r.doc_id"))
+        .select(col("l.layout").as("layout"),
+          col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+        .distinct()
+      // planted truth, per class: (orig, orig+offset) with both ends
+      // signature-bearing
+      def truthAt(mod: Long, offset: Long) =
+        sigs.filter(col("doc_id") % 20 === mod && col("doc_id") < 100000L)
+          .select(col("doc_id").as("doc_a"))
+          .join(sigs.filter(col("doc_id") >= 100000L)
+            .select((col("doc_id") - offset).as("doc_a")), "doc_a")
+          .select(col("doc_a"), (col("doc_a") + offset).as("doc_b"))
+      val truthHigh = truthAt(0L, 100000L)
+      val truthMid = truthAt(10L, 300000L)
+      val stats = truthHigh.agg(count(lit(1)).as("n_high"))
+        .crossJoin(truthMid.agg(count(lit(1)).as("n_mid")))
+        .crossJoin(sigs.agg(count(lit(1)).as("n_docs")))
+      def foundIn(truth: DataFrame, as: String) =
+        cand.join(truth, Seq("doc_a", "doc_b"), "left_semi")
+          .groupBy(col("layout")).agg(count(lit(1)).as(as))
+      val volume = cand.groupBy(col("layout")).agg(count(lit(1)).as("n_candidates"))
+      import s.implicits._
+      val meta = layouts.map { case (b, r) =>
+        (s"${b}x$r", b.toLong, r.toLong, math.pow(1.0 / b, 1.0 / r))
+      }.toDF("layout", "n_bands", "rows_per_band", "threshold")
+        .withColumn("threshold", round(col("threshold"), 6))
+      broadcast(meta).join(volume, Seq("layout"), "left")
+        .join(foundIn(truthHigh, "f_high"), Seq("layout"), "left")
+        .join(foundIn(truthMid, "f_mid"), Seq("layout"), "left")
+        .crossJoin(broadcast(stats))
+        .select(col("layout"), col("n_bands"), col("rows_per_band"),
+          col("threshold"),
+          coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+          round(coalesce(col("n_candidates"), lit(0L)).cast("double") /
+            col("n_docs"), 6).as("cand_per_doc"),
+          col("n_high"),
+          round(coalesce(col("f_high"), lit(0L)).cast("double") /
+            col("n_high"), 6).as("high_recall"),
+          col("n_mid"),
+          round(coalesce(col("f_mid"), lit(0L)).cast("double") /
+            col("n_mid"), 6).as("mid_recall"))
+        .orderBy(col("n_bands").desc)
+    },
+
     // Duplicated-SUBSTRING span detection (the Lee et al.
     // "Deduplicating Training Data" exact-substring step, re-expressed
     // relationally): whole-doc and segment dedup both miss a long
@@ -658,11 +753,14 @@ object Dedup extends QueryPack {
       val w = SpanW
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), Portable.words(col("text")).as("w"))
+      // two-step select: lateral alias resolution would bind the
+      // lambda's doc_id to the +500000 alias, not the child column
       val planted = docs.filter(col("doc_id") % 6 === 0)
-        .select((col("doc_id") + 500000L).as("doc_id"),
+        .select(col("doc_id").as("orig_id"), col("w"))
+        .select((col("orig_id") + 500000L).as("doc_id"),
           concat(slice(col("w"), 1, 30),
             transform(slice(col("w"), 31, 20),
-              x => concat(x, lit("_"), col("doc_id").cast("string")))).as("w"))
+              x => concat(x, lit("_"), col("orig_id").cast("string")))).as("w"))
       val corpus = docs.unionAll(planted)
         .withColumn("n_words", size(col("w")).cast("long"))
       val wins = corpus.filter(col("n_words") >= w)
@@ -879,8 +977,12 @@ object Dedup extends QueryPack {
     s"SELECT doc_id, $b AS band_id, md5($parts) AS band_hash FROM sigs"
   }.mkString("\n  UNION ALL\n  ")
 
-  private val CandSql =
-    s"""${sigsSql(NearDupesSql)},
+  /** The whole signatures→bands→candidate-pairs CTE chain over an
+    * arbitrary (doc_id, text) corpus SQL — the d3 mirror; also the
+    * near-dup stage of Pipeline's p7 cascade oracle. Ends with
+    * `cand(doc_a, doc_b)`. */
+  private[graft] def candChainSql(docsSql: String): String =
+    s"""${sigsSql(docsSql)},
        |bands AS (
        |  $BandsSql),
        |cand AS (
@@ -888,6 +990,8 @@ object Dedup extends QueryPack {
        |  FROM bands l JOIN bands r
        |    ON l.band_id = r.band_id AND l.band_hash = r.band_hash
        |   AND l.doc_id < r.doc_id)""".stripMargin
+
+  private val CandSql = candChainSql(NearDupesSql)
 
   def oracle: Map[String, String] = Map(
     "d1_exact_dedup" ->
@@ -1320,6 +1424,84 @@ object Dedup extends QueryPack {
         |GROUP BY predicted_dup, actual_dup, stats.n_probes, stats.n_bits_set,
         |  stats.n_base
         |ORDER BY predicted_dup, actual_dup""".stripMargin,
+
+    // Same four factorings of the sigs relation, banded and joined
+    // per layout; truth = the planted (orig, orig+100000) pairs with
+    // both signatures present.
+    "d21_band_layout" -> {
+      val layouts = Seq((16, 1), (8, 2), (4, 4), (2, 8))
+      val bandsSql = layouts.flatMap { case (b, r) =>
+        (0 until b).map { bi =>
+          val parts = (0 until r).map(j => s"s${bi * r + j}::VARCHAR")
+            .mkString(" || '|' || ")
+          s"SELECT doc_id, '${b}x$r' AS layout, $bi AS band_id, md5($parts) AS band_hash FROM sigs"
+        }
+      }.mkString("\n  UNION ALL\n  ")
+      val metaSql = layouts.map { case (b, r) =>
+        s"SELECT '${b}x$r' AS layout, CAST($b AS BIGINT) AS n_bands, " +
+          s"CAST($r AS BIGINT) AS rows_per_band, " +
+          s"round(power(1.0/$b, 1.0/$r), 6) AS threshold"
+      }.mkString("\n  UNION ALL\n  ")
+      s"""WITH srcw AS (
+         |  SELECT doc_id, text, CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+         |    ELSE regexp_split_to_array(trim(text), '\\s+') END AS pw
+         |  FROM documents),
+         |corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000, text || ' extra tail words'
+         |  FROM documents WHERE doc_id % 20 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 300000,
+         |    array_to_string(pw ||
+         |      list_transform(pw, x -> x || '_z' || doc_id::VARCHAR), ' ')
+         |  FROM srcw WHERE doc_id % 20 = 10),
+         |${sigsSql("SELECT doc_id, text FROM corpus")},
+         |bands AS (
+         |  $bandsSql),
+         |cand AS (
+         |  SELECT DISTINCT l.layout, l.doc_id AS doc_a, r.doc_id AS doc_b
+         |  FROM bands l JOIN bands r
+         |    ON l.layout = r.layout AND l.band_id = r.band_id
+         |   AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id),
+         |t_high AS (
+         |  SELECT a.doc_id AS doc_a, a.doc_id + 100000 AS doc_b
+         |  FROM sigs a JOIN sigs b ON b.doc_id = a.doc_id + 100000
+         |  WHERE a.doc_id % 20 = 0 AND a.doc_id < 100000),
+         |t_mid AS (
+         |  SELECT a.doc_id AS doc_a, a.doc_id + 300000 AS doc_b
+         |  FROM sigs a JOIN sigs b ON b.doc_id = a.doc_id + 300000
+         |  WHERE a.doc_id % 20 = 10 AND a.doc_id < 100000),
+         |stats AS (
+         |  SELECT (SELECT count(*) FROM t_high) AS n_high,
+         |         (SELECT count(*) FROM t_mid) AS n_mid,
+         |         (SELECT count(*) FROM sigs) AS n_docs),
+         |volume AS (
+         |  SELECT layout, count(*)::BIGINT AS n_candidates FROM cand GROUP BY layout),
+         |f_high AS (
+         |  SELECT c.layout, count(*)::BIGINT AS f_high
+         |  FROM cand c JOIN t_high t ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+         |  GROUP BY c.layout),
+         |f_mid AS (
+         |  SELECT c.layout, count(*)::BIGINT AS f_mid
+         |  FROM cand c JOIN t_mid t ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+         |  GROUP BY c.layout),
+         |meta AS (
+         |  $metaSql)
+         |SELECT m.layout, m.n_bands, m.rows_per_band, m.threshold,
+         |  coalesce(v.n_candidates, 0) AS n_candidates,
+         |  round(coalesce(v.n_candidates, 0)::DOUBLE / st.n_docs, 6) AS cand_per_doc,
+         |  CAST(st.n_high AS BIGINT) AS n_high,
+         |  round(coalesce(h.f_high, 0)::DOUBLE / st.n_high, 6) AS high_recall,
+         |  CAST(st.n_mid AS BIGINT) AS n_mid,
+         |  round(coalesce(md.f_mid, 0)::DOUBLE / st.n_mid, 6) AS mid_recall
+         |FROM meta m
+         |LEFT JOIN volume v USING (layout)
+         |LEFT JOIN f_high h USING (layout)
+         |LEFT JOIN f_mid md USING (layout)
+         |CROSS JOIN stats st
+         |ORDER BY m.n_bands DESC""".stripMargin
+    },
 
     // Same stride-1 window digests, same interval merge (lag + running
     // sum over dup windows), same planted 30-word shared prefix with

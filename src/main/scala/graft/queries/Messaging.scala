@@ -411,6 +411,40 @@ object Messaging extends QueryPack {
       shardCostFromCells(minCells, keyCells)
     },
 
+    // RETENTION sizing — the stream-level knob the lag table exists
+    // to inform: retention is configured per STREAM (Kinesis
+    // IncreaseStreamRetentionPeriod), so the slowest shard's recovery
+    // horizon binds everyone. Per shard, the horizon a restart must
+    // survive = how far the checkpoint already trails the tip
+    // (lag age) PLUS how long catch-up takes at the observed rate
+    // (m21's ETA — while draining, retention keeps expiring), with a
+    // 25% safety factor, snapped up to whole hours; the stream
+    // recommendation is the per-shard max floored at the 24 h
+    // service minimum, and `binding` names the shard that set it
+    // (the one to fix before paying for longer retention). Derived
+    // ENTIRELY from the same mergeable lag cells m16/m21 and the
+    // live monitor read — one event scan, 8-row decision frames.
+    "m24_retention_sizing" -> { (s, d) =>
+      val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+      val cells = lagCells(Envelope.withShardSeq(Envelope.messages(s, d)), cut)
+        .localCheckpoint()
+      val lag = lagFromCells(cells).select(col("shard_id"), col("lag_us"))
+      val eta = drainEtaFromCells(cells).select(col("shard_id"), col("eta_sec"))
+      val per = lag.join(eta, "shard_id")
+        .withColumn("needed_sec",
+          round((col("lag_us").cast("double") / 1000000.0 + col("eta_sec")) * 1.25, 6))
+        .withColumn("needed_hours",
+          greatest(ceil(col("needed_sec") / 3600.0), lit(1L)))
+      val fleet = per.agg(max(col("needed_hours")).as("mx"))
+      per.crossJoin(broadcast(fleet))
+        .withColumn("stream_retention_hours", greatest(col("mx"), lit(24L)))
+        .withColumn("binding", col("needed_hours") === col("mx"))
+        .select(col("shard_id"), col("lag_us"), col("eta_sec"),
+          col("needed_sec"), col("needed_hours"),
+          col("stream_retention_hours"), col("binding"))
+        .orderBy(col("shard_id"))
+    },
+
     // Replay/backfill window — a consumer reprocessing history between
     // two checkpoint cuts (the KCL TRIM_HORIZON→AT_TIMESTAMP restart):
     // per shard, the contiguous seq range inside the cut interval plus
@@ -830,6 +864,47 @@ object Messaging extends QueryPack {
          |    ELSE lag_msgs::DOUBLE / rate_per_sec END, 6) AS eta_sec
          |FROM derived
          |ORDER BY shard_id""".stripMargin,
+
+    // m16's lag age + m21's eta (both formulas verbatim) → the
+    // retention arithmetic; per-shard max floored at 24 h.
+    "m24_retention_sizing" ->
+      s"""WITH seqd AS (
+         |  SELECT event_id, ts, ${shardSql("user_id::VARCHAR")} AS shard_id,
+         |    row_number() OVER (PARTITION BY ${shardSql("user_id::VARCHAR")}
+         |                       ORDER BY ts, event_id) AS seq
+         |  FROM ($Ev) e),
+         |agg AS (
+         |  SELECT shard_id,
+         |    max(seq) AS last_seq,
+         |    coalesce(max(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN seq END), 0) AS ckpt_seq,
+         |    max(ts) AS tip_ts,
+         |    max(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN ts END) AS ckpt_ts,
+         |    min(ts) AS start_ts
+         |  FROM seqd GROUP BY shard_id),
+         |per AS (
+         |  SELECT shard_id,
+         |    CAST(epoch_us(tip_ts) - epoch_us(coalesce(ckpt_ts, start_ts)) AS BIGINT) AS lag_us,
+         |    round(CASE
+         |      WHEN epoch_us(tip_ts) = epoch_us(start_ts)
+         |        OR last_seq - ckpt_seq = 0 THEN 0.0
+         |      ELSE (last_seq - ckpt_seq)::DOUBLE /
+         |        (last_seq::DOUBLE /
+         |          ((epoch_us(tip_ts) - epoch_us(start_ts))::DOUBLE / 1000000.0))
+         |      END, 6) AS eta_sec
+         |  FROM agg),
+         |sized AS (
+         |  SELECT shard_id, lag_us, eta_sec,
+         |    round((lag_us::DOUBLE / 1000000.0 + eta_sec) * 1.25, 6) AS needed_sec
+         |  FROM per),
+         |hrs AS (
+         |  SELECT *, greatest(CAST(ceil(needed_sec / 3600.0) AS BIGINT), 1) AS needed_hours
+         |  FROM sized),
+         |fleet AS (SELECT max(needed_hours) AS mx FROM hrs)
+         |SELECT h.shard_id, h.lag_us, h.eta_sec, h.needed_sec, h.needed_hours,
+         |  greatest(f.mx, 24) AS stream_retention_hours,
+         |  h.needed_hours = f.mx AS binding
+         |FROM hrs h CROSS JOIN fleet f
+         |ORDER BY h.shard_id""".stripMargin,
 
     "m17_throughput_stats" ->
       s"""WITH m AS (

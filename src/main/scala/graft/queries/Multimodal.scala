@@ -279,14 +279,7 @@ object Multimodal extends QueryPack {
     // triple (count, bytes, xor) catches duplication, truncation, and
     // substitution. One scan, shard-keyed partial-combining aggregate.
     "mm10_shard_checksum" -> { (s, d) =>
-      shardedBlobs(s, d)
-        .join(Tables.documents(s, d).select(col("doc_id"),
-          Portable.hash60(concat(lit("ck|"), col("doc_id").cast("string"),
-            lit("|"), md5(col("text").cast("binary")))).as("digest")), "doc_id")
-        .groupBy(col("modality"), col("shard_id"))
-        .agg(count(lit(1)).as("n_blobs"), sum(col("n_bytes")).as("shard_bytes"),
-          expr("bit_xor(digest)").as("checksum60"),
-          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      checksumCells(blobManifest(s, d))
         .orderBy(col("modality"), col("shard_id"))
     },
 
@@ -486,6 +479,40 @@ object Multimodal extends QueryPack {
       substring(h, 3, 2), substring(h, 1, 2)), 16, 10).cast("long")
   private def leVal16(h: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     conv(concat(substring(h, 3, 2), substring(h, 1, 2)), 16, 10).cast("long")
+
+  /** mm10's input rows: the blob manifest — each blob's shard
+    * assignment plus its identity+content digest (hash60 of doc_id +
+    * payload md5). Shared by the batch query and the live integrity
+    * monitor so the digest definition can never fork. */
+  private[graft] def blobManifest(s: SparkSession, d: String): DataFrame =
+    shardedBlobs(s, d)
+      .join(Tables.documents(s, d).select(col("doc_id"),
+        Portable.hash60(concat(lit("ck|"), col("doc_id").cast("string"),
+          lit("|"), md5(col("text").cast("binary")))).as("digest")), "doc_id")
+
+  /** mm10's per-(modality, shard) integrity cells from any slice of
+    * the blob manifest — counts/bytes SUM, the XOR checksum folds
+    * commutatively, first/last docs take min/max: every field merges
+    * associatively, so per-micro-batch cells combine into the exact
+    * full-corpus manifest (the m23/a22 monitor idiom). */
+  private[graft] def checksumCells(manifest: DataFrame): DataFrame =
+    manifest
+      .groupBy(col("modality"), col("shard_id"))
+      .agg(count(lit(1)).as("n_blobs"), sum(col("n_bytes")).as("shard_bytes"),
+        expr("bit_xor(digest)").as("checksum60"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+
+  /** One live-monitor step: fold a micro-batch of manifest rows into
+    * the durable cell store — cells-sized forever, no corpus rescan.
+    * StreamingSpec proves the streamed store converges to exactly the
+    * batch mm10 table under arbitrary batch splits. */
+  private[graft] def checksumCellsStep(store: DataFrame, batch: DataFrame): DataFrame =
+    store.unionByName(checksumCells(batch))
+      .groupBy(col("modality"), col("shard_id"))
+      .agg(sum(col("n_blobs")).as("n_blobs"),
+        sum(col("shard_bytes")).as("shard_bytes"),
+        expr("bit_xor(checksum60)").as("checksum60"),
+        min(col("first_doc")).as("first_doc"), max(col("last_doc")).as("last_doc"))
 
   /** The ONE shard-assignment derivation mm9 plans and mm10 verifies
     * — a single definition so the pack manifest and the integrity

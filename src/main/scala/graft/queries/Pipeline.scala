@@ -259,6 +259,95 @@ object Pipeline extends QueryPack {
             lit(" "), col("doc_id").cast("string")).as("text"),
           col("source"))
       driftFromCells(qualityCells(docs.unionByName(plant)))
+    },
+
+    // Staged dedup CASCADE (round 10) — the d-family composed the way
+    // a production corpus-prep run actually executes it: cheap exact
+    // dedup first, LSH near-dup on the exact survivors, segment-level
+    // dedup on the near survivors — so each stage's input is the
+    // previous stage's output (the expensive stages never see docs a
+    // cheaper stage already caught) and every doc's disposition names
+    // the FIRST stage that caught it. That ordering is the scale
+    // argument AND the planning table: per-stage marginal yield is
+    // what answers "does the costly near-dup pass still pay after
+    // exact dedup?". Plants cover all three classes — exact copies
+    // (every 10th, +100000), appended-tail near copies (every 20th,
+    // +200000), and 20-word COLLAGES with unique tails (every 15th,
+    // +700000: >50% shared segments but whole-doc Jaccard ≈ 0.16,
+    // invisible to both earlier stages). Stage shuffles carry digests
+    // and 16-int signatures only; the corpus text is read from the
+    // localCheckpointed union once per stage's map pass (the
+    // between-stage materialization a real pipeline writes anyway).
+    "p7_dedup_cascade" -> { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      // two-step select: Spark's lateral column alias resolution would
+      // otherwise bind the lambda's doc_id to the NEW alias (+700000)
+      // instead of the child column, silently diverging from the oracle
+      val collage = docs.filter(col("doc_id") % 15 === 0)
+        .select(col("doc_id").as("orig_id"), col("text"))
+        .select((col("orig_id") + 700000L).as("doc_id"),
+          array_join(concat(
+            slice(Portable.words(col("text")), 1, 20),
+            transform(slice(Portable.words(col("text")), 21, 10),
+              x => concat(x, lit("_u"), col("orig_id").cast("string")))), " ")
+            .as("text"))
+      val corpus = docs
+        .unionAll(docs.filter(col("doc_id") % 10 === 0)
+          .withColumn("doc_id", col("doc_id") + 100000L))
+        .unionAll(docs.filter(col("doc_id") % 20 === 0)
+          .withColumn("doc_id", col("doc_id") + 200000L)
+          .withColumn("text", concat(col("text"), lit(" extra tail words"))))
+        .unionAll(collage)
+        .localCheckpoint()
+      // stage 1: exact — keeper = min doc_id per normalized digest
+      val keep1 = corpus
+        .select(col("doc_id"), Portable.md5hex(Portable.normText(col("text"))).as("h"))
+        .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      val drops1 = corpus.select(col("doc_id"))
+        .join(keep1, Seq("doc_id"), "left_anti")
+        .withColumn("disposition", lit("exact_dup")).withColumn("stage", lit(1L))
+      val surv1 = corpus.join(keep1, Seq("doc_id"), "left_semi").localCheckpoint()
+      // stage 2: near-dup — LSH clusters over survivors, keep min id
+      val pairs = Dedup.lshPairsFrom(
+        Dedup.kmSignatures(surv1, materialize = true))
+        .repartition(col("doc_a"))
+      val nodes = pairs.select(explode(array(col("doc_a"), col("doc_b"))).as("node"))
+        .distinct()
+      val edges = pairs.select(col("doc_a").as("node"), col("doc_b").as("nbr"))
+        .unionAll(pairs.select(col("doc_b").as("node"), col("doc_a").as("nbr")))
+        .unionAll(nodes.select(col("node"), col("node").as("nbr")))
+      val l1 = edges.groupBy(col("node")).agg(min(col("nbr")).as("lbl"))
+      val l2 = edges.join(l1.select(col("node").as("nbr"), col("lbl")), "nbr")
+        .groupBy(col("node")).agg(min(col("lbl")).as("keep_id"))
+      val drops2 = l2.filter(col("keep_id") =!= col("node"))
+        .select(col("node").as("doc_id"))
+        .withColumn("disposition", lit("near_dup")).withColumn("stage", lit(2L))
+      val surv2 = surv1.join(drops2.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .localCheckpoint()
+      // stage 3: segment-level — t21's rule over the remaining corpus
+      val segRows = TextOps.segmentRows(surv2)
+      val perSeg = segRows.groupBy(col("h"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+      val drops3 = segRows.join(perSeg, "h")
+        .groupBy(col("doc_id"))
+        .agg((sum(when(col("nd") >= 2, 1.0).otherwise(0.0)) / count(lit(1))).as("dup_ratio"))
+        .filter(col("dup_ratio") > 0.5)
+        .select(col("doc_id"))
+        .withColumn("disposition", lit("segment_dup")).withColumn("stage", lit(3L))
+      val kept = surv2.select(col("doc_id"))
+        .join(drops3.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .withColumn("disposition", lit("kept")).withColumn("stage", lit(4L))
+      val dispo = drops1.unionByName(drops2).unionByName(drops3).unionByName(kept)
+      val total = corpus.agg(count(lit(1)).as("n_total"))
+      dispo.join(corpus.select(col("doc_id"), length(col("text")).cast("long").as("nc")),
+          Seq("doc_id"))
+        .groupBy(col("stage"), col("disposition"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nc")).as("total_chars"))
+        .crossJoin(broadcast(total))
+        .select(col("stage"), col("disposition"), col("n_docs"), col("total_chars"),
+          round(col("n_docs").cast("double") / col("n_total"), 6).as("doc_share"))
+        .orderBy(col("stage"))
     }
   )
 
@@ -550,6 +639,90 @@ object Pipeline extends QueryPack {
         |  round((mq - rest_mean) / se, 6) AS zscore,
         |  (mq - rest_mean) / se < -3.0 AS flagged
         |FROM scored
-        |ORDER BY source, ingest_day""".stripMargin
+        |ORDER BY source, ingest_day""".stripMargin,
+
+    // The three stages mirrored sequentially: d1's exact rule, d3/d8's
+    // signatures→bands→pairs→min-label clusters (the CTE chain shared
+    // verbatim with the Dedup oracles via candChainSql), t21's
+    // segment rule — each over the previous stage's survivors.
+    "p7_dedup_cascade" ->
+      s"""WITH srcw AS (
+         |  SELECT doc_id, text,
+         |    CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+         |      ELSE regexp_split_to_array(trim(text), '\\s+') END AS w
+         |  FROM documents),
+         |corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 200000, text || ' extra tail words'
+         |  FROM documents WHERE doc_id % 20 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 700000,
+         |    array_to_string(w[1:20] ||
+         |      list_transform(w[21:30], x -> x || '_u' || doc_id::VARCHAR), ' ')
+         |  FROM srcw WHERE doc_id % 15 = 0),
+         |keep1 AS (
+         |  SELECT min(doc_id) AS doc_id FROM corpus
+         |  GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))),
+         |drops1 AS (
+         |  SELECT doc_id FROM corpus
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM keep1)),
+         |surv1 AS (
+         |  SELECT doc_id, text FROM corpus
+         |  WHERE doc_id IN (SELECT doc_id FROM keep1)),
+         |${Dedup.candChainSql("SELECT doc_id, text FROM surv1")},
+         |nodes AS (
+         |  SELECT DISTINCT node FROM (
+         |    SELECT doc_a AS node FROM cand
+         |    UNION ALL SELECT doc_b AS node FROM cand) t),
+         |edges AS (
+         |  SELECT doc_a AS node, doc_b AS nbr FROM cand
+         |  UNION ALL SELECT doc_b AS node, doc_a AS nbr FROM cand
+         |  UNION ALL SELECT node, node AS nbr FROM nodes),
+         |l1 AS (SELECT node, min(nbr) AS lbl FROM edges GROUP BY node),
+         |l2 AS (
+         |  SELECT e.node, min(l1.lbl) AS keep_id
+         |  FROM edges e JOIN l1 ON e.nbr = l1.node
+         |  GROUP BY e.node),
+         |drops2 AS (SELECT node AS doc_id FROM l2 WHERE keep_id <> node),
+         |surv2 AS (
+         |  SELECT doc_id, text FROM surv1
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM drops2)),
+         |w2 AS (
+         |  SELECT doc_id,
+         |    CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+         |      ELSE regexp_split_to_array(trim(text), '\\s+') END AS w
+         |  FROM surv2),
+         |segs AS (
+         |  SELECT doc_id,
+         |    md5(array_to_string(w[i*10+1 : i*10+10], ' ')) AS h
+         |  FROM w2,
+         |    unnest(generate_series(0, CAST(ceil(len(w) / 10.0) AS INT) - 1)) AS t(i)
+         |  WHERE len(w) > 0),
+         |perseg AS (SELECT h, count(DISTINCT doc_id) AS nd FROM segs GROUP BY h),
+         |drops3 AS (
+         |  SELECT doc_id FROM (
+         |    SELECT s.doc_id,
+         |      sum(CASE WHEN p.nd >= 2 THEN 1.0 ELSE 0.0 END) / count(*) AS dup_ratio
+         |    FROM segs s JOIN perseg p USING (h) GROUP BY s.doc_id) t
+         |  WHERE dup_ratio > 0.5),
+         |kept AS (
+         |  SELECT doc_id FROM surv2
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM drops3)),
+         |dispo AS (
+         |  SELECT doc_id, 'exact_dup' AS disposition, CAST(1 AS BIGINT) AS stage
+         |  FROM drops1
+         |  UNION ALL SELECT doc_id, 'near_dup', CAST(2 AS BIGINT) FROM drops2
+         |  UNION ALL SELECT doc_id, 'segment_dup', CAST(3 AS BIGINT) FROM drops3
+         |  UNION ALL SELECT doc_id, 'kept', CAST(4 AS BIGINT) FROM kept),
+         |tot AS (SELECT count(*) AS n_total FROM corpus)
+         |SELECT dp.stage, dp.disposition, count(*)::BIGINT AS n_docs,
+         |  CAST(sum(length(c.text)) AS BIGINT) AS total_chars,
+         |  round(count(*)::DOUBLE / t.n_total, 6) AS doc_share
+         |FROM dispo dp JOIN corpus c USING (doc_id) CROSS JOIN tot t
+         |GROUP BY dp.stage, dp.disposition, t.n_total
+         |ORDER BY dp.stage""".stripMargin
   )
 }

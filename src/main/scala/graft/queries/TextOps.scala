@@ -777,6 +777,58 @@ object TextOps extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // SPAN-level decontamination (round 10) — t12 answers "is this
+    // doc contaminated?" at doc granularity; this finds WHERE, so the
+    // remediation can be redaction instead of wholesale deletion
+    // (the GPT-3/Llama eval-overlap protocol: n-gram windows against
+    // the eval set, overlapping hits merged into maximal spans). The
+    // eval set is every 13th doc's words 5–25 — real benchmark
+    // prompts excerpted from the crawl, so contamination is intrinsic,
+    // not planted. Eval window digests are a DISTINCT set broadcast
+    // to the corpus scan (eval suites are tiny by nature — the
+    // asymmetry is the scale story: the 100 TB side streams map-side
+    // against a benchmark-sized hash set); span merging reuses d20's
+    // interval-merge (lag + running sum, windows partitioned by
+    // doc_id). action: drop_doc past 30% coverage, else redact_spans.
+    "t26_span_decontam" -> { (s, d) =>
+      val w = 10
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), Portable.words(col("text")).as("w"))
+        .withColumn("n_words", size(col("w")).cast("long"))
+      val evalWins = docs.filter(col("doc_id") % 13 === 0)
+        .select(slice(col("w"), 5, 21).as("ew"))
+        .filter(size(col("ew")) >= w)
+        .select(explode(transform(sequence(lit(1), size(col("ew")) - (w - 1)),
+          i => Portable.md5hex(array_join(slice(col("ew"), i, lit(w)), " ")))).as("h"))
+        .distinct()
+      val wins = docs.filter(col("n_words") >= w)
+        .select(col("doc_id"), col("n_words"),
+          posexplode(transform(sequence(lit(1L), col("n_words") - (w - 1)),
+            i => Portable.md5hex(array_join(slice(col("w"), i.cast("int"), lit(w)), " "))))
+            .as(Seq("pos", "h")))
+        .select(col("doc_id"), col("n_words"),
+          (col("pos") + 1).cast("long").as("i"), col("h"))
+      val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+      val spans = wins.join(broadcast(evalWins), "h")
+        .withColumn("newspan",
+          when(col("i") - lag(col("i"), 1).over(wOrd) > w, 1L).otherwise(0L))
+        .withColumn("grp", sum(col("newspan")).over(wOrd))
+        .groupBy(col("doc_id"), col("n_words"), col("grp"))
+        .agg(min(col("i")).as("s"), (max(col("i")) + (w - 1)).as("e"),
+          count(lit(1)).as("nw"))
+      spans.groupBy(col("doc_id"), col("n_words"))
+        .agg(sum(col("nw")).as("n_contam_windows"),
+          count(lit(1)).as("n_spans"),
+          sum(col("e") - col("s") + 1).as("covered_words"))
+        .withColumn("contam_frac",
+          round(col("covered_words").cast("double") / col("n_words"), 6))
+        .withColumn("action",
+          when(col("contam_frac") > 0.3, "drop_doc").otherwise("redact_spans"))
+        .select(col("doc_id"), col("n_words"), col("n_contam_windows"),
+          col("n_spans"), col("covered_words"), col("contam_frac"), col("action"))
+        .orderBy(col("doc_id"))
+    },
+
     "t21_segment_dedup" -> { (s, d) =>
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
       val prefixed = docs.withColumn("text",
@@ -1459,6 +1511,49 @@ object TextOps extends QueryPack {
          |  (round(semi_density * 4.0 + brace_density * 3.0 + kw_ratio + symbol_ratio,
          |    6) > 0.3) = (doc_id >= 400000) AS correct
          |FROM scored
+         |ORDER BY doc_id""".stripMargin,
+
+    // Same eval excerpt (words 5–25 of every 13th doc), same stride-1
+    // window digests, same interval merge as the d20 oracle.
+    "t26_span_decontam" ->
+      s"""WITH src AS (
+         |  SELECT doc_id, CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+         |    ELSE regexp_split_to_array(trim(text), '\\s+') END AS w
+         |  FROM documents),
+         |sized AS (SELECT doc_id, w, len(w)::BIGINT AS n_words FROM src),
+         |ev AS (
+         |  SELECT w[5:25] AS ew FROM src WHERE doc_id % 13 = 0 AND len(w[5:25]) >= 10),
+         |evwins AS (
+         |  SELECT DISTINCT md5(array_to_string(ew[i : i + 9], ' ')) AS h
+         |  FROM ev, unnest(generate_series(1, CAST(len(ew) AS INT) - 9)) AS t(i)),
+         |wins AS (
+         |  SELECT doc_id, n_words, i::BIGINT AS i,
+         |    md5(array_to_string(w[i : i + 9], ' ')) AS h
+         |  FROM sized,
+         |    unnest(generate_series(1, CAST(n_words AS INT) - 9)) AS t(i)
+         |  WHERE n_words >= 10),
+         |dw AS (
+         |  SELECT w.doc_id, w.n_words, w.i,
+         |    CASE WHEN w.i - lag(w.i) OVER (PARTITION BY w.doc_id ORDER BY w.i)
+         |      > 10 THEN 1 ELSE 0 END AS newspan
+         |  FROM wins w JOIN evwins USING (h)),
+         |isl AS (
+         |  SELECT doc_id, n_words, i,
+         |    sum(newspan) OVER (PARTITION BY doc_id ORDER BY i) AS grp
+         |  FROM dw),
+         |spans AS (
+         |  SELECT doc_id, n_words, grp, min(i) AS s, max(i) + 9 AS e,
+         |    count(*)::BIGINT AS nw
+         |  FROM isl GROUP BY doc_id, n_words, grp)
+         |SELECT doc_id, n_words,
+         |  CAST(sum(nw) AS BIGINT) AS n_contam_windows,
+         |  count(*)::BIGINT AS n_spans,
+         |  CAST(sum(e - s + 1) AS BIGINT) AS covered_words,
+         |  round(sum(e - s + 1)::DOUBLE / n_words, 6) AS contam_frac,
+         |  CASE WHEN round(sum(e - s + 1)::DOUBLE / n_words, 6) > 0.3
+         |    THEN 'drop_doc' ELSE 'redact_spans' END AS action
+         |FROM spans
+         |GROUP BY doc_id, n_words
          |ORDER BY doc_id""".stripMargin,
 
     "t21_segment_dedup" ->

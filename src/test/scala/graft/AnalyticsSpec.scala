@@ -94,6 +94,44 @@ class AnalyticsSpec extends SparkSuite {
     assert(d19.contains("BroadcastHashJoin"), d19)
   }
 
+  test("round-10 operators keep their scale shapes in the physical plan") {
+    for (n <- Seq("q46_mad_outliers", "t25_code_detect", "d20_span_dedup",
+        "a26_adaptive_nprobe", "mm12_payload_decode", "p7_dedup_cascade")) {
+      val plan = SparkEntry.queries(n)(spark, sf).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$n plans a cartesian:\n$plan")
+    }
+    // d20's interval-merge windows partition by doc_id — a global
+    // window would single-partition the whole window stream
+    val d20 = SparkEntry.queries("d20_span_dedup")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!d20.contains("Exchange SinglePartition"), d20)
+    assert(d20.contains("hashpartitioning(doc_id"), d20)
+    // t25 and mm12 are one-scan map passes: nothing shuffles before
+    // the output sort (range partitioning is the only Exchange)
+    for (n <- Seq("t25_code_detect", "mm12_payload_decode")) {
+      val plan = SparkEntry.queries(n)(spark, sf).queryExecution.executedPlan.toString
+      val ex = plan.linesIterator.count(_.contains("Exchange"))
+      val range = plan.linesIterator.count(_.contains("Exchange rangepartitioning"))
+      assert(ex === range, s"$n shuffles beyond the output sort:\n$plan")
+    }
+    // q46's median/MAD bands broadcast back onto the event rows — the
+    // fact side never reshuffles on the group key
+    val q46 = SparkEntry.queries("q46_mad_outliers")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(q46.contains("BroadcastHashJoin"), q46)
+    // second round-10 batch: retention sizing, band tuning, span
+    // decontamination — keyed joins only
+    for (n <- Seq("m24_retention_sizing", "d21_band_layout", "t26_span_decontam")) {
+      val plan = SparkEntry.queries(n)(spark, sf).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$n plans a cartesian:\n$plan")
+    }
+    // t26's eval window set attaches to the corpus windows by
+    // broadcast — the 100 TB side never shuffles on the digest
+    val t26 = SparkEntry.queries("t26_span_decontam")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(t26.contains("BroadcastHashJoin"), t26)
+  }
+
   test("native-kernel queries stay map-side: only the output sort shuffles") {
     // These compute their whole result per-row (one-pass kernels /
     // codegen builtins); the only exchange allowed is the final

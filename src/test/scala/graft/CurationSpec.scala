@@ -190,6 +190,22 @@ class CurationSpec extends SparkSuite {
     assert(real.forall(_.getAs[Boolean]("keep")))
   }
 
+  test("m24 retention recommendation is the binding shard's horizon, floored at 24h") {
+    val rows = SparkEntry.queries("m24_retention_sizing")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val needed = rows.map(_.getLong(4))
+    val stream = rows.map(_.getLong(5)).distinct
+    assert(stream.length === 1, "stream recommendation must be one number")
+    assert(stream.head === math.max(needed.max, 24L))
+    // binding flags exactly the max shard(s), and every horizon is
+    // at least the lag age alone (the ETA only adds)
+    rows.foreach { r =>
+      assert(r.getBoolean(6) === (r.getLong(4) === needed.max))
+      assert(r.getDouble(3) >= r.getLong(1).toDouble / 1e6,
+        s"shard ${r.getLong(0)} needed_sec below its own lag age")
+    }
+  }
+
   test("m18 replay ranges are gapless per shard") {
     val rows = SparkEntry.queries("m18_replay_window")(spark, sf).collect()
     assert(rows.nonEmpty)
@@ -229,6 +245,66 @@ class CurationSpec extends SparkSuite {
       // any shard with a late event must show disorder past the horizon
       if (late > 0) assert(r.getAs[Long]("max_disorder_us") > 300000000L)
       assert(r.getAs[Double]("late_frac") <= 1.0)
+    }
+  }
+
+  test("d20 planted shared prefixes surface as maximal spans and only they are dropped") {
+    val rows = SparkEntry.queries("d20_span_dedup")(spark, sf).collect()
+    val planted = rows.filter(_.getLong(0) >= 500000L)
+    assert(planted.nonEmpty)
+    // every planted copy that is long enough to window (it appears in
+    // the output at all) is dropped — its 30 shared words dominate
+    // its ≤50-word length; its max span covers ≥ the shared prefix's
+    // reach (up to 30 words, less for short sources)
+    planted.foreach { r =>
+      assert(!r.getAs[Boolean]("keep"), s"planted ${r.getLong(0)} kept")
+      assert(r.getAs[Long]("max_span_words") >= 10L)
+    }
+    // span merging is real: spans are maximal, so a doc's covered
+    // words never exceed its word count and dup windows fit inside
+    // the covered region (each window lies in some span)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("covered_words") <= r.getAs[Long]("n_words"))
+      assert(r.getAs[Long]("n_dup_windows") <= r.getAs[Long]("covered_words"))
+      assert(r.getAs[Long]("max_span_words") <= r.getAs[Long]("covered_words"))
+    }
+  }
+
+  test("d21 band layouts trade candidates for mid-similarity recall monotonically") {
+    val rows = SparkEntry.queries("d21_band_layout")(spark, sf).collect()
+      .sortBy(-_.getLong(1))          // by n_bands desc: 16x1 first
+    assert(rows.map(_.getString(0)).toSeq === Seq("16x1", "8x2", "4x4", "2x8"))
+    // candidate volume and mid-class recall both fall as bands narrow
+    val cands = rows.map(_.getLong(4))
+    val mid = rows.map(_.getDouble(9))
+    assert(cands.zip(cands.tail).forall { case (a, b) => a >= b },
+      s"candidates not monotone: ${cands.toSeq}")
+    assert(mid.zip(mid.tail).forall { case (a, b) => a >= b },
+      s"mid recall not monotone: ${mid.toSeq}")
+    // per layout, the higher-J class can never recall worse than the
+    // mid class (band collision prob is monotone in J), and the
+    // S-curve must actually spread: the widest layouts catch the high
+    // class fully, the narrowest misses most of the mid class
+    rows.foreach(r => assert(r.getDouble(7) >= r.getDouble(9), r.toString))
+    assert(rows.take(2).forall(_.getDouble(7) === 1.0))
+    assert(mid.head >= 0.9 && mid.last <= 0.2,
+      s"mid-class spread collapsed: ${mid.toSeq}")
+  }
+
+  test("t26 span decontamination localizes the intrinsic eval excerpts") {
+    val rows = SparkEntry.queries("t26_span_decontam")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // every eval-source doc (every 13th with enough words) reports
+    // its own excerpt: covered region at least the excerpt's windows
+    val selfIds = rows.filter(r => r.getLong(0) % 13 === 0).map(_.getLong(0))
+    assert(selfIds.nonEmpty, "no self-contaminated eval-source docs surfaced")
+    rows.filter(r => r.getLong(0) % 13 === 0).foreach { r =>
+      assert(r.getLong(4) >= 10L, s"doc ${r.getLong(0)} covered ${r.getLong(4)}")
+    }
+    // spans are coherent: covered ≤ n_words, windows ≤ covered
+    rows.foreach { r =>
+      assert(r.getLong(4) <= r.getLong(1))
+      assert(r.getLong(2) <= r.getLong(4))
     }
   }
 

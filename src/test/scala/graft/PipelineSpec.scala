@@ -348,6 +348,48 @@ class PipelineSpec extends SparkSuite {
     assert(mm11.filter(col("container") === "unknown").count() === 0)
   }
 
+  test("mm12 payload decode recovers every planted sample and pixel through the wire") {
+    val mm12 = SparkEntry.queries("mm12_payload_decode")(spark, sf)
+    assert(mm12.filter(!col("matches_plant")).count() === 0)
+    assert(mm12.filter(col("container") === "unknown").count() === 0)
+    // both modalities present, and the stats are non-degenerate (a
+    // decode that returned all-zero payloads would still "match" only
+    // if the plant were also zero — it never is for rms/brightness)
+    assert(mm12.filter(col("container") === "wav" && col("rms") > 0).count() > 0)
+    assert(mm12.filter(col("container") === "bmp" && col("mean_r") > 0).count() > 0)
+  }
+
+  test("a26 adaptive probing lands strictly between the fixed levels on cost, within them on recall") {
+    val rows = SparkEntry.queries("a26_adaptive_nprobe")(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val (np1, sc1, rc1) = rows("fixed_1")
+    val (np4, sc4, rc4) = rows("fixed_4")
+    val (npA, scA, rcA) = rows("adaptive")
+    // 5 probes → terciles split 2/2/1 → np mix {1,1,2,2,4}: the
+    // adaptive budget is strictly inside the fixed band
+    assert(np1 === 1.0 && np4 === 4.0)
+    assert(npA > np1 && npA < np4, s"adaptive np $npA not strictly between")
+    assert(scA >= sc1 && scA <= sc4, s"scanned $scA outside [$sc1, $sc4]")
+    // per-probe candidate sets are nested across levels (crank <= np),
+    // and recall@k is monotone in the candidate set — so adaptive must
+    // sit inside the fixed band on recall too
+    assert(rcA >= rc1 && rcA <= rc4, s"recall $rcA outside [$rc1, $rc4]")
+  }
+
+  test("p7 cascade dispositions partition the corpus and every stage claims rows") {
+    val rows = SparkEntry.queries("p7_dedup_cascade")(spark, sf).collect()
+    assert(rows.map(_.getString(1)).toSet ===
+      Set("exact_dup", "near_dup", "segment_dup", "kept"))
+    // shares partition the corpus (disjoint stages, exhaustive)
+    assert(math.abs(rows.map(_.getDouble(4)).sum - 1.0) < 1e-5)
+    rows.foreach(r =>
+      assert(r.getLong(2) > 0, s"stage ${r.getString(1)} claimed no rows"))
+    // the cascade keeps the majority: plants are a bounded fraction
+    val kept = rows.find(_.getString(1) == "kept").get
+    assert(kept.getDouble(4) > 0.5)
+  }
+
   test("d6 finds exactly the synthesized scaled near-dupes") {
     val pairs = SparkEntry.queries("d6_embedding_dup")(spark, sf).collect()
     // every 25th vec_id gets a scaled twin at +100000

@@ -1386,4 +1386,49 @@ class StreamingSpec extends SparkSuite {
     // the strict window must discriminate: converters AND non-converters
     assert(got.exists(_._3 >= 0) && got.exists(_._3 === -1L))
   }
+
+  test("the live shard-integrity monitor converges to exactly the batch mm10 manifest") {
+    import spark.implicits._
+    import graft.queries.Multimodal
+    implicit val sqlCtx = spark.sqlContext
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6))
+    val expected = SparkEntry.queries("mm10_shard_checksum")(spark, sf)
+      .collect().map(key).toSet
+    assert(expected.nonEmpty)
+
+    // the SAME blob manifest, arriving as live micro-batches split at
+    // arbitrary points — shards and modalities straddle batches, so
+    // the mergeable-cells contract (sums + commutative XOR + min/max)
+    // is what's under test
+    val rows = Multimodal.blobManifest(spark, sf)
+      .select(col("doc_id"), col("modality"), col("n_bytes"),
+        col("shard_id"), col("digest"))
+      .as[(Long, String, Long, Long, Long)].collect()
+
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    var store = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("modality", StringType),
+        StructField("shard_id", LongType), StructField("n_blobs", LongType),
+        StructField("shard_bytes", LongType), StructField("checksum60", LongType),
+        StructField("first_doc", LongType), StructField("last_doc", LongType))))
+    val input = MemoryStream[(Long, String, Long, Long, Long)]
+    val q = input.toDF().toDF("doc_id", "modality", "n_bytes", "shard_id", "digest")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", tempDir("ck_mm10"))
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        store = Multimodal.checksumCellsStep(store, batch).localCheckpoint()
+      }
+      .start()
+    input.addData(rows.take(123).toIndexedSeq); q.processAllAvailable()
+    input.addData(rows.slice(123, 377).toIndexedSeq); q.processAllAvailable()
+    input.addData(rows.drop(377).toIndexedSeq); q.processAllAvailable()
+    q.stop()
+
+    val got = store.collect().map(key).toSet
+    assert(got === expected,
+      s"streamed integrity manifest diverged: ${(got diff expected).take(3)}")
+  }
 }

@@ -25,6 +25,20 @@ class TextSpec extends SparkSuite {
     assert(rows.forall(r => r.getLong(2) > 0L))
   }
 
+  test("t25 separates planted code from prose on every row with clear margin") {
+    val df = SparkEntry.queries("t25_code_detect")(spark, sf)
+    assert(df.filter(!col("correct")).count() === 0)
+    val planted = df.filter(col("is_planted"))
+    assert(planted.count() > 0)
+    // the margin is wide, not a threshold accident: planted statement
+    // lines score far above 0.3, prose far below
+    import org.apache.spark.sql.functions.min
+    assert(planted.agg(min(col("code_score"))).head.getDouble(0) > 0.5)
+    assert(df.filter(!col("is_planted"))
+      .agg(org.apache.spark.sql.functions.max(col("code_score")))
+      .head.getDouble(0) < 0.15)
+  }
+
   test("t12 flags every eval source doc and every engineered leak") {
     val out = SparkEntry.queries("t12_decontaminate")(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
