@@ -482,14 +482,21 @@ object Analytics extends QueryPack {
       val ev = Tables.events(s, d)
         .select(col("event_type"), col("value").cast("double").as("v"))
         .localCheckpoint()
+      // med/mad are groups-sized but their lineages are FULL
+      // Percentiles runs — without the cut, every downstream consumer
+      // (the deviation pass re-reads med ~4×, the flagging pass once
+      // more) re-executes the whole median computation (measured 10 s
+      // vs ~2 s at sf0.1)
       val med = graft.operators.Percentiles.exact(ev, "event_type", "v",
           Seq("med" -> 0.5))
         .select(col("event_type"), col("med"))
+        .localCheckpoint()
       val dev = ev.join(broadcast(med), Seq("event_type"))
         .select(col("event_type"), abs(col("v") - col("med")).as("ad"))
       val mad = graft.operators.Percentiles.exact(dev, "event_type", "ad",
           Seq("mad" -> 0.5))
         .select(col("event_type"), col("mad"))
+        .localCheckpoint()
       ev.join(broadcast(med), Seq("event_type"))
         .join(broadcast(mad), Seq("event_type"))
         .withColumn("rz", when(col("mad") > 0,

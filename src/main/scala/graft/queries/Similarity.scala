@@ -982,7 +982,15 @@ object Similarity extends QueryPack {
     * a19: dims, post-rotation energy, codes used, MSE — the spec
     * asserts the rotated allocation's energy spread undercuts both
     * the contiguous split and a19's permutation-only deal. */
-  def opqRotated(s: SparkSession, d: String, m: Int = PqM): DataFrame = {
+  /** a21's learned butterfly rotation, factored as reusable parts:
+    * the rotated corpus (vec_id, rxv) and the a19-deal over the
+    * rotated variance profile (dim → sub, rvar). a21 consumes both
+    * to report per-subspace quantization stats; a27 composes them
+    * into a serve-path comparison (rotation + deal baked into one
+    * permuted array so the unchanged contiguous IVF-PQ machinery
+    * quantizes the OPQ layout). */
+  private[graft] def butterflyParts(s: SparkSession, d: String,
+                                    m: Int = PqM): (DataFrame, DataFrame) = {
     val xs = Tables.embeddings(s, d)
       .select(col("vec_id"),
         posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
@@ -1061,6 +1069,11 @@ object Similarity extends QueryPack {
       .groupBy(col("dim"), col("rvar"))
       .agg(count(col("d2")).as("rk"))
       .select(col("dim"), pmod(col("rk"), lit(m)).cast("int").as("sub"), col("rvar"))
+    (rotated, alloc)
+  }
+
+  def opqRotated(s: SparkSession, d: String, m: Int = PqM): DataFrame = {
+    val (rotated, alloc) = butterflyParts(s, d, m)
     // sub-slicing is likewise pointwise given a dense dim→sub lookup:
     // explode only to N×m rows, each slice filtered out of the rotated
     // array in ascending-dim order — no (vec_id, sub) regroup
@@ -1088,6 +1101,64 @@ object Similarity extends QueryPack {
         round(col("var_total"), 6).as("var_total"),
         col("n_vecs"), col("n_codes_used"), col("mse"))
       .orderBy(col("sub"))
+  }
+
+  /** a27: does the learned rotation actually pay AT SERVE TIME? a21
+    * proves the butterfly flattens subspace energy and drops
+    * quantization MSE per subspace; this composes the full
+    * production shape — rotation AND the a19 deal baked into ONE
+    * permuted array (both orthogonal, so true distances are
+    * untouched and the ORIGINAL-space brute top-k stays the ground
+    * truth for both variants), then the UNCHANGED contiguous IVF-PQ
+    * build/serve machinery runs over plain vs rotated+permuted
+    * corpora. That bake-in is the deployment trick: a vector store
+    * applies one fixed orthogonal transform at ingest and at query
+    * time and keeps its contiguous-slice codebooks. Output: one row
+    * per variant (pq / opq) with probes served, recall@k vs exact,
+    * and corpus quantization MSE — the end-to-end answer to "is the
+    * rotation worth shipping". Scale shape: the rotation/permutation
+    * is a broadcast-array map pass; everything else is exactly
+    * a18's serve (routed-cells candidates, broadcast ADC tables);
+    * each leg's corpus is localCheckpointed once for its
+    * index+probe+MSE consumers. */
+  def opqServeGain(s: SparkSession, d: String, k: Int = K): DataFrame = {
+    val (rotated, alloc) = butterflyParts(s, d)
+    val perm = alloc
+      .agg(expr("transform(array_sort(collect_list(struct(sub, dim))), p -> p.dim)")
+        .as("perm"))
+    val rotPerm = rotated.crossJoin(broadcast(perm))
+      .select(col("vec_id"), expr("transform(perm, i -> rxv[i])").as("emb"))
+      .withColumn("nrm", graft.functions.Vec.norm(col("emb")))
+    val base = vecs(s, d)
+    val exact = bruteKnn(s, d, k)
+      .select(col("probe_id"), col("vec_id")).localCheckpoint()
+    def leg(v0: DataFrame, name: String): DataFrame = {
+      val v = v0.localCheckpoint()
+      val ix = ivfPqIndexOf(v)
+      val probes = hashTopK(v, "probe", NProbes)
+        .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"),
+          col("nrm").as("p_nrm"))
+      val served = ivfPqServeProbes(ix, probes, k = k)
+        .select(col("probe_id"), col("vec_id"))
+      val per = exact.join(served.withColumn("hit", lit(1L)),
+          Seq("probe_id", "vec_id"), "left")
+        .groupBy(col("probe_id"))
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      val seeds = hashTopK(v, "cent", Geo.nCentroids)
+      val mse = pqAssignments(v.select(col("vec_id"), col("emb")), seeds,
+          PqM, PqSubDim)
+        .agg(avg(col("dist")).as("q_mse"))
+      per.agg(count(lit(1)).as("n_probes"),
+          avg(col("n_hit").cast("double") / col("n_exact")).as("avg_recall"))
+        .withColumn("variant", lit(name))
+        .crossJoin(broadcast(mse))
+    }
+    leg(base, "pq").unionByName(leg(rotPerm, "opq"))
+      .select(col("variant"), col("n_probes"),
+        round(col("avg_recall"), 6).as("avg_recall"),
+        round(col("q_mse"), 6).as("q_mse"))
+      .orderBy(col("variant"))
   }
 
   /** a20: index-drift audit — m20's measure→DECIDE pattern applied
@@ -1597,7 +1668,8 @@ object Similarity extends QueryPack {
     "a23_filtered_knn" -> ((s, d) => filteredKnn(s, d)),
     "a24_nprobe_sweep" -> ((s, d) => nprobeSweep(s, d)),
     "a25_nprobe_decide" -> ((s, d) => nprobeDecide(s, d)),
-    "a26_adaptive_nprobe" -> ((s, d) => adaptiveNprobe(s, d))
+    "a26_adaptive_nprobe" -> ((s, d) => adaptiveNprobe(s, d)),
+    "a27_opq_serve" -> ((s, d) => opqServeGain(s, d))
   )
 
   /** a13's oracle: plain inner-product ranking (shared with a16). */
@@ -2348,6 +2420,158 @@ object Similarity extends QueryPack {
       s"""$NprobeSweepCtes
          |$NprobeSweepSelect
          |ORDER BY np""".stripMargin,
+
+    // a27: a21's rotation chain + the deal as a dim permutation, then
+    // a18's serve chain instantiated twice (prefix-templated CTEs)
+    // over the plain and the rotated+permuted corpus; one shared
+    // original-space brute ground truth (orthogonal transforms
+    // preserve distances).
+    "a27_opq_serve" -> {
+      val hi = PqM - 1
+      def legSql(p: String, src: String, name: String): String = {
+        val pSub = s"p.p_emb[c.sub*$PqSubDim+1 : c.sub*$PqSubDim+$PqSubDim]"
+        s"""${p}cs AS (SELECT vec_id AS cell, emb AS c_emb
+           |  FROM (SELECT * FROM $src ${centSel(Geo.nCentroids)}) t),
+           |${p}assigned AS (
+           |  SELECT vec_id, cell FROM (
+           |    SELECT x.vec_id, c.cell,
+           |      row_number() OVER (PARTITION BY x.vec_id ORDER BY
+           |        list_dot_product(x.emb, c.c_emb) /
+           |          (sqrt(list_dot_product(x.emb, x.emb)) *
+           |           sqrt(list_dot_product(c.c_emb, c.c_emb))) DESC,
+           |        c.cell) AS crank
+           |    FROM $src x, ${p}cs c) t WHERE crank = 1),
+           |${p}subs AS (
+           |  SELECT vec_id, m AS sub, emb[m*$PqSubDim+1 : m*$PqSubDim+$PqSubDim] AS sv
+           |  FROM $src, unnest(generate_series(0, $hi)) AS t(m)),
+           |${p}cseed AS (SELECT vec_id, emb FROM $src ${centSel(Geo.nCentroids)}),
+           |${p}cents AS (
+           |  SELECT vec_id AS code_id, m AS sub,
+           |    emb[m*$PqSubDim+1 : m*$PqSubDim+$PqSubDim] AS cv
+           |  FROM ${p}cseed, unnest(generate_series(0, $hi)) AS t(m)),
+           |${p}codes AS (
+           |  SELECT vec_id, sub, code_id, dist FROM (
+           |    SELECT s.vec_id, s.sub, c.code_id,
+           |      list_dot_product(s.sv, s.sv) - 2.0 * list_dot_product(s.sv, c.cv)
+           |        + list_dot_product(c.cv, c.cv) AS dist,
+           |      row_number() OVER (PARTITION BY s.vec_id, s.sub ORDER BY
+           |        list_dot_product(s.sv, s.sv) - 2.0 * list_dot_product(s.sv, c.cv)
+           |          + list_dot_product(c.cv, c.cv),
+           |        c.code_id) AS r
+           |    FROM ${p}subs s JOIN ${p}cents c ON s.sub = c.sub) t
+           |  WHERE r = 1),
+           |${p}probes AS (SELECT vec_id AS probe_id, emb AS p_emb FROM $src $probeSel),
+           |${p}routes AS (
+           |  SELECT probe_id, cell FROM (
+           |    SELECT p.probe_id, c.cell,
+           |      row_number() OVER (PARTITION BY p.probe_id ORDER BY
+           |        list_dot_product(p.p_emb, c.c_emb) /
+           |          (sqrt(list_dot_product(p.p_emb, p.p_emb)) *
+           |           sqrt(list_dot_product(c.c_emb, c.c_emb))) DESC,
+           |        c.cell) AS r
+           |    FROM ${p}probes p, ${p}cs c) t WHERE r <= ${Geo.nProbe}),
+           |${p}adc AS (
+           |  SELECT p.probe_id, c.sub, c.code_id,
+           |    list_dot_product($pSub, $pSub)
+           |      - 2.0 * list_dot_product($pSub, c.cv)
+           |      + list_dot_product(c.cv, c.cv) AS pdist
+           |  FROM ${p}probes p, ${p}cents c),
+           |${p}cand AS (
+           |  SELECT r.probe_id, a.vec_id
+           |  FROM ${p}assigned a JOIN ${p}routes r ON a.cell = r.cell
+           |  WHERE a.vec_id <> r.probe_id),
+           |${p}scored AS (
+           |  SELECT cd.probe_id, cd.vec_id, sum(adc.pdist) AS adc_dist
+           |  FROM ${p}cand cd
+           |  JOIN ${p}codes k ON cd.vec_id = k.vec_id
+           |  JOIN ${p}adc adc ON adc.probe_id = cd.probe_id AND adc.sub = k.sub
+           |    AND adc.code_id = k.code_id
+           |  GROUP BY cd.probe_id, cd.vec_id),
+           |${p}topk AS (
+           |  SELECT probe_id, vec_id FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY probe_id
+           |      ORDER BY adc_dist, vec_id) AS rnk FROM ${p}scored) t
+           |  WHERE rnk <= $K),
+           |${p}per AS (
+           |  SELECT e.probe_id, count(*)::BIGINT AS n_exact,
+           |    CAST(sum(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+           |  FROM exact e LEFT JOIN ${p}topk t
+           |    ON t.probe_id = e.probe_id AND t.vec_id = e.vec_id
+           |  GROUP BY e.probe_id),
+           |${p}roll AS (
+           |  SELECT '$name' AS variant, count(*)::BIGINT AS n_probes,
+           |    round(avg(n_hit::DOUBLE / n_exact), 6) AS avg_recall,
+           |    (SELECT round(avg(dist), 6) FROM ${p}codes) AS q_mse
+           |  FROM ${p}per)""".stripMargin
+      }
+      s"""WITH xs AS (
+         |  SELECT vec_id, dim, embedding[(dim + 1)::INTEGER]::DOUBLE AS x
+         |  FROM embeddings, unnest(generate_series(0, len(embedding) - 1)) AS t(dim)),
+         |st AS (
+         |  SELECT dim, round(avg(x * x) - avg(x) * avg(x), 9) AS dvr
+         |  FROM xs GROUP BY dim),
+         |rk AS (
+         |  SELECT s.dim, count(o.dim) AS rk
+         |  FROM st s LEFT JOIN st o
+         |    ON o.dvr > s.dvr OR (o.dvr = s.dvr AND o.dim < s.dim)
+         |  GROUP BY s.dim),
+         |nd AS (SELECT count(*) AS nd FROM st),
+         |pairs AS (
+         |  SELECT dim, least(rk, nd - 1 - rk) AS pair,
+         |    rk < nd - 1 - rk AS is_hi, rk = nd - 1 - rk AS solo
+         |  FROM rk, nd),
+         |rot0 AS (
+         |  SELECT x.vec_id, p.pair,
+         |    max(CASE WHEN p.is_hi THEN x.x END) AS xh,
+         |    max(CASE WHEN NOT p.is_hi AND NOT p.solo THEN x.x END) AS xl,
+         |    max(CASE WHEN p.solo THEN x.x END) AS xm,
+         |    max(CASE WHEN p.is_hi THEN x.dim END) AS dh,
+         |    max(CASE WHEN NOT p.is_hi AND NOT p.solo THEN x.dim END) AS dl,
+         |    max(CASE WHEN p.solo THEN x.dim END) AS dm
+         |  FROM xs x JOIN pairs p ON x.dim = p.dim
+         |  GROUP BY x.vec_id, p.pair),
+         |rx AS (
+         |  SELECT vec_id, dh AS dim, (xh + xl) / sqrt(2.0) AS x
+         |  FROM rot0 WHERE dh IS NOT NULL
+         |  UNION ALL
+         |  SELECT vec_id, dl AS dim, (xh - xl) / sqrt(2.0) AS x
+         |  FROM rot0 WHERE dl IS NOT NULL
+         |  UNION ALL
+         |  SELECT vec_id, dm AS dim, xm AS x
+         |  FROM rot0 WHERE dm IS NOT NULL),
+         |rxa AS (SELECT vec_id, list(x ORDER BY dim) AS emb FROM rx GROUP BY vec_id),
+         |rstats AS (
+         |  SELECT dim, round(avg(x * x) - avg(x) * avg(x), 9) AS rvr
+         |  FROM rx GROUP BY dim),
+         |rrk AS (
+         |  SELECT s.dim, count(o.dim) AS rk
+         |  FROM rstats s LEFT JOIN rstats o
+         |    ON o.rvr > s.rvr OR (o.rvr = s.rvr AND o.dim < s.dim)
+         |  GROUP BY s.dim),
+         |alloc AS (SELECT dim, (rk % $PqM) AS sub FROM rrk),
+         |permt AS (SELECT list(dim ORDER BY sub, dim) AS perm FROM alloc),
+         |rp AS (
+         |  SELECT r.vec_id,
+         |    list_transform(p.perm, i -> r.emb[(i + 1)::INTEGER]) AS emb
+         |  FROM rxa r, permt p),
+         |v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |xprobes AS (SELECT vec_id AS probe_id, emb AS p_emb FROM v $probeSel),
+         |exact AS (
+         |  SELECT probe_id, vec_id FROM (
+         |    SELECT p.probe_id, x.vec_id,
+         |      row_number() OVER (PARTITION BY p.probe_id ORDER BY
+         |        list_dot_product(p.p_emb, x.emb) /
+         |          (sqrt(list_dot_product(p.p_emb, p.p_emb)) *
+         |           sqrt(list_dot_product(x.emb, x.emb))) DESC,
+         |        x.vec_id) AS rank
+         |    FROM xprobes p JOIN v x ON x.vec_id <> p.probe_id) t
+         |  WHERE rank <= $K),
+         |${legSql("b_", "v", "pq")},
+         |${legSql("r_", "rp", "opq")}
+         |SELECT * FROM b_roll
+         |UNION ALL SELECT * FROM r_roll
+         |ORDER BY variant""".stripMargin
+    },
 
     // a26: the sweep's CTE chain with the per-probe margin terciles
     // and a policy dimension (fixed_1..4 + adaptive) instead of the

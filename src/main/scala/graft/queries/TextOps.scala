@@ -791,42 +791,8 @@ object TextOps extends QueryPack {
     // interval-merge (lag + running sum, windows partitioned by
     // doc_id). action: drop_doc past 30% coverage, else redact_spans.
     "t26_span_decontam" -> { (s, d) =>
-      val w = 10
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id"), Portable.words(col("text")).as("w"))
-        .withColumn("n_words", size(col("w")).cast("long"))
-      val evalWins = docs.filter(col("doc_id") % 13 === 0)
-        .select(slice(col("w"), 5, 21).as("ew"))
-        .filter(size(col("ew")) >= w)
-        .select(explode(transform(sequence(lit(1), size(col("ew")) - (w - 1)),
-          i => Portable.md5hex(array_join(slice(col("ew"), i, lit(w)), " ")))).as("h"))
-        .distinct()
-      val wins = docs.filter(col("n_words") >= w)
-        .select(col("doc_id"), col("n_words"),
-          posexplode(transform(sequence(lit(1L), col("n_words") - (w - 1)),
-            i => Portable.md5hex(array_join(slice(col("w"), i.cast("int"), lit(w)), " "))))
-            .as(Seq("pos", "h")))
-        .select(col("doc_id"), col("n_words"),
-          (col("pos") + 1).cast("long").as("i"), col("h"))
-      val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("i"))
-      val spans = wins.join(broadcast(evalWins), "h")
-        .withColumn("newspan",
-          when(col("i") - lag(col("i"), 1).over(wOrd) > w, 1L).otherwise(0L))
-        .withColumn("grp", sum(col("newspan")).over(wOrd))
-        .groupBy(col("doc_id"), col("n_words"), col("grp"))
-        .agg(min(col("i")).as("s"), (max(col("i")) + (w - 1)).as("e"),
-          count(lit(1)).as("nw"))
-      spans.groupBy(col("doc_id"), col("n_words"))
-        .agg(sum(col("nw")).as("n_contam_windows"),
-          count(lit(1)).as("n_spans"),
-          sum(col("e") - col("s") + 1).as("covered_words"))
-        .withColumn("contam_frac",
-          round(col("covered_words").cast("double") / col("n_words"), 6))
-        .withColumn("action",
-          when(col("contam_frac") > 0.3, "drop_doc").otherwise("redact_spans"))
-        .select(col("doc_id"), col("n_words"), col("n_contam_windows"),
-          col("n_spans"), col("covered_words"), col("contam_frac"), col("action"))
-        .orderBy(col("doc_id"))
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      contamSpans(docs, evalWindowDigests(docs)).orderBy(col("doc_id"))
     },
 
     "t21_segment_dedup" -> { (s, d) =>
@@ -852,6 +818,59 @@ object TextOps extends QueryPack {
         .orderBy(col("doc_id"))
     }
   )
+
+  /** t26: contamination window width (words, stride 1). */
+  private val ContamW = 10
+
+  /** t26's eval set: every 13th doc's words 5–25 → distinct stride-1
+    * window digests. Benchmark-sized by nature; broadcast to every
+    * consumer. */
+  private[graft] def evalWindowDigests(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 13 === 0)
+      .select(slice(Portable.words(col("text")), 5, 21).as("ew"))
+      .filter(size(col("ew")) >= ContamW)
+      .select(explode(transform(sequence(lit(1), size(col("ew")) - (ContamW - 1)),
+        i => Portable.md5hex(array_join(slice(col("ew"), i, lit(ContamW)), " "))))
+        .as("h"))
+      .distinct()
+
+  /** t26's per-doc span machinery over ANY (doc_id, text) slice —
+    * shared verbatim by the batch query and the streaming ingest
+    * step ([[contamStep]]): window digests, broadcast eval join,
+    * interval merge, per-doc rollup with the drop/redact action.
+    * STATELESS given the (static) eval set, so the streamed union of
+    * per-batch results equals the batch table exactly — spec-proved. */
+  private[graft] def contamSpans(docSlice: DataFrame, evalWins: DataFrame): DataFrame = {
+    val w = ContamW
+    val docs = docSlice
+      .select(col("doc_id"), Portable.words(col("text")).as("w"))
+      .withColumn("n_words", size(col("w")).cast("long"))
+    val wins = docs.filter(col("n_words") >= w)
+      .select(col("doc_id"), col("n_words"),
+        posexplode(transform(sequence(lit(1L), col("n_words") - (w - 1)),
+          i => Portable.md5hex(array_join(slice(col("w"), i.cast("int"), lit(w)), " "))))
+          .as(Seq("pos", "h")))
+      .select(col("doc_id"), col("n_words"),
+        (col("pos") + 1).cast("long").as("i"), col("h"))
+    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    val spans = wins.join(broadcast(evalWins), "h")
+      .withColumn("newspan",
+        when(col("i") - lag(col("i"), 1).over(wOrd) > w, 1L).otherwise(0L))
+      .withColumn("grp", sum(col("newspan")).over(wOrd))
+      .groupBy(col("doc_id"), col("n_words"), col("grp"))
+      .agg(min(col("i")).as("s"), (max(col("i")) + (w - 1)).as("e"),
+        count(lit(1)).as("nw"))
+    spans.groupBy(col("doc_id"), col("n_words"))
+      .agg(sum(col("nw")).as("n_contam_windows"),
+        count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s") + 1).as("covered_words"))
+      .withColumn("contam_frac",
+        round(col("covered_words").cast("double") / col("n_words"), 6))
+      .withColumn("action",
+        when(col("contam_frac") > 0.3, "drop_doc").otherwise("redact_spans"))
+      .select(col("doc_id"), col("n_words"), col("n_contam_windows"),
+        col("n_spans"), col("covered_words"), col("contam_frac"), col("action"))
+  }
 
   /** t12: decontamination n-gram width. */
   private val EvalGramN = 6

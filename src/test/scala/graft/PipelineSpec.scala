@@ -377,6 +377,29 @@ class PipelineSpec extends SparkSuite {
     assert(rcA >= rc1 && rcA <= rc4, s"recall $rcA outside [$rc1, $rc4]")
   }
 
+  test("a27's baked rotation+permutation is orthogonal; the serve comparison is well-formed") {
+    import graft.queries.Similarity
+    val rows = SparkEntry.queries("a27_opq_serve")(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSeq.sorted === Seq("opq", "pq"))
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0)
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
+      assert(r.getDouble(3) > 0.0)
+    }
+    // the deployment claim: the baked transform is ORTHOGONAL, so
+    // every vector's norm (hence every true distance, hence the
+    // shared exact ground truth) is preserved exactly
+    val (rotated, _) = Similarity.butterflyParts(spark, sf)
+    val v = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("xv"))
+    val maxDrift = rotated.join(v, "vec_id")
+      .select(org.apache.spark.sql.functions.abs(
+        graft.functions.Vec.norm(col("rxv")) - graft.functions.Vec.norm(col("xv")))
+        .as("dn"))
+      .agg(org.apache.spark.sql.functions.max(col("dn"))).head.getDouble(0)
+    assert(maxDrift < 1e-9, s"rotation drifts norms by $maxDrift")
+  }
+
   test("p7 cascade dispositions partition the corpus and every stage claims rows") {
     val rows = SparkEntry.queries("p7_dedup_cascade")(spark, sf).collect()
     assert(rows.map(_.getString(1)).toSet ===

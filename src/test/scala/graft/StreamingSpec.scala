@@ -1431,4 +1431,41 @@ class StreamingSpec extends SparkSuite {
     assert(got === expected,
       s"streamed integrity manifest diverged: ${(got diff expected).take(3)}")
   }
+
+  test("ingest-time decontamination flags exactly what the batch t26 table flags") {
+    import spark.implicits._
+    import graft.queries.TextOps
+    implicit val sqlCtx = spark.sqlContext
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5), r.getString(6))
+    val expected = SparkEntry.queries("t26_span_decontam")(spark, sf)
+      .collect().map(key).toSet
+    assert(expected.nonEmpty)
+
+    // the eval digest set is static and benchmark-sized — a curator
+    // loads it once and screens every arriving micro-batch with the
+    // SAME shared span machinery; per-batch results union to exactly
+    // the batch table because the step is stateless given the set
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val evalWins = TextOps.evalWindowDigests(docs).localCheckpoint()
+    val rows = docs.as[(Long, String)].collect()
+    val acc = scala.collection.mutable.Set[(Long, Long, Long, Long, Long, Double, String)]()
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", tempDir("ck_t26"))
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        acc ++= TextOps.contamSpans(batch, evalWins).collect().map(key)
+        ()
+      }
+      .start()
+    input.addData(rows.take(77).toIndexedSeq); q.processAllAvailable()
+    input.addData(rows.slice(77, 301).toIndexedSeq); q.processAllAvailable()
+    input.addData(rows.drop(301).toIndexedSeq); q.processAllAvailable()
+    q.stop()
+
+    assert(acc.toSet === expected,
+      s"streamed decontam diverged: ${(acc.toSet diff expected).take(3)} vs ${(expected diff acc.toSet).take(3)}")
+  }
 }
