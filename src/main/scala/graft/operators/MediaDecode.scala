@@ -6,12 +6,15 @@ import org.apache.spark.sql.{DataFrame, Dataset}
   *
   * In a production pipeline this is where an image/audio/video codec
   * decodes the opaque `binary` payload per partition (the JVM analog
-  * of a Pandas-UDF/mapInPandas batch). Since round 10 the CONTAINER
-  * HEADER layer is real: [[parseHeader]] reads genuine BMP/WAV byte
-  * layouts (magic tags, little-endian dimension/rate fields) and
-  * mm11 is its oracle-checked columnar twin. Only the pixel/PCM DATA
-  * decode — which needs a codec library this container lacks — stays
-  * a clearly-marked deterministic STUB (`decode`). The batch shape
+  * of a Pandas-UDF/mapInPandas batch). Since round 10 the UNCOMPRESSED
+  * layers are fully real: [[parseHeader]] reads genuine BMP/WAV byte
+  * layouts (magic tags, little-endian dimension/rate fields; mm11 is
+  * its oracle-checked columnar twin) and [[parsePayload]] decodes the
+  * DATA — BMP pixel rows with their 4-byte padding, the RIFF chunk
+  * walk to the PCM samples — into the curation stats (mm12's columnar
+  * twin). Only COMPRESSED codecs — which need a codec library this
+  * container lacks — stay behind the clearly-marked deterministic
+  * STUB (`decode`). The batch shape
   * (mapPartitions over (id, payload) → typed Dataset, codec
   * instantiated once per partition, never per row) is the real
   * contract a codec drops into.
@@ -66,6 +69,87 @@ object MediaDecode {
         MediaHeader(m.docId, c, w, h, r, ch, ok)
       }
     }
+  }
+
+  case class MediaStats(docId: Long, container: String, nUnits: Long,
+                        meanSignal: Double, rms: Double, peak: Double,
+                        meanR: Double, meanG: Double, meanB: Double, ok: Boolean)
+
+  private def s16le(b: Array[Byte], off: Int): Long = {
+    val u = u16le(b, off); if (u >= 32768L) u - 65536L else u
+  }
+
+  /** REAL payload-DATA stats over genuine binary files (round 10 —
+    * mm12's JVM-bytes twin): for an uncompressed 24bpp BMP, walk the
+    * pixel rows from the header's data offset (honoring the 4-byte
+    * row padding) and fold per-channel means + mean brightness; for a
+    * PCM s16 WAV, walk the RIFF chunk list to the `data` chunk and
+    * fold mean/RMS/peak amplitude (channels pooled). These are the
+    * stats curation filters actually gate on (black-frame /
+    * solid-color, silence / clipping). After this, only COMPRESSED
+    * codecs remain behind the [[decode]] stub — uncompressed
+    * containers decode fully, headers AND data. Truncated or
+    * non-conforming payloads return ok=false, never throw. */
+  def parsePayload(payload: Array[Byte]): MediaStats = {
+    val none = MediaStats(0L, "unknown", 0L, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, false)
+    val (container, w, h, _, _, headerOk) = parseHeader(payload)
+    if (!headerOk) none.copy(container = container)
+    else if (container == "bmp") {
+      val bpp = u16le(payload, 28)
+      val dataOff = u32le(payload, 10).toInt
+      val rowBytes = ((w * 3 + 3) / 4 * 4).toInt
+      val need = dataOff.toLong + rowBytes.toLong * h
+      if (bpp != 24L || w <= 0 || h <= 0 || payload.length < need)
+        none.copy(container = "bmp")
+      else {
+        var (sr, sg, sb) = (0.0, 0.0, 0.0)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val off = dataOff + y * rowBytes + x * 3
+            sb += (payload(off) & 0xff); sg += (payload(off + 1) & 0xff)
+            sr += (payload(off + 2) & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        val n = (w * h).toDouble
+        MediaStats(0L, "bmp", (w * h), (sr + sg + sb) / (3.0 * n), 0.0, 0.0,
+          sr / n, sg / n, sb / n, true)
+      }
+    } else { // wav, headerOk ⇒ PCM fmt
+      // walk RIFF chunks from offset 12 to the `data` chunk
+      var p = 12
+      var dataOff = -1; var dataLen = 0
+      while (dataOff < 0 && p + 8 <= payload.length) {
+        val id = new String(payload.slice(p, p + 4), "US-ASCII")
+        val sz = u32le(payload, p + 4).toInt
+        if (id == "data") { dataOff = p + 8; dataLen = sz }
+        else p += 8 + sz + (sz & 1)
+      }
+      if (dataOff < 0 || payload.length < dataOff + dataLen || dataLen < 2)
+        none.copy(container = "wav")
+      else {
+        val n = dataLen / 2
+        var (sum, sq, pk) = (0.0, 0.0, 0.0)
+        var i = 0
+        while (i < n) {
+          val s = s16le(payload, dataOff + i * 2).toDouble
+          sum += s; sq += s * s; if (math.abs(s) > pk) pk = math.abs(s)
+          i += 1
+        }
+        MediaStats(0L, "wav", n.toLong, sum / n, math.sqrt(sq / n), pk,
+          0.0, 0.0, 0.0, true)
+      }
+    }
+  }
+
+  /** Per-partition batch payload decode — the mapPartitions contract
+    * with the real parser inside. */
+  def parsePayloadBatch(media: Dataset[Media]): Dataset[MediaStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(m => parsePayload(m.payload).copy(docId = m.docId)))
   }
 
   /** Per-partition batch decode: expensive per-partition setup happens

@@ -348,6 +348,51 @@ class PipelineSpec extends SparkSuite {
     assert(mm11.filter(col("container") === "unknown").count() === 0)
   }
 
+  test("mm12's JVM twin decodes real pixel rows and PCM chunks exactly") {
+    import graft.operators.MediaDecode
+    def le32(v: Long) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def le16(v: Long) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    // a genuine 2×2 24bpp BMP: full 54-byte header, 8-byte row stride
+    // (2 padding bytes per row — the detail naive decoders get wrong)
+    val px = Seq((10, 20, 30), (40, 50, 60), (70, 80, 90), (100, 110, 120))
+    val rows = px.grouped(2).flatMap { r =>
+      r.flatMap { case (b, g, rr) => Seq(b.toByte, g.toByte, rr.toByte) } ++
+        Seq(0.toByte, 0.toByte)
+    }.toArray
+    val bmp = "BM".getBytes ++ le32(54 + 16) ++ le32(0) ++ le32(54) ++ le32(40) ++
+      le32(2) ++ le32(2) ++ le16(1) ++ le16(24) ++ le32(0) ++ le32(16) ++
+      le32(0) ++ le32(0) ++ le32(0) ++ le32(0) ++ rows
+    val sb = MediaDecode.parsePayload(bmp)
+    assert(sb.ok && sb.container === "bmp" && sb.nUnits === 4L)
+    assert(sb.meanB === 55.0 && sb.meanG === 65.0 && sb.meanR === 75.0)
+    assert(sb.meanSignal === 65.0)
+
+    // a genuine PCM WAV with an extra chunk BEFORE data — the RIFF
+    // chunk walk must skip it, not assume data at a fixed offset
+    def s16(v: Int) = le16(((v + 65536) % 65536).toLong)
+    val samples = Seq(1000, -1000, 2000, -2000)
+    val wav = "RIFF".getBytes ++ le32(56) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++ le32(16000) ++
+      le32(32000) ++ le16(2) ++ le16(16) ++
+      "junk".getBytes ++ le32(4) ++ Array.fill(4)(0.toByte) ++
+      "data".getBytes ++ le32(8) ++ samples.flatMap(s16).toArray
+    val sw = MediaDecode.parsePayload(wav)
+    assert(sw.ok && sw.container === "wav" && sw.nUnits === 4L)
+    assert(sw.meanSignal === 0.0 && sw.peak === 2000.0)
+    assert(math.abs(sw.rms - math.sqrt(2.5e6)) < 1e-9)
+
+    // truncated pixel data refuses by flag, never throws
+    assert(!MediaDecode.parsePayload(bmp.dropRight(3)).ok)
+    // batch path round-trips
+    import spark.implicits._
+    val out = MediaDecode.parsePayloadBatch(
+      Seq(MediaDecode.Media(1L, bmp), MediaDecode.Media(2L, wav)).toDS())
+      .collect().sortBy(_.docId)
+    assert(out.map(_.container).toSeq === Seq("bmp", "wav"))
+    assert(out(0).meanR === 75.0 && out(1).peak === 2000.0)
+  }
+
   test("mm12 payload decode recovers every planted sample and pixel through the wire") {
     val mm12 = SparkEntry.queries("mm12_payload_decode")(spark, sf)
     assert(mm12.filter(!col("matches_plant")).count() === 0)
