@@ -511,6 +511,53 @@ object Analytics extends QueryPack {
         .orderBy(col("event_type"))
     },
 
+    // MERGEABLE anomaly detection (round 10) — q46's robust gate
+    // re-expressed so a 1000-executor daily monitor can actually keep
+    // it: exact medians don't merge across partitions/days, but
+    // 256-bin histogram CELLS do (bin counts sum), and Tukey outer
+    // fences (q25 − 3·IQR, q75 + 3·IQR) derived from the cells are
+    // within a bin width of the exact fences. Three passes over one
+    // localCheckpointed projection: per-type bounds, the binning pass
+    // into (event_type, bucket) cells — THE durable monitor store —
+    // and one flagging pass that counts outliers against BOTH the
+    // sketch fences and the exact Percentiles fences (the q45
+    // est-vs-exact acceptance pattern: n_disagree prices the sketch
+    // before anyone alerts on it). The quantile read is the
+    // relational crossing rule over ≤256-row per-type frames
+    // (windows partition by event_type — never data-sized).
+    // histCells/fencesFromCells are shared verbatim with the live
+    // monitor step (StreamingSpec: streamed cells ≡ batch).
+    "q47_sketch_outliers" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), col("value").cast("double").as("x"))
+        .localCheckpoint()
+      val stats = ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), min(col("x")).as("vmin"), max(col("x")).as("vmax"))
+        .localCheckpoint()
+      val bands = fencesFromCells(histCells(ev, stats), stats)
+      val exact = graft.operators.Percentiles.exact(ev, "event_type", "x",
+          Seq("e25" -> 0.25, "e75" -> 0.75))
+        .select(col("event_type"),
+          (col("e25") - (col("e75") - col("e25")) * 3).as("xlo"),
+          (col("e75") + (col("e75") - col("e25")) * 3).as("xhi"))
+      ev.join(broadcast(bands), "event_type")
+        .join(broadcast(exact), "event_type")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(max(col("q25")), 6).as("q25_est"),
+          round(max(col("q75")), 6).as("q75_est"),
+          round(max(col("lo")), 6).as("lo"),
+          round(max(col("hi")), 6).as("hi"),
+          sum(when(col("x") < col("lo") || col("x") > col("hi"), 1L)
+            .otherwise(0L)).as("n_out_est"),
+          sum(when(col("x") < col("xlo") || col("x") > col("xhi"), 1L)
+            .otherwise(0L)).as("n_out_exact"),
+          sum(when((col("x") < col("lo") || col("x") > col("hi")) =!=
+            (col("x") < col("xlo") || col("x") > col("xhi")), 1L)
+            .otherwise(0L)).as("n_disagree"))
+        .orderBy(col("event_type"))
+    },
+
     "q41_sketch_error" -> { (s, d) =>
       val est = hllCardinality(s, d)
         .select(col("l_returnflag"), col("est_distinct"))
@@ -910,6 +957,57 @@ object Analytics extends QueryPack {
        |  n_nonempty
        |FROM summed
        |ORDER BY l_returnflag""".stripMargin
+
+  /** q47: histogram bins per group. */
+  private[graft] val SketchBins = 256
+
+  /** q47's mergeable cells from any slice of (event_type, x) rows,
+    * GIVEN frozen per-type bounds: (event_type, bucket) counts.
+    * Cells from different slices merge by summing — the property the
+    * live monitor's store depends on. */
+  private[graft] def histCells(ev: DataFrame, stats: DataFrame): DataFrame =
+    ev.join(broadcast(stats), "event_type")
+      .select(col("event_type"),
+        when(col("vmax") <= col("vmin"), lit(0L)).otherwise(
+          least(floor((col("x") - col("vmin")) / (col("vmax") - col("vmin"))
+            * SketchBins).cast("long"), lit(SketchBins - 1L))).as("bucket"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("bn"))
+
+  /** One live-monitor step: fold a micro-batch's cells into the
+    * durable store — at most types×256 rows forever. */
+  private[graft] def histCellsStep(store: DataFrame, batch: DataFrame,
+                                   stats: DataFrame): DataFrame =
+    store.unionByName(histCells(batch, stats))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(sum(col("bn")).as("bn"))
+
+  /** q47's decision layer — Tukey outer fences from the cells alone
+    * (shared verbatim by the batch query and the live monitor): the
+    * q25/q75 crossing bins read by the relational rule, linear
+    * interpolation inside the bin, fences at ±3·IQR. The window
+    * partitions by event_type over ≤256-row frames. */
+  private[graft] def fencesFromCells(cells: DataFrame, stats: DataFrame): DataFrame = {
+    val wc = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+    val cum = cells.withColumn("cum_before", sum(col("bn")).over(wc) - col("bn"))
+    cum.join(broadcast(stats), "event_type")
+      .withColumn("w", (col("vmax") - col("vmin")) / lit(SketchBins.toDouble))
+      .select(col("event_type"), col("bucket"), col("bn"), col("cum_before"),
+        col("n"), col("vmin"), col("w"),
+        explode(array(lit(0.25), lit(0.75))).as("p"))
+      .withColumn("r", col("p") * col("n").cast("double"))
+      .filter(col("cum_before").cast("double") < col("r") &&
+        (col("cum_before") + col("bn")).cast("double") >= col("r"))
+      .groupBy(col("event_type"), col("p"))
+      .agg(min(col("vmin") + (col("bucket").cast("double") +
+        (col("r") - col("cum_before").cast("double")) / col("bn").cast("double"))
+        * col("w")).as("est"))
+      .groupBy(col("event_type"))
+      .agg(max(when(col("p") === 0.25, col("est"))).as("q25"),
+        max(when(col("p") === 0.75, col("est"))).as("q75"))
+      .withColumn("lo", col("q25") - (col("q75") - col("q25")) * 3)
+      .withColumn("hi", col("q75") + (col("q75") - col("q25")) * 3)
+  }
 
   def oracle: Map[String, String] = Map(
     "q1_agg" ->
@@ -1349,6 +1447,67 @@ object Analytics extends QueryPack {
         |SELECT 'big_only' AS pop, o_custkey FROM (
         |  SELECT o_custkey FROM big EXCEPT SELECT o_custkey FROM urgent)
         |ORDER BY pop, o_custkey""".stripMargin,
+
+    // Per-group bins, the same relational crossing rule as q45, the
+    // same fence arithmetic, quantile_cont for the exact audit legs.
+    "q47_sketch_outliers" ->
+      """WITH ev AS (SELECT event_type, value::DOUBLE AS x FROM events),
+        |s AS (
+        |  SELECT event_type, count(*)::BIGINT AS n,
+        |    min(x) AS vmin, max(x) AS vmax
+        |  FROM ev GROUP BY 1),
+        |h AS (
+        |  SELECT e.event_type,
+        |    CASE WHEN s.vmax <= s.vmin THEN 0
+        |      ELSE least(CAST(floor((e.x - s.vmin) / (s.vmax - s.vmin) * 256)
+        |        AS BIGINT), 255) END AS bucket,
+        |    count(*)::BIGINT AS bn
+        |  FROM ev e JOIN s USING (event_type) GROUP BY 1, 2),
+        |c AS (
+        |  SELECT event_type, bucket, bn,
+        |    (sum(bn) OVER (PARTITION BY event_type ORDER BY bucket) - bn)::BIGINT
+        |      AS cum_before
+        |  FROM h),
+        |p AS (SELECT unnest([0.25, 0.75]) AS p),
+        |e AS (
+        |  SELECT c.event_type, p.p,
+        |    min(s.vmin + (c.bucket::DOUBLE +
+        |      (p.p * s.n::DOUBLE - c.cum_before::DOUBLE) / c.bn::DOUBLE)
+        |      * ((s.vmax - s.vmin) / 256.0)) AS est
+        |  FROM p, c JOIN s USING (event_type)
+        |  WHERE c.cum_before::DOUBLE < p.p * s.n::DOUBLE
+        |    AND (c.cum_before + c.bn)::DOUBLE >= p.p * s.n::DOUBLE
+        |  GROUP BY 1, 2),
+        |bands AS (
+        |  SELECT event_type,
+        |    max(CASE WHEN p = 0.25 THEN est END) AS q25,
+        |    max(CASE WHEN p = 0.75 THEN est END) AS q75
+        |  FROM e GROUP BY 1),
+        |b2 AS (
+        |  SELECT event_type, q25, q75,
+        |    q25 - (q75 - q25) * 3 AS lo, q75 + (q75 - q25) * 3 AS hi
+        |  FROM bands),
+        |ex AS (
+        |  SELECT event_type,
+        |    quantile_cont(x, 0.25) AS e25, quantile_cont(x, 0.75) AS e75
+        |  FROM ev GROUP BY 1),
+        |x2 AS (
+        |  SELECT event_type,
+        |    e25 - (e75 - e25) * 3 AS xlo, e75 + (e75 - e25) * 3 AS xhi
+        |  FROM ex)
+        |SELECT e.event_type, count(*)::BIGINT AS n,
+        |  round(max(b.q25), 6) AS q25_est, round(max(b.q75), 6) AS q75_est,
+        |  round(max(b.lo), 6) AS lo, round(max(b.hi), 6) AS hi,
+        |  CAST(sum(CASE WHEN e.x < b.lo OR e.x > b.hi THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_out_est,
+        |  CAST(sum(CASE WHEN e.x < x.xlo OR e.x > x.xhi THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_out_exact,
+        |  CAST(sum(CASE WHEN (e.x < b.lo OR e.x > b.hi)
+        |    <> (e.x < x.xlo OR e.x > x.xhi) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_disagree
+        |FROM ev e JOIN b2 b USING (event_type) JOIN x2 x USING (event_type)
+        |GROUP BY e.event_type
+        |ORDER BY e.event_type""".stripMargin,
 
     // Same exact-median semantics (quantile_cont interpolation) on
     // both engines; null rz rows (MAD = 0 groups) count as

@@ -1432,6 +1432,56 @@ class StreamingSpec extends SparkSuite {
       s"streamed integrity manifest diverged: ${(got diff expected).take(3)}")
   }
 
+  test("the live histogram-cell anomaly monitor converges to exactly the batch q47 fences") {
+    import spark.implicits._
+    import graft.queries.Analytics
+    implicit val sqlCtx = spark.sqlContext
+    // frozen per-type bounds — production monitors run with configured
+    // histogram bounds; here they come from the same stats the batch
+    // query uses so the stores are comparable
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), col("value").cast("double").as("x"))
+    val stats = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), min(col("x")).as("vmin"), max(col("x")).as("vmax"))
+      .localCheckpoint()
+    val batchCells = Analytics.histCells(ev, stats)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val batchFences = Analytics.fencesFromCells(Analytics.histCells(ev, stats), stats)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+    assert(batchCells.nonEmpty && batchFences.nonEmpty)
+
+    // the same events arrive as uneven micro-batches; the store grows
+    // by cell sums only — buckets and types straddle the splits
+    val rows = ev.as[(String, Double)].collect()
+    import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+    var store = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("event_type", StringType),
+        StructField("bucket", LongType), StructField("bn", LongType))))
+    val input = MemoryStream[(String, Double)]
+    val q = input.toDF().toDF("event_type", "x")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", tempDir("ck_q47"))
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        store = Analytics.histCellsStep(store, batch, stats).localCheckpoint()
+        ()
+      }
+      .start()
+    input.addData(rows.take(1111).toIndexedSeq); q.processAllAvailable()
+    input.addData(rows.slice(1111, 6000).toIndexedSeq); q.processAllAvailable()
+    input.addData(rows.drop(6000).toIndexedSeq); q.processAllAvailable()
+    q.stop()
+
+    val gotCells = store.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(gotCells === batchCells, "streamed cells diverged from batch cells")
+    val gotFences = Analytics.fencesFromCells(store, stats)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+    assert(gotFences === batchFences, "streamed fences diverged")
+  }
+
   test("ingest-time decontamination flags exactly what the batch t26 table flags") {
     import spark.implicits._
     import graft.queries.TextOps
