@@ -762,14 +762,7 @@ object Dedup extends QueryPack {
             transform(slice(col("w"), 31, 20),
               x => concat(x, lit("_"), col("orig_id").cast("string")))).as("w"))
       val corpus = docs.unionAll(planted)
-        .withColumn("n_words", size(col("w")).cast("long"))
-      val wins = corpus.filter(col("n_words") >= w)
-        .select(col("doc_id"), col("n_words"),
-          posexplode(transform(sequence(lit(1L), col("n_words") - (w - 1)),
-            i => Portable.md5hex(array_join(slice(col("w"), i.cast("int"), lit(w)), " "))))
-            .as(Seq("pos", "h")))
-        .select(col("doc_id"), col("n_words"),
-          (col("pos") + 1).cast("long").as("i"), col("h"))
+      val wins = spanWindows(corpus)
       val dupH = wins.groupBy(col("h"))
         .agg(countDistinct(col("doc_id")).as("nd"))
         .filter(col("nd") >= 2)
@@ -799,7 +792,22 @@ object Dedup extends QueryPack {
   )
 
   /** d20: duplicated-span window width (words, stride 1). */
-  private val SpanW = 10
+  private[graft] val SpanW = 10
+
+  /** d20's stride-1 window digests over any (doc_id, w: array<string>)
+    * frame: one row per window, (doc_id, n_words, i, h) — shared by
+    * the batch query and the incremental ingest step
+    * (streaming.DataPrep.spanDedupStep). Docs shorter than [[SpanW]]
+    * words have no windows and drop out. */
+  private[graft] def spanWindows(docs: DataFrame): DataFrame =
+    docs.withColumn("n_words", size(col("w")).cast("long"))
+      .filter(col("n_words") >= SpanW)
+      .select(col("doc_id"), col("n_words"),
+        posexplode(transform(sequence(lit(1L), col("n_words") - (SpanW - 1)),
+          i => Portable.md5hex(array_join(slice(col("w"), i.cast("int"), lit(SpanW)), " "))))
+          .as(Seq("pos", "h")))
+      .select(col("doc_id"), col("n_words"),
+        (col("pos") + 1).cast("long").as("i"), col("h"))
 
   /** d12: centroid seed stride + within-cell near-dup threshold +
     * hot-cell block bound. */

@@ -171,4 +171,50 @@ object DataPrep {
       .join(store, Seq("h"), "left_anti")
     (report, added)
   }
+
+  /** Incremental SPAN-level dedup — d20's duplicated-substring
+    * detector in [[segmentDedupStep]]'s durable-digest-store shape,
+    * at stride 1: each arriving doc's 10-word windows are checked
+    * against every window digest ever seen (plus earlier docs of the
+    * same batch), the dup windows merge into maximal word-space spans
+    * (d20's interval merge), and the report carries the span coverage
+    * + keep decision for EVERY doc in the batch. Like all
+    * first-arrival streams, flags are one-directional: a later copy
+    * is flagged against history, history is not retro-flagged — the
+    * batch d20 run is the periodic symmetric sweep. Store grows by
+    * window digests only (16 bytes each), never text. Returns
+    * (report, digests to add to the store). */
+  def spanDedupStep(store: DataFrame, batch: DataFrame,
+                    maxDupFrac: Double = 0.5): (DataFrame, DataFrame) = {
+    import graft.queries.Dedup
+    val wins = Dedup.spanWindows(
+      batch.select(col("doc_id"), Portable.words(col("text")).as("w")))
+    val firstDoc = wins.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
+    val marked = wins
+      .join(store.select(col("h"), lit(true).as("in_store")), Seq("h"), "left")
+      .join(firstDoc, Seq("h"))
+      .withColumn("is_dup",
+        coalesce(col("in_store"), lit(false)) || col("first_doc") < col("doc_id"))
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("i"))
+    val spans = marked.filter(col("is_dup"))
+      .withColumn("newspan",
+        when(col("i") - lag(col("i"), 1).over(wOrd) > Dedup.SpanW, 1L).otherwise(0L))
+      .withColumn("grp", sum(col("newspan")).over(wOrd))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("i")).as("s"), (max(col("i")) + (Dedup.SpanW - 1)).as("e"),
+        count(lit(1)).as("nw"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"), sum(col("nw")).as("n_dup_windows"),
+        sum(col("e") - col("s") + 1).as("covered_words"))
+    val report = wins.groupBy(col("doc_id")).agg(max(col("n_words")).as("n_words"))
+      .join(spans, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_spans", "n_dup_windows", "covered_words"))
+      .withColumn("dup_frac",
+        round(col("covered_words").cast("double") / col("n_words"), 6))
+      .withColumn("keep", col("dup_frac") <= maxDupFrac)
+    val added = wins.select(col("h")).distinct()
+      .join(store, Seq("h"), "left_anti")
+    (report, added)
+  }
 }

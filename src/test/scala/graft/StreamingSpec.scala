@@ -1012,6 +1012,54 @@ class StreamingSpec extends SparkSuite {
     assert(store.count() === storeSize0 + novelSegs)
   }
 
+  test("incremental span dedup flags a copied passage inside an otherwise-novel arrival") {
+    import spark.implicits._
+    import graft.streaming.DataPrep
+    implicit val sqlCtx = spark.sqlContext
+    // history: 40 unique words; later arrival: history's first 30
+    // words EMBEDDED in a novel doc — invisible to whole-doc and
+    // (misaligned) segment dedup, exactly the span detector's case
+    val histWords = (1 to 40).map(i => s"hx$i")
+    val histText = histWords.mkString(" ")
+    val collageText = ((1 to 7).map(i => s"nv$i") ++ histWords.take(30) ++
+      (1 to 13).map(i => s"tail$i")).mkString(" ")
+    val novelText = (1 to 45).map(i => s"pure$i").mkString(" ")
+
+    var store = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("h",
+          org.apache.spark.sql.types.StringType))))
+    val reports = scala.collection.mutable.ArrayBuffer
+      .empty[Map[Long, (Long, Long, Double, Boolean)]]
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", tempDir("ck_spandedup"))
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val (report, added) = DataPrep.spanDedupStep(store, batch)
+          reports += report.collect().map(r => r.getLong(0) ->
+            ((r.getAs[Long]("n_spans"), r.getAs[Long]("covered_words"),
+              r.getAs[Double]("dup_frac"), r.getAs[Boolean]("keep")))).toMap
+          store = store.unionAll(added).localCheckpoint()
+        }
+      }
+      .start()
+    input.addData(Seq((1L, histText))); q.processAllAvailable()
+    input.addData(Seq((2L, collageText), (3L, novelText))); q.processAllAvailable()
+    q.stop()
+
+    assert(reports.length === 2)
+    // history arrives clean
+    assert(reports(0)(1L) === ((0L, 0L, 0.0, true)))
+    // the collage flags ONE maximal span covering exactly the 30
+    // embedded words (positions 8..37 of a 50-word doc → 0.6 → drop)
+    assert(reports(1)(2L) === ((1L, 30L, 0.6, false)))
+    // the novel doc stays clean against the grown store
+    assert(reports(1)(3L) === ((0L, 0L, 0.0, true)))
+  }
+
   test("the drift monitor riding the curate ingest path equals batch p6") {
     import graft.streaming.DataPrep
     val topic = tempDir("topic_cm")
