@@ -137,6 +137,48 @@ package object dsl {
       * pipeline (p1/p4) and streaming DataPrep.curate filter on. */
     def withQualityScore: DataFrame = queries.Pipeline.withQuality(df)
 
+    /** d20's duplicated-substring span dedup over this frame: per doc
+      * with ≥1 cross-doc duplicated 10-word window, the maximal spans
+      * (merged word ranges), coverage fraction, and the keep
+      * decision. Catches a long passage copied INTO an
+      * otherwise-distinct doc — invisible to whole-doc near-dup and
+      * misaligned segment dedup. */
+    def spanDedup(idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+      queries.Dedup.spanDedupOf(df.select(col(idCol).as("doc_id"),
+        Portable.words(col(textCol)).as("w")))
+
+    /** t26's span-level decontamination of this frame against an eval
+      * corpus: per contaminated doc, the merged overlap spans,
+      * coverage, and the drop_doc/redact_spans action. The eval side
+      * is reduced to a DISTINCT 10-word-window digest set and
+      * broadcast — the training-corpus side streams map-side against
+      * a benchmark-sized hash set. */
+    def decontamSpans(evalDocs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+      val evalWins = queries.Dedup.spanWindows(
+        evalDocs.select(col(idCol).as("doc_id"),
+          Portable.words(col(textCol)).as("w")))
+        .select(col("h")).distinct()
+      queries.TextOps.contamSpans(
+        df.select(col(idCol).as("doc_id"), col(textCol).as("text")), evalWins)
+    }
+
+    /** q47's mergeable robust-outlier fences per group: 256-bin
+      * histogram cells (the durable monitor store shape) read into
+      * Tukey outer fences — (key, q25, q75, lo, hi). Rows outside
+      * [lo, hi] are the alert candidates; q46's exact-median form is
+      * the periodic audit. */
+    def sketchFences(keyCol: String, valCol: String): DataFrame = {
+      val ev = df.select(col(keyCol).as("event_type"),
+        col(valCol).cast("double").as("x"))
+      val stats = ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), min(col("x")).as("vmin"),
+          max(col("x")).as("vmax"))
+      queries.Analytics.fencesFromCells(
+          queries.Analytics.histCells(ev, stats), stats)
+        .withColumnRenamed("event_type", keyCol)
+    }
+
     /** d19's bloom filter over this frame's normalized-text digests:
       * a ≤1024-row bit-position set. Filters from disjoint slices
       * union (`unionByName(...).distinct()`) into the fleet filter —

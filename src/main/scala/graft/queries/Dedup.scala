@@ -750,7 +750,6 @@ object Dedup extends QueryPack {
     // fanned ~10× (stride 1 vs stride 10), the price of exact span
     // boundaries.
     "d20_span_dedup" -> { (s, d) =>
-      val w = SpanW
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), Portable.words(col("text")).as("w"))
       // two-step select: lateral alias resolution would bind the
@@ -761,35 +760,43 @@ object Dedup extends QueryPack {
           concat(slice(col("w"), 1, 30),
             transform(slice(col("w"), 31, 20),
               x => concat(x, lit("_"), col("orig_id").cast("string")))).as("w"))
-      val corpus = docs.unionAll(planted)
-      val wins = spanWindows(corpus)
-      val dupH = wins.groupBy(col("h"))
-        .agg(countDistinct(col("doc_id")).as("nd"))
-        .filter(col("nd") >= 2)
-        .select(col("h"))
-      val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("i"))
-      val spans = wins.join(dupH, "h")
-        .withColumn("newspan",
-          when(col("i") - lag(col("i"), 1).over(wOrd) > w, 1L).otherwise(0L))
-        .withColumn("grp", sum(col("newspan")).over(wOrd))
-        .groupBy(col("doc_id"), col("n_words"), col("grp"))
-        .agg(min(col("i")).as("s"),
-          (max(col("i")) + (w - 1)).as("e"),
-          count(lit(1)).as("nw"))
-      spans.groupBy(col("doc_id"), col("n_words"))
-        .agg(count(lit(1)).as("n_spans"),
-          sum(col("nw")).as("n_dup_windows"),
-          max(col("e") - col("s") + 1).as("max_span_words"),
-          sum(col("e") - col("s") + 1).as("covered_words"))
-        .withColumn("dup_frac",
-          round(col("covered_words").cast("double") / col("n_words"), 6))
-        .withColumn("keep", col("dup_frac") <= 0.5)
-        .select(col("doc_id"), col("n_words"), col("n_dup_windows"),
-          col("n_spans"), col("max_span_words"), col("covered_words"),
-          col("dup_frac"), col("keep"))
-        .orderBy(col("doc_id"))
+      spanDedupOf(docs.unionAll(planted)).orderBy(col("doc_id"))
     }
   )
+
+  /** d20's whole-operator core over any (doc_id, w: array<string>)
+    * corpus — window digests, cross-doc dup marking, interval merge
+    * into maximal spans, per-doc rollup with the keep decision.
+    * Shared by the pack query (which adds its planted corpus) and
+    * the DSL facade. */
+  def spanDedupOf(corpus: DataFrame): DataFrame = {
+    val w = SpanW
+    val wins = spanWindows(corpus)
+    val dupH = wins.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("h"))
+    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    val spans = wins.join(dupH, "h")
+      .withColumn("newspan",
+        when(col("i") - lag(col("i"), 1).over(wOrd) > w, 1L).otherwise(0L))
+      .withColumn("grp", sum(col("newspan")).over(wOrd))
+      .groupBy(col("doc_id"), col("n_words"), col("grp"))
+      .agg(min(col("i")).as("s"),
+        (max(col("i")) + (w - 1)).as("e"),
+        count(lit(1)).as("nw"))
+    spans.groupBy(col("doc_id"), col("n_words"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("nw")).as("n_dup_windows"),
+        max(col("e") - col("s") + 1).as("max_span_words"),
+        sum(col("e") - col("s") + 1).as("covered_words"))
+      .withColumn("dup_frac",
+        round(col("covered_words").cast("double") / col("n_words"), 6))
+      .withColumn("keep", col("dup_frac") <= 0.5)
+      .select(col("doc_id"), col("n_words"), col("n_dup_windows"),
+        col("n_spans"), col("max_span_words"), col("covered_words"),
+        col("dup_frac"), col("keep"))
+  }
 
   /** d20: duplicated-span window width (words, stride 1). */
   private[graft] val SpanW = 10

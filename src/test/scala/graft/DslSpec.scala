@@ -142,4 +142,48 @@ class DslSpec extends SparkSuite {
     // the verdict is ADDED to the caller's frame — no column dropped
     assert(docs.columns.toSet.subsetOf(probed.columns.toSet))
   }
+
+  test("spanDedup facade finds an embedded copied passage as its maximal span") {
+    import spark.implicits._
+    val hist = (1 to 40).map(i => s"hx$i")
+    val corpus = Seq(
+      (1L, hist.mkString(" ")),
+      (2L, ((1 to 7).map(i => s"nv$i") ++ hist.take(30) ++
+        (1 to 13).map(i => s"tl$i")).mkString(" ")),
+      (3L, (1 to 45).map(i => s"pu$i").mkString(" "))).toDF("doc_id", "text")
+    val got = corpus.spanDedup().collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Long]("n_spans"),
+        r.getAs[Long]("covered_words"), r.getAs[Boolean]("keep")))).toMap
+    // batch span dedup is symmetric: BOTH sides of the shared 30
+    // words flag; the novel doc does not appear at all
+    assert(got(1L) === ((1L, 30L, false)))
+    assert(got(2L) === ((1L, 30L, false)))
+    assert(!got.contains(3L))
+  }
+
+  test("decontamSpans facade reproduces the pack t26 table against the same eval set") {
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    // the pack's eval set: every 13th doc's words 5–25, as eval TEXTS
+    val evalDocs = docs.filter(col("doc_id") % 13 === 0)
+      .select(col("doc_id"),
+        array_join(slice(functions.Portable.words(col("text")), 5, 21), " ")
+          .as("text"))
+      .filter(size(functions.Portable.words(col("text"))) >= 10)
+    val viaDsl = docs.decontamSpans(evalDocs)
+      .orderBy(col("doc_id")).collect()
+    val viaPack = SparkEntry.queries("t26_span_decontam")(spark, sf).collect()
+    assert(viaDsl.nonEmpty && viaDsl.toSeq === viaPack.toSeq)
+  }
+
+  test("sketchFences facade equals the q47 fence columns per group") {
+    val fences = Tables.events(spark, sf).sketchFences("event_type", "value")
+      .select(col("event_type"), round(col("q25"), 6).as("q25"),
+        round(col("lo"), 6).as("lo"), round(col("hi"), 6).as("hi"))
+      .orderBy(col("event_type")).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    val pack = SparkEntry.queries("q47_sketch_outliers")(spark, sf)
+      .orderBy(col("event_type")).collect()
+      .map(r => (r.getString(0), r.getDouble(2), r.getDouble(4), r.getDouble(5)))
+    assert(fences.nonEmpty && fences.toSeq === pack.toSeq)
+  }
 }
