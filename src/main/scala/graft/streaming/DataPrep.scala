@@ -178,7 +178,8 @@ object DataPrep {
     * against every window digest ever seen (plus earlier docs of the
     * same batch), the dup windows merge into maximal word-space spans
     * (d20's interval merge), and the report carries the span coverage
-    * + keep decision for EVERY doc in the batch. Like all
+    * + keep decision for every doc with at least [[Dedup.SpanW]]
+    * words (shorter docs have no windows and pass untouched). Like all
     * first-arrival streams, flags are one-directional: a later copy
     * is flagged against history, history is not retro-flagged — the
     * batch d20 run is the periodic symmetric sweep. Store grows by

@@ -82,7 +82,14 @@ def main():
     base = {}       # fam -> (value, path)
     old_totals = {}
     for p in old_paths:  # oldest -> newest; later artifacts overwrite
-        q, total = load_queries(p)
+        # a prior artifact with NO parseable line (the parsed=null era,
+        # rounds 1-5) simply contributes no baselines; only the NEW
+        # artifact is required to parse
+        try:
+            q, total = load_queries(p)
+        except SystemExit as e:
+            print(f"note: skipping baseline {e}", file=sys.stderr)
+            continue
         old_totals[p] = total
         broken = status.get(os.path.basename(p), set())
         for k, v in q.items():
@@ -102,7 +109,7 @@ def main():
     so, sn = sum(base[k][0] for k in shared), sum(new[k] for k in shared)
     print(f"\nshared {len(shared)} queries (each vs its last live "
           f"baseline): {so:.2f}s -> {sn:.2f}s ({sn / so:.2f}x); "
-          f"totals {[old_totals[p] for p in old_paths]} -> {new_total}")
+          f"totals {[old_totals[p] for p in old_paths if p in old_totals]} -> {new_total}")
     if added:
         print(f"new: {', '.join(added)} "
               f"(+{sum(new[k] for k in added):.2f}s combined)")
