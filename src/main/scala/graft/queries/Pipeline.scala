@@ -348,6 +348,77 @@ object Pipeline extends QueryPack {
         .select(col("stage"), col("disposition"), col("n_docs"), col("total_chars"),
           round(col("n_docs").cast("double") / col("n_total"), 6).as("doc_share"))
         .orderBy(col("stage"))
+    },
+
+    // The CORPUS CARD (round 10) — the datasheet a corpus release
+    // publishes (Gebru et al.'s "Datasheets for Datasets", the model-
+    // card convention applied to data): one long-form (section, key,
+    // metric, value) table carrying the headline inventory (docs,
+    // tokens), the per-language composition, quality central
+    // tendency (mean + EXACT distributed median), the exact-dup rate,
+    // and the eval-contamination exposure — every number computed by
+    // the same kernels the pipeline operators use (withQuality,
+    // normText digests, spanWindows vs the eval digest set,
+    // Percentiles), so the published card can never disagree with
+    // the engine that built the corpus. One localCheckpointed
+    // feature pass feeds every leg; each leg is a tiny aggregate;
+    // the contamination leg joins window digests against the
+    // broadcast eval set. At 100 TB this is the cheap summary run
+    // AFTER curation — every metric is one partial-combining
+    // aggregate over the final corpus.
+    "p8_corpus_card" -> { (s, d) =>
+      val base = withQuality(Tables.documents(s, d)
+          .select(col("doc_id"), col("text"), col("lang")))
+        .withColumn("h", Portable.md5hex(Portable.normText(col("text"))))
+        .select(col("doc_id"), col("lang"), col("n_words"), col("quality"),
+          col("h"), col("text"))
+        .localCheckpoint()
+      val tot = base.agg(count(lit(1)).as("n"), sum(col("n_words")).as("tok"),
+        avg(col("quality")).as("mq"), countDistinct(col("h")).as("nh"))
+      val p50 = graft.operators.Percentiles.exact(
+          base.withColumn("g", lit(1)), "g", "quality", Seq("p50" -> 0.5))
+        .select(col("p50"))
+      val wins = Dedup.spanWindows(
+        base.select(col("doc_id"), Portable.words(col("text")).as("w")))
+      val evalSet = TextOps.evalWindowDigests(
+        base.select(col("doc_id"), col("text")))
+      val nContam = wins.join(broadcast(evalSet), "h")
+        .agg(countDistinct(col("doc_id")).as("nc"))
+      val corpusRows = tot
+        .crossJoin(broadcast(p50)).crossJoin(broadcast(nContam))
+        .select(explode(array(
+          struct(lit("corpus").as("section"), lit("all").as("key"),
+            lit("n_docs").as("metric"), col("n").cast("double").as("value")),
+          struct(lit("corpus").as("section"), lit("all").as("key"),
+            lit("n_tokens").as("metric"), col("tok").cast("double").as("value")),
+          struct(lit("quality").as("section"), lit("all").as("key"),
+            lit("mean").as("metric"), col("mq").as("value")),
+          struct(lit("quality").as("section"), lit("all").as("key"),
+            lit("p50").as("metric"), col("p50").as("value")),
+          struct(lit("dedup").as("section"), lit("exact").as("key"),
+            lit("dup_rate").as("metric"),
+            (lit(1.0) - col("nh").cast("double") / col("n")).as("value")),
+          struct(lit("decontam").as("section"), lit("eval").as("key"),
+            lit("contam_doc_rate").as("metric"),
+            (col("nc").cast("double") / col("n")).as("value")))).as("e"))
+        .select(col("e.section").as("section"), col("e.key").as("key"),
+          col("e.metric").as("metric"), col("e.value").as("value"))
+      val langRows = base.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_words")).as("tok"),
+          avg(col("quality")).as("mq"))
+        .select(explode(array(
+          struct(lit("lang").as("section"), col("lang").as("key"),
+            lit("n_docs").as("metric"), col("n").cast("double").as("value")),
+          struct(lit("lang").as("section"), col("lang").as("key"),
+            lit("n_tokens").as("metric"), col("tok").cast("double").as("value")),
+          struct(lit("lang").as("section"), col("lang").as("key"),
+            lit("mean_quality").as("metric"), col("mq").as("value")))).as("e"))
+        .select(col("e.section").as("section"), col("e.key").as("key"),
+          col("e.metric").as("metric"), col("e.value").as("value"))
+      corpusRows.unionByName(langRows)
+        .select(col("section"), col("key"), col("metric"),
+          round(col("value"), 6).as("value"))
+        .orderBy(col("section"), col("key"), col("metric"))
     }
   )
 
@@ -723,6 +794,62 @@ object Pipeline extends QueryPack {
          |  round(count(*)::DOUBLE / t.n_total, 6) AS doc_share
          |FROM dispo dp JOIN corpus c USING (doc_id) CROSS JOIN tot t
          |GROUP BY dp.stage, dp.disposition, t.n_total
-         |ORDER BY dp.stage""".stripMargin
+         |ORDER BY dp.stage""".stripMargin,
+
+    // Every leg re-derived from the shared formulas: p1's quality
+    // expression, d1's normalized digest, t26's eval excerpt and
+    // window digests, quantile_cont for the exact median.
+    "p8_corpus_card" ->
+      """WITH docs AS (SELECT doc_id, text, lang FROM documents),
+        |ws AS (
+        |  SELECT doc_id, lang, text,
+        |    CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+        |      ELSE regexp_split_to_array(trim(text), '\s+') END AS w
+        |  FROM docs),
+        |q AS (
+        |  SELECT doc_id, lang, w, len(w)::BIGINT AS n_words,
+        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS h,
+        |    (CASE WHEN len(w) = 0 THEN 0.0
+        |      ELSE len(list_filter(w, x ->
+        |        list_contains(['the','a','of','and','to'], x)))::DOUBLE / len(w)
+        |      END) * 0.4
+        |    + least(len(w)::DOUBLE / 100.0, 1.0) * 0.4
+        |    + (1.0 - (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE
+        |        / length(text)) * 0.2 AS quality
+        |  FROM ws),
+        |tot AS (
+        |  SELECT count(*)::BIGINT AS n, CAST(sum(n_words) AS BIGINT) AS tok,
+        |    avg(quality) AS mq, count(DISTINCT h) AS nh
+        |  FROM q),
+        |p50 AS (SELECT quantile_cont(quality, 0.5) AS p50 FROM q),
+        |ev AS (
+        |  SELECT w[5:25] AS ew FROM ws
+        |  WHERE doc_id % 13 = 0 AND len(w[5:25]) >= 10),
+        |evw AS (
+        |  SELECT DISTINCT md5(array_to_string(ew[i : i + 9], ' ')) AS h
+        |  FROM ev, unnest(generate_series(1, CAST(len(ew) AS INT) - 9)) AS t(i)),
+        |dw AS (
+        |  SELECT q.doc_id, md5(array_to_string(w[i : i + 9], ' ')) AS h
+        |  FROM q, unnest(generate_series(1, CAST(n_words AS INT) - 9)) AS t(i)
+        |  WHERE n_words >= 10),
+        |nc AS (SELECT count(DISTINCT dw.doc_id) AS nc FROM dw JOIN evw USING (h)),
+        |rows AS (
+        |  SELECT 'corpus' AS section, 'all' AS key, 'n_docs' AS metric,
+        |    n::DOUBLE AS value FROM tot
+        |  UNION ALL SELECT 'corpus', 'all', 'n_tokens', tok::DOUBLE FROM tot
+        |  UNION ALL SELECT 'quality', 'all', 'mean', mq FROM tot
+        |  UNION ALL SELECT 'quality', 'all', 'p50', p50 FROM p50
+        |  UNION ALL SELECT 'dedup', 'exact', 'dup_rate',
+        |    1.0 - nh::DOUBLE / n FROM tot
+        |  UNION ALL SELECT 'decontam', 'eval', 'contam_doc_rate',
+        |    (SELECT nc FROM nc)::DOUBLE / n FROM tot
+        |  UNION ALL SELECT 'lang', lang, 'n_docs', count(*)::DOUBLE FROM q GROUP BY lang
+        |  UNION ALL SELECT 'lang', lang, 'n_tokens',
+        |    CAST(sum(n_words) AS DOUBLE) FROM q GROUP BY lang
+        |  UNION ALL SELECT 'lang', lang, 'mean_quality', avg(quality)
+        |  FROM q GROUP BY lang)
+        |SELECT section, key, metric, round(value, 6) AS value
+        |FROM rows
+        |ORDER BY section, key, metric""".stripMargin
   )
 }

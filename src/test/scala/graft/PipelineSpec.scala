@@ -445,6 +445,26 @@ class PipelineSpec extends SparkSuite {
     assert(maxDrift < 1e-9, s"rotation drifts norms by $maxDrift")
   }
 
+  test("p8 corpus card is internally consistent and agrees with its source operators") {
+    val card = SparkEntry.queries("p8_corpus_card")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getDouble(3))
+      .toMap
+    val nDocs = card(("corpus", "all", "n_docs"))
+    val nToks = card(("corpus", "all", "n_tokens"))
+    // the per-language composition partitions the corpus exactly
+    assert(card.collect { case (("lang", _, "n_docs"), v) => v }.sum === nDocs)
+    assert(card.collect { case (("lang", _, "n_tokens"), v) => v }.sum === nToks)
+    // rates are rates
+    assert(card(("dedup", "exact", "dup_rate")) >= 0.0 &&
+      card(("dedup", "exact", "dup_rate")) <= 1.0)
+    // cross-operator agreement: the card's contamination exposure IS
+    // t26's flagged-doc count over the corpus — same kernels, same
+    // number
+    val t26n = SparkEntry.queries("t26_span_decontam")(spark, sf).count()
+    assert(card(("decontam", "eval", "contam_doc_rate")) ===
+      math.round(t26n.toDouble / nDocs * 1e6) / 1e6)
+  }
+
   test("p7 cascade dispositions partition the corpus and every stage claims rows") {
     val rows = SparkEntry.queries("p7_dedup_cascade")(spark, sf).collect()
     assert(rows.map(_.getString(1)).toSet ===
