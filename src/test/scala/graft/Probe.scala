@@ -57,6 +57,20 @@ object Probe {
       length(Portable.normText(col("text"))).as("n")))
     time("d1_hash_only")(docs.select(col("doc_id"),
       Portable.md5hex(Portable.normText(col("text"))).as("h")))
+    // round-10 heavy queries, with stage variants for attribution
+    time("q46_full")(SparkEntry.queries("q46_mad_outliers")(spark, sfDir))
+    time("q47_full")(SparkEntry.queries("q47_sketch_outliers")(spark, sfDir))
+    time("d20_full")(SparkEntry.queries("d20_span_dedup")(spark, sfDir))
+    time("d21_full")(SparkEntry.queries("d21_band_layout")(spark, sfDir))
+    time("p7_full")(SparkEntry.queries("p7_dedup_cascade")(spark, sfDir))
+    time("p8_full")(SparkEntry.queries("p8_corpus_card")(spark, sfDir))
+    time("a26_full")(SparkEntry.queries("a26_adaptive_nprobe")(spark, sfDir))
+    time("a27_full")(SparkEntry.queries("a27_opq_serve")(spark, sfDir))
+    time("mm12_full")(SparkEntry.queries("mm12_payload_decode")(spark, sfDir))
+    time("d20_windows_only")(graft.queries.Dedup.spanWindows(
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), graft.functions.Portable.words(col("text")).as("w"))))
+
     time("a1_full")(SparkEntry.queries("a1_knn_brute")(spark, sfDir))
     val vecs = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
