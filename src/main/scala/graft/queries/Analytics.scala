@@ -558,6 +558,69 @@ object Analytics extends QueryPack {
         .orderBy(col("event_type"))
     },
 
+    // TIME-SERIES similarity search (round 10) — a different
+    // similarity modality from the a-family's embedding cosine: who
+    // BEHAVES like this user? Each user's activity profile is their
+    // daily event-count sequence over the observed span, z-normalized
+    // (the UCR convention — shape match, not volume match: a 10×
+    // heavier user with the same weekly rhythm is a near neighbor),
+    // and probes take their top-k nearest profiles by Euclidean
+    // distance. Relational shape: (user, day) counts partial-combine
+    // map-side; the dense calendar fill joins a broadcast days-sized
+    // frame (never a user×user product); distances run probe-side
+    // against the 5 broadcast probe vectors with the codegen'd
+    // Vec.dot kernel; per-probe top-3 is a probes-partitioned window.
+    // Constant-profile users (sd = 0) are excluded — z-normalization
+    // is undefined for them — deterministically on both engines. At
+    // 100 TB the span would be a FIXED window (e.g. trailing 90
+    // days) so the vector width is a constant, not data-derived.
+    "q48_series_topk" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      val span = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(col("d0"), (datediff(col("d1"), col("d0")) + 1).as("nd"))
+        .localCheckpoint()
+      val counts = ev.crossJoin(broadcast(span))
+        .select(col("user_id"), datediff(col("day"), col("d0")).as("idx"))
+        .groupBy(col("user_id"), col("idx")).agg(count(lit(1)).as("n"))
+      val cal = span.select(col("nd"),
+        explode(sequence(lit(0), col("nd") - 1)).as("idx"))
+      val users = counts.select(col("user_id")).distinct()
+      val dense = users.join(broadcast(cal))
+        .join(counts, Seq("user_id", "idx"), "left")
+        .select(col("user_id"), col("idx"), col("nd"),
+          coalesce(col("n"), lit(0L)).cast("double").as("x"))
+      val vecs = dense.groupBy(col("user_id"), col("nd"))
+        .agg(array_sort(collect_list(struct(col("idx"), col("x")))).as("pairs"))
+        .select(col("user_id"), col("nd"),
+          expr("transform(pairs, p -> p.x)").as("v"))
+        .withColumn("mu", aggregate(col("v"), lit(0.0), _ + _) / col("nd"))
+        .withColumn("sd", sqrt(
+          aggregate(col("v"), lit(0.0), (a, x) => a + x * x) / col("nd") -
+            col("mu") * col("mu")))
+        .filter(col("sd") > 0)
+        .select(col("user_id"),
+          transform(col("v"), x => (x - col("mu")) / col("sd")).as("zv"))
+        .localCheckpoint()
+      val probes = vecs
+        .orderBy(md5(concat(lit("sprobe|"), col("user_id").cast("string"))
+          .cast("binary")), col("user_id"))
+        .limit(5)
+        .select(col("user_id").as("probe_id"), col("zv").as("pv"))
+      val wRank = Window.partitionBy(col("probe_id"))
+        .orderBy(col("dist"), col("user_id"))
+      vecs.join(broadcast(probes), col("user_id") =!= col("probe_id"))
+        .withColumn("dist",
+          graft.functions.Vec.dot(col("pv"), col("pv")) -
+            lit(2.0) * graft.functions.Vec.dot(col("pv"), col("zv")) +
+            graft.functions.Vec.dot(col("zv"), col("zv")))
+        .withColumn("rank", row_number().over(wRank))
+        .filter(col("rank") <= 3)
+        .select(col("probe_id"), col("rank").cast("long").as("rank"),
+          col("user_id"), round(col("dist"), 6).as("dist"))
+        .orderBy(col("probe_id"), col("rank"))
+    },
+
     "q41_sketch_error" -> { (s, d) =>
       val est = hllCardinality(s, d)
         .select(col("l_returnflag"), col("est_distinct"))
@@ -1447,6 +1510,53 @@ object Analytics extends QueryPack {
         |SELECT 'big_only' AS pop, o_custkey FROM (
         |  SELECT o_custkey FROM big EXCEPT SELECT o_custkey FROM urgent)
         |ORDER BY pop, o_custkey""".stripMargin,
+
+    // Same calendar fill, same z-normalization (population sd over
+    // the dense vector), same squared-Euclidean ranking with the
+    // (user_id) tiebreak; list_dot_product folds left-to-right like
+    // Vec.dot.
+    "q48_series_topk" ->
+      """WITH ev AS (
+        |  SELECT user_id, date_trunc('day', ts::TIMESTAMP) AS day FROM events),
+        |span AS (
+        |  SELECT min(day) AS d0, date_diff('day', min(day), max(day)) + 1 AS nd
+        |  FROM ev),
+        |counts AS (
+        |  SELECT e.user_id, date_diff('day', s.d0, e.day) AS idx,
+        |    count(*)::BIGINT AS n
+        |  FROM ev e, span s GROUP BY 1, 2),
+        |cal AS (SELECT unnest(generate_series(0, (SELECT nd FROM span) - 1)) AS idx),
+        |users AS (SELECT DISTINCT user_id FROM counts),
+        |dense AS (
+        |  SELECT u.user_id, c.idx, coalesce(k.n, 0)::DOUBLE AS x
+        |  FROM users u CROSS JOIN cal c
+        |  LEFT JOIN counts k ON k.user_id = u.user_id AND k.idx = c.idx),
+        |vs AS (
+        |  SELECT user_id, list(x ORDER BY idx) AS v FROM dense GROUP BY user_id),
+        |zs AS (
+        |  SELECT user_id, v,
+        |    list_sum(v) / len(v) AS mu,
+        |    sqrt(list_sum(list_transform(v, x -> x * x)) / len(v)
+        |      - (list_sum(v) / len(v)) * (list_sum(v) / len(v))) AS sd
+        |  FROM vs),
+        |zv AS (
+        |  SELECT user_id,
+        |    list_transform(v, x -> (x - mu) / sd) AS zv
+        |  FROM zs WHERE sd > 0),
+        |probes AS (
+        |  SELECT user_id AS probe_id, zv AS pv FROM zv
+        |  ORDER BY md5('sprobe|' || user_id::VARCHAR), user_id LIMIT 5),
+        |scored AS (
+        |  SELECT p.probe_id, z.user_id,
+        |    list_dot_product(p.pv, p.pv) - 2.0 * list_dot_product(p.pv, z.zv)
+        |      + list_dot_product(z.zv, z.zv) AS dist
+        |  FROM probes p JOIN zv z ON z.user_id <> p.probe_id)
+        |SELECT probe_id, CAST(rnk AS BIGINT) AS rank, user_id,
+        |  round(dist, 6) AS dist
+        |FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+        |    ORDER BY dist, user_id) AS rnk FROM scored) t
+        |WHERE rnk <= 3
+        |ORDER BY probe_id, rnk""".stripMargin,
 
     // Per-group bins, the same relational crossing rule as q45, the
     // same fence arithmetic, quantile_cont for the exact audit legs.

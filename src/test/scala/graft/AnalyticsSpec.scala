@@ -122,7 +122,8 @@ class AnalyticsSpec extends SparkSuite {
     // second round-10 batch: retention sizing, band tuning, span
     // decontamination — keyed joins only
     for (n <- Seq("m24_retention_sizing", "d21_band_layout", "t26_span_decontam",
-        "a27_opq_serve", "q47_sketch_outliers", "p8_corpus_card")) {
+        "a27_opq_serve", "q47_sketch_outliers", "p8_corpus_card",
+        "q48_series_topk")) {
       val plan = SparkEntry.queries(n)(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$n plans a cartesian:\n$plan")
     }
