@@ -93,20 +93,30 @@ object MediaDecode {
   def parsePayload(payload: Array[Byte]): MediaStats = {
     val none = MediaStats(0L, "unknown", 0L, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, false)
     val (container, w, h, _, _, headerOk) = parseHeader(payload)
+    // All size/offset fields stay Long until AFTER validation against
+    // payload.length: a crafted u32 field >= 2^31 narrowed to Int turns
+    // negative and either defeats the bounds guard (negative-index
+    // reads) or stalls the RIFF chunk walk (p += 8 + sz never
+    // advances). Every arithmetic combination below is Long; Int
+    // narrowing happens only once the value is proven to index inside
+    // the payload.
     if (!headerOk) none.copy(container = container)
     else if (container == "bmp") {
       val bpp = u16le(payload, 28)
-      val dataOff = u32le(payload, 10).toInt
-      val rowBytes = ((w * 3 + 3) / 4 * 4).toInt
-      val need = dataOff.toLong + rowBytes.toLong * h
-      if (bpp != 24L || w <= 0 || h <= 0 || payload.length < need)
+      val dataOffL = u32le(payload, 10) // Long, unsigned
+      val rowBytesL = (w * 3 + 3) / 4 * 4
+      val need = dataOffL + rowBytesL * h
+      if (bpp != 24L || w <= 0 || h <= 0 || dataOffL < 14L ||
+          dataOffL > payload.length.toLong || need > payload.length.toLong)
         none.copy(container = "bmp")
       else {
+        val dataOff = dataOffL.toInt; val rowBytes = rowBytesL.toInt
+        val wi = w.toInt; val hi = h.toInt
         var (sr, sg, sb) = (0.0, 0.0, 0.0)
         var y = 0
-        while (y < h) {
+        while (y < hi) {
           var x = 0
-          while (x < w) {
+          while (x < wi) {
             val off = dataOff + y * rowBytes + x * 3
             sb += (payload(off) & 0xff); sg += (payload(off + 1) & 0xff)
             sr += (payload(off + 2) & 0xff)
@@ -115,23 +125,27 @@ object MediaDecode {
           y += 1
         }
         val n = (w * h).toDouble
-        MediaStats(0L, "bmp", (w * h), (sr + sg + sb) / (3.0 * n), 0.0, 0.0,
+        MediaStats(0L, "bmp", w * h, (sr + sg + sb) / (3.0 * n), 0.0, 0.0,
           sr / n, sg / n, sb / n, true)
       }
     } else { // wav, headerOk ⇒ PCM fmt
-      // walk RIFF chunks from offset 12 to the `data` chunk
-      var p = 12
-      var dataOff = -1; var dataLen = 0
-      while (dataOff < 0 && p + 8 <= payload.length) {
-        val id = new String(payload.slice(p, p + 4), "US-ASCII")
-        val sz = u32le(payload, p + 4).toInt
-        if (id == "data") { dataOff = p + 8; dataLen = sz }
+      // walk RIFF chunks from offset 12 to the `data` chunk; p strictly
+      // increases each step (sz >= 0 as unsigned Long), so the walk
+      // terminates on any input
+      var p = 12L
+      var dataOffL = -1L; var dataLenL = 0L
+      while (dataOffL < 0 && p + 8 <= payload.length) {
+        val pi = p.toInt
+        val id = new String(payload.slice(pi, pi + 4), "US-ASCII")
+        val sz = u32le(payload, pi + 4) // Long, 0 .. 2^32-1
+        if (id == "data") { dataOffL = p + 8; dataLenL = sz }
         else p += 8 + sz + (sz & 1)
       }
-      if (dataOff < 0 || payload.length < dataOff + dataLen || dataLen < 2)
+      if (dataOffL < 0 || dataOffL + dataLenL > payload.length.toLong || dataLenL < 2)
         none.copy(container = "wav")
       else {
-        val n = dataLen / 2
+        val dataOff = dataOffL.toInt
+        val n = (dataLenL / 2).toInt
         var (sum, sq, pk) = (0.0, 0.0, 0.0)
         var i = 0
         while (i < n) {

@@ -308,19 +308,19 @@ object Pipeline extends QueryPack {
         .join(keep1, Seq("doc_id"), "left_anti")
         .withColumn("disposition", lit("exact_dup")).withColumn("stage", lit(1L))
       val surv1 = corpus.join(keep1, Seq("doc_id"), "left_semi").localCheckpoint()
-      // stage 2: near-dup — LSH clusters over survivors, keep min id
+      // stage 2: near-dup — LSH clusters over survivors, keep min id.
+      // Clustering is d9's FIXPOINT min-label propagation
+      // (Components.connected), not d8's bounded two-round collapse:
+      // the cascade's disposition table is the artifact a pipeline
+      // acts on, and a dup CHAIN longer than diameter 2 (a-b-c-d via
+      // successive band collisions) must still collapse to one keeper
+      // rather than leaking "kept" rows mid-chain.
       val pairs = Dedup.lshPairsFrom(
         Dedup.kmSignatures(surv1, materialize = true))
         .repartition(col("doc_a"))
-      val nodes = pairs.select(explode(array(col("doc_a"), col("doc_b"))).as("node"))
-        .distinct()
-      val edges = pairs.select(col("doc_a").as("node"), col("doc_b").as("nbr"))
-        .unionAll(pairs.select(col("doc_b").as("node"), col("doc_a").as("nbr")))
-        .unionAll(nodes.select(col("node"), col("node").as("nbr")))
-      val l1 = edges.groupBy(col("node")).agg(min(col("nbr")).as("lbl"))
-      val l2 = edges.join(l1.select(col("node").as("nbr"), col("lbl")), "nbr")
-        .groupBy(col("node")).agg(min(col("lbl")).as("keep_id"))
-      val drops2 = l2.filter(col("keep_id") =!= col("node"))
+      val comp = graft.operators.Components.connected(
+        pairs.select(col("doc_a").as("node"), col("doc_b").as("nbr")))
+      val drops2 = comp.filter(col("comp_id") =!= col("node"))
         .select(col("node").as("doc_id"))
         .withColumn("disposition", lit("near_dup")).withColumn("stage", lit(2L))
       val surv2 = surv1.join(drops2.select(col("doc_id")), Seq("doc_id"), "left_anti")
@@ -712,12 +712,14 @@ object Pipeline extends QueryPack {
         |FROM scored
         |ORDER BY source, ingest_day""".stripMargin,
 
-    // The three stages mirrored sequentially: d1's exact rule, d3/d8's
-    // signatures→bands→pairs→min-label clusters (the CTE chain shared
-    // verbatim with the Dedup oracles via candChainSql), t21's
-    // segment rule — each over the previous stage's survivors.
+    // The three stages mirrored sequentially: d1's exact rule, d3's
+    // signatures→bands→pairs (the CTE chain shared verbatim with the
+    // Dedup oracles via candChainSql) clustered by d9's recursive
+    // reachability (the FIXPOINT, matching Components.connected —
+    // not d8's diameter≤2 collapse), t21's segment rule — each over
+    // the previous stage's survivors.
     "p7_dedup_cascade" ->
-      s"""WITH srcw AS (
+      s"""WITH RECURSIVE srcw AS (
          |  SELECT doc_id, text,
          |    CASE WHEN trim(text) = '' THEN []::VARCHAR[]
          |      ELSE regexp_split_to_array(trim(text), '\\s+') END AS w
@@ -750,14 +752,14 @@ object Pipeline extends QueryPack {
          |    UNION ALL SELECT doc_b AS node FROM cand) t),
          |edges AS (
          |  SELECT doc_a AS node, doc_b AS nbr FROM cand
-         |  UNION ALL SELECT doc_b AS node, doc_a AS nbr FROM cand
-         |  UNION ALL SELECT node, node AS nbr FROM nodes),
-         |l1 AS (SELECT node, min(nbr) AS lbl FROM edges GROUP BY node),
-         |l2 AS (
-         |  SELECT e.node, min(l1.lbl) AS keep_id
-         |  FROM edges e JOIN l1 ON e.nbr = l1.node
-         |  GROUP BY e.node),
-         |drops2 AS (SELECT node AS doc_id FROM l2 WHERE keep_id <> node),
+         |  UNION ALL SELECT doc_b AS node, doc_a AS nbr FROM cand),
+         |reach(node, lbl) AS (
+         |  SELECT node, node AS lbl FROM nodes
+         |  UNION
+         |  SELECT e.node, r.lbl
+         |  FROM edges e JOIN reach r ON e.nbr = r.node),
+         |comp AS (SELECT node, min(lbl) AS keep_id FROM reach GROUP BY node),
+         |drops2 AS (SELECT node AS doc_id FROM comp WHERE keep_id <> node),
          |surv2 AS (
          |  SELECT doc_id, text FROM surv1
          |  WHERE doc_id NOT IN (SELECT doc_id FROM drops2)),

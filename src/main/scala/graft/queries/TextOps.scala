@@ -819,8 +819,12 @@ object TextOps extends QueryPack {
     }
   )
 
-  /** t26: contamination window width (words, stride 1). */
-  private val ContamW = 10
+  /** t26: contamination window width (words, stride 1). Derived from
+    * d20's [[Dedup.SpanW]], never restated: the DSL's `decontamSpans`
+    * digests the eval side with `Dedup.spanWindows` (width SpanW) and
+    * matches it against corpus windows hashed here — two independent
+    * constants that drifted apart would silently match nothing. */
+  private val ContamW = Dedup.SpanW
 
   /** t26's eval set: every 13th doc's words 5–25 → distinct stride-1
     * window digests. Benchmark-sized by nature; broadcast to every

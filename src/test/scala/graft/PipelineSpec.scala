@@ -384,6 +384,22 @@ class PipelineSpec extends SparkSuite {
 
     // truncated pixel data refuses by flag, never throws
     assert(!MediaDecode.parsePayload(bmp.dropRight(3)).ok)
+    // adversarial payloads: every u32 field that once narrowed to a
+    // negative Int must now fail the Long-domain bounds check instead
+    // of looping or indexing out of range
+    //  (a) RIFF chunk size 0xFFFFFFF8 — the old Int walk stalled here
+    val loopWav = wav.take(36) ++ "junk".getBytes ++ le32(0xFFFFFFF8L) ++
+      "data".getBytes ++ le32(8) ++ samples.flatMap(s16).toArray
+    assert(!MediaDecode.parsePayload(loopWav).ok)
+    //  (b) data chunk length 0x7FFFFFFF — dataOff+dataLen overflowed Int
+    //  to negative, defeating the old bounds guard (then AIOOBE in the
+    //  sample loop)
+    val hugeData = wav.take(36) ++ "data".getBytes ++ le32(0x7FFFFFFFL) ++
+      samples.flatMap(s16).toArray
+    assert(!MediaDecode.parsePayload(hugeData).ok)
+    //  (c) BMP data offset 0x80000036 — negative after .toInt, guard passed
+    val negOffBmp = bmp.take(10) ++ le32(0x80000036L) ++ bmp.drop(14)
+    assert(!MediaDecode.parsePayload(negOffBmp).ok)
     // batch path round-trips
     import spark.implicits._
     val out = MediaDecode.parsePayloadBatch(
