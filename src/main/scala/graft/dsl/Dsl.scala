@@ -76,7 +76,7 @@ package object dsl {
       * digest. Shuffles 16-byte digests only, never text. */
     def dedupExact(idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
       val keep = df
-        .select(col(idCol), Portable.md5hex(Portable.normText(col(textCol))).as("_h"))
+        .select(col(idCol), Portable.md5bin(Portable.normText(col(textCol))).as("_h"))
         .groupBy(col("_h")).agg(min(col(idCol)).as(idCol))
         .select(col(idCol))
       df.join(keep, Seq(idCol), "left_semi")

@@ -18,8 +18,21 @@ import org.apache.spark.sql.functions._
 object Portable {
 
   /** Lowercase md5 hex digest of a string column.
-    * DuckDB: `md5(x)` */
+    * DuckDB: `md5(x)`. Use [[md5bin]] when the digest is a shuffle
+    * key — hex doubles the key bytes; keep hex only where the digest
+    * is a published OUTPUT column (e.g. t4's fingerprint). */
   def md5hex(c: Column): Column = md5(c.cast("binary"))
+
+  /** 16-byte BINARY md5 digest — the shuffle representation. A hex
+    * digest is 32 chars (40 bytes as UTF8String); the binary form is
+    * 16 bytes, halving-to-quartering the dominant key width on every
+    * dedup-family exchange at 100 TB. Lowercase-hex lexicographic
+    * order equals unsigned-byte lexicographic order, so MIN/keeper
+    * selection over [[md5bin]] picks exactly the rows [[md5hex]]
+    * would (Spark binary comparison and DuckDB BLOB comparison are
+    * both unsigned memcmp).
+    * DuckDB: `unhex(md5(x))` */
+  def md5bin(c: Column): Column = unhex(md5(c.cast("binary")))
 
   /** 60-bit non-negative portable hash: first 15 hex chars of md5.
     * DuckDB: `('0x' || substring(md5(x),1,15))::BIGINT` */

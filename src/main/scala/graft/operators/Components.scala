@@ -13,15 +13,35 @@ import org.apache.spark.sql.functions._
   * Rounds needed = graph diameter — near-dup graphs are near-cliques
   * (1-3 rounds), while pathological chains converge in O(diameter).
   *
-  * Scale posture per round: ONE shuffle of the edge list joined
-  * against a (node, label) relation — state is one long per node, no
-  * driver-side graph, no collect. The edge list and each round's
-  * labels are `localCheckpoint`ed: edges because every round rescans
-  * them (without it the upstream plan — here an LSH band join —
-  * would replan per round), labels because the loop would otherwise
-  * double the lineage each round. On a real cluster the same loop
-  * checkpoints to reliable storage (GraphX/GraphFrames practice);
-  * local[n] keeps the blocks in executor memory.
+  * Cost shape (round 12 rework — the round-11 form paid TWO extra
+  * Spark jobs per round: a localCheckpoint of `next` AND a separate
+  * next⋈labels convergence join):
+  *  - Labels are SEEDED with two unchecked propagation rounds — the
+  *    same work d8's bounded collapse does — so the near-clique
+  *    graphs this engine actually feeds (LSH candidate pairs among
+  *    exact-dup survivors) arrive at the checked loop already
+  *    converged and pay exactly ONE checked round.
+  *  - Each checked round is ONE aggregation job: the symmetrized
+  *    edge list always contains the (node, node) self-loop, so the
+  *    join against labels-on-nbr yields the node's OWN prior label
+  *    on that row, and the groupBy emits min-label and prior-label
+  *    together (`min(lbl)`, `min(lbl) when nbr=node`). Convergence
+  *    detection is then a filter over the just-checkpointed
+  *    in-memory blocks — no second join, no replanned lineage.
+  *  - The label relation is BROADCAST into the per-round join by
+  *    default: every caller in this engine passes a candidate-sized
+  *    graph (pairs that survived banding among exact-survivors —
+  *    orders of magnitude below corpus size), so shipping the label
+  *    frame beats shuffling the edge list every round. A
+  *    corpus-sized graph passes broadcastLabels=false and gets the
+  *    shuffle join.
+  *
+  * The edge list is `localCheckpoint`ed because every round rescans
+  * it (without it the upstream plan — here an LSH band join — would
+  * replan per round); each round's labels likewise, so lineage stays
+  * flat. On a real cluster the same loop checkpoints to reliable
+  * storage (GraphX/GraphFrames practice); local[n] keeps the blocks
+  * in executor memory.
   */
 object Components {
 
@@ -30,30 +50,57 @@ object Components {
     * @param edges   (node, nbr) pairs; treated as undirected (both
     *                directions are unioned in, so callers may pass
     *                each edge once in either orientation)
-    * @param maxIter safety bound on propagation rounds
+    * @param maxIter safety bound on CHECKED propagation rounds
+    * @param broadcastLabels ship the (node,label) relation broadcast
+    *                into each round's join (right for candidate-sized
+    *                graphs — the engine's dedup callers); false for
+    *                corpus-sized graphs
     * @return (node, comp_id) — comp_id = min node id reachable
+    * @throws IllegalStateException if maxIter checked rounds pass
+    *                without convergence: an unconverged label table
+    *                would silently disagree with the exact recursive
+    *                reachability the DuckDB oracles compute, so the
+    *                failure must be loud (ADVICE r11)
     */
-  def connected(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connected(edges: DataFrame, maxIter: Int = 20,
+                broadcastLabels: Boolean = true): DataFrame = {
     val sym = edges.select(col("node"), col("nbr"))
       .unionAll(edges.select(col("nbr").as("node"), col("node").as("nbr")))
       .unionAll(edges.select(col("node"), col("node").as("nbr")))
       .unionAll(edges.select(col("nbr").as("node"), col("nbr").as("nbr")))
       .distinct()
       .localCheckpoint()
+    def asNbr(labels: DataFrame): DataFrame = {
+      val r = labels.select(col("node").as("nbr"), col("lbl"))
+      if (broadcastLabels) broadcast(r) else r
+    }
+    // seed = d8's two-round collapse (min over direct nbrs, then one
+    // unchecked propagation) — exact already for diameter <= 2
     var labels = sym.groupBy(col("node")).agg(min(col("nbr")).as("lbl"))
+      .localCheckpoint()
+    labels = sym.join(asNbr(labels), "nbr")
+      .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
       .localCheckpoint()
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      val next = sym
-        .join(labels.select(col("node").as("nbr"), col("lbl")), "nbr")
-        .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
+      // one job: propagate AND carry each node's prior label (read off
+      // the self-loop row) so the convergence probe below is a scan of
+      // the checkpointed blocks, not a join
+      val agg = sym.join(asNbr(labels), "nbr")
+        .groupBy(col("node"))
+        .agg(min(col("lbl")).as("lbl"),
+          min(when(col("nbr") === col("node"), col("lbl"))).as("prev"))
         .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("lbl", "prev"), "node")
-        .filter(col("lbl") < col("prev")).isEmpty
-      labels = next
+      converged = agg.filter(col("lbl") < col("prev")).isEmpty
+      labels = agg.select(col("node"), col("lbl"))
       iter += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"Components.connected: no fixpoint after $maxIter checked rounds " +
+          "(graph diameter exceeds the bound); raise maxIter — an " +
+          "unconverged label table would silently diverge from the exact oracle")
     labels.select(col("node"), col("lbl").as("comp_id"))
   }
 }

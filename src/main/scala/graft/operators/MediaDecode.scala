@@ -104,10 +104,23 @@ object MediaDecode {
     else if (container == "bmp") {
       val bpp = u16le(payload, 28)
       val dataOffL = u32le(payload, 10) // Long, unsigned
-      val rowBytesL = (w * 3 + 3) / 4 * 4
+      // Dimension sanity BEFORE any multiplication: a valid 24bpp
+      // image needs >= 3 bytes per pixel, so w*h is bounded by len/3.
+      // Without this, crafted w=h=0x7FFFFFFF makes rowBytesL*h
+      // (~1.4e19) wrap negative in Long, `need` passes the bounds
+      // check vacuously, and the pixel loop indexes past the payload
+      // — the overflow an adversarial container exploits. The guard's
+      // own arithmetic cannot overflow: w,h are u32 (< 2^32), so
+      // w*h < 2^64... but w,h are each first capped by lenL (< 2^31),
+      // making w*h < 2^62; and once w*h <= lenL/3, rowBytesL*h
+      // <= 3*w*h + 4*h stays well inside Long.
+      val lenL = payload.length.toLong
+      val dimsOk = w > 0 && h > 0 && w <= lenL && h <= lenL &&
+        w * h <= lenL / 3
+      val rowBytesL = if (dimsOk) (w * 3 + 3) / 4 * 4 else 0L
       val need = dataOffL + rowBytesL * h
-      if (bpp != 24L || w <= 0 || h <= 0 || dataOffL < 14L ||
-          dataOffL > payload.length.toLong || need > payload.length.toLong)
+      if (bpp != 24L || !dimsOk || dataOffL < 14L ||
+          dataOffL > lenL || need > lenL)
         none.copy(container = "bmp")
       else {
         val dataOff = dataOffL.toInt; val rowBytes = rowBytesL.toInt

@@ -52,6 +52,22 @@ object Dedup extends QueryPack {
       .agg(sum(when(col("set"), 1).otherwise(0)).as("n_hits"))
       .withColumn("predicted_dup", col("n_hits") === BloomK)
 
+  /** d16's per-source exact-dup yield kernel over any (source, text)
+    * slice — shared by the d16 query (over its planted corpus) and
+    * p8's corpus card (over the raw corpus), so the card's source
+    * rows are definitionally the operator's (spec-pinned in
+    * PipelineSpec). */
+  private[graft] def sourceDupStats(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"),
+        Portable.md5bin(Portable.normText(col("text"))).as("h"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("h")).as("n_distinct"))
+      .select(col("source"), col("n_docs"), col("n_distinct"),
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_docs"), 6)
+          .as("dup_rate"))
+
   /** documents ∪ exact copies of every 10th doc (new ids ≥ 100000). */
   private def withExactDupes(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
@@ -114,7 +130,7 @@ object Dedup extends QueryPack {
     // digests only. Survivor = min doc_id per group.
     "d1_exact_dedup" -> { (s, d) =>
       withExactDupes(s, d)
-        .select(col("doc_id"), Portable.md5hex(Portable.normText(col("text"))).as("h"))
+        .select(col("doc_id"), Portable.md5bin(Portable.normText(col("text"))).as("h"))
         .groupBy(col("h"))
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
         .filter(col("n_copies") > 1)
@@ -355,11 +371,11 @@ object Dedup extends QueryPack {
           .select((col("doc_id") + 610000L).as("doc_id"),
             concat(col("text"), lit(" batch special")).as("text")))
       val corpusDigests = docs
-        .select(Portable.md5hex(Portable.normText(col("text"))).as("h")).distinct()
+        .select(Portable.md5bin(Portable.normText(col("text"))).as("h")).distinct()
         .withColumn("in_corpus", lit(true))
       val wFirst = Window.partitionBy(col("h")).orderBy(col("doc_id"))
       batch
-        .select(col("doc_id"), Portable.md5hex(Portable.normText(col("text"))).as("h"))
+        .select(col("doc_id"), Portable.md5bin(Portable.normText(col("text"))).as("h"))
         .withColumn("rn", row_number().over(wFirst))
         .join(broadcast(corpusDigests), Seq("h"), "left")
         .withColumn("status",
@@ -378,16 +394,7 @@ object Dedup extends QueryPack {
     // pairs into a sources-sized rollup — one scan at any corpus
     // size.
     "d16_source_dup_rate" -> { (s, d) =>
-      withExactDupes(s, d)
-        .select(col("source"),
-          Portable.md5hex(Portable.normText(col("text"))).as("h"))
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"),
-          countDistinct(col("h")).as("n_distinct"))
-        .select(col("source"), col("n_docs"), col("n_distinct"),
-          round(lit(1.0) - col("n_distinct").cast("double") / col("n_docs"), 6)
-            .as("dup_rate"))
-        .orderBy(col("source"))
+      sourceDupStats(withExactDupes(s, d)).orderBy(col("source"))
     },
 
     // MinHash calibration audit — the parameter QA for the whole d2/
@@ -491,7 +498,7 @@ object Dedup extends QueryPack {
     "d18_dup_curve" -> { (s, d) =>
       val docs = withExactDupes(s, d)
         .select(col("doc_id"),
-          Portable.md5hex(Portable.normText(col("text"))).as("h"),
+          Portable.md5bin(Portable.normText(col("text"))).as("h"),
           pmod(Portable.hash60(concat(lit("lvl|"), col("doc_id").cast("string"))),
             lit(100L)).as("bucket"))
       val levels = Seq(25, 50, 75, 100)
@@ -609,6 +616,10 @@ object Dedup extends QueryPack {
     "d19_bloom_probe" -> { (s, d) =>
       val m = BloomBits
       val k = BloomK
+      // d19 keeps the HEX digest: bloomPositions derives its k bit
+      // positions by re-hashing the digest TEXT ("bloom$i|" + h), and
+      // the DuckDB oracle mirrors that over md5()'s hex form — the
+      // binary representation would change every derived position
       val docs = Tables.documents(s, d).select(col("doc_id"),
         Portable.md5hex(Portable.normText(col("text"))).as("h"))
       val base = docs.filter(col("doc_id") % 7 =!= 3)
@@ -811,7 +822,7 @@ object Dedup extends QueryPack {
       .filter(col("n_words") >= SpanW)
       .select(col("doc_id"), col("n_words"),
         posexplode(transform(sequence(lit(1L), col("n_words") - (SpanW - 1)),
-          i => Portable.md5hex(array_join(slice(col("w"), i.cast("int"), lit(SpanW)), " "))))
+          i => Portable.md5bin(array_join(slice(col("w"), i.cast("int"), lit(SpanW)), " "))))
           .as(Seq("pos", "h")))
       .select(col("doc_id"), col("n_words"),
         (col("pos") + 1).cast("long").as("i"), col("h"))

@@ -27,6 +27,35 @@ object Messaging extends QueryPack {
   /** m19: watermark lateness horizon (5 min, in µs). */
   private val WatermarkUs = 300000000L
 
+  /** m24's watermark decision inputs: the candidate horizon ladder
+    * (seconds) and the tolerable fleet-wide late-drop fraction. */
+  private[graft] val WatermarkLadderSec = Seq(60L, 120L, 300L, 600L)
+  private[graft] val LateFloor = 0.01
+
+  /** m19/m24's shared per-event disorder kernel: each event's arrival
+    * is its event time plus a deterministic md5-derived network delay
+    * (0-600 s); per shard the high-water mark runs over ARRIVAL
+    * order, and disorder_us is how far behind it the event lands —
+    * exactly what a `withWatermark` horizon would measure against.
+    * One window shuffle on shard_id; m19 rolls it up at the fixed
+    * 5-min horizon, m24 sizes the horizon from the same cells. */
+  private[graft] def disorderOf(msgs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = msgs
+      .select(col("event_id"), col("ts"),
+        Envelope.shardId(col("partition_key")).as("shard_id"))
+      .withColumn("ts_us", expr("unix_micros(ts)"))
+      .withColumn("arr_us", col("ts_us") +
+        pmod(graft.functions.Portable.hash60(col("event_id").cast("string")),
+          lit(600L)) * lit(1000000L))
+    val w = Window.partitionBy(col("shard_id"))
+      .orderBy(col("arr_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev.withColumn("hwm_us", max(col("ts_us")).over(w))
+      .withColumn("disorder_us",
+        greatest(lit(0L), coalesce(col("hwm_us") - col("ts_us"), lit(0L))))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // marshaller.go:44-70 JSONMarshaller: message → JSON envelope.
     "m1_marshal" -> { (s, d) =>
@@ -436,12 +465,35 @@ object Messaging extends QueryPack {
         .withColumn("needed_hours",
           greatest(ceil(col("needed_sec") / 3600.0), lit(1L)))
       val fleet = per.agg(max(col("needed_hours")).as("mx"))
-      per.crossJoin(broadcast(fleet))
+      // round 12 (the m19->m24 loop closure): the SAME decision table
+      // also sizes the consumer WATERMARK, from the same disorder
+      // cells m19 profiles — retention says how long the stream keeps
+      // data, the watermark says how long a consumer waits for it,
+      // and sizing them apart is how late events get dropped by one
+      // side while the other still stores them. Chosen horizon =
+      // smallest ladder rung whose fleet-wide late fraction clears
+      // LateFloor (falling back to the widest rung); per-shard
+      // max_disorder_us rides along so the choice is auditable
+      // against m19's profile (spec-tied in CurationSpec).
+      val dis = disorderOf(Envelope.messages(s, d)).localCheckpoint()
+      val shardDis = dis.groupBy(col("shard_id"))
+        .agg(max(col("disorder_us")).as("max_disorder_us"))
+      val ladder = dis
+        .withColumn("cand_sec", explode(array(WatermarkLadderSec.map(lit): _*)))
+        .groupBy(col("cand_sec"))
+        .agg((sum(when(col("disorder_us") > col("cand_sec") * 1000000L, 1L)
+          .otherwise(0L)).cast("double") / count(lit(1))).as("late_frac"))
+      val chosen = ladder.agg(
+        coalesce(min(when(col("late_frac") <= LateFloor, col("cand_sec"))),
+          max(col("cand_sec"))).as("watermark_sec"))
+      per.join(shardDis, "shard_id")
+        .crossJoin(broadcast(fleet)).crossJoin(broadcast(chosen))
         .withColumn("stream_retention_hours", greatest(col("mx"), lit(24L)))
         .withColumn("binding", col("needed_hours") === col("mx"))
         .select(col("shard_id"), col("lag_us"), col("eta_sec"),
           col("needed_sec"), col("needed_hours"),
-          col("stream_retention_hours"), col("binding"))
+          col("stream_retention_hours"), col("binding"),
+          col("max_disorder_us"), col("watermark_sec"))
         .orderBy(col("shard_id"))
     },
 
@@ -478,20 +530,7 @@ object Messaging extends QueryPack {
     // silently discarding data. One window shuffle on shard, then a
     // shards-sized rollup.
     "m19_late_events" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val ev = Envelope.messages(s, d)
-        .select(col("event_id"), col("ts"),
-          Envelope.shardId(col("partition_key")).as("shard_id"))
-        .withColumn("ts_us", expr("unix_micros(ts)"))
-        .withColumn("arr_us", col("ts_us") +
-          pmod(graft.functions.Portable.hash60(col("event_id").cast("string")),
-            lit(600L)) * lit(1000000L))
-      val w = Window.partitionBy(col("shard_id"))
-        .orderBy(col("arr_us"), col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      ev.withColumn("hwm_us", max(col("ts_us")).over(w))
-        .withColumn("disorder_us",
-          greatest(lit(0L), coalesce(col("hwm_us") - col("ts_us"), lit(0L))))
+      disorderOf(Envelope.messages(s, d))
         .withColumn("late", col("disorder_us") > WatermarkUs)
         .groupBy(col("shard_id"))
         .agg(count(lit(1)).as("n_events"),
@@ -899,11 +938,43 @@ object Messaging extends QueryPack {
          |hrs AS (
          |  SELECT *, greatest(CAST(ceil(needed_sec / 3600.0) AS BIGINT), 1) AS needed_hours
          |  FROM sized),
-         |fleet AS (SELECT max(needed_hours) AS mx FROM hrs)
+         |fleet AS (SELECT max(needed_hours) AS mx FROM hrs),
+         |ev2 AS (
+         |  SELECT event_id, ${shardSql("user_id::VARCHAR")} AS shard_id,
+         |    epoch_us(ts) AS ts_us,
+         |    epoch_us(ts) +
+         |      (('0x' || substring(md5(event_id::VARCHAR), 1, 15))::BIGINT % 600)
+         |        * 1000000 AS arr_us
+         |  FROM ($Ev) e),
+         |hw2 AS (
+         |  SELECT shard_id, ts_us,
+         |    max(ts_us) OVER (PARTITION BY shard_id ORDER BY arr_us, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm_us
+         |  FROM ev2),
+         |dis AS (
+         |  SELECT shard_id,
+         |    greatest(0, coalesce(hwm_us - ts_us, 0)) AS disorder_us
+         |  FROM hw2),
+         |sdis AS (
+         |  SELECT shard_id, CAST(max(disorder_us) AS BIGINT) AS max_disorder_us
+         |  FROM dis GROUP BY shard_id),
+         |lad AS (
+         |  SELECT c.cand,
+         |    sum(CASE WHEN disorder_us > c.cand * 1000000 THEN 1 ELSE 0 END)::DOUBLE
+         |      / count(*) AS late_frac
+         |  FROM dis, (SELECT unnest([${WatermarkLadderSec.mkString(", ")}]) AS cand) c
+         |  GROUP BY c.cand),
+         |wm AS (
+         |  SELECT CAST(coalesce(
+         |    min(CASE WHEN late_frac <= $LateFloor THEN cand END), max(cand)) AS BIGINT)
+         |    AS watermark_sec
+         |  FROM lad)
          |SELECT h.shard_id, h.lag_us, h.eta_sec, h.needed_sec, h.needed_hours,
          |  greatest(f.mx, 24) AS stream_retention_hours,
-         |  h.needed_hours = f.mx AS binding
-         |FROM hrs h CROSS JOIN fleet f
+         |  h.needed_hours = f.mx AS binding,
+         |  s.max_disorder_us, w.watermark_sec
+         |FROM hrs h CROSS JOIN fleet f CROSS JOIN wm w
+         |JOIN sdis s ON s.shard_id = h.shard_id
          |ORDER BY h.shard_id""".stripMargin,
 
     "m17_throughput_stats" ->

@@ -91,21 +91,7 @@ object Multimodal extends QueryPack {
     // aggregate. At lake scale `modality` is the partition column,
     // so the scan prunes per modality.
     "mm4_modality_stats" -> { (s, d) =>
-      val chunk = 256
-      Tables.documents(s, d)
-        .withColumn("payload", col("text").cast("binary"))
-        .withColumn("modality",
-          element_at(
-            array(lit("audio"), lit("image"), lit("text"), lit("video")),
-            (pmod(col("doc_id"), lit(4L)) + 1L).cast("int")))
-        .groupBy(col("modality"))
-        .agg(count(lit(1)).as("n_objects"),
-          sum(length(col("payload"))).as("total_bytes"),
-          min(length(col("payload"))).cast("long").as("min_bytes"),
-          max(length(col("payload"))).cast("long").as("max_bytes"),
-          avg(length(col("payload"))).as("avg_bytes"),
-          sum(((length(col("payload")) + chunk - 1) / chunk).cast("long")).as("n_chunks"))
-        .orderBy(col("modality"))
+      modalityStats(Tables.documents(s, d)).orderBy(col("modality"))
     },
 
     // Blob-level exact dedup inside a modality-partitioned lake: the
@@ -415,37 +401,36 @@ object Multimodal extends QueryPack {
           round(meanOf(transform(idx, j =>
             pmod(col("doc_id") * 7L + j * 13L, lit(256L)))), 6).as("p_mean_b"))
       // -- decode side: reads `wire` only --------------------------------
-      val decSamples = transform(idx, i => {
-        val u = leVal16(substring(col("wire"),
-          (lit(89L) + i * 4L).cast("int"), lit(4)))
-        u - when(u >= 32768L, 65536L).otherwise(0L)
-      })
-      def px(off: Int) = transform(idx, j =>
-        conv(substring(col("wire"), (lit(109L + off) + j * 6L).cast("int"), lit(2)),
-          16, 10).cast("long"))
-      val decB = px(0)   // BGR byte order on the wire
-      val decG = px(2)
-      val decR = px(4)
+      // ONE codegen'd pass per row (graftvec media_stats, the kernel
+      // the r10/r11 verdicts called for): unhex the wire once, then
+      // the hardened MediaDecode byte walk — container sniff, BMP
+      // pixel rows with stride padding, RIFF chunk walk to the PCM
+      // samples — emits every curation stat as a struct. The old form
+      // ran ~16 interpreted HOF lambdas that each re-sliced the hex
+      // wire per element. Image mean_signal is recomposed from the
+      // per-channel means exactly as the HOF form computed it
+      // ((mean_r+mean_g+mean_b)/3), so oracle parity is bit-for-bit;
+      // the per-element folds inside the kernel add in the same
+      // 0..n-1 order as the aggregate() lambdas they replace.
       wired
-        .withColumn("container",
-          when(substring(col("wire"), 1, 4) === "424d", "bmp")
-            .when(substring(col("wire"), 1, 8) === "52494646" &&
-              substring(col("wire"), 17, 8) === "57415645", "wav")
-            .otherwise("unknown"))
-        .withColumn("n_units", lit(16L))
+        .withColumn("st", org.apache.spark.sql.graftvec.MediaStatsColumns
+          .mediaStats(unhex(col("wire"))))
+        .withColumn("container", col("st.container"))
+        .withColumn("n_units", col("st.n_units"))
         .withColumn("mean_signal",
-          when(col("container") === "wav", round(meanOf(decSamples), 6))
-            .otherwise(round((meanOf(decR) + meanOf(decG) + meanOf(decB)) / 3.0, 6)))
+          when(col("container") === "wav", round(col("st.mean_signal"), 6))
+            .otherwise(round(
+              (col("st.mean_r") + col("st.mean_g") + col("st.mean_b")) / 3.0, 6)))
         .withColumn("rms",
-          when(col("container") === "wav", round(rmsOf(decSamples), 6)))
+          when(col("container") === "wav", round(col("st.rms"), 6)))
         .withColumn("peak",
-          when(col("container") === "wav", round(peakOf(decSamples), 6)))
+          when(col("container") === "wav", round(col("st.peak"), 6)))
         .withColumn("mean_r",
-          when(col("container") === "bmp", round(meanOf(decR), 6)))
+          when(col("container") === "bmp", round(col("st.mean_r"), 6)))
         .withColumn("mean_g",
-          when(col("container") === "bmp", round(meanOf(decG), 6)))
+          when(col("container") === "bmp", round(col("st.mean_g"), 6)))
         .withColumn("mean_b",
-          when(col("container") === "bmp", round(meanOf(decB), 6)))
+          when(col("container") === "bmp", round(col("st.mean_b"), 6)))
         .withColumn("matches_plant",
           when(col("container") === "wav",
             col("mean_signal") === col("p_mean_sig") &&
@@ -479,6 +464,27 @@ object Multimodal extends QueryPack {
       substring(h, 3, 2), substring(h, 1, 2)), 16, 10).cast("long")
   private def leVal16(h: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     conv(concat(substring(h, 3, 2), substring(h, 1, 2)), 16, 10).cast("long")
+
+  /** mm4's per-modality inventory kernel over any (doc_id, text)
+    * slice — shared by the mm4 query and p8's corpus card, so the
+    * card's modality rows are definitionally the operator's
+    * (spec-pinned in PipelineSpec). */
+  private[graft] def modalityStats(docs: DataFrame): DataFrame = {
+    val chunk = 256
+    docs
+      .withColumn("payload", col("text").cast("binary"))
+      .withColumn("modality",
+        element_at(
+          array(lit("audio"), lit("image"), lit("text"), lit("video")),
+          (pmod(col("doc_id"), lit(4L)) + 1L).cast("int")))
+      .groupBy(col("modality"))
+      .agg(count(lit(1)).as("n_objects"),
+        sum(length(col("payload"))).as("total_bytes"),
+        min(length(col("payload"))).cast("long").as("min_bytes"),
+        max(length(col("payload"))).cast("long").as("max_bytes"),
+        avg(length(col("payload"))).as("avg_bytes"),
+        sum(((length(col("payload")) + chunk - 1) / chunk).cast("long")).as("n_chunks"))
+  }
 
   /** mm10's input rows: the blob manifest — each blob's shard
     * assignment plus its identity+content digest (hash60 of doc_id +

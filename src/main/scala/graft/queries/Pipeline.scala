@@ -44,7 +44,7 @@ object Pipeline extends QueryPack {
         docs.filter(col("doc_id") % 10 === 0)
           .withColumn("doc_id", col("doc_id") + 100000L))
       val surv = corpus
-        .select(col("doc_id"), Portable.md5hex(Portable.normText(col("text"))).as("h"))
+        .select(col("doc_id"), Portable.md5bin(Portable.normText(col("text"))).as("h"))
         .groupBy(col("h")).agg(min(col("doc_id")).as("keep_id"))
         .select(col("keep_id"))
       withQuality(corpus.join(surv, corpus("doc_id") === surv("keep_id"), "left_semi"))
@@ -74,7 +74,7 @@ object Pipeline extends QueryPack {
             .withColumn("doc_id", col("doc_id") + 200000L)
             .withColumn("text", concat(col("text"), lit(" "), col("text"))))
       val keepers = corpus
-        .select(col("doc_id"), Portable.md5hex(Portable.normText(col("text"))).as("h"))
+        .select(col("doc_id"), Portable.md5bin(Portable.normText(col("text"))).as("h"))
         .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
         .select(col("doc_id"), lit(true).as("is_keeper"))
       val flagged = withQuality(
@@ -128,11 +128,11 @@ object Pipeline extends QueryPack {
             concat(concat_ws(" ", array_repeat(lit("!?!?"), 30)),
               lit(" "), col("doc_id").cast("string")).as("text")))
       val corpusDigests = docs
-        .select(Portable.md5hex(Portable.normText(col("text"))).as("h")).distinct()
+        .select(Portable.md5bin(Portable.normText(col("text"))).as("h")).distinct()
         .withColumn("in_corpus", lit(true))
       val wFirst = Window.partitionBy(col("h")).orderBy(col("doc_id"))
       val statused = batch
-        .withColumn("h", Portable.md5hex(Portable.normText(col("text"))))
+        .withColumn("h", Portable.md5bin(Portable.normText(col("text"))))
         .withColumn("rn", row_number().over(wFirst))
         .join(broadcast(corpusDigests), Seq("h"), "left")
         .withColumn("status",
@@ -163,7 +163,7 @@ object Pipeline extends QueryPack {
         docs.filter(col("doc_id") % 10 === 0)
           .withColumn("doc_id", col("doc_id") + 100000L))
       val surv = corpus
-        .select(col("doc_id"), Portable.md5hex(Portable.normText(col("text"))).as("h"))
+        .select(col("doc_id"), Portable.md5bin(Portable.normText(col("text"))).as("h"))
         .groupBy(col("h")).agg(min(col("doc_id")).as("keep_id"))
         .select(col("keep_id"))
       val kept = withQuality(
@@ -301,7 +301,7 @@ object Pipeline extends QueryPack {
         .localCheckpoint()
       // stage 1: exact — keeper = min doc_id per normalized digest
       val keep1 = corpus
-        .select(col("doc_id"), Portable.md5hex(Portable.normText(col("text"))).as("h"))
+        .select(col("doc_id"), Portable.md5bin(Portable.normText(col("text"))).as("h"))
         .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
         .select(col("doc_id"))
       val drops1 = corpus.select(col("doc_id"))
@@ -315,9 +315,12 @@ object Pipeline extends QueryPack {
       // acts on, and a dup CHAIN longer than diameter 2 (a-b-c-d via
       // successive band collisions) must still collapse to one keeper
       // rather than leaking "kept" rows mid-chain.
+      // no repartition between the band join and the components loop:
+      // Components.connected symmetrizes + distincts on its own keys
+      // immediately, so a pre-shuffle on doc_a would be a pure extra
+      // exchange (ADVICE r11)
       val pairs = Dedup.lshPairsFrom(
         Dedup.kmSignatures(surv1, materialize = true))
-        .repartition(col("doc_a"))
       val comp = graft.operators.Components.connected(
         pairs.select(col("doc_a").as("node"), col("doc_b").as("nbr")))
       val drops2 = comp.filter(col("comp_id") =!= col("node"))
@@ -368,10 +371,10 @@ object Pipeline extends QueryPack {
     // aggregate over the final corpus.
     "p8_corpus_card" -> { (s, d) =>
       val base = withQuality(Tables.documents(s, d)
-          .select(col("doc_id"), col("text"), col("lang")))
-        .withColumn("h", Portable.md5hex(Portable.normText(col("text"))))
-        .select(col("doc_id"), col("lang"), col("n_words"), col("quality"),
-          col("h"), col("text"))
+          .select(col("doc_id"), col("text"), col("lang"), col("source")))
+        .withColumn("h", Portable.md5bin(Portable.normText(col("text"))))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_words"),
+          col("quality"), col("h"), col("text"))
         .localCheckpoint()
       val tot = base.agg(count(lit(1)).as("n"), sum(col("n_words")).as("tok"),
         avg(col("quality")).as("mq"), countDistinct(col("h")).as("nh"))
@@ -415,7 +418,43 @@ object Pipeline extends QueryPack {
             lit("mean_quality").as("metric"), col("mq").as("value")))).as("e"))
         .select(col("e.section").as("section"), col("e.key").as("key"),
           col("e.metric").as("metric"), col("e.value").as("value"))
-      corpusRows.unionByName(langRows)
+      // round-12 card legs, each the SOURCE OPERATOR's own kernel so
+      // the published card cannot disagree with the engine
+      // (spec-pinned in PipelineSpec): per-modality inventory = mm4's
+      // modalityStats; per-source dup yield = d16's sourceDupStats
+      // over the raw corpus; index rows = the SERVED (persisted,
+      // manifest-verified) IVF-PQ artifact's version, cell count and
+      // measured recall vs brute-force truth.
+      val modRows = Multimodal.modalityStats(
+          base.select(col("doc_id"), col("text")))
+        .select(explode(array(
+          struct(lit("modality").as("section"), col("modality").as("key"),
+            lit("n_objects").as("metric"), col("n_objects").cast("double").as("value")),
+          struct(lit("modality").as("section"), col("modality").as("key"),
+            lit("total_bytes").as("metric"), col("total_bytes").cast("double").as("value")))).as("e"))
+        .select(col("e.section").as("section"), col("e.key").as("key"),
+          col("e.metric").as("metric"), col("e.value").as("value"))
+      val srcRows = Dedup.sourceDupStats(base.select(col("source"), col("text")))
+        .select(explode(array(
+          struct(lit("source").as("section"), col("source").as("key"),
+            lit("n_docs").as("metric"), col("n_docs").cast("double").as("value")),
+          struct(lit("source").as("section"), col("source").as("key"),
+            lit("dup_rate").as("metric"), col("dup_rate").as("value")))).as("e"))
+        .select(col("e.section").as("section"), col("e.key").as("key"),
+          col("e.metric").as("metric"), col("e.value").as("value"))
+      val idxRows = Similarity.servedIndexStats(s, d)
+        .select(explode(array(
+          struct(lit("index").as("section"), lit("ivfpq").as("key"),
+            lit("format_version").as("metric"),
+            lit(Similarity.IvfPqFormatVersion.toDouble).as("value")),
+          struct(lit("index").as("section"), lit("ivfpq").as("key"),
+            lit("n_cells").as("metric"), col("n_cells").cast("double").as("value")),
+          struct(lit("index").as("section"), lit("ivfpq").as("key"),
+            lit("recall").as("metric"), col("recall").as("value")))).as("e"))
+        .select(col("e.section").as("section"), col("e.key").as("key"),
+          col("e.metric").as("metric"), col("e.value").as("value"))
+      corpusRows.unionByName(langRows).unionByName(modRows)
+        .unionByName(srcRows).unionByName(idxRows)
         .select(col("section"), col("key"), col("metric"),
           round(col("value"), 6).as("value"))
         .orderBy(col("section"), col("key"), col("metric"))
@@ -802,15 +841,16 @@ object Pipeline extends QueryPack {
     // expression, d1's normalized digest, t26's eval excerpt and
     // window digests, quantile_cont for the exact median.
     "p8_corpus_card" ->
-      """WITH docs AS (SELECT doc_id, text, lang FROM documents),
+      s"""WITH docs AS (SELECT doc_id, text, lang, source FROM documents),
+        |idx AS (${graft.queries.Similarity.ServedIndexStatsSql}),
         |ws AS (
-        |  SELECT doc_id, lang, text,
+        |  SELECT doc_id, lang, source, text,
         |    CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-        |      ELSE regexp_split_to_array(trim(text), '\s+') END AS w
+        |      ELSE regexp_split_to_array(trim(text), '\\s+') END AS w
         |  FROM docs),
         |q AS (
-        |  SELECT doc_id, lang, w, len(w)::BIGINT AS n_words,
-        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS h,
+        |  SELECT doc_id, lang, source, w, len(w)::BIGINT AS n_words,
+        |    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h,
         |    (CASE WHEN len(w) = 0 THEN 0.0
         |      ELSE len(list_filter(w, x ->
         |        list_contains(['the','a','of','and','to'], x)))::DOUBLE / len(w)
@@ -849,7 +889,25 @@ object Pipeline extends QueryPack {
         |  UNION ALL SELECT 'lang', lang, 'n_tokens',
         |    CAST(sum(n_words) AS DOUBLE) FROM q GROUP BY lang
         |  UNION ALL SELECT 'lang', lang, 'mean_quality', avg(quality)
-        |  FROM q GROUP BY lang)
+        |  FROM q GROUP BY lang
+        |  UNION ALL SELECT 'modality',
+        |    ['audio','image','text','video'][(doc_id % 4 + 1)::INTEGER],
+        |    'n_objects', count(*)::DOUBLE FROM docs GROUP BY 2
+        |  UNION ALL SELECT 'modality',
+        |    ['audio','image','text','video'][(doc_id % 4 + 1)::INTEGER],
+        |    'total_bytes', CAST(sum(octet_length(text::BLOB)) AS DOUBLE)
+        |  FROM docs GROUP BY 2
+        |  UNION ALL SELECT 'source', source, 'n_docs', count(*)::DOUBLE
+        |  FROM q GROUP BY source
+        |  UNION ALL SELECT 'source', source, 'dup_rate',
+        |    round(1.0 - count(DISTINCT h)::DOUBLE / count(*), 6)
+        |  FROM q GROUP BY source
+        |  UNION ALL SELECT 'index', 'ivfpq', 'format_version',
+        |    ${graft.queries.Similarity.IvfPqFormatVersion}.0
+        |  UNION ALL SELECT 'index', 'ivfpq', 'n_cells',
+        |    (SELECT n_cells FROM idx)::DOUBLE
+        |  UNION ALL SELECT 'index', 'ivfpq', 'recall',
+        |    (SELECT recall FROM idx))
         |SELECT section, key, metric, round(value, 6) AS value
         |FROM rows
         |ORDER BY section, key, metric""".stripMargin

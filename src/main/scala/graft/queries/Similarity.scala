@@ -138,6 +138,91 @@ object Similarity extends QueryPack {
        |FROM scored WHERE rank <= $K
        |ORDER BY probe_id, rank""".stripMargin
 
+  /** a18's oracle, also embedded (as a CTE) in p8's index-card leg. */
+  private[graft] lazy val IvfPqServeSql: String = {
+      val hi = PqM - 1
+      val pSub = s"p.p_emb[c.sub*$PqSubDim+1 : c.sub*$PqSubDim+$PqSubDim]"
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |cs AS (SELECT vec_id AS cell, emb AS c_emb
+         |  FROM (SELECT * FROM v ${centSel(Geo.nCentroids)}) t),
+         |assigned AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT v.vec_id, c.cell,
+         |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |        list_dot_product(v.emb, c.c_emb) /
+         |          (sqrt(list_dot_product(v.emb, v.emb)) *
+         |           sqrt(list_dot_product(c.c_emb, c.c_emb))) DESC,
+         |        c.cell) AS crank
+         |    FROM v, cs c) t WHERE crank = 1),
+         |subs AS (
+         |  SELECT vec_id, m AS sub, emb[m*$PqSubDim+1 : m*$PqSubDim+$PqSubDim] AS sv
+         |  FROM v, unnest(generate_series(0, $hi)) AS t(m)),
+         |cseed AS (SELECT vec_id, emb FROM v ${centSel(Geo.nCentroids)}),
+         |cents AS (
+         |  SELECT vec_id AS code_id, m AS sub,
+         |    emb[m*$PqSubDim+1 : m*$PqSubDim+$PqSubDim] AS cv
+         |  FROM cseed, unnest(generate_series(0, $hi)) AS t(m)),
+         |codes AS (
+         |  SELECT vec_id, sub, code_id FROM (
+         |    SELECT s.vec_id, s.sub, c.code_id,
+         |      row_number() OVER (PARTITION BY s.vec_id, s.sub ORDER BY
+         |        list_dot_product(s.sv, s.sv) - 2.0 * list_dot_product(s.sv, c.cv)
+         |          + list_dot_product(c.cv, c.cv),
+         |        c.code_id) AS r
+         |    FROM subs s JOIN cents c ON s.sub = c.sub) t
+         |  WHERE r = 1),
+         |probes AS (SELECT vec_id AS probe_id, emb AS p_emb FROM v $probeSel),
+         |routes AS (
+         |  SELECT probe_id, cell FROM (
+         |    SELECT p.probe_id, c.cell,
+         |      row_number() OVER (PARTITION BY p.probe_id ORDER BY
+         |        list_dot_product(p.p_emb, c.c_emb) /
+         |          (sqrt(list_dot_product(p.p_emb, p.p_emb)) *
+         |           sqrt(list_dot_product(c.c_emb, c.c_emb))) DESC,
+         |        c.cell) AS r
+         |    FROM probes p, cs c) t WHERE r <= ${Geo.nProbe}),
+         |adc AS (
+         |  SELECT p.probe_id, c.sub, c.code_id,
+         |    list_dot_product($pSub, $pSub)
+         |      - 2.0 * list_dot_product($pSub, c.cv)
+         |      + list_dot_product(c.cv, c.cv) AS pdist
+         |  FROM probes p, cents c),
+         |cand AS (
+         |  SELECT r.probe_id, a.vec_id
+         |  FROM assigned a JOIN routes r ON a.cell = r.cell
+         |  WHERE a.vec_id <> r.probe_id),
+         |scored AS (
+         |  SELECT cd.probe_id, cd.vec_id, sum(adc.pdist) AS adc_dist
+         |  FROM cand cd
+         |  JOIN codes k ON cd.vec_id = k.vec_id
+         |  JOIN adc ON adc.probe_id = cd.probe_id AND adc.sub = k.sub
+         |    AND adc.code_id = k.code_id
+         |  GROUP BY cd.probe_id, cd.vec_id)
+         |SELECT probe_id, CAST(rnk AS BIGINT) AS rank, vec_id,
+         |  round(adc_dist, 6) AS adc_dist
+         |FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+         |    ORDER BY adc_dist, vec_id) AS rnk FROM scored) t
+         |WHERE rnk <= $K
+         |ORDER BY probe_id, rnk""".stripMargin
+  }
+
+  /** SQL mirror of [[servedIndexStats]] — a standalone 1-row SELECT
+    * (n_cells, recall) reusing the a18 serve and a1 brute oracles as
+    * nested CTEs, for p8's corpus-card index rows. */
+  private[graft] lazy val ServedIndexStatsSql: String =
+    s"""SELECT
+       |  (SELECT count(*) FROM (SELECT * FROM
+       |     (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings) v
+       |     ${centSel(Geo.nCentroids)}) t)::BIGINT AS n_cells,
+       |  (WITH exact AS ($BruteKnnSql), served AS ($IvfPqServeSql)
+       |   SELECT avg(hit_frac) FROM (
+       |     SELECT e.probe_id,
+       |       sum(CASE WHEN s.vec_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+       |         / count(*) AS hit_frac
+       |     FROM exact e LEFT JOIN served s
+       |       ON s.probe_id = e.probe_id AND s.vec_id = e.vec_id
+       |     GROUP BY e.probe_id) t) AS recall""".stripMargin
+
   /** a2's oracle, shared with a8's approximate leg. */
   private lazy val LshKnnSql =
     s"""WITH v AS (
@@ -152,6 +237,7 @@ object Similarity extends QueryPack {
        |SELECT probe_id, vec_id, CAST(rank AS INTEGER) AS rank, cosine
        |FROM scored WHERE rank <= $K
        |ORDER BY probe_id, rank""".stripMargin
+
 
   // ---- public builders (library API; defs bind the defaults) -------
 
@@ -282,15 +368,31 @@ object Similarity extends QueryPack {
   def nprobeSweep(s: SparkSession, d: String, geo: AnnGeometry = Geo,
                   k: Int = K, maxProbe: Int = 4): DataFrame = {
     val v = vecs(s, d)
-    val cents = hashTopK(v, "cent", geo.nCentroids)
-      .select(col("vec_id").as("cent_id"), col("emb").as("c_emb"), col("nrm").as("c_nrm"))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("c_cos").desc, col("cent_id"))
-    val assigned = v.join(broadcast(cents))
-      .withColumn("c_cos", cosPre(col("emb"), col("nrm"), col("c_emb"), col("c_nrm")))
-      .withColumn("crank", row_number().over(wAssign))
-      .filter(col("crank") === 1)
-      .select(col("vec_id"), col("emb"), col("nrm"), col("cent_id").as("cell"))
+    // centroids + assignment come from the PERSISTED corpus index
+    // (built once per run, manifest-verified load) when the caller
+    // uses the published geometry; the acceptance gate then audits
+    // the artifact a serve fleet actually reads. assignCells shares
+    // this window's exact tiebreak (c_cos desc, cell asc), so the
+    // loaded (vec_id, cell) mapping is value-identical to the inline
+    // recomputation the oracle mirrors. Exact cosines still need the
+    // vectors, so the assignment joins back to the corpus on vec_id.
+    val (cents, assigned) =
+      if (geo == Geo) {
+        val ix = servedIndex(s, d)
+        (ix.cents.select(col("cell").as("cent_id"), col("c_emb"), col("c_nrm")),
+          v.join(ix.assigned.select(col("vec_id"), col("cell")), "vec_id")
+            .select(col("vec_id"), col("emb"), col("nrm"), col("cell")))
+      } else {
+        val c = hashTopK(v, "cent", geo.nCentroids)
+          .select(col("vec_id").as("cent_id"), col("emb").as("c_emb"), col("nrm").as("c_nrm"))
+        val wAssign = Window.partitionBy(col("vec_id"))
+          .orderBy(col("c_cos").desc, col("cent_id"))
+        (c, v.join(broadcast(c))
+          .withColumn("c_cos", cosPre(col("emb"), col("nrm"), col("c_emb"), col("c_nrm")))
+          .withColumn("crank", row_number().over(wAssign))
+          .filter(col("crank") === 1)
+          .select(col("vec_id"), col("emb"), col("nrm"), col("cent_id").as("cell")))
+      }
     val probes = hashTopK(v, "probe", NProbes)
       .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"), col("nrm").as("p_nrm"))
     val wProbe = Window.partitionBy(col("probe_id"))
@@ -396,15 +498,31 @@ object Similarity extends QueryPack {
   def adaptiveNprobe(s: SparkSession, d: String, geo: AnnGeometry = Geo,
                      k: Int = K, maxProbe: Int = 4): DataFrame = {
     val v = vecs(s, d)
-    val cents = hashTopK(v, "cent", geo.nCentroids)
-      .select(col("vec_id").as("cent_id"), col("emb").as("c_emb"), col("nrm").as("c_nrm"))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("c_cos").desc, col("cent_id"))
-    val assigned = v.join(broadcast(cents))
-      .withColumn("c_cos", cosPre(col("emb"), col("nrm"), col("c_emb"), col("c_nrm")))
-      .withColumn("crank", row_number().over(wAssign))
-      .filter(col("crank") === 1)
-      .select(col("vec_id"), col("emb"), col("nrm"), col("cent_id").as("cell"))
+    // centroids + assignment come from the PERSISTED corpus index
+    // (built once per run, manifest-verified load) when the caller
+    // uses the published geometry; the acceptance gate then audits
+    // the artifact a serve fleet actually reads. assignCells shares
+    // this window's exact tiebreak (c_cos desc, cell asc), so the
+    // loaded (vec_id, cell) mapping is value-identical to the inline
+    // recomputation the oracle mirrors. Exact cosines still need the
+    // vectors, so the assignment joins back to the corpus on vec_id.
+    val (cents, assigned) =
+      if (geo == Geo) {
+        val ix = servedIndex(s, d)
+        (ix.cents.select(col("cell").as("cent_id"), col("c_emb"), col("c_nrm")),
+          v.join(ix.assigned.select(col("vec_id"), col("cell")), "vec_id")
+            .select(col("vec_id"), col("emb"), col("nrm"), col("cell")))
+      } else {
+        val c = hashTopK(v, "cent", geo.nCentroids)
+          .select(col("vec_id").as("cent_id"), col("emb").as("c_emb"), col("nrm").as("c_nrm"))
+        val wAssign = Window.partitionBy(col("vec_id"))
+          .orderBy(col("c_cos").desc, col("cent_id"))
+        (c, v.join(broadcast(c))
+          .withColumn("c_cos", cosPre(col("emb"), col("nrm"), col("c_emb"), col("c_nrm")))
+          .withColumn("crank", row_number().over(wAssign))
+          .filter(col("crank") === 1)
+          .select(col("vec_id"), col("emb"), col("nrm"), col("cent_id").as("cell")))
+      }
     val probes = hashTopK(v, "probe", NProbes)
       .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"), col("nrm").as("p_nrm"))
     val wProbe = Window.partitionBy(col("probe_id"))
@@ -1134,7 +1252,10 @@ object Similarity extends QueryPack {
       .select(col("probe_id"), col("vec_id")).localCheckpoint()
     def leg(v0: DataFrame, name: String): DataFrame = {
       val v = v0.localCheckpoint()
-      val ix = ivfPqIndexOf(v)
+      // the pq leg's corpus IS the published index's corpus — load
+      // the persisted artifact (build-once per run) instead of
+      // rebuilding; only the OPQ-rotated leg needs its own geometry
+      val ix = if (name == "pq") servedIndex(s, d) else ivfPqIndexOf(v)
       val probes = hashTopK(v, "probe", NProbes)
         .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"),
           col("nrm").as("p_nrm"))
@@ -1327,7 +1448,12 @@ object Similarity extends QueryPack {
                  m: Int = PqM, subDim: Int = PqSubDim, k: Int = K): DataFrame = {
     val probes = hashTopK(vecs(s, d), "probe", NProbes)
       .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"), col("nrm").as("p_nrm"))
-    ivfPqServeProbes(ivfPqIndex(s, d, geo, m, subDim), probes, geo, m, subDim, k)
+    // default geometry == the published corpus artifact: serve THAT
+    // (build-once + manifest-verified load); a caller with custom
+    // geometry still gets a fresh build
+    val ix = if (geo == Geo && m == PqM && subDim == PqSubDim) servedIndex(s, d)
+             else ivfPqIndex(s, d, geo, m, subDim)
+    ivfPqServeProbes(ix, probes, geo, m, subDim, k)
   }
 
   /** The frozen a18 corpus index — the tables a serve path reads and
@@ -1354,6 +1480,52 @@ object Similarity extends QueryPack {
     val codebook = subVecsOf(seeds, "vec_id", m, subDim)
       .select(col("vec_id").as("code_id"), col("sub"), col("sv").as("cv"))
     IvfPqIndex(assigned, codes, cents, codebook)
+  }
+
+  /** Build-ONCE-per-run corpus index, served from the persisted
+    * artifact (round 12 — the r10/r11 verdicts' item: acceptance
+    * gates were rebuilding the index per query). First caller per
+    * (session, corpus dir) builds with [[ivfPqIndex]], WRITES the
+    * versioned artifact via [[saveIvfPqIndex]], then re-reads it via
+    * [[loadIvfPqIndex]] (manifest-verified) — so every acceptance
+    * query (a18 serve, a24/a25/a26 tuning, a27's pq leg) exercises
+    * the load path a production serve fleet runs, and a Verify/Bench
+    * run pays ONE index build instead of five. The cache key carries
+    * the session identity: suites create fresh sessions, and a frame
+    * bound to a stopped session must not leak across. */
+  private val servedIdxCache =
+    new java.util.concurrent.ConcurrentHashMap[String, IvfPqIndex]()
+  private[graft] def servedIndex(s: SparkSession, d: String): IvfPqIndex =
+    servedIdxCache.computeIfAbsent(
+      s"${System.identityHashCode(s)}|${new java.io.File(d).getCanonicalPath}",
+      _ => {
+        val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_").toString
+        saveIvfPqIndex(ivfPqIndex(s, d), dir)
+        loadIvfPqIndex(s, dir)
+      })
+
+  /** p8's corpus-card index leg: ONE row (n_cells, recall) describing
+    * the SERVED corpus index — cells from the loaded artifact, recall
+    * of its IVF-ADC serve against exact brute-force truth, the a8
+    * formula. The card thereby publishes the quality of the exact
+    * artifact a serve fleet reads (same persisted frames, same
+    * manifest check), not a fresh rebuild that could silently
+    * diverge. Probe set is corpus-size-independent; brute truth is
+    * probes × corpus, the acceptance-gate cost every recall audit
+    * here already pays. */
+  private[graft] def servedIndexStats(s: SparkSession, d: String): DataFrame = {
+    val ix = servedIndex(s, d)
+    val probes = hashTopK(vecs(s, d), "probe", NProbes)
+      .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"), col("nrm").as("p_nrm"))
+    val served = ivfPqServeProbes(ix, probes)
+      .select(col("probe_id"), col("vec_id"))
+    val exact = bruteKnn(s, d, K).select(col("probe_id"), col("vec_id"))
+    val per = exact.join(served.withColumn("hit", lit(1L)),
+        Seq("probe_id", "vec_id"), "left")
+      .groupBy(col("probe_id"))
+      .agg(count(lit(1)).as("n_exact"), sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+    per.agg(avg(col("n_hit").cast("double") / col("n_exact")).as("recall"))
+      .crossJoin(broadcast(ix.cents.agg(count(lit(1)).as("n_cells"))))
   }
 
   /** Persisted-index format version — bumped on any frame-schema
@@ -1687,6 +1859,7 @@ object Similarity extends QueryPack {
        |FROM scored WHERE rank <= $K
        |ORDER BY probe_id, rank""".stripMargin
 
+
   /** a14's oracle: the bucketed serve path mirrored (shared with a16). */
   private lazy val MipsLshSql = {
     val flips = (0 until Geo.planes).map(i => flipSql(Seq(i), Geo.planes)).mkString(", ")
@@ -1723,6 +1896,7 @@ object Similarity extends QueryPack {
        |  round(ip, 6) AS inner_product
        |FROM scored WHERE rank <= $K
        |ORDER BY probe_id, rank""".stripMargin
+
   }
 
   /** a24's sweep as reusable SQL parts: the CTE chain (through `per`)
@@ -2012,72 +2186,7 @@ object Similarity extends QueryPack {
     // Independent re-derivation of the full serve path: coarse
     // assignment, code assignment, probe routing, the probe×code ADC
     // table, and the final Σ-of-table-lookups ranking.
-    "a18_ivf_pq_serve" -> {
-      val hi = PqM - 1
-      val pSub = s"p.p_emb[c.sub*$PqSubDim+1 : c.sub*$PqSubDim+$PqSubDim]"
-      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-         |cs AS (SELECT vec_id AS cell, emb AS c_emb
-         |  FROM (SELECT * FROM v ${centSel(Geo.nCentroids)}) t),
-         |assigned AS (
-         |  SELECT vec_id, cell FROM (
-         |    SELECT v.vec_id, c.cell,
-         |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
-         |        list_dot_product(v.emb, c.c_emb) /
-         |          (sqrt(list_dot_product(v.emb, v.emb)) *
-         |           sqrt(list_dot_product(c.c_emb, c.c_emb))) DESC,
-         |        c.cell) AS crank
-         |    FROM v, cs c) t WHERE crank = 1),
-         |subs AS (
-         |  SELECT vec_id, m AS sub, emb[m*$PqSubDim+1 : m*$PqSubDim+$PqSubDim] AS sv
-         |  FROM v, unnest(generate_series(0, $hi)) AS t(m)),
-         |cseed AS (SELECT vec_id, emb FROM v ${centSel(Geo.nCentroids)}),
-         |cents AS (
-         |  SELECT vec_id AS code_id, m AS sub,
-         |    emb[m*$PqSubDim+1 : m*$PqSubDim+$PqSubDim] AS cv
-         |  FROM cseed, unnest(generate_series(0, $hi)) AS t(m)),
-         |codes AS (
-         |  SELECT vec_id, sub, code_id FROM (
-         |    SELECT s.vec_id, s.sub, c.code_id,
-         |      row_number() OVER (PARTITION BY s.vec_id, s.sub ORDER BY
-         |        list_dot_product(s.sv, s.sv) - 2.0 * list_dot_product(s.sv, c.cv)
-         |          + list_dot_product(c.cv, c.cv),
-         |        c.code_id) AS r
-         |    FROM subs s JOIN cents c ON s.sub = c.sub) t
-         |  WHERE r = 1),
-         |probes AS (SELECT vec_id AS probe_id, emb AS p_emb FROM v $probeSel),
-         |routes AS (
-         |  SELECT probe_id, cell FROM (
-         |    SELECT p.probe_id, c.cell,
-         |      row_number() OVER (PARTITION BY p.probe_id ORDER BY
-         |        list_dot_product(p.p_emb, c.c_emb) /
-         |          (sqrt(list_dot_product(p.p_emb, p.p_emb)) *
-         |           sqrt(list_dot_product(c.c_emb, c.c_emb))) DESC,
-         |        c.cell) AS r
-         |    FROM probes p, cs c) t WHERE r <= ${Geo.nProbe}),
-         |adc AS (
-         |  SELECT p.probe_id, c.sub, c.code_id,
-         |    list_dot_product($pSub, $pSub)
-         |      - 2.0 * list_dot_product($pSub, c.cv)
-         |      + list_dot_product(c.cv, c.cv) AS pdist
-         |  FROM probes p, cents c),
-         |cand AS (
-         |  SELECT r.probe_id, a.vec_id
-         |  FROM assigned a JOIN routes r ON a.cell = r.cell
-         |  WHERE a.vec_id <> r.probe_id),
-         |scored AS (
-         |  SELECT cd.probe_id, cd.vec_id, sum(adc.pdist) AS adc_dist
-         |  FROM cand cd
-         |  JOIN codes k ON cd.vec_id = k.vec_id
-         |  JOIN adc ON adc.probe_id = cd.probe_id AND adc.sub = k.sub
-         |    AND adc.code_id = k.code_id
-         |  GROUP BY cd.probe_id, cd.vec_id)
-         |SELECT probe_id, CAST(rnk AS BIGINT) AS rank, vec_id,
-         |  round(adc_dist, 6) AS adc_dist
-         |FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
-         |    ORDER BY adc_dist, vec_id) AS rnk FROM scored) t
-         |WHERE rnk <= $K
-         |ORDER BY probe_id, rnk""".stripMargin
-    },
+    "a18_ivf_pq_serve" -> IvfPqServeSql,
 
     "a17_residual_pq" -> {
       val hi = PqM - 1

@@ -324,7 +324,7 @@ object TextOps extends QueryPack {
             transform(sequence(lit(0), size(col("pw")) - EvalGramN),
               i => concat_ws(" ", slice(col("pw"), i + lit(1), lit(EvalGramN)))))
             .otherwise(array().cast("array<string>"))).as("g"))
-        .select(col("eval_id"), Portable.md5hex(col("g")).as("gh"))
+        .select(col("eval_id"), Portable.md5bin(col("g")).as("gh"))
         .distinct()
       val corpus = docs.select(col("doc_id"), col("text")).unionAll(
         docs.filter(col("doc_id") % 40 === 1)
@@ -333,7 +333,7 @@ object TextOps extends QueryPack {
       val corpusGrams = corpus
         .select(col("doc_id"),
           explode(graft.functions.TextHash.allShingles(col("text"), EvalGramN)).as("g"))
-        .select(col("doc_id"), Portable.md5hex(col("g")).as("gh"))
+        .select(col("doc_id"), Portable.md5bin(col("g")).as("gh"))
       corpusGrams.join(broadcast(evalGrams), "gh")
         .groupBy(col("doc_id"))
         .agg(countDistinct(col("gh")).as("n_hit_grams"),
@@ -748,24 +748,7 @@ object TextOps extends QueryPack {
           array_join(transform(Portable.words(col("text")),
             w => concat(lit("if ("), w, lit(") { var "), w, lit(" = 1; }"))),
             " ").as("text"))
-      def density(stripped: Column): Column =
-        when(col("n_chars") === 0, 0.0)
-          .otherwise((col("n_chars") - length(stripped)).cast("double") / col("n_chars"))
-      docs.unionAll(planted)
-        .withColumn("n_chars", length(col("text")).cast("long"))
-        .withColumn("w", Portable.words(col("text")))
-        .withColumn("semi_density",
-          density(regexp_replace(col("text"), ";", "")))
-        .withColumn("brace_density",
-          density(regexp_replace(col("text"), "[{}]", "")))
-        .withColumn("kw_ratio", hitRatio(col("w"),
-          Seq("if", "else", "var", "return", "function", "def")))
-        .withColumn("symbol_ratio",
-          density(regexp_replace(col("text"), "[^A-Za-z0-9 ]", "")))
-        .withColumn("code_score", round(
-          col("semi_density") * 4.0 + col("brace_density") * 3.0 +
-            col("kw_ratio") + col("symbol_ratio"), 6))
-        .withColumn("is_code", col("code_score") > 0.3)
+      codeSignals(docs.unionAll(planted))
         .withColumn("is_planted", col("doc_id") >= 400000L)
         .withColumn("correct", col("is_code") === col("is_planted"))
         .select(col("doc_id"), col("n_chars"),
@@ -834,7 +817,7 @@ object TextOps extends QueryPack {
       .select(slice(Portable.words(col("text")), 5, 21).as("ew"))
       .filter(size(col("ew")) >= ContamW)
       .select(explode(transform(sequence(lit(1), size(col("ew")) - (ContamW - 1)),
-        i => Portable.md5hex(array_join(slice(col("ew"), i, lit(ContamW)), " "))))
+        i => Portable.md5bin(array_join(slice(col("ew"), i, lit(ContamW)), " "))))
         .as("h"))
       .distinct()
 
@@ -852,7 +835,7 @@ object TextOps extends QueryPack {
     val wins = docs.filter(col("n_words") >= w)
       .select(col("doc_id"), col("n_words"),
         posexplode(transform(sequence(lit(1L), col("n_words") - (w - 1)),
-          i => Portable.md5hex(array_join(slice(col("w"), i.cast("int"), lit(w)), " "))))
+          i => Portable.md5bin(array_join(slice(col("w"), i.cast("int"), lit(w)), " "))))
           .as(Seq("pos", "h")))
       .select(col("doc_id"), col("n_words"),
         (col("pos") + 1).cast("long").as("i"), col("h"))
@@ -874,6 +857,31 @@ object TextOps extends QueryPack {
         when(col("contam_frac") > 0.3, "drop_doc").otherwise("redact_spans"))
       .select(col("doc_id"), col("n_words"), col("n_contam_windows"),
         col("n_spans"), col("covered_words"), col("contam_frac"), col("action"))
+  }
+
+  /** t25's four map-side code-surface signals + score over any
+    * (doc_id, text) slice — shared by the batch query and the live
+    * curate router (streaming.DataPrep.routeStep), so streamed
+    * routing is definitionally the batch classifier. */
+  private[graft] def codeSignals(docs: DataFrame): DataFrame = {
+    def density(stripped: Column): Column =
+      when(col("n_chars") === 0, 0.0)
+        .otherwise((col("n_chars") - length(stripped)).cast("double") / col("n_chars"))
+    docs
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("w", Portable.words(col("text")))
+      .withColumn("semi_density",
+        density(regexp_replace(col("text"), ";", "")))
+      .withColumn("brace_density",
+        density(regexp_replace(col("text"), "[{}]", "")))
+      .withColumn("kw_ratio", hitRatio(col("w"),
+        Seq("if", "else", "var", "return", "function", "def")))
+      .withColumn("symbol_ratio",
+        density(regexp_replace(col("text"), "[^A-Za-z0-9 ]", "")))
+      .withColumn("code_score", round(
+        col("semi_density") * 4.0 + col("brace_density") * 3.0 +
+          col("kw_ratio") + col("symbol_ratio"), 6))
+      .withColumn("is_code", col("code_score") > 0.3)
   }
 
   /** t12: decontamination n-gram width. */
@@ -927,7 +935,7 @@ object TextOps extends QueryPack {
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(0, cast(ceil(size(w) / $SegLen.0) as int) - 1), " +
           s"i -> concat_ws(' ', slice(w, i * $SegLen + 1, $SegLen)))")).as("seg"))
-      .select(col("doc_id"), Portable.md5hex(col("seg")).as("h"))
+      .select(col("doc_id"), Portable.md5bin(col("seg")).as("h"))
 
   /** t22: Count-Min grid geometry — depth 4 (independent salted
     * hashes) × width 512 counters; error scales as total/width per

@@ -30,7 +30,7 @@ object DataPrep {
           col("uuid").cast("long").as("doc_id"),
           col("payload").cast("string").as("text"),
           col("ts"))
-        .withColumn("h", Portable.md5hex(Portable.normText(col("text"))))
+        .withColumn("h", Portable.md5bin(Portable.normText(col("text"))))
         .withWatermark("ts", watermarkDelay)
         .dropDuplicatesWithinWatermark("h"))
       .filter(col("quality") >= minQuality)
@@ -79,7 +79,7 @@ object DataPrep {
           col("payload").cast("string").as("text"),
           sourceCol.cast("string").as("source"),
           col("ts"))
-        .withColumn("h", Portable.md5hex(Portable.normText(col("text")))))
+        .withColumn("h", Portable.md5bin(Portable.normText(col("text")))))
       .writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
@@ -170,6 +170,33 @@ object DataPrep {
     val added = segs.select(col("h")).distinct()
       .join(store, Seq("h"), "left_anti")
     (report, added)
+  }
+
+  /** One live curate-chain ROUTING step (round 12 — the r10 verdict's
+    * composition item): per micro-batch, each arriving doc is
+    * (a) routed code vs prose by t25's classifier and (b) screened
+    * span-wise against the frozen eval digest set by t26's detector,
+    * yielding the disposition row the mix builder acts on:
+    * `bucket` ∈ {code, prose} and `action` ∈ {drop_doc,
+    * redact_spans, clean}. Both legs are the operators' own kernels
+    * (TextOps.codeSignals / TextOps.contamSpans) and the step is
+    * STATELESS given the static eval set, so the streamed union of
+    * per-batch dispositions equals the batch t25/t26 tables exactly
+    * (StreamingSpec). Scale shape: the eval set broadcasts (tiny by
+    * nature); everything else is map-side per batch except the
+    * per-doc span merge, partitioned by doc_id. */
+  def routeStep(batch: DataFrame, evalWins: DataFrame): DataFrame = {
+    val signals = graft.queries.TextOps.codeSignals(batch)
+      .select(col("doc_id"), col("code_score"), col("is_code"))
+    val contam = graft.queries.TextOps.contamSpans(batch, evalWins)
+      .select(col("doc_id"), col("n_contam_windows"), col("contam_frac"),
+        col("action"))
+    signals.join(contam, Seq("doc_id"), "left")
+      .withColumn("bucket", when(col("is_code"), "code").otherwise("prose"))
+      .select(col("doc_id"), col("bucket"), col("code_score"),
+        coalesce(col("n_contam_windows"), lit(0L)).as("n_contam_windows"),
+        coalesce(col("contam_frac"), lit(0.0)).as("contam_frac"),
+        coalesce(col("action"), lit("clean")).as("action"))
   }
 
   /** Incremental SPAN-level dedup — d20's duplicated-substring

@@ -42,5 +42,7 @@ object GraftFunctions {
       exprs => EnvelopeMarshalBin(exprs(0), exprs(1), exprs(2)), "built-in")
     reg.createOrReplaceTempFunction(
       "envelope_parse_bin", exprs => EnvelopeParseBin(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "media_stats", exprs => MediaStatsExpr(exprs(0)), "built-in")
   }
 }

@@ -18,6 +18,19 @@ class ComponentsSpec extends SparkSuite {
     assert(labels.size == 12)
   }
 
+  test("exceeding maxIter fails loudly instead of returning unconverged labels") {
+    import spark.implicits._
+    // a 30-chain needs ~diameter propagation rounds; with the checked
+    // loop capped at 1 (after the 2-round seed) the labels cannot have
+    // converged, and a silent return would diverge from the exact
+    // recursive-reachability oracle — the contract is to throw
+    val chain = (1L until 30L).map(i => (i, i + 1)).toDF("node", "nbr")
+    val ex = intercept[IllegalStateException] {
+      Components.connected(chain, maxIter = 1)
+    }
+    assert(ex.getMessage.contains("no fixpoint"))
+  }
+
   test("edge orientation does not matter") {
     import spark.implicits._
     val fwd = Seq((1L, 2L), (2L, 3L)).toDF("node", "nbr")

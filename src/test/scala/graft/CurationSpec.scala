@@ -206,6 +206,31 @@ class CurationSpec extends SparkSuite {
     }
   }
 
+  test("m24's watermark decision is tied to m19's lateness profile") {
+    import graft.queries.Messaging
+    val m24 = SparkEntry.queries("m24_retention_sizing")(spark, sf).collect()
+    // the per-shard disorder column IS m19's profile, not a parallel
+    // recomputation that could drift
+    val m19 = SparkEntry.queries("m19_late_events")(spark, sf).collect()
+      .map(r => r.getAs[Long]("shard_id") -> r.getAs[Long]("max_disorder_us")).toMap
+    m24.foreach(r => assert(r.getAs[Long]("max_disorder_us") ===
+      m19(r.getAs[Long]("shard_id"))))
+    // one fleet-wide horizon, and it is the SMALLEST ladder rung whose
+    // fleet late fraction clears the floor (recomputed here from the
+    // shared disorder kernel the operator sizes from)
+    val wms = m24.map(_.getAs[Long]("watermark_sec")).distinct
+    assert(wms.length === 1, "watermark must be one fleet-wide number")
+    val dis = Messaging.disorderOf(
+        graft.operators.Envelope.messages(spark, sf))
+      .select(col("disorder_us")).collect().map(_.getLong(0))
+    val fracs = Messaging.WatermarkLadderSec.map(c =>
+      c -> dis.count(_ > c * 1000000L).toDouble / dis.length)
+    val expected = fracs.find(_._2 <= Messaging.LateFloor).map(_._1)
+      .getOrElse(Messaging.WatermarkLadderSec.max)
+    assert(wms.head === expected,
+      s"chosen watermark ${wms.head}s vs ladder $fracs")
+  }
+
   test("m18 replay ranges are gapless per shard") {
     val rows = SparkEntry.queries("m18_replay_window")(spark, sf).collect()
     assert(rows.nonEmpty)

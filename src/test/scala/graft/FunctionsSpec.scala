@@ -270,4 +270,99 @@ tab	end""", "view", "svc \"quoted\" 2"))
     assert(df.select(Portable.hash60(col("s"))).head.getLong(0)
       === java.lang.Long.parseLong("900150983cd24fb", 16))
   }
+
+  test("media_stats kernel equals the interpreted HOF decode and survives adversarial wires") {
+    import spark.implicits._
+    import org.apache.spark.sql.graftvec.MediaStatsColumns
+    // the HOF reference: mm12's pre-round-12 interpreted decode over
+    // the same planted hex wires (16x1 24bpp BMP / 16-sample s16 WAV)
+    val idx = sequence(lit(0L), lit(15L))
+    def hex2(v: org.apache.spark.sql.Column) = format_string("%02x", v.cast("int"))
+    val samples = transform(idx, i =>
+      pmod(col("doc_id") * 37L + i * 101L, lit(2048L)) - 1024L)
+    def le16h(v: org.apache.spark.sql.Column) = concat(
+      format_string("%02x", pmod(v, lit(256L)).cast("int")),
+      format_string("%02x", pmod(v / 256L, lit(256L)).cast("int")))
+    val wavHeader = "52494646" + "44000000" + "57415645" + "666d7420" +
+      "10000000" + "0100" + "0100" + "803e0000" + "007d0000" + "0200" +
+      "1000" + "64617461" + "20000000"
+    val wavWire = concat(lit(wavHeader),
+      array_join(transform(samples, v => le16h(pmod(v, lit(65536L)))), ""))
+    val bmpHeader = "424d" + "66000000" + "00000000" + "36000000" +
+      "28000000" + "10000000" + "01000000" + "0100" + "1800" + "00000000" +
+      "30000000" + "00000000" + "00000000" + "00000000" + "00000000"
+    val bmpWire = concat(lit(bmpHeader),
+      array_join(transform(idx, j => concat(
+        hex2(pmod(col("doc_id") * 7L + j * 13L, lit(256L))),
+        hex2(pmod(col("doc_id") * 11L + j * 29L, lit(256L))),
+        hex2(pmod(col("doc_id") * 3L + j * 53L, lit(256L))))), ""))
+    val wired = spark.range(1, 41).select(col("id").as("doc_id"),
+      when(pmod(col("id"), lit(2L)) === 0L, bmpWire).otherwise(wavWire).as("wire"))
+    def meanOf(arr: org.apache.spark.sql.Column) =
+      aggregate(arr, lit(0.0), (a, x) => a + x.cast("double")) / 16.0
+    def rmsOf(arr: org.apache.spark.sql.Column) =
+      sqrt(aggregate(arr, lit(0.0), (a, x) => a + x.cast("double") * x.cast("double")) / 16.0)
+    def peakOf(arr: org.apache.spark.sql.Column) =
+      aggregate(arr, lit(0.0), (a, x) => greatest(a, abs(x.cast("double"))))
+    val decSamples = transform(idx, i => {
+      val u = conv(concat(
+        substring(col("wire"), (lit(91L) + i * 4L).cast("int"), lit(2)),
+        substring(col("wire"), (lit(89L) + i * 4L).cast("int"), lit(2))), 16, 10).cast("long")
+      u - when(u >= 32768L, 65536L).otherwise(0L)
+    })
+    def px(off: Int) = transform(idx, j =>
+      conv(substring(col("wire"), (lit(109L + off) + j * 6L).cast("int"), lit(2)),
+        16, 10).cast("long"))
+    val isBmpW = substring(col("wire"), 1, 4) === "424d"
+    val hof = wired.select(col("doc_id"),
+      when(isBmpW, lit("bmp")).otherwise(lit("wav")).as("container"),
+      when(isBmpW, round((meanOf(px(4)) + meanOf(px(2)) + meanOf(px(0))) / 3.0, 6))
+        .otherwise(round(meanOf(decSamples), 6)).as("mean_signal"),
+      when(!isBmpW, round(rmsOf(decSamples), 6)).as("rms"),
+      when(!isBmpW, round(peakOf(decSamples), 6)).as("peak"),
+      when(isBmpW, round(meanOf(px(4)), 6)).as("mean_r"),
+      when(isBmpW, round(meanOf(px(2)), 6)).as("mean_g"),
+      when(isBmpW, round(meanOf(px(0)), 6)).as("mean_b"))
+    val kern = wired.select(col("doc_id"),
+        MediaStatsColumns.mediaStats(unhex(col("wire"))).as("st"))
+      .select(col("doc_id"), col("st.container").as("container"),
+        when(col("st.container") === "bmp",
+          round((col("st.mean_r") + col("st.mean_g") + col("st.mean_b")) / 3.0, 6))
+          .otherwise(round(col("st.mean_signal"), 6)).as("mean_signal"),
+        when(col("st.container") === "wav", round(col("st.rms"), 6)).as("rms"),
+        when(col("st.container") === "wav", round(col("st.peak"), 6)).as("peak"),
+        when(col("st.container") === "bmp", round(col("st.mean_r"), 6)).as("mean_r"),
+        when(col("st.container") === "bmp", round(col("st.mean_g"), 6)).as("mean_g"),
+        when(col("st.container") === "bmp", round(col("st.mean_b"), 6)).as("mean_b"))
+    assert(kern.exceptAll(hof).isEmpty && hof.exceptAll(kern).isEmpty)
+
+    // the kernel runs inside whole-stage codegen when its input does:
+    // the HOF-built test wires above are themselves interpreted
+    // lambdas (which is the whole point of replacing them), so assert
+    // the span on a parquet-driven binary column like production
+    val codegenDf = Tables.documents(spark, sf)
+      .select(MediaStatsColumns.mediaStats(col("text").cast("binary")).as("st"))
+    val plan = codegenDf.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l => l.contains("media_stats") && l.trim.startsWith("*")), plan)
+
+    // SQL registration
+    org.apache.spark.sql.graftvec.GraftFunctions.register(spark)
+    val viaSql = wired.createOrReplaceTempView("wired_media")
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM wired_media WHERE media_stats(unhex(wire)).ok")
+      .head.getLong(0) === 40L)
+
+    // adversarial wires: truncated / overflowing-dimension payloads
+    // yield ok=false rows, never throw; null payload stays null
+    val bad = Seq(
+      "424d",                                     // truncated header
+      bmpHeader.replace("10000000" + "01000000",  // w=h=0x7FFFFFFF
+        "ffffff7f" + "ffffff7f")
+    ).toDF("w2")
+    val badOut = bad.select(MediaStatsColumns.mediaStats(unhex(col("w2"))).as("st"))
+      .select(col("st.ok")).collect()
+    assert(badOut.forall(!_.getBoolean(0)))
+    assert(Seq(Option.empty[Array[Byte]]).toDF("p")
+      .select(MediaStatsColumns.mediaStats(col("p"))).head.isNullAt(0))
+  }
 }

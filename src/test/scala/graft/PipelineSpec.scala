@@ -400,6 +400,17 @@ class PipelineSpec extends SparkSuite {
     //  (c) BMP data offset 0x80000036 — negative after .toInt, guard passed
     val negOffBmp = bmp.take(10) ++ le32(0x80000036L) ++ bmp.drop(14)
     assert(!MediaDecode.parsePayload(negOffBmp).ok)
+    //  (d) BMP width=height=0x7FFFFFFF — positive as Longs, but
+    //  rowBytes*h (~1.4e19) wraps Long negative, so the old
+    //  need>len check passed vacuously and the pixel loop threw
+    //  AIOOBE on a 70-byte payload; the w*h <= len/3 pixel-count
+    //  guard must refuse before multiplying
+    val hugeDims = bmp.take(18) ++ le32(0x7FFFFFFFL) ++ le32(0x7FFFFFFFL) ++ bmp.drop(26)
+    assert(!MediaDecode.parsePayload(hugeDims).ok)
+    //  (d') the Long-overflow edge inside the per-axis caps: w,h just
+    //  under payload length still refuse via the pixel-count bound
+    val lenDims = bmp.take(18) ++ le32(bmp.length.toLong) ++ le32(bmp.length.toLong) ++ bmp.drop(26)
+    assert(!MediaDecode.parsePayload(lenDims).ok)
     // batch path round-trips
     import spark.implicits._
     val out = MediaDecode.parsePayloadBatch(
@@ -804,5 +815,38 @@ class PipelineSpec extends SparkSuite {
     // every source reports a full 7-day grid (the monitor never
     // silently drops a cell)
     assert(cells.groupBy(_.getAs[String]("source")).forall(_._2.length == 7))
+  }
+
+  test("p8 card legs are pinned to their source operators (mm4, d16, served index)") {
+    val card = SparkEntry.queries("p8_corpus_card")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getDouble(3))
+      .toMap
+    // modality rows == mm4's kernel over the raw corpus
+    val mm4 = graft.queries.Multimodal.modalityStats(
+        Tables.documents(spark, sf).select(col("doc_id"), col("text"))).collect()
+    assert(mm4.nonEmpty)
+    mm4.foreach { r =>
+      assert(card(("modality", r.getString(0), "n_objects")) ===
+        r.getAs[Long]("n_objects").toDouble)
+      assert(card(("modality", r.getString(0), "total_bytes")) ===
+        r.getAs[Long]("total_bytes").toDouble)
+    }
+    // source rows == d16's kernel over the raw corpus (no plants)
+    val d16 = graft.queries.Dedup.sourceDupStats(
+        Tables.documents(spark, sf).select(col("source"), col("text"))).collect()
+    assert(d16.nonEmpty)
+    d16.foreach { r =>
+      assert(card(("source", r.getString(0), "n_docs")) ===
+        r.getAs[Long]("n_docs").toDouble)
+      assert(math.abs(card(("source", r.getString(0), "dup_rate")) -
+        r.getAs[Double]("dup_rate")) < 1e-9)
+    }
+    // index rows == the served (persisted, manifest-verified) artifact
+    val idx = graft.queries.Similarity.servedIndexStats(spark, sf).collect().head
+    assert(card(("index", "ivfpq", "format_version")) ===
+      graft.queries.Similarity.IvfPqFormatVersion.toDouble)
+    assert(card(("index", "ivfpq", "n_cells")) === idx.getAs[Long]("n_cells").toDouble)
+    assert(math.abs(card(("index", "ivfpq", "recall")) -
+      idx.getAs[Double]("recall")) < 1e-6)
   }
 }

@@ -607,12 +607,14 @@ class StreamingSpec extends SparkSuite {
     // survives depends on arrival order, so compare hash SETS)
     val expected = graft.queries.Pipeline.withQuality(
         docs.select(col("doc_id"), col("text"))
-          .withColumn("h", graft.functions.Portable.md5hex(
+          .withColumn("h", graft.functions.Portable.md5bin(
             graft.functions.Portable.normText(col("text")))))
       .filter(col("quality") >= 0.5)
-      .select("h").distinct()
+      .select(hex(col("h")).as("h")).distinct()
       .collect().map(_.getString(0)).toSet
-    val got = curated.select("h").collect().map(_.getString(0))
+    // digests are 16-byte binary since round 12; compare hex-encoded
+    // (Array[Byte] has reference equality, so raw sets would not match)
+    val got = curated.select(hex(col("h"))).collect().map(_.getString(0))
     assert(got.length === got.distinct.length, "a content hash was curated twice")
     assert(got.toSet === expected)
     assert(curated.filter(col("quality") < 0.5).count() === 0)
@@ -1029,7 +1031,7 @@ class StreamingSpec extends SparkSuite {
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("h",
-          org.apache.spark.sql.types.StringType))))
+          org.apache.spark.sql.types.BinaryType))))
     val reports = scala.collection.mutable.ArrayBuffer
       .empty[Map[Long, (Long, Long, Double, Boolean)]]
     val input = MemoryStream[(Long, String)]
@@ -1134,7 +1136,7 @@ class StreamingSpec extends SparkSuite {
     // the checkpoint committed — the replay must NOT anti-join
     // against its own partial write (that would empty the batch and
     // overwrite its outputs with nothing)
-    docs.select(Portable.md5hex(Portable.normText(col("text"))).as("h"))
+    docs.select(Portable.md5bin(Portable.normText(col("text"))).as("h"))
       .distinct().write.parquet(s"$hStore/micro_batch_id=0")
 
     val q = DataPrep.curateMonitored(
@@ -1144,7 +1146,7 @@ class StreamingSpec extends SparkSuite {
 
     val curated = spark.read.parquet(outDir)
     val expected = graft.queries.Pipeline.withQuality(
-        docs.withColumn("h", Portable.md5hex(Portable.normText(col("text")))))
+        docs.withColumn("h", Portable.md5bin(Portable.normText(col("text")))))
       .filter(col("quality") >= 0.5).select("h").distinct().count()
     assert(curated.count() === expected,
       s"replayed batch curated ${curated.count()} docs, expected $expected")
@@ -1565,5 +1567,56 @@ class StreamingSpec extends SparkSuite {
 
     assert(acc.toSet === expected,
       s"streamed decontam diverged: ${(acc.toSet diff expected).take(3)} vs ${(expected diff acc.toSet).take(3)}")
+  }
+
+  test("live curate router: an arriving code/contaminated doc gets the batch t25/t26 disposition") {
+    import spark.implicits._
+    import graft.queries.TextOps
+    import graft.streaming.DataPrep
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val evalWins = TextOps.evalWindowDigests(docs).localCheckpoint()
+    // engineered arrivals alongside the corpus: a code-shaped doc
+    // (t25's plant surface) and a doc embedding an eval passage
+    // (words 5-25 of an eval doc -> must flag contaminated)
+    val evalDoc = docs.filter(col("doc_id") % 13 === 0)
+      .select(concat_ws(" ", slice(graft.functions.Portable.words(col("text")), 5, 21)))
+      .as[String].head()
+    val codeText = "if (x) { var x = 1; } if (y) { var y = 2; } return;"
+    val contamText = "lead pad words " + evalDoc + " trailing pad words here"
+    val arrivals = docs.as[(Long, String)].collect().toIndexedSeq ++
+      Seq((900001L, codeText), (900002L, contamText))
+
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3),
+        r.getDouble(4), r.getString(5))
+    // batch expectation: the SAME step over the whole corpus at once
+    val expected = DataPrep.routeStep(
+      arrivals.toDF("doc_id", "text"), evalWins).collect().map(key).toSet
+
+    val acc = scala.collection.mutable.Set[(Long, String, Double, Long, Double, String)]()
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", tempDir("ck_route"))
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        acc ++= DataPrep.routeStep(batch, evalWins).collect().map(key)
+        ()
+      }
+      .start()
+    input.addData(arrivals.take(150)); q.processAllAvailable()
+    input.addData(arrivals.drop(150)); q.processAllAvailable()
+    q.stop()
+
+    assert(acc.toSet === expected,
+      s"streamed routing diverged: ${(acc.toSet diff expected).take(3)} vs ${(expected diff acc.toSet).take(3)}")
+    // and the engineered arrivals got the dispositions the batch
+    // operators assign: code routed to the code bucket, the embedded
+    // eval passage caught with a non-clean action
+    val byId = acc.toSeq.groupBy(_._1)
+    assert(byId(900001L).head._2 === "code")
+    assert(byId(900002L).head._2 === "prose")
+    assert(byId(900002L).head._6 !== "clean")
+    assert(byId(900002L).head._4 > 0L)
   }
 }
