@@ -68,5 +68,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[EnvelopeParseBin].getName, "envelope_parse_bin"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         EnvelopeParseBin(exprs(0))))
+    e.injectFunction((
+      new FunctionIdentifier("hll_registers"),
+      new ExpressionInfo(classOf[HllRegisters].getName, "hll_registers"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        HllRegisters(exprs(0), intArg(exprs(1)))))
+    e.injectFunction((
+      new FunctionIdentifier("media_stats"),
+      new ExpressionInfo(classOf[MediaStatsExpr].getName, "media_stats"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        MediaStatsExpr(exprs(0))))
   }
 }
