@@ -369,7 +369,66 @@ object Pipeline extends QueryPack {
     // broadcast eval set. At 100 TB this is the cheap summary run
     // AFTER curation — every metric is one partial-combining
     // aggregate over the final corpus.
-    "p8_corpus_card" -> { (s, d) =>
+    "p8_corpus_card" -> { (s, d) => corpusCard(s, d) },
+
+    // The RELEASE GATE (round 12) — the ship/no-ship decision layer
+    // over the p8 card (the m20/a25 measure→decide pattern applied to
+    // the corpus release itself): each check reads ONE card metric
+    // against its threshold — exact-dup rate, eval-contamination
+    // exposure, mean quality, served-index recall, and the smallest
+    // language's corpus share — and `release` is the conjunction, so
+    // the decision is auditable row by row rather than announced.
+    // Because every input is a card row, the gate can never disagree
+    // with the datasheet the release publishes; cost is the card plus
+    // five 1-row aggregates.
+    "p9_release_gate" -> { (s, d) =>
+      val card = corpusCard(s, d).localCheckpoint()
+      def metric(sec: String, key: String, met: String, as: String) =
+        broadcast(card.filter(col("section") === sec && col("key") === key &&
+            col("metric") === met)
+          .select(col("value").as(as)))
+      val minLang = broadcast(card.filter(col("section") === "lang" &&
+          col("metric") === "n_docs")
+        .agg(min(col("value")).as("min_lang_docs")))
+      val joined = metric("dedup", "exact", "dup_rate", "dup_rate")
+        .crossJoin(metric("decontam", "eval", "contam_doc_rate", "contam_rate"))
+        .crossJoin(metric("quality", "all", "mean", "mean_quality"))
+        .crossJoin(metric("index", "ivfpq", "recall", "recall"))
+        .crossJoin(metric("corpus", "all", "n_docs", "n_docs"))
+        .crossJoin(minLang)
+      val checks = joined.select(explode(array(
+        struct(lit("contam_rate_max").as("check_name"),
+          col("contam_rate").as("value"), lit(0.10).as("threshold"),
+          (col("contam_rate") <= 0.10).as("pass")),
+        struct(lit("dup_rate_max").as("check_name"),
+          col("dup_rate").as("value"), lit(0.01).as("threshold"),
+          (col("dup_rate") <= 0.01).as("pass")),
+        struct(lit("index_recall_min").as("check_name"),
+          col("recall").as("value"), lit(0.05).as("threshold"),
+          (col("recall") >= 0.05).as("pass")),
+        struct(lit("mean_quality_min").as("check_name"),
+          col("mean_quality").as("value"), lit(0.5).as("threshold"),
+          (col("mean_quality") >= 0.5).as("pass")),
+        struct(lit("min_lang_share").as("check_name"),
+          round(col("min_lang_docs") / col("n_docs"), 6).as("value"),
+          lit(0.01).as("threshold"),
+          (round(col("min_lang_docs") / col("n_docs"), 6) >= 0.01).as("pass")))).as("c"))
+        .select(col("c.check_name").as("check_name"), col("c.value").as("value"),
+          col("c.threshold").as("threshold"), col("c.pass").as("pass"))
+      val overall = checks.agg(
+        (sum(when(col("pass"), 0L).otherwise(1L)) === 0L).as("release"))
+      checks.crossJoin(broadcast(overall))
+        .select(col("check_name"), round(col("value"), 6).as("value"),
+          col("threshold"), col("pass"), col("release"))
+        .orderBy(col("check_name"))
+    }
+  )
+
+  /** p8's card builder — every metric from the kernels the pipeline
+    * operators themselves run (see the p8 map entry's comment); shared
+    * with p9's release gate so the decision can never disagree with
+    * the published datasheet. */
+  private[graft] def corpusCard(s: SparkSession, d: String): DataFrame = {
       val base = withQuality(Tables.documents(s, d)
           .select(col("doc_id"), col("text"), col("lang"), col("source")))
         .withColumn("h", Portable.md5bin(Portable.normText(col("text"))))
@@ -458,8 +517,8 @@ object Pipeline extends QueryPack {
         .select(col("section"), col("key"), col("metric"),
           round(col("value"), 6).as("value"))
         .orderBy(col("section"), col("key"), col("metric"))
-    }
-  )
+  }
+
 
   /** p6's per-(source, ingest_day) quality cells — (count, Σq, Σq²)
     * SUMS so they merge associatively across micro-batches (the a22
@@ -508,6 +567,79 @@ object Pipeline extends QueryPack {
         (col("z") < -3.0).as("flagged"))
       .orderBy(col("source"), col("ingest_day"))
   }
+
+  /** p8's oracle, also embedded as a CTE by p9's release gate. */
+  private lazy val CorpusCardSql: String =
+      s"""WITH docs AS (SELECT doc_id, text, lang, source FROM documents),
+        |idx AS (${graft.queries.Similarity.ServedIndexStatsSql}),
+        |ws AS (
+        |  SELECT doc_id, lang, source, text,
+        |    CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+        |      ELSE regexp_split_to_array(trim(text), '\\s+') END AS w
+        |  FROM docs),
+        |q AS (
+        |  SELECT doc_id, lang, source, w, len(w)::BIGINT AS n_words,
+        |    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h,
+        |    (CASE WHEN len(w) = 0 THEN 0.0
+        |      ELSE len(list_filter(w, x ->
+        |        list_contains(['the','a','of','and','to'], x)))::DOUBLE / len(w)
+        |      END) * 0.4
+        |    + least(len(w)::DOUBLE / 100.0, 1.0) * 0.4
+        |    + (1.0 - (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE
+        |        / length(text)) * 0.2 AS quality
+        |  FROM ws),
+        |tot AS (
+        |  SELECT count(*)::BIGINT AS n, CAST(sum(n_words) AS BIGINT) AS tok,
+        |    avg(quality) AS mq, count(DISTINCT h) AS nh
+        |  FROM q),
+        |p50 AS (SELECT quantile_cont(quality, 0.5) AS p50 FROM q),
+        |ev AS (
+        |  SELECT w[5:25] AS ew FROM ws
+        |  WHERE doc_id % 13 = 0 AND len(w[5:25]) >= 10),
+        |evw AS (
+        |  SELECT DISTINCT md5(array_to_string(ew[i : i + 9], ' ')) AS h
+        |  FROM ev, unnest(generate_series(1, CAST(len(ew) AS INT) - 9)) AS t(i)),
+        |dw AS (
+        |  SELECT q.doc_id, md5(array_to_string(w[i : i + 9], ' ')) AS h
+        |  FROM q, unnest(generate_series(1, CAST(n_words AS INT) - 9)) AS t(i)
+        |  WHERE n_words >= 10),
+        |nc AS (SELECT count(DISTINCT dw.doc_id) AS nc FROM dw JOIN evw USING (h)),
+        |rows AS (
+        |  SELECT 'corpus' AS section, 'all' AS key, 'n_docs' AS metric,
+        |    n::DOUBLE AS value FROM tot
+        |  UNION ALL SELECT 'corpus', 'all', 'n_tokens', tok::DOUBLE FROM tot
+        |  UNION ALL SELECT 'quality', 'all', 'mean', mq FROM tot
+        |  UNION ALL SELECT 'quality', 'all', 'p50', p50 FROM p50
+        |  UNION ALL SELECT 'dedup', 'exact', 'dup_rate',
+        |    1.0 - nh::DOUBLE / n FROM tot
+        |  UNION ALL SELECT 'decontam', 'eval', 'contam_doc_rate',
+        |    (SELECT nc FROM nc)::DOUBLE / n FROM tot
+        |  UNION ALL SELECT 'lang', lang, 'n_docs', count(*)::DOUBLE FROM q GROUP BY lang
+        |  UNION ALL SELECT 'lang', lang, 'n_tokens',
+        |    CAST(sum(n_words) AS DOUBLE) FROM q GROUP BY lang
+        |  UNION ALL SELECT 'lang', lang, 'mean_quality', avg(quality)
+        |  FROM q GROUP BY lang
+        |  UNION ALL SELECT 'modality',
+        |    ['audio','image','text','video'][(doc_id % 4 + 1)::INTEGER],
+        |    'n_objects', count(*)::DOUBLE FROM docs GROUP BY 2
+        |  UNION ALL SELECT 'modality',
+        |    ['audio','image','text','video'][(doc_id % 4 + 1)::INTEGER],
+        |    'total_bytes', CAST(sum(octet_length(text::BLOB)) AS DOUBLE)
+        |  FROM docs GROUP BY 2
+        |  UNION ALL SELECT 'source', source, 'n_docs', count(*)::DOUBLE
+        |  FROM q GROUP BY source
+        |  UNION ALL SELECT 'source', source, 'dup_rate',
+        |    round(1.0 - count(DISTINCT h)::DOUBLE / count(*), 6)
+        |  FROM q GROUP BY source
+        |  UNION ALL SELECT 'index', 'ivfpq', 'format_version',
+        |    ${graft.queries.Similarity.IvfPqFormatVersion}.0
+        |  UNION ALL SELECT 'index', 'ivfpq', 'n_cells',
+        |    (SELECT n_cells FROM idx)::DOUBLE
+        |  UNION ALL SELECT 'index', 'ivfpq', 'recall',
+        |    (SELECT recall FROM idx))
+        |SELECT section, key, metric, round(value, 6) AS value
+        |FROM rows
+        |ORDER BY section, key, metric""".stripMargin
 
   def oracle: Map[String, String] = Map(
     "p1_dataprep" ->
@@ -840,76 +972,29 @@ object Pipeline extends QueryPack {
     // Every leg re-derived from the shared formulas: p1's quality
     // expression, d1's normalized digest, t26's eval excerpt and
     // window digests, quantile_cont for the exact median.
-    "p8_corpus_card" ->
-      s"""WITH docs AS (SELECT doc_id, text, lang, source FROM documents),
-        |idx AS (${graft.queries.Similarity.ServedIndexStatsSql}),
-        |ws AS (
-        |  SELECT doc_id, lang, source, text,
-        |    CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-        |      ELSE regexp_split_to_array(trim(text), '\\s+') END AS w
-        |  FROM docs),
-        |q AS (
-        |  SELECT doc_id, lang, source, w, len(w)::BIGINT AS n_words,
-        |    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h,
-        |    (CASE WHEN len(w) = 0 THEN 0.0
-        |      ELSE len(list_filter(w, x ->
-        |        list_contains(['the','a','of','and','to'], x)))::DOUBLE / len(w)
-        |      END) * 0.4
-        |    + least(len(w)::DOUBLE / 100.0, 1.0) * 0.4
-        |    + (1.0 - (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE
-        |        / length(text)) * 0.2 AS quality
-        |  FROM ws),
-        |tot AS (
-        |  SELECT count(*)::BIGINT AS n, CAST(sum(n_words) AS BIGINT) AS tok,
-        |    avg(quality) AS mq, count(DISTINCT h) AS nh
-        |  FROM q),
-        |p50 AS (SELECT quantile_cont(quality, 0.5) AS p50 FROM q),
-        |ev AS (
-        |  SELECT w[5:25] AS ew FROM ws
-        |  WHERE doc_id % 13 = 0 AND len(w[5:25]) >= 10),
-        |evw AS (
-        |  SELECT DISTINCT md5(array_to_string(ew[i : i + 9], ' ')) AS h
-        |  FROM ev, unnest(generate_series(1, CAST(len(ew) AS INT) - 9)) AS t(i)),
-        |dw AS (
-        |  SELECT q.doc_id, md5(array_to_string(w[i : i + 9], ' ')) AS h
-        |  FROM q, unnest(generate_series(1, CAST(n_words AS INT) - 9)) AS t(i)
-        |  WHERE n_words >= 10),
-        |nc AS (SELECT count(DISTINCT dw.doc_id) AS nc FROM dw JOIN evw USING (h)),
-        |rows AS (
-        |  SELECT 'corpus' AS section, 'all' AS key, 'n_docs' AS metric,
-        |    n::DOUBLE AS value FROM tot
-        |  UNION ALL SELECT 'corpus', 'all', 'n_tokens', tok::DOUBLE FROM tot
-        |  UNION ALL SELECT 'quality', 'all', 'mean', mq FROM tot
-        |  UNION ALL SELECT 'quality', 'all', 'p50', p50 FROM p50
-        |  UNION ALL SELECT 'dedup', 'exact', 'dup_rate',
-        |    1.0 - nh::DOUBLE / n FROM tot
-        |  UNION ALL SELECT 'decontam', 'eval', 'contam_doc_rate',
-        |    (SELECT nc FROM nc)::DOUBLE / n FROM tot
-        |  UNION ALL SELECT 'lang', lang, 'n_docs', count(*)::DOUBLE FROM q GROUP BY lang
-        |  UNION ALL SELECT 'lang', lang, 'n_tokens',
-        |    CAST(sum(n_words) AS DOUBLE) FROM q GROUP BY lang
-        |  UNION ALL SELECT 'lang', lang, 'mean_quality', avg(quality)
-        |  FROM q GROUP BY lang
-        |  UNION ALL SELECT 'modality',
-        |    ['audio','image','text','video'][(doc_id % 4 + 1)::INTEGER],
-        |    'n_objects', count(*)::DOUBLE FROM docs GROUP BY 2
-        |  UNION ALL SELECT 'modality',
-        |    ['audio','image','text','video'][(doc_id % 4 + 1)::INTEGER],
-        |    'total_bytes', CAST(sum(octet_length(text::BLOB)) AS DOUBLE)
-        |  FROM docs GROUP BY 2
-        |  UNION ALL SELECT 'source', source, 'n_docs', count(*)::DOUBLE
-        |  FROM q GROUP BY source
-        |  UNION ALL SELECT 'source', source, 'dup_rate',
-        |    round(1.0 - count(DISTINCT h)::DOUBLE / count(*), 6)
-        |  FROM q GROUP BY source
-        |  UNION ALL SELECT 'index', 'ivfpq', 'format_version',
-        |    ${graft.queries.Similarity.IvfPqFormatVersion}.0
-        |  UNION ALL SELECT 'index', 'ivfpq', 'n_cells',
-        |    (SELECT n_cells FROM idx)::DOUBLE
-        |  UNION ALL SELECT 'index', 'ivfpq', 'recall',
-        |    (SELECT recall FROM idx))
-        |SELECT section, key, metric, round(value, 6) AS value
-        |FROM rows
-        |ORDER BY section, key, metric""".stripMargin
+    "p8_corpus_card" -> CorpusCardSql,
+
+    "p9_release_gate" ->
+      s"""WITH card AS ($CorpusCardSql),
+        |vals AS (SELECT
+        |  (SELECT value FROM card WHERE section='dedup' AND metric='dup_rate') AS dup_rate,
+        |  (SELECT value FROM card WHERE section='decontam' AND metric='contam_doc_rate') AS contam_rate,
+        |  (SELECT value FROM card WHERE section='quality' AND "key"='all' AND metric='mean') AS mean_quality,
+        |  (SELECT value FROM card WHERE section='index' AND metric='recall') AS recall,
+        |  (SELECT value FROM card WHERE section='corpus' AND metric='n_docs') AS n_docs,
+        |  (SELECT min(value) FROM card WHERE section='lang' AND metric='n_docs') AS min_lang),
+        |checks AS (
+        |  SELECT 'contam_rate_max' AS check_name, contam_rate AS value,
+        |    0.10 AS threshold, contam_rate <= 0.10 AS pass FROM vals
+        |  UNION ALL SELECT 'dup_rate_max', dup_rate, 0.01, dup_rate <= 0.01 FROM vals
+        |  UNION ALL SELECT 'index_recall_min', recall, 0.05, recall >= 0.05 FROM vals
+        |  UNION ALL SELECT 'mean_quality_min', mean_quality, 0.5, mean_quality >= 0.5 FROM vals
+        |  UNION ALL SELECT 'min_lang_share', round(min_lang / n_docs, 6), 0.01,
+        |    round(min_lang / n_docs, 6) >= 0.01 FROM vals)
+        |SELECT check_name, round(value, 6) AS value, threshold, pass,
+        |  (SELECT CASE WHEN sum(CASE WHEN pass THEN 0 ELSE 1 END) = 0
+        |     THEN true ELSE false END FROM checks) AS release
+        |FROM checks
+        |ORDER BY check_name""".stripMargin
   )
 }

@@ -778,6 +778,59 @@ object TextOps extends QueryPack {
       contamSpans(docs, evalWindowDigests(docs)).orderBy(col("doc_id"))
     },
 
+    // Contamination PROVENANCE (round 12) — t26 says WHERE a doc is
+    // contaminated; this says BY WHOM: one row per (corpus doc, eval
+    // doc) pair sharing at least one 10-word window, with the shared
+    // window count and the hit extent in the corpus doc's word space.
+    // The remediation and eval-hygiene table: a contaminated doc
+    // names the benchmark passages it leaks, and an eval doc leaking
+    // into MANY corpus docs is itself crawl-derived boilerplate the
+    // eval suite should drop. Self-pairs are excluded (eval passages
+    // are excerpted from the corpus, so every eval doc trivially hits
+    // itself). Scale shape = t26's: the (eval_id, digest) set is
+    // benchmark-sized and broadcast; the corpus side is one map pass;
+    // the only shuffle is the (doc_id, eval_id) rollup of hits.
+    "t27_contam_provenance" -> { (s, d) =>
+      val w = ContamW
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      // natural cross-doc leakage is nearly absent at test SF (the
+      // eval excerpts are unique passages), so leaks are PLANTED the
+      // t12 way: every third eval doc's excerpt re-embedded inside a
+      // fresh doc (ids >= 800000) between pad words — each plant must
+      // surface as exactly its (plant, eval) pair with the excerpt's
+      // 12 shared windows, and the boundary windows that straddle pad
+      // and excerpt must NOT match
+      val planted = docs.filter(col("doc_id") % 39 === 0)
+        .select((col("doc_id") + 800000L).as("doc_id"),
+          concat_ws(" ", lit("zlkpad0 zlkpad1 zlkpad2 zlkpad3"),
+            concat_ws(" ", slice(Portable.words(col("text")), 5, 21)),
+            lit("zlktail0 zlktail1 zlktail2")).as("text"))
+      val corpus = docs.unionAll(planted)
+      val evalWins = docs.filter(col("doc_id") % 13 === 0)
+        .select(col("doc_id").as("eval_id"),
+          slice(Portable.words(col("text")), 5, 21).as("ew"))
+        .filter(size(col("ew")) >= w)
+        .select(col("eval_id"),
+          explode(transform(sequence(lit(1), size(col("ew")) - (w - 1)),
+            i => Portable.md5bin(array_join(slice(col("ew"), i, lit(w)), " ")))).as("h"))
+        .distinct()
+      val wins = corpus
+        .select(col("doc_id"), Portable.words(col("text")).as("w"))
+        .withColumn("n_words", size(col("w")).cast("long"))
+        .filter(col("n_words") >= w)
+        .select(col("doc_id"),
+          posexplode(transform(sequence(lit(1L), col("n_words") - (w - 1)),
+            i => Portable.md5bin(array_join(slice(col("w"), i.cast("int"), lit(w)), " "))))
+            .as(Seq("pos", "h")))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("i"), col("h"))
+      wins.join(broadcast(evalWins), "h")
+        .filter(col("doc_id") =!= col("eval_id"))
+        .groupBy(col("doc_id"), col("eval_id"))
+        .agg(count(lit(1)).as("n_shared_windows"),
+          min(col("i")).as("first_i"), max(col("i")).as("last_i"))
+        .orderBy(col("doc_id"), col("eval_id"))
+    },
+
     "t21_segment_dedup" -> { (s, d) =>
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
       val prefixed = docs.withColumn("text",
@@ -1586,6 +1639,37 @@ object TextOps extends QueryPack {
          |FROM spans
          |GROUP BY doc_id, n_words
          |ORDER BY doc_id""".stripMargin,
+
+    "t27_contam_provenance" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+         |    ELSE regexp_split_to_array(trim(text), '\\s+') END AS w
+         |  FROM documents),
+         |src AS (
+         |  SELECT doc_id, w FROM base
+         |  UNION ALL
+         |  SELECT doc_id + 800000 AS doc_id,
+         |    regexp_split_to_array(
+         |      'zlkpad0 zlkpad1 zlkpad2 zlkpad3 ' || array_to_string(w[5:25], ' ')
+         |        || ' zlktail0 zlktail1 zlktail2', '\\s+') AS w
+         |  FROM base WHERE doc_id % 39 = 0),
+         |ev AS (
+         |  SELECT doc_id AS eval_id, w[5:25] AS ew FROM base
+         |  WHERE doc_id % 13 = 0 AND len(w[5:25]) >= 10),
+         |evw AS (
+         |  SELECT DISTINCT eval_id, md5(array_to_string(ew[i : i + 9], ' ')) AS h
+         |  FROM ev, unnest(generate_series(1, CAST(len(ew) AS INT) - 9)) AS t(i)),
+         |dw AS (
+         |  SELECT doc_id, i::BIGINT AS i, md5(array_to_string(w[i : i + 9], ' ')) AS h
+         |  FROM src, unnest(generate_series(1, CAST(len(w) AS INT) - 9)) AS t(i)
+         |  WHERE len(w) >= 10)
+         |SELECT dw.doc_id, evw.eval_id,
+         |  count(*)::BIGINT AS n_shared_windows,
+         |  CAST(min(i) AS BIGINT) AS first_i, CAST(max(i) AS BIGINT) AS last_i
+         |FROM dw JOIN evw USING (h)
+         |WHERE dw.doc_id <> evw.eval_id
+         |GROUP BY dw.doc_id, evw.eval_id
+         |ORDER BY dw.doc_id, evw.eval_id""".stripMargin,
 
     "t21_segment_dedup" ->
       s"""WITH base AS (

@@ -695,4 +695,48 @@ class CurationSpec extends SparkSuite {
       .withColumn("doc_id", col("doc_id") + 900000L)
     assert(Dedup.bloomProbe(reup, merged).filter(!col("predicted_dup")).count() === 0)
   }
+
+  test("t27 provenance surfaces exactly the planted leaks, attributed to their source eval docs") {
+    import graft.functions.Portable
+    val rows = SparkEntry.queries("t27_contam_provenance")(spark, sf).collect()
+    // no self-pairs ever (eval passages are corpus excerpts)
+    assert(rows.forall(r => r.getLong(0) != r.getLong(1)))
+    val planted = rows.filter(_.getLong(0) >= 800000L)
+    assert(planted.nonEmpty)
+    // every qualifying plant source (an eval doc with a >= 10-word
+    // excerpt, i.e. >= 14 words) yields its (plant, source) pair
+    val expected = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 39 === 0 &&
+        size(Portable.words(col("text"))) >= 14)
+      .count()
+    val exactPairs = planted.filter(r => r.getLong(0) - 800000L == r.getLong(1))
+    assert(exactPairs.length.toLong === expected,
+      s"${exactPairs.length} plant pairs vs $expected qualifying sources")
+    exactPairs.foreach { r =>
+      // a full 21-word excerpt shares exactly 12 stride-1 windows,
+      // starting after the 4 collision-proof pad words; shorter
+      // excerpts share fewer — never more (pad/tail windows must not
+      // match)
+      assert(r.getAs[Long]("n_shared_windows") <= 12L, r.toString)
+      assert(r.getAs[Long]("first_i") === 5L, r.toString)
+    }
+    assert(exactPairs.exists(_.getAs[Long]("n_shared_windows") == 12L))
+  }
+
+  test("p9 release gate is the conjunction of its own check rows over p8 card values") {
+    val rows = SparkEntry.queries("p9_release_gate")(spark, sf).collect()
+    assert(rows.length === 5)
+    val rel = rows.map(_.getAs[Boolean]("release")).distinct
+    assert(rel.length === 1, "release must be one fleet-wide verdict")
+    assert(rel.head === rows.forall(_.getAs[Boolean]("pass")))
+    // each check's value IS the card's own number, not a recomputation
+    val card = SparkEntry.queries("p8_corpus_card")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getDouble(3))
+      .toMap
+    val byName = rows.map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(byName("dup_rate_max") === card(("dedup", "exact", "dup_rate")))
+    assert(byName("contam_rate_max") === card(("decontam", "eval", "contam_doc_rate")))
+    assert(byName("mean_quality_min") === card(("quality", "all", "mean")))
+    assert(byName("index_recall_min") === card(("index", "ivfpq", "recall")))
+  }
 }
