@@ -421,6 +421,43 @@ object Pipeline extends QueryPack {
         .select(col("check_name"), round(col("value"), 6).as("value"),
           col("threshold"), col("pass"), col("release"))
         .orderBy(col("check_name"))
+    },
+
+    // Release SNAPSHOT DIFF (round 12) — the change manifest between
+    // the current corpus and the next release candidate, by doc id +
+    // content digest: added / removed / changed / unchanged, with the
+    // character-budget delta per class. This is the table a release
+    // review reads next to p8's card and p9's gate ("what actually
+    // moved?"), and the input to incremental re-indexing (only added
+    // + changed docs re-embed / re-index). The candidate is planted
+    // with all three mutation classes (drops, revisions, fresh
+    // ingests) so each class visibly claims rows. One digest pass per
+    // snapshot + a full-outer join on doc_id carrying 16-byte digests
+    // and two lengths — never text.
+    "p10_snapshot_diff" -> { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val next = docs.filter(col("doc_id") % 23 =!= 5)
+        .withColumn("text", when(col("doc_id") % 17 === 3,
+          concat(col("text"), lit(" revision two"))).otherwise(col("text")))
+        .unionAll(docs.filter(col("doc_id") % 29 === 0)
+          .select((col("doc_id") + 900000L).as("doc_id"),
+            concat(lit("fresh crawl "), col("text")).as("text")))
+      def digests(df: DataFrame, hName: String, cName: String) =
+        df.select(col("doc_id"),
+          Portable.md5bin(Portable.normText(col("text"))).as(hName),
+          length(col("text")).cast("long").as(cName))
+      digests(docs, "h_old", "chars_old")
+        .join(digests(next, "h_new", "chars_new"), Seq("doc_id"), "full_outer")
+        .withColumn("status",
+          when(col("h_old").isNull, "added")
+            .when(col("h_new").isNull, "removed")
+            .when(col("h_old") === col("h_new"), "unchanged")
+            .otherwise("changed"))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("chars_new"), lit(0L)) -
+            coalesce(col("chars_old"), lit(0L))).as("delta_chars"))
+        .orderBy(col("status"))
     }
   )
 
@@ -995,6 +1032,37 @@ object Pipeline extends QueryPack {
         |  (SELECT CASE WHEN sum(CASE WHEN pass THEN 0 ELSE 1 END) = 0
         |     THEN true ELSE false END FROM checks) AS release
         |FROM checks
-        |ORDER BY check_name""".stripMargin
+        |ORDER BY check_name""".stripMargin,
+
+    "p10_snapshot_diff" ->
+      s"""WITH nxt AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 17 = 3 THEN text || ' revision two'
+         |      ELSE text END AS text
+         |  FROM documents WHERE doc_id % 23 <> 5
+         |  UNION ALL
+         |  SELECT doc_id + 900000 AS doc_id, 'fresh crawl ' || text AS text
+         |  FROM documents WHERE doc_id % 29 = 0),
+         |a AS (
+         |  SELECT doc_id,
+         |    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h_old,
+         |    length(text)::BIGINT AS chars_old
+         |  FROM documents),
+         |b AS (
+         |  SELECT doc_id,
+         |    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h_new,
+         |    length(text)::BIGINT AS chars_new
+         |  FROM nxt)
+         |SELECT
+         |  CASE WHEN h_old IS NULL THEN 'added'
+         |    WHEN h_new IS NULL THEN 'removed'
+         |    WHEN h_old = h_new THEN 'unchanged'
+         |    ELSE 'changed' END AS status,
+         |  count(*)::BIGINT AS n_docs,
+         |  CAST(sum(coalesce(chars_new, 0) - coalesce(chars_old, 0)) AS BIGINT)
+         |    AS delta_chars
+         |FROM a FULL OUTER JOIN b USING (doc_id)
+         |GROUP BY 1
+         |ORDER BY 1""".stripMargin
   )
 }

@@ -1538,6 +1538,46 @@ object Similarity extends QueryPack {
       .crossJoin(broadcast(ix.cents.agg(count(lit(1)).as("n_cells"))))
   }
 
+  /** a28: the serve-cost SLO table (round 12) — the capacity-planning
+    * numbers a fleet sizes from, read off the SERVED index artifact:
+    * per probe, how many coarse cells its routing touches, how many
+    * candidates those cells contain (minus the probe itself — the
+    * a18 serve's exclusion), the implied ADC work (M table lookups
+    * per candidate), and the fraction of the corpus scanned. The
+    * whole point of IVF is that frac_scanned ≪ 1; this is the table
+    * that PROVES it per query and catches a hot-cell route before it
+    * becomes a latency cliff. Cost: the routing join (probes ×
+    * broadcast centroids) + a cells-sized size rollup — no vector
+    * math at all; the probe's rank-1 route is its own assigned cell
+    * by construction (identical cosine + tiebreak ordering), so the
+    * self-exclusion is exact. */
+  def serveCost(s: SparkSession, d: String): DataFrame = {
+    val ix = servedIndex(s, d)
+    val v = vecs(s, d)
+    val probes = hashTopK(v, "probe", NProbes)
+      .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"), col("nrm").as("p_nrm"))
+    val wProbe = Window.partitionBy(col("probe_id"))
+      .orderBy(col("pc_cos").desc, col("cell"))
+    val routes = probes.join(broadcast(ix.cents))
+      .withColumn("pc_cos", cosPre(col("p_emb"), col("p_nrm"), col("c_emb"), col("c_nrm")))
+      .withColumn("r", row_number().over(wProbe))
+      .filter(col("r") <= Geo.nProbe)
+      .select(col("probe_id"), col("cell"))
+    val sizes = ix.assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_members"))
+    val tot = v.agg(count(lit(1)).as("n_corpus"))
+    routes.join(broadcast(sizes), "cell")
+      .groupBy(col("probe_id"))
+      .agg(count(lit(1)).as("n_cells_routed"),
+        (sum(col("n_members")) - 1L).as("n_candidates"))
+      .crossJoin(broadcast(tot))
+      .select(col("probe_id"), col("n_cells_routed"), col("n_candidates"),
+        (col("n_candidates") * PqM).as("adc_ops"),
+        round(col("n_candidates").cast("double") / col("n_corpus"), 6)
+          .as("frac_scanned"))
+      .orderBy(col("probe_id"))
+  }
+
   /** Persisted-index format version — bumped on any frame-schema
     * change so a loader can refuse an incompatible artifact by name. */
   val IvfPqFormatVersion = 1
@@ -1851,7 +1891,8 @@ object Similarity extends QueryPack {
     "a24_nprobe_sweep" -> ((s, d) => nprobeSweep(s, d)),
     "a25_nprobe_decide" -> ((s, d) => nprobeDecide(s, d)),
     "a26_adaptive_nprobe" -> ((s, d) => adaptiveNprobe(s, d)),
-    "a27_opq_serve" -> ((s, d) => opqServeGain(s, d))
+    "a27_opq_serve" -> ((s, d) => opqServeGain(s, d)),
+    "a28_serve_cost" -> ((s, d) => serveCost(s, d))
   )
 
   /** a13's oracle: plain inner-product ranking (shared with a16). */
@@ -2197,6 +2238,40 @@ object Similarity extends QueryPack {
     // assignment, code assignment, probe routing, the probe×code ADC
     // table, and the final Σ-of-table-lookups ranking.
     "a18_ivf_pq_serve" -> IvfPqServeSql,
+
+    "a28_serve_cost" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |cs AS (SELECT vec_id AS cell, emb AS c_emb
+         |  FROM (SELECT * FROM v ${centSel(Geo.nCentroids)}) t),
+         |assigned AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT v.vec_id, c.cell,
+         |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |        list_dot_product(v.emb, c.c_emb) /
+         |          (sqrt(list_dot_product(v.emb, v.emb)) *
+         |           sqrt(list_dot_product(c.c_emb, c.c_emb))) DESC,
+         |        c.cell) AS crank
+         |    FROM v, cs c) t WHERE crank = 1),
+         |sizes AS (SELECT cell, count(*) AS n_members FROM assigned GROUP BY cell),
+         |probes AS (SELECT vec_id AS probe_id, emb AS p_emb FROM v $probeSel),
+         |routes AS (
+         |  SELECT probe_id, cell FROM (
+         |    SELECT p.probe_id, c.cell,
+         |      row_number() OVER (PARTITION BY p.probe_id ORDER BY
+         |        list_dot_product(p.p_emb, c.c_emb) /
+         |          (sqrt(list_dot_product(p.p_emb, p.p_emb)) *
+         |           sqrt(list_dot_product(c.c_emb, c.c_emb))) DESC,
+         |        c.cell) AS r
+         |    FROM probes p, cs c) t WHERE r <= ${Geo.nProbe}),
+         |tot AS (SELECT count(*) AS n_corpus FROM v)
+         |SELECT r.probe_id, count(*)::BIGINT AS n_cells_routed,
+         |  CAST(sum(s.n_members) - 1 AS BIGINT) AS n_candidates,
+         |  CAST((sum(s.n_members) - 1) * $PqM AS BIGINT) AS adc_ops,
+         |  round((sum(s.n_members) - 1)::DOUBLE / any_value(t.n_corpus), 6)
+         |    AS frac_scanned
+         |FROM routes r JOIN sizes s USING (cell) CROSS JOIN tot t
+         |GROUP BY r.probe_id
+         |ORDER BY r.probe_id""".stripMargin,
 
     "a17_residual_pq" -> {
       val hi = PqM - 1

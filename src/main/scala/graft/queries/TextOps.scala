@@ -430,20 +430,43 @@ object TextOps extends QueryPack {
               pmod(col("doc_id") + lit(400000L) + i.cast("long"), lit(97L)).cast("string"))))
             .as("text"))
       val corpus = docs.select(col("doc_id"), col("text")).unionAll(gibberish)
-      val trainToks = docs.select(explode(Portable.words(col("text"))).as("tok"))
-      val lm = trainToks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
-      val stats = trainToks.agg(count(lit(1)).as("n"),
-        countDistinct(col("tok")).as("v"))
-      corpus.select(col("doc_id"), explode(Portable.words(col("text"))).as("tok"))
-        .join(broadcast(lm), Seq("tok"), "left")
-        .crossJoin(broadcast(stats))
-        .withColumn("lp",
-          log((coalesce(col("c"), lit(0L)) + lit(1L)).cast("double") /
-            (col("n") + col("v")).cast("double")))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_tokens"), round(avg(col("lp")), 6).as("avg_logp"))
+      lmAvgLogP(corpus, docs)
         .withColumn("keep", col("avg_logp") >= LmKeepFloor)
         .orderBy(col("doc_id"))
+    },
+
+    // Quality-score CALIBRATION (round 12) — the audit that says
+    // whether the CHEAP rule-based score (p1's shared withQuality:
+    // stopword/length/punctuation) tracks the EXPENSIVE statistical
+    // one (t15's add-one unigram LM mean log-prob) well enough to
+    // gate a 100 TB corpus with it. Docs bucket into quality deciles
+    // (cut points from the exact distributed Percentiles operator —
+    // no corpus-sized single-partition ntile window); per decile the
+    // table reports doc count, mean cheap score, and mean LM score.
+    // An operator reads it the way a release reads p8: if mean_logp
+    // is flat across deciles, the cheap score is NOISE for this
+    // corpus and the filter threshold is meaningless. Cost: one
+    // quality pass + the t15 LM pass + a 9-cut exact percentile and
+    // a 10-row rollup.
+    "t28_quality_calibration" -> { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val scored = graft.queries.Pipeline.withQuality(docs)
+        .select(col("doc_id"), col("quality"))
+        .join(lmAvgLogP(docs, docs).select(col("doc_id"), col("avg_logp")), "doc_id")
+        .localCheckpoint()
+      val cutNames = (1 to 9).map(i => s"c$i" -> i / 10.0)
+      val cuts = graft.operators.Percentiles.exact(
+          scored.withColumn("g", lit(1)), "g", "quality", cutNames)
+        .select(cutNames.map(c => col(c._1)): _*)
+      scored.crossJoin(broadcast(cuts))
+        .withColumn("decile",
+          (lit(1) + (1 to 9).map(i => when(col("quality") > col(s"c$i"), 1)
+            .otherwise(0)).reduce(_ + _)).cast("long"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("quality")), 6).as("mean_quality"),
+          round(avg(col("avg_logp")), 6).as("mean_logp"))
+        .orderBy(col("decile"))
     },
 
     // Composite rule-based quality filter (the C4/Gopher recipe):
@@ -937,6 +960,26 @@ object TextOps extends QueryPack {
       .withColumn("is_code", col("code_score") > 0.3)
   }
 
+  /** t15's add-one-smoothed unigram LM scorer over any corpus slice,
+    * trained on `train`: (doc_id, n_tokens, avg_logp). Shared by the
+    * t15 gate and t28's calibration audit. The LM is a broadcast
+    * (token, count) relation + a 1-row (N, V) frame; scoring is one
+    * map-side pass per doc. */
+  private[graft] def lmAvgLogP(corpus: DataFrame, train: DataFrame): DataFrame = {
+    val trainToks = train.select(explode(Portable.words(col("text"))).as("tok"))
+    val lm = trainToks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val stats = trainToks.agg(count(lit(1)).as("n"),
+      countDistinct(col("tok")).as("v"))
+    corpus.select(col("doc_id"), explode(Portable.words(col("text"))).as("tok"))
+      .join(broadcast(lm), Seq("tok"), "left")
+      .crossJoin(broadcast(stats))
+      .withColumn("lp",
+        log((coalesce(col("c"), lit(0L)) + lit(1L)).cast("double") /
+          (col("n") + col("v")).cast("double")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), round(avg(col("lp")), 6).as("avg_logp"))
+  }
+
   /** t12: decontamination n-gram width. */
   private val EvalGramN = 6
   /** t13: posting-list cap (impact-ordered). */
@@ -1328,6 +1371,56 @@ object TextOps extends QueryPack {
          |FROM scored
          |GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin,
+
+    "t28_quality_calibration" ->
+      s"""WITH ws AS (
+         |  SELECT doc_id, text, CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+         |    ELSE regexp_split_to_array(trim(text), '\\s+') END AS w
+         |  FROM documents),
+         |q AS (
+         |  SELECT doc_id,
+         |    (CASE WHEN len(w) = 0 THEN 0.0
+         |      ELSE len(list_filter(w, x ->
+         |        list_contains(['the','a','of','and','to'], x)))::DOUBLE / len(w)
+         |      END) * 0.4
+         |    + least(len(w)::DOUBLE / 100.0, 1.0) * 0.4
+         |    + (1.0 - (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE
+         |        / length(text)) * 0.2 AS quality
+         |  FROM ws),
+         |train_toks AS (SELECT unnest(w) AS tok FROM ws),
+         |lm AS (SELECT tok, count(*) AS c FROM train_toks GROUP BY tok),
+         |st AS (SELECT count(*) AS n, count(DISTINCT tok) AS v FROM train_toks),
+         |toks AS (SELECT doc_id, unnest(w) AS tok FROM ws),
+         |lp AS (
+         |  SELECT t.doc_id, round(avg(
+         |    ln((coalesce(lm.c, 0) + 1)::DOUBLE / (st.n + st.v))), 6) AS avg_logp
+         |  FROM toks t LEFT JOIN lm ON t.tok = lm.tok CROSS JOIN st
+         |  GROUP BY t.doc_id),
+         |cuts AS (SELECT
+         |  quantile_cont(quality, 0.1) AS c1, quantile_cont(quality, 0.2) AS c2,
+         |  quantile_cont(quality, 0.3) AS c3, quantile_cont(quality, 0.4) AS c4,
+         |  quantile_cont(quality, 0.5) AS c5, quantile_cont(quality, 0.6) AS c6,
+         |  quantile_cont(quality, 0.7) AS c7, quantile_cont(quality, 0.8) AS c8,
+         |  quantile_cont(quality, 0.9) AS c9
+         |  FROM q),
+         |dec AS (
+         |  SELECT q.doc_id, q.quality, lp.avg_logp,
+         |    1 + (CASE WHEN quality > c1 THEN 1 ELSE 0 END)
+         |      + (CASE WHEN quality > c2 THEN 1 ELSE 0 END)
+         |      + (CASE WHEN quality > c3 THEN 1 ELSE 0 END)
+         |      + (CASE WHEN quality > c4 THEN 1 ELSE 0 END)
+         |      + (CASE WHEN quality > c5 THEN 1 ELSE 0 END)
+         |      + (CASE WHEN quality > c6 THEN 1 ELSE 0 END)
+         |      + (CASE WHEN quality > c7 THEN 1 ELSE 0 END)
+         |      + (CASE WHEN quality > c8 THEN 1 ELSE 0 END)
+         |      + (CASE WHEN quality > c9 THEN 1 ELSE 0 END) AS decile
+         |  FROM q JOIN lp USING (doc_id) CROSS JOIN cuts)
+         |SELECT CAST(decile AS BIGINT) AS decile, count(*)::BIGINT AS n_docs,
+         |  round(avg(quality), 6) AS mean_quality,
+         |  round(avg(avg_logp), 6) AS mean_logp
+         |FROM dec
+         |GROUP BY decile
+         |ORDER BY decile""".stripMargin,
 
     "t16_gopher_rules" -> {
       val stopLits = AllStopwords.map(s => s"'$s'").mkString(", ")

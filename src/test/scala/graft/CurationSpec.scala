@@ -739,4 +739,54 @@ class CurationSpec extends SparkSuite {
     assert(byName("mean_quality_min") === card(("quality", "all", "mean")))
     assert(byName("index_recall_min") === card(("index", "ivfpq", "recall")))
   }
+
+  test("a28 serve-cost table matches the a18 serve's actual candidate volume") {
+    val rows = SparkEntry.queries("a28_serve_cost")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_cells_routed") >= 1L)
+      assert(r.getAs[Long]("adc_ops") === r.getAs[Long]("n_candidates") * 8L)
+      val frac = r.getAs[Double]("frac_scanned")
+      assert(frac >= 0.0 && frac < 1.0, s"IVF must scan a strict corpus subset: $r")
+    }
+    // the accounting is the serve's own candidacy: per probe, the
+    // candidate count equals what a18's serve join actually scores
+    import graft.queries.Similarity
+    val served = Similarity.serveCost(spark, sf).collect()
+      .map(r => r.getAs[Long]("probe_id") -> r.getAs[Long]("n_candidates")).toMap
+    assert(served === rows.map(r =>
+      r.getAs[Long]("probe_id") -> r.getAs[Long]("n_candidates")).toMap)
+  }
+
+  test("t28 calibration deciles conserve the corpus and order by the cheap score") {
+    val rows = SparkEntry.queries("t28_quality_calibration")(spark, sf).collect()
+    assert(rows.length <= 10 && rows.length >= 5)
+    assert(rows.map(_.getAs[Long]("n_docs")).sum ===
+      Tables.documents(spark, sf).count())
+    val mq = rows.sortBy(_.getAs[Long]("decile")).map(_.getAs[Double]("mean_quality"))
+    mq.zip(mq.tail).foreach { case (a, b) =>
+      assert(b >= a, s"decile mean_quality not monotone: ${mq.toSeq}")
+    }
+    rows.foreach(r => assert(!r.getAs[Double]("mean_logp").isNaN))
+  }
+
+  test("p10 snapshot diff claims exactly the planted mutation classes") {
+    val byStatus = SparkEntry.queries("p10_snapshot_diff")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_docs"), r.getAs[Long]("delta_chars")))
+      .toMap
+    val docs = Tables.documents(spark, sf)
+    val n = docs.count()
+    val removed = docs.filter(col("doc_id") % 23 === 5).count()
+    val changed = docs.filter(col("doc_id") % 17 === 3 && col("doc_id") % 23 =!= 5).count()
+    val added = docs.filter(col("doc_id") % 29 === 0).count()
+    assert(byStatus("removed")._1 === removed)
+    assert(byStatus("changed")._1 === changed)
+    assert(byStatus("added")._1 === added)
+    assert(byStatus("unchanged")._1 === n - removed - changed)
+    // budget deltas point the right way
+    assert(byStatus("added")._2 > 0L)
+    assert(byStatus("removed")._2 < 0L)
+    assert(byStatus("changed")._2 === changed * " revision two".length)
+    assert(byStatus("unchanged")._2 === 0L)
+  }
 }
