@@ -207,7 +207,12 @@ object Bench {
     // degraded-but-parseable line beats overflowing the driver's
     // 2000-char capture (which must also hold sbt's trailing
     // "[success]" line, ~85 chars).
-    val Fit = 1860
+    // 1826 chars at 166 queries; 171 queries ≈ 1885 — still inside
+    // the real budget (2000-char tail − ~85 for sbt's trailing
+    // "[success]" line ≈ 1915), so keep centisecond precision until
+    // the line genuinely can't fit (the 1-decimal tier would halve
+    // bench_diff's resolution on every sub-second query).
+    val Fit = 1895
     val prefix = (k: String) => k.takeWhile(_ != '_')
     val prefixed =
       if (results.map(r => prefix(r._1)).distinct.size == results.size) prefix
