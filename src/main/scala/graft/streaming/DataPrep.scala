@@ -72,7 +72,8 @@ object DataPrep {
   def curateMonitored(msgs: DataFrame, outDir: String, cellsDir: String,
                       hStoreDir: String, checkpointDir: String,
                       minQuality: Double = 0.5,
-                      sourceCol: Column = col("partition_key")): StreamingQuery =
+                      sourceCol: Column = col("partition_key"),
+                      evalWins: Option[DataFrame] = None): StreamingQuery =
     graft.queries.Pipeline.withQuality(
       msgs.select(
           col("uuid").cast("long").as("doc_id"),
@@ -102,7 +103,7 @@ object DataPrep {
               spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
                 org.apache.spark.sql.types.StructType(Seq(
                   org.apache.spark.sql.types.StructField("h",
-                    org.apache.spark.sql.types.StringType))))
+                    org.apache.spark.sql.types.BinaryType))))
             }
           val w = org.apache.spark.sql.expressions.Window
             .partitionBy(col("h")).orderBy(col("ts"), col("doc_id"))
@@ -111,10 +112,38 @@ object DataPrep {
             .join(store, Seq("h"), "left_anti")
             .cache()
           try {
-            fresh.filter(col("quality") >= minQuality)
-              .select(col("doc_id"), col("h"), col("n_words"), col("quality"),
-                col("text"), col("ts"))
-              .write.mode("overwrite").parquet(s"$outDir/micro_batch_id=$batchId")
+            val qualified = fresh.filter(col("quality") >= minQuality)
+            // round 12 — the COMPLETE live curate chain under the one
+            // checkpoint: when the caller supplies the frozen eval
+            // window set, every quality-passing arrival is also
+            // (a) routed code vs prose (t25's classifier) and
+            // (b) screened span-wise against the eval set (t26's
+            // detector) by the SAME routeStep the batch tables use.
+            // Docs whose contamination coverage demands drop_doc never
+            // reach the corpus; redact_spans survivors carry their
+            // action so the downstream redaction job knows its work
+            // items; output is laid out by mix bucket — the layout
+            // the p5 mixture builder reads. Without evalWins the
+            // write is the original quality-gated shape, unchanged.
+            evalWins match {
+              case Some(ev) =>
+                val route = routeStep(
+                  qualified.select(col("doc_id"), col("text")), ev)
+                  .select(col("doc_id"), col("bucket"), col("action"))
+                qualified.join(route, Seq("doc_id"))
+                  .filter(col("action") =!= "drop_doc")
+                  .select(col("doc_id"), col("h"), col("n_words"),
+                    col("quality"), col("text"), col("ts"),
+                    col("bucket"), col("action"))
+                  .write.mode("overwrite").partitionBy("bucket")
+                  .parquet(s"$outDir/micro_batch_id=$batchId")
+              case None =>
+                qualified
+                  .select(col("doc_id"), col("h"), col("n_words"),
+                    col("quality"), col("text"), col("ts"))
+                  .write.mode("overwrite")
+                  .parquet(s"$outDir/micro_batch_id=$batchId")
+            }
             // the store records every digest SEEN — quality-rejected
             // docs included, so a re-upload of a rejected doc never
             // reaches the filter twice

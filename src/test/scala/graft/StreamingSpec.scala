@@ -1619,4 +1619,73 @@ class StreamingSpec extends SparkSuite {
     assert(byId(900002L).head._6 !== "clean")
     assert(byId(900002L).head._4 > 0L)
   }
+
+  test("the full live curate chain: dedup + quality + code routing + span decontam under one checkpoint") {
+    import spark.implicits._
+    import graft.streaming.DataPrep
+    import graft.functions.Portable
+    import graft.queries.TextOps
+    val topic = tempDir("topic_full")
+    val outDir = tempDir("curated_full")
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val evalWins = TextOps.evalWindowDigests(docs).localCheckpoint()
+    val evalDoc = docs.filter(col("doc_id") % 13 === 0)
+      .select(concat_ws(" ", slice(Portable.words(col("text")), 5, 21)))
+      .as[String].head()
+    // engineered arrivals, one per disposition the chain must take:
+    //  900001 long code doc (passes quality, routes to the code bucket)
+    //  900002 mostly an eval excerpt (coverage > 30% -> drop_doc)
+    //  900003 excerpt inside a long novel doc (<= 30% -> redact_spans, kept)
+    //  900004 exact dup of corpus doc 7 (digest store drops it)
+    //  900005 symbol spam (quality gate drops it)
+    val codeText = (1 to 15).map(i => s"if (v$i) { var v$i = 1; }").mkString(" ")
+    val dropText = "zp1 zp2 " + evalDoc + " zp3"
+    val redactText = evalDoc + " " + (1 to 80).map(i => s"zfill$i").mkString(" ")
+    val dupText = docs.filter(col("doc_id") === 7L).as[(Long, String)].head()._2
+    val spamText = (1 to 30).map(_ => "!?!?").mkString(" ")
+    val arrivals = docs.limit(60).as[(Long, String)].collect().toSeq ++ Seq(
+      900001L -> codeText, 900002L -> dropText, 900003L -> redactText,
+      900004L -> dupText, 900005L -> spamText)
+    Publisher.publish(arrivals.toDF("doc_id", "text").select(
+      col("doc_id").as("event_id"), col("doc_id").cast("string").as("uuid"),
+      lit("s").as("partition_key"), col("text").cast("binary").as("payload"),
+      lit("doc").as("event_type"), lit(0.0).as("value"),
+      expr("timestamp '2024-01-01 00:00:00' + make_interval(0, 0, 0, 0, 0, 0, doc_id)").as("ts"),
+      map(lit("eventType"), lit("doc")).as("headers")), topic)
+
+    val q = DataPrep.curateMonitored(
+      Subscriber.subscribe(spark, topic, maxFilesPerTrigger = 16),
+      outDir, tempDir("cells_full"), tempDir("hstore_full"),
+      tempDir("ck_full"), evalWins = Some(evalWins))
+    q.awaitTermination()
+    val curated = spark.read.parquet(outDir)
+
+    val byId = curated.collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(byId(900001L).getAs[String]("bucket") === "code")
+    assert(byId(900001L).getAs[String]("action") === "clean")
+    assert(byId(900003L).getAs[String]("bucket") === "prose")
+    assert(byId(900003L).getAs[String]("action") === "redact_spans")
+    assert(!byId.contains(900002L), "a drop_doc contamination reached the corpus")
+    assert(!byId.contains(900004L), "an exact dup was curated twice")
+    assert(!byId.contains(900005L), "the quality gate let symbol spam through")
+
+    // global: streamed chain == the same kernels composed in batch
+    // (first arrival per digest by (ts, doc_id), quality gate, route
+    // filter) — compare content-hash sets
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("h")).orderBy(col("ts"), col("doc_id"))
+    val batchArr = arrivals.toDF("doc_id", "text")
+      .withColumn("ts", expr("timestamp '2024-01-01 00:00:00' + make_interval(0, 0, 0, 0, 0, 0, doc_id)"))
+      .withColumn("h", Portable.md5bin(Portable.normText(col("text"))))
+    val firsts = graft.queries.Pipeline.withQuality(batchArr)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .filter(col("quality") >= 0.5)
+    val expected = firsts
+      .join(DataPrep.routeStep(firsts.select(col("doc_id"), col("text")), evalWins)
+        .filter(col("action") =!= "drop_doc").select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .select(hex(col("h"))).collect().map(_.getString(0)).toSet
+    val got = curated.select(hex(col("h"))).collect().map(_.getString(0)).toSet
+    assert(got === expected,
+      s"chain diverged: extra=${(got diff expected).take(3)} missing=${(expected diff got).take(3)}")
+  }
 }
