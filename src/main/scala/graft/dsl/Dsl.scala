@@ -179,6 +179,62 @@ package object dsl {
         .withColumnRenamed("event_type", keyCol)
     }
 
+    /** t27's contamination provenance of this frame against an eval
+      * corpus: one row per (doc, eval doc) pair sharing a 10-word
+      * window — who leaked what, for remediation and eval-set
+      * hygiene. Self-pairs (same id on both sides) are excluded; the
+      * eval side reduces to a broadcast (eval_id, window-digest) set. */
+    def contamProvenance(evalDocs: DataFrame, idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+      val w = queries.Dedup.SpanW
+      val evalWins = evalDocs
+        .select(col(idCol).as("eval_id"), Portable.words(col(textCol)).as("ew"))
+        .filter(size(col("ew")) >= w)
+        .select(col("eval_id"),
+          explode(transform(sequence(lit(1), size(col("ew")) - (w - 1)),
+            i => Portable.md5bin(array_join(slice(col("ew"), i, lit(w)), " ")))).as("h"))
+        .distinct()
+      val wins = queries.Dedup.spanWindows(
+        df.select(col(idCol).as("doc_id"), Portable.words(col(textCol)).as("w")))
+      wins.join(broadcast(evalWins), "h")
+        .filter(col("doc_id") =!= col("eval_id"))
+        .groupBy(col("doc_id"), col("eval_id"))
+        .agg(count(lit(1)).as("n_shared_windows"),
+          min(col("i")).as("first_i"), max(col("i")).as("last_i"))
+    }
+
+    /** p10's snapshot diff: this frame (the current release) against
+      * `next` (the candidate), by id + normalized content digest —
+      * added / removed / changed / unchanged counts with the
+      * character-budget delta. Shuffles 16-byte digests + lengths,
+      * never text. */
+    def snapshotDiff(next: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+      def digests(f: DataFrame, hName: String, cName: String) =
+        f.select(col(idCol).as("doc_id"),
+          Portable.md5bin(Portable.normText(col(textCol))).as(hName),
+          length(col(textCol)).cast("long").as(cName))
+      digests(df, "h_old", "chars_old")
+        .join(digests(next, "h_new", "chars_new"), Seq("doc_id"), "full_outer")
+        .withColumn("status",
+          when(col("h_old").isNull, "added")
+            .when(col("h_new").isNull, "removed")
+            .when(col("h_old") === col("h_new"), "unchanged")
+            .otherwise("changed"))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("chars_new"), lit(0L)) -
+            coalesce(col("chars_old"), lit(0L))).as("delta_chars"))
+    }
+
+    /** t25's code-vs-prose signals + verdict on every row of this
+      * frame (semi/brace densities, keyword and symbol ratios, the
+      * folded score, is_code) — all map-side, caller columns intact. */
+    def codeSignals(idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+      queries.TextOps.codeSignals(
+        df.select(col(idCol).as("doc_id"), col(textCol).as("text")))
+        .drop("n_chars", "w")
+
     /** d19's bloom filter over this frame's normalized-text digests:
       * a ≤1024-row bit-position set. Filters from disjoint slices
       * union (`unionByName(...).distinct()`) into the fleet filter —

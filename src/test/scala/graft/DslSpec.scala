@@ -186,4 +186,54 @@ class DslSpec extends SparkSuite {
       .map(r => (r.getString(0), r.getDouble(2), r.getDouble(4), r.getDouble(5)))
     assert(fences.nonEmpty && fences.toSeq === pack.toSeq)
   }
+
+  test("contamProvenance facade reproduces the pack t27 table against the same eval set") {
+    import graft.functions.Portable
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    // the pack's corpus: docs + its planted leaks; the pack's eval
+    // side: every 13th doc's words 5-25 (expressed here as documents)
+    val planted = docs.filter(col("doc_id") % 39 === 0)
+      .select((col("doc_id") + 800000L).as("doc_id"),
+        concat_ws(" ", lit("zlkpad0 zlkpad1 zlkpad2 zlkpad3"),
+          concat_ws(" ", slice(Portable.words(col("text")), 5, 21)),
+          lit("zlktail0 zlktail1 zlktail2")).as("text"))
+    val evalDocs = docs.filter(col("doc_id") % 13 === 0)
+      .select(col("doc_id"),
+        concat_ws(" ", slice(Portable.words(col("text")), 5, 21)).as("text"))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    val viaDsl = docs.unionAll(planted).contamProvenance(evalDocs)
+      .collect().map(key).toSet
+    val viaPack = SparkEntry.queries("t27_contam_provenance")(spark, sf)
+      .collect().map(key).toSet
+    assert(viaDsl === viaPack)
+  }
+
+  test("snapshotDiff facade reproduces the pack p10 table for the same candidate") {
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val next = docs.filter(col("doc_id") % 23 =!= 5)
+      .withColumn("text", when(col("doc_id") % 17 === 3,
+        concat(col("text"), lit(" revision two"))).otherwise(col("text")))
+      .unionAll(docs.filter(col("doc_id") % 29 === 0)
+        .select((col("doc_id") + 900000L).as("doc_id"),
+          concat(lit("fresh crawl "), col("text")).as("text")))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getLong(2))
+    val viaDsl = docs.snapshotDiff(next).collect().map(key).toSet
+    val viaPack = SparkEntry.queries("p10_snapshot_diff")(spark, sf)
+      .collect().map(key).toSet
+    assert(viaDsl === viaPack)
+  }
+
+  test("codeSignals facade matches the pack t25 verdict on the shared corpus rows") {
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val viaDsl = docs.codeSignals()
+      .select(col("doc_id"), col("code_score"), col("is_code")).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
+    val viaPack = SparkEntry.queries("t25_code_detect")(spark, sf)
+      .filter(col("doc_id") < 400000L).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("code_score"), r.getAs[Boolean]("is_code"))).toMap
+    assert(viaDsl === viaPack)
+  }
 }
