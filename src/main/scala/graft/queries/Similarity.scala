@@ -1578,6 +1578,64 @@ object Similarity extends QueryPack {
       .orderBy(col("probe_id"))
   }
 
+  /** a29: embedding INTEGRITY audit (round 12) — the QA gate an
+    * embedding pipeline runs before anything indexes its output:
+    * upstream failures ship as NaN components, all-zero vectors
+    * (failed encoder calls), silently duplicated rows, or mixed
+    * dimensionality — and every one of them poisons cosine math or
+    * recall silently. One row: vector/dimension census, NaN and
+    * zero-vector counts, exact duplicate-vector rate (whole-array
+    * distinct — doubles compare exactly on both engines), and the
+    * norm distribution (min/p50/p99/max over NaN-free vectors via
+    * the exact distributed Percentiles; min 0 IS the zero-vec
+    * signal). All three failure classes are PLANTED (ids ≥ 100000:
+    * a first-component NaN, an all-zero vector, an exact duplicate)
+    * so each detector visibly claims its row. One corpus scan +
+    * tiny aggregates; the distinct pass shuffles the vectors once —
+    * at 100 TB swap the whole-array key for a vector digest, same
+    * plan shape. */
+  def embedAudit(s: SparkSession, d: String): DataFrame = {
+    val v = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val v0 = v.filter(col("vec_id") === 0L).select(col("emb"))
+    val corpus = v
+      .unionAll(v0.select(lit(100001L).as("vec_id"),
+        expr("transform(emb, (x, i) -> CASE WHEN i = 0 THEN CAST('NaN' AS DOUBLE) ELSE x END)").as("emb")))
+      .unionAll(v0.select(lit(100002L).as("vec_id"),
+        expr("transform(emb, x -> 0.0d)").as("emb")))
+      .unionAll(v0.select(lit(100003L).as("vec_id"), col("emb")))
+    val per = corpus
+      .withColumn("dim", size(col("emb")).cast("long"))
+      .withColumn("nrm", graft.functions.Vec.norm(col("emb")))
+      .withColumn("has_nan", expr("exists(emb, x -> isnan(x))"))
+      .localCheckpoint()
+    val counts = per.agg(
+      count(lit(1)).as("n_vecs"),
+      countDistinct(col("dim")).as("n_dims"),
+      sum(when(col("has_nan"), 1L).otherwise(0L)).as("n_nan_vecs"),
+      sum(when(!col("has_nan") && col("nrm") === 0.0, 1L).otherwise(0L)).as("n_zero_vecs"))
+    val distinctN = per.select(col("emb")).distinct()
+      .agg(count(lit(1)).as("n_distinct"))
+    val healthy = per.filter(!col("has_nan"))
+    val pct = graft.operators.Percentiles.exact(
+        healthy.withColumn("g", lit(1)), "g", "nrm",
+        Seq("norm_p50" -> 0.5, "norm_p99" -> 0.99))
+      .select(col("norm_p50"), col("norm_p99"))
+    val ext = healthy.agg(min(col("nrm")).as("norm_min"), max(col("nrm")).as("norm_max"))
+    counts.crossJoin(broadcast(distinctN)).crossJoin(broadcast(pct))
+      .crossJoin(broadcast(ext))
+      .select(col("n_vecs"), col("n_dims"),
+        (col("n_dims") === 1L).as("dim_consistent"),
+        col("n_nan_vecs"), col("n_zero_vecs"),
+        (col("n_vecs") - col("n_distinct")).as("n_dup_vecs"),
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_vecs"), 6)
+          .as("dup_rate"),
+        round(col("norm_min"), 6).as("norm_min"),
+        round(col("norm_p50"), 6).as("norm_p50"),
+        round(col("norm_p99"), 6).as("norm_p99"),
+        round(col("norm_max"), 6).as("norm_max"))
+  }
+
   /** Persisted-index format version — bumped on any frame-schema
     * change so a loader can refuse an incompatible artifact by name. */
   val IvfPqFormatVersion = 1
@@ -1892,7 +1950,8 @@ object Similarity extends QueryPack {
     "a25_nprobe_decide" -> ((s, d) => nprobeDecide(s, d)),
     "a26_adaptive_nprobe" -> ((s, d) => adaptiveNprobe(s, d)),
     "a27_opq_serve" -> ((s, d) => opqServeGain(s, d)),
-    "a28_serve_cost" -> ((s, d) => serveCost(s, d))
+    "a28_serve_cost" -> ((s, d) => serveCost(s, d)),
+    "a29_embed_audit" -> ((s, d) => embedAudit(s, d))
   )
 
   /** a13's oracle: plain inner-product ranking (shared with a16). */
@@ -2272,6 +2331,42 @@ object Similarity extends QueryPack {
          |FROM routes r JOIN sizes s USING (cell) CROSS JOIN tot t
          |GROUP BY r.probe_id
          |ORDER BY r.probe_id""".stripMargin,
+
+    "a29_embed_audit" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |v0 AS (SELECT emb FROM v WHERE vec_id = 0),
+        |corpus AS (
+        |  SELECT vec_id, emb FROM v
+        |  UNION ALL SELECT 100001,
+        |    list_transform(emb, (x, i) -> CASE WHEN i = 1 THEN 'nan'::DOUBLE ELSE x END)
+        |  FROM v0
+        |  UNION ALL SELECT 100002, list_transform(emb, x -> 0.0) FROM v0
+        |  UNION ALL SELECT 100003, emb FROM v0),
+        |per AS (
+        |  SELECT vec_id, emb, len(emb)::BIGINT AS dim,
+        |    sqrt(list_dot_product(emb, emb)) AS nrm,
+        |    len(list_filter(emb, x -> isnan(x))) > 0 AS has_nan
+        |  FROM corpus),
+        |counts AS (
+        |  SELECT count(*)::BIGINT AS n_vecs,
+        |    CAST(count(DISTINCT dim) AS BIGINT) AS n_dims,
+        |    CAST(sum(CASE WHEN has_nan THEN 1 ELSE 0 END) AS BIGINT) AS n_nan_vecs,
+        |    CAST(sum(CASE WHEN NOT has_nan AND nrm = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_zero_vecs
+        |  FROM per),
+        |dn AS (SELECT count(*) AS n_distinct FROM (SELECT DISTINCT emb FROM per) t),
+        |pct AS (
+        |  SELECT quantile_cont(nrm, 0.5) AS norm_p50,
+        |    quantile_cont(nrm, 0.99) AS norm_p99,
+        |    min(nrm) AS norm_min, max(nrm) AS norm_max
+        |  FROM per WHERE NOT has_nan)
+        |SELECT c.n_vecs, c.n_dims, c.n_dims = 1 AS dim_consistent,
+        |  c.n_nan_vecs, c.n_zero_vecs,
+        |  CAST(c.n_vecs - d.n_distinct AS BIGINT) AS n_dup_vecs,
+        |  round(1.0 - d.n_distinct::DOUBLE / c.n_vecs, 6) AS dup_rate,
+        |  round(p.norm_min, 6) AS norm_min, round(p.norm_p50, 6) AS norm_p50,
+        |  round(p.norm_p99, 6) AS norm_p99, round(p.norm_max, 6) AS norm_max
+        |FROM counts c CROSS JOIN dn d CROSS JOIN pct p""".stripMargin,
 
     "a17_residual_pq" -> {
       val hi = PqM - 1

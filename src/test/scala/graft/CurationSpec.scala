@@ -789,4 +789,21 @@ class CurationSpec extends SparkSuite {
     assert(byStatus("changed")._2 === changed * " revision two".length)
     assert(byStatus("unchanged")._2 === 0L)
   }
+
+  test("a29 embed audit catches exactly the planted NaN/zero/duplicate vectors") {
+    val r = SparkEntry.queries("a29_embed_audit")(spark, sf).collect().head
+    val n = Tables.embeddings(spark, sf).count()
+    assert(r.getAs[Long]("n_vecs") === n + 3)
+    assert(r.getAs[Boolean]("dim_consistent") && r.getAs[Long]("n_dims") === 1L)
+    assert(r.getAs[Long]("n_nan_vecs") === 1L)
+    assert(r.getAs[Long]("n_zero_vecs") === 1L)
+    // the planted exact copy is the only duplicate (the corpus is a
+    // random draw; a natural collision would be a generator defect)
+    assert(r.getAs[Long]("n_dup_vecs") === 1L)
+    // the zero vector IS the norm floor; the healthy distribution sits
+    // strictly above it
+    assert(r.getAs[Double]("norm_min") === 0.0)
+    assert(r.getAs[Double]("norm_p50") > 0.0)
+    assert(r.getAs[Double]("norm_p99") <= r.getAs[Double]("norm_max"))
+  }
 }
