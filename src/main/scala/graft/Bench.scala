@@ -132,27 +132,43 @@ object Bench {
     // suppresses only the noise class, at a cost bounded by
     // 8 × (runtime of genuinely-regressed-or-noisy queries).
     val baselines = loadBaselines()
+    val gate = loadGate()
+    val waivers = loadWaivers()
     val remeasured = scala.collection.mutable.ArrayBuffer[String]()
     def tripsGate(med: Double, base: Double): Boolean =
-      med - base >= 0.1 && med >= 0.2 &&
-        math.max(med, 0.05) >= 2 * math.max(base, 0.05)
+      med - base >= gate.thresh && med >= gate.minNew &&
+        math.max(med, gate.floor) >= gate.ratio * math.max(base, gate.floor)
+    // A fam with a level-pinned expected_changed waiver skips the
+    // re-measure only while it stays near the adjudicated level
+    // (<= 1.5x) — a documented 0.94 s cost shouldn't pay 8 extra runs
+    // every capture, but 0.94 s -> 10 s is NOT covered by the waiver.
+    def waived(fam: String, med: Double): Boolean =
+      waivers.get(fam).exists(level => med <= 1.5 * level)
     val needRemeasure = firstPass.filter { case (name, _, times) =>
       val med = times(times.length / 2)
-      times.length < 11 && !failed.contains(name) &&
-        baselines.get(name.takeWhile(_ != '_')).exists(b => tripsGate(med, b))
+      val famK = name.takeWhile(_ != '_')
+      times.length < 11 && !failed.contains(name) && !waived(famK, med) &&
+        baselines.get(famK).exists(b => tripsGate(med, b))
     }
     if (needRemeasure.nonEmpty) {
-      // bounded quiet-wait before the adjudication pass: if the flags
-      // came from an external burst, measuring into the same burst
-      // would just reproduce them
+      // TRUE quiet-wait before the adjudication pass (r12 lesson: the
+      // capture-end loadavg was 1.2-1.6 and the two held flags were
+      // exactly the phantom signature the re-measure exists to kill).
+      // Block until the 1-min loadavg actually drops below QuietLoad,
+      // with a budget big enough for a real burst to drain; proceed
+      // after it regardless — a labeled noisy adjudication beats none,
+      // and the per-query loadavg below makes the label readable.
       var w2 = 0
-      while (loadavg().headOption.exists(_ > QuietLoad) && w2 < 120) {
+      while (loadavg().headOption.exists(_ > QuietLoad) && w2 < 600) {
         Thread.sleep(10000); w2 += 10
       }
-      if (w2 > 0) System.err.println(s"bench adjudication quiet-wait: ${w2}s")
+      if (w2 > 0) System.err.println(s"bench adjudication quiet-wait: ${w2}s (now=${loadavg().mkString(",")})")
     }
     val adjudicated = needRemeasure.map { case (name, fn, times) =>
-      remeasured += name
+      // record the host state the re-measure actually ran under: a
+      // "held" flag at loadavg 1.5 is an unadjudicated flag, and the
+      // artifact should say so itself
+      remeasured += f"$name@${loadavg().headOption.getOrElse(-1.0)}%.2f"
       val all = (times ++ measure(name, fn, 11 - times.length)).sorted
       name -> all(all.length / 2)
     }.toMap
@@ -195,29 +211,37 @@ object Bench {
         case None    => "0"
       }
     }
-    def build(decimals: Int, key: String => String = identity): String = {
-      val qs = results.map { case (k, v) => s"\"" + key(k) + "\":" + fmt(v, decimals) }
+    def build(decimals: Double => Int, key: String => String = identity): String = {
+      val qs = results.map { case (k, v) => s"\"" + key(k) + "\":" + fmt(v, decimals(v)) }
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs,"sf":$sfNum}"""
     }
     // Tiered fit: full names + centiseconds while the line fits;
     // otherwise keys shrink to the operator's unique family prefix
     // ("q21_percentiles" → "q21" — SURVEY.md §2 names carry the
-    // prefix, so a reader maps them back unambiguously). A
-    // degraded-but-parseable line beats overflowing the driver's
-    // 2000-char capture (which must also hold sbt's trailing
-    // "[success]" line, ~85 chars).
-    // 1826 chars at 166 queries; 171 queries ≈ 1885 — still inside
-    // the real budget (2000-char tail − ~85 for sbt's trailing
-    // "[success]" line ≈ 1915), so keep centisecond precision until
-    // the line genuinely can't fit (the 1-decimal tier would halve
-    // bench_diff's resolution on every sub-second query).
+    // prefix, so a reader maps them back unambiguously), then values
+    // drop to MIXED precision: centiseconds below 1 s (where a
+    // 0.23→0.44 s doubling lives or dies on the 2nd decimal),
+    // deciseconds at 1 s and above (0.1 s granularity is ≤10% there
+    // and the diff gate is 2×). The r12 driver capture proved the
+    // uniform-centisecond tier sits ON the fit cliff at 172 queries
+    // (builder 1,888 chars fit; the driver's longer values didn't) —
+    // mixed precision buys ~1 char for every multi-second query, so
+    // sub-second resolution survives value-length jitter between
+    // hosts. The uniform 1-decimal tier remains only as the final
+    // fallback; a degraded-but-parseable line beats overflowing the
+    // driver's 2000-char capture (which must also hold sbt's trailing
+    // "[success]" line, ~85 chars; real budget ≈ 1915).
     val Fit = 1895
+    val centi = (_: Double) => 2
+    val deci = (_: Double) => 1
+    val mixed = (v: Double) => if (v < 1.0) 2 else 1
     val prefix = (k: String) => k.takeWhile(_ != '_')
     val prefixed =
       if (results.map(r => prefix(r._1)).distinct.size == results.size) prefix
       else identity[String] _ // collision ⇒ keep full names
-    val tiers = Seq(build(2), build(2, prefixed), build(1, prefixed))
+    val tiers = Seq(build(centi), build(centi, prefixed),
+      build(mixed, prefixed), build(deci, prefixed))
     val line = tiers.find(_.length <= Fit).getOrElse(tiers.last)
     // start_loadavg is the EXTERNAL load (sampled before any Spark
     // work); end_loadavg is dominated by this bench's own threads.
@@ -250,6 +274,11 @@ object Bench {
         .sortBy(f => f.getName.replaceAll("\\D", "").toInt)
       if (arts.isEmpty) return Map.empty
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      // "broken" = the query errored in that artifact (stub time);
+      // "phantom" = the reading was adjudicated a load-burst artifact
+      // by the 11-run quiet protocol (BENCH_DIFF record). Both are
+      // excluded from baseline resolution: a phantom-high baseline
+      // would silently de-sensitize the gate for that query.
       val broken: Map[String, Set[String]] = {
         val f = new java.io.File(repo, "tools/bench_status.json")
         if (!f.isFile) Map.empty
@@ -257,9 +286,13 @@ object Bench {
           val root = mapper.readTree(f)
           import scala.jdk.CollectionConverters._
           root.properties().asScala.collect {
-            case e if e.getValue.has("broken") =>
-              e.getKey -> e.getValue.get("broken").elements().asScala
-                .map(_.asText().takeWhile(_ != '_')).toSet
+            case e if e.getValue.has("broken") || e.getValue.has("phantom") =>
+              e.getKey -> Seq("broken", "phantom").flatMap { k =>
+                if (e.getValue.has(k))
+                  e.getValue.get(k).elements().asScala
+                    .map(_.asText().takeWhile(_ != '_')).toSeq
+                else Seq.empty
+              }.toSet
           }.toMap
         }
       }
@@ -291,6 +324,42 @@ object Bench {
       }
       base.toMap
     } catch { case _: Throwable => Map.empty }
+  }
+
+  /** Diff-gate constants, shared with tools/bench_diff.py via the
+    * optional `_gate` object in tools/bench_status.json so the two
+    * definitions cannot drift apart silently (they were previously
+    * duplicated literals). Defaults are the historical values. */
+  private case class Gate(thresh: Double, minNew: Double, ratio: Double, floor: Double)
+  private def statusRoot(): Option[com.fasterxml.jackson.databind.JsonNode] =
+    try {
+      val repo = new java.io.File(sys.env.getOrElse("SPARK_GRAFT_REPO",
+        System.getProperty("user.dir", ".")))
+      val f = new java.io.File(repo, "tools/bench_status.json")
+      if (!f.isFile) None
+      else Some(new com.fasterxml.jackson.databind.ObjectMapper().readTree(f))
+    } catch { case _: Throwable => None }
+  private def loadGate(): Gate = {
+    val d = Gate(0.1, 0.2, 2.0, 0.05)
+    statusRoot().flatMap(r => Option(r.get("_gate"))).map { g =>
+      def f(k: String, dv: Double) = if (g.has(k)) g.get(k).asDouble(dv) else dv
+      Gate(f("thresh", d.thresh), f("min_new", d.minNew),
+        f("ratio", d.ratio), f("floor", d.floor))
+    }.getOrElse(d)
+  }
+
+  /** Level-pinned expected_changed waivers (fam -> adjudicated level
+    * in seconds). Entries without a numeric level are ignored — an
+    * unbounded waiver would let a documented 0.9 s cost silently
+    * cover a future 10 s regression on the same query. */
+  private def loadWaivers(): Map[String, Double] = {
+    import scala.jdk.CollectionConverters._
+    statusRoot().flatMap(r => Option(r.get("expected_changed"))).map { e =>
+      e.properties().asScala.collect {
+        case kv if !kv.getKey.startsWith("_") && kv.getValue.has("level") =>
+          kv.getKey.takeWhile(_ != '_') -> kv.getValue.get("level").asDouble()
+      }.toMap
+    }.getOrElse(Map.empty)
   }
 
   /** 1/5/15-minute load averages (the noise context for this run). */

@@ -53,6 +53,9 @@ def fam(key):
     return key.split("_", 1)[0]
 
 
+GATE = {"thresh": 0.1, "min_new": 0.2, "ratio": 2.0, "floor": 0.05}
+
+
 def load_status():
     p = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      "bench_status.json")
@@ -60,28 +63,43 @@ def load_status():
         doc = json.load(open(p))
     except Exception:
         return {}, {}
-    broken = {name: set(fam(q) for q in entry.get("broken", []))
-              for name, entry in doc.items() if isinstance(entry, dict)}
-    # "expected": adjudicated CHANGED-CODE cost increases (fam -> why).
-    # These still print in the movers table but do not fail the gate —
-    # they are documented prices, not unexamined regressions. An entry
-    # dies naturally once the next driver BENCH becomes the live
-    # baseline; prune it then.
+    # "broken" = errored (stub time); "phantom" = reading adjudicated a
+    # load-burst artifact by the 11-run quiet protocol (BENCH_DIFF
+    # record). Both are dead as baselines — a phantom-high baseline
+    # silently de-sensitizes the gate for that query.
+    broken = {name: set(fam(q) for q in (entry.get("broken", [])
+                                         + entry.get("phantom", [])))
+              for name, entry in doc.items()
+              if isinstance(entry, dict) and not name.startswith("_")}
+    # "expected_changed": adjudicated CHANGED-CODE cost increases,
+    # LEVEL-PINNED (fam -> {level, why}). A flag is waived only while
+    # the new reading stays <= 1.5x the adjudicated level: the waiver
+    # documents a price, it does not blanket-cover the query forever.
+    # An entry dies naturally once the next driver BENCH becomes the
+    # live baseline; prune it then. Legacy string entries (no level)
+    # are ignored — an unbounded waiver weakens the gate's invariant.
     expected = {fam(k): v for k, v in doc.get("expected_changed", {}).items()
-                if not k.startswith("_")}
+                if not k.startswith("_") and isinstance(v, dict)
+                and "level" in v}
+    # shared gate constants (also read by graft.Bench) — keep the two
+    # definitions from drifting apart
+    g = doc.get("_gate", {})
+    for k in GATE:
+        if isinstance(g.get(k), (int, float)):
+            GATE[k] = float(g[k])
     return broken, expected
 
 
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    thresh = 0.1
-    for a in sys.argv[1:]:
-        if a.startswith("--thresh"):
-            thresh = float(a.split("=", 1)[1]) if "=" in a else thresh
     if len(args) < 2:
         raise SystemExit(__doc__)
     old_paths, new_path = args[:-1], args[-1]
     status, expected = load_status()
+    thresh = GATE["thresh"]
+    for a in sys.argv[1:]:
+        if a.startswith("--thresh"):
+            thresh = float(a.split("=", 1)[1]) if "=" in a else thresh
 
     new_q, new_total = load_queries(new_path)
     new = {fam(k): v for k, v in new_q.items()}
@@ -136,16 +154,20 @@ def main():
     # applied UNIFORMLY: fast-but-live baselines are floored, never
     # excluded, so a 0.015 s -> 5 s regression fails. Only explicitly
     # status-listed stub entries are outside the comparison set.
-    FLOOR = 0.05
-    trip = [k for k, o, n, d, _ in movers
-            if d >= thresh and n >= 0.2
-            and max(n, FLOOR) >= 2 * max(o, FLOOR)]
-    waived = [k for k in trip if k in expected]
-    bad = [k for k in trip if k not in expected]
+    FLOOR = GATE["floor"]
+    trip = [(k, n) for k, o, n, d, _ in movers
+            if d >= thresh and n >= GATE["min_new"]
+            and max(n, FLOOR) >= GATE["ratio"] * max(o, FLOOR)]
+    # waive only while the reading stays near the adjudicated level —
+    # a pinned 0.94 s waiver does NOT cover a later 10 s regression
+    waived = [k for k, n in trip
+              if k in expected and n <= 1.5 * expected[k]["level"]]
+    bad = [k for k, n in trip if k not in waived]
     if waived:
-        print("\nexpected changed-code costs (documented in "
+        print("\nexpected changed-code costs (level-pinned in "
               "tools/bench_status.json, not gate failures): "
-              + ", ".join(f"{k} ({expected[k]})" for k in waived))
+              + ", ".join(f"{k} (<=1.5x {expected[k]['level']}s: "
+                          f"{expected[k].get('why', '')})" for k in waived))
     if bad:
         print(f"\nREGRESSIONS (>=2x vs last live and >=+{thresh}s): "
               f"{', '.join(bad)}")
