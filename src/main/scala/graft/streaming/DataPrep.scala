@@ -97,13 +97,36 @@ object DataPrep {
           // `fresh` — the overwrite below would then erase the batch's
           // docs and digests instead of replaying them
           val store =
-            try spark.read.parquet(hStoreDir)
-              .filter(col("micro_batch_id") =!= batchId).select(col("h"))
-            catch { case _: org.apache.spark.sql.AnalysisException =>
-              spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
-                org.apache.spark.sql.types.StructType(Seq(
-                  org.apache.spark.sql.types.StructField("h",
-                    org.apache.spark.sql.types.BinaryType))))
+            try {
+              val raw = spark.read.parquet(hStoreDir)
+                .filter(col("micro_batch_id") =!= batchId)
+              // the h column changed md5hex (StringType) -> md5bin
+              // (BinaryType) in round 12: a store written by the old
+              // version must be MIGRATED on read (unhex), not coerced
+              // — a silent string-vs-binary mismatch makes the
+              // left_anti join below never match and re-curates every
+              // previously-seen doc (silent dedup loss). A store with
+              // any OTHER h type is a corruption, named loudly.
+              raw.schema("h").dataType match {
+                case org.apache.spark.sql.types.BinaryType => raw.select(col("h"))
+                case org.apache.spark.sql.types.StringType =>
+                  raw.select(unhex(col("h")).as("h"))
+                case other => throw new IllegalStateException(
+                  s"[graft] curateMonitored digest store at $hStoreDir has h: $other; expected BINARY (md5bin) or legacy STRING (md5hex)")
+              }
+            } catch {
+              case _: org.apache.spark.sql.AnalysisException =>
+                // no store yet (first batch): an empty binary frame.
+                // (A store MIXING legacy and binary batch partitions
+                // is not this case — the lazy read succeeds on one
+                // footer's schema and the scan fails LOUDLY at action
+                // time with Spark's parquet type-mismatch error naming
+                // the column and file; resume never silently loses
+                // dedup history.)
+                spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+                  org.apache.spark.sql.types.StructType(Seq(
+                    org.apache.spark.sql.types.StructField("h",
+                      org.apache.spark.sql.types.BinaryType))))
             }
           val w = org.apache.spark.sql.expressions.Window
             .partitionBy(col("h")).orderBy(col("ts"), col("doc_id"))

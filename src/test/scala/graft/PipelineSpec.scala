@@ -420,6 +420,50 @@ class PipelineSpec extends SparkSuite {
     assert(out(0).meanR === 75.0 && out(1).peak === 2000.0)
   }
 
+  test("mm13: genuine PNG/JPEG codec round-trip through javax.imageio") {
+    import spark.implicits._
+    def plantMean(id: Long, a: Long, b: Long): Double =
+      (0 until 16).map(j => java.lang.Math.floorMod(id * a + j * b, 256L).toDouble).sum / 16.0
+    // the encoded payloads are genuine containers, not re-labeled bitmaps
+    val pngBytes = MediaDecode.plantedImageBytes(42L, jpeg = false)
+    assert((pngBytes(0) & 0xff) === 0x89 &&
+      new String(pngBytes.slice(1, 4), "US-ASCII") === "PNG")
+    val jpgBytes = MediaDecode.plantedImageBytes(43L, jpeg = true)
+    assert((jpgBytes(0) & 0xff) === 0xff && (jpgBytes(1) & 0xff) === 0xd8)
+    // PNG (lossless): decoded stats equal the closed-form plants EXACTLY
+    val png = MediaDecode.parseImage(pngBytes)
+    assert(png.ok && png.container === "png" && png.nUnits === 16L)
+    assert(png.meanR === plantMean(42L, 3, 53))
+    assert(png.meanG === plantMean(42L, 11, 29))
+    assert(png.meanB === plantMean(42L, 7, 13))
+    // JPEG (lossy BY DESIGN): inside the acceptance band — and a real
+    // DCT quantization round-trip is measurably NOT exact, which is
+    // itself evidence a genuine codec ran
+    val jpeg = MediaDecode.parseImage(jpgBytes)
+    assert(jpeg.ok && jpeg.container === "jpeg" && jpeg.nUnits === 16L)
+    val errs = Seq(jpeg.meanR - plantMean(43L, 3, 53),
+      jpeg.meanG - plantMean(43L, 11, 29), jpeg.meanB - plantMean(43L, 7, 13))
+    assert(errs.forall(e => math.abs(e) <= 8.0))
+    // truncated members quarantine under their declared container;
+    // non-images are unknown — never an exception
+    val trunc = MediaDecode.parseImage(jpgBytes.take(8))
+    assert(!trunc.ok && trunc.container === "jpeg")
+    assert(MediaDecode.parseImage("garbage".getBytes).container === "unknown")
+    // batch operator: every row's codec round-trip is plant-verified,
+    // both containers present
+    val mm13 = SparkEntry.queries("mm13_image_decode")(spark, sf)
+    assert(mm13.count() === 500)
+    assert(mm13.filter(!col("matches_plant")).count() === 0)
+    assert(mm13.filter(col("container") === "png").count() === 250)
+    assert(mm13.filter(col("container") === "jpeg").count() === 250)
+    // the batch decode path is a map pass: payload bytes never shuffle
+    val media = Tables.documents(spark, sf).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id =>
+        MediaDecode.Media(id, MediaDecode.plantedImageBytes(id, jpeg = id % 2 != 0))))
+    val plan = MediaDecode.parseImageBatch(media).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"image decode plan shuffles:\n$plan")
+  }
+
   test("mm12 payload decode recovers every planted sample and pixel through the wire") {
     val mm12 = SparkEntry.queries("mm12_payload_decode")(spark, sf)
     assert(mm12.filter(!col("matches_plant")).count() === 0)
