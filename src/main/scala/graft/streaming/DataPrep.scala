@@ -98,31 +98,36 @@ object DataPrep {
           // docs and digests instead of replaying them
           val store =
             try {
+              // resume a migration a crash interrupted BEFORE reading
+              // (the marker outlives the crash; migration is
+              // idempotent per partition)
+              if (migrationMarker(spark, hStoreDir).exists(_._2))
+                migrateLegacyHStore(spark, hStoreDir)
               val raw = spark.read.parquet(hStoreDir)
                 .filter(col("micro_batch_id") =!= batchId)
               // the h column changed md5hex (StringType) -> md5bin
               // (BinaryType) in round 12: a store written by the old
-              // version must be MIGRATED on read (unhex), not coerced
-              // — a silent string-vs-binary mismatch makes the
-              // left_anti join below never match and re-curates every
-              // previously-seen doc (silent dedup loss). A store with
-              // any OTHER h type is a corruption, named loudly.
+              // version must be MIGRATED, not coerced — a silent
+              // string-vs-binary mismatch makes the left_anti join
+              // below never match and re-curates every previously-
+              // seen doc (silent dedup loss). The migration rewrites
+              // the legacy partitions ON DISK once (unhex, 16-byte
+              // binary) so every later batch — which will mix this
+              // run's binary partitions into the same read — keeps a
+              // mergeable store. A store with any OTHER h type is a
+              // corruption, named loudly.
               raw.schema("h").dataType match {
                 case org.apache.spark.sql.types.BinaryType => raw.select(col("h"))
                 case org.apache.spark.sql.types.StringType =>
-                  raw.select(unhex(col("h")).as("h"))
+                  migrateLegacyHStore(spark, hStoreDir)
+                  spark.read.parquet(hStoreDir)
+                    .filter(col("micro_batch_id") =!= batchId).select(col("h"))
                 case other => throw new IllegalStateException(
                   s"[graft] curateMonitored digest store at $hStoreDir has h: $other; expected BINARY (md5bin) or legacy STRING (md5hex)")
               }
             } catch {
               case _: org.apache.spark.sql.AnalysisException =>
-                // no store yet (first batch): an empty binary frame.
-                // (A store MIXING legacy and binary batch partitions
-                // is not this case — the lazy read succeeds on one
-                // footer's schema and the scan fails LOUDLY at action
-                // time with Spark's parquet type-mismatch error naming
-                // the column and file; resume never silently loses
-                // dedup history.)
+                // no store yet (first batch): an empty binary frame
                 spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
                   org.apache.spark.sql.types.StructType(Seq(
                     org.apache.spark.sql.types.StructField("h",
@@ -177,6 +182,49 @@ object DataPrep {
       }
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** (marker path, exists) for an in-progress legacy-store migration;
+    * None when the store dir itself doesn't exist yet. */
+  private def migrationMarker(spark: SparkSession,
+                              hStoreDir: String): Option[(org.apache.hadoop.fs.Path, Boolean)] = {
+    val root = new org.apache.hadoop.fs.Path(hStoreDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) None
+    else {
+      val m = new org.apache.hadoop.fs.Path(root, "_graft_hstore_migrating")
+      Some((m, fs.exists(m)))
+    }
+  }
+
+  /** ONE-TIME on-disk migration of a legacy (pre-round-12 md5hex)
+    * digest store: every `micro_batch_id=` partition whose h column
+    * is StringType is rewritten as 16-byte binary (`unhex`) in place,
+    * under a marker file so a crash mid-migration resumes instead of
+    * leaving a half-string half-binary store (which would fail every
+    * later merged read). Idempotent per partition — already-binary
+    * partitions are untouched. Cost: one read+write of the legacy
+    * partitions, once per store lifetime. */
+  private def migrateLegacyHStore(spark: SparkSession, hStoreDir: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(hStoreDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(root, "_graft_hstore_migrating")
+    if (!fs.exists(marker)) fs.create(marker).close()
+    fs.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("micro_batch_id="))
+      .foreach { st =>
+        val part = spark.read.parquet(st.getPath.toString)
+        if (part.schema("h").dataType == org.apache.spark.sql.types.StringType) {
+          val tmp = new org.apache.hadoop.fs.Path(root, s".migrating_${st.getPath.getName}")
+          part.select(unhex(col("h")).as("h")).write.mode("overwrite").parquet(tmp.toString)
+          fs.delete(st.getPath, true)
+          if (!fs.rename(tmp, st.getPath))
+            throw new IllegalStateException(
+              s"[graft] digest-store migration could not rename $tmp to ${st.getPath}")
+        }
+      }
+    fs.delete(marker, false)
+    System.err.println(s"[graft] curateMonitored migrated legacy md5hex digest store at $hStoreDir to md5bin (16-byte binary)")
+  }
 
   /** The drift table over a [[curateMonitored]] cells dir: fold the
     * per-micro-batch partial cells (associative sums) and apply p6's

@@ -420,6 +420,28 @@ class PipelineSpec extends SparkSuite {
     assert(out(0).meanR === 75.0 && out(1).peak === 2000.0)
   }
 
+  test("p9 releaseGate fails LOUD on a malformed card, never empty") {
+    import graft.queries.Pipeline
+    // a card missing its whole index section (e.g. servedIndexStats
+    // produced no recall row): the gate must emit ALL five checks with
+    // the missing one pass=false and release=false everywhere — the
+    // old crossJoin-of-filters shape collapsed to ZERO rows here,
+    // silently green-lighting exactly the most broken release
+    val broken = Pipeline.corpusCard(spark, sf)
+      .filter(col("section") =!= "index")
+    val gate = Pipeline.releaseGate(broken).collect()
+    assert(gate.length === 5, s"gate vanished: ${gate.length} rows")
+    val recall = gate.find(_.getString(0) == "index_recall_min").get
+    assert(recall.isNullAt(1), "missing metric should surface as null value")
+    assert(!recall.getBoolean(3), "missing metric must be pass=false")
+    assert(gate.forall(!_.getBoolean(4)), "release must be false on every row")
+    // and on the healthy published card every check finds its metric
+    // (whether it passes is the card's business — at tiny SFs some
+    // thresholds legitimately fail; completeness is what p9 owes)
+    val healthy = SparkEntry.queries("p9_release_gate")(spark, sf).collect()
+    assert(healthy.length === 5 && healthy.forall(!_.isNullAt(1)))
+  }
+
   test("mm13: genuine PNG/JPEG codec round-trip through javax.imageio") {
     import spark.implicits._
     def plantMean(id: Long, a: Long, b: Long): Double =

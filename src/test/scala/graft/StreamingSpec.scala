@@ -1152,6 +1152,54 @@ class StreamingSpec extends SparkSuite {
       s"replayed batch curated ${curated.count()} docs, expected $expected")
   }
 
+  test("curateMonitored migrates a legacy md5hex digest store instead of silently re-curating") {
+    import graft.streaming.DataPrep
+    import graft.functions.Portable
+    val topic = tempDir("topic_lg")
+    val outDir = tempDir("curated_lg")
+    val hStore = tempDir("hstore_lg")
+    val docs = Tables.documents(spark, sf).limit(40)
+      .select(col("doc_id"), col("text"), lit("s").as("source"))
+    // a store written ENTIRELY by the pre-round-12 version: hex STRING
+    // digests for the even docs (micro_batch_id=999 so the replay
+    // exclusion of the current batch id can't mask the format issue)
+    docs.filter(col("doc_id") % 2 === 0)
+      .select(md5(Portable.normText(col("text")).cast("binary")).as("h"))
+      .distinct().write.parquet(s"$hStore/micro_batch_id=999")
+
+    Publisher.publish(docs.select(
+      col("doc_id").as("event_id"), col("doc_id").cast("string").as("uuid"),
+      col("source").as("partition_key"), col("text").cast("binary").as("payload"),
+      lit("doc").as("event_type"), lit(0.0).as("value"),
+      expr("timestamp '2024-01-01 00:00:00' + make_interval(0, 0, 0, 0, 0, 0, doc_id)").as("ts"),
+      map(lit("eventType"), lit("doc")).as("headers")), topic)
+    val q = DataPrep.curateMonitored(
+      Subscriber.subscribe(spark, topic, maxFilesPerTrigger = 64),
+      outDir, tempDir("cells_lg"), hStore, tempDir("ck_lg"))
+    q.awaitTermination()
+
+    // a silent hex-vs-binary mismatch would anti-join nothing and
+    // re-curate every legacy-seen doc — the dedup-loss seam
+    val curated = spark.read.parquet(outDir)
+    assert(curated.filter(col("doc_id") % 2 === 0).count() === 0,
+      "legacy-seen docs were re-curated — the digest-store migration failed")
+    val expected = graft.queries.Pipeline.withQuality(
+        docs.filter(col("doc_id") % 2 === 1)
+          .withColumn("h", Portable.md5bin(Portable.normText(col("text")))))
+      .filter(col("quality") >= 0.5).select("h").distinct().count()
+    assert(curated.count() === expected)
+    // the store itself is now fully binary — the NEXT batch's merged
+    // read (legacy partition + this run's binary partition) works
+    val merged = spark.read.parquet(hStore)
+    assert(merged.schema("h").dataType ===
+      org.apache.spark.sql.types.BinaryType)
+    assert(merged.select("h").distinct().count() === graft.queries.Pipeline
+      .withQuality(docs.withColumn("h", Portable.md5bin(Portable.normText(col("text")))))
+      .select("h").distinct().count())
+    // and the migration left no marker behind
+    assert(!new java.io.File(s"$hStore/_graft_hstore_migrating").exists())
+  }
+
   test("the live ingest-drift monitor converges to exactly the batch p6 table") {
     import spark.implicits._
     import graft.queries.Pipeline
