@@ -1585,6 +1585,80 @@ object Similarity extends QueryPack {
       .orderBy(col("probe_id"))
   }
 
+  /** a30: serve-cost DRIFT across the index lifecycle (round 13) —
+    * a28's SLO table joined against a22's compaction policy, so the
+    * capacity numbers show what delta absorption does to each PROBE's
+    * scan bill between retrains (a28's "latency cliff" warning, made
+    * measurable). Everything is read against the BASE-corpus
+    * centroids — the geometry frozen at build time, a20/a22's split —
+    * because that is the index [[ivfPqIndexDelta]] actually grows:
+    * per probe, the routed cells, the candidate bill BEFORE deltas
+    * (base members only) and AFTER (base+delta), the growth — which
+    * EQUALS the routed cells' delta-member count exactly, the
+    * identity the spec pins against a22 — the fraction of each
+    * corpus version scanned, and how many routed cells the policy
+    * marks rebuild/compact. A probe routing into delta-heavy cells
+    * sees frac_scanned grow ahead of the fleet average: the per-query
+    * early warning that the index-level rebuild_index verdict
+    * aggregates away. Candidates are ALL routed-cell members (the
+    * scan bill — no a18-style self exclusion; the probe's own row is
+    * scanned work too), which is what keeps the growth identity
+    * exact for base and delta probes alike. Cost: one corpus
+    * assignment pass (the a22 kernel), a probes × broadcast-centroid
+    * routing join, and a cells-sized policy join — no vector math
+    * beyond routing. */
+  def serveDrift(s: SparkSession, d: String, geo: AnnGeometry = Geo): DataFrame =
+    serveDriftOf(vecs(s, d), pmod(col("vec_id"), lit(7L)) === 3L, geo)
+
+  private[graft] def serveDriftOf(v: DataFrame, isDelta: Column,
+                                  geo: AnnGeometry = Geo): DataFrame = {
+    val base = v.filter(!isDelta)
+    val cents = hashTopK(base, "cent", geo.nCentroids)
+      .select(col("vec_id").as("cell"), col("emb").as("c_emb"), col("nrm").as("c_nrm"))
+    // the a22 kernel: assignCells keeps only (vec_id … cell, c_cos),
+    // so the population flag is re-derived AFTER assignment from
+    // vec_id (compactPolicyOf's pattern)
+    val policy = policyFromStats(assignCells(v, cents)
+        .withColumn("is_delta", isDelta)
+        .groupBy(col("cell"))
+        .agg(sum(when(!col("is_delta"), 1L).otherwise(0L)).as("n_base"),
+          sum(when(!col("is_delta"), col("c_cos")).otherwise(lit(0.0))).as("s_base"),
+          sum(when(col("is_delta"), 1L).otherwise(0L)).as("n_delta"),
+          sum(when(col("is_delta"), col("c_cos")).otherwise(lit(0.0))).as("s_delta")))
+      .select(col("cell"), col("n_base"), col("n_delta"), col("action"))
+    val probes = hashTopK(v, "probe", NProbes)
+      .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"), col("nrm").as("p_nrm"))
+    val wProbe = Window.partitionBy(col("probe_id"))
+      .orderBy(col("pc_cos").desc, col("cell"))
+    val routes = probes.join(broadcast(cents))
+      .withColumn("pc_cos", cosPre(col("p_emb"), col("p_nrm"), col("c_emb"), col("c_nrm")))
+      .withColumn("r", row_number().over(wProbe))
+      .filter(col("r") <= geo.nProbe)
+      .select(col("probe_id"), col("cell"))
+    // corpus totals fall out of the cells-sized policy frame (every
+    // vector is assigned exactly once) — no second corpus scan
+    val tot = policy.agg(
+      sum(col("n_base")).as("n_base_corpus"),
+      sum(col("n_base") + col("n_delta")).as("n_corpus"))
+    routes.join(broadcast(policy), "cell")
+      .groupBy(col("probe_id"))
+      .agg(count(lit(1)).as("n_cells_routed"),
+        sum(col("n_base")).as("n_cand_base"),
+        sum(col("n_base") + col("n_delta")).as("n_cand_grown"),
+        sum(col("n_delta")).as("cand_growth"),
+        sum(when(col("action") === "rebuild", 1L).otherwise(0L)).as("n_routed_rebuild"),
+        sum(when(col("action") === "compact", 1L).otherwise(0L)).as("n_routed_compact"))
+      .crossJoin(broadcast(tot))
+      .select(col("probe_id"), col("n_cells_routed"),
+        col("n_cand_base"), col("n_cand_grown"), col("cand_growth"),
+        round(col("n_cand_base").cast("double") / col("n_base_corpus"), 6)
+          .as("frac_scanned_base"),
+        round(col("n_cand_grown").cast("double") / col("n_corpus"), 6)
+          .as("frac_scanned_grown"),
+        col("n_routed_rebuild"), col("n_routed_compact"))
+      .orderBy(col("probe_id"))
+  }
+
   /** a29: embedding INTEGRITY audit (round 12) — the QA gate an
     * embedding pipeline runs before anything indexes its output:
     * upstream failures ship as NaN components, all-zero vectors
@@ -1958,7 +2032,8 @@ object Similarity extends QueryPack {
     "a26_adaptive_nprobe" -> ((s, d) => adaptiveNprobe(s, d)),
     "a27_opq_serve" -> ((s, d) => opqServeGain(s, d)),
     "a28_serve_cost" -> ((s, d) => serveCost(s, d)),
-    "a29_embed_audit" -> ((s, d) => embedAudit(s, d))
+    "a29_embed_audit" -> ((s, d) => embedAudit(s, d)),
+    "a30_serve_drift" -> ((s, d) => serveDrift(s, d))
   )
 
   /** a13's oracle: plain inner-product ranking (shared with a16). */
@@ -2374,6 +2449,78 @@ object Similarity extends QueryPack {
         |  round(p.norm_min, 6) AS norm_min, round(p.norm_p50, 6) AS norm_p50,
         |  round(p.norm_p99, 6) AS norm_p99, round(p.norm_max, 6) AS norm_max
         |FROM counts c CROSS JOIN dn d CROSS JOIN pct p""".stripMargin,
+
+    // a30: a22's per-cell policy CTEs (base-only centroids, rounded
+    // delta_frac/cos_gap, the same action arms) composed with a28's
+    // routing CTE — per probe, the candidate bill against the base
+    // index vs the delta-grown one, and the policy state of its
+    // routed cells. Candidates are all routed-cell members (no self
+    // exclusion — see the Scaladoc), so cand_growth == Σ n_delta over
+    // routed cells identically.
+    "a30_serve_drift" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS emb,
+         |    vec_id % 7 = 3 AS is_delta
+         |  FROM embeddings),
+         |b AS (SELECT vec_id, emb FROM v WHERE NOT is_delta),
+         |cs AS (SELECT vec_id AS cell, emb AS c_emb
+         |  FROM (SELECT * FROM b ${centSel(Geo.nCentroids)}) t),
+         |assigned AS (
+         |  SELECT vec_id, is_delta, cell, c_cos FROM (
+         |    SELECT v.vec_id, v.is_delta, c.cell,
+         |      list_dot_product(v.emb, c.c_emb) /
+         |        (sqrt(list_dot_product(v.emb, v.emb)) *
+         |         sqrt(list_dot_product(c.c_emb, c.c_emb))) AS c_cos,
+         |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |        list_dot_product(v.emb, c.c_emb) /
+         |          (sqrt(list_dot_product(v.emb, v.emb)) *
+         |           sqrt(list_dot_product(c.c_emb, c.c_emb))) DESC,
+         |        c.cell) AS crank
+         |    FROM v, cs c) t WHERE crank = 1),
+         |per_cell AS (
+         |  SELECT cell,
+         |    CAST(sum(CASE WHEN NOT is_delta THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+         |    CAST(sum(CASE WHEN is_delta THEN 1 ELSE 0 END) AS BIGINT) AS n_delta,
+         |    round(sum(CASE WHEN is_delta THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+         |      AS delta_frac,
+         |    round(coalesce(avg(CASE WHEN NOT is_delta THEN c_cos END)
+         |      - avg(CASE WHEN is_delta THEN c_cos END), 0.0), 6) AS cos_gap
+         |  FROM assigned GROUP BY cell),
+         |acted AS (
+         |  SELECT *, CASE
+         |    WHEN delta_frac > 0.2 AND cos_gap > 0.05 THEN 'rebuild'
+         |    WHEN delta_frac > 0.2 THEN 'compact'
+         |    ELSE 'keep' END AS action
+         |  FROM per_cell),
+         |probes AS (SELECT vec_id AS probe_id, emb AS p_emb FROM v $probeSel),
+         |routes AS (
+         |  SELECT probe_id, cell FROM (
+         |    SELECT p.probe_id, c.cell,
+         |      row_number() OVER (PARTITION BY p.probe_id ORDER BY
+         |        list_dot_product(p.p_emb, c.c_emb) /
+         |          (sqrt(list_dot_product(p.p_emb, p.p_emb)) *
+         |           sqrt(list_dot_product(c.c_emb, c.c_emb))) DESC,
+         |        c.cell) AS r
+         |    FROM probes p, cs c) t WHERE r <= ${Geo.nProbe}),
+         |tot AS (SELECT
+         |  CAST(sum(CASE WHEN NOT is_delta THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_base_corpus,
+         |  count(*) AS n_corpus FROM v)
+         |SELECT r.probe_id, count(*)::BIGINT AS n_cells_routed,
+         |  CAST(sum(a.n_base) AS BIGINT) AS n_cand_base,
+         |  CAST(sum(a.n_base + a.n_delta) AS BIGINT) AS n_cand_grown,
+         |  CAST(sum(a.n_delta) AS BIGINT) AS cand_growth,
+         |  round(sum(a.n_base)::DOUBLE / any_value(t.n_base_corpus), 6)
+         |    AS frac_scanned_base,
+         |  round(sum(a.n_base + a.n_delta)::DOUBLE / any_value(t.n_corpus), 6)
+         |    AS frac_scanned_grown,
+         |  CAST(sum(CASE WHEN a.action = 'rebuild' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_routed_rebuild,
+         |  CAST(sum(CASE WHEN a.action = 'compact' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_routed_compact
+         |FROM routes r JOIN acted a USING (cell) CROSS JOIN tot t
+         |GROUP BY r.probe_id
+         |ORDER BY r.probe_id""".stripMargin,
 
     "a17_residual_pq" -> {
       val hi = PqM - 1

@@ -695,6 +695,66 @@ class PipelineSpec extends SparkSuite {
     }
   }
 
+  test("a30 serve drift: scan-bill growth IS the routed cells' delta count, and a drifted cluster surfaces per probe") {
+    import graft.queries.Similarity
+    def checkIdentity(rows: Array[org.apache.spark.sql.Row]): Unit =
+      rows.foreach { r =>
+        // the frac_scanned cliff decomposes EXACTLY into the policy's
+        // per-cell delta counts — serve cost and compact policy can't
+        // tell different stories about the same index
+        assert(r.getAs[Long]("n_cand_grown") - r.getAs[Long]("n_cand_base")
+          === r.getAs[Long]("cand_growth"), s"probe ${r.getAs[Long]("probe_id")}")
+      }
+    val out = Similarity.serveDrift(spark, sf).collect()
+    assert(out.length === 5)
+    checkIdentity(out)
+    // IVF still prunes after absorbing the uniform 1/7 delta
+    assert(out.forall(_.getAs[Double]("frac_scanned_grown") < 0.9))
+
+    // inject the a22 drifted cluster (Gram-Schmidt direction — see the
+    // a22 spec above) AND force one drifted vector into the probe set
+    // (hashTopK keeps the 5 smallest salted md5s, so pick a drifted id
+    // that hashes below the 5th-smallest existing probe hash): the
+    // per-probe early warning must be GUARANTEED visible, not left to
+    // whether a base probe happens to route near the drift
+    val v = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .withColumn("nrm", graft.functions.Vec.norm(col("emb")))
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val cents = Similarity.hashTopK(v, "cent", graft.queries.AnnGeometry().nCentroids)
+      .collect().map(_.getSeq[Double](1).toArray)
+    var dir = Array.tabulate(64)(j => math.sin(j + 1.0))
+    cents.foreach { c => val p = dot(dir, c) / dot(c, c)
+      dir = dir.zip(c).map { case (x, y) => x - p * y } }
+    val dn = math.sqrt(dot(dir, dir))
+    val k0 = cents.head; val k0n = math.sqrt(dot(k0, k0))
+    val driftDir = dir.zip(k0).map { case (x, y) => x / dn + 0.05 * y / k0n }
+    def probeHash(id: Long) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"probe|$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val bar = v.select(col("vec_id")).collect().map(r => probeHash(r.getLong(0)))
+      .sorted.apply(4)
+    val forced = (2000000L to 2100000L).find(id => probeHash(id) < bar).get
+    import spark.implicits._
+    val drifted = (forced +: (0 until 149).map(i => 1000001L + i))
+      .zipWithIndex
+      .map { case (id, i) => (id, driftDir.map(_ * (1.0 + 0.001 * i)).toSeq) }
+      .toDF("vec_id", "emb")
+      .withColumn("nrm", graft.functions.Vec.norm(col("emb")))
+    val out2 = Similarity.serveDriftOf(v.unionByName(drifted),
+      col("vec_id") >= 1000000L).collect()
+    checkIdentity(out2)
+    val fp = out2.find(_.getAs[Long]("probe_id") === forced)
+    assert(fp.nonEmpty, "forced drifted probe missing from the probe set")
+    // its routes include the landing cell, which the policy marks
+    // rebuild (proved in the a22 spec) and which holds all 150
+    // arrivals — the probe-level cliff the fleet aggregate hides
+    assert(fp.get.getAs[Long]("n_routed_rebuild") >= 1L)
+    assert(fp.get.getAs[Long]("cand_growth") >= 150L)
+    assert(fp.get.getAs[Double]("frac_scanned_grown") >
+      fp.get.getAs[Double]("frac_scanned_base"))
+  }
+
   test("a delta-inserted IVF-PQ index serves identically to a full build (no retrain needed)") {
     import graft.queries.{Similarity, AnnGeometry}
     val geo = AnnGeometry()
