@@ -1628,6 +1628,30 @@ object Similarity extends QueryPack {
       .select(col("cell"), col("n_base"), col("n_delta"), col("action"))
     val probes = hashTopK(v, "probe", NProbes)
       .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"), col("nrm").as("p_nrm"))
+    serveDriftFrom(policy, cents, probes, geo)
+  }
+
+  /** a30's LIVE form: the same drift table read off the stores the
+    * live compaction monitor already maintains ([[baseStatsOf]] +
+    * [[compactStatsStep]]'s delta store) — NO corpus scan at all.
+    * Per-cell counts and actions come from [[policyOfStores]]; the
+    * only other work is the probes × broadcast-centroid routing join,
+    * so a monitor can re-price every probe's scan bill after each
+    * micro-batch for stores-sized cost. Equals the batch
+    * [[serveDriftOf]] table whenever the stores hold the same
+    * populations (spec-proved under arbitrary micro-batch splits). */
+  private[graft] def serveDriftOfStores(baseStats: DataFrame, deltaStore: DataFrame,
+                                        cents: DataFrame, probes: DataFrame,
+                                        geo: AnnGeometry = Geo): DataFrame =
+    serveDriftFrom(
+      policyOfStores(baseStats, deltaStore)
+        .select(col("cell"), col("n_base"), col("n_delta"), col("action")),
+      cents, probes, geo)
+
+  /** Shared tail of the batch and live a30 forms: route, price, join
+    * the policy. `policy` must carry (cell, n_base, n_delta, action). */
+  private def serveDriftFrom(policy: DataFrame, cents: DataFrame,
+                             probes: DataFrame, geo: AnnGeometry): DataFrame = {
     val wProbe = Window.partitionBy(col("probe_id"))
       .orderBy(col("pc_cos").desc, col("cell"))
     val routes = probes.join(broadcast(cents))

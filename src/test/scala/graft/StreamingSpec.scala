@@ -1424,6 +1424,23 @@ class StreamingSpec extends SparkSuite {
     val got = Similarity.policyOfStores(baseStats, store).collect().map(key).toSet
     assert(got === expected)
 
+    // round 13: the serve-cost drift table reads the SAME stores —
+    // the live monitor prices every probe's scan bill after each
+    // micro-batch for stores-sized cost, and the table equals the
+    // batch a30 exactly under this arbitrary 5/2/rest batch split
+    val probes = Similarity.hashTopK(v, "probe", 5)
+      .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"),
+        col("nrm").as("p_nrm"))
+    def driftKey(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5), r.getDouble(6), r.getLong(7), r.getLong(8))
+    val liveDrift = Similarity.serveDriftOfStores(baseStats, store, cents, probes)
+      .collect().map(driftKey).toSet
+    val batchDrift = Similarity.serveDriftOf(v,
+        pmod(col("vec_id"), lit(7L)) === 3L)
+      .collect().map(driftKey).toSet
+    assert(liveDrift === batchDrift)
+
     // and the monitor is consultable mid-stream: a fresh store with
     // NO arrivals must report every cell keep, nothing to rebuild
     val idle = Similarity.policyOfStores(baseStats,
