@@ -271,6 +271,26 @@ package object dsl {
                    m: Int = 8, subDim: Int = 8): Similarity.IvfPqIndex =
       Similarity.ivfPqIndexOf(normVecs(df, idCol, embCol), geo, m, subDim)
 
+    /** a30's serve-cost drift over a vector frame: per probe, the
+      * scan bill against the base-only index vs the delta-grown one,
+      * joined with a22's compaction policy for its routed cells — the
+      * between-retrains capacity read. `isDelta` marks post-build
+      * arrivals (rows where it is false trained the frozen geometry)
+      * and is evaluated over the normalized `vec_id` column. */
+    def serveDrift(isDelta: Column, idCol: String = "vec_id",
+                   embCol: String = "embedding",
+                   geo: AnnGeometry = AnnGeometry()): DataFrame =
+      Similarity.serveDriftOf(normVecs(df, idCol, embCol), isDelta, geo)
+
+    /** mm13's compressed-image decode over a binary payload column:
+      * genuine PNG/JPEG members through the JDK ImageIO batch path →
+      * per-image curation stats (container, pixel count, per-channel
+      * means, brightness); truncated members quarantine ok=false
+      * under their declared container, non-images as "unknown". */
+    def imageStats(idCol: String = "doc_id",
+                   payloadCol: String = "payload"): DataFrame =
+      imageStatsOf(df, idCol, payloadCol)
+
     /** q43's gaps-and-islands sessionization: events more than
       * `gapUs` apart (per `keyCol`, ordered by `tsCol`, ties broken
       * by `tieCol`) start a new session. Adds `session_idx`
@@ -311,6 +331,23 @@ package object dsl {
                embCol: String = "embedding",
                m: Int = 8, subDim: Int = 8): Similarity.IvfPqIndex =
       Similarity.ivfPqIndexDelta(ix, normVecs(newVecs, idCol, embCol), m, subDim)
+  }
+
+  /** [[GraftDataFrameOps.imageStats]]'s body — lives OUTSIDE the
+    * AnyVal wrapper because Encoder derivation synthesizes a nested
+    * class, which value classes disallow. */
+  private def imageStatsOf(df: DataFrame, idCol: String,
+                           payloadCol: String): DataFrame = {
+    import df.sparkSession.implicits._
+    graft.operators.MediaDecode.parseImageBatch(
+        df.select(col(idCol).cast("long").as("docId"),
+          col(payloadCol).as("payload"))
+          .as[graft.operators.MediaDecode.Media])
+      .toDF()
+      .select(col("docId").as(idCol), col("container"),
+        col("nUnits").as("n_units"), col("meanSignal").as("mean_signal"),
+        col("meanR").as("mean_r"), col("meanG").as("mean_g"),
+        col("meanB").as("mean_b"), col("ok"))
   }
 
   /** (id, embedding) in any numeric array type → the (vec_id, emb,

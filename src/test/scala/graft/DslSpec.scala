@@ -225,6 +225,33 @@ class DslSpec extends SparkSuite {
     assert(viaDsl === viaPack)
   }
 
+  test("serveDrift facade reproduces the pack a30 table on the embeddings frame") {
+    val viaDsl = Tables.embeddings(spark, sf)
+      .serveDrift(pmod(col("vec_id"), lit(7L)) === 3L)
+      .collect().map(_.toSeq).toSet
+    val viaPack = SparkEntry.queries("a30_serve_drift")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(viaDsl === viaPack && viaDsl.nonEmpty)
+  }
+
+  test("imageStats facade decodes genuine PNG/JPEG payloads via the MediaDecode batch path") {
+    import spark.implicits._
+    import graft.operators.MediaDecode
+    val frame = Seq(
+      (1L, MediaDecode.plantedImageBytes(10L, jpeg = false)),
+      (2L, MediaDecode.plantedImageBytes(11L, jpeg = true)),
+      (3L, "not an image".getBytes)).toDF("doc_id", "payload")
+    val out = frame.imageStats().collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getBoolean(7))).toMap
+    assert(out(1L) === (("png", 16L, true)))
+    assert(out(2L) === (("jpeg", 16L, true)))
+    assert(out(3L)._1 === "unknown" && !out(3L)._3)
+    // value parity with the operator twin on the png row
+    val direct = MediaDecode.parseImage(MediaDecode.plantedImageBytes(10L, jpeg = false))
+    val viaDsl = frame.imageStats().filter(col("doc_id") === 1L).head
+    assert(viaDsl.getDouble(4) === direct.meanR && viaDsl.getDouble(6) === direct.meanB)
+  }
+
   test("codeSignals facade matches the pack t25 verdict on the shared corpus rows") {
     val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
     val viaDsl = docs.codeSignals()
