@@ -635,50 +635,59 @@ object TextOps extends QueryPack {
     // take the most frequent (ties → lexicographic) → merge every
     // occurrence → re-count], with per-round vocabulary and
     // compression stats — a15's iterate pattern applied to tokenizer
-    // training. Token sequences ride as strings (tokens double-space-
-    // joined, single space at each edge), so APPLYING a merge is one
-    // codegen'd `replace(' a  b ' → ' ab ')` per round: left-to-right
-    // non-overlapping — exactly BPE's greedy application — because
-    // each replacement consumes one of the two separator spaces and
-    // leaves the neighbor's other space intact ('a a a' merges to
-    // [aa, a], never [a, aa]). Per round: one pair-count scan (map-
-    // side combining), a 1-row TakeOrderedAndProject top pair
-    // broadcast into one map-pass merge, one stats scan —
-    // localCheckpointed between rounds so round k's plan doesn't
-    // re-run rounds 1..k-1 (at 100 TB: persist, same shape). The
-    // convergence contract (n_tokens strictly decreases by pair_n,
-    // pair_n non-increasing in expectation, vocab grows ≤ 1/round) is
-    // spec-pinned in TextSpec.
+    // training. Round 13: trains on the WORD-FREQUENCY table, the
+    // canonical BPE-trainer shape — one corpus scan folds occurrences
+    // into (word type, count), and every per-round pass (pair count,
+    // merge, stats) runs over TYPES weighted by count, so the counts
+    // are bit-identical to per-occurrence training while per-round
+    // cost scales with |vocabulary types| (Heaps' law: ~√corpus),
+    // not corpus size. Token sequences ride as strings (tokens
+    // double-space-joined, single space at each edge), so APPLYING a
+    // merge is one codegen'd `replace(' a  b ' → ' ab ')` per round:
+    // left-to-right non-overlapping — exactly BPE's greedy
+    // application — because each replacement consumes one of the two
+    // separator spaces and leaves the neighbor's other space intact
+    // ('a a a' merges to [aa, a], never [a, aa]). Per round: one
+    // pair-count scan over types (map-side combining on sum(wn)), a
+    // 1-row TakeOrderedAndProject top pair broadcast into one
+    // map-pass merge, one stats scan — localCheckpointed between
+    // rounds so round k's plan doesn't re-run rounds 1..k-1 (at
+    // 100 TB: persist, same shape). The convergence contract
+    // (n_tokens strictly decreases by pair_n, pair_n non-increasing
+    // in expectation, vocab grows ≤ 1/round) is spec-pinned in
+    // TextSpec.
     "t24_bpe_train" -> { (s, d) =>
       val Rounds = 3
-      // " h  e  l  l  o " — one regexp pass builds the spaced form
+      // (word type, occurrence count) — the only corpus-sized pass;
+      // " h  e  l  l  o " is the spaced form per TYPE
       val spaced = Tables.documents(s, d)
         .select(explode(Portable.words(col("text"))).as("w"))
-        .select(regexp_replace(col("w"), "(.)", " $1 ").as("s"))
+        .groupBy(col("w")).agg(count(lit(1)).as("wn"))
+        .select(regexp_replace(col("w"), "(.)", " $1 ").as("s"), col("wn"))
         .localCheckpoint()
       val base = spaced
-        .select(size(split(trim(col("s")), "  ")).cast("long").as("n"))
+        .select((size(split(trim(col("s")), "  ")).cast("long") * col("wn")).as("n"))
         .agg(sum(col("n")).as("base_toks"))
         .localCheckpoint()
       var cur = spaced
       var stats: DataFrame = null
       for (r <- 1 to Rounds) {
         val pairs = cur
-          .select(split(trim(col("s")), "  ").as("t"))
+          .select(split(trim(col("s")), "  ").as("t"), col("wn"))
           .select(explode(when(size(col("t")) > 1, expr(
             "transform(sequence(1, size(t) - 1), i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"))
-            .otherwise(array().cast("array<string>"))).as("pair"))
-          .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+            .otherwise(array().cast("array<string>"))).as("pair"), col("wn"))
+          .groupBy(col("pair")).agg(sum(col("wn")).as("n"))
         val top1 = pairs.orderBy(col("n").desc, col("pair")).limit(1)
           .select(col("pair").as("merged_pair"), col("n").as("pair_n"))
         cur = cur.crossJoin(broadcast(top1))
           .select(expr(
             "replace(s, ' ' || replace(merged_pair, ' ', '  ') || ' ', ' ' || replace(merged_pair, ' ', '') || ' ')")
-            .as("s"))
+            .as("s"), col("wn"))
           .localCheckpoint()
         val st = cur
-          .select(explode(split(trim(col("s")), "  ")).as("tok"))
-          .agg(count(lit(1)).as("n_tokens"),
+          .select(explode(split(trim(col("s")), "  ")).as("tok"), col("wn"))
+          .agg(sum(col("wn")).as("n_tokens"),
             countDistinct(col("tok")).as("vocab_size"))
           .crossJoin(broadcast(top1))
           .select(lit(r.toLong).as("round"), col("merged_pair"), col("pair_n"),
