@@ -729,18 +729,25 @@ object TextOps extends QueryPack {
     // offline acceptance gate that prices its error before anyone
     // trusts it (the q41 pattern for frequencies).
     "t22_heavy_hitters" -> { (s, d) =>
-      val toks = Tables.documents(s, d)
+      // token-frequency table first (t24's shape): grid cells and the
+      // exact top-k both depend only on per-type counts, so the corpus
+      // is scanned once and the 4× salted hashing runs over TYPES
+      // weighted by count — bit-identical cells, hashing cost scales
+      // with vocabulary size, not corpus size
+      val types = Tables.documents(s, d)
         .select(explode(Portable.words(col("text"))).as("w"))
-      val grid = toks
-        .select(explode(array((0 until CmsDepth).map { r =>
+        .groupBy(col("w")).agg(count(lit(1)).as("wn"))
+        .localCheckpoint()
+      val grid = types
+        .select(col("wn"), explode(array((0 until CmsDepth).map { r =>
           struct(lit(r).as("r"),
             pmod(Portable.hash60(concat(lit(s"cms$r|"), col("w"))),
               lit(CmsWidth.toLong)).as("b"))
         }: _*)).as("rb"))
-        .select(col("rb.r").as("r"), col("rb.b").as("b"))
+        .select(col("rb.r").as("r"), col("rb.b").as("b"), col("wn"))
         .groupBy(col("r"), col("b"))
-        .agg(count(lit(1)).as("bc"))
-      val top = toks.groupBy(col("w")).agg(count(lit(1)).as("exact"))
+        .agg(sum(col("wn")).as("bc"))
+      val top = types.select(col("w"), col("wn").as("exact"))
         .orderBy(col("exact").desc, col("w")).limit(20)
       top
         .select(col("w"), col("exact"), explode(array((0 until CmsDepth).map { r =>
