@@ -291,6 +291,17 @@ package object dsl {
                    payloadCol: String = "payload"): DataFrame =
       imageStatsOf(df, idCol, payloadCol)
 
+    /** mm14's compressed-audio decode over a binary payload column:
+      * genuine G.711 µ-law/a-law WAV members (fmt codes 7/6) through
+      * the JDK javax.sound batch path → per-clip curation stats
+      * (container, sample count, mean/RMS/peak amplitude — the
+      * silence/clipping gates); truncated members quarantine
+      * ok=false under their declared container, non-audio as
+      * "unknown". */
+    def audioStats(idCol: String = "doc_id",
+                   payloadCol: String = "payload"): DataFrame =
+      audioStatsOf(df, idCol, payloadCol)
+
     /** q43's gaps-and-islands sessionization: events more than
       * `gapUs` apart (per `keyCol`, ordered by `tsCol`, ties broken
       * by `tieCol`) start a new session. Adds `session_idx`
@@ -348,6 +359,22 @@ package object dsl {
         col("nUnits").as("n_units"), col("meanSignal").as("mean_signal"),
         col("meanR").as("mean_r"), col("meanG").as("mean_g"),
         col("meanB").as("mean_b"), col("ok"))
+  }
+
+  /** [[GraftDataFrameOps.audioStats]]'s body — outside the AnyVal
+    * wrapper for the same Encoder-derivation reason as
+    * [[imageStatsOf]]. */
+  private def audioStatsOf(df: DataFrame, idCol: String,
+                           payloadCol: String): DataFrame = {
+    import df.sparkSession.implicits._
+    graft.operators.MediaDecode.parseAudioBatch(
+        df.select(col(idCol).cast("long").as("docId"),
+          col(payloadCol).as("payload"))
+          .as[graft.operators.MediaDecode.Media])
+      .toDF()
+      .select(col("docId").as(idCol), col("container"),
+        col("nUnits").as("n_units"), col("meanSignal").as("mean_signal"),
+        col("rms"), col("peak"), col("ok"))
   }
 
   /** (id, embedding) in any numeric array type → the (vec_id, emb,

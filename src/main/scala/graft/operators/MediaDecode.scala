@@ -14,10 +14,12 @@ import org.apache.spark.sql.{DataFrame, Dataset}
   * walk to the PCM samples — into the curation stats (mm12's columnar
   * twin). Since round 13 COMPRESSED IMAGES are real too:
   * [[parseImage]] decodes genuine PNG/JPEG members through the
-  * JDK-bundled javax.imageio (no external dependency). Only
-  * compressed AUDIO/VIDEO codecs — which genuinely need codec
-  * libraries this container lacks (no FLAC/Opus/H.264 in the JDK) —
-  * stay behind the clearly-marked deterministic STUB (`decode`).
+  * JDK-bundled javax.imageio (no external dependency), and so is
+  * COMPRESSED AUDIO in the telephony class: [[parseAudio]] decodes
+  * genuine G.711 µ-law/a-law WAV members (format codes 7/6) through
+  * javax.sound.sampled. Only perceptual-codec audio (FLAC/Opus) and
+  * VIDEO codecs (H.264) — genuinely absent from the JDK — stay
+  * behind the clearly-marked deterministic STUB (`decode`).
   * The batch shape
   * (mapPartitions over (id, payload) → typed Dataset, codec
   * instantiated once per partition, never per row) is the real
@@ -281,5 +283,114 @@ object MediaDecode {
   def parseImageBatch(media: Dataset[Media]): Dataset[MediaStats] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map(m => parseImage(m.payload).copy(docId = m.docId)))
+  }
+
+  // --- COMPRESSED audio codecs via the JDK-bundled javax.sound ------
+  // (round 13, after mm13's imageio move: the telephony codec class
+  // — G.711 µ-law/a-law, WAV format codes 7/6 — also ships with every
+  // JDK, encoder AND decoder. FLAC/Opus and all video codecs
+  // genuinely remain external.)
+
+  /** G.711 µ-law decode, closed form — spec-pinned equal to the JDK
+    * codec's output for all 256 codes (PipelineSpec); the mm14 oracle
+    * embeds the same integer arithmetic wire-free. */
+  def g711UlawDecode(code: Int): Int = {
+    val u = ~code & 0xff
+    val mag = ((((u & 0x0f) << 1) + 33) << ((u >> 4) & 7)) - 33
+    if ((u & 0x80) != 0) -(mag << 2) else mag << 2
+  }
+
+  /** G.711 a-law decode, closed form — spec-pinned like
+    * [[g711UlawDecode]]. Note the inverted sign convention: a set
+    * sign bit (after the 0x55 toggle) means POSITIVE. */
+  def g711AlawDecode(code: Int): Int = {
+    val a = code ^ 0x55
+    val e = (a >> 4) & 7
+    val v = if (e == 0) ((a & 0x0f) << 4) + 8
+            else (((a & 0x0f) << 4) + 264) << (e - 1)
+    if ((a & 0x80) != 0) v else -v
+  }
+
+  /** Planted-sample audio ENCODED through a genuine G.711 codec into
+    * a compressed WAV (µ-law fmt 7 / a-law fmt 6). The 16 PCM samples
+    * are the codec's own decode-table values for codes
+    * (docId·5 + j·31) mod 256 — every planted value is exactly
+    * representable, so (unlike JPEG's acceptance band) the LOSSY
+    * codec's round trip is bit-exact and the oracle recomputes the
+    * decoded stats wire-free from the G.711 closed form. */
+  def plantedAudioBytes(docId: Long, alaw: Boolean): Array[Byte] = {
+    import javax.sound.sampled._
+    val pcm = new Array[Byte](32)
+    var j = 0
+    while (j < 16) {
+      val code = java.lang.Math.floorMod(docId * 5 + j * 31, 256L).toInt
+      val v = if (alaw) g711AlawDecode(code) else g711UlawDecode(code)
+      pcm(2 * j) = (v & 0xff).toByte
+      pcm(2 * j + 1) = ((v >> 8) & 0xff).toByte
+      j += 1
+    }
+    val src = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+      8000f, 16, 1, 2, 8000f, false)
+    val in = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), src, 16)
+    val enc = if (alaw) AudioFormat.Encoding.ALAW else AudioFormat.Encoding.ULAW
+    val dst = new AudioFormat(enc, 8000f, 8, 1, 1, 8000f, false)
+    val conv = AudioSystem.getAudioInputStream(dst, in)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(conv, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Decode a compressed (G.711) WAV through javax.sound.sampled and
+    * fold the SAME mean/RMS/peak [[parsePayload]] emits for PCM WAVs
+    * (silence / clipping gates). Container is sniffed from the RIFF
+    * magic + fmt code FIRST so a truncated or corrupt member
+    * quarantines under its declared type: ok=false, never an
+    * exception. */
+  def parseAudio(payload: Array[Byte]): MediaStats = {
+    val none = MediaStats(0L, "unknown", 0L, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, false)
+    def tag(off: Int, t: String): Boolean =
+      payload.length >= off + t.length &&
+        t.zipWithIndex.forall { case (c, i) => (payload(off + i) & 0xff) == c.toInt }
+    if (payload == null || payload.length < 28) none
+    else if (!(tag(0, "RIFF") && tag(8, "WAVE") && tag(12, "fmt "))) none
+    else {
+      val container = u16le(payload, 20) match {
+        case 7L => "ulaw"
+        case 6L => "alaw"
+        case _  => "unknown"
+      }
+      if (container == "unknown") none
+      else try {
+        import javax.sound.sampled._
+        val in = AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        val f = in.getFormat
+        val pcmF = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+          f.getSampleRate, 16, f.getChannels, 2 * f.getChannels,
+          f.getSampleRate, false)
+        val bytes = AudioSystem.getAudioInputStream(pcmF, in).readAllBytes()
+        val n = bytes.length / 2
+        if (n == 0) none.copy(container = container)
+        else {
+          var (sum, sq, pk) = (0.0, 0.0, 0.0)
+          var i = 0
+          while (i < n) {
+            val s = s16le(bytes, i * 2).toDouble
+            sum += s; sq += s * s; if (math.abs(s) > pk) pk = math.abs(s)
+            i += 1
+          }
+          MediaStats(0L, container, n.toLong, sum / n, math.sqrt(sq / n), pk,
+            0.0, 0.0, 0.0, true)
+        }
+      } catch { case _: Exception => none.copy(container = container) }
+    }
+  }
+
+  /** Per-partition batch audio decode — the same mapPartitions
+    * contract as [[parsePayloadBatch]], the JDK G.711 codec inside. */
+  def parseAudioBatch(media: Dataset[Media]): Dataset[MediaStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(m => parseAudio(m.payload).copy(docId = m.docId)))
   }
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Portable
@@ -507,6 +507,80 @@ object Multimodal extends QueryPack {
           when(col("container") === "png", col("d_mean_b")).as("mean_b"),
           col("matches_plant"))
         .orderBy(col("doc_id"))
+    },
+
+    // REAL COMPRESSED-audio decode (round 13, mm13's move applied to
+    // the audio class): the JDK also ships G.711 µ-law/a-law —
+    // encoder and decoder — in javax.sound.sampled, so the telephony
+    // codec class comes out from behind the stub too. Each doc's 16
+    // PCM samples are the codec's OWN decode-table values for codes
+    // (doc_id·5 + j·31) mod 256 — every planted value exactly
+    // representable — so although G.711 is lossy (8-bit companding of
+    // 16-bit PCM), the round trip is BIT-EXACT: encode through a
+    // genuine codec into a compressed WAV (even ids → µ-law fmt 7,
+    // odd → a-law fmt 6), decode back by the MediaDecode
+    // mapPartitions twin reading ONLY the bytes (RIFF sniff + fmt
+    // code, AudioSystem convert, mean/RMS/peak fold — mm12's WAV
+    // stats row), and the decoded stats EQUAL the closed-form G.711
+    // arithmetic the oracle computes wire-free (both decode formulas
+    // spec-pinned against the JDK codec over all 256 codes). This is
+    // the exact-equality contract mm13's PNG side has, on a lossy
+    // codec — representable plants make quantization invisible.
+    // Scale shape: one encode map pass + one decode map pass, payload
+    // bytes never shuffle (the join carries doc_id + three doubles),
+    // codec instantiated inside the partition iterator.
+    "mm14_audio_decode" -> { (s, d) =>
+      import s.implicits._
+      val idx = sequence(lit(0L), lit(15L))
+      def g711Val(j: Column): Column = {
+        val c = pmod(col("doc_id") * 5 + j * 31, lit(256L))
+        // µ-law (even ids): complement, segment/mantissa split
+        val u = lit(255L) - c
+        val ue = pmod(floor(u / 16).cast("long"), lit(8L))
+        val um = pmod(u, lit(16L))
+        val umag = ((um * 2 + 33) *
+          pow(lit(2.0), ue.cast("double")).cast("long") - 33) * 4
+        val uval = when(u >= 128, -umag).otherwise(umag)
+        // a-law (odd ids): 0x55 toggle; set sign bit means POSITIVE
+        val a = c.bitwiseXOR(lit(85L))
+        val ae = pmod(floor(a / 16).cast("long"), lit(8L))
+        val am = pmod(a, lit(16L))
+        val av = when(ae === 0, am * 16 + 8)
+          .otherwise((am * 16 + 264) *
+            pow(lit(2.0), (ae - 1).cast("double")).cast("long"))
+        val aval = when(a >= 128, av).otherwise(-av)
+        when(pmod(col("doc_id"), lit(2L)) === 0, uval).otherwise(aval)
+          .cast("double")
+      }
+      val vals = transform(idx, j => g711Val(j))
+      val planted = Tables.documents(s, d).select(col("doc_id"),
+        round(aggregate(vals, lit(0.0), (acc, x) => acc + x) / 16.0, 6)
+          .as("p_mean"),
+        round(sqrt(aggregate(transform(vals, v => v * v), lit(0.0),
+          (acc, x) => acc + x) / 16.0), 6).as("p_rms"),
+        round(array_max(transform(vals, v => abs(v))), 6).as("p_peak"))
+      val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id =>
+          graft.operators.MediaDecode.Media(id,
+            graft.operators.MediaDecode.plantedAudioBytes(id, alaw = id % 2 != 0))))
+      val stats = graft.operators.MediaDecode.parseAudioBatch(media).toDF()
+        .select(col("docId").as("doc_id"), col("container"),
+          col("nUnits").as("n_units"), col("ok"),
+          round(col("meanSignal"), 6).as("d_mean"),
+          round(col("rms"), 6).as("d_rms"),
+          round(col("peak"), 6).as("d_peak"))
+      planted.join(stats, Seq("doc_id"))
+        .withColumn("matches_plant",
+          col("ok") && col("n_units") === 16L &&
+            col("container") === when(pmod(col("doc_id"), lit(2L)) === 0,
+              "ulaw").otherwise("alaw") &&
+            col("d_mean") === col("p_mean") &&
+            col("d_rms") === col("p_rms") &&
+            col("d_peak") === col("p_peak"))
+        .select(col("doc_id"), col("container"), col("n_units"),
+          col("d_mean").as("mean_signal"), col("d_rms").as("rms"),
+          col("d_peak").as("peak"), col("matches_plant"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -843,6 +917,45 @@ object Multimodal extends QueryPack {
         |  CASE WHEN container = 'png' THEN p_mean_r END AS mean_r,
         |  CASE WHEN container = 'png' THEN p_mean_g END AS mean_g,
         |  CASE WHEN container = 'png' THEN p_mean_b END AS mean_b,
+        |  true AS matches_plant
+        |FROM p
+        |ORDER BY doc_id""".stripMargin,
+
+    // mm14: the planted samples are G.711 decode-table values, so the
+    // lossy codec round-trips them bit-exactly and this oracle
+    // recomputes the decoded mean/RMS/peak WITHOUT any audio bytes —
+    // straight from the G.711 closed forms (µ-law: complement +
+    // segment/mantissa; a-law: 0x55 toggle, set sign bit = positive;
+    // both spec-pinned against the JDK codec). Sums of ≤16 integers
+    // ≤32124 (and their squares) are exact in double in any order, so
+    // there is no cross-engine float drift; any Spark-side codec
+    // deviation flips a stat or matches_plant and fails the row hash.
+    "mm14_audio_decode" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'ulaw' ELSE 'alaw' END AS container,
+        |    list_transform(range(0, 16), j ->
+        |      CASE WHEN doc_id % 2 = 0 THEN
+        |        CASE WHEN (255 - ((doc_id * 5 + j * 31) % 256)) >= 128
+        |          THEN -1 ELSE 1 END *
+        |        ((((255 - ((doc_id * 5 + j * 31) % 256)) % 16) * 2 + 33)
+        |          * CAST(pow(2, ((255 - ((doc_id * 5 + j * 31) % 256)) // 16) % 8)
+        |              AS BIGINT) - 33) * 4
+        |      ELSE
+        |        CASE WHEN xor((doc_id * 5 + j * 31) % 256, 85) >= 128
+        |          THEN 1 ELSE -1 END *
+        |        CASE WHEN (xor((doc_id * 5 + j * 31) % 256, 85) // 16) % 8 = 0
+        |          THEN (xor((doc_id * 5 + j * 31) % 256, 85) % 16) * 16 + 8
+        |          ELSE ((xor((doc_id * 5 + j * 31) % 256, 85) % 16) * 16 + 264)
+        |            * CAST(pow(2, (xor((doc_id * 5 + j * 31) % 256, 85) // 16) % 8 - 1)
+        |                AS BIGINT)
+        |        END
+        |      END) AS vs
+        |  FROM documents)
+        |SELECT doc_id, container, CAST(16 AS BIGINT) AS n_units,
+        |  round(list_sum(list_transform(vs, v -> v::DOUBLE)) / 16.0, 6) AS mean_signal,
+        |  round(sqrt(list_sum(list_transform(vs, v -> (v * v)::DOUBLE)) / 16.0), 6) AS rms,
+        |  round(list_max(list_transform(vs, v -> abs(v)::DOUBLE)), 6) AS peak,
         |  true AS matches_plant
         |FROM p
         |ORDER BY doc_id""".stripMargin,

@@ -252,6 +252,25 @@ class DslSpec extends SparkSuite {
     assert(viaDsl.getDouble(4) === direct.meanR && viaDsl.getDouble(6) === direct.meanB)
   }
 
+  test("audioStats facade decodes G.711 members and quarantines non-audio") {
+    import spark.implicits._
+    import graft.operators.MediaDecode
+    val frame = Seq(
+      (1L, MediaDecode.plantedAudioBytes(10L, alaw = false)),
+      (2L, MediaDecode.plantedAudioBytes(11L, alaw = true)),
+      (3L, "not audio at all, thirty bytes.".getBytes)).toDF("doc_id", "payload")
+    val out = frame.audioStats().collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getBoolean(6))).toMap
+    assert(out(1L) === (("ulaw", 16L, true)))
+    assert(out(2L) === (("alaw", 16L, true)))
+    assert(out(3L)._1 === "unknown" && !out(3L)._3)
+    // value parity with the operator twin on the ulaw row
+    val direct = MediaDecode.parseAudio(MediaDecode.plantedAudioBytes(10L, alaw = false))
+    val viaDsl = frame.audioStats().filter(col("doc_id") === 1L).head
+    assert(viaDsl.getDouble(3) === direct.meanSignal &&
+      viaDsl.getDouble(4) === direct.rms && viaDsl.getDouble(5) === direct.peak)
+  }
+
   test("codeSignals facade matches the pack t25 verdict on the shared corpus rows") {
     val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
     val viaDsl = docs.codeSignals()

@@ -486,6 +486,65 @@ class PipelineSpec extends SparkSuite {
     assert(!plan.contains("Exchange"), s"image decode plan shuffles:\n$plan")
   }
 
+  test("mm14: genuine G.711 codec round-trip through javax.sound.sampled") {
+    import spark.implicits._
+    import javax.sound.sampled._
+    // the closed forms ARE the JDK codec: all 256 codes, both laws
+    val codes = (0 until 256).map(_.toByte).toArray
+    def jdkDecode(enc: AudioFormat.Encoding): Seq[Int] = {
+      val f = new AudioFormat(enc, 8000f, 8, 1, 1, 8000f, false)
+      val in = new AudioInputStream(new java.io.ByteArrayInputStream(codes), f, 256)
+      val pcmF = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+        8000f, 16, 1, 2, 8000f, false)
+      val b = AudioSystem.getAudioInputStream(pcmF, in).readAllBytes()
+      (0 until 256).map(i => ((b(2 * i) & 0xff) | (b(2 * i + 1) << 8)).toShort.toInt)
+    }
+    assert(jdkDecode(AudioFormat.Encoding.ULAW) ===
+      (0 until 256).map(MediaDecode.g711UlawDecode))
+    assert(jdkDecode(AudioFormat.Encoding.ALAW) ===
+      (0 until 256).map(MediaDecode.g711AlawDecode))
+    // the encoded payloads are genuine compressed WAVs: fmt code 7 / 6
+    val uw = MediaDecode.plantedAudioBytes(42L, alaw = false)
+    assert(new String(uw.slice(0, 4), "US-ASCII") === "RIFF" &&
+      ((uw(20) & 0xff) | ((uw(21) & 0xff) << 8)) === 7)
+    val aw = MediaDecode.plantedAudioBytes(43L, alaw = true)
+    assert(((aw(20) & 0xff) | ((aw(21) & 0xff) << 8)) === 6)
+    // representable plants: the LOSSY codec round-trips them bit-exactly
+    // (the mm13 JPEG band is an inequality; this is ===)
+    def plantStats(id: Long, alaw: Boolean): (Double, Double, Double) = {
+      val vs = (0 until 16).map { j =>
+        val c = java.lang.Math.floorMod(id * 5 + j * 31, 256L).toInt
+        (if (alaw) MediaDecode.g711AlawDecode(c)
+         else MediaDecode.g711UlawDecode(c)).toDouble
+      }
+      (vs.sum / 16.0, math.sqrt(vs.map(v => v * v).sum / 16.0), vs.map(math.abs).max)
+    }
+    val us = MediaDecode.parseAudio(uw)
+    assert(us.ok && us.container === "ulaw" && us.nUnits === 16L)
+    assert((us.meanSignal, us.rms, us.peak) === plantStats(42L, alaw = false))
+    val as = MediaDecode.parseAudio(aw)
+    assert(as.ok && as.container === "alaw" && as.nUnits === 16L)
+    assert((as.meanSignal, as.rms, as.peak) === plantStats(43L, alaw = true))
+    // truncated members quarantine under their declared container;
+    // non-audio is unknown — never an exception
+    val trunc = MediaDecode.parseAudio(uw.take(30))
+    assert(!trunc.ok && trunc.container === "ulaw")
+    assert(MediaDecode.parseAudio("garbage-garbage-garbage-garbage".getBytes)
+      .container === "unknown")
+    // batch operator: every row codec-verified, both laws present
+    val mm14 = SparkEntry.queries("mm14_audio_decode")(spark, sf)
+    assert(mm14.count() === 500)
+    assert(mm14.filter(!col("matches_plant")).count() === 0)
+    assert(mm14.filter(col("container") === "ulaw").count() === 250)
+    assert(mm14.filter(col("container") === "alaw").count() === 250)
+    // the batch decode path is a map pass: payload bytes never shuffle
+    val media = Tables.documents(spark, sf).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id =>
+        MediaDecode.Media(id, MediaDecode.plantedAudioBytes(id, alaw = id % 2 != 0))))
+    val plan = MediaDecode.parseAudioBatch(media).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"audio decode plan shuffles:\n$plan")
+  }
+
   test("mm12 payload decode recovers every planted sample and pixel through the wire") {
     val mm12 = SparkEntry.queries("mm12_payload_decode")(spark, sf)
     assert(mm12.filter(!col("matches_plant")).count() === 0)
