@@ -302,6 +302,18 @@ package object dsl {
                    payloadCol: String = "payload"): DataFrame =
       audioStatsOf(df, idCol, payloadCol)
 
+    /** mm15's video decode over a binary payload column: genuine AVI
+      * members (MJPEG '00dc' frames through the JDK JPEG codec, raw
+      * BGR DIB '00db' frames by direct byte walk) → per-clip frame
+      * stats (container, frame count, across-frame channel means —
+      * solid-color/black-video gates — and peak inter-frame channel
+      * change, the static-video/scene-cut gate); a tampered frame
+      * count, truncated movi, or non-AVI payload quarantines
+      * ok=false under its declared container / "unknown". */
+    def videoStats(idCol: String = "doc_id",
+                   payloadCol: String = "payload"): DataFrame =
+      videoStatsOf(df, idCol, payloadCol)
+
     /** q43's gaps-and-islands sessionization: events more than
       * `gapUs` apart (per `keyCol`, ordered by `tsCol`, ties broken
       * by `tieCol`) start a new session. Adds `session_idx`
@@ -375,6 +387,23 @@ package object dsl {
       .select(col("docId").as(idCol), col("container"),
         col("nUnits").as("n_units"), col("meanSignal").as("mean_signal"),
         col("rms"), col("peak"), col("ok"))
+  }
+
+  /** [[GraftDataFrameOps.videoStats]]'s body — outside the AnyVal
+    * wrapper for the same Encoder-derivation reason as
+    * [[imageStatsOf]]. */
+  private def videoStatsOf(df: DataFrame, idCol: String,
+                           payloadCol: String): DataFrame = {
+    import df.sparkSession.implicits._
+    graft.operators.MediaDecode.parseVideoBatch(
+        df.select(col(idCol).cast("long").as("docId"),
+          col(payloadCol).as("payload"))
+          .as[graft.operators.MediaDecode.Media])
+      .toDF()
+      .select(col("docId").as(idCol), col("container"),
+        col("nUnits").as("n_frames"), col("meanR").as("mean_r"),
+        col("meanG").as("mean_g"), col("meanB").as("mean_b"),
+        col("peak").as("peak_motion"), col("ok"))
   }
 
   /** (id, embedding) in any numeric array type → the (vec_id, emb,

@@ -222,18 +222,26 @@ object MediaDecode {
       img.setRGB(j % 8, j / 8, (r << 16) | (g << 8) | b)
       j += 1
     }
+    if (!jpeg) {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    } else encodeJpeg(img)
+  }
+
+  /** One frame/image through the JDK JPEG writer at quality 0.95 —
+    * shared by [[plantedImageBytes]] and the MJPEG frames of
+    * [[plantedVideoBytes]]. */
+  private def encodeJpeg(img: java.awt.image.BufferedImage): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
-    if (!jpeg) javax.imageio.ImageIO.write(img, "png", bos)
-    else {
-      val wr = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
-      val p = wr.getDefaultWriteParam
-      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
-      p.setCompressionQuality(0.95f)
-      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
-      wr.setOutput(ios)
-      wr.write(null, new javax.imageio.IIOImage(img, null, null), p)
-      ios.close(); wr.dispose()
-    }
+    val wr = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val p = wr.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(0.95f)
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    wr.setOutput(ios)
+    wr.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    ios.close(); wr.dispose()
     bos.toByteArray
   }
 
@@ -392,5 +400,263 @@ object MediaDecode {
   def parseAudioBatch(media: Dataset[Media]): Dataset[MediaStats] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map(m => parseAudio(m.payload).copy(docId = m.docId)))
+  }
+
+  // --- VIDEO containers: MJPEG / raw-DIB frames in genuine AVI ------
+  // (round 13, the last modality: AVI is RIFF — the chunk grammar
+  // mm12 already walks for WAV — and MJPEG is per-frame JPEG, the
+  // codec mm13 already decodes through javax.imageio. So one video
+  // class needs NO external library either: intra-frame codecs.
+  // Inter-frame codecs (H.264/VP9) genuinely stay behind the stub.)
+
+  private def le16(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+  private def le32(v: Long): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+  private def riffChunk(id: String, data: Array[Byte]): Array[Byte] = {
+    val pad = if (data.length % 2 != 0) Array(0.toByte) else Array.empty[Byte]
+    id.getBytes("US-ASCII") ++ le32(data.length.toLong) ++ data ++ pad
+  }
+  private def riffList(listTag: String, typ: String,
+                       children: Array[Byte]): Array[Byte] =
+    listTag.getBytes("US-ASCII") ++ le32(children.length + 4L) ++
+      typ.getBytes("US-ASCII") ++ children
+
+  /** Planted-pixel 4-frame 8×2 video in a GENUINE AVI container:
+    * even ids → MJPEG (each '00dc' chunk is a real JPEG through
+    * [[encodeJpeg]] — lossy, acceptance-banded like mm13's JPEG),
+    * odd ids → raw bottom-up BGR DIB frames in '00db' chunks
+    * (BI_RGB — lossless, exact plant equality). The wire is a
+    * complete standard AVI: avih (totalFrames@16), strl with
+    * 'vids' strh (handler MJPG / 'DIB ') + BITMAPINFOHEADER strf,
+    * movi frame chunks with RIFF even-byte padding, and an idx1
+    * keyframe index — a real media player could open it. Pixel
+    * channels extend mm12/mm13's plant formulas with a per-frame
+    * term over j = y·8+x, f = frame:
+    * r=(id·3+f·17+j·53)%256, g=(id·11+f·19+j·29)%256,
+    * b=(id·7+f·23+j·13)%256. */
+  def plantedVideoBytes(docId: Long, mjpeg: Boolean): Array[Byte] = {
+    val (w, h, nFrames) = (8, 2, 4)
+    val frames = (0 until nFrames).map { f =>
+      if (mjpeg) {
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var j = 0
+        while (j < w * h) {
+          val r = java.lang.Math.floorMod(docId * 3 + f * 17 + j * 53, 256L).toInt
+          val g = java.lang.Math.floorMod(docId * 11 + f * 19 + j * 29, 256L).toInt
+          val b = java.lang.Math.floorMod(docId * 7 + f * 23 + j * 13, 256L).toInt
+          img.setRGB(j % w, j / w, (r << 16) | (g << 8) | b)
+          j += 1
+        }
+        encodeJpeg(img)
+      } else {
+        // bottom-up BGR rows, the DIB layout parsePayload walks for
+        // BMP (stride 8·3 = 24 is already 4-aligned, no row padding)
+        val out = new Array[Byte](w * h * 3)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val j = (h - 1 - y) * w + x // pixel stored at bottom-up row y
+            val o = (y * w + x) * 3
+            out(o) = java.lang.Math.floorMod(docId * 7 + f * 23 + j * 13, 256L).toByte
+            out(o + 1) = java.lang.Math.floorMod(docId * 11 + f * 19 + j * 29, 256L).toByte
+            out(o + 2) = java.lang.Math.floorMod(docId * 3 + f * 17 + j * 53, 256L).toByte
+            x += 1
+          }
+          y += 1
+        }
+        out
+      }
+    }
+    val frameData = frames
+    val handler = if (mjpeg) "MJPG" else "DIB "
+    val biCompression = if (mjpeg) 0x47504a4dL /* 'MJPG' LE */ else 0L
+    val maxFrame = frameData.map(_.length).max
+    val avih = le32(40000L) ++ le32(0L) ++ le32(0L) ++ le32(0x10L) ++
+      le32(nFrames.toLong) ++ le32(0L) ++ le32(1L) ++ le32(maxFrame.toLong) ++
+      le32(w.toLong) ++ le32(h.toLong) ++ le32(0L) ++ le32(0L) ++ le32(0L) ++ le32(0L)
+    val strh = "vids".getBytes("US-ASCII") ++ handler.getBytes("US-ASCII") ++
+      le32(0L) ++ le16(0) ++ le16(0) ++ le32(0L) ++ le32(1L) ++ le32(25L) ++
+      le32(0L) ++ le32(nFrames.toLong) ++ le32(maxFrame.toLong) ++
+      le32(0xffffffffL) ++ le32(0L) ++ le16(0) ++ le16(0) ++ le16(w) ++ le16(h)
+    val strf = le32(40L) ++ le32(w.toLong) ++ le32(h.toLong) ++ le16(1) ++
+      le16(24) ++ le32(biCompression) ++ le32((w * h * 3).toLong) ++
+      le32(0L) ++ le32(0L) ++ le32(0L) ++ le32(0L)
+    val strl = riffList("LIST", "strl",
+      riffChunk("strh", strh) ++ riffChunk("strf", strf))
+    val hdrl = riffList("LIST", "hdrl", riffChunk("avih", avih) ++ strl)
+    val ckId = if (mjpeg) "00dc" else "00db"
+    val moviChunks = frameData.map(d => riffChunk(ckId, d))
+    val movi = riffList("LIST", "movi", moviChunks.reduce(_ ++ _))
+    // idx1 offsets are measured from the 'movi' fourcc (offset 4
+    // inside the LIST data), each entry AVIIF_KEYFRAME
+    val offsets = moviChunks.scanLeft(4L)((acc, c) => acc + c.length).init
+    val idx1 = riffChunk("idx1",
+      offsets.zip(frameData).map { case (off, d) =>
+        ckId.getBytes("US-ASCII") ++ le32(0x10L) ++ le32(off) ++ le32(d.length.toLong)
+      }.reduce(_ ++ _))
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi ++ idx1
+    "RIFF".getBytes("US-ASCII") ++ le32(body.length.toLong) ++ body
+  }
+
+  /** Decode an AVI through a RIFF chunk walk + per-frame codec —
+    * ImageIO for '00dc' MJPEG frames, a direct bottom-up DIB pixel
+    * walk for '00db' raw frames — and fold the frame-level curation
+    * stats a video QA pass gates on: across-frame channel means
+    * (meanR/G/B — solid-color / black-video gates) and the peak
+    * inter-frame change of any per-frame channel mean (peak — the
+    * static-video / scene-cut gate). nUnits = decoded frames; ok
+    * requires every frame decoded AND the count matching avih's
+    * declared dwTotalFrames (a tampered header or truncated movi
+    * quarantines: ok=false under container "avi" when the codec
+    * fourcc is unreachable, else under its declared codec). */
+  def parseVideo(payload: Array[Byte]): MediaStats = {
+    val none = MediaStats(0L, "unknown", 0L, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, false)
+    def tag(off: Int, t: String): Boolean =
+      payload.length >= off + t.length &&
+        t.zipWithIndex.forall { case (c, i) => (payload(off + i) & 0xff) == c.toInt }
+    if (payload == null || payload.length < 12 ||
+        !(tag(0, "RIFF") && tag(8, "AVI "))) return none
+    var container = "avi"
+    var declared = -1L
+    var frames = 0L
+    var allOk = true
+    var (sr, sg, sb) = (0.0, 0.0, 0.0)
+    var nPix = 0L
+    var havePrev = false
+    var (pr, pg, pb) = (0.0, 0.0, 0.0)
+    var peakMotion = 0.0
+    try {
+      // one linear walk over the RIFF tree; lists recurse
+      def walk(from: Int, to: Int): Unit = {
+        var p = from
+        while (p + 8 <= to) {
+          val sz = u32le(payload, p + 4)
+          if (sz > payload.length.toLong) return // corrupt size: stop the walk
+          val end = math.min(to.toLong, p + 8 + sz).toInt
+          if (tag(p, "LIST") && p + 12 <= to) walk(p + 12, end)
+          else if (tag(p, "avih") && sz >= 20) declared = u32le(payload, p + 8 + 16)
+          else if (tag(p, "strf") && sz >= 20) {
+            container = u32le(payload, p + 8 + 16) match {
+              case 0x47504a4dL => "mjpeg"
+              case 0L          => "rawvideo"
+              case _           => "avi"
+            }
+          } else if ((tag(p, "00dc") || tag(p, "00db")) && end <= payload.length) {
+            frames += 1
+            val data = java.util.Arrays.copyOfRange(payload, p + 8, end)
+            val m = decodeFrame(data, tag(p, "00dc"))
+            m match {
+              case Some((fr, fg, fb, n)) =>
+                sr += fr * n; sg += fg * n; sb += fb * n; nPix += n
+                if (havePrev) {
+                  val d = math.max(math.abs(fr - pr),
+                    math.max(math.abs(fg - pg), math.abs(fb - pb)))
+                  if (d > peakMotion) peakMotion = d
+                }
+                pr = fr; pg = fg; pb = fb; havePrev = true
+              case None => allOk = false
+            }
+          }
+          p += 8 + sz.toInt + (sz.toInt & 1)
+        }
+      }
+      walk(12, payload.length)
+      val ok = allOk && frames > 0 && frames == declared && nPix > 0
+      if (!ok) none.copy(container = container)
+      else MediaStats(0L, container, frames, 0.0, 0.0, peakMotion,
+        sr / nPix, sg / nPix, sb / nPix, true)
+    } catch { case _: Exception => none.copy(container = container) }
+  }
+
+  /** One frame → (meanR, meanG, meanB, nPixels): ImageIO for JPEG
+    * ('00dc'), bottom-up 24bpp BGR DIB walk for raw ('00db'). */
+  private def decodeFrame(data: Array[Byte],
+                          jpeg: Boolean): Option[(Double, Double, Double, Long)] =
+    if (jpeg) {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(data))
+      if (img == null) None
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toLong * h
+        Some((sr.toDouble / n, sg.toDouble / n, sb.toDouble / n, n))
+      }
+    } else {
+      // raw DIB frame: dimensions fixed by the stream header in a
+      // real player; our walk derives them from the byte count the
+      // way parsePayload does for BMP (w·h·3 with 4-aligned stride —
+      // here stride 24 means data.length = h·24, w = 8)
+      val (w, h) = (8, data.length / 24)
+      if (h <= 0 || data.length != h * 24) None
+      else {
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val o = (y * w + x) * 3
+            sb += data(o) & 0xff; sg += data(o + 1) & 0xff; sr += data(o + 2) & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toLong * h
+        Some((sr.toDouble / n, sg.toDouble / n, sb.toDouble / n, n))
+      }
+    }
+
+  /** Per-partition batch video decode — the same mapPartitions
+    * contract as [[parsePayloadBatch]], the RIFF walk + per-frame
+    * codec inside. */
+  def parseVideoBatch(media: Dataset[Media]): Dataset[MediaStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(m => parseVideo(m.payload).copy(docId = m.docId)))
+  }
+
+  /** Sniff-and-route decode — the single entry a mixed-modality
+    * corpus scan needs (p11's curate cascade): magic bytes pick the
+    * parser (PNG/JPEG → [[parseImage]], RIFF-AVI → [[parseVideo]],
+    * RIFF-WAVE → [[parseAudio]] for G.711 members falling back to
+    * [[parsePayload]] for PCM, 'BM' → [[parsePayload]]), anything
+    * else — including members truncated before their codec is
+    * readable — quarantines ok=false. One branch test per payload;
+    * the codecs stay inside the partition iterator. */
+  def parseAny(payload: Array[Byte]): MediaStats = {
+    val none = MediaStats(0L, "unknown", 0L, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, false)
+    def tag(off: Int, t: String): Boolean =
+      payload != null && payload.length >= off + t.length &&
+        t.zipWithIndex.forall { case (c, i) => (payload(off + i) & 0xff) == c.toInt }
+    if (payload == null || payload.length < 4) none
+    else if (tag(0, "RIFF") && tag(8, "AVI ")) parseVideo(payload)
+    else if (tag(0, "RIFF") && tag(8, "WAVE")) {
+      val a = parseAudio(payload)
+      if (a.container != "unknown") a else parsePayload(payload)
+    }
+    else if ((payload(0) & 0xff) == 0x89 && tag(1, "PNG")) parseImage(payload)
+    else if ((payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8 &&
+             (payload(2) & 0xff) == 0xff) parseImage(payload)
+    else if (tag(0, "BM")) parsePayload(payload)
+    else none
+  }
+
+  /** Per-partition batch sniff-and-route decode — the mapPartitions
+    * contract with [[parseAny]] inside. */
+  def parseAnyBatch(media: Dataset[Media]): Dataset[MediaStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(m => parseAny(m.payload).copy(docId = m.docId)))
   }
 }

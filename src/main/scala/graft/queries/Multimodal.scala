@@ -581,6 +581,84 @@ object Multimodal extends QueryPack {
           col("d_mean").as("mean_signal"), col("d_rms").as("rms"),
           col("d_peak").as("peak"), col("matches_plant"))
         .orderBy(col("doc_id"))
+    },
+
+    // REAL VIDEO decode (round 13 — the last modality): AVI is RIFF
+    // (the chunk grammar mm12 already walks for WAV) and MJPEG is
+    // per-frame JPEG (the codec mm13 already drives through
+    // javax.imageio), so the intra-frame video class needs no
+    // external library either. Each doc carries a COMPLETE standard
+    // AVI — avih + 'vids' strh/strf, movi frame chunks, idx1
+    // keyframe index; a real player could open it — holding 4 planted
+    // 8×2 frames: even ids → MJPEG ('00dc' chunks, each a genuine
+    // JPEG — lossy, mm13's acceptance band), odd ids → raw bottom-up
+    // BGR DIB frames ('00db', BI_RGB — lossless, exact plant
+    // equality; all plants are dyadic rationals so the oracle
+    // recomputes them wire-free with zero float drift). The decode
+    // walks ONLY the bytes (RIFF tree recursion, strf fourcc sniff,
+    // per-frame codec) and folds the frame-level curation stats a
+    // video QA pass gates on: across-frame channel means
+    // (solid-color / black-video gates) and PEAK inter-frame change
+    // of any per-frame channel mean (the static-video / scene-cut
+    // gate — mm15's new stat over mm13's). ok requires every frame
+    // decoded AND the count matching avih's declared dwTotalFrames —
+    // a tampered header quarantines (spec-tested). After mm13/mm14/
+    // mm15 only inter-frame video (H.264/VP9) and perceptual audio
+    // (FLAC/Opus) — genuinely absent from the JDK — remain stubbed.
+    // Scale shape: one encode map pass + one decode map pass, payload
+    // bytes never shuffle (the join carries doc_id + four doubles),
+    // decoders instantiated per partition.
+    "mm15_video_decode" -> { (s, d) =>
+      import s.implicits._
+      val idx = sequence(lit(0L), lit(15L))
+      def frameMean(f: Int, a: Long, fc: Long, b: Long) =
+        aggregate(transform(idx, j =>
+            pmod(col("doc_id") * a + lit(f * fc) + j * b, lit(256L)).cast("double")),
+          lit(0.0), (acc, x) => acc + x) / 16.0
+      val fr = (0 until 4).map(f => frameMean(f, 3, 17, 53))
+      val fg = (0 until 4).map(f => frameMean(f, 11, 19, 29))
+      val fb = (0 until 4).map(f => frameMean(f, 7, 23, 13))
+      val pMotion = (1 until 4).map(f =>
+        greatest(abs(fr(f) - fr(f - 1)), abs(fg(f) - fg(f - 1)),
+          abs(fb(f) - fb(f - 1)))).reduce((x, y) => greatest(x, y))
+      val planted = Tables.documents(s, d).select(col("doc_id"),
+        round(fr.reduce(_ + _) / 4.0, 6).as("p_mean_r"),
+        round(fg.reduce(_ + _) / 4.0, 6).as("p_mean_g"),
+        round(fb.reduce(_ + _) / 4.0, 6).as("p_mean_b"),
+        round(pMotion, 6).as("p_motion"))
+      val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id =>
+          graft.operators.MediaDecode.Media(id,
+            graft.operators.MediaDecode.plantedVideoBytes(id, mjpeg = id % 2 == 0))))
+      val stats = graft.operators.MediaDecode.parseVideoBatch(media).toDF()
+        .select(col("docId").as("doc_id"), col("container"),
+          col("nUnits").as("n_frames"), col("ok"),
+          round(col("meanR"), 6).as("d_mean_r"),
+          round(col("meanG"), 6).as("d_mean_g"),
+          round(col("meanB"), 6).as("d_mean_b"),
+          round(col("peak"), 6).as("d_motion"))
+      planted.join(stats, Seq("doc_id"))
+        .withColumn("matches_plant",
+          when(col("container") === "rawvideo",
+            col("ok") && col("n_frames") === 4L &&
+              col("d_mean_r") === col("p_mean_r") &&
+              col("d_mean_g") === col("p_mean_g") &&
+              col("d_mean_b") === col("p_mean_b") &&
+              col("d_motion") === col("p_motion"))
+            .when(col("container") === "mjpeg",
+              col("ok") && col("n_frames") === 4L &&
+                abs(col("d_mean_r") - col("p_mean_r")) <= 8.0 &&
+                abs(col("d_mean_g") - col("p_mean_g")) <= 8.0 &&
+                abs(col("d_mean_b") - col("p_mean_b")) <= 8.0 &&
+                abs(col("d_motion") - col("p_motion")) <= 16.0)
+            .otherwise(lit(false)))
+        .select(col("doc_id"), col("container"), col("n_frames"),
+          when(col("container") === "rawvideo", col("d_mean_r")).as("mean_r"),
+          when(col("container") === "rawvideo", col("d_mean_g")).as("mean_g"),
+          when(col("container") === "rawvideo", col("d_mean_b")).as("mean_b"),
+          when(col("container") === "rawvideo", col("d_motion")).as("peak_motion"),
+          col("matches_plant"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -956,6 +1034,36 @@ object Multimodal extends QueryPack {
         |  round(list_sum(list_transform(vs, v -> v::DOUBLE)) / 16.0, 6) AS mean_signal,
         |  round(sqrt(list_sum(list_transform(vs, v -> (v * v)::DOUBLE)) / 16.0), 6) AS rms,
         |  round(list_max(list_transform(vs, v -> abs(v)::DOUBLE)), 6) AS peak,
+        |  true AS matches_plant
+        |FROM p
+        |ORDER BY doc_id""".stripMargin,
+
+    // mm15: raw-DIB AVI frames are lossless, so their decoded
+    // across-frame channel means and peak inter-frame motion EQUAL
+    // the closed-form plants this oracle computes WITHOUT any video
+    // bytes (per-frame means are integer sums / 16, across-frame
+    // means / 64 — exact dyadic rationals, zero cross-engine drift);
+    // MJPEG is lossy, so its stat columns are NULL and its acceptance
+    // band lives in matches_plant. Any Spark-side RIFF-walk or codec
+    // deviation flips a stat or matches_plant and fails the row hash.
+    "mm15_video_decode" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'mjpeg' ELSE 'rawvideo' END AS container,
+        |    list_transform(range(0, 4), f -> list_sum(list_transform(range(0, 16),
+        |      j -> ((doc_id * 3 + f * 17 + j * 53) % 256)::DOUBLE)) / 16.0) AS fr,
+        |    list_transform(range(0, 4), f -> list_sum(list_transform(range(0, 16),
+        |      j -> ((doc_id * 11 + f * 19 + j * 29) % 256)::DOUBLE)) / 16.0) AS fg,
+        |    list_transform(range(0, 4), f -> list_sum(list_transform(range(0, 16),
+        |      j -> ((doc_id * 7 + f * 23 + j * 13) % 256)::DOUBLE)) / 16.0) AS fb
+        |  FROM documents)
+        |SELECT doc_id, container, CAST(4 AS BIGINT) AS n_frames,
+        |  CASE WHEN container = 'rawvideo' THEN round(list_sum(fr) / 4.0, 6) END AS mean_r,
+        |  CASE WHEN container = 'rawvideo' THEN round(list_sum(fg) / 4.0, 6) END AS mean_g,
+        |  CASE WHEN container = 'rawvideo' THEN round(list_sum(fb) / 4.0, 6) END AS mean_b,
+        |  CASE WHEN container = 'rawvideo' THEN round(list_max(list_transform(range(1, 4),
+        |    f -> greatest(abs(fr[f + 1] - fr[f]), abs(fg[f + 1] - fg[f]),
+        |                  abs(fb[f + 1] - fb[f])))), 6) END AS peak_motion,
         |  true AS matches_plant
         |FROM p
         |ORDER BY doc_id""".stripMargin,

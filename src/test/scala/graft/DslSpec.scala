@@ -271,6 +271,25 @@ class DslSpec extends SparkSuite {
       viaDsl.getDouble(4) === direct.rms && viaDsl.getDouble(5) === direct.peak)
   }
 
+  test("videoStats facade decodes AVI members and quarantines non-video") {
+    import spark.implicits._
+    import graft.operators.MediaDecode
+    val frame = Seq(
+      (1L, MediaDecode.plantedVideoBytes(10L, mjpeg = true)),
+      (2L, MediaDecode.plantedVideoBytes(11L, mjpeg = false)),
+      (3L, "not a video at all, thirty-two.!".getBytes)).toDF("doc_id", "payload")
+    val out = frame.videoStats().collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getBoolean(7))).toMap
+    assert(out(1L) === (("mjpeg", 4L, true)))
+    assert(out(2L) === (("rawvideo", 4L, true)))
+    assert(out(3L)._1 === "unknown" && !out(3L)._3)
+    // value parity with the operator twin on the rawvideo row
+    val direct = MediaDecode.parseVideo(MediaDecode.plantedVideoBytes(11L, mjpeg = false))
+    val viaDsl = frame.videoStats().filter(col("doc_id") === 2L).head
+    assert(viaDsl.getDouble(3) === direct.meanR &&
+      viaDsl.getDouble(5) === direct.meanB && viaDsl.getDouble(6) === direct.peak)
+  }
+
   test("codeSignals facade matches the pack t25 verdict on the shared corpus rows") {
     val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
     val viaDsl = docs.codeSignals()

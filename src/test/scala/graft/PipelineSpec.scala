@@ -545,6 +545,71 @@ class PipelineSpec extends SparkSuite {
     assert(!plan.contains("Exchange"), s"audio decode plan shuffles:\n$plan")
   }
 
+  test("mm15: genuine AVI containers, MJPEG + raw-DIB frames, tamper quarantine") {
+    import spark.implicits._
+    import graft.operators.MediaDecode
+    // the wires are complete standard AVIs: RIFF/'AVI ' magic, strf
+    // compression fourcc ('MJPG' / 0 = BI_RGB), idx1 keyframe index
+    val mw = MediaDecode.plantedVideoBytes(42L, mjpeg = true)
+    val rw = MediaDecode.plantedVideoBytes(43L, mjpeg = false)
+    def ascii(b: Array[Byte], off: Int, n: Int) = new String(b.slice(off, off + n), "US-ASCII")
+    assert(ascii(mw, 0, 4) === "RIFF" && ascii(mw, 8, 4) === "AVI ")
+    def find(b: Array[Byte], t: String): Int =
+      b.indices.indexWhere(i => i + 4 <= b.length && ascii(b, i, 4) == t)
+    def u32(b: Array[Byte], off: Int): Long =
+      (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+        ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+    val (mStrf, rStrf) = (find(mw, "strf"), find(rw, "strf"))
+    assert(ascii(mw, mStrf + 8 + 16, 4) === "MJPG")
+    assert(u32(rw, rStrf + 8 + 16) === 0L) // BI_RGB
+    assert(find(mw, "idx1") > 0 && find(rw, "idx1") > 0)
+    // raw DIB frames are lossless: decoded stats EQUAL the closed form
+    def plantStats(id: Long): (Double, Double, Double, Double) = {
+      def fm(f: Int, a: Long, fc: Long, b: Long): Double =
+        (0 until 16).map(j => java.lang.Math.floorMod(id * a + f * fc + j * b, 256L).toDouble).sum / 16.0
+      val fr = (0 until 4).map(fm(_, 3, 17, 53))
+      val fg = (0 until 4).map(fm(_, 11, 19, 29))
+      val fb = (0 until 4).map(fm(_, 7, 23, 13))
+      val motion = (1 until 4).map(f => Seq(
+        math.abs(fr(f) - fr(f - 1)), math.abs(fg(f) - fg(f - 1)),
+        math.abs(fb(f) - fb(f - 1))).max).max
+      (fr.sum / 4.0, fg.sum / 4.0, fb.sum / 4.0, motion)
+    }
+    val rs = MediaDecode.parseVideo(rw)
+    assert(rs.ok && rs.container === "rawvideo" && rs.nUnits === 4L)
+    assert((rs.meanR, rs.meanG, rs.meanB, rs.peak) === plantStats(43L))
+    // MJPEG frames are genuine JPEGs: banded, never exact-asserted
+    val ms = MediaDecode.parseVideo(mw)
+    val mp = plantStats(42L)
+    assert(ms.ok && ms.container === "mjpeg" && ms.nUnits === 4L)
+    assert(math.abs(ms.meanR - mp._1) <= 8.0 && math.abs(ms.meanG - mp._2) <= 8.0 &&
+      math.abs(ms.meanB - mp._3) <= 8.0 && math.abs(ms.peak - mp._4) <= 16.0)
+    // a tampered avih frame count quarantines under the declared codec
+    val tampered = rw.clone()
+    val avih = find(tampered, "avih")
+    tampered(avih + 8 + 16) = 9 // declared 9 frames, movi carries 4
+    val ts = MediaDecode.parseVideo(tampered)
+    assert(!ts.ok && ts.container === "rawvideo")
+    // truncation before strf quarantines under the container class;
+    // garbage is unknown — never an exception
+    val trunc = MediaDecode.parseVideo(rw.take(30))
+    assert(!trunc.ok && trunc.container === "avi")
+    assert(MediaDecode.parseVideo("garbage-garbage-garbage-garbage!".getBytes)
+      .container === "unknown")
+    // batch operator: every row codec-verified, both containers present
+    val mm15 = SparkEntry.queries("mm15_video_decode")(spark, sf)
+    assert(mm15.count() === 500)
+    assert(mm15.filter(!col("matches_plant")).count() === 0)
+    assert(mm15.filter(col("container") === "mjpeg").count() === 250)
+    assert(mm15.filter(col("container") === "rawvideo").count() === 250)
+    // the batch decode path is a map pass: payload bytes never shuffle
+    val media = Tables.documents(spark, sf).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id =>
+        MediaDecode.Media(id, MediaDecode.plantedVideoBytes(id, mjpeg = id % 2 == 0))))
+    val plan = MediaDecode.parseVideoBatch(media).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"video decode plan shuffles:\n$plan")
+  }
+
   test("mm12 payload decode recovers every planted sample and pixel through the wire") {
     val mm12 = SparkEntry.queries("mm12_payload_decode")(spark, sf)
     assert(mm12.filter(!col("matches_plant")).count() === 0)
