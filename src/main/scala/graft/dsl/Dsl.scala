@@ -314,6 +314,22 @@ package object dsl {
                    payloadCol: String = "payload"): DataFrame =
       videoStatsOf(df, idCol, payloadCol)
 
+    /** p11's media curate cascade over a mixed-modality binary
+      * column: magic-byte routing (the sniff IS the router — no
+      * trusted metadata), real-codec decode (PNG/JPEG images,
+      * G.711/PCM WAV audio, MJPEG/raw-DIB AVI video, BMP), then the
+      * QA gates a production media pipeline runs. disposition =
+      * decode_fail | dark | silent | clipped | static | keep — the
+      * FIRST catching gate, p7's cascade rule. */
+    def mediaCurate(idCol: String = "doc_id",
+                    payloadCol: String = "payload",
+                    darkBrightness: Double = 120.0,
+                    silentRms: Double = 8000.0,
+                    clippedPeak: Double = 31000.0,
+                    staticMotion: Double = 18.0): DataFrame =
+      mediaCurateOf(df, idCol, payloadCol, darkBrightness, silentRms,
+        clippedPeak, staticMotion)
+
     /** q43's gaps-and-islands sessionization: events more than
       * `gapUs` apart (per `keyCol`, ordered by `tsCol`, ties broken
       * by `tieCol`) start a new session. Adds `session_idx`
@@ -404,6 +420,37 @@ package object dsl {
         col("nUnits").as("n_frames"), col("meanR").as("mean_r"),
         col("meanG").as("mean_g"), col("meanB").as("mean_b"),
         col("peak").as("peak_motion"), col("ok"))
+  }
+
+  /** [[GraftDataFrameOps.mediaCurate]]'s body — outside the AnyVal
+    * wrapper for the same Encoder-derivation reason as
+    * [[imageStatsOf]]. Mirrors the p11 pack query with the gate
+    * thresholds parameterized. */
+  private def mediaCurateOf(df: DataFrame, idCol: String, payloadCol: String,
+                            darkBrightness: Double, silentRms: Double,
+                            clippedPeak: Double, staticMotion: Double): DataFrame = {
+    import df.sparkSession.implicits._
+    graft.operators.MediaDecode.parseAnyBatch(
+        df.select(col(idCol).cast("long").as("docId"),
+          col(payloadCol).as("payload"))
+          .as[graft.operators.MediaDecode.Media])
+      .toDF()
+      .select(col("docId").as(idCol), col("container"), col("ok"),
+        col("meanR"), col("meanG"), col("meanB"), col("rms"), col("peak"))
+      .withColumn("modality",
+        when(col("container").isin("png", "jpeg", "bmp"), "image")
+          .when(col("container").isin("ulaw", "alaw", "wav"), "audio")
+          .when(col("container").isin("mjpeg", "rawvideo", "avi"), "video")
+          .otherwise("unknown"))
+      .withColumn("disposition",
+        when(!col("ok"), "decode_fail")
+          .when(col("modality") === "image" &&
+            (col("meanR") + col("meanG") + col("meanB")) / 3.0 < darkBrightness, "dark")
+          .when(col("modality") === "audio" && col("rms") < silentRms, "silent")
+          .when(col("modality") === "audio" && col("peak") >= clippedPeak, "clipped")
+          .when(col("modality") === "video" && col("peak") < staticMotion, "static")
+          .otherwise("keep"))
+      .select(col(idCol), col("modality"), col("container"), col("disposition"))
   }
 
   /** (id, embedding) in any numeric array type → the (vec_id, emb,

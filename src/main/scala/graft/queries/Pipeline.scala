@@ -418,6 +418,60 @@ object Pipeline extends QueryPack {
           sum(coalesce(col("chars_new"), lit(0L)) -
             coalesce(col("chars_old"), lit(0L))).as("delta_chars"))
         .orderBy(col("status"))
+    },
+
+    // The MEDIA curate cascade (round 13) — p7's disposition shape
+    // applied to a mixed-modality corpus, composing the round's real
+    // codecs end-to-end: each doc arrives as an opaque binary member
+    // (id%4: PNG image / G.711 µ-law WAV / raw-DIB AVI / a truncated
+    // upload), is routed by MAGIC BYTES alone (MediaDecode.parseAny —
+    // the sniff IS the router, no trusted metadata), decoded by the
+    // matching real codec (mm13/mm14/mm15's twins), and gated by the
+    // QA rules a production media pipeline runs: images too dark
+    // (brightness < 120), audio silent (RMS < 8000) or clipped
+    // (peak ≥ 31000 — checked after silence, the p7 first-catching-
+    // stage rule), video static (peak inter-frame motion < 18);
+    // undecodable members quarantine as decode_fail. Disposition =
+    // the FIRST catching gate. All plants are lossless members, so
+    // the oracle recomputes every gate input wire-free from the
+    // closed forms and the disposition table is exact — thresholds
+    // compare identically in both engines because both compute the
+    // same IEEE doubles. Scale shape: one encode map pass + one
+    // sniff-route-decode map pass (codecs inside the partition
+    // iterator), the only shuffle is the output sort carrying
+    // (doc_id, three strings); payload bytes never shuffle.
+    "p11_media_curate" -> { (s, d) =>
+      import s.implicits._
+      val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val payload = (id % 4) match {
+            case 0 => graft.operators.MediaDecode.plantedImageBytes(id, jpeg = false)
+            case 1 => graft.operators.MediaDecode.plantedAudioBytes(id, alaw = false)
+            case 2 => graft.operators.MediaDecode.plantedVideoBytes(id, mjpeg = false)
+            case _ => // an upload truncated before its codec is readable
+              graft.operators.MediaDecode.plantedAudioBytes(id, alaw = false).take(20)
+          }
+          graft.operators.MediaDecode.Media(id, payload)
+        })
+      graft.operators.MediaDecode.parseAnyBatch(media).toDF()
+        .select(col("docId").as("doc_id"), col("container"), col("ok"),
+          col("meanR"), col("meanG"), col("meanB"), col("rms"), col("peak"))
+        .withColumn("modality",
+          when(col("container").isin("png", "jpeg", "bmp"), "image")
+            .when(col("container").isin("ulaw", "alaw", "wav"), "audio")
+            .when(col("container").isin("mjpeg", "rawvideo", "avi"), "video")
+            .otherwise("unknown"))
+        .withColumn("disposition",
+          when(!col("ok"), "decode_fail")
+            .when(col("modality") === "image" &&
+              (col("meanR") + col("meanG") + col("meanB")) / 3.0 < 120.0, "dark")
+            .when(col("modality") === "audio" && col("rms") < 8000.0, "silent")
+            .when(col("modality") === "audio" && col("peak") >= 31000.0, "clipped")
+            .when(col("modality") === "video" && col("peak") < 18.0, "static")
+            .otherwise("keep"))
+        .select(col("doc_id"), col("modality"), col("container"),
+          col("disposition"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -1099,6 +1153,67 @@ object Pipeline extends QueryPack {
          |    AS delta_chars
          |FROM a FULL OUTER JOIN b USING (doc_id)
          |GROUP BY 1
-         |ORDER BY 1""".stripMargin
+         |ORDER BY 1""".stripMargin,
+
+    // p11: every member is a LOSSLESS plant (PNG / G.711
+    // decode-table samples / raw-DIB AVI), so this oracle recomputes
+    // every gate input wire-free from the closed forms and derives
+    // the exact disposition table. Threshold comparisons are safe
+    // cross-engine because both sides compute the same IEEE doubles
+    // in the same expression order (integer-valued and dyadic sums
+    // are exact; sqrt of an identical double is identical).
+    "p11_media_curate" ->
+      """WITH img AS (
+        |  SELECT doc_id,
+        |    (list_sum(list_transform(range(0, 16), j -> ((doc_id * 3 + j * 53) % 256)::DOUBLE)) / 16.0
+        |     + list_sum(list_transform(range(0, 16), j -> ((doc_id * 11 + j * 29) % 256)::DOUBLE)) / 16.0
+        |     + list_sum(list_transform(range(0, 16), j -> ((doc_id * 7 + j * 13) % 256)::DOUBLE)) / 16.0) / 3.0
+        |      AS brightness
+        |  FROM documents WHERE doc_id % 4 = 0),
+        |aud AS (
+        |  SELECT doc_id, list_transform(range(0, 16), j ->
+        |    (CASE WHEN (255 - ((doc_id * 5 + j * 31) % 256)) >= 128
+        |       THEN -1 ELSE 1 END *
+        |     ((((255 - ((doc_id * 5 + j * 31) % 256)) % 16) * 2 + 33)
+        |       * CAST(pow(2, ((255 - ((doc_id * 5 + j * 31) % 256)) // 16) % 8)
+        |           AS BIGINT) - 33) * 4)::DOUBLE) AS vs
+        |  FROM documents WHERE doc_id % 4 = 1),
+        |aud2 AS (
+        |  SELECT doc_id, sqrt(list_sum(list_transform(vs, v -> v * v)) / 16.0) AS rms,
+        |    list_max(list_transform(vs, v -> abs(v))) AS pk
+        |  FROM aud),
+        |vid AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, 4), f -> list_sum(list_transform(range(0, 16),
+        |      j -> ((doc_id * 3 + f * 17 + j * 53) % 256)::DOUBLE)) / 16.0) AS fr,
+        |    list_transform(range(0, 4), f -> list_sum(list_transform(range(0, 16),
+        |      j -> ((doc_id * 11 + f * 19 + j * 29) % 256)::DOUBLE)) / 16.0) AS fg,
+        |    list_transform(range(0, 4), f -> list_sum(list_transform(range(0, 16),
+        |      j -> ((doc_id * 7 + f * 23 + j * 13) % 256)::DOUBLE)) / 16.0) AS fb
+        |  FROM documents WHERE doc_id % 4 = 2),
+        |vid2 AS (
+        |  SELECT doc_id, list_max(list_transform(range(1, 4),
+        |    f -> greatest(abs(fr[f + 1] - fr[f]), abs(fg[f + 1] - fg[f]),
+        |                  abs(fb[f + 1] - fb[f])))) AS motion
+        |  FROM vid),
+        |rows_ AS (
+        |  SELECT doc_id, 'image' AS modality, 'png' AS container,
+        |    CASE WHEN brightness < 120.0 THEN 'dark' ELSE 'keep' END AS disposition
+        |  FROM img
+        |  UNION ALL
+        |  SELECT doc_id, 'audio', 'ulaw',
+        |    CASE WHEN rms < 8000.0 THEN 'silent'
+        |      WHEN pk >= 31000.0 THEN 'clipped' ELSE 'keep' END
+        |  FROM aud2
+        |  UNION ALL
+        |  SELECT doc_id, 'video', 'rawvideo',
+        |    CASE WHEN motion < 18.0 THEN 'static' ELSE 'keep' END
+        |  FROM vid2
+        |  UNION ALL
+        |  SELECT doc_id, 'unknown', 'unknown', 'decode_fail'
+        |  FROM documents WHERE doc_id % 4 = 3)
+        |SELECT doc_id, modality, container, disposition
+        |FROM rows_
+        |ORDER BY doc_id""".stripMargin
   )
 }

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import graft.dsl._
 import graft.operators.MediaDecode
 
 /** Behavior the DuckDB oracle can't check: ANN recall quality and the
@@ -608,6 +609,61 @@ class PipelineSpec extends SparkSuite {
         MediaDecode.Media(id, MediaDecode.plantedVideoBytes(id, mjpeg = id % 2 == 0))))
     val plan = MediaDecode.parseVideoBatch(media).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"video decode plan shuffles:\n$plan")
+  }
+
+  test("p11: sniff-routed media curate — every disposition earned through a real codec") {
+    import spark.implicits._
+    import graft.operators.MediaDecode
+    val p11 = SparkEntry.queries("p11_media_curate")(spark, sf)
+    val rows = p11.collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getString(3)))).toMap
+    assert(rows.size === 500)
+    // routing is by magic bytes ALONE and recovers the planted class;
+    // members truncated before their codec is readable quarantine
+    rows.foreach { case (id, (mod, cont, disp)) =>
+      (id % 4) match {
+        case 0 => assert(mod === "image" && cont === "png" && disp != "decode_fail")
+        case 1 => assert(mod === "audio" && cont === "ulaw" && disp != "decode_fail")
+        case 2 => assert(mod === "video" && cont === "rawvideo" && disp != "decode_fail")
+        case _ => assert(mod === "unknown" && disp === "decode_fail")
+      }
+    }
+    // every gate fires somewhere AND keeps survive in every decodable
+    // modality — the thresholds are calibrated, not vacuous
+    val byDisp = rows.values.groupBy(_._3).view.mapValues(_.size).toMap
+    Seq("dark", "silent", "clipped", "static", "keep", "decode_fail").foreach(d =>
+      assert(byDisp.getOrElse(d, 0) > 0, s"disposition $d never fired"))
+    Seq("image", "audio", "video").foreach(m =>
+      assert(rows.values.exists(v => v._1 == m && v._3 == "keep"), s"no $m keep"))
+    // gate verdicts trace to the real decoded stats (first-catching-stage order)
+    val darkId = rows.collectFirst { case (id, (_, _, "dark")) => id }.get
+    val di = MediaDecode.parseImage(MediaDecode.plantedImageBytes(darkId, jpeg = false))
+    assert((di.meanR + di.meanG + di.meanB) / 3.0 < 120.0)
+    val clipId = rows.collectFirst { case (id, (_, _, "clipped")) => id }.get
+    val ca = MediaDecode.parseAudio(MediaDecode.plantedAudioBytes(clipId, alaw = false))
+    assert(ca.peak >= 31000.0 && ca.rms >= 8000.0) // silent catches first, so rms must be high
+    val statId = rows.collectFirst { case (id, (_, _, "static")) => id }.get
+    val sv = MediaDecode.parseVideo(MediaDecode.plantedVideoBytes(statId, mjpeg = false))
+    assert(sv.peak < 18.0)
+    // DSL facade parity on one member of each class
+    val sample = Seq(0L, 1L, 2L, 3L).map { id =>
+      val payload = (id % 4) match {
+        case 0 => MediaDecode.plantedImageBytes(id, jpeg = false)
+        case 1 => MediaDecode.plantedAudioBytes(id, alaw = false)
+        case 2 => MediaDecode.plantedVideoBytes(id, mjpeg = false)
+        case _ => MediaDecode.plantedAudioBytes(id, alaw = false).take(20)
+      }
+      (id, payload)
+    }
+    val viaDsl = sample.toDF("doc_id", "payload").mediaCurate().collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getString(3)))).toMap
+    Seq(0L, 1L, 2L, 3L).foreach(id => assert(viaDsl(id) === rows(id)))
+    // the sniff-route-decode path is a map pass: payload bytes never shuffle
+    val media = Tables.documents(spark, sf).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id =>
+        MediaDecode.Media(id, MediaDecode.plantedImageBytes(id, jpeg = false))))
+    val plan = MediaDecode.parseAnyBatch(media).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"media curate decode plan shuffles:\n$plan")
   }
 
   test("mm12 payload decode recovers every planted sample and pixel through the wire") {
