@@ -238,6 +238,62 @@ object DataPrep {
         .agg(sum(col("n_docs")).as("n_docs"),
           sum(col("s1")).as("s1"), sum(col("s2")).as("s2")))
 
+  /** p11's media curate cascade over a LIVE subscription (round 13):
+    * each micro-batch of opaque binary arrivals is routed by magic
+    * bytes alone, decoded by the matching real codec, and gated by
+    * the same production media-QA rules as the batch query — the
+    * identical [[graft.dsl.GraftDataFrameOps.mediaCurate]] code
+    * path, so streamed ≡ batch by construction. Two idempotent
+    * writes per micro-batch (the drainWithDlq pattern — overwrite
+    * under `micro_batch_id=N`, crash-replay safe): the per-doc
+    * disposition table to `outDir`, and the mergeable per
+    * (modality, disposition) count cells to `cellsDir`, folded on
+    * read by [[mediaYield]]. Payload bytes stay inside the
+    * micro-batch's map pass; the cells are (modalities ×
+    * dispositions) rows — nothing here grows with the corpus. */
+  def mediaCurateStream(msgs: DataFrame, outDir: String, cellsDir: String,
+                        checkpointDir: String,
+                        darkBrightness: Double = 120.0,
+                        silentRms: Double = 8000.0,
+                        clippedPeak: Double = 31000.0,
+                        staticMotion: Double = 18.0): StreamingQuery =
+    msgs.select(col("uuid").cast("long").as("doc_id"), col("payload"))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        import graft.dsl._
+        val disp = batch.toDF()
+          .mediaCurate("doc_id", "payload", darkBrightness, silentRms,
+            clippedPeak, staticMotion)
+          .cache()
+        try {
+          disp.write.mode("overwrite").parquet(s"$outDir/micro_batch_id=$batchId")
+          disp.groupBy(col("modality"), col("disposition"))
+            .agg(count(lit(1)).as("n_docs"))
+            .write.mode("overwrite").parquet(s"$cellsDir/micro_batch_id=$batchId")
+        } finally disp.unpersist()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** The yield table over a [[mediaCurateStream]] cells dir: fold the
+    * per-micro-batch partial count cells (associative sums) into the
+    * per (modality, disposition) inventory with each disposition's
+    * share of its modality — the table a media-pipeline operator
+    * watches ("is the static-video rate creeping?"). Cells-sized
+    * work, corpus-size-independent. */
+  def mediaYield(spark: SparkSession, cellsDir: String): DataFrame = {
+    val cells = spark.read.parquet(cellsDir)
+      .groupBy(col("modality"), col("disposition"))
+      .agg(sum(col("n_docs")).as("n_docs"))
+    val totals = cells.groupBy(col("modality"))
+      .agg(sum(col("n_docs")).as("modality_docs"))
+    cells.join(totals, Seq("modality"))
+      .withColumn("share", round(col("n_docs") / col("modality_docs"), 6))
+      .select(col("modality"), col("disposition"), col("n_docs"), col("share"))
+  }
+
   /** One ingest step of segment-level dedup — t21's incremental form,
     * d13's disposition pattern at segment granularity. `store` is the
     * persistent digest table (`h`: one 16-byte digest per segment

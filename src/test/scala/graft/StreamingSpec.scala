@@ -1685,6 +1685,65 @@ class StreamingSpec extends SparkSuite {
     assert(byId(900002L).head._4 > 0L)
   }
 
+  test("the live media curate stream converges to exactly the batch p11 dispositions") {
+    import spark.implicits._
+    import graft.streaming.{BinaryParquetTopic, DataPrep}
+    import graft.operators.MediaDecode
+    val topic = tempDir("topic_media")
+    val outDir = tempDir("media_out")
+    val cellsDir = tempDir("media_cells")
+    // the SAME mixed-modality members the batch p11 query plants,
+    // shipped over the TLV BINARY envelope — media bytes on the wire
+    // with no base64 expansion (the codec m15 proves)
+    val ids = Tables.documents(spark, sf).select(col("doc_id")).as[Long].collect().toSeq
+    val arrivals = ids.map { id =>
+      val payload = (id % 4) match {
+        case 0 => MediaDecode.plantedImageBytes(id, jpeg = false)
+        case 1 => MediaDecode.plantedAudioBytes(id, alaw = false)
+        case 2 => MediaDecode.plantedVideoBytes(id, mjpeg = false)
+        case _ => MediaDecode.plantedAudioBytes(id, alaw = false).take(20)
+      }
+      (id, payload)
+    }
+    Publisher.publish(arrivals.toDF("doc_id", "payload").select(
+      col("doc_id").as("event_id"), col("doc_id").cast("string").as("uuid"),
+      pmod(col("doc_id"), lit(4L)).cast("string").as("partition_key"),
+      col("payload"),
+      lit("media").as("event_type"), lit(0.0).as("value"),
+      expr("timestamp '2024-01-01 00:00:00' + make_interval(0, 0, 0, 0, 0, 0, doc_id)").as("ts"),
+      map(lit("eventType"), lit("media")).as("headers")), topic,
+      format = BinaryParquetTopic)
+    val q = DataPrep.mediaCurateStream(
+      Subscriber.subscribe(spark, topic, BinaryParquetTopic, maxFilesPerTrigger = 2),
+      outDir, cellsDir, tempDir("ck_media"))
+    q.awaitTermination()
+    // per-doc: streamed dispositions == the batch p11 table, row for row
+    val streamed = spark.read.parquet(outDir)
+      .select(col("doc_id"), col("modality"), col("container"), col("disposition"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getString(3)))).toMap
+    val batch = SparkEntry.queries("p11_media_curate")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getString(3)))).toMap
+    assert(streamed === batch)
+    // the fold was exercised across real micro-batch boundaries
+    assert(spark.read.parquet(cellsDir)
+      .select(col("micro_batch_id")).distinct().count() > 1)
+    // the folded yield table == the batch rollup, shares included
+    val yld = DataPrep.mediaYield(spark, cellsDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    val expected = batch.toSeq.map { case (_, (mod, _, disp)) => (mod, disp) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val modTotals = expected.toSeq.groupBy(_._1._1).view
+      .mapValues(_.map(_._2).sum).toMap
+    assert(yld.keySet === expected.keySet)
+    expected.foreach { case (k, n) =>
+      assert(yld(k)._1 === n, s"cell $k count")
+      assert(yld(k)._2 ===
+        BigDecimal(n.toDouble / modTotals(k._1)).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble, s"cell $k share")
+    }
+  }
+
   test("the full live curate chain: dedup + quality + code routing + span decontam under one checkpoint") {
     import spark.implicits._
     import graft.streaming.DataPrep
