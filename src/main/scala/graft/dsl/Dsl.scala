@@ -330,6 +330,34 @@ package object dsl {
       mediaCurateOf(df, idCol, payloadCol, darkBrightness, silentRms,
         clippedPeak, staticMotion)
 
+    /** t29's per-source boilerplate template mining over (id, text,
+      * source): segments hash map-side on t21's shared window
+      * grammar, a segment is a template in its source when its
+      * document-frequency share clears `minShare` — the inventory a
+      * template-removal pass consumes (rights banners, cookie
+      * notices, nav chrome). Returns (source, seg_hash, df,
+      * n_src_docs, share). */
+    def boilerplateTemplates(minShare: Double = 0.3,
+                             idCol: String = "doc_id",
+                             textCol: String = "text",
+                             sourceCol: String = "source"): DataFrame = {
+      val base = df.select(col(idCol).as("doc_id"),
+        col(textCol).as("text"), col(sourceCol).as("source"))
+      val segRows = graft.queries.TextOps
+        .segmentRows(base.select(col("doc_id"), col("text")))
+        .join(base.select(col("doc_id"), col("source")), "doc_id")
+      val srcDocs = base.groupBy(col("source"))
+        .agg(countDistinct(col("doc_id")).as("n_src_docs"))
+      segRows.groupBy(col("source"), col("h"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .join(broadcast(srcDocs), "source")
+        .filter(col("df").cast("double") / col("n_src_docs") >= minShare)
+        .withColumn("share",
+          round(col("df").cast("double") / col("n_src_docs"), 6))
+        .select(col("source"), lower(hex(col("h"))).as("seg_hash"),
+          col("df"), col("n_src_docs"), col("share"))
+    }
+
     /** q43's gaps-and-islands sessionization: events more than
       * `gapUs` apart (per `keyCol`, ordered by `tsCol`, ties broken
       * by `tieCol`) start a new session. Adds `session_idx`

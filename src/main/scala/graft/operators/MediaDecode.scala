@@ -17,15 +17,30 @@ import org.apache.spark.sql.{DataFrame, Dataset}
   * JDK-bundled javax.imageio (no external dependency), and so is
   * COMPRESSED AUDIO in the telephony class: [[parseAudio]] decodes
   * genuine G.711 µ-law/a-law WAV members (format codes 7/6) through
-  * javax.sound.sampled. Only perceptual-codec audio (FLAC/Opus) and
-  * VIDEO codecs (H.264) — genuinely absent from the JDK — stay
-  * behind the clearly-marked deterministic STUB (`decode`).
-  * The batch shape
+  * javax.sound.sampled, and INTRA-FRAME VIDEO: [[parseVideo]] walks
+  * genuine AVI containers (MJPEG frames through the same JPEG codec,
+  * raw-DIB frames by direct byte walk). Only perceptual-codec audio
+  * (FLAC/Opus) and inter-frame video (H.264/VP9) — genuinely absent
+  * from the JDK — stay behind the clearly-marked deterministic STUB
+  * (`decode`). The batch shape
   * (mapPartitions over (id, payload) → typed Dataset, codec
   * instantiated once per partition, never per row) is the real
   * contract a codec drops into.
   */
 object MediaDecode {
+
+  // The JDK codecs default to many-large-files assumptions that are
+  // pure overhead for millions of small in-memory members: ImageIO's
+  // ImageInputStream cache is DISK-backed (a temp file per encode/
+  // decode call), and getImageWritersByFormatName is an SPI registry
+  // scan per call. One static switch and a per-thread writer remove
+  // both from the per-row path.
+  javax.imageio.ImageIO.setUseCache(false)
+  private val jpegWriter =
+    new ThreadLocal[javax.imageio.ImageWriter] {
+      override def initialValue(): javax.imageio.ImageWriter =
+        javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    }
 
   case class Media(docId: Long, payload: Array[Byte])
   case class DecodedMeta(docId: Long, nBytes: Long, width: Int, height: Int, ok: Boolean)
@@ -234,14 +249,14 @@ object MediaDecode {
     * [[plantedVideoBytes]]. */
   private def encodeJpeg(img: java.awt.image.BufferedImage): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
-    val wr = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val wr = jpegWriter.get() // per-thread, reused across rows
     val p = wr.getDefaultWriteParam
     p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
     p.setCompressionQuality(0.95f)
     val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
     wr.setOutput(ios)
     wr.write(null, new javax.imageio.IIOImage(img, null, null), p)
-    ios.close(); wr.dispose()
+    ios.close()
     bos.toByteArray
   }
 

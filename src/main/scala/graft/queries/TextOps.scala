@@ -891,6 +891,48 @@ object TextOps extends QueryPack {
         .select(col("doc_id"), col("n_segs"), col("n_dup_segs"),
           col("dup_ratio"), col("keep"))
         .orderBy(col("doc_id"))
+    },
+
+    // Per-SOURCE boilerplate TEMPLATE mining (round 13) — the
+    // CCNet/RefinedWeb template-removal prerequisite, and the
+    // inventory t21 does not build: t21 scores DOCS by cross-doc dup
+    // ratio; t29 names the template SEGMENTS themselves, per source —
+    // the rights banners, cookie notices and nav chrome a crawler
+    // stamps on every page of one site (which is why the key is
+    // (source, segment): a banner is boilerplate WITHIN its site, not
+    // across the corpus). A segment is a template when it appears in
+    // ≥ 30% of its source's docs — document-frequency SHARE, not raw
+    // df, so a 10-doc source and a 10M-doc source face the same bar.
+    // Planted: a 10-word per-source banner (segment-aligned, exactly
+    // one window) on 2/3 of each source's docs; the corpus's natural
+    // repeats surface too. Both engines filter on the UNROUNDED
+    // df/n ratio (identical IEEE division) and emit it rounded.
+    // Scale shape: segments hash map-side, the shuffle carries
+    // (source, 16-byte digest, doc_id) only, per-source doc counts
+    // are a sources-sized broadcast, and the output is bounded by
+    // the share threshold — template inventories are small by
+    // definition at any corpus size.
+    "t29_boilerplate" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), col("source"))
+      val base = docs.withColumn("text",
+        when(col("doc_id") % 3 =!= 2,
+          concat(lit("official notice from "), col("source"),
+            lit(" all content rights reserved worldwide daily "), col("text")))
+          .otherwise(col("text")))
+      val segRows = segmentRows(base.select(col("doc_id"), col("text")))
+        .join(base.select(col("doc_id"), col("source")), "doc_id")
+      val srcDocs = base.groupBy(col("source"))
+        .agg(countDistinct(col("doc_id")).as("n_src_docs"))
+      segRows.groupBy(col("source"), col("h"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .join(broadcast(srcDocs), "source")
+        .filter(col("df").cast("double") / col("n_src_docs") >= 0.3)
+        .withColumn("share",
+          round(col("df").cast("double") / col("n_src_docs"), 6))
+        .select(col("source"), lower(hex(col("h"))).as("seg_hash"),
+          col("df"), col("n_src_docs"), col("share"))
+        .orderBy(col("source"), col("seg_hash"))
     }
   )
 
@@ -1808,6 +1850,43 @@ object TextOps extends QueryPack {
          |  round(sum(CASE WHEN p.nd >= 2 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) <= 0.5 AS keep
          |FROM segs s JOIN perseg p USING (h)
          |GROUP BY s.doc_id
-         |ORDER BY s.doc_id""".stripMargin
+         |ORDER BY s.doc_id""".stripMargin,
+
+    // t29: same segment grammar as t21's oracle (the shared SegLen
+    // windows), keyed per source. The filter uses the UNROUNDED
+    // df/n_src_docs ratio exactly as the Spark side does — identical
+    // IEEE division, so the >= 0.3 cut agrees bit-for-bit; the
+    // emitted share is rounded after the cut.
+    "t29_boilerplate" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, source,
+         |    CASE WHEN doc_id % 3 <> 2
+         |      THEN 'official notice from ' || source ||
+         |        ' all content rights reserved worldwide daily ' || text
+         |      ELSE text END AS text
+         |  FROM documents),
+         |words AS (
+         |  SELECT doc_id, source,
+         |    CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+         |      ELSE regexp_split_to_array(trim(text), '\\s+') END AS w
+         |  FROM base),
+         |segs AS (
+         |  SELECT doc_id, source,
+         |    md5(array_to_string(w[i*$SegLen+1 : i*$SegLen+$SegLen], ' ')) AS h
+         |  FROM words,
+         |    unnest(generate_series(0, CAST(ceil(len(w) / $SegLen.0) AS INT) - 1)) AS t(i)
+         |  WHERE len(w) > 0),
+         |perseg AS (
+         |  SELECT source, h, count(DISTINCT doc_id) AS df
+         |  FROM segs GROUP BY 1, 2),
+         |src AS (
+         |  SELECT source, count(DISTINCT doc_id) AS n_src_docs
+         |  FROM base GROUP BY 1)
+         |SELECT source, h AS seg_hash, df::BIGINT AS df,
+         |  n_src_docs::BIGINT AS n_src_docs,
+         |  round(df::DOUBLE / n_src_docs, 6) AS share
+         |FROM perseg JOIN src USING (source)
+         |WHERE df::DOUBLE / n_src_docs >= 0.3
+         |ORDER BY source, seg_hash""".stripMargin
   )
 }

@@ -512,6 +512,48 @@ class CurationSpec extends SparkSuite {
     assert(clean.count(r => r.getAs[Boolean]("keep")) >= (clean.length * 85) / 100)
   }
 
+  test("t29 mines each source's planted banner as a template, at its exact df share") {
+    val t29 = SparkEntry.queries("t29_boilerplate")(spark, sf).collect()
+    // expected per-source banner df/n from the documents table itself
+    val exp = Tables.documents(spark, sf)
+      .groupBy(col("source"))
+      .agg(countDistinct(when(col("doc_id") % 3 =!= 2, col("doc_id"))).as("df"),
+        countDistinct(col("doc_id")).as("n"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    exp.foreach { case (src, (df, n)) =>
+      if (df.toDouble / n >= 0.3) {
+        // the banner is exactly one aligned segment; its digest is
+        // closed-form and its df is exactly the planted carrier count
+        val hex = md5hex(
+          s"official notice from $src all content rights reserved worldwide daily")
+        val row = t29.find(r => r.getString(0) == src && r.getString(1) == hex)
+        assert(row.isDefined, s"banner template missing for source $src")
+        assert(row.get.getLong(2) === df && row.get.getLong(3) === n)
+      }
+    }
+    // every emitted row clears the share bar; singleton segments
+    // (df share ~1/n) never appear at corpus source sizes
+    t29.foreach(r => assert(r.getLong(2).toDouble / r.getLong(3) >= 0.3))
+    // DSL facade: the same mining over a tiny hand corpus, threshold
+    // parameterized — the shared banner qualifies at 0.5, singleton
+    // segments (1/3 = 0.33) do not
+    import spark.implicits._
+    import graft.dsl._
+    val banner = "one two three four five six seven eight nine ten"
+    val tiny = Seq(
+      (1L, banner + " unique alpha tail", "s1"),
+      (2L, banner + " unique beta tail", "s1"),
+      (3L, "nothing shared in this one at all today friends", "s1"))
+      .toDF("doc_id", "text", "source")
+    val out = tiny.boilerplateTemplates(minShare = 0.5).collect()
+    assert(out.length === 1)
+    assert(out.head.getString(1) === md5hex(banner) &&
+      out.head.getLong(2) === 2L && out.head.getLong(3) === 3L)
+  }
+
   test("d17 bottom-k anchors recall the planted truncations as pure containment") {
     val rows = SparkEntry.queries("d17_containment")(spark, sf).collect()
     // planted: every 9th doc with >= 8 words re-uploaded as its first
