@@ -358,6 +358,47 @@ package object dsl {
           col("df"), col("n_src_docs"), col("share"))
     }
 
+    /** p12's re-index work order over this frame's (id, embedding)
+      * vectors: `reEmbedded` carries the changed ids' NEW embeddings
+      * (same column names), `isBase` — a predicate over the
+      * normalized `vec_id` column — names the vectors the served
+      * centroids were trained on. Both old and new vectors route
+      * through the same centroid derivation and assignment kernel
+      * the served index uses; returns the per-cell
+      * (n_stay, n_out, n_in, net_moved, touched) maintenance bill —
+      * a cell move is a tombstone plus an insert. */
+    def reindexMoves(reEmbedded: DataFrame, isBase: Column,
+                     nCentroids: Int = 10, idCol: String = "vec_id",
+                     embCol: String = "embedding"): DataFrame = {
+      val v = normVecs(df, idCol, embCol)
+      val cents = graft.queries.Similarity
+        .hashTopK(v.filter(isBase), "cent", nCentroids)
+        .select(col("vec_id").as("cell"), col("emb").as("c_emb"),
+          col("nrm").as("c_nrm"))
+      val newV = normVecs(reEmbedded, idCol, embCol)
+      val changedOld = v.join(newV.select(col("vec_id")), Seq("vec_id"), "left_semi")
+      val moves = graft.queries.Similarity.assignCells(changedOld, cents)
+        .select(col("vec_id"), col("cell").as("old_cell"))
+        .join(graft.queries.Similarity.assignCells(newV, cents)
+          .select(col("vec_id"), col("cell").as("new_cell")), "vec_id")
+      val outFlow = moves.filter(col("old_cell") =!= col("new_cell"))
+        .groupBy(col("old_cell").as("cell")).agg(count(lit(1)).as("n_out"))
+      val inFlow = moves.filter(col("old_cell") =!= col("new_cell"))
+        .groupBy(col("new_cell").as("cell")).agg(count(lit(1)).as("n_in"))
+      val stay = moves.filter(col("old_cell") === col("new_cell"))
+        .groupBy(col("old_cell").as("cell")).agg(count(lit(1)).as("n_stay"))
+      cents.select(col("cell"))
+        .join(outFlow, Seq("cell"), "left")
+        .join(inFlow, Seq("cell"), "left")
+        .join(stay, Seq("cell"), "left")
+        .na.fill(0L, Seq("n_out", "n_in", "n_stay"))
+        .withColumn("net_moved", col("n_in") - col("n_out"))
+        .withColumn("touched",
+          (col("n_out") + col("n_in") + col("n_stay")) > 0L)
+        .select(col("cell"), col("n_stay"), col("n_out"), col("n_in"),
+          col("net_moved"), col("touched"))
+    }
+
     /** q43's gaps-and-islands sessionization: events more than
       * `gapUs` apart (per `keyCol`, ordered by `tsCol`, ties broken
       * by `tieCol`) start a new session. Adds `session_idx`

@@ -472,6 +472,64 @@ object Pipeline extends QueryPack {
         .select(col("doc_id"), col("modality"), col("container"),
           col("disposition"))
         .orderBy(col("doc_id"))
+    },
+
+    // The RE-INDEX work order (round 13) — the loop p10's docstring
+    // promises ("only added + changed docs re-embed / re-index"),
+    // closed against the served IVF geometry: when a changed doc is
+    // re-embedded, its new vector may route to a DIFFERENT cell of
+    // the frozen index, and that move is two index mutations — a
+    // tombstone in the old cell's posting list and an insert in the
+    // new one — which is exactly what a maintenance window needs
+    // billed per cell before it runs. p10's "changed" arithmetic
+    // (id % 17 = 3) picks the re-embedded set; the new embedding is
+    // a deterministic perturbation (emb[i] + 0.25·emb[(i+1) mod d] —
+    // both engines compute the identical IEEE doubles); both old and
+    // new vectors route through the SAME a20 centroid derivation and
+    // assignment kernel the served index uses. Output per cell:
+    // vectors staying in place (re-embed is an in-place value
+    // update), leaving (tombstones), arriving (inserts), the net
+    // posting-list growth, and whether the cell is touched at all —
+    // untouched cells skip the maintenance window entirely. All
+    // counts are integers: no rounding surface. Scale shape: the
+    // changed set is diff-sized, centroids broadcast (a20's shape),
+    // the two assignment passes are map-side over the changed
+    // vectors only, and the work order is cells-sized.
+    "p12_reindex_delta" -> { (s, d) =>
+      val geo = AnnGeometry()
+      val v = Similarity.vecs(s, d)
+      val cents = Similarity.hashTopK(
+          v.filter(pmod(col("vec_id"), lit(7L)) =!= 3L), "cent", geo.nCentroids)
+        .select(col("vec_id").as("cell"), col("emb").as("c_emb"),
+          col("nrm").as("c_nrm"))
+      val changed = v.filter(pmod(col("vec_id"), lit(17L)) === 3L)
+      val nd = size(col("emb"))
+      val reEmb = transform(sequence(lit(0), nd - 1), j =>
+        element_at(col("emb"), j.cast("int") + 1) +
+          lit(0.25) * element_at(col("emb"), pmod(j + 1, nd).cast("int") + 1))
+      val newSide = changed.select(col("vec_id"), reEmb.as("emb"))
+        .withColumn("nrm", graft.functions.Vec.norm(col("emb")))
+      val moves = Similarity.assignCells(changed, cents)
+        .select(col("vec_id"), col("cell").as("old_cell"))
+        .join(Similarity.assignCells(newSide, cents)
+          .select(col("vec_id"), col("cell").as("new_cell")), "vec_id")
+      val outFlow = moves.filter(col("old_cell") =!= col("new_cell"))
+        .groupBy(col("old_cell").as("cell")).agg(count(lit(1)).as("n_out"))
+      val inFlow = moves.filter(col("old_cell") =!= col("new_cell"))
+        .groupBy(col("new_cell").as("cell")).agg(count(lit(1)).as("n_in"))
+      val stay = moves.filter(col("old_cell") === col("new_cell"))
+        .groupBy(col("old_cell").as("cell")).agg(count(lit(1)).as("n_stay"))
+      cents.select(col("cell"))
+        .join(outFlow, Seq("cell"), "left")
+        .join(inFlow, Seq("cell"), "left")
+        .join(stay, Seq("cell"), "left")
+        .na.fill(0L, Seq("n_out", "n_in", "n_stay"))
+        .withColumn("net_moved", col("n_in") - col("n_out"))
+        .withColumn("touched",
+          (col("n_out") + col("n_in") + col("n_stay")) > 0L)
+        .select(col("cell"), col("n_stay"), col("n_out"), col("n_in"),
+          col("net_moved"), col("touched"))
+        .orderBy(col("cell"))
     }
   )
 
@@ -1214,6 +1272,62 @@ object Pipeline extends QueryPack {
         |  FROM documents WHERE doc_id % 4 = 3)
         |SELECT doc_id, modality, container, disposition
         |FROM rows_
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // p12: the same centroid derivation and argmax-assignment the
+    // a20/a22 oracles use, run twice — once over the changed vectors'
+    // old embeddings, once over their deterministic re-embedding
+    // (emb[i] + 0.25·emb[(i+1) mod d], identical IEEE arithmetic in
+    // both engines) — then the per-cell tombstone/insert/stay flows.
+    // All output columns are integers or booleans: no rounding
+    // surface anywhere.
+    "p12_reindex_delta" ->
+      """WITH v AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |b AS (SELECT vec_id, emb FROM v WHERE vec_id % 7 <> 3),
+        |cs AS (SELECT vec_id AS cell, emb AS c_emb
+        |  FROM (SELECT * FROM b ORDER BY md5('cent|' || vec_id::VARCHAR), vec_id LIMIT 10) t),
+        |ch AS (SELECT vec_id, emb FROM v WHERE vec_id % 17 = 3),
+        |chn AS (SELECT vec_id, list_transform(range(1, len(emb) + 1),
+        |    i -> emb[i] + 0.25 * emb[(i % len(emb)) + 1]) AS emb
+        |  FROM ch),
+        |olda AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT ch.vec_id, c.cell,
+        |      row_number() OVER (PARTITION BY ch.vec_id ORDER BY
+        |        list_dot_product(ch.emb, c.c_emb) /
+        |          (sqrt(list_dot_product(ch.emb, ch.emb)) *
+        |           sqrt(list_dot_product(c.c_emb, c.c_emb))) DESC,
+        |        c.cell) AS crank
+        |    FROM ch, cs c) t WHERE crank = 1),
+        |newa AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT chn.vec_id, c.cell,
+        |      row_number() OVER (PARTITION BY chn.vec_id ORDER BY
+        |        list_dot_product(chn.emb, c.c_emb) /
+        |          (sqrt(list_dot_product(chn.emb, chn.emb)) *
+        |           sqrt(list_dot_product(c.c_emb, c.c_emb))) DESC,
+        |        c.cell) AS crank
+        |    FROM chn, cs c) t WHERE crank = 1),
+        |mv AS (
+        |  SELECT o.vec_id, o.cell AS old_cell, n.cell AS new_cell
+        |  FROM olda o JOIN newa n USING (vec_id)),
+        |outf AS (SELECT old_cell AS cell, count(*) AS n_out
+        |  FROM mv WHERE old_cell <> new_cell GROUP BY 1),
+        |inf AS (SELECT new_cell AS cell, count(*) AS n_in
+        |  FROM mv WHERE old_cell <> new_cell GROUP BY 1),
+        |stay AS (SELECT old_cell AS cell, count(*) AS n_stay
+        |  FROM mv WHERE old_cell = new_cell GROUP BY 1)
+        |SELECT cs.cell,
+        |  coalesce(n_stay, 0)::BIGINT AS n_stay,
+        |  coalesce(n_out, 0)::BIGINT AS n_out,
+        |  coalesce(n_in, 0)::BIGINT AS n_in,
+        |  (coalesce(n_in, 0) - coalesce(n_out, 0))::BIGINT AS net_moved,
+        |  (coalesce(n_out, 0) + coalesce(n_in, 0) + coalesce(n_stay, 0)) > 0 AS touched
+        |FROM cs
+        |LEFT JOIN outf USING (cell)
+        |LEFT JOIN inf USING (cell)
+        |LEFT JOIN stay USING (cell)
+        |ORDER BY cell""".stripMargin
   )
 }

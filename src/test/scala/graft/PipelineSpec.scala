@@ -666,6 +666,38 @@ class PipelineSpec extends SparkSuite {
     assert(!plan.contains("Exchange"), s"media curate decode plan shuffles:\n$plan")
   }
 
+  test("p12: the re-index work order conserves the changed set and bills real moves") {
+    val p12 = SparkEntry.queries("p12_reindex_delta")(spark, sf).collect()
+    val changed = Tables.embeddings(spark, sf)
+      .filter(pmod(col("vec_id"), lit(17L)) === 3L).count()
+    val stay = p12.map(_.getLong(1)).sum
+    val out = p12.map(_.getLong(2)).sum
+    val in = p12.map(_.getLong(3)).sum
+    // every changed vector either stays in place or leaves exactly one
+    // cell; every tombstone has its insert; net growth conserves
+    assert(stay + out === changed)
+    assert(out === in)
+    assert(p12.map(_.getLong(4)).sum === 0L)
+    // the perturbation causes real moves AND real stays — the work
+    // order is neither vacuous nor a full rebuild in disguise
+    assert(out > 0 && stay > 0)
+    p12.foreach(r => assert(r.getBoolean(5) ===
+      (r.getLong(1) + r.getLong(2) + r.getLong(3) > 0)))
+    // DSL facade parity: same geometry, same perturbation, same bill
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val nd = size(col("embedding"))
+    val re = emb.filter(pmod(col("vec_id"), lit(17L)) === 3L)
+      .select(col("vec_id"), transform(sequence(lit(0), nd - 1), j =>
+        element_at(col("embedding"), j.cast("int") + 1) +
+          lit(0.25) * element_at(col("embedding"),
+            pmod(j + 1, nd).cast("int") + 1)).as("embedding"))
+    val viaDsl = emb.reindexMoves(re, pmod(col("vec_id"), lit(7L)) =!= 3L)
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    val pack = p12.map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(viaDsl === pack)
+  }
+
   test("mm12 payload decode recovers every planted sample and pixel through the wire") {
     val mm12 = SparkEntry.queries("mm12_payload_decode")(spark, sf)
     assert(mm12.filter(!col("matches_plant")).count() === 0)
