@@ -280,12 +280,21 @@ object Bench {
     val centi = (_: Double) => 2
     val deci = (_: Double) => 1
     val mixed = (v: Double) => if (v < 1.0) 2 else 1
+    // Between mixed and the 1-decimal fallback: centiseconds only
+    // where the diff gate actually fabricates — below 0.35 s a deci
+    // reading turns 0.15→0.25 into a 2× flag (r13 closing capture:
+    // a1 0.20 and t5 0.15 quiet medians both printed as gate-tripping
+    // deci values at 179 queries), while at 0.35 s+ the 0.1 s grain
+    // is ≤29% and the gate is 2×. Costs ~1 char per tiny query
+    // instead of ~1 per sub-second query, so it fits past the point
+    // where `mixed` overflows.
+    val tiny = (v: Double) => if (v < 0.35) 2 else 1
     val prefix = (k: String) => k.takeWhile(_ != '_')
     val prefixed =
       if (results.map(r => prefix(r._1)).distinct.size == results.size) prefix
       else identity[String] _ // collision ⇒ keep full names
     val tiers = Seq(build(centi), build(centi, prefixed),
-      build(mixed, prefixed), build(deci, prefixed))
+      build(mixed, prefixed), build(tiny, prefixed), build(deci, prefixed))
     val line = tiers.find(_.length <= Fit).getOrElse(tiers.last)
     // start_loadavg is the EXTERNAL load (sampled before any Spark
     // work); end_loadavg is dominated by this bench's own threads.
