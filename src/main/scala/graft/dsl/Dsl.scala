@@ -314,6 +314,16 @@ package object dsl {
                    payloadCol: String = "payload"): DataFrame =
       videoStatsOf(df, idCol, payloadCol)
 
+    /** mm16's animated-GIF decode over a binary payload column:
+      * genuine multi-frame GIF members through the JDK LZW/palette
+      * codec → the same per-clip frame stats as [[videoStats]]
+      * (frame count, across-frame channel means, peak inter-frame
+      * channel change); truncated or corrupt members quarantine
+      * ok=false under "gif", non-GIF as "unknown". */
+    def gifStats(idCol: String = "doc_id",
+                 payloadCol: String = "payload"): DataFrame =
+      gifStatsOf(df, idCol, payloadCol)
+
     /** p11's media curate cascade over a mixed-modality binary
       * column: magic-byte routing (the sniff IS the router — no
       * trusted metadata), real-codec decode (PNG/JPEG images,
@@ -491,6 +501,23 @@ package object dsl {
         col("peak").as("peak_motion"), col("ok"))
   }
 
+  /** [[GraftDataFrameOps.gifStats]]'s body — outside the AnyVal
+    * wrapper for the same Encoder-derivation reason as
+    * [[imageStatsOf]]. */
+  private def gifStatsOf(df: DataFrame, idCol: String,
+                         payloadCol: String): DataFrame = {
+    import df.sparkSession.implicits._
+    graft.operators.MediaDecode.parseGifBatch(
+        df.select(col(idCol).cast("long").as("docId"),
+          col(payloadCol).as("payload"))
+          .as[graft.operators.MediaDecode.Media])
+      .toDF()
+      .select(col("docId").as(idCol), col("container"),
+        col("nUnits").as("n_frames"), col("meanR").as("mean_r"),
+        col("meanG").as("mean_g"), col("meanB").as("mean_b"),
+        col("peak").as("peak_motion"), col("ok"))
+  }
+
   /** [[GraftDataFrameOps.mediaCurate]]'s body — outside the AnyVal
     * wrapper for the same Encoder-derivation reason as
     * [[imageStatsOf]]. Mirrors the p11 pack query with the gate
@@ -509,7 +536,7 @@ package object dsl {
       .withColumn("modality",
         when(col("container").isin("png", "jpeg", "bmp"), "image")
           .when(col("container").isin("ulaw", "alaw", "wav"), "audio")
-          .when(col("container").isin("mjpeg", "rawvideo", "avi"), "video")
+          .when(col("container").isin("mjpeg", "rawvideo", "avi", "gif"), "video")
           .otherwise("unknown"))
       .withColumn("disposition",
         when(!col("ok"), "decode_fail")

@@ -587,6 +587,25 @@ object MediaDecode {
     } catch { case _: Exception => none.copy(container = container) }
   }
 
+  /** Per-frame channel means over a decoded image — shared by the
+    * MJPEG ('00dc') and GIF frame folds. */
+  private def frameMeans(img: java.awt.image.BufferedImage): (Double, Double, Double, Long) = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    (sr.toDouble / n, sg.toDouble / n, sb.toDouble / n, n)
+  }
+
   /** One frame → (meanR, meanG, meanB, nPixels): ImageIO for JPEG
     * ('00dc'), bottom-up 24bpp BGR DIB walk for raw ('00db'). */
   private def decodeFrame(data: Array[Byte],
@@ -594,22 +613,7 @@ object MediaDecode {
     if (jpeg) {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(data))
       if (img == null) None
-      else {
-        val (w, h) = (img.getWidth, img.getHeight)
-        var (sr, sg, sb) = (0L, 0L, 0L)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val rgb = img.getRGB(x, y)
-            sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
-            x += 1
-          }
-          y += 1
-        }
-        val n = w.toLong * h
-        Some((sr.toDouble / n, sg.toDouble / n, sb.toDouble / n, n))
-      }
+      else Some(frameMeans(img))
     } else {
       // raw DIB frame: dimensions fixed by the stream header in a
       // real player; our walk derives them from the byte count the
@@ -642,6 +646,111 @@ object MediaDecode {
     media.mapPartitions(_.map(m => parseVideo(m.payload).copy(docId = m.docId)))
   }
 
+  // --- Animated GIF: the LZW + palette codec class ------------------
+  // (round 13, after MJPEG/raw-DIB AVI: the JDK's third real image
+  // codec. GIF's palette quantization is lossy in general, but a
+  // frame with ≤256 distinct colors gets an EXACT palette — our 16-
+  // pixel frames always do — so the whole animated round trip is
+  // lossless and the oracle contract is exact equality on every row,
+  // the strongest contract any compressed container here carries.)
+
+  /** Planted-pixel 4-frame 8×2 ANIMATED GIF through the JDK GIF
+    * sequence writer: each frame is drawn into a TYPE_BYTE_INDEXED
+    * image whose IndexColorModel is exactly the frame's own distinct
+    * colors (≤16 of them), so palette quantization is the identity
+    * and LZW does the only compression — lossless by construction.
+    * Channel formulas (f = frame, j = y·8+x):
+    * r=(id·5+f·29+j·37)%256, g=(id·13+f·31+j·41)%256,
+    * b=(id·9+f·43+j·11)%256. */
+  def plantedGifBytes(docId: Long): Array[Byte] = {
+    val (w, h, nFrames) = (8, 2, 4)
+    val bos = new java.io.ByteArrayOutputStream()
+    val wr = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    // interlace OFF: the JDK pair mis-round-trips INTERLACED frames
+    // shorter than 5 rows (probed: 8×2/8×3/8×4 keep only row 0 while
+    // 8×5+ survive; MODE_DISABLED round-trips 16/16) — and a frame
+    // stream meant for exact-equality QA has no use for progressive
+    // rendering anyway
+    val p = wr.getDefaultWriteParam
+    p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    wr.setOutput(ios)
+    wr.prepareWriteSequence(null)
+    var f = 0
+    while (f < nFrames) {
+      val colors = (0 until w * h).map { j =>
+        val r = java.lang.Math.floorMod(docId * 5 + f * 29 + j * 37, 256L).toInt
+        val g = java.lang.Math.floorMod(docId * 13 + f * 31 + j * 41, 256L).toInt
+        val b = java.lang.Math.floorMod(docId * 9 + f * 43 + j * 11, 256L).toInt
+        (r << 16) | (g << 8) | b
+      }
+      val palette = colors.distinct
+      val cm = new java.awt.image.IndexColorModel(8, palette.size,
+        palette.map(c => ((c >> 16) & 0xff).toByte).toArray,
+        palette.map(c => ((c >> 8) & 0xff).toByte).toArray,
+        palette.map(c => (c & 0xff).toByte).toArray)
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+      var j = 0
+      while (j < w * h) { img.setRGB(j % w, j / w, colors(j)); j += 1 }
+      wr.writeToSequence(new javax.imageio.IIOImage(img, null, null), p)
+      f += 1
+    }
+    wr.endWriteSequence(); ios.close(); wr.dispose()
+    bos.toByteArray
+  }
+
+  /** Decode an animated GIF through the JDK reader and fold the SAME
+    * frame stats [[parseVideo]] emits (across-frame channel means +
+    * peak inter-frame channel change). Container is sniffed from the
+    * GIF8 magic FIRST; a truncated or LZW-corrupt member quarantines
+    * ok=false under "gif", never an exception. */
+  def parseGif(payload: Array[Byte]): MediaStats = {
+    val none = MediaStats(0L, "unknown", 0L, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, false)
+    if (payload == null || payload.length < 6 ||
+        payload(0) != 'G'.toByte || payload(1) != 'I'.toByte ||
+        payload(2) != 'F'.toByte || payload(3) != '8'.toByte) none
+    else try {
+      val rd = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        rd.setInput(iis, false, true)
+        val n = rd.getNumImages(true)
+        if (n <= 0) none.copy(container = "gif")
+        else {
+          var (sr, sg, sb) = (0.0, 0.0, 0.0)
+          var nPix = 0L
+          var havePrev = false
+          var (pr, pg, pb) = (0.0, 0.0, 0.0)
+          var peak = 0.0
+          var f = 0
+          while (f < n) {
+            val (fr, fg, fb, np) = frameMeans(rd.read(f))
+            sr += fr * np; sg += fg * np; sb += fb * np; nPix += np
+            if (havePrev) {
+              val d = math.max(math.abs(fr - pr),
+                math.max(math.abs(fg - pg), math.abs(fb - pb)))
+              if (d > peak) peak = d
+            }
+            pr = fr; pg = fg; pb = fb; havePrev = true
+            f += 1
+          }
+          if (nPix == 0) none.copy(container = "gif")
+          else MediaStats(0L, "gif", n.toLong, 0.0, 0.0, peak,
+            sr / nPix, sg / nPix, sb / nPix, true)
+        }
+      } finally { rd.dispose(); iis.close() }
+    } catch { case _: Exception => none.copy(container = "gif") }
+  }
+
+  /** Per-partition batch GIF decode — the mapPartitions contract
+    * with the JDK LZW/palette codec inside. */
+  def parseGifBatch(media: Dataset[Media]): Dataset[MediaStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(m => parseGif(m.payload).copy(docId = m.docId)))
+  }
+
   /** Sniff-and-route decode — the single entry a mixed-modality
     * corpus scan needs (p11's curate cascade): magic bytes pick the
     * parser (PNG/JPEG → [[parseImage]], RIFF-AVI → [[parseVideo]],
@@ -664,6 +773,7 @@ object MediaDecode {
     else if ((payload(0) & 0xff) == 0x89 && tag(1, "PNG")) parseImage(payload)
     else if ((payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8 &&
              (payload(2) & 0xff) == 0xff) parseImage(payload)
+    else if (tag(0, "GIF8")) parseGif(payload)
     else if (tag(0, "BM")) parsePayload(payload)
     else none
   }

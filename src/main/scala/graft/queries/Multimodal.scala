@@ -659,6 +659,64 @@ object Multimodal extends QueryPack {
           when(col("container") === "rawvideo", col("d_motion")).as("peak_motion"),
           col("matches_plant"))
         .orderBy(col("doc_id"))
+    },
+
+    // ANIMATED GIF decode (round 13 — the JDK's third real image
+    // codec class: LZW + palette, after PNG/DEFLATE and JPEG/DCT).
+    // GIF's palette quantization is lossy in general, but each
+    // planted 8×2 frame carries ≤16 distinct colors and is written
+    // through a TYPE_BYTE_INDEXED image whose IndexColorModel IS the
+    // frame's own color set — palette quantization becomes the
+    // identity and LZW does the only (lossless) compression. So the
+    // whole animated round trip is EXACT on every row: decoded
+    // across-frame channel means and peak inter-frame motion EQUAL
+    // the closed-form plants (dyadic rationals, recomputed wire-free
+    // by the oracle with zero float drift) — the strongest contract
+    // any compressed container here carries, with mm15's video-only
+    // motion stat. Truncated or LZW-corrupt members quarantine under
+    // "gif" (spec-tested). Two map passes, payload bytes never
+    // shuffle (plan-asserted), reader instantiated per row decode
+    // inside the partition iterator.
+    "mm16_gif_decode" -> { (s, d) =>
+      import s.implicits._
+      val idx = sequence(lit(0L), lit(15L))
+      def frameMean(f: Int, a: Long, fc: Long, b: Long) =
+        aggregate(transform(idx, j =>
+            pmod(col("doc_id") * a + lit(f * fc) + j * b, lit(256L)).cast("double")),
+          lit(0.0), (acc, x) => acc + x) / 16.0
+      val fr = (0 until 4).map(f => frameMean(f, 5, 29, 37))
+      val fg = (0 until 4).map(f => frameMean(f, 13, 31, 41))
+      val fb = (0 until 4).map(f => frameMean(f, 9, 43, 11))
+      val pMotion = (1 until 4).map(f =>
+        greatest(abs(fr(f) - fr(f - 1)), abs(fg(f) - fg(f - 1)),
+          abs(fb(f) - fb(f - 1)))).reduce((x, y) => greatest(x, y))
+      val planted = Tables.documents(s, d).select(col("doc_id"),
+        round(fr.reduce(_ + _) / 4.0, 6).as("p_mean_r"),
+        round(fg.reduce(_ + _) / 4.0, 6).as("p_mean_g"),
+        round(fb.reduce(_ + _) / 4.0, 6).as("p_mean_b"),
+        round(pMotion, 6).as("p_motion"))
+      val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id =>
+          graft.operators.MediaDecode.Media(id,
+            graft.operators.MediaDecode.plantedGifBytes(id))))
+      val stats = graft.operators.MediaDecode.parseGifBatch(media).toDF()
+        .select(col("docId").as("doc_id"), col("container"),
+          col("nUnits").as("n_frames"), col("ok"),
+          round(col("meanR"), 6).as("mean_r"),
+          round(col("meanG"), 6).as("mean_g"),
+          round(col("meanB"), 6).as("mean_b"),
+          round(col("peak"), 6).as("peak_motion"))
+      planted.join(stats, Seq("doc_id"))
+        .withColumn("matches_plant",
+          col("ok") && col("container") === "gif" && col("n_frames") === 4L &&
+            col("mean_r") === col("p_mean_r") &&
+            col("mean_g") === col("p_mean_g") &&
+            col("mean_b") === col("p_mean_b") &&
+            col("peak_motion") === col("p_motion"))
+        .select(col("doc_id"), col("container"), col("n_frames"),
+          col("mean_r"), col("mean_g"), col("mean_b"), col("peak_motion"),
+          col("matches_plant"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -1064,6 +1122,33 @@ object Multimodal extends QueryPack {
         |  CASE WHEN container = 'rawvideo' THEN round(list_max(list_transform(range(1, 4),
         |    f -> greatest(abs(fr[f + 1] - fr[f]), abs(fg[f + 1] - fg[f]),
         |                  abs(fb[f + 1] - fb[f])))), 6) END AS peak_motion,
+        |  true AS matches_plant
+        |FROM p
+        |ORDER BY doc_id""".stripMargin,
+
+    // mm16: the exact-palette trick makes the whole animated GIF
+    // round trip lossless, so this oracle recomputes EVERY stat
+    // wire-free from the closed forms — per-frame means are integer
+    // sums / 16, across-frame means / 64, all dyadic, zero
+    // cross-engine drift; any Spark-side LZW/palette deviation flips
+    // a stat or matches_plant and fails the row hash.
+    "mm16_gif_decode" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, 4), f -> list_sum(list_transform(range(0, 16),
+        |      j -> ((doc_id * 5 + f * 29 + j * 37) % 256)::DOUBLE)) / 16.0) AS fr,
+        |    list_transform(range(0, 4), f -> list_sum(list_transform(range(0, 16),
+        |      j -> ((doc_id * 13 + f * 31 + j * 41) % 256)::DOUBLE)) / 16.0) AS fg,
+        |    list_transform(range(0, 4), f -> list_sum(list_transform(range(0, 16),
+        |      j -> ((doc_id * 9 + f * 43 + j * 11) % 256)::DOUBLE)) / 16.0) AS fb
+        |  FROM documents)
+        |SELECT doc_id, 'gif' AS container, CAST(4 AS BIGINT) AS n_frames,
+        |  round(list_sum(fr) / 4.0, 6) AS mean_r,
+        |  round(list_sum(fg) / 4.0, 6) AS mean_g,
+        |  round(list_sum(fb) / 4.0, 6) AS mean_b,
+        |  round(list_max(list_transform(range(1, 4),
+        |    f -> greatest(abs(fr[f + 1] - fr[f]), abs(fg[f + 1] - fg[f]),
+        |                  abs(fb[f + 1] - fb[f])))), 6) AS peak_motion,
         |  true AS matches_plant
         |FROM p
         |ORDER BY doc_id""".stripMargin,

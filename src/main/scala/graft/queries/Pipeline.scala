@@ -459,7 +459,9 @@ object Pipeline extends QueryPack {
         .withColumn("modality",
           when(col("container").isin("png", "jpeg", "bmp"), "image")
             .when(col("container").isin("ulaw", "alaw", "wav"), "audio")
-            .when(col("container").isin("mjpeg", "rawvideo", "avi"), "video")
+            // "gif" routes as video: parseAny hands animated GIFs the
+            // same frame-stats row the AVI codecs emit
+            .when(col("container").isin("mjpeg", "rawvideo", "avi", "gif"), "video")
             .otherwise("unknown"))
         .withColumn("disposition",
           when(!col("ok"), "decode_fail")

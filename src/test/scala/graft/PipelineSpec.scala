@@ -611,6 +611,55 @@ class PipelineSpec extends SparkSuite {
     assert(!plan.contains("Exchange"), s"video decode plan shuffles:\n$plan")
   }
 
+  test("mm16: animated GIF round-trips bit-exactly through the exact-palette trick") {
+    import spark.implicits._
+    import graft.operators.MediaDecode
+    val gw = MediaDecode.plantedGifBytes(42L)
+    assert(new String(gw.slice(0, 6), "US-ASCII") === "GIF89a")
+    // the lossless contract: decoded stats EQUAL the closed form,
+    // every frame — including rows past the first (the JDK pair
+    // mis-round-trips INTERLACED frames under 5 rows; the writer
+    // param pins interlace off, and this equality is the regression
+    // guard for that)
+    def plantStats(id: Long): (Double, Double, Double, Double) = {
+      def fm(f: Int, a: Long, fc: Long, b: Long): Double =
+        (0 until 16).map(j =>
+          java.lang.Math.floorMod(id * a + f * fc + j * b, 256L).toDouble).sum / 16.0
+      val fr = (0 until 4).map(fm(_, 5, 29, 37))
+      val fg = (0 until 4).map(fm(_, 13, 31, 41))
+      val fb = (0 until 4).map(fm(_, 9, 43, 11))
+      val motion = (1 until 4).map(f => Seq(
+        math.abs(fr(f) - fr(f - 1)), math.abs(fg(f) - fg(f - 1)),
+        math.abs(fb(f) - fb(f - 1))).max).max
+      (fr.sum / 4.0, fg.sum / 4.0, fb.sum / 4.0, motion)
+    }
+    val gs = MediaDecode.parseGif(gw)
+    assert(gs.ok && gs.container === "gif" && gs.nUnits === 4L)
+    assert((gs.meanR, gs.meanG, gs.meanB, gs.peak) === plantStats(42L))
+    // truncation quarantines under gif; non-GIF is unknown — never an
+    // exception
+    val trunc = MediaDecode.parseGif(gw.take(30))
+    assert(!trunc.ok && trunc.container === "gif")
+    assert(MediaDecode.parseGif("definitely not an image at all!!".getBytes)
+      .container === "unknown")
+    // parseAny routes GIF by magic, same stats row
+    assert(MediaDecode.parseAny(gw) === gs)
+    // batch operator: every row codec-verified
+    val mm16 = SparkEntry.queries("mm16_gif_decode")(spark, sf)
+    assert(mm16.count() === 500)
+    assert(mm16.filter(!col("matches_plant")).count() === 0)
+    // DSL facade parity + the no-shuffle decode plan
+    val frame = Seq((1L, gw), (2L, "junk-junk-junk-junk-junk-junk!!".getBytes))
+      .toDF("doc_id", "payload")
+    val out = frame.gifStats().collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getBoolean(7)))).toMap
+    assert(out(1L) === (("gif", 4L, true)) && out(2L)._1 === "unknown")
+    val media = Tables.documents(spark, sf).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => MediaDecode.Media(id, MediaDecode.plantedGifBytes(id))))
+    val plan = MediaDecode.parseGifBatch(media).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"gif decode plan shuffles:\n$plan")
+  }
+
   test("p11: sniff-routed media curate — every disposition earned through a real codec") {
     import spark.implicits._
     import graft.operators.MediaDecode
