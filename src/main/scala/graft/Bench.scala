@@ -221,6 +221,54 @@ object Bench {
         s"stream bench FAILED: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(160)}"
       }
     }
+    // MEDIA streaming leg (round 13): the media curate live form
+    // (sniff-route-decode-gate per micro-batch over the TLV binary
+    // envelope) measured the same way — real codec bytes on the wire,
+    // so this rate prices the codec CPU a media ingest actually pays.
+    // Same rules as the text leg: stderr only, full captures only,
+    // after every timed run, degrades to a labeled diagnostic.
+    if (only.isEmpty) System.err.println {
+      try {
+        import spark.implicits._
+        val tmp = java.nio.file.Files.createTempDirectory("graft_media_bench_").toString
+        val ids = Tables.documents(spark, sfDir).select(col("doc_id"))
+        val media = ids.unionAll(ids.select((col("doc_id") + 1000000L).as("doc_id")))
+          .as[Long]
+          .mapPartitions(_.map { id =>
+            val payload = (id % 4) match {
+              case 0 => graft.operators.MediaDecode.plantedImageBytes(id, jpeg = false)
+              case 1 => graft.operators.MediaDecode.plantedAudioBytes(id, alaw = false)
+              case 2 => graft.operators.MediaDecode.plantedVideoBytes(id, mjpeg = false)
+              case _ => graft.operators.MediaDecode.plantedGifBytes(id)
+            }
+            (id, payload)
+          })
+          .toDF("doc_id", "payload")
+          .select(col("doc_id").as("event_id"),
+            col("doc_id").cast("string").as("uuid"),
+            pmod(col("doc_id"), lit(8L)).cast("string").as("partition_key"),
+            col("payload"),
+            lit("media").as("event_type"), lit(0.0).as("value"),
+            expr("timestamp '2024-01-01 00:00:00' + make_interval(0, 0, 0, 0, 0, 0, event_id % 86400)").as("ts"),
+            map(lit("eventType"), lit("media")).as("headers"))
+        graft.streaming.Publisher.publish(media, s"$tmp/topic",
+          format = graft.streaming.BinaryParquetTopic)
+        val nEvents = spark.read.parquet(s"$tmp/topic").count()
+        val t0 = System.nanoTime()
+        val q = graft.streaming.DataPrep.mediaCurateStream(
+          graft.streaming.Subscriber.subscribe(spark, s"$tmp/topic",
+            graft.streaming.BinaryParquetTopic, maxFilesPerTrigger = 4),
+          s"$tmp/out", s"$tmp/cells", s"$tmp/ck")
+        q.awaitTermination()
+        val secs = (System.nanoTime() - t0) / 1e9
+        val durs = q.recentProgress.filter(_.numInputRows > 0)
+          .map(_.durationMs.get("triggerExecution").toLong).sorted
+        val med = if (durs.nonEmpty) durs(durs.length / 2) else 0L
+        f"media stream bench: events=$nEvents, wall=$secs%.2f s, rate=${nEvents / secs}%.0f events/s, micro_batches=${durs.length}, batch_ms_median=$med"
+      } catch { case e: Throwable =>
+        s"media stream bench FAILED: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(160)}"
+      }
+    }
     // The driver captures only the LAST 2000 chars of this run's
     // output and parses the JSON line out of that tail. Every prior
     // round recorded parsed=null — including rounds whose complete
