@@ -324,6 +324,17 @@ package object dsl {
                  payloadCol: String = "payload"): DataFrame =
       gifStatsOf(df, idCol, payloadCol)
 
+    /** mm17's FLAC decode over a binary payload column: genuine FLAC
+      * streams through the pure-JVM graft codec (all subframe types,
+      * CRC-8 + CRC-16 + stream-MD5 verified) → the same per-clip
+      * amplitude stats as [[audioStats]] (sample count, mean/RMS/
+      * peak — the silence/clipping gates); a truncated or
+      * bit-flipped member quarantines ok=false under "flac",
+      * non-FLAC as "unknown". */
+    def flacStats(idCol: String = "doc_id",
+                  payloadCol: String = "payload"): DataFrame =
+      flacStatsOf(df, idCol, payloadCol)
+
     /** p11's media curate cascade over a mixed-modality binary
       * column: magic-byte routing (the sniff IS the router — no
       * trusted metadata), real-codec decode (PNG/JPEG images,
@@ -475,6 +486,22 @@ package object dsl {
                            payloadCol: String): DataFrame = {
     import df.sparkSession.implicits._
     graft.operators.MediaDecode.parseAudioBatch(
+        df.select(col(idCol).cast("long").as("docId"),
+          col(payloadCol).as("payload"))
+          .as[graft.operators.MediaDecode.Media])
+      .toDF()
+      .select(col("docId").as(idCol), col("container"),
+        col("nUnits").as("n_units"), col("meanSignal").as("mean_signal"),
+        col("rms"), col("peak"), col("ok"))
+  }
+
+  /** [[GraftDataFrameOps.flacStats]]'s body — outside the AnyVal
+    * wrapper for the same Encoder-derivation reason as
+    * [[imageStatsOf]]. */
+  private def flacStatsOf(df: DataFrame, idCol: String,
+                          payloadCol: String): DataFrame = {
+    import df.sparkSession.implicits._
+    graft.operators.MediaDecode.parseFlacBatch(
         df.select(col(idCol).cast("long").as("docId"),
           col(payloadCol).as("payload"))
           .as[graft.operators.MediaDecode.Media])

@@ -765,6 +765,7 @@ object MediaDecode {
       payload != null && payload.length >= off + t.length &&
         t.zipWithIndex.forall { case (c, i) => (payload(off + i) & 0xff) == c.toInt }
     if (payload == null || payload.length < 4) none
+    else if (tag(0, "fLaC")) parseFlac(payload)
     else if (tag(0, "RIFF") && tag(8, "AVI ")) parseVideo(payload)
     else if (tag(0, "RIFF") && tag(8, "WAVE")) {
       val a = parseAudio(payload)
@@ -783,5 +784,73 @@ object MediaDecode {
   def parseAnyBatch(media: Dataset[Media]): Dataset[MediaStats] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map(m => parseAny(m.payload).copy(docId = m.docId)))
+  }
+
+  // --- FLAC (round 13, mm17): the one audio codec class mm14 left
+  // behind the stub that does NOT actually need an external library —
+  // FLAC is an open bit-level spec (RFC 9639) and graft.operators
+  // .FlacCodec implements it directly: a real encoder (FIXED order-2
+  // prediction, per-partition optimal rice parameters, CRC-8/CRC-16,
+  // STREAMINFO MD5) and a general subset decoder (all subframe types
+  // incl. LPC, both rice methods, stereo decorrelation modes, every
+  // integrity layer verified). Only PERCEPTUAL codecs (Opus/AAC) and
+  // inter-frame video stay stubbed after this.
+
+  /** 64 planted s16 samples: a per-doc ramp (base + slope·j) plus
+    * bounded noise — closed forms both engines recompute exactly
+    * (integers, |s| < 2^15). The ramp is what makes the order-2
+    * fixed predictor genuinely compress: second differences cancel
+    * the ramp, leaving only the small noise for the rice coder. */
+  def plantedFlacSamples(docId: Long): Array[Int] = {
+    val base = (java.lang.Math.floorMod(docId, 211L) * 97L - 10000L).toInt
+    val slope = (java.lang.Math.floorMod(docId, 31L) - 15L).toInt
+    Array.tabulate(64) { j =>
+      val noise = java.lang.Math.floorMod(docId * 31L + j.toLong * j * 7L + j * 13L, 9L).toInt - 4
+      base + slope * j + noise
+    }
+  }
+
+  /** A complete, real FLAC stream for the planted samples — any
+    * conforming player can open it; [[FlacCodec.encode]] does the
+    * actual rice-coded compression. */
+  def plantedFlacBytes(docId: Long): Array[Byte] =
+    FlacCodec.encode(plantedFlacSamples(docId))
+
+  /** Decode a FLAC stream and fold the SAME mean/RMS/peak stats
+    * [[parsePayload]] emits for PCM WAVs (silence / clipping gates),
+    * channels pooled. ok only if every integrity layer holds
+    * (header CRC-8 per frame, whole-frame CRC-16, stream MD5) —
+    * a truncated or bit-flipped member quarantines under "flac". */
+  def parseFlac(payload: Array[Byte]): MediaStats = {
+    val none = MediaStats(0L, "unknown", 0L, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, false)
+    val isFlac = payload != null && payload.length >= 4 &&
+      payload(0) == 'f' && payload(1) == 'L' && payload(2) == 'a' && payload(3) == 'C'
+    if (!isFlac) none
+    else FlacCodec.decode(payload) match {
+      case None => none.copy(container = "flac")
+      case Some(d) =>
+        val n = d.channels.length * d.channels(0).length
+        var (sum, sq, pk) = (0.0, 0.0, 0.0)
+        var c = 0
+        while (c < d.channels.length) {
+          val ch = d.channels(c); var i = 0
+          while (i < ch.length) {
+            val s = ch(i).toDouble
+            sum += s; sq += s * s; if (math.abs(s) > pk) pk = math.abs(s)
+            i += 1
+          }
+          c += 1
+        }
+        if (n == 0) none.copy(container = "flac")
+        else MediaStats(0L, "flac", n.toLong, sum / n, math.sqrt(sq / n), pk,
+          0.0, 0.0, 0.0, true)
+    }
+  }
+
+  /** Per-partition batch FLAC decode — the same mapPartitions
+    * contract as [[parseAudioBatch]], the pure-JVM codec inside. */
+  def parseFlacBatch(media: Dataset[Media]): Dataset[MediaStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(m => parseFlac(m.payload).copy(docId = m.docId)))
   }
 }

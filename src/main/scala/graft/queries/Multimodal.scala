@@ -717,6 +717,71 @@ object Multimodal extends QueryPack {
           col("mean_r"), col("mean_g"), col("mean_b"), col("peak_motion"),
           col("matches_plant"))
         .orderBy(col("doc_id"))
+    },
+
+    // REAL FLAC decode (round 13 — the audio codec class mm14 left
+    // "genuinely absent from the JDK" is NOT absent from the
+    // platform: FLAC is an open bit-level spec, and operators/
+    // FlacCodec.scala implements it in pure JVM code — a real
+    // encoder (FIXED order-2 prediction with per-partition optimal
+    // rice parameters — genuine entropy coding, spec-asserted
+    // smaller than the verbatim wire) and a general subset decoder
+    // (CONSTANT/VERBATIM/FIXED/LPC subframes, both rice methods,
+    // stereo decorrelation, wasted bits). FLAC is lossless, so the
+    // round trip is EXACT: decoded mean/RMS/peak EQUAL the planted
+    // ramp+noise closed forms the oracle recomputes wire-free
+    // (integer sums < 2^53 are exact in double in any order). The
+    // integrity contract is the strongest of any container here:
+    // per-frame header CRC-8, whole-frame CRC-16 (every single-byte
+    // flip in a frame is a burst ≤ 8 bits — always detected), and
+    // the STREAMINFO MD5 over the decoded PCM; flips and truncation
+    // quarantine under "flac" (spec-tested exhaustively over every
+    // frame byte). Scale shape: one encode+decode map pass, payload
+    // bytes never shuffle (the output carries doc_id + three
+    // doubles + two flags), codec is allocation-light pure code
+    // inside the partition iterator.
+    "mm17_flac_decode" -> { (s, d) =>
+      import s.implicits._
+      val idx = sequence(lit(0L), lit(63L))
+      val vals = transform(idx, j =>
+        ((pmod(col("doc_id"), lit(211L)) * 97L - 10000L) +
+          (pmod(col("doc_id"), lit(31L)) - 15L) * j +
+          pmod(col("doc_id") * 31L + j * j * 7L + j * 13L, lit(9L)) - 4L)
+          .cast("double"))
+      val planted = Tables.documents(s, d).select(col("doc_id"),
+        round(aggregate(vals, lit(0.0), (acc, x) => acc + x) / 64.0, 6)
+          .as("p_mean"),
+        round(sqrt(aggregate(transform(vals, v => v * v), lit(0.0),
+          (acc, x) => acc + x) / 64.0), 6).as("p_rms"),
+        round(array_max(transform(vals, v => abs(v))), 6).as("p_peak"))
+      val stats = Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val bytes = graft.operators.MediaDecode.plantedFlacBytes(id)
+          val st = graft.operators.MediaDecode.parseFlac(bytes)
+          (id, st.container, st.nUnits, st.meanSignal, st.rms, st.peak,
+            bytes.length.toLong, st.ok)
+        })
+        .toDF("doc_id", "container", "n_units", "d_mean", "d_rms",
+          "d_peak", "n_bytes", "ok")
+        .select(col("doc_id"), col("container"), col("n_units"),
+          round(col("d_mean"), 6).as("d_mean"),
+          round(col("d_rms"), 6).as("d_rms"),
+          round(col("d_peak"), 6).as("d_peak"),
+          // strictly smaller than the VERBATIM-subframe wire for the
+          // same stream (42 header + 7 frame header + 1 subframe
+          // header + 128 sample bytes + 2 CRC-16 = 180): the rice
+          // coder must genuinely compress every row
+          (col("n_bytes") < 180L).as("compressed"), col("ok"))
+      planted.join(stats, Seq("doc_id"))
+        .withColumn("matches_plant",
+          col("ok") && col("container") === "flac" && col("n_units") === 64L &&
+            col("d_mean") === col("p_mean") &&
+            col("d_rms") === col("p_rms") &&
+            col("d_peak") === col("p_peak"))
+        .select(col("doc_id"), col("container"), col("n_units"),
+          col("d_mean").as("mean_signal"), col("d_rms").as("rms"),
+          col("d_peak").as("peak"), col("compressed"), col("matches_plant"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -1149,6 +1214,29 @@ object Multimodal extends QueryPack {
         |  round(list_max(list_transform(range(1, 4),
         |    f -> greatest(abs(fr[f + 1] - fr[f]), abs(fg[f + 1] - fg[f]),
         |                  abs(fb[f + 1] - fb[f])))), 6) AS peak_motion,
+        |  true AS matches_plant
+        |FROM p
+        |ORDER BY doc_id""".stripMargin,
+
+    // mm17: FLAC is lossless, so the decoded mean/RMS/peak EQUAL the
+    // planted ramp+noise closed forms this oracle recomputes WITHOUT
+    // any FLAC bytes (sums of 64 integers < 2^15 and their squares
+    // are exact in double in any order — zero cross-engine drift).
+    // `compressed` asserts the pure-JVM rice coder beat the verbatim
+    // wire on EVERY row; any Spark-side codec deviation flips a stat,
+    // compressed, or matches_plant and fails the row hash.
+    "mm17_flac_decode" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, 64), j ->
+        |      (doc_id % 211) * 97 - 10000 + ((doc_id % 31) - 15) * j
+        |        + (doc_id * 31 + j * j * 7 + j * 13) % 9 - 4) AS vs
+        |  FROM documents)
+        |SELECT doc_id, 'flac' AS container, CAST(64 AS BIGINT) AS n_units,
+        |  round(list_sum(list_transform(vs, v -> v::DOUBLE)) / 64.0, 6) AS mean_signal,
+        |  round(sqrt(list_sum(list_transform(vs, v -> (v * v)::DOUBLE)) / 64.0), 6) AS rms,
+        |  round(list_max(list_transform(vs, v -> abs(v)::DOUBLE)), 6) AS peak,
+        |  true AS compressed,
         |  true AS matches_plant
         |FROM p
         |ORDER BY doc_id""".stripMargin,

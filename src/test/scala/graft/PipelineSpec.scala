@@ -660,6 +660,149 @@ class PipelineSpec extends SparkSuite {
     assert(!plan.contains("Exchange"), s"gif decode plan shuffles:\n$plan")
   }
 
+  test("mm17: pure-JVM FLAC codec — exact round trip, layered integrity, general decoder") {
+    import spark.implicits._
+    import graft.operators.{FlacCodec, MediaDecode}
+    // the encoder emits a complete standard stream: magic, STREAMINFO
+    // (rate / channels / bps / total samples / audio MD5), one frame
+    val samples = MediaDecode.plantedFlacSamples(42L)
+    val wire = MediaDecode.plantedFlacBytes(42L)
+    assert(new String(wire.slice(0, 4), "US-ASCII") === "fLaC")
+    val dec = FlacCodec.decode(wire)
+    assert(dec.isDefined && dec.get.sampleRate === 44100 && dec.get.bps === 16)
+    assert(dec.get.channels.length === 1 && dec.get.channels(0).toSeq === samples.toSeq)
+    // genuine compression: rice-coded FIXED order-2 beats the
+    // verbatim wire (42 stream header + 7 frame header + 1 subframe
+    // header + 128 sample bytes + 2 CRC = 180) on the ramp plants
+    assert(wire.length < 180, s"flac wire ${wire.length}B not compressed")
+    // stats fold == closed form (lossless, exact)
+    val st = MediaDecode.parseFlac(wire)
+    val vs = samples.map(_.toDouble)
+    assert(st.ok && st.container === "flac" && st.nUnits === 64L)
+    assert((st.meanSignal, st.rms, st.peak) ===
+      ((vs.sum / 64.0, math.sqrt(vs.map(v => v * v).sum / 64.0), vs.map(math.abs).max)))
+    // layered integrity: EVERY single-byte flip inside the frame is a
+    // burst <= 8 bits — CRC-8/CRC-16 always detect it; a flip in the
+    // STREAMINFO MD5 field fails the stream digest; truncation
+    // quarantines under "flac"
+    val frameStart = 42 // 4 magic + 4 block header + 34 STREAMINFO
+    (frameStart until wire.length).foreach { i =>
+      val bad = wire.clone(); bad(i) = (bad(i) ^ 0x55).toByte
+      assert(!MediaDecode.parseFlac(bad).ok, s"flip at frame byte $i undetected")
+    }
+    (26 until 42).foreach { i => // the MD5 field
+      val bad = wire.clone(); bad(i) = (bad(i) ^ 0x01).toByte
+      assert(!MediaDecode.parseFlac(bad).ok, s"flip at md5 byte $i undetected")
+    }
+    val trunc = MediaDecode.parseFlac(wire.take(60))
+    assert(!trunc.ok && trunc.container === "flac")
+    assert(MediaDecode.parseFlac("not audio, not even slightly....".getBytes)
+      .container === "unknown")
+    // the decoder is a general subset reader, not the encoder's
+    // inverse: hand-built wires exercise VERBATIM / CONSTANT / LPC /
+    // escape-partition / stereo-decorrelation paths the encoder
+    // never writes
+    def md5LE(chans: Array[Array[Int]]): Array[Byte] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      for (i <- chans(0).indices; c <- chans.indices) {
+        md.update((chans(c)(i) & 0xff).toByte)
+        md.update(((chans(c)(i) >> 8) & 0xff).toByte)
+      }
+      md.digest()
+    }
+    def buildFlac(expect: Array[Array[Int]], chanAssign: Int)
+                 (writeSubframes: FlacCodec.BitWriter => Unit): Array[Byte] = {
+      val n = expect(0).length
+      val fw = new FlacCodec.BitWriter
+      fw.writeBits(0x3FFEL, 14); fw.writeBits(0L, 2)
+      fw.writeBits(0x6L, 4); fw.writeBits(0x9L, 4)
+      fw.writeBits(chanAssign.toLong, 4); fw.writeBits(0x4L, 3); fw.writeBits(0L, 1)
+      fw.writeBits(0L, 8); fw.writeBits((n - 1).toLong, 8)
+      val hb = fw.toBytes
+      fw.writeBits(FlacCodec.crc8(hb, 0, hb.length).toLong, 8)
+      writeSubframes(fw)
+      fw.alignByte()
+      val fb = fw.toBytes
+      fw.writeBits(FlacCodec.crc16(fb, 0, fb.length).toLong, 16)
+      val frame = fw.toBytes
+      val sw = new FlacCodec.BitWriter
+      sw.writeBits(0x664C6143L, 32)
+      sw.writeBits(1L, 1); sw.writeBits(0L, 7); sw.writeBits(34L, 24)
+      sw.writeBits(n.toLong, 16); sw.writeBits(n.toLong, 16)
+      sw.writeBits(frame.length.toLong, 24); sw.writeBits(frame.length.toLong, 24)
+      sw.writeBits(44100L, 20); sw.writeBits((expect.length - 1).toLong, 3)
+      sw.writeBits(15L, 5); sw.writeBits(n.toLong, 36)
+      md5LE(expect).foreach(b => sw.writeBits(b.toLong & 0xff, 8))
+      sw.toBytes ++ frame
+    }
+    def decoded(wire: Array[Byte]): Seq[Seq[Int]] =
+      FlacCodec.decode(wire).map(_.channels.map(_.toSeq).toSeq)
+        .getOrElse(fail(s"hand-built wire did not decode"))
+    // VERBATIM mono
+    val vSamp = Array(3, -5, 100, -32768, 32767, 0, 7, -1, 12, 13, -14, 15, 1, 2, 3, 4)
+    val vWire = buildFlac(Array(vSamp), 0) { w =>
+      w.writeBits(0L, 1); w.writeBits(1L, 6); w.writeBits(0L, 1)
+      vSamp.foreach(s => w.writeBits(s.toLong & 0xffffL, 16))
+    }
+    assert(decoded(vWire) === Seq(vSamp.toSeq))
+    // CONSTANT mono
+    val cSamp = Array.fill(16)(-123)
+    val cWire = buildFlac(Array(cSamp), 0) { w =>
+      w.writeBits(0L, 1); w.writeBits(0L, 6); w.writeBits(0L, 1)
+      w.writeBits(-123L & 0xffffL, 16)
+    }
+    assert(decoded(cWire) === Seq(cSamp.toSeq))
+    // LPC order 1 (coef 1, shift 0 — a pure integrator), rice k=2
+    val lSamp = Array.tabulate(16)(j => 100 + 3 * j - (j % 2))
+    val lWire = buildFlac(Array(lSamp), 0) { w =>
+      w.writeBits(0L, 1); w.writeBits(0x20L, 6); w.writeBits(0L, 1) // LPC order 1
+      w.writeBits(lSamp(0).toLong & 0xffffL, 16)                    // warmup
+      w.writeBits(14L, 4); w.writeBits(0L, 5); w.writeBits(1L, 15)  // precision 15, shift 0, coef 1
+      w.writeBits(0L, 2); w.writeBits(0L, 4); w.writeBits(2L, 4)    // rice4, 1 partition, k=2
+      (1 until 16).foreach { j =>
+        val e = (lSamp(j) - lSamp(j - 1)).toLong
+        val u = (e << 1) ^ (e >> 63)
+        w.writeUnary((u >>> 2).toInt); w.writeBits(u & 3L, 2)
+      }
+    }
+    assert(decoded(lWire) === Seq(lSamp.toSeq))
+    // FIXED order 0 with an ESCAPED partition (raw 6-bit residuals)
+    val eSamp = Array.tabulate(16)(j => j * 3 - 24) // all in [-32, 31]
+    val eWire = buildFlac(Array(eSamp), 0) { w =>
+      w.writeBits(0L, 1); w.writeBits(0x8L, 6); w.writeBits(0L, 1)  // FIXED order 0
+      w.writeBits(0L, 2); w.writeBits(0L, 4)                        // rice4, 1 partition
+      w.writeBits(0xFL, 4); w.writeBits(6L, 5)                      // escape, 6 raw bits
+      eSamp.foreach(s => w.writeBits(s.toLong & 0x3fL, 6))
+    }
+    assert(decoded(eWire) === Seq(eSamp.toSeq))
+    // stereo LEFT-SIDE decorrelation (side channel rides bps+1 bits)
+    val left = Array.tabulate(16)(j => 200 - 7 * j)
+    val right = Array.tabulate(16)(j => -50 + 11 * j)
+    val lsWire = buildFlac(Array(left, right), 8) { w =>
+      w.writeBits(0L, 1); w.writeBits(1L, 6); w.writeBits(0L, 1)
+      left.foreach(s => w.writeBits(s.toLong & 0xffffL, 16))
+      w.writeBits(0L, 1); w.writeBits(1L, 6); w.writeBits(0L, 1)
+      (0 until 16).foreach(j => w.writeBits((left(j) - right(j)).toLong & 0x1ffffL, 17))
+    }
+    assert(decoded(lsWire) === Seq(left.toSeq, right.toSeq))
+    // parseAny routes fLaC by magic, same stats row
+    assert(MediaDecode.parseAny(wire) === st)
+    // batch operator: every row codec-verified AND compressed
+    val mm17 = SparkEntry.queries("mm17_flac_decode")(spark, sf)
+    assert(mm17.count() === 500)
+    assert(mm17.filter(!col("matches_plant") || !col("compressed")).count() === 0)
+    // DSL facade parity + the no-shuffle decode plan
+    val frame = Seq((1L, wire), (2L, "junk-junk-junk-junk-junk-junk!!".getBytes))
+      .toDF("doc_id", "payload")
+    val out = frame.flacStats().collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getBoolean(6)))).toMap
+    assert(out(1L) === (("flac", 64L, true)) && out(2L)._1 === "unknown")
+    val media = Tables.documents(spark, sf).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => MediaDecode.Media(id, MediaDecode.plantedFlacBytes(id))))
+    val plan = MediaDecode.parseFlacBatch(media).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"flac decode plan shuffles:\n$plan")
+  }
+
   test("p11: sniff-routed media curate — every disposition earned through a real codec") {
     import spark.implicits._
     import graft.operators.MediaDecode
