@@ -519,15 +519,20 @@ object MediaDecode {
 
   /** Decode an AVI through a RIFF chunk walk + per-frame codec —
     * ImageIO for '00dc' MJPEG frames, a direct bottom-up DIB pixel
-    * walk for '00db' raw frames — and fold the frame-level curation
-    * stats a video QA pass gates on: across-frame channel means
-    * (meanR/G/B — solid-color / black-video gates) and the peak
-    * inter-frame change of any per-frame channel mean (peak — the
-    * static-video / scene-cut gate). nUnits = decoded frames; ok
-    * requires every frame decoded AND the count matching avih's
-    * declared dwTotalFrames (a tampered header or truncated movi
-    * quarantines: ok=false under container "avi" when the codec
-    * fourcc is unreachable, else under its declared codec). */
+    * walk for '00db' raw frames, and a STATEFUL MS-RLE8 decode for
+    * BI_RLE8 streams (mm18 — the INTER-frame class: delta frames'
+    * skip/delta escapes leave pixels from the PREVIOUS frame in
+    * place, so the decoder carries a frame buffer across chunks —
+    * temporal prediction, the thing intra-frame codecs don't have) —
+    * and fold the frame-level curation stats a video QA pass gates
+    * on: across-frame channel means (meanR/G/B — solid-color /
+    * black-video gates) and the peak inter-frame change of any
+    * per-frame channel mean (peak — the static-video / scene-cut
+    * gate). nUnits = decoded frames; ok requires every frame decoded
+    * AND the count matching avih's declared dwTotalFrames (a
+    * tampered header or truncated movi quarantines: ok=false under
+    * container "avi" when the codec fourcc is unreachable, else
+    * under its declared codec). */
   def parseVideo(payload: Array[Byte]): MediaStats = {
     val none = MediaStats(0L, "unknown", 0L, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, false)
     def tag(off: Int, t: String): Boolean =
@@ -544,6 +549,12 @@ object MediaDecode {
     var havePrev = false
     var (pr, pg, pb) = (0.0, 0.0, 0.0)
     var peakMotion = 0.0
+    // MS-RLE8 stream state: palette from strf, frame buffer of
+    // palette indices carried across '00dc' chunks (delta frames
+    // paint only what changed)
+    var rlePal: Array[Int] = null
+    var rleBuf: Array[Byte] = null
+    var rleW = 0; var rleH = 0
     try {
       // one linear walk over the RIFF tree; lists recurse
       def walk(from: Int, to: Int): Unit = {
@@ -558,12 +569,49 @@ object MediaDecode {
             container = u32le(payload, p + 8 + 16) match {
               case 0x47504a4dL => "mjpeg"
               case 0L          => "rawvideo"
+              case 1L          => "msrle"
               case _           => "avi"
+            }
+            if (container == "msrle") {
+              val w = u32le(payload, p + 8 + 4); val h = u32le(payload, p + 8 + 8)
+              val nColors = u32le(payload, p + 8 + 32) match {
+                case 0L => 256L
+                case c  => c
+              }
+              // dims sane and the full RGBQUAD table inside the chunk
+              if (w <= 0 || h <= 0 || w * h > 1000000L ||
+                  sz < 40L + nColors * 4) { allOk = false }
+              else {
+                rleW = w.toInt; rleH = h.toInt
+                rleBuf = new Array[Byte](rleW * rleH)
+                rlePal = new Array[Int](256)
+                var i = 0
+                while (i < nColors.toInt && i < 256) {
+                  val o = p + 8 + 40 + i * 4 // RGBQUAD: b, g, r, reserved
+                  rlePal(i) = ((payload(o + 2) & 0xff) << 16) |
+                    ((payload(o + 1) & 0xff) << 8) | (payload(o) & 0xff)
+                  i += 1
+                }
+              }
             }
           } else if ((tag(p, "00dc") || tag(p, "00db")) && end <= payload.length) {
             frames += 1
             val data = java.util.Arrays.copyOfRange(payload, p + 8, end)
-            val m = decodeFrame(data, tag(p, "00dc"))
+            val m =
+              if (container == "msrle") {
+                if (rleBuf == null) None
+                else decodeRleFrame(data, rleBuf, rleW, rleH).map { _ =>
+                  var (fr2, fg2, fb2) = (0L, 0L, 0L)
+                  var i = 0
+                  while (i < rleBuf.length) {
+                    val c = rlePal(rleBuf(i) & 0xff)
+                    fr2 += (c >> 16) & 0xff; fg2 += (c >> 8) & 0xff; fb2 += c & 0xff
+                    i += 1
+                  }
+                  val n = rleBuf.length.toLong
+                  (fr2.toDouble / n, fg2.toDouble / n, fb2.toDouble / n, n)
+                }
+              } else decodeFrame(data, tag(p, "00dc"))
             m match {
               case Some((fr, fg, fb, n)) =>
                 sr += fr * n; sg += fg * n; sb += fb * n; nPix += n
@@ -585,6 +633,111 @@ object MediaDecode {
       else MediaStats(0L, container, frames, 0.0, 0.0, peakMotion,
         sr / nPix, sg / nPix, sb / nPix, true)
     } catch { case _: Exception => none.copy(container = container) }
+  }
+
+  /** One MS-RLE8 (BI_RLE8) frame decoded IN PLACE over `buf` (w·h
+    * palette indices, bottom-up rows — position (x, yUp) lives at
+    * buf(yUp·w + x)). Implements the full opcode grammar: encoded
+    * runs (count ≥ 1, index), absolute mode (00 n≥3, n literals,
+    * word-aligned), end-of-line (00 00), end-of-bitmap (00 01) and
+    * DELTA (00 02 dx dy) — the inter-frame opcode: skipped pixels
+    * keep their previous-frame value. Returns None on any bounds
+    * violation or missing end-of-bitmap; `buf` may then be partially
+    * written, but callers treat the whole stream as failed. */
+  private def decodeRleFrame(data: Array[Byte], buf: Array[Byte],
+                             w: Int, h: Int): Option[Unit] = {
+    var x = 0; var yUp = 0; var p = 0
+    while (p + 2 <= data.length) {
+      val b0 = data(p) & 0xff; val b1 = data(p + 1) & 0xff; p += 2
+      if (b0 > 0) { // encoded run
+        if (x + b0 > w || yUp >= h) return None
+        var i = 0
+        while (i < b0) { buf(yUp * w + x) = b1.toByte; x += 1; i += 1 }
+      } else b1 match {
+        case 0 => x = 0; yUp += 1 // end of line
+        case 1 => return Some(()) // end of bitmap
+        case 2 => // delta: skip right dx, up dy — previous frame shows through
+          if (p + 2 > data.length) return None
+          x += data(p) & 0xff; yUp += data(p + 1) & 0xff; p += 2
+          if (x > w || yUp > h) return None
+        case n => // absolute mode: n literal indices, word-aligned
+          if (x + n > w || yUp >= h || p + n > data.length) return None
+          var i = 0
+          while (i < n) { buf(yUp * w + x) = data(p + i); x += 1; i += 1 }
+          p += n + (n & 1)
+      }
+    }
+    None // ran off the end without end-of-bitmap
+  }
+
+  /** Planted 4-frame 8×2 MS-RLE8 video in a GENUINE AVI (mm18 — the
+    * INTER-frame codec class): strh handler 'MRLE', strf
+    * biCompression = BI_RLE8 with a full 256-entry RGBQUAD palette,
+    * '00dc' frame chunks, idx1 flagging ONLY frame 0 as a keyframe.
+    * Frame 0 paints every pixel (absolute-mode bottom row,
+    * encoded-run top row — both opcode families genuinely on the
+    * wire); frames 1-3 are TRUE delta frames: one DELTA escape skips
+    * the entire bottom row (those pixels survive from the previous
+    * frame — temporal prediction), then only the top row is
+    * repainted. Palette channels and indices are closed forms both
+    * engines recompute exactly:
+    * idx keyframe (x, yUp) = (id·5 + x·19 + yUp·77) % 256,
+    * idx delta f  (x, top) = (id·13 + f·37 + x·23) % 256,
+    * palette r(i) = (i·53+7)%256, g(i) = (i·29+3)%256,
+    * b(i) = (i·11+5)%256. */
+  def plantedRleVideoBytes(docId: Long): Array[Byte] = {
+    val (w, h, nFrames) = (8, 2, 4)
+    def idx0(x: Int, yUp: Int): Int =
+      java.lang.Math.floorMod(docId * 5 + x * 19 + yUp * 77, 256L).toInt
+    def idxDelta(f: Int, x: Int): Int =
+      java.lang.Math.floorMod(docId * 13 + f * 37 + x * 23, 256L).toInt
+    val frames: Seq[Array[Byte]] = (0 until nFrames).map { f =>
+      val bb = scala.collection.mutable.ArrayBuffer.empty[Byte]
+      if (f == 0) {
+        // bottom row: one absolute-mode run of 8 literals
+        bb += 0; bb += 8
+        (0 until w).foreach(x => bb += idx0(x, 0).toByte)
+        bb += 0; bb += 0 // EOL
+        // top row: encoded runs of length 1 (indices all differ)
+        (0 until w).foreach { x => bb += 1; bb += idx0(x, 1).toByte }
+        bb += 0; bb += 0 // EOL
+        bb += 0; bb += 1 // end of bitmap
+      } else {
+        bb += 0; bb += 2; bb += 0; bb += 1 // DELTA: skip the bottom row
+        (0 until w).foreach { x => bb += 1; bb += idxDelta(f, x).toByte }
+        bb += 0; bb += 0 // EOL
+        bb += 0; bb += 1 // end of bitmap
+      }
+      bb.toArray
+    }
+    val maxFrame = frames.map(_.length).max
+    val avih = le32(40000L) ++ le32(0L) ++ le32(0L) ++ le32(0x10L) ++
+      le32(nFrames.toLong) ++ le32(0L) ++ le32(1L) ++ le32(maxFrame.toLong) ++
+      le32(w.toLong) ++ le32(h.toLong) ++ le32(0L) ++ le32(0L) ++ le32(0L) ++ le32(0L)
+    val strh = "vids".getBytes("US-ASCII") ++ "MRLE".getBytes("US-ASCII") ++
+      le32(0L) ++ le16(0) ++ le16(0) ++ le32(0L) ++ le32(1L) ++ le32(25L) ++
+      le32(0L) ++ le32(nFrames.toLong) ++ le32(maxFrame.toLong) ++
+      le32(0xffffffffL) ++ le32(0L) ++ le16(0) ++ le16(0) ++ le16(w) ++ le16(h)
+    val pal = (0 until 256).flatMap { i =>
+      Seq(((i * 11 + 5) % 256).toByte, ((i * 29 + 3) % 256).toByte,
+        ((i * 53 + 7) % 256).toByte, 0.toByte) // RGBQUAD: b, g, r, 0
+    }.toArray
+    val strf = le32(40L) ++ le32(w.toLong) ++ le32(h.toLong) ++ le16(1) ++
+      le16(8) ++ le32(1L /* BI_RLE8 */) ++ le32((w * h).toLong) ++
+      le32(0L) ++ le32(0L) ++ le32(256L) ++ le32(0L) ++ pal
+    val strl = riffList("LIST", "strl",
+      riffChunk("strh", strh) ++ riffChunk("strf", strf))
+    val hdrl = riffList("LIST", "hdrl", riffChunk("avih", avih) ++ strl)
+    val moviChunks = frames.map(d => riffChunk("00dc", d))
+    val movi = riffList("LIST", "movi", moviChunks.reduce(_ ++ _))
+    val offsets = moviChunks.scanLeft(4L)((acc, c) => acc + c.length).init
+    val idx1 = riffChunk("idx1",
+      offsets.zip(frames).zipWithIndex.map { case ((off, d), i) =>
+        "00dc".getBytes("US-ASCII") ++ le32(if (i == 0) 0x10L else 0L) ++
+          le32(off) ++ le32(d.length.toLong)
+      }.reduce(_ ++ _))
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi ++ idx1
+    "RIFF".getBytes("US-ASCII") ++ le32(body.length.toLong) ++ body
   }
 
   /** Per-frame channel means over a decoded image — shared by the

@@ -782,6 +782,79 @@ object Multimodal extends QueryPack {
           col("d_mean").as("mean_signal"), col("d_rms").as("rms"),
           col("d_peak").as("peak"), col("compressed"), col("matches_plant"))
         .orderBy(col("doc_id"))
+    },
+
+    // INTER-frame video decode (round 13 — the temporal-prediction
+    // step mm15's intra-frame codecs don't have): MS-RLE8 (BI_RLE8)
+    // is a real, standardized VfW codec whose DELTA/skip escapes
+    // leave pixels from the PREVIOUS frame in place — decoding it
+    // requires a frame buffer carried across chunks, exactly the
+    // state H.264's P-frames need (its entropy coding is what stays
+    // stubbed, not the inter-frame structure). Each doc is a genuine
+    // AVI ('MRLE' handler, BI_RLE8 strf with a full 256-entry RGBQUAD
+    // palette, idx1 flagging only frame 0 as keyframe): the keyframe
+    // paints all pixels through BOTH legal opcode families (absolute
+    // mode + encoded runs), frames 1-3 are true delta frames — one
+    // DELTA escape skips the whole bottom row, which must survive
+    // from the previous frame for the stats to come out right. All
+    // plants are closed-form integers (palette channels are affine
+    // mod-256 maps of the index), so the oracle recomputes every
+    // stat wire-free and equality is EXACT. Scale shape: one
+    // build+decode map pass, payload bytes never shuffle, the
+    // stateful decoder lives inside the partition iterator.
+    "mm18_rle_video" -> { (s, d) =>
+      import s.implicits._
+      val xs = sequence(lit(0L), lit(7L))
+      def pal(idx: Column, mul: Long, add: Long): Column =
+        pmod(idx * mul + add, lit(256L)).cast("double")
+      def chanMean(f: Int, mul: Long, add: Long): Column = {
+        val bottom = aggregate(transform(xs, x =>
+          pal(pmod(col("doc_id") * 5 + x * 19, lit(256L)), mul, add)),
+          lit(0.0), (acc, v) => acc + v)
+        val top =
+          if (f == 0)
+            aggregate(transform(xs, x =>
+              pal(pmod(col("doc_id") * 5 + x * 19 + 77L, lit(256L)), mul, add)),
+              lit(0.0), (acc, v) => acc + v)
+          else
+            aggregate(transform(xs, x =>
+              pal(pmod(col("doc_id") * 13 + lit(f * 37L) + x * 23, lit(256L)), mul, add)),
+              lit(0.0), (acc, v) => acc + v)
+        (bottom + top) / 16.0
+      }
+      val fr = (0 until 4).map(chanMean(_, 53, 7))
+      val fg = (0 until 4).map(chanMean(_, 29, 3))
+      val fb = (0 until 4).map(chanMean(_, 11, 5))
+      val pMotion = (1 until 4).map(f =>
+        greatest(abs(fr(f) - fr(f - 1)), abs(fg(f) - fg(f - 1)),
+          abs(fb(f) - fb(f - 1)))).reduce((x, y) => greatest(x, y))
+      val planted = Tables.documents(s, d).select(col("doc_id"),
+        round(fr.reduce(_ + _) / 4.0, 6).as("p_mean_r"),
+        round(fg.reduce(_ + _) / 4.0, 6).as("p_mean_g"),
+        round(fb.reduce(_ + _) / 4.0, 6).as("p_mean_b"),
+        round(pMotion, 6).as("p_motion"))
+      val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id =>
+          graft.operators.MediaDecode.Media(id,
+            graft.operators.MediaDecode.plantedRleVideoBytes(id))))
+      val stats = graft.operators.MediaDecode.parseVideoBatch(media).toDF()
+        .select(col("docId").as("doc_id"), col("container"),
+          col("nUnits").as("n_frames"), col("ok"),
+          round(col("meanR"), 6).as("mean_r"),
+          round(col("meanG"), 6).as("mean_g"),
+          round(col("meanB"), 6).as("mean_b"),
+          round(col("peak"), 6).as("peak_motion"))
+      planted.join(stats, Seq("doc_id"))
+        .withColumn("matches_plant",
+          col("ok") && col("container") === "msrle" && col("n_frames") === 4L &&
+            col("mean_r") === col("p_mean_r") &&
+            col("mean_g") === col("p_mean_g") &&
+            col("mean_b") === col("p_mean_b") &&
+            col("peak_motion") === col("p_motion"))
+        .select(col("doc_id"), col("container"), col("n_frames"),
+          col("mean_r"), col("mean_g"), col("mean_b"), col("peak_motion"),
+          col("matches_plant"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -1237,6 +1310,51 @@ object Multimodal extends QueryPack {
         |  round(sqrt(list_sum(list_transform(vs, v -> (v * v)::DOUBLE)) / 64.0), 6) AS rms,
         |  round(list_max(list_transform(vs, v -> abs(v)::DOUBLE)), 6) AS peak,
         |  true AS compressed,
+        |  true AS matches_plant
+        |FROM p
+        |ORDER BY doc_id""".stripMargin,
+
+    // mm18: MS-RLE8 is lossless and the delta frames' carried bottom
+    // row is part of the closed form (it is ALWAYS the keyframe's
+    // bottom row — the DELTA escape skips it every frame), so this
+    // oracle recomputes every stat WITHOUT any video bytes: palette
+    // channels are affine mod-256 maps of the planted indices,
+    // per-frame means are integer sums / 16 — exact dyadic
+    // rationals, zero cross-engine drift. Any Spark-side RLE or
+    // carry-forward deviation flips a stat or matches_plant and
+    // fails the row hash.
+    "mm18_rle_video" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, 4), f ->
+        |      (list_sum(list_transform(range(0, 8), x ->
+        |         ((((doc_id * 5 + x * 19) % 256) * 53 + 7) % 256)::DOUBLE))
+        |       + list_sum(list_transform(range(0, 8), x -> CASE WHEN f = 0
+        |           THEN ((((doc_id * 5 + x * 19 + 77) % 256) * 53 + 7) % 256)::DOUBLE
+        |           ELSE ((((doc_id * 13 + f * 37 + x * 23) % 256) * 53 + 7) % 256)::DOUBLE
+        |         END))) / 16.0) AS fr,
+        |    list_transform(range(0, 4), f ->
+        |      (list_sum(list_transform(range(0, 8), x ->
+        |         ((((doc_id * 5 + x * 19) % 256) * 29 + 3) % 256)::DOUBLE))
+        |       + list_sum(list_transform(range(0, 8), x -> CASE WHEN f = 0
+        |           THEN ((((doc_id * 5 + x * 19 + 77) % 256) * 29 + 3) % 256)::DOUBLE
+        |           ELSE ((((doc_id * 13 + f * 37 + x * 23) % 256) * 29 + 3) % 256)::DOUBLE
+        |         END))) / 16.0) AS fg,
+        |    list_transform(range(0, 4), f ->
+        |      (list_sum(list_transform(range(0, 8), x ->
+        |         ((((doc_id * 5 + x * 19) % 256) * 11 + 5) % 256)::DOUBLE))
+        |       + list_sum(list_transform(range(0, 8), x -> CASE WHEN f = 0
+        |           THEN ((((doc_id * 5 + x * 19 + 77) % 256) * 11 + 5) % 256)::DOUBLE
+        |           ELSE ((((doc_id * 13 + f * 37 + x * 23) % 256) * 11 + 5) % 256)::DOUBLE
+        |         END))) / 16.0) AS fb
+        |  FROM documents)
+        |SELECT doc_id, 'msrle' AS container, CAST(4 AS BIGINT) AS n_frames,
+        |  round(list_sum(fr) / 4.0, 6) AS mean_r,
+        |  round(list_sum(fg) / 4.0, 6) AS mean_g,
+        |  round(list_sum(fb) / 4.0, 6) AS mean_b,
+        |  round(list_max(list_transform(range(1, 4),
+        |    f -> greatest(abs(fr[f + 1] - fr[f]), abs(fg[f + 1] - fg[f]),
+        |                  abs(fb[f + 1] - fb[f])))), 6) AS peak_motion,
         |  true AS matches_plant
         |FROM p
         |ORDER BY doc_id""".stripMargin,

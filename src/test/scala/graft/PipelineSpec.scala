@@ -803,6 +803,77 @@ class PipelineSpec extends SparkSuite {
     assert(!plan.contains("Exchange"), s"flac decode plan shuffles:\n$plan")
   }
 
+  test("mm18: MS-RLE8 inter-frame decode — delta frames genuinely carry the previous frame") {
+    import spark.implicits._
+    import graft.operators.MediaDecode
+    val wire = MediaDecode.plantedRleVideoBytes(42L)
+    def ascii(b: Array[Byte], off: Int, n: Int) = new String(b.slice(off, off + n), "US-ASCII")
+    assert(ascii(wire, 0, 4) === "RIFF" && ascii(wire, 8, 4) === "AVI ")
+    // the stream declares the real codec: strh handler MRLE, strf
+    // biCompression = 1 (BI_RLE8)
+    assert(wire.containsSlice("MRLE".getBytes("US-ASCII")))
+    // closed-form plant stats: the delta frames' bottom row is the
+    // KEYFRAME's bottom row — if the decoder re-painted instead of
+    // carrying it, every frame-1..3 mean (and the motion stat) would
+    // shift and these equalities would fail
+    def plantStats(id: Long): (Double, Double, Double, Double) = {
+      def pal(i: Int, mul: Int, add: Int) = ((i * mul + add) % 256).toDouble
+      def idx0(x: Int, yUp: Int) =
+        java.lang.Math.floorMod(id * 5 + x * 19 + yUp * 77, 256L).toInt
+      def idxD(f: Int, x: Int) =
+        java.lang.Math.floorMod(id * 13 + f * 37 + x * 23, 256L).toInt
+      def fm(f: Int, mul: Int, add: Int): Double = {
+        val bottom = (0 until 8).map(x => pal(idx0(x, 0), mul, add)).sum
+        val top =
+          if (f == 0) (0 until 8).map(x => pal(idx0(x, 1), mul, add)).sum
+          else (0 until 8).map(x => pal(idxD(f, x), mul, add)).sum
+        (bottom + top) / 16.0
+      }
+      val fr = (0 until 4).map(fm(_, 53, 7))
+      val fg = (0 until 4).map(fm(_, 29, 3))
+      val fb = (0 until 4).map(fm(_, 11, 5))
+      val motion = (1 until 4).map(f => Seq(
+        math.abs(fr(f) - fr(f - 1)), math.abs(fg(f) - fg(f - 1)),
+        math.abs(fb(f) - fb(f - 1))).max).max
+      (fr.sum / 4.0, fg.sum / 4.0, fb.sum / 4.0, motion)
+    }
+    val st = MediaDecode.parseVideo(wire)
+    assert(st.ok && st.container === "msrle" && st.nUnits === 4L)
+    assert((st.meanR, st.meanG, st.meanB, st.peak) === plantStats(42L))
+    // delta frames move SOMETHING (top row repaints) — the static
+    // gate has a real signal to read
+    assert(st.peak > 0.0)
+    // tamper quarantine: declared-count lies, truncated movi, and a
+    // run that overruns its row all fail closed under "msrle"
+    val declOff = wire.indexOfSlice("avih".getBytes("US-ASCII")) + 8 + 16
+    val lied = wire.clone(); lied(declOff) = 9
+    assert(!MediaDecode.parseVideo(lied).ok)
+    // (the trailing idx1 chunk is 72 bytes and legitimately optional
+    // to the walk — cut past it into the movi frames themselves)
+    val cut = MediaDecode.parseVideo(wire.take(wire.length - 100))
+    assert(!cut.ok && cut.container === "msrle")
+    // corrupt opcode: make the keyframe's absolute-mode count overrun
+    // the row (00 08 -> 00 FF is absolute mode count 255 > w)
+    val kfOff = wire.indexOfSlice(Array[Byte](0x30, 0x30, 0x64, 0x63)) // "00dc"
+    val bad = wire.clone(); bad(kfOff + 9) = 0xFF.toByte
+    assert(!MediaDecode.parseVideo(bad).ok)
+    // parseAny routes by magic, same stats row
+    assert(MediaDecode.parseAny(wire) === st)
+    // batch operator: every row codec-verified through the carry
+    val mm18 = SparkEntry.queries("mm18_rle_video")(spark, sf)
+    assert(mm18.count() === 500)
+    assert(mm18.filter(!col("matches_plant")).count() === 0)
+    // videoStats DSL facade reads msrle through the same entry point
+    val frame = Seq((1L, wire)).toDF("doc_id", "payload")
+    val out = frame.videoStats().collect().head
+    assert(out.getString(1) === "msrle" && out.getLong(2) === 4L)
+    // the decode path is a map pass: payload bytes never shuffle
+    val media = Tables.documents(spark, sf).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => MediaDecode.Media(id, MediaDecode.plantedRleVideoBytes(id))))
+    val plan = MediaDecode.parseVideoBatch(media).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"rle decode plan shuffles:\n$plan")
+  }
+
   test("p11: sniff-routed media curate — every disposition earned through a real codec") {
     import spark.implicits._
     import graft.operators.MediaDecode
