@@ -235,11 +235,13 @@ object Bench {
         val media = ids.unionAll(ids.select((col("doc_id") + 1000000L).as("doc_id")))
           .as[Long]
           .mapPartitions(_.map { id =>
-            val payload = (id % 4) match {
+            val payload = (id % 6) match {
               case 0 => graft.operators.MediaDecode.plantedImageBytes(id, jpeg = false)
               case 1 => graft.operators.MediaDecode.plantedAudioBytes(id, alaw = false)
               case 2 => graft.operators.MediaDecode.plantedVideoBytes(id, mjpeg = false)
-              case _ => graft.operators.MediaDecode.plantedGifBytes(id)
+              case 3 => graft.operators.MediaDecode.plantedGifBytes(id)
+              case 4 => graft.operators.MediaDecode.plantedFlacBytes(id)
+              case _ => graft.operators.MediaDecode.plantedRleVideoBytes(id)
             }
             (id, payload)
           })

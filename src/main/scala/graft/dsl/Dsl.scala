@@ -562,8 +562,9 @@ package object dsl {
         col("meanR"), col("meanG"), col("meanB"), col("rms"), col("peak"))
       .withColumn("modality",
         when(col("container").isin("png", "jpeg", "bmp"), "image")
-          .when(col("container").isin("ulaw", "alaw", "wav"), "audio")
-          .when(col("container").isin("mjpeg", "rawvideo", "avi", "gif"), "video")
+          .when(col("container").isin("ulaw", "alaw", "wav", "flac"), "audio")
+          .when(col("container").isin("mjpeg", "rawvideo", "avi", "gif",
+            "msrle"), "video")
           .otherwise("unknown"))
       .withColumn("disposition",
         when(!col("ok"), "decode_fail")

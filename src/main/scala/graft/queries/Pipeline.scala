@@ -423,10 +423,11 @@ object Pipeline extends QueryPack {
     // The MEDIA curate cascade (round 13) — p7's disposition shape
     // applied to a mixed-modality corpus, composing the round's real
     // codecs end-to-end: each doc arrives as an opaque binary member
-    // (id%4: PNG image / G.711 µ-law WAV / raw-DIB AVI / a truncated
-    // upload), is routed by MAGIC BYTES alone (MediaDecode.parseAny —
+    // (id%6: PNG image / G.711 µ-law WAV / raw-DIB AVI / a truncated
+    // upload / FLAC through the pure-JVM codec / MS-RLE8 inter-frame
+    // AVI), is routed by MAGIC BYTES alone (MediaDecode.parseAny —
     // the sniff IS the router, no trusted metadata), decoded by the
-    // matching real codec (mm13/mm14/mm15's twins), and gated by the
+    // matching real codec (mm13/mm14/mm15/mm17/mm18's twins), and gated by the
     // QA rules a production media pipeline runs: images too dark
     // (brightness < 120), audio silent (RMS < 8000) or clipped
     // (peak ≥ 31000 — checked after silence, the p7 first-catching-
@@ -444,12 +445,14 @@ object Pipeline extends QueryPack {
       import s.implicits._
       val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
         .mapPartitions(_.map { id =>
-          val payload = (id % 4) match {
+          val payload = (id % 6) match {
             case 0 => graft.operators.MediaDecode.plantedImageBytes(id, jpeg = false)
             case 1 => graft.operators.MediaDecode.plantedAudioBytes(id, alaw = false)
             case 2 => graft.operators.MediaDecode.plantedVideoBytes(id, mjpeg = false)
-            case _ => // an upload truncated before its codec is readable
+            case 3 => // an upload truncated before its codec is readable
               graft.operators.MediaDecode.plantedAudioBytes(id, alaw = false).take(20)
+            case 4 => graft.operators.MediaDecode.plantedFlacBytes(id)
+            case _ => graft.operators.MediaDecode.plantedRleVideoBytes(id)
           }
           graft.operators.MediaDecode.Media(id, payload)
         })
@@ -458,10 +461,12 @@ object Pipeline extends QueryPack {
           col("meanR"), col("meanG"), col("meanB"), col("rms"), col("peak"))
         .withColumn("modality",
           when(col("container").isin("png", "jpeg", "bmp"), "image")
-            .when(col("container").isin("ulaw", "alaw", "wav"), "audio")
+            .when(col("container").isin("ulaw", "alaw", "wav", "flac"), "audio")
             // "gif" routes as video: parseAny hands animated GIFs the
-            // same frame-stats row the AVI codecs emit
-            .when(col("container").isin("mjpeg", "rawvideo", "avi", "gif"), "video")
+            // same frame-stats row the AVI codecs emit; "msrle" is
+            // the inter-frame AVI class
+            .when(col("container").isin("mjpeg", "rawvideo", "avi", "gif",
+              "msrle"), "video")
             .otherwise("unknown"))
         .withColumn("disposition",
           when(!col("ok"), "decode_fail")
@@ -1216,12 +1221,13 @@ object Pipeline extends QueryPack {
          |ORDER BY 1""".stripMargin,
 
     // p11: every member is a LOSSLESS plant (PNG / G.711
-    // decode-table samples / raw-DIB AVI), so this oracle recomputes
-    // every gate input wire-free from the closed forms and derives
-    // the exact disposition table. Threshold comparisons are safe
-    // cross-engine because both sides compute the same IEEE doubles
-    // in the same expression order (integer-valued and dyadic sums
-    // are exact; sqrt of an identical double is identical).
+    // decode-table samples / raw-DIB AVI / FLAC ramp / MS-RLE8
+    // palette), so this oracle recomputes every gate input wire-free
+    // from the closed forms and derives the exact disposition table.
+    // Threshold comparisons are safe cross-engine because both sides
+    // compute the same IEEE doubles in the same expression order
+    // (integer-valued and dyadic sums are exact; sqrt of an identical
+    // double is identical).
     "p11_media_curate" ->
       """WITH img AS (
         |  SELECT doc_id,
@@ -1229,7 +1235,7 @@ object Pipeline extends QueryPack {
         |     + list_sum(list_transform(range(0, 16), j -> ((doc_id * 11 + j * 29) % 256)::DOUBLE)) / 16.0
         |     + list_sum(list_transform(range(0, 16), j -> ((doc_id * 7 + j * 13) % 256)::DOUBLE)) / 16.0) / 3.0
         |      AS brightness
-        |  FROM documents WHERE doc_id % 4 = 0),
+        |  FROM documents WHERE doc_id % 6 = 0),
         |aud AS (
         |  SELECT doc_id, list_transform(range(0, 16), j ->
         |    (CASE WHEN (255 - ((doc_id * 5 + j * 31) % 256)) >= 128
@@ -1237,7 +1243,7 @@ object Pipeline extends QueryPack {
         |     ((((255 - ((doc_id * 5 + j * 31) % 256)) % 16) * 2 + 33)
         |       * CAST(pow(2, ((255 - ((doc_id * 5 + j * 31) % 256)) // 16) % 8)
         |           AS BIGINT) - 33) * 4)::DOUBLE) AS vs
-        |  FROM documents WHERE doc_id % 4 = 1),
+        |  FROM documents WHERE doc_id % 6 = 1),
         |aud2 AS (
         |  SELECT doc_id, sqrt(list_sum(list_transform(vs, v -> v * v)) / 16.0) AS rms,
         |    list_max(list_transform(vs, v -> abs(v))) AS pk
@@ -1250,12 +1256,50 @@ object Pipeline extends QueryPack {
         |      j -> ((doc_id * 11 + f * 19 + j * 29) % 256)::DOUBLE)) / 16.0) AS fg,
         |    list_transform(range(0, 4), f -> list_sum(list_transform(range(0, 16),
         |      j -> ((doc_id * 7 + f * 23 + j * 13) % 256)::DOUBLE)) / 16.0) AS fb
-        |  FROM documents WHERE doc_id % 4 = 2),
+        |  FROM documents WHERE doc_id % 6 = 2),
         |vid2 AS (
         |  SELECT doc_id, list_max(list_transform(range(1, 4),
         |    f -> greatest(abs(fr[f + 1] - fr[f]), abs(fg[f + 1] - fg[f]),
         |                  abs(fb[f + 1] - fb[f])))) AS motion
         |  FROM vid),
+        |flc AS (
+        |  SELECT doc_id, list_transform(range(0, 64), j ->
+        |      ((doc_id % 211) * 97 - 10000 + ((doc_id % 31) - 15) * j
+        |        + (doc_id * 31 + j * j * 7 + j * 13) % 9 - 4)::DOUBLE) AS vs
+        |  FROM documents WHERE doc_id % 6 = 4),
+        |flc2 AS (
+        |  SELECT doc_id, sqrt(list_sum(list_transform(vs, v -> v * v)) / 64.0) AS rms,
+        |    list_max(list_transform(vs, v -> abs(v))) AS pk
+        |  FROM flc),
+        |rle AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, 4), f ->
+        |      (list_sum(list_transform(range(0, 8), x ->
+        |         ((((doc_id * 5 + x * 19) % 256) * 53 + 7) % 256)::DOUBLE))
+        |       + list_sum(list_transform(range(0, 8), x -> CASE WHEN f = 0
+        |           THEN ((((doc_id * 5 + x * 19 + 77) % 256) * 53 + 7) % 256)::DOUBLE
+        |           ELSE ((((doc_id * 13 + f * 37 + x * 23) % 256) * 53 + 7) % 256)::DOUBLE
+        |         END))) / 16.0) AS fr,
+        |    list_transform(range(0, 4), f ->
+        |      (list_sum(list_transform(range(0, 8), x ->
+        |         ((((doc_id * 5 + x * 19) % 256) * 29 + 3) % 256)::DOUBLE))
+        |       + list_sum(list_transform(range(0, 8), x -> CASE WHEN f = 0
+        |           THEN ((((doc_id * 5 + x * 19 + 77) % 256) * 29 + 3) % 256)::DOUBLE
+        |           ELSE ((((doc_id * 13 + f * 37 + x * 23) % 256) * 29 + 3) % 256)::DOUBLE
+        |         END))) / 16.0) AS fg,
+        |    list_transform(range(0, 4), f ->
+        |      (list_sum(list_transform(range(0, 8), x ->
+        |         ((((doc_id * 5 + x * 19) % 256) * 11 + 5) % 256)::DOUBLE))
+        |       + list_sum(list_transform(range(0, 8), x -> CASE WHEN f = 0
+        |           THEN ((((doc_id * 5 + x * 19 + 77) % 256) * 11 + 5) % 256)::DOUBLE
+        |           ELSE ((((doc_id * 13 + f * 37 + x * 23) % 256) * 11 + 5) % 256)::DOUBLE
+        |         END))) / 16.0) AS fb
+        |  FROM documents WHERE doc_id % 6 = 5),
+        |rle2 AS (
+        |  SELECT doc_id, list_max(list_transform(range(1, 4),
+        |    f -> greatest(abs(fr[f + 1] - fr[f]), abs(fg[f + 1] - fg[f]),
+        |                  abs(fb[f + 1] - fb[f])))) AS motion
+        |  FROM rle),
         |rows_ AS (
         |  SELECT doc_id, 'image' AS modality, 'png' AS container,
         |    CASE WHEN brightness < 120.0 THEN 'dark' ELSE 'keep' END AS disposition
@@ -1270,8 +1314,17 @@ object Pipeline extends QueryPack {
         |    CASE WHEN motion < 18.0 THEN 'static' ELSE 'keep' END
         |  FROM vid2
         |  UNION ALL
+        |  SELECT doc_id, 'audio', 'flac',
+        |    CASE WHEN rms < 8000.0 THEN 'silent'
+        |      WHEN pk >= 31000.0 THEN 'clipped' ELSE 'keep' END
+        |  FROM flc2
+        |  UNION ALL
+        |  SELECT doc_id, 'video', 'msrle',
+        |    CASE WHEN motion < 18.0 THEN 'static' ELSE 'keep' END
+        |  FROM rle2
+        |  UNION ALL
         |  SELECT doc_id, 'unknown', 'unknown', 'decode_fail'
-        |  FROM documents WHERE doc_id % 4 = 3)
+        |  FROM documents WHERE doc_id % 6 = 3)
         |SELECT doc_id, modality, container, disposition
         |FROM rows_
         |ORDER BY doc_id""".stripMargin,

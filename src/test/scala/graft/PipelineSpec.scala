@@ -884,11 +884,13 @@ class PipelineSpec extends SparkSuite {
     // routing is by magic bytes ALONE and recovers the planted class;
     // members truncated before their codec is readable quarantine
     rows.foreach { case (id, (mod, cont, disp)) =>
-      (id % 4) match {
+      (id % 6) match {
         case 0 => assert(mod === "image" && cont === "png" && disp != "decode_fail")
         case 1 => assert(mod === "audio" && cont === "ulaw" && disp != "decode_fail")
         case 2 => assert(mod === "video" && cont === "rawvideo" && disp != "decode_fail")
-        case _ => assert(mod === "unknown" && disp === "decode_fail")
+        case 3 => assert(mod === "unknown" && disp === "decode_fail")
+        case 4 => assert(mod === "audio" && cont === "flac" && disp != "decode_fail")
+        case _ => assert(mod === "video" && cont === "msrle" && disp != "decode_fail")
       }
     }
     // every gate fires somewhere AND keeps survive in every decodable
@@ -898,6 +900,15 @@ class PipelineSpec extends SparkSuite {
       assert(byDisp.getOrElse(d, 0) > 0, s"disposition $d never fired"))
     Seq("image", "audio", "video").foreach(m =>
       assert(rows.values.exists(v => v._1 == m && v._3 == "keep"), s"no $m keep"))
+    // the round's own codecs carry real gate verdicts too: FLAC
+    // members split silent/keep on their decoded RMS, MS-RLE members
+    // have a live motion reading (static or keep, earned through the
+    // delta-frame carry)
+    assert(rows.exists { case (id, (_, c, disp)) =>
+      id % 6 == 4 && c == "flac" && disp == "silent" })
+    assert(rows.exists { case (id, (_, c, disp)) =>
+      id % 6 == 4 && c == "flac" && disp == "keep" })
+    assert(rows.exists { case (id, (_, c, _)) => id % 6 == 5 && c == "msrle" })
     // gate verdicts trace to the real decoded stats (first-catching-stage order)
     val darkId = rows.collectFirst { case (id, (_, _, "dark")) => id }.get
     val di = MediaDecode.parseImage(MediaDecode.plantedImageBytes(darkId, jpeg = false))
@@ -909,18 +920,20 @@ class PipelineSpec extends SparkSuite {
     val sv = MediaDecode.parseVideo(MediaDecode.plantedVideoBytes(statId, mjpeg = false))
     assert(sv.peak < 18.0)
     // DSL facade parity on one member of each class
-    val sample = Seq(0L, 1L, 2L, 3L).map { id =>
-      val payload = (id % 4) match {
+    val sample = Seq(0L, 1L, 2L, 3L, 4L, 5L).map { id =>
+      val payload = (id % 6) match {
         case 0 => MediaDecode.plantedImageBytes(id, jpeg = false)
         case 1 => MediaDecode.plantedAudioBytes(id, alaw = false)
         case 2 => MediaDecode.plantedVideoBytes(id, mjpeg = false)
-        case _ => MediaDecode.plantedAudioBytes(id, alaw = false).take(20)
+        case 3 => MediaDecode.plantedAudioBytes(id, alaw = false).take(20)
+        case 4 => MediaDecode.plantedFlacBytes(id)
+        case _ => MediaDecode.plantedRleVideoBytes(id)
       }
       (id, payload)
     }
     val viaDsl = sample.toDF("doc_id", "payload").mediaCurate().collect()
       .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getString(3)))).toMap
-    Seq(0L, 1L, 2L, 3L).foreach(id => assert(viaDsl(id) === rows(id)))
+    Seq(0L, 1L, 2L, 3L, 4L, 5L).foreach(id => assert(viaDsl(id) === rows(id)))
     // the sniff-route-decode path is a map pass: payload bytes never shuffle
     val media = Tables.documents(spark, sf).select(col("doc_id")).as[Long]
       .mapPartitions(_.map(id =>

@@ -1697,11 +1697,13 @@ class StreamingSpec extends SparkSuite {
     // with no base64 expansion (the codec m15 proves)
     val ids = Tables.documents(spark, sf).select(col("doc_id")).as[Long].collect().toSeq
     val arrivals = ids.map { id =>
-      val payload = (id % 4) match {
+      val payload = (id % 6) match {
         case 0 => MediaDecode.plantedImageBytes(id, jpeg = false)
         case 1 => MediaDecode.plantedAudioBytes(id, alaw = false)
         case 2 => MediaDecode.plantedVideoBytes(id, mjpeg = false)
-        case _ => MediaDecode.plantedAudioBytes(id, alaw = false).take(20)
+        case 3 => MediaDecode.plantedAudioBytes(id, alaw = false).take(20)
+        case 4 => MediaDecode.plantedFlacBytes(id)
+        case _ => MediaDecode.plantedRleVideoBytes(id)
       }
       (id, payload)
     }
