@@ -933,6 +933,68 @@ object TextOps extends QueryPack {
         .select(col("source"), lower(hex(col("h"))).as("seg_hash"),
           col("df"), col("n_src_docs"), col("share"))
         .orderBy(col("source"), col("seg_hash"))
+    },
+
+    // Tokenizer APPLY (round 13) — the pass t20/t24 train FOR and
+    // nothing ran yet: the learned merge rules segment the actual
+    // corpus, because a tokenizer nobody applies prices nothing. The
+    // merges are re-derived exactly as t24 (same corpus, same
+    // count-then-lexicographic tie-break, 3 rounds), then applied per
+    // word TYPE — the dictionary trick that makes BPE apply scale:
+    // merges touch each distinct word once (vocabulary-sized work),
+    // and the corpus only pays a (doc_id, word) explode + a
+    // vocab-sized broadcast join to roll token counts up per doc.
+    // Output per doc: words, chars, BPE tokens, fertility
+    // (tokens/word — t23's exchange rate, now under the REAL learned
+    // tokenizer instead of a proxy) and compression vs the char-level
+    // baseline. At 100 TB the type table is what a tokenizer service
+    // precomputes; the per-doc rollup is one map-side join + one
+    // doc-keyed aggregation, and token counts feed t8's packer and
+    // t17's mix weights directly. Empty docs stay in the table with
+    // zero counts and NULL rates — dropping them would misreport the
+    // corpus the packer sees.
+    "t30_bpe_apply" -> { (s, d) =>
+      val Rounds = 3
+      val docs = Tables.documents(s, d)
+      var cur = docs
+        .select(explode(Portable.words(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("wn"))
+        .select(col("w"), col("wn"),
+          regexp_replace(col("w"), "(.)", " $1 ").as("s"))
+        .localCheckpoint()
+      for (_ <- 1 to Rounds) {
+        val pairs = cur
+          .select(split(trim(col("s")), "  ").as("t"), col("wn"))
+          .select(explode(when(size(col("t")) > 1, expr(
+            "transform(sequence(1, size(t) - 1), i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"))
+            .otherwise(array().cast("array<string>"))).as("pair"), col("wn"))
+          .groupBy(col("pair")).agg(sum(col("wn")).as("n"))
+        val top1 = pairs.orderBy(col("n").desc, col("pair")).limit(1)
+          .select(col("pair").as("merged_pair"))
+        cur = cur.crossJoin(broadcast(top1))
+          .select(col("w"), col("wn"), expr(
+            "replace(s, ' ' || replace(merged_pair, ' ', '  ') || ' ', ' ' || replace(merged_pair, ' ', '') || ' ')")
+            .as("s"))
+          .localCheckpoint()
+      }
+      val tokPerType = cur.select(col("w"),
+        size(split(trim(col("s")), "  ")).cast("long").as("toks"))
+      val perDoc = docs
+        .select(col("doc_id"), explode(Portable.words(col("text"))).as("w"))
+        .join(broadcast(tokPerType), "w")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(length(col("w")).cast("long")).as("n_chars"),
+          sum(col("toks")).as("n_tokens"))
+      docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("n_words", "n_chars", "n_tokens"))
+        .withColumn("fertility", when(col("n_words") > 0,
+          round(col("n_tokens").cast("double") / col("n_words"), 6)))
+        .withColumn("compression", when(col("n_chars") > 0,
+          round(col("n_tokens").cast("double") / col("n_chars"), 6)))
+        .select(col("doc_id"), col("n_words"), col("n_chars"),
+          col("n_tokens"), col("fertility"), col("compression"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -1887,6 +1949,60 @@ object TextOps extends QueryPack {
          |  round(df::DOUBLE / n_src_docs, 6) AS share
          |FROM perseg JOIN src USING (source)
          |WHERE df::DOUBLE / n_src_docs >= 0.3
-         |ORDER BY source, seg_hash""".stripMargin
+         |ORDER BY source, seg_hash""".stripMargin,
+
+    // t30: t24's oracle structure carried per occurrence with doc_id,
+    // then rolled up per doc. The merge derivation is occurrence-
+    // counted here and type-weighted on the Spark side — equivalent
+    // sums, the same equivalence t24 already pins. Integer counts
+    // divide identically in both engines; empty docs come back via
+    // the LEFT JOIN with zero counts and NULL rates.
+    "t30_bpe_apply" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+        |    ELSE regexp_split_to_array(trim(text), '\s+') END) AS w
+        |  FROM documents),
+        |r0 AS (SELECT doc_id, w, regexp_replace(w, '(.)', ' \1 ', 'g') AS s FROM w),
+        |p1 AS (
+        |  SELECT pair FROM (
+        |    SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+        |      i -> t[i] || ' ' || t[i + 1])) AS pair
+        |    FROM (SELECT string_split(trim(s), '  ') AS t FROM r0) t0) x
+        |  GROUP BY pair ORDER BY count(*) DESC, pair LIMIT 1),
+        |r1 AS (
+        |  SELECT doc_id, w, replace(s, ' ' || replace(p.pair, ' ', '  ') || ' ',
+        |    ' ' || replace(p.pair, ' ', '') || ' ') AS s
+        |  FROM r0 CROSS JOIN p1 p),
+        |p2 AS (
+        |  SELECT pair FROM (
+        |    SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+        |      i -> t[i] || ' ' || t[i + 1])) AS pair
+        |    FROM (SELECT string_split(trim(s), '  ') AS t FROM r1) t1) x
+        |  GROUP BY pair ORDER BY count(*) DESC, pair LIMIT 1),
+        |r2 AS (
+        |  SELECT doc_id, w, replace(s, ' ' || replace(p.pair, ' ', '  ') || ' ',
+        |    ' ' || replace(p.pair, ' ', '') || ' ') AS s
+        |  FROM r1 CROSS JOIN p2 p),
+        |p3 AS (
+        |  SELECT pair FROM (
+        |    SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+        |      i -> t[i] || ' ' || t[i + 1])) AS pair
+        |    FROM (SELECT string_split(trim(s), '  ') AS t FROM r2) t2) x
+        |  GROUP BY pair ORDER BY count(*) DESC, pair LIMIT 1),
+        |r3 AS (
+        |  SELECT doc_id, w, replace(s, ' ' || replace(p.pair, ' ', '  ') || ' ',
+        |    ' ' || replace(p.pair, ' ', '') || ' ') AS s
+        |  FROM r2 CROSS JOIN p3 p),
+        |perdoc AS (
+        |  SELECT doc_id, count(*)::BIGINT AS n_words,
+        |    CAST(sum(len(w)) AS BIGINT) AS n_chars,
+        |    CAST(sum(len(string_split(trim(s), '  '))) AS BIGINT) AS n_tokens
+        |  FROM r3 GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(p.n_words, 0) AS n_words,
+        |  coalesce(p.n_chars, 0) AS n_chars, coalesce(p.n_tokens, 0) AS n_tokens,
+        |  CASE WHEN p.n_words > 0 THEN round(p.n_tokens::DOUBLE / p.n_words, 6) END AS fertility,
+        |  CASE WHEN p.n_chars > 0 THEN round(p.n_tokens::DOUBLE / p.n_chars, 6) END AS compression
+        |FROM documents d LEFT JOIN perdoc p USING (doc_id)
+        |ORDER BY doc_id""".stripMargin
   )
 }

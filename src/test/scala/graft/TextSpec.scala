@@ -107,4 +107,28 @@ class TextSpec extends SparkSuite {
     comp.zip(comp.tail).foreach { case (a, b) => assert(b < a) }
     assert(comp.forall(c => c > 0.0 && c < 1.0))
   }
+
+  test("t30 BPE apply agrees with t24's training arithmetic doc by doc") {
+    val rows = SparkEntry.queries("t30_bpe_apply")(spark, sf).collect()
+    assert(rows.length === 500)
+    // per-doc sanity: a word is at least one token, a token at least
+    // one char, so n_words <= n_tokens <= n_chars; the rates follow
+    rows.foreach { r =>
+      val (w, c, t) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(w <= t && t <= c, s"doc ${r.getLong(0)}: words=$w tokens=$t chars=$c")
+      if (w > 0) {
+        assert(r.getDouble(4) >= 1.0)              // fertility = tokens/word
+        assert(r.getDouble(5) > 0.0 && r.getDouble(5) <= 1.0) // vs char baseline
+      }
+    }
+    // cross-operator consistency: summing the applied tokenization
+    // over every doc must land EXACTLY on t24's round-3 corpus token
+    // count — apply and train are the same arithmetic or one of them
+    // is lying
+    val t24 = SparkEntry.queries("t24_bpe_train")(spark, sf).collect()
+      .sortBy(_.getLong(0))
+    assert(rows.map(_.getLong(3)).sum === t24.last.getLong(4))
+    // the merges genuinely fired: the corpus compressed vs char level
+    assert(rows.map(_.getLong(3)).sum < rows.map(_.getLong(2)).sum)
+  }
 }
