@@ -665,6 +665,12 @@ class PipelineSpec extends SparkSuite {
     import graft.operators.{FlacCodec, MediaDecode}
     // the encoder emits a complete standard stream: magic, STREAMINFO
     // (rate / channels / bps / total samples / audio MD5), one frame
+    // the CRC kernels match the published catalog check values
+    // (CRC-8/SMBUS poly 0x07 and CRC-16/UMTS poly 0x8005, both
+    // init 0 non-reflected — the two FLAC uses): an implementation
+    // bug here would fail against every conforming FLAC reader
+    assert(FlacCodec.crc8("123456789".getBytes("US-ASCII"), 0, 9) === 0xF4)
+    assert(FlacCodec.crc16("123456789".getBytes("US-ASCII"), 0, 9) === 0xFEE8)
     val samples = MediaDecode.plantedFlacSamples(42L)
     val wire = MediaDecode.plantedFlacBytes(42L)
     assert(new String(wire.slice(0, 4), "US-ASCII") === "fLaC")
