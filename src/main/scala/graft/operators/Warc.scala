@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.Dataset
+
+/** WARC ingestion (round 13, mm19) — the wire format 100 TB crawl
+  * corpora actually arrive in: a `.warc.gz` file is a concatenation
+  * of independently-gzipped WARC/1.0 records (ISO 28500), and the
+  * ingestion step every training-data pipeline starts with is
+  * "decompress the member, parse the record grammar, pull the HTTP
+  * response body out, fold text stats". Both sides of that step are
+  * real here: the member is compressed with genuine DEFLATE
+  * (java.util.zip.GZIPOutputStream) and decoded by a reader that
+  * trusts ONLY the bytes — gzip magic sniff, streaming inflate with
+  * the format's own CRC-32 + ISIZE verification (GZIPInputStream
+  * enforces both at member end), the WARC version line, header
+  * grammar (CRLF-terminated `Name: value` pairs), the declared
+  * Content-Length against the actual block, and the embedded HTTP
+  * response framing. A flipped byte anywhere in the compressed
+  * member fails the inflate or the CRC; a tampered Content-Length
+  * fails the length check; truncation fails the EOF check — all
+  * quarantine as ok=false, never an exception.
+  *
+  * Reference behavior context: watermill-kinesis ships opaque binary
+  * payloads (marshaller.go:28-71); this is the engine-side decode of
+  * the commonest real payload wire a crawl pipeline puts in them.
+  *
+  * Scale shape: one record per row, decode inside the partition
+  * iterator (mapPartitions), payload bytes never shuffle — the
+  * output row carries counts and a 32-char digest only. On a real
+  * `.warc.gz` the gzip-member boundary IS the record boundary, so
+  * the same per-member decode parallelizes by file split.
+  */
+object Warc {
+
+  /** One parsed WARC response record's ingestion row. */
+  final case class WarcRow(docId: Long, warcType: String, contentLength: Long,
+                           nWords: Long, nChars: Long, bodyMd5: String,
+                           ok: Boolean)
+
+  private val CRLF = "\r\n"
+
+  /** The planted body text: (24 + id%9) fixed-width tokens
+    * `w<2-digit>` joined by single spaces — a closed form both
+    * engines rebuild exactly, so the gzip round trip is verified by
+    * the body's md5, not by trusting the wire. */
+  def plantedBody(docId: Long): String =
+    (0 until (24 + java.lang.Math.floorMod(docId, 9L)).toInt).map { j =>
+      val num = java.lang.Math.floorMod(docId * 7 + j * 13, 50L)
+      f"w$num%02d"
+    }.mkString(" ")
+
+  /** A complete WARC/1.0 response record, individually gzipped —
+    * exactly one member of a standard `.warc.gz`. */
+  def plantedWarcBytes(docId: Long): Array[Byte] = {
+    val body = plantedBody(docId)
+    val http = "HTTP/1.1 200 OK" + CRLF +
+      "Content-Type: text/plain" + CRLF + CRLF + body
+    val record = "WARC/1.0" + CRLF +
+      "WARC-Type: response" + CRLF +
+      s"WARC-Record-ID: <urn:uuid:00000000-0000-0000-0000-${"%012d".format(docId)}>" + CRLF +
+      s"WARC-Target-URI: https://example.com/doc/$docId" + CRLF +
+      "Content-Type: application/http; msgtype=response" + CRLF +
+      s"Content-Length: ${http.getBytes("UTF-8").length}" + CRLF +
+      CRLF + http + CRLF + CRLF
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(record.getBytes("UTF-8")); gz.close()
+    bos.toByteArray
+  }
+
+  /** Decode one gzipped WARC member from its bytes alone. */
+  def parseWarc(payload: Array[Byte]): WarcRow = {
+    val none = WarcRow(0L, "unknown", 0L, 0L, 0L, "", false)
+    if (payload == null || payload.length < 3 ||
+        (payload(0) & 0xff) != 0x1f || (payload(1) & 0xff) != 0x8b) return none
+    val inflated =
+      try { // readAllBytes drains to EOF, which triggers GZIP's own
+            // CRC-32 + ISIZE trailer verification
+        new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(payload)).readAllBytes()
+      } catch { case _: java.io.IOException => return none.copy(warcType = "warc") }
+    val text = new String(inflated, "UTF-8")
+    val headEnd = text.indexOf(CRLF + CRLF)
+    if (headEnd < 0) return none.copy(warcType = "warc")
+    val headLines = text.substring(0, headEnd).split(CRLF)
+    if (headLines.isEmpty || headLines(0) != "WARC/1.0")
+      return none.copy(warcType = "warc")
+    val headers = headLines.drop(1).flatMap { l =>
+      val i = l.indexOf(':')
+      if (i < 0) None else Some(l.substring(0, i).trim -> l.substring(i + 1).trim)
+    }.toMap
+    val warcType = headers.getOrElse("WARC-Type", "")
+    val declaredLen = headers.get("Content-Length").flatMap(_.toLongOption)
+      .getOrElse(-1L)
+    val blockStart = headEnd + 4
+    // the record block must be exactly Content-Length bytes followed
+    // by the record separator CRLF CRLF
+    val blockBytes = inflated.length - blockStart - 4
+    if (declaredLen < 0 || blockBytes != declaredLen ||
+        !text.endsWith(CRLF + CRLF))
+      return none.copy(warcType = if (warcType.nonEmpty) warcType else "warc")
+    val block = text.substring(blockStart, blockStart + declaredLen.toInt)
+    // HTTP response framing inside the block
+    val httpEnd = block.indexOf(CRLF + CRLF)
+    if (!block.startsWith("HTTP/1.1") || httpEnd < 0)
+      return none.copy(warcType = warcType)
+    val body = block.substring(httpEnd + 4)
+    val words = if (body.trim.isEmpty) Array.empty[String]
+      else body.trim.split("\\s+")
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(body.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    WarcRow(0L, warcType, declaredLen, words.length.toLong,
+      words.map(_.length.toLong).sum, md5, true)
+  }
+
+  /** Per-partition batch WARC ingest — the same mapPartitions
+    * contract as the media decoders, inflate + grammar inside. */
+  def parseWarcBatch(media: Dataset[MediaDecode.Media]): Dataset[WarcRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(m => parseWarc(m.payload).copy(docId = m.docId)))
+  }
+}

@@ -855,6 +855,53 @@ object Multimodal extends QueryPack {
           col("mean_r"), col("mean_g"), col("mean_b"), col("peak_motion"),
           col("matches_plant"))
         .orderBy(col("doc_id"))
+    },
+
+    // WARC ingestion (round 13 — the wire 100 TB crawl corpora
+    // actually arrive in): each doc is ONE member of a standard
+    // .warc.gz — a complete WARC/1.0 response record (version line,
+    // CRLF header grammar, Content-Length, embedded HTTP response)
+    // compressed with genuine DEFLATE. The decode trusts only the
+    // bytes: gzip magic sniff, streaming inflate with the format's
+    // own CRC-32 + ISIZE trailer verification, record grammar, the
+    // declared Content-Length against the actual block, HTTP framing
+    // — then folds the ingestion stats (words, chars) and the BODY
+    // MD5, which the oracle recomputes from the closed-form plant:
+    // the digest equality proves the whole compress→inflate→parse
+    // round trip byte-for-byte, without trusting any wire. Flipped
+    // bytes fail the CRC, tampered lengths fail the block check,
+    // truncation fails EOF — all quarantine (spec-tested). Scale
+    // shape: one encode+decode map pass, payload bytes never
+    // shuffle; on a real .warc.gz the gzip-member boundary IS the
+    // record boundary, so the decode parallelizes by file split.
+    "mm19_warc_ingest" -> { (s, d) =>
+      import s.implicits._
+      val n = (lit(24L) + pmod(col("doc_id"), lit(9L))).as("n")
+      val body = concat_ws(" ", transform(sequence(lit(0L), lit(23L) + pmod(col("doc_id"), lit(9L))),
+        j => concat(lit("w"), lpad(pmod(col("doc_id") * 7 + j * 13, lit(50L)).cast("string"), 2, "0"))))
+      val planted = Tables.documents(s, d).select(col("doc_id"),
+        n, md5(body).as("p_md5"))
+      val rows = Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          graft.operators.Warc.parseWarc(
+            graft.operators.Warc.plantedWarcBytes(id)).copy(docId = id)
+        })
+        .toDF()
+        .select(col("docId").as("doc_id"), col("warcType").as("warc_type"),
+          col("contentLength").as("content_length"),
+          col("nWords").as("n_words"), col("nChars").as("n_chars"),
+          col("bodyMd5").as("body_md5"), col("ok"))
+      planted.join(rows, Seq("doc_id"))
+        .withColumn("matches_plant",
+          col("ok") && col("warc_type") === "response" &&
+            col("content_length") === lit(44L) + col("n") * 4L &&
+            col("n_words") === col("n") &&
+            col("n_chars") === col("n") * 3L &&
+            col("body_md5") === col("p_md5"))
+        .select(col("doc_id"), col("warc_type"), col("content_length"),
+          col("n_words"), col("n_chars"), col("body_md5"),
+          col("matches_plant"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -1355,6 +1402,27 @@ object Multimodal extends QueryPack {
         |  round(list_max(list_transform(range(1, 4),
         |    f -> greatest(abs(fr[f + 1] - fr[f]), abs(fg[f + 1] - fg[f]),
         |                  abs(fb[f + 1] - fb[f])))), 6) AS peak_motion,
+        |  true AS matches_plant
+        |FROM p
+        |ORDER BY doc_id""".stripMargin,
+
+    // mm19: DEFLATE is lossless and the body is a closed-form string,
+    // so this oracle rebuilds the body WITHOUT any gzip bytes and
+    // emits its md5 — equality with the Spark side's
+    // decoded-from-the-wire digest proves the compress → inflate →
+    // WARC-grammar → HTTP-framing round trip byte-for-byte. Counts
+    // are integers (fixed-width 3-char tokens): no rounding surface.
+    "mm19_warc_ingest" ->
+      """WITH p AS (
+        |  SELECT doc_id, 24 + doc_id % 9 AS n,
+        |    array_to_string(list_transform(range(0, CAST(24 + doc_id % 9 AS INTEGER)),
+        |      j -> 'w' || lpad(((doc_id * 7 + j * 13) % 50)::VARCHAR, 2, '0')), ' ') AS body
+        |  FROM documents)
+        |SELECT doc_id, 'response' AS warc_type,
+        |  CAST(44 + n * 4 AS BIGINT) AS content_length,
+        |  CAST(n AS BIGINT) AS n_words,
+        |  CAST(n * 3 AS BIGINT) AS n_chars,
+        |  md5(body) AS body_md5,
         |  true AS matches_plant
         |FROM p
         |ORDER BY doc_id""".stripMargin,

@@ -880,6 +880,65 @@ class PipelineSpec extends SparkSuite {
     assert(!plan.contains("Exchange"), s"rle decode plan shuffles:\n$plan")
   }
 
+  test("mm17 property: FLAC round-trips arbitrary s16 audio bit-exactly") {
+    import graft.operators.FlacCodec
+    // seeded-random property sweep: the encoder/decoder pair must be
+    // the identity on ANY mono s16 signal at every legal block size,
+    // not just the smooth plants the query uses (worst cases for the
+    // order-2 predictor: white noise, full-scale jumps)
+    val rnd = new scala.util.Random(0xF1AC)
+    for (trial <- 0 until 200) {
+      val n = Seq(16, 32, 64, 128, 256)(trial % 5)
+      val samples = Array.fill(n)(rnd.nextInt(65536) - 32768)
+      val dec = FlacCodec.decode(FlacCodec.encode(samples))
+        .getOrElse(fail(s"trial $trial (n=$n) did not decode"))
+      assert(dec.channels(0).toSeq === samples.toSeq, s"trial $trial (n=$n)")
+    }
+  }
+
+  test("mm19: WARC ingest — genuine gzip members, grammar + framing + digest verified") {
+    import spark.implicits._
+    import graft.operators.{MediaDecode, Warc}
+    val wire = Warc.plantedWarcBytes(42L)
+    // a real .warc.gz member: gzip magic, inflates to a WARC/1.0 record
+    assert((wire(0) & 0xff) === 0x1f && (wire(1) & 0xff) === 0x8b)
+    val inflated = new String(new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(wire)).readAllBytes(), "UTF-8")
+    assert(inflated.startsWith("WARC/1.0\r\n"))
+    // the parse recovers the planted record exactly, digest included
+    val row = Warc.parseWarc(wire)
+    val body = Warc.plantedBody(42L)
+    assert(row.ok && row.warcType === "response")
+    assert(row.nWords === 24 + 42 % 9 && row.nChars === row.nWords * 3)
+    assert(row.contentLength === 44 + 4 * row.nWords)
+    assert(row.bodyMd5 === java.security.MessageDigest.getInstance("MD5")
+      .digest(body.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+    // integrity: a flip in the DEFLATE stream fails inflate or the
+    // member's own CRC-32; truncation fails EOF; both quarantine
+    val bad = wire.clone(); bad(wire.length / 2) = (bad(wire.length / 2) ^ 0x55).toByte
+    assert(!Warc.parseWarc(bad).ok)
+    assert(!Warc.parseWarc(wire.take(wire.length - 6)).ok)
+    assert(Warc.parseWarc("plain text, not gzip at all....".getBytes).warcType === "unknown")
+    // a record whose declared Content-Length lies about the block
+    val lied = {
+      val rec = "WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 999\r\n\r\n" +
+        "HTTP/1.1 200 OK\r\n\r\nhello\r\n\r\n"
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(rec.getBytes("UTF-8")); gz.close(); bos.toByteArray
+    }
+    assert(!Warc.parseWarc(lied).ok)
+    // batch operator: every row digest-verified through the wire
+    val mm19 = SparkEntry.queries("mm19_warc_ingest")(spark, sf)
+    assert(mm19.count() === 500)
+    assert(mm19.filter(!col("matches_plant")).count() === 0)
+    // the decode path is a map pass: payload bytes never shuffle
+    val media = Tables.documents(spark, sf).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => MediaDecode.Media(id, Warc.plantedWarcBytes(id))))
+    val plan = Warc.parseWarcBatch(media).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"warc decode plan shuffles:\n$plan")
+  }
+
   test("p11: sniff-routed media curate — every disposition earned through a real codec") {
     import spark.implicits._
     import graft.operators.MediaDecode
