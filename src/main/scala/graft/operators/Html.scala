@@ -1,0 +1,226 @@
+package graft.operators
+
+import scala.collection.mutable.ArrayBuffer
+
+/** HTML → text extraction (round 13, t31) — the step between WARC
+  * ingestion (mm19) and every text operator in §2.E: crawl corpora
+  * arrive as HTML, and the pipeline's first text transform is "strip
+  * the markup, keep the prose". This is a real single-pass state
+  * machine over the wire, not a regex: tags are parsed with
+  * quote-aware attribute scanning (a `>` inside `href="a>b"` does
+  * not close the tag), `<script>`/`<style>` bodies are raw text (a
+  * `<div>` inside a JS string literal must not leak into the
+  * extraction), `<!-- comments -->` are skipped wholesale, character
+  * entities are decoded (named, `&#NN;` decimal, `&#xHH;` hex —
+  * unknown entities pass through literally, as browsers do), and
+  * block-level elements break the text into blocks whose inner
+  * whitespace collapses to single spaces. The extracted document is
+  * the non-empty blocks joined by `\n` — a deterministic closed form
+  * the DuckDB oracle rebuilds without touching any HTML.
+  *
+  * Reference behavior context: watermill-kinesis treats payloads as
+  * opaque bytes end-to-end (marshaller.go:28-44); this is the
+  * engine-side decode of the commonest text payload those bytes
+  * carry in a crawl pipeline.
+  *
+  * Scale shape: one char walk per document inside the partition
+  * iterator (mapPartitions), no shuffle sees markup — the output row
+  * carries the title, counts, and a 32-char digest. The extractor is
+  * O(length) with no backtracking (the raw-text scan indexes a
+  * precomputed lowercase copy once per doc).
+  */
+object Html {
+
+  /** One extracted document. */
+  final case class HtmlDoc(title: String, text: String, nBlocks: Long)
+
+  /** Tags that break text flow (HTML's block-level / table / list /
+    * sectioning elements, plus head-only elements whose text stands
+    * alone). Inline elements (`a`, `b`, `span`, …) keep the flow. */
+  private val BlockTags = Set(
+    "p", "div", "br", "h1", "h2", "h3", "h4", "h5", "h6", "li", "ul",
+    "ol", "tr", "td", "th", "table", "title", "head", "body", "html",
+    "header", "footer", "section", "article", "blockquote", "pre",
+    "hr", "nav", "aside", "form", "figure", "figcaption")
+
+  private def decodeEntity(e: String): String = e match {
+    case "amp"  => "&"
+    case "lt"   => "<"
+    case "gt"   => ">"
+    case "quot" => "\""
+    case "apos" => "'"
+    case "nbsp" => " "
+    case _ if (e.startsWith("#x") || e.startsWith("#X")) && e.length > 2 =>
+      try new String(Character.toChars(Integer.parseInt(e.substring(2), 16)))
+      catch { case _: RuntimeException => null }
+    case _ if e.startsWith("#") && e.length > 1 =>
+      try new String(Character.toChars(Integer.parseInt(e.substring(1))))
+      catch { case _: RuntimeException => null }
+    case _ => null
+  }
+
+  /** Extract (title, text, block count) from an HTML string. Never
+    * throws: malformed markup (unclosed tags/comments/scripts,
+    * bogus entities) degrades exactly the way a browser degrades. */
+  def extract(html: String): HtmlDoc = {
+    val n = html.length
+    val lower = html.toLowerCase(java.util.Locale.ROOT)
+    val blocks = ArrayBuffer.empty[String]
+    val cur = new java.lang.StringBuilder
+    var title: String = ""
+    var titleDepth = false
+    var i = 0
+
+    def flush(): Unit = {
+      // collapse intra-block whitespace runs, trim
+      val parts = cur.toString.split("\\s+").filter(_.nonEmpty)
+      if (parts.nonEmpty) blocks += parts.mkString(" ")
+      cur.setLength(0)
+    }
+
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<') {
+        if (html.startsWith("<!--", i)) {
+          val e = html.indexOf("-->", i + 4)
+          i = if (e < 0) n else e + 3
+        } else {
+          var j = i + 1
+          val closing = j < n && html.charAt(j) == '/'
+          if (closing) j += 1
+          val nameStart = j
+          while (j < n && (html.charAt(j).isLetter || html.charAt(j).isDigit)) j += 1
+          val name = lower.substring(nameStart, j)
+          // scan to the tag's real end: '>' outside attribute quotes
+          var quote: Char = 0
+          var k = j
+          var end = -1
+          while (k < n && end < 0) {
+            val ch = html.charAt(k)
+            if (quote != 0) { if (ch == quote) quote = 0 }
+            else if (ch == '"' || ch == '\'') quote = ch
+            else if (ch == '>') end = k
+            k += 1
+          }
+          i = if (end < 0) n else end + 1
+          if (name.nonEmpty && BlockTags.contains(name)) flush()
+          if (name == "title") {
+            if (closing) {
+              if (titleDepth && blocks.nonEmpty) title = blocks.last
+              titleDepth = false
+            } else titleDepth = true
+          }
+          if (!closing && (name == "script" || name == "style")) {
+            // raw-text element: nothing inside is markup until the
+            // matching close tag (or EOF for a truncated page)
+            val close = lower.indexOf("</" + name, i)
+            i = if (close < 0) n else close // tag parser consumes the close
+          }
+        }
+      } else if (c == '&') {
+        val semi = html.indexOf(';', i + 1)
+        val dec =
+          if (semi > i && semi - i <= 10) decodeEntity(html.substring(i + 1, semi))
+          else null
+        if (dec != null) { cur.append(dec); i = semi + 1 }
+        else { cur.append(c); i += 1 }
+      } else {
+        cur.append(c)
+        i += 1
+      }
+    }
+    flush()
+    HtmlDoc(title, blocks.mkString("\n"), blocks.length.toLong)
+  }
+
+  // ---------------------------------------------------------------
+  // Planted wires (t31): a genuine page exercising every extractor
+  // path — entities in the title, raw-text style/script bodies
+  // containing decoy markup, a comment containing a decoy block, a
+  // quoted '>' inside an attribute, an inline element mid-sentence,
+  // and numeric entities. The extraction has a closed form both
+  // engines rebuild exactly.
+  // ---------------------------------------------------------------
+
+  /** md5 of a UTF-8 string as 32 lowercase hex chars — the digest the
+    * DuckDB oracle's `md5()` computes over the same closed form. */
+  def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** The planted paragraph: (20 + id%11) fixed-width tokens
+    * `v<2-digit>` joined by single spaces. */
+  def plantedPara(docId: Long): String =
+    (0 until (20 + java.lang.Math.floorMod(docId, 11L)).toInt).map { j =>
+      val num = java.lang.Math.floorMod(docId * 5 + j * 17, 60L)
+      f"v$num%02d"
+    }.mkString(" ")
+
+  // ---------------------------------------------------------------
+  // Crawl-curate plants (p13): one page per doc, paragraph content
+  // engineered per class so every curate disposition fires — the
+  // page chrome (title, heading, script decoy, comment) is constant
+  // so content dedup keys on the PARAGRAPH, as a boilerplate-aware
+  // pipeline would after template removal.
+  // ---------------------------------------------------------------
+
+  /** The crawl paragraph for doc `docId` (class by id mod 11):
+    *  - 3  → 24 German function words (language gate)
+    *  - 5  → 2 words (length gate)
+    *  - 9  → 24 punctuation-heavy tokens (quality gate)
+    *  - 1  → normal tokens keyed on the PAIR leader ((id-1)/22*22+1),
+    *         so consecutive residue-1 ids share a body (dedup gate)
+    *  - else normal tokens keyed on the id (keep)
+    * Residue 7 never reaches this: its gzip member is tampered
+    * upstream (decode gate). */
+  def crawlPara(docId: Long): String = {
+    val de = Seq("der", "die", "das", "und", "nicht")
+    java.lang.Math.floorMod(docId, 11L) match {
+      case 3L => (0 until 24).map(j => de(j % 5)).mkString(" ")
+      case 5L => "tiny page"
+      case 9L => (0 until 24).map { j =>
+        s"x${java.lang.Math.floorMod(docId * 3 + j, 10L)}!!!"
+      }.mkString(" ")
+      case 1L => crawlTokens((docId - 1L) / 22L * 22L + 1L)
+      case _  => crawlTokens(docId)
+    }
+  }
+
+  /** A key-unique leading token + 23 filler tokens: bodies are equal
+    * exactly when keys are equal (the filler alone would collide for
+    * keys congruent mod 40 and fabricate duplicates). */
+  private def crawlTokens(key: Long): String =
+    (s"u$key" +: (1 until 24).map { j =>
+      val num = java.lang.Math.floorMod(key * 3 + j * 7, 40L)
+      f"c$num%02d"
+    }).mkString(" ")
+
+  /** The crawl page: constant chrome (so dedup keys on content), the
+    * class paragraph, plus a script decoy and comment to keep the
+    * extraction honest. Extracted closed form: `Crawl\nPage\n<para>`. */
+  def crawlHtml(docId: Long): String =
+    "<html><head><title>Crawl</title>" +
+      "<script>var t = \"<p>decoy</p>\";</script></head>\n" +
+      "<body><!-- chrome <div>skip</div> -->\n" +
+      "<h1>Page</h1>\n" +
+      s"<p>${crawlPara(docId)}</p>\n" +
+      "</body></html>\n"
+
+  /** A complete planted page for doc `docId`. Extracted closed form:
+    * `Doc <id> & friends\nHeading <id>\n<para>\nTail <<id%7>> end
+    * link<id> AB` (4 blocks). */
+  def plantedHtml(docId: Long): String = {
+    val para = plantedPara(docId)
+    val m = java.lang.Math.floorMod(docId, 7L)
+    "<!DOCTYPE html>\n<html>\n<head>\n" +
+      s"<title>Doc $docId &amp; friends</title>\n" +
+      "<style>\np > a { color: #fff; }\n.nav { content: \"<p>css</p>\"; }\n</style>\n" +
+      "<script>\nif (a<b && c > d) { s = \"<div>js</div>\"; }\n</script>\n" +
+      "</head>\n<body>\n" +
+      "<!-- nav <p>skip me</p> -->\n" +
+      s"<h1>Heading $docId</h1>\n" +
+      s"<p>$para</p>\n" +
+      s"""<p>Tail &lt;$m&gt; end <a href="/x?a=1>2" class="k">link$docId</a> &#65;&#x42;</p>\n""" +
+      "</body>\n</html>\n"
+  }
+}

@@ -51,10 +51,14 @@ object Warc {
 
   /** A complete WARC/1.0 response record, individually gzipped —
     * exactly one member of a standard `.warc.gz`. */
-  def plantedWarcBytes(docId: Long): Array[Byte] = {
-    val body = plantedBody(docId)
+  def plantedWarcBytes(docId: Long): Array[Byte] =
+    warcBytes(docId, plantedBody(docId), "text/plain")
+
+  /** The general member builder: any body, any declared MIME type —
+    * mm19 plants text/plain, p13's crawl members carry text/html. */
+  def warcBytes(docId: Long, body: String, contentType: String): Array[Byte] = {
     val http = "HTTP/1.1 200 OK" + CRLF +
-      "Content-Type: text/plain" + CRLF + CRLF + body
+      s"Content-Type: $contentType" + CRLF + CRLF + body
     val record = "WARC/1.0" + CRLF +
       "WARC-Type: response" + CRLF +
       s"WARC-Record-ID: <urn:uuid:00000000-0000-0000-0000-${"%012d".format(docId)}>" + CRLF +
@@ -68,9 +72,17 @@ object Warc {
     bos.toByteArray
   }
 
-  /** Decode one gzipped WARC member from its bytes alone. */
-  def parseWarc(payload: Array[Byte]): WarcRow = {
-    val none = WarcRow(0L, "unknown", 0L, 0L, 0L, "", false)
+  /** One decoded WARC member: record type, declared length, the HTTP
+    * response body — or ok=false with a best-effort type on any wire
+    * failure (bad gzip CRC, grammar, length lie, framing). */
+  final case class WarcDoc(warcType: String, contentLength: Long,
+                           body: String, ok: Boolean)
+
+  /** Decode one gzipped WARC member to its HTTP body, trusting only
+    * the bytes. The grammar/integrity core shared by mm19's stats
+    * ingest and p13's crawl-curate pipeline. */
+  def parseWarcDoc(payload: Array[Byte]): WarcDoc = {
+    val none = WarcDoc("unknown", 0L, "", false)
     if (payload == null || payload.length < 3 ||
         (payload(0) & 0xff) != 0x1f || (payload(1) & 0xff) != 0x8b) return none
     val inflated =
@@ -104,12 +116,19 @@ object Warc {
     val httpEnd = block.indexOf(CRLF + CRLF)
     if (!block.startsWith("HTTP/1.1") || httpEnd < 0)
       return none.copy(warcType = warcType)
-    val body = block.substring(httpEnd + 4)
-    val words = if (body.trim.isEmpty) Array.empty[String]
-      else body.trim.split("\\s+")
+    WarcDoc(warcType, declaredLen, block.substring(httpEnd + 4), true)
+  }
+
+  /** Decode one gzipped WARC member to mm19's ingestion-stats row. */
+  def parseWarc(payload: Array[Byte]): WarcRow = {
+    val doc = parseWarcDoc(payload)
+    if (!doc.ok)
+      return WarcRow(0L, doc.warcType, 0L, 0L, 0L, "", false)
+    val words = if (doc.body.trim.isEmpty) Array.empty[String]
+      else doc.body.trim.split("\\s+")
     val md5 = java.security.MessageDigest.getInstance("MD5")
-      .digest(body.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    WarcRow(0L, warcType, declaredLen, words.length.toLong,
+      .digest(doc.body.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    WarcRow(0L, doc.warcType, doc.contentLength, words.length.toLong,
       words.map(_.length.toLong).sum, md5, true)
   }
 

@@ -537,6 +537,68 @@ object Pipeline extends QueryPack {
         .select(col("cell"), col("n_stay"), col("n_out"), col("n_in"),
           col("net_moved"), col("touched"))
         .orderBy(col("cell"))
+    },
+
+    // The CRAWL curate cascade (round 13) — the full CommonCrawl-
+    // shaped ingestion this library's pieces were built for, composed
+    // end-to-end over REAL wires: each doc arrives as one member of a
+    // .warc.gz (mm19's genuine DEFLATE + WARC/1.0 + HTTP framing),
+    // the body is a genuine HTML page (t31's state-machine extractor
+    // strips it — script decoys, comments, entities and all), and the
+    // extracted text runs the text-curate gates in production order:
+    // wire integrity (bad gzip CRC → decode_fail), language ID (t1's
+    // stopword scorer, target en → non_target_lang), length floor
+    // (< 20 words → too_short), punctuation quality (t2's ratio >
+    // 0.2 → low_quality), exact content dedup (d1's digest, min doc
+    // wins → duplicate), else keep. Disposition = FIRST catching
+    // gate (p7's rule). Every class is engineered (id mod 11) so
+    // every disposition fires; page chrome is constant so dedup keys
+    // on content, as a boilerplate-aware pipeline would. The oracle
+    // rebuilds the extracted text closed-form and re-runs the SAME
+    // gate arithmetic including the dedup window — the whole
+    // compress → inflate → parse → extract → gate chain must agree
+    // row for row. Scale shape: one encode+decode+extract map pass
+    // (markup never shuffles), gates are map-side expressions, the
+    // only shuffles are the dedup window's 16-byte-digest hash
+    // partition and the output sort.
+    "p13_crawl_curate" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val pages = Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val wire = graft.operators.Warc.warcBytes(
+            id, graft.operators.Html.crawlHtml(id), "text/html")
+          // residue 7: a bit flipped mid-member — the DEFLATE stream
+          // or its CRC-32 trailer breaks, never silently decodes
+          if (java.lang.Math.floorMod(id, 11L) == 7L)
+            wire(wire.length - 5) = (wire(wire.length - 5) ^ 0x41).toByte
+          val doc = graft.operators.Warc.parseWarcDoc(wire)
+          val text =
+            if (doc.ok) graft.operators.Html.extract(doc.body).text else ""
+          (id, doc.ok, text)
+        })
+        .toDF("doc_id", "ok", "text")
+      val scored = TextOps.withLangScores(pages)
+        .withColumn("n_words", size(col("w")).cast("long"))
+        .withColumn("punct_ratio",
+          when(length(col("text")) === 0, 0.0).otherwise(
+            (length(col("text")) -
+              length(regexp_replace(col("text"), "[.,!?;:]", "")))
+              .cast("double") / length(col("text"))))
+        .withColumn("h", Portable.md5bin(col("text")))
+      val minW = Window.partitionBy(col("h"))
+      scored
+        .withColumn("first_id", min(col("doc_id")).over(minW))
+        .withColumn("disposition",
+          when(!col("ok"), "decode_fail")
+            .when(col("pred_lang") =!= "en", "non_target_lang")
+            .when(col("n_words") < 20L, "too_short")
+            .when(col("punct_ratio") > 0.2, "low_quality")
+            .when(col("doc_id") =!= col("first_id"), "duplicate")
+            .otherwise("keep"))
+        .select(col("doc_id"), col("disposition"), col("n_words"),
+          col("pred_lang"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -1383,6 +1445,75 @@ object Pipeline extends QueryPack {
         |LEFT JOIN outf USING (cell)
         |LEFT JOIN inf USING (cell)
         |LEFT JOIN stay USING (cell)
-        |ORDER BY cell""".stripMargin
+        |ORDER BY cell""".stripMargin,
+
+    // p13: every wire transform in the chain is lossless and the
+    // page is plant-built, so the oracle rebuilds the EXTRACTED text
+    // closed-form (never touching gzip or HTML) and re-runs the same
+    // gate arithmetic — t1's stopword scorer with its tie priority,
+    // the word floor, t2's punctuation ratio, and the min-doc-wins
+    // dedup window. Integer counts and exact string compares: the
+    // only doubles are the two ratios, compared against constants
+    // with engineered margins on both sides.
+    "p13_crawl_curate" ->
+      """WITH cls AS (SELECT doc_id, doc_id % 11 AS r FROM documents),
+        |para AS (
+        |  SELECT doc_id, r,
+        |    CASE
+        |      WHEN r = 3 THEN array_to_string(list_transform(range(0, 24),
+        |        j -> list_extract(['der','die','das','und','nicht'],
+        |               CAST(j % 5 AS INTEGER) + 1)), ' ')
+        |      WHEN r = 5 THEN 'tiny page'
+        |      WHEN r = 9 THEN array_to_string(list_transform(range(0, 24),
+        |        j -> 'x' || ((doc_id * 3 + j) % 10)::VARCHAR || '!!!'), ' ')
+        |      WHEN r = 1 THEN 'u' || ((doc_id - 1) // 22 * 22 + 1)::VARCHAR || ' ' ||
+        |        array_to_string(list_transform(range(1, 24),
+        |          j -> 'c' || lpad(((((doc_id - 1) // 22 * 22 + 1) * 3 + j * 7) % 40)::VARCHAR, 2, '0')), ' ')
+        |      ELSE 'u' || doc_id::VARCHAR || ' ' ||
+        |        array_to_string(list_transform(range(1, 24),
+        |          j -> 'c' || lpad(((doc_id * 3 + j * 7) % 40)::VARCHAR, 2, '0')), ' ')
+        |    END AS para
+        |  FROM cls),
+        |t AS (
+        |  SELECT doc_id, r, (r != 7) AS ok,
+        |    CASE WHEN r = 7 THEN ''
+        |         ELSE 'Crawl' || chr(10) || 'Page' || chr(10) || para END AS ftext
+        |  FROM para),
+        |feat AS (
+        |  SELECT doc_id, r, ok, ftext, md5(ftext) AS h,
+        |    CASE WHEN trim(ftext) = '' THEN []::VARCHAR[]
+        |         ELSE regexp_split_to_array(trim(ftext), '\s+') END AS w
+        |  FROM t),
+        |sc AS (
+        |  SELECT doc_id, r, ok, h, len(w)::BIGINT AS n_words,
+        |    CASE WHEN len(w) = 0 THEN 0.0 ELSE len(list_filter(w,
+        |      x -> list_contains(['the','a','of','and','to'], x)))::DOUBLE / len(w) END AS s_en,
+        |    CASE WHEN len(w) = 0 THEN 0.0 ELSE len(list_filter(w,
+        |      x -> list_contains(['der','die','das','und','nicht'], x)))::DOUBLE / len(w) END AS s_de,
+        |    CASE WHEN len(w) = 0 THEN 0.0 ELSE len(list_filter(w,
+        |      x -> list_contains(['el','los','las','y','una'], x)))::DOUBLE / len(w) END AS s_es,
+        |    CASE WHEN len(w) = 0 THEN 0.0 ELSE len(list_filter(w,
+        |      x -> list_contains(['le','la','et','les','des'], x)))::DOUBLE / len(w) END AS s_fr,
+        |    CASE WHEN length(ftext) = 0 THEN 0.0 ELSE
+        |      (length(ftext) - length(regexp_replace(ftext, '[.,!?;:]', '', 'g')))::DOUBLE
+        |        / length(ftext) END AS punct_ratio
+        |  FROM feat),
+        |pr AS (
+        |  SELECT *,
+        |    CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+        |         WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+        |         WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS pred_lang,
+        |    min(doc_id) OVER (PARTITION BY h) AS first_id
+        |  FROM sc)
+        |SELECT doc_id,
+        |  CASE WHEN NOT ok THEN 'decode_fail'
+        |       WHEN pred_lang != 'en' THEN 'non_target_lang'
+        |       WHEN n_words < 20 THEN 'too_short'
+        |       WHEN punct_ratio > 0.2 THEN 'low_quality'
+        |       WHEN doc_id != first_id THEN 'duplicate'
+        |       ELSE 'keep' END AS disposition,
+        |  n_words, pred_lang
+        |FROM pr
+        |ORDER BY doc_id""".stripMargin
   )
 }

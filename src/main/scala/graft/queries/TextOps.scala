@@ -46,7 +46,7 @@ object TextOps extends QueryPack {
   /** Stopword-ratio scores + argmax prediction (deterministic
     * priority order on ties: en > de > es > fr) — shared by t1
     * (per-doc report) and t11 (confusion matrix). */
-  private def withLangScores(df: DataFrame): DataFrame = {
+  private[graft] def withLangScores(df: DataFrame): DataFrame = {
     val base = df.withColumn("w", Portable.words(col("text")))
     val scored = Stopwords.foldLeft(base) { case (acc, (l, set)) =>
       acc.withColumn(s"s_$l", hitRatio(col("w"), set))
@@ -994,6 +994,63 @@ object TextOps extends QueryPack {
           round(col("n_tokens").cast("double") / col("n_chars"), 6)))
         .select(col("doc_id"), col("n_words"), col("n_chars"),
           col("n_tokens"), col("fertility"), col("compression"))
+        .orderBy(col("doc_id"))
+    },
+
+    // HTML → text extraction (round 13) — the transform between WARC
+    // ingestion (mm19) and every operator in this family: crawl
+    // corpora arrive as markup, and the text pipeline starts by
+    // stripping it. Each doc is a GENUINE page (doctype, head with
+    // entity-bearing title, style + script whose bodies contain
+    // decoy markup inside string literals, an HTML comment holding a
+    // decoy block, headings, paragraphs, a quoted '>' inside an
+    // attribute value, an inline <a> mid-sentence, named + decimal +
+    // hex entities) pushed through operators/Html.scala's single-pass
+    // state machine. The extraction has a closed form the oracle
+    // rebuilds WITHOUT touching any HTML — title, block count, word
+    // and char counts, and the extracted text's md5: digest equality
+    // proves the whole parse (raw-text containment, comment skip,
+    // quote-aware tag scan, entity decode, block segmentation,
+    // whitespace collapse) byte-for-byte. Scale shape: one char walk
+    // per doc inside the partition iterator; markup never shuffles —
+    // the output rows carry a title, four counts, and a digest.
+    "t31_html_extract" -> { (s, d) =>
+      import s.implicits._
+      val m = pmod(col("doc_id"), lit(7L))
+      val para = concat_ws(" ", transform(
+        sequence(lit(0L), lit(19L) + pmod(col("doc_id"), lit(11L))),
+        j => concat(lit("v"), lpad(pmod(col("doc_id") * 5 + j * 17, lit(60L))
+          .cast("string"), 2, "0"))))
+      val idStr = col("doc_id").cast("string")
+      val full = concat(
+        lit("Doc "), idStr, lit(" & friends\nHeading "), idStr,
+        lit("\n"), para, lit("\nTail <"), m.cast("string"),
+        lit("> end link"), idStr, lit(" AB"))
+      val planted = Tables.documents(s, d).select(col("doc_id"),
+        concat(lit("Doc "), idStr, lit(" & friends")).as("p_title"),
+        (lit(31L) + pmod(col("doc_id"), lit(11L))).as("p_words"),
+        length(full).cast("long").as("p_chars"),
+        md5(full).as("p_md5"))
+      val rows = Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val doc = graft.operators.Html.extract(
+            graft.operators.Html.plantedHtml(id))
+          val words =
+            if (doc.text.isEmpty) 0L
+            else doc.text.split("\\s+").count(_.nonEmpty).toLong
+          (id, doc.title, doc.nBlocks, words, doc.text.length.toLong,
+            graft.operators.Html.md5Hex(doc.text))
+        })
+        .toDF("doc_id", "title", "n_blocks", "n_words", "n_chars", "text_md5")
+      planted.join(rows, Seq("doc_id"))
+        .withColumn("matches_plant",
+          col("title") === col("p_title") && col("n_blocks") === 4L &&
+            col("n_words") === col("p_words") &&
+            col("n_chars") === col("p_chars") &&
+            col("text_md5") === col("p_md5"))
+        .select(col("doc_id"), col("title"), col("n_blocks"),
+          col("n_words"), col("n_chars"), col("text_md5"),
+          col("matches_plant"))
         .orderBy(col("doc_id"))
     }
   )
@@ -2003,6 +2060,35 @@ object TextOps extends QueryPack {
         |  CASE WHEN p.n_words > 0 THEN round(p.n_tokens::DOUBLE / p.n_words, 6) END AS fertility,
         |  CASE WHEN p.n_chars > 0 THEN round(p.n_tokens::DOUBLE / p.n_chars, 6) END AS compression
         |FROM documents d LEFT JOIN perdoc p USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // t31: the extraction has a closed form (the markup is plant-
+    // built around it), so this oracle rebuilds the extracted text
+    // WITHOUT touching any HTML and emits its md5 — equality with
+    // the Spark side's digest (computed by the real state-machine
+    // extractor over the real page) proves raw-text containment,
+    // comment skipping, quote-aware tag scanning, entity decoding,
+    // block segmentation, and whitespace collapse byte-for-byte.
+    // Counts are integers: no rounding surface.
+    "t31_html_extract" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    array_to_string(list_transform(range(0, CAST(20 + doc_id % 11 AS INTEGER)),
+        |      j -> 'v' || lpad(((doc_id * 5 + j * 17) % 60)::VARCHAR, 2, '0')), ' ') AS para
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id,
+        |    'Doc ' || doc_id || ' & friends' AS title,
+        |    'Doc ' || doc_id || ' & friends' || chr(10) ||
+        |      'Heading ' || doc_id || chr(10) || para || chr(10) ||
+        |      'Tail <' || (doc_id % 7) || '> end link' || doc_id || ' AB' AS ftext
+        |  FROM p)
+        |SELECT doc_id, title, CAST(4 AS BIGINT) AS n_blocks,
+        |  CAST(31 + doc_id % 11 AS BIGINT) AS n_words,
+        |  CAST(length(ftext) AS BIGINT) AS n_chars,
+        |  md5(ftext) AS text_md5,
+        |  true AS matches_plant
+        |FROM f
         |ORDER BY doc_id""".stripMargin
   )
 }

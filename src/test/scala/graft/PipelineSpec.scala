@@ -1528,4 +1528,47 @@ class PipelineSpec extends SparkSuite {
     assert(math.abs(card(("index", "ivfpq", "recall")) -
       idx.getAs[Double]("recall")) < 1e-6)
   }
+
+  test("p13: crawl curate — every disposition earned through the real wire chain") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("p13_crawl_curate")(spark, sf).collect()
+    assert(rows.length === Tables.documents(spark, sf).count())
+    val byDisp = rows.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    // every gate fires, and keep remains the majority class
+    val all = Seq("decode_fail", "non_target_lang", "too_short",
+      "low_quality", "duplicate", "keep")
+    all.foreach(d => assert(byDisp.getOrElse(d, 0) > 0, s"disposition $d never fired"))
+    assert(byDisp("keep") > rows.length / 2)
+    // the gates caught exactly their engineered classes
+    rows.foreach { r =>
+      val (id, disp) = (r.getLong(0), r.getString(1))
+      java.lang.Math.floorMod(id, 11L) match {
+        case 7L => assert(disp === "decode_fail", s"doc $id: $disp")
+        case 3L => assert(disp === "non_target_lang", s"doc $id: $disp")
+        case 5L => assert(disp === "too_short", s"doc $id: $disp")
+        case 9L => assert(disp === "low_quality", s"doc $id: $disp")
+        case 1L => assert(disp === "duplicate" || disp === "keep", s"doc $id: $disp")
+        case _  => assert(disp === "keep", s"doc $id: $disp")
+      }
+    }
+    // dup pairs resolve min-doc-wins: the 22-block leader keeps, the
+    // follower drops (when both exist in the corpus)
+    val res1 = rows.filter(r => java.lang.Math.floorMod(r.getLong(0), 11L) == 1L)
+    val groups = res1.groupBy(r => (r.getLong(0) - 1L) / 22L)
+    groups.values.filter(_.length == 2).foreach { g =>
+      val sorted = g.sortBy(_.getLong(0))
+      assert(sorted.head.getString(1) === "keep")
+      assert(sorted.last.getString(1) === "duplicate")
+    }
+    assert(groups.values.exists(_.length == 2), "no complete dup pair in corpus")
+    // language stats come from the real scorer: de docs predict de
+    rows.filter(r => java.lang.Math.floorMod(r.getLong(0), 11L) == 3L)
+      .foreach(r => assert(r.getString(3) === "de"))
+    // markup never shuffles: the only exchanges are the dedup
+    // window's digest hash partition and the output sort
+    val plan = SparkEntry.queries("p13_crawl_curate")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning(text"), plan)
+    assert(plan.contains("hashpartitioning(h"), plan)
+  }
 }

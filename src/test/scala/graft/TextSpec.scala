@@ -131,4 +131,49 @@ class TextSpec extends SparkSuite {
     // the merges genuinely fired: the corpus compressed vs char level
     assert(rows.map(_.getLong(3)).sum < rows.map(_.getLong(2)).sum)
   }
+
+  test("t31 HTML extractor survives adversarial markup") {
+    import graft.operators.Html
+    // script body is raw text: markup inside JS strings must not leak
+    assert(Html.extract(
+      """<p>a</p><script>var s = "<div>leak</div>";</script><p>b</p>""")
+      .text === "a\nb")
+    // style body too, including a '>' combinator
+    assert(Html.extract(
+      "<p>a</p><style>p > a { content: \"<p>x</p>\" }</style><p>b</p>")
+      .text === "a\nb")
+    // comments skip wholesale, including decoy blocks inside
+    assert(Html.extract("<p>a</p><!-- <p>decoy</p> --><p>b</p>").text === "a\nb")
+    // a quoted '>' inside an attribute value does not close the tag
+    assert(Html.extract("""<p><a href="/x?a=1>2">link</a></p>""").text === "link")
+    // entities: named, decimal, hex; unknown passes through literally
+    assert(Html.extract("<p>&lt;&amp;&gt; &#65;&#x42; &bogus; &</p>")
+      .text === "<&> AB &bogus; &")
+    // uppercase tags and self-closing br are still recognized
+    assert(Html.extract("<P>a<BR/>b</P>").text === "a\nb")
+    assert(Html.extract("<SCRIPT>x = '<i>no</i>';</SCRIPT><p>c</p>").text === "c")
+    // truncation degrades, never throws: unclosed comment, unclosed
+    // script, tag cut at EOF
+    assert(Html.extract("<p>a</p><!-- never closed").text === "a")
+    assert(Html.extract("<p>a</p><script>var x = 1;").text === "a")
+    assert(Html.extract("<p>a</p><div class=\"x").text === "a")
+    // whitespace runs collapse inside a block; blocks join with \n;
+    // inline elements keep the flow
+    assert(Html.extract("<p>  a   b\n\tc <b>d</b> e </p>").text === "a b c d e")
+    // title is captured AND part of the text (first block)
+    val doc = Html.extract("<html><head><title> T 1 </title></head>" +
+      "<body><p>body</p></body></html>")
+    assert(doc.title === "T 1" && doc.text === "T 1\nbody" && doc.nBlocks === 2L)
+    // invalid numeric entities pass through
+    assert(Html.extract("<p>&#xZZ; &#; ok</p>").text === "&#xZZ; &#; ok")
+  }
+
+  test("t31 extracts the planted page to its closed form on every row") {
+    val df = SparkEntry.queries("t31_html_extract")(spark, sf)
+    assert(df.filter(!col("matches_plant")).count() === 0)
+    assert(df.count() === Tables.documents(spark, sf).count())
+    // markup never shuffles: the only exchange is the output sort's
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning(text"), plan)
+  }
 }
