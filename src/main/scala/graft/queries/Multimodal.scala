@@ -902,6 +902,54 @@ object Multimodal extends QueryPack {
           col("n_words"), col("n_chars"), col("body_md5"),
           col("matches_plant"))
         .orderBy(col("doc_id"))
+    },
+
+    // IMA ADPCM decode (round 13) — the compressed-audio class
+    // between G.711 (stateless table lookup) and FLAC (lossless):
+    // a real, standardized LOSSY predictive codec the JDK does NOT
+    // ship, implemented from the public spec in pure JVM code
+    // (operators/AdpcmCodec.scala) — each 4-bit nibble updates a
+    // predictor and step-size index, so sample N depends on every
+    // nibble before it. The codec is lossy but the DECODER is an
+    // exact integer state machine, so a plant that fixes the NIBBLE
+    // stream (header predictor/index and all 24 nibbles are closed
+    // forms of the id) has a closed-form decode: the DuckDB oracle
+    // replays the same machine as a recursive CTE over the same
+    // step/index tables, clamps included. The wire is a genuine
+    // IMA-ADPCM WAV (fmt tag 0x11 + wSamplesPerBlock extension, fact
+    // chunk, 4-byte block state header, low-nibble-first packing);
+    // the decode trusts only the bytes (grammar, block-align vs
+    // declared-samples consistency, index range) — lies quarantine
+    // (spec-tested). Scale shape: one encode+decode map pass,
+    // payload bytes never shuffle.
+    "mm20_adpcm_decode" -> { (s, d) =>
+      import s.implicits._
+      val rows = Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val st = graft.operators.AdpcmCodec.parse(
+            graft.operators.AdpcmCodec.plantedAdpcmBytes(id))
+          (id, st.container, st.nSamples, st.meanSignal, st.rms, st.peak,
+            st.firstSample, st.lastSample, st.endIndex, st.ok)
+        })
+        .toDF("doc_id", "container", "n_samples", "d_mean", "d_rms",
+          "d_peak", "first_sample", "last_sample", "end_index", "ok")
+      // the header predictor is the one closed form Spark can state
+      // without replaying the machine — the oracle's recursive CTE
+      // checks everything else through the row hash
+      val planted = Tables.documents(s, d).select(col("doc_id"),
+        (pmod(col("doc_id") * 73L, lit(4096L)) - 2048L).as("p_first"))
+      rows.join(planted, Seq("doc_id"))
+        .withColumn("matches_plant",
+          col("ok") && col("container") === "adpcm" &&
+            col("n_samples") === 25L &&
+            col("first_sample") === col("p_first"))
+        .select(col("doc_id"), col("container"), col("n_samples"),
+          round(col("d_mean"), 6).as("mean_signal"),
+          round(col("d_rms"), 6).as("rms"),
+          round(col("d_peak"), 6).as("peak"),
+          col("first_sample"), col("last_sample"), col("end_index"),
+          col("matches_plant"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -1425,6 +1473,53 @@ object Multimodal extends QueryPack {
         |  md5(body) AS body_md5,
         |  true AS matches_plant
         |FROM p
+        |ORDER BY doc_id""".stripMargin,
+
+    // mm20: the decoder is an exact integer state machine, so this
+    // oracle REPLAYS it — a recursive CTE iterates the IMA step over
+    // the same closed-form nibbles, step table, index table, and
+    // clamps the Spark-side codec runs over the real WAV bytes.
+    // Sample sums are integers < 2^53 (exact in double in any
+    // order); mean/rms are one identical IEEE division/sqrt per row.
+    "mm20_adpcm_decode" ->
+      """WITH RECURSIVE st(doc_id, j, pred, idx) AS (
+        |  SELECT doc_id, 0,
+        |    CAST((doc_id * 73) % 4096 - 2048 AS INTEGER),
+        |    CAST(doc_id % 40 AS INTEGER)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, j + 1,
+        |    greatest(-32768, least(32767,
+        |      CASE WHEN nib >= 8 THEN pred - diff ELSE pred + diff END)),
+        |    greatest(0, least(88, idx + list_extract([-1,-1,-1,-1,2,4,6,8], (nib % 8) + 1)))
+        |  FROM (
+        |    SELECT doc_id, j, pred, idx, nib, step,
+        |      step // 8
+        |        + CASE WHEN nib % 2 = 1 THEN step // 4 ELSE 0 END
+        |        + CASE WHEN (nib // 2) % 2 = 1 THEN step // 2 ELSE 0 END
+        |        + CASE WHEN (nib // 4) % 2 = 1 THEN step ELSE 0 END AS diff
+        |    FROM (
+        |      SELECT doc_id, j, pred, idx,
+        |        CAST((doc_id * 7 + j * 3) % 16 AS INTEGER) AS nib,
+        |        list_extract([7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,
+        |          34,37,41,45,50,55,60,66,73,80,88,97,107,118,130,143,157,
+        |          173,190,209,230,253,279,307,337,371,408,449,494,544,598,
+        |          658,724,796,876,963,1060,1166,1282,1411,1552,1707,1878,
+        |          2066,2272,2499,2749,3024,3327,3660,4026,4428,4871,5358,
+        |          5894,6484,7132,7845,8630,9493,10442,11487,12635,13899,
+        |          15289,16818,18500,20350,22385,24623,27086,29794,32767],
+        |          idx + 1) AS step
+        |      FROM st WHERE j < 24) s0) s1)
+        |SELECT doc_id, 'adpcm' AS container, CAST(25 AS BIGINT) AS n_samples,
+        |  round(sum(pred::DOUBLE) / 25.0, 6) AS mean_signal,
+        |  round(sqrt(sum((pred::DOUBLE) * (pred::DOUBLE)) / 25.0), 6) AS rms,
+        |  round(max(abs(pred::DOUBLE)), 6) AS peak,
+        |  CAST(max(CASE WHEN j = 0 THEN pred END) AS BIGINT) AS first_sample,
+        |  CAST(max(CASE WHEN j = 24 THEN pred END) AS BIGINT) AS last_sample,
+        |  CAST(max(CASE WHEN j = 24 THEN idx END) AS BIGINT) AS end_index,
+        |  true AS matches_plant
+        |FROM st
+        |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
 
     "mm8_entropy_sniff" ->

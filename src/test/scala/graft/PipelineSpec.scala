@@ -939,6 +939,78 @@ class PipelineSpec extends SparkSuite {
     assert(!plan.contains("Exchange"), s"warc decode plan shuffles:\n$plan")
   }
 
+  test("mm20: pure-JVM IMA ADPCM — spec decode, encoder tracking, wire quarantines") {
+    import graft.operators.AdpcmCodec
+    import AdpcmCodec.State
+    // spec pins: from a fresh state (pred 0, index 0, step 7), every
+    // nibble's reconstruction delta is the spec's diff table —
+    // step/8 + b0·step/4 + b1·step/2 + b2·step, sign from b3
+    val expect0 = Seq(0 -> 0, 1 -> 1, 2 -> 3, 3 -> 4, 4 -> 7, 5 -> 8,
+      6 -> 10, 7 -> 11).toMap // step 7: 7/8=0, +7/4=1, +7/2=3, +7=7
+    for (nib <- 0 until 16) {
+      val st = AdpcmCodec.decodeNibble(State(0, 0), nib)
+      val mag = expect0(nib & 7)
+      assert(st.predictor === (if ((nib & 8) != 0) -mag else mag), s"nib $nib")
+      assert(st.index === math.max(0, AdpcmCodec.IndexTable(nib & 7)), s"nib $nib")
+    }
+    // clamps: predictor saturates at s16, index at [0, 88]
+    assert(AdpcmCodec.decodeNibble(State(32760, 88), 7).predictor === 32767)
+    assert(AdpcmCodec.decodeNibble(State(-32760, 88), 15).predictor === -32768)
+    assert(AdpcmCodec.decodeNibble(State(0, 88), 4).index === 88)
+    assert(AdpcmCodec.decodeNibble(State(0, 0), 0).index === 0)
+    // block round trip: decode(blockBytes(state, nibs)) replays the
+    // machine — independent of the encoder
+    val nibs = Array.tabulate(24)(j => (j * 5) % 16)
+    val blk = AdpcmCodec.blockBytes(-1234, 20, nibs)
+    val pcm = AdpcmCodec.decodeBlock(blk, 25)
+    assert(pcm(0) === -1234)
+    var st = State(-1234, 20)
+    for (j <- 0 until 24) {
+      st = AdpcmCodec.decodeNibble(st, nibs(j))
+      assert(pcm(j + 1) === st.predictor, s"sample ${j + 1}")
+    }
+    // the ENCODER tracks the decoder's reconstruction: re-encoding a
+    // decoded signal reproduces the nibble stream bit for bit (the
+    // greedy quantizer is exact when the target is reachable)
+    val reEnc = AdpcmCodec.encodeBlock(pcm, 20)
+    assert(reEnc.toSeq === blk.toSeq)
+    // encode quality on a smooth signal: the codec slope-overloads
+    // while the step ramps up from 7 (that's the algorithm, not a
+    // bug), then tracks — once adapted the reconstruction error is
+    // bounded by the step at each sample
+    val ramp = Array.tabulate(25)(j => -2000 + j * 160)
+    val rampDec = AdpcmCodec.decodeBlock(AdpcmCodec.encodeBlock(ramp, 0), 25)
+    var prev = State(ramp(0), 0)
+    for (j <- 1 until 25) {
+      val step = AdpcmCodec.StepTable(prev.index)
+      val (_, next) = AdpcmCodec.encodeNibble(prev, ramp(j))
+      if (j >= 6)
+        assert(math.abs(rampDec(j) - ramp(j)) <= step,
+          s"sample $j err ${math.abs(rampDec(j) - ramp(j))} step $step")
+      prev = next
+    }
+    assert(prev.index > 0, "step never adapted")
+    // wire quarantines: wrong fmt tag, truncated data, a declared
+    // samples-per-block the block can't hold, an index past 88
+    val good = AdpcmCodec.plantedAdpcmBytes(42L)
+    assert(AdpcmCodec.parse(good).ok)
+    val wrongTag = good.clone()
+    wrongTag(20) = 1 // PCM tag — not ADPCM
+    assert(!AdpcmCodec.parse(wrongTag).ok)
+    assert(!AdpcmCodec.parse(good.take(good.length - 3)).ok)
+    val lieSamples = good.clone()
+    lieSamples(38) = 99 // wSamplesPerBlock: 25 -> 99 > 1 + 12*2
+    assert(!AdpcmCodec.parse(lieSamples).ok)
+    val badIdx = good.clone()
+    badIdx(good.length - 14) = 90.toByte // block header index > 88
+    assert(!AdpcmCodec.parse(badIdx).ok)
+    // batch operator: every row earns matches_plant through the wire
+    val mm20 = SparkEntry.queries("mm20_adpcm_decode")(spark, sf)
+    assert(mm20.count() === Tables.documents(spark, sf).count())
+    assert(mm20.filter(!org.apache.spark.sql.functions.col("matches_plant"))
+      .count() === 0)
+  }
+
   test("p11: sniff-routed media curate — every disposition earned through a real codec") {
     import spark.implicits._
     import graft.operators.MediaDecode
