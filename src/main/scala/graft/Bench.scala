@@ -235,13 +235,11 @@ object Bench {
         val media = ids.unionAll(ids.select((col("doc_id") + 1000000L).as("doc_id")))
           .as[Long]
           .mapPartitions(_.map { id =>
-            val payload = (id % 6) match {
-              case 0 => graft.operators.MediaDecode.plantedImageBytes(id, jpeg = false)
-              case 1 => graft.operators.MediaDecode.plantedAudioBytes(id, alaw = false)
-              case 2 => graft.operators.MediaDecode.plantedVideoBytes(id, mjpeg = false)
+            // the p11 corpus with the truncated class swapped for GIF:
+            // the throughput leg pays a real codec on EVERY member
+            val payload = (id % 7) match {
               case 3 => graft.operators.MediaDecode.plantedGifBytes(id)
-              case 4 => graft.operators.MediaDecode.plantedFlacBytes(id)
-              case _ => graft.operators.MediaDecode.plantedRleVideoBytes(id)
+              case _ => graft.operators.MediaDecode.plantedCurateBytes(id)
             }
             (id, payload)
           })

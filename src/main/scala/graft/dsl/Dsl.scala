@@ -562,7 +562,8 @@ package object dsl {
         col("meanR"), col("meanG"), col("meanB"), col("rms"), col("peak"))
       .withColumn("modality",
         when(col("container").isin("png", "jpeg", "bmp"), "image")
-          .when(col("container").isin("ulaw", "alaw", "wav", "flac"), "audio")
+          .when(col("container").isin("ulaw", "alaw", "wav", "flac",
+            "adpcm"), "audio")
           .when(col("container").isin("mjpeg", "rawvideo", "avi", "gif",
             "msrle"), "video")
           .otherwise("unknown"))

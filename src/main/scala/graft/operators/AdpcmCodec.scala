@@ -237,8 +237,9 @@ object AdpcmCodec {
     * (id·7 + j·3) mod 16 (gcd(3,16)=1, so all 16 nibble codes occur
     * across the block). The decode is then a pure integer state
     * machine both engines replay exactly. */
-  def plantedAdpcmBytes(docId: Long): Array[Byte] = {
-    val pred0 = (java.lang.Math.floorMod(docId * 73L, 4096L) - 2048L).toInt
+  def plantedAdpcmBytes(docId: Long, gain: Int = 1): Array[Byte] = {
+    val pred0 =
+      ((java.lang.Math.floorMod(docId * 73L, 4096L) - 2048L) * gain).toInt
     val idx0 = java.lang.Math.floorMod(docId, 40L).toInt
     val nibs = Array.tabulate(24)(j =>
       java.lang.Math.floorMod(docId * 7L + j * 3L, 16L).toInt)

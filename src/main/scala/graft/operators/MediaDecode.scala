@@ -921,8 +921,16 @@ object MediaDecode {
     else if (tag(0, "fLaC")) parseFlac(payload)
     else if (tag(0, "RIFF") && tag(8, "AVI ")) parseVideo(payload)
     else if (tag(0, "RIFF") && tag(8, "WAVE")) {
-      val a = parseAudio(payload)
-      if (a.container != "unknown") a else parsePayload(payload)
+      // route on the fmt tag: G.711 (7/6) → javax.sound, IMA ADPCM
+      // (0x11) → the pure-JVM predictive codec, else PCM
+      if (payload.length >= 22 && u16le(payload, 20) == 0x11L) {
+        val ad = AdpcmCodec.parse(payload)
+        MediaStats(0L, "adpcm", ad.nSamples, ad.meanSignal, ad.rms,
+          ad.peak, 0.0, 0.0, 0.0, ad.ok)
+      } else {
+        val a = parseAudio(payload)
+        if (a.container != "unknown") a else parsePayload(payload)
+      }
     }
     else if ((payload(0) & 0xff) == 0x89 && tag(1, "PNG")) parseImage(payload)
     else if ((payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8 &&
@@ -938,6 +946,25 @@ object MediaDecode {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map(m => parseAny(m.payload).copy(docId = m.docId)))
   }
+
+  /** The mixed-modality curate-corpus plant (id mod 7) — ONE
+    * definition shared by the p11 batch query, its DSL facade spec,
+    * the live mediaCurateStream spec, and the bench's media
+    * throughput leg, so the seven-class corpus can never fork:
+    * PNG / G.711 µ-law WAV / raw-DIB AVI / a truncated upload /
+    * FLAC / MS-RLE8 inter-frame AVI / IMA ADPCM WAV (gain 8, so its
+    * decoded RMS genuinely splits the silent gate). */
+  def plantedCurateBytes(id: Long): Array[Byte] =
+    (java.lang.Math.floorMod(id, 7L) match {
+      case 0L => plantedImageBytes(id, jpeg = false)
+      case 1L => plantedAudioBytes(id, alaw = false)
+      case 2L => plantedVideoBytes(id, mjpeg = false)
+      case 3L => // an upload truncated before its codec is readable
+        plantedAudioBytes(id, alaw = false).take(20)
+      case 4L => plantedFlacBytes(id)
+      case 5L => plantedRleVideoBytes(id)
+      case _  => AdpcmCodec.plantedAdpcmBytes(id, gain = 8)
+    })
 
   // --- FLAC (round 13, mm17): the one audio codec class mm14 left
   // behind the stub that does NOT actually need an external library —

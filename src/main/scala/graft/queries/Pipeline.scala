@@ -423,45 +423,37 @@ object Pipeline extends QueryPack {
     // The MEDIA curate cascade (round 13) — p7's disposition shape
     // applied to a mixed-modality corpus, composing the round's real
     // codecs end-to-end: each doc arrives as an opaque binary member
-    // (id%6: PNG image / G.711 µ-law WAV / raw-DIB AVI / a truncated
+    // (id%7: PNG image / G.711 µ-law WAV / raw-DIB AVI / a truncated
     // upload / FLAC through the pure-JVM codec / MS-RLE8 inter-frame
-    // AVI), is routed by MAGIC BYTES alone (MediaDecode.parseAny —
-    // the sniff IS the router, no trusted metadata), decoded by the
-    // matching real codec (mm13/mm14/mm15/mm17/mm18's twins), and gated by the
-    // QA rules a production media pipeline runs: images too dark
-    // (brightness < 120), audio silent (RMS < 8000) or clipped
-    // (peak ≥ 31000 — checked after silence, the p7 first-catching-
-    // stage rule), video static (peak inter-frame motion < 18);
-    // undecodable members quarantine as decode_fail. Disposition =
-    // the FIRST catching gate. All plants are lossless members, so
-    // the oracle recomputes every gate input wire-free from the
-    // closed forms and the disposition table is exact — thresholds
-    // compare identically in both engines because both compute the
-    // same IEEE doubles. Scale shape: one encode map pass + one
-    // sniff-route-decode map pass (codecs inside the partition
-    // iterator), the only shuffle is the output sort carrying
-    // (doc_id, three strings); payload bytes never shuffle.
+    // AVI / IMA ADPCM through the pure-JVM predictive codec), is
+    // routed by MAGIC BYTES alone (MediaDecode.parseAny — the sniff
+    // IS the router, no trusted metadata; WAVs further route on the
+    // fmt tag), decoded by the matching real codec (mm13/mm14/mm15/
+    // mm17/mm18/mm20's twins), and gated by the QA rules a production
+    // media pipeline runs: images too dark (brightness < 120), audio
+    // silent (RMS < 8000) or clipped (peak ≥ 31000 — checked after
+    // silence, the p7 first-catching-stage rule), video static (peak
+    // inter-frame motion < 18); undecodable members quarantine as
+    // decode_fail. Disposition = the FIRST catching gate. Every gate
+    // input has a wire-free closed form (lossless members, or — for
+    // ADPCM — the nibble-planted state machine the oracle replays as
+    // a recursive CTE), so the disposition table is exact. Scale
+    // shape: one encode map pass + one sniff-route-decode map pass
+    // (codecs inside the partition iterator), the only shuffle is
+    // the output sort carrying (doc_id, three strings); payload
+    // bytes never shuffle.
     "p11_media_curate" -> { (s, d) =>
       import s.implicits._
       val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
-        .mapPartitions(_.map { id =>
-          val payload = (id % 6) match {
-            case 0 => graft.operators.MediaDecode.plantedImageBytes(id, jpeg = false)
-            case 1 => graft.operators.MediaDecode.plantedAudioBytes(id, alaw = false)
-            case 2 => graft.operators.MediaDecode.plantedVideoBytes(id, mjpeg = false)
-            case 3 => // an upload truncated before its codec is readable
-              graft.operators.MediaDecode.plantedAudioBytes(id, alaw = false).take(20)
-            case 4 => graft.operators.MediaDecode.plantedFlacBytes(id)
-            case _ => graft.operators.MediaDecode.plantedRleVideoBytes(id)
-          }
-          graft.operators.MediaDecode.Media(id, payload)
-        })
+        .mapPartitions(_.map(id => graft.operators.MediaDecode.Media(
+          id, graft.operators.MediaDecode.plantedCurateBytes(id))))
       graft.operators.MediaDecode.parseAnyBatch(media).toDF()
         .select(col("docId").as("doc_id"), col("container"), col("ok"),
           col("meanR"), col("meanG"), col("meanB"), col("rms"), col("peak"))
         .withColumn("modality",
           when(col("container").isin("png", "jpeg", "bmp"), "image")
-            .when(col("container").isin("ulaw", "alaw", "wav", "flac"), "audio")
+            .when(col("container").isin("ulaw", "alaw", "wav", "flac",
+              "adpcm"), "audio")
             // "gif" routes as video: parseAny hands animated GIFs the
             // same frame-stats row the AVI codecs emit; "msrle" is
             // the inter-frame AVI class
@@ -1291,13 +1283,13 @@ object Pipeline extends QueryPack {
     // (integer-valued and dyadic sums are exact; sqrt of an identical
     // double is identical).
     "p11_media_curate" ->
-      """WITH img AS (
+      """WITH RECURSIVE img AS (
         |  SELECT doc_id,
         |    (list_sum(list_transform(range(0, 16), j -> ((doc_id * 3 + j * 53) % 256)::DOUBLE)) / 16.0
         |     + list_sum(list_transform(range(0, 16), j -> ((doc_id * 11 + j * 29) % 256)::DOUBLE)) / 16.0
         |     + list_sum(list_transform(range(0, 16), j -> ((doc_id * 7 + j * 13) % 256)::DOUBLE)) / 16.0) / 3.0
         |      AS brightness
-        |  FROM documents WHERE doc_id % 6 = 0),
+        |  FROM documents WHERE doc_id % 7 = 0),
         |aud AS (
         |  SELECT doc_id, list_transform(range(0, 16), j ->
         |    (CASE WHEN (255 - ((doc_id * 5 + j * 31) % 256)) >= 128
@@ -1305,7 +1297,7 @@ object Pipeline extends QueryPack {
         |     ((((255 - ((doc_id * 5 + j * 31) % 256)) % 16) * 2 + 33)
         |       * CAST(pow(2, ((255 - ((doc_id * 5 + j * 31) % 256)) // 16) % 8)
         |           AS BIGINT) - 33) * 4)::DOUBLE) AS vs
-        |  FROM documents WHERE doc_id % 6 = 1),
+        |  FROM documents WHERE doc_id % 7 = 1),
         |aud2 AS (
         |  SELECT doc_id, sqrt(list_sum(list_transform(vs, v -> v * v)) / 16.0) AS rms,
         |    list_max(list_transform(vs, v -> abs(v))) AS pk
@@ -1318,7 +1310,7 @@ object Pipeline extends QueryPack {
         |      j -> ((doc_id * 11 + f * 19 + j * 29) % 256)::DOUBLE)) / 16.0) AS fg,
         |    list_transform(range(0, 4), f -> list_sum(list_transform(range(0, 16),
         |      j -> ((doc_id * 7 + f * 23 + j * 13) % 256)::DOUBLE)) / 16.0) AS fb
-        |  FROM documents WHERE doc_id % 6 = 2),
+        |  FROM documents WHERE doc_id % 7 = 2),
         |vid2 AS (
         |  SELECT doc_id, list_max(list_transform(range(1, 4),
         |    f -> greatest(abs(fr[f + 1] - fr[f]), abs(fg[f + 1] - fg[f]),
@@ -1328,7 +1320,7 @@ object Pipeline extends QueryPack {
         |  SELECT doc_id, list_transform(range(0, 64), j ->
         |      ((doc_id % 211) * 97 - 10000 + ((doc_id % 31) - 15) * j
         |        + (doc_id * 31 + j * j * 7 + j * 13) % 9 - 4)::DOUBLE) AS vs
-        |  FROM documents WHERE doc_id % 6 = 4),
+        |  FROM documents WHERE doc_id % 7 = 4),
         |flc2 AS (
         |  SELECT doc_id, sqrt(list_sum(list_transform(vs, v -> v * v)) / 64.0) AS rms,
         |    list_max(list_transform(vs, v -> abs(v))) AS pk
@@ -1356,12 +1348,44 @@ object Pipeline extends QueryPack {
         |           THEN ((((doc_id * 5 + x * 19 + 77) % 256) * 11 + 5) % 256)::DOUBLE
         |           ELSE ((((doc_id * 13 + f * 37 + x * 23) % 256) * 11 + 5) % 256)::DOUBLE
         |         END))) / 16.0) AS fb
-        |  FROM documents WHERE doc_id % 6 = 5),
+        |  FROM documents WHERE doc_id % 7 = 5),
         |rle2 AS (
         |  SELECT doc_id, list_max(list_transform(range(1, 4),
         |    f -> greatest(abs(fr[f + 1] - fr[f]), abs(fg[f + 1] - fg[f]),
         |                  abs(fb[f + 1] - fb[f])))) AS motion
         |  FROM rle),
+        |adp(doc_id, j, pred, idx) AS (
+        |  SELECT doc_id, 0,
+        |    CAST(((doc_id * 73) % 4096 - 2048) * 8 AS INTEGER),
+        |    CAST(doc_id % 40 AS INTEGER)
+        |  FROM documents WHERE doc_id % 7 = 6
+        |  UNION ALL
+        |  SELECT doc_id, j + 1,
+        |    greatest(-32768, least(32767,
+        |      CASE WHEN nib >= 8 THEN pred - diff ELSE pred + diff END)),
+        |    greatest(0, least(88, idx + list_extract([-1,-1,-1,-1,2,4,6,8], (nib % 8) + 1)))
+        |  FROM (
+        |    SELECT doc_id, j, pred, idx, nib,
+        |      step // 8
+        |        + CASE WHEN nib % 2 = 1 THEN step // 4 ELSE 0 END
+        |        + CASE WHEN (nib // 2) % 2 = 1 THEN step // 2 ELSE 0 END
+        |        + CASE WHEN (nib // 4) % 2 = 1 THEN step ELSE 0 END AS diff
+        |    FROM (
+        |      SELECT doc_id, j, pred, idx,
+        |        CAST((doc_id * 7 + j * 3) % 16 AS INTEGER) AS nib,
+        |        list_extract([7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,
+        |          34,37,41,45,50,55,60,66,73,80,88,97,107,118,130,143,157,
+        |          173,190,209,230,253,279,307,337,371,408,449,494,544,598,
+        |          658,724,796,876,963,1060,1166,1282,1411,1552,1707,1878,
+        |          2066,2272,2499,2749,3024,3327,3660,4026,4428,4871,5358,
+        |          5894,6484,7132,7845,8630,9493,10442,11487,12635,13899,
+        |          15289,16818,18500,20350,22385,24623,27086,29794,32767],
+        |          idx + 1) AS step
+        |      FROM adp WHERE j < 24) s0) s1),
+        |adp2 AS (
+        |  SELECT doc_id, sqrt(sum((pred::DOUBLE) * (pred::DOUBLE)) / 25.0) AS rms,
+        |    max(abs(pred::DOUBLE)) AS pk
+        |  FROM adp GROUP BY doc_id),
         |rows_ AS (
         |  SELECT doc_id, 'image' AS modality, 'png' AS container,
         |    CASE WHEN brightness < 120.0 THEN 'dark' ELSE 'keep' END AS disposition
@@ -1385,8 +1409,13 @@ object Pipeline extends QueryPack {
         |    CASE WHEN motion < 18.0 THEN 'static' ELSE 'keep' END
         |  FROM rle2
         |  UNION ALL
+        |  SELECT doc_id, 'audio', 'adpcm',
+        |    CASE WHEN rms < 8000.0 THEN 'silent'
+        |      WHEN pk >= 31000.0 THEN 'clipped' ELSE 'keep' END
+        |  FROM adp2
+        |  UNION ALL
         |  SELECT doc_id, 'unknown', 'unknown', 'decode_fail'
-        |  FROM documents WHERE doc_id % 6 = 3)
+        |  FROM documents WHERE doc_id % 7 = 3)
         |SELECT doc_id, modality, container, disposition
         |FROM rows_
         |ORDER BY doc_id""".stripMargin,

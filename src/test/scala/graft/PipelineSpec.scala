@@ -1021,13 +1021,14 @@ class PipelineSpec extends SparkSuite {
     // routing is by magic bytes ALONE and recovers the planted class;
     // members truncated before their codec is readable quarantine
     rows.foreach { case (id, (mod, cont, disp)) =>
-      (id % 6) match {
+      (id % 7) match {
         case 0 => assert(mod === "image" && cont === "png" && disp != "decode_fail")
         case 1 => assert(mod === "audio" && cont === "ulaw" && disp != "decode_fail")
         case 2 => assert(mod === "video" && cont === "rawvideo" && disp != "decode_fail")
         case 3 => assert(mod === "unknown" && disp === "decode_fail")
         case 4 => assert(mod === "audio" && cont === "flac" && disp != "decode_fail")
-        case _ => assert(mod === "video" && cont === "msrle" && disp != "decode_fail")
+        case 5 => assert(mod === "video" && cont === "msrle" && disp != "decode_fail")
+        case _ => assert(mod === "audio" && cont === "adpcm" && disp != "decode_fail")
       }
     }
     // every gate fires somewhere AND keeps survive in every decodable
@@ -1042,10 +1043,16 @@ class PipelineSpec extends SparkSuite {
     // have a live motion reading (static or keep, earned through the
     // delta-frame carry)
     assert(rows.exists { case (id, (_, c, disp)) =>
-      id % 6 == 4 && c == "flac" && disp == "silent" })
+      id % 7 == 4 && c == "flac" && disp == "silent" })
     assert(rows.exists { case (id, (_, c, disp)) =>
-      id % 6 == 4 && c == "flac" && disp == "keep" })
-    assert(rows.exists { case (id, (_, c, _)) => id % 6 == 5 && c == "msrle" })
+      id % 7 == 4 && c == "flac" && disp == "keep" })
+    assert(rows.exists { case (id, (_, c, _)) => id % 7 == 5 && c == "msrle" })
+    // the ADPCM class earns a real silent/keep split from its
+    // decoded RMS too (the gain-8 plant straddles the gate)
+    assert(rows.exists { case (id, (_, c, disp)) =>
+      id % 7 == 6 && c == "adpcm" && disp == "silent" })
+    assert(rows.exists { case (id, (_, c, disp)) =>
+      id % 7 == 6 && c == "adpcm" && disp == "keep" })
     // gate verdicts trace to the real decoded stats (first-catching-stage order)
     val darkId = rows.collectFirst { case (id, (_, _, "dark")) => id }.get
     val di = MediaDecode.parseImage(MediaDecode.plantedImageBytes(darkId, jpeg = false))
@@ -1057,20 +1064,11 @@ class PipelineSpec extends SparkSuite {
     val sv = MediaDecode.parseVideo(MediaDecode.plantedVideoBytes(statId, mjpeg = false))
     assert(sv.peak < 18.0)
     // DSL facade parity on one member of each class
-    val sample = Seq(0L, 1L, 2L, 3L, 4L, 5L).map { id =>
-      val payload = (id % 6) match {
-        case 0 => MediaDecode.plantedImageBytes(id, jpeg = false)
-        case 1 => MediaDecode.plantedAudioBytes(id, alaw = false)
-        case 2 => MediaDecode.plantedVideoBytes(id, mjpeg = false)
-        case 3 => MediaDecode.plantedAudioBytes(id, alaw = false).take(20)
-        case 4 => MediaDecode.plantedFlacBytes(id)
-        case _ => MediaDecode.plantedRleVideoBytes(id)
-      }
-      (id, payload)
-    }
+    val sample = (0L to 6L).map(id =>
+      (id, MediaDecode.plantedCurateBytes(id)))
     val viaDsl = sample.toDF("doc_id", "payload").mediaCurate().collect()
       .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getString(3)))).toMap
-    Seq(0L, 1L, 2L, 3L, 4L, 5L).foreach(id => assert(viaDsl(id) === rows(id)))
+    (0L to 6L).foreach(id => assert(viaDsl(id) === rows(id)))
     // the sniff-route-decode path is a map pass: payload bytes never shuffle
     val media = Tables.documents(spark, sf).select(col("doc_id")).as[Long]
       .mapPartitions(_.map(id =>

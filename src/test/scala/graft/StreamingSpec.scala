@@ -1696,17 +1696,7 @@ class StreamingSpec extends SparkSuite {
     // shipped over the TLV BINARY envelope — media bytes on the wire
     // with no base64 expansion (the codec m15 proves)
     val ids = Tables.documents(spark, sf).select(col("doc_id")).as[Long].collect().toSeq
-    val arrivals = ids.map { id =>
-      val payload = (id % 6) match {
-        case 0 => MediaDecode.plantedImageBytes(id, jpeg = false)
-        case 1 => MediaDecode.plantedAudioBytes(id, alaw = false)
-        case 2 => MediaDecode.plantedVideoBytes(id, mjpeg = false)
-        case 3 => MediaDecode.plantedAudioBytes(id, alaw = false).take(20)
-        case 4 => MediaDecode.plantedFlacBytes(id)
-        case _ => MediaDecode.plantedRleVideoBytes(id)
-      }
-      (id, payload)
-    }
+    val arrivals = ids.map(id => (id, MediaDecode.plantedCurateBytes(id)))
     Publisher.publish(arrivals.toDF("doc_id", "payload").select(
       col("doc_id").as("event_id"), col("doc_id").cast("string").as("uuid"),
       pmod(col("doc_id"), lit(4L)).cast("string").as("partition_key"),
