@@ -138,4 +138,17 @@ object Warc {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map(m => parseWarc(m.payload).copy(docId = m.docId)))
   }
+
+  /** The crawl-curate corpus plant (p13): one .warc.gz member whose
+    * HTTP body is [[Html.crawlHtml]]'s class-engineered page — and
+    * for id ≡ 7 (mod 11) a bit flipped mid-member, so the DEFLATE
+    * stream or its CRC-32 trailer breaks and the decode gate fires.
+    * ONE definition shared by the batch query, the live
+    * crawlCurateStream spec, and the bench throughput leg. */
+  def plantedCrawlBytes(id: Long): Array[Byte] = {
+    val wire = warcBytes(id, Html.crawlHtml(id), "text/html")
+    if (java.lang.Math.floorMod(id, 11L) == 7L)
+      wire(wire.length - 5) = (wire(wire.length - 5) ^ 0x41).toByte
+    wire
+  }
 }

@@ -556,43 +556,62 @@ object Pipeline extends QueryPack {
     "p13_crawl_curate" -> { (s, d) =>
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
-      val pages = Tables.documents(s, d).select(col("doc_id")).as[Long]
-        .mapPartitions(_.map { id =>
-          val wire = graft.operators.Warc.warcBytes(
-            id, graft.operators.Html.crawlHtml(id), "text/html")
-          // residue 7: a bit flipped mid-member — the DEFLATE stream
-          // or its CRC-32 trailer breaks, never silently decodes
-          if (java.lang.Math.floorMod(id, 11L) == 7L)
-            wire(wire.length - 5) = (wire(wire.length - 5) ^ 0x41).toByte
-          val doc = graft.operators.Warc.parseWarcDoc(wire)
-          val text =
-            if (doc.ok) graft.operators.Html.extract(doc.body).text else ""
-          (id, doc.ok, text)
-        })
-        .toDF("doc_id", "ok", "text")
-      val scored = TextOps.withLangScores(pages)
-        .withColumn("n_words", size(col("w")).cast("long"))
-        .withColumn("punct_ratio",
-          when(length(col("text")) === 0, 0.0).otherwise(
-            (length(col("text")) -
-              length(regexp_replace(col("text"), "[.,!?;:]", "")))
-              .cast("double") / length(col("text"))))
-        .withColumn("h", Portable.md5bin(col("text")))
+      val pages = crawlDecode(Tables.documents(s, d).select(col("doc_id"))
+        .as[Long]
+        .mapPartitions(_.map(id =>
+          (id, graft.operators.Warc.plantedCrawlBytes(id)))))
+      val scored = crawlGates(pages)
       val minW = Window.partitionBy(col("h"))
-      scored
-        .withColumn("first_id", min(col("doc_id")).over(minW))
-        .withColumn("disposition",
-          when(!col("ok"), "decode_fail")
-            .when(col("pred_lang") =!= "en", "non_target_lang")
-            .when(col("n_words") < 20L, "too_short")
-            .when(col("punct_ratio") > 0.2, "low_quality")
-            .when(col("doc_id") =!= col("first_id"), "duplicate")
-            .otherwise("keep"))
-        .select(col("doc_id"), col("disposition"), col("n_words"),
-          col("pred_lang"))
+      crawlCascade(
+          scored.withColumn("first_id", min(col("doc_id")).over(minW)),
+          col("doc_id") =!= col("first_id"))
         .orderBy(col("doc_id"))
     }
   )
+
+  /** p13's wire step over any (doc_id, payload) slice: .warc.gz
+    * member → WARC/HTTP grammar → HTML extraction, inside the
+    * partition iterator. Shared verbatim by the batch query and the
+    * live [[graft.streaming.DataPrep.crawlCurateStream]], so the
+    * decode can never fork between them. */
+  private[graft] def crawlDecode(idPayload: org.apache.spark.sql.Dataset[(Long, Array[Byte])]): DataFrame = {
+    import idPayload.sparkSession.implicits._
+    idPayload.mapPartitions(_.map { case (id, wire) =>
+      val doc = graft.operators.Warc.parseWarcDoc(wire)
+      val text =
+        if (doc.ok) graft.operators.Html.extract(doc.body).text else ""
+      (id, doc.ok, text)
+    }).toDF("doc_id", "ok", "text")
+  }
+
+  /** p13's gate features over the decoded frame: t1's language
+    * scores, the word count, t2's punctuation ratio, and the content
+    * digest the dedup stage keys on. Map-side only. */
+  private[graft] def crawlGates(decoded: DataFrame): DataFrame =
+    TextOps.withLangScores(decoded)
+      .withColumn("n_words", size(col("w")).cast("long"))
+      .withColumn("punct_ratio",
+        when(length(col("text")) === 0, 0.0).otherwise(
+          (length(col("text")) -
+            length(regexp_replace(col("text"), "[.,!?;:]", "")))
+            .cast("double") / length(col("text"))))
+      .withColumn("h", Portable.md5bin(col("text")))
+
+  /** p13's first-catching disposition cascade. The duplicate test is
+    * the caller's: the batch query passes min-doc-wins over the whole
+    * corpus; the live stream passes first-arrival (in-batch rank +
+    * durable digest store) — equal when arrivals come in id order. */
+  private[graft] def crawlCascade(scored: DataFrame, isDup: Column): DataFrame =
+    scored
+      .withColumn("disposition",
+        when(!col("ok"), "decode_fail")
+          .when(col("pred_lang") =!= "en", "non_target_lang")
+          .when(col("n_words") < 20L, "too_short")
+          .when(col("punct_ratio") > 0.2, "low_quality")
+          .when(isDup, "duplicate")
+          .otherwise("keep"))
+      .select(col("doc_id"), col("disposition"), col("n_words"),
+        col("pred_lang"))
 
   /** The PUBLISHED card, built once per (session, corpus): p8 is the
     * builder; consumers (p9's gate) read the card the release

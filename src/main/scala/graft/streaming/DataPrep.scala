@@ -277,6 +277,69 @@ object DataPrep {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** The LIVE form of the p13 crawl curate cascade: each micro-batch
+    * of raw `.warc.gz` members (on the TLV binary envelope — real
+    * compressed bytes, no base64) runs the SAME decode
+    * ([[graft.queries.Pipeline.crawlDecode]]: inflate → WARC/HTTP
+    * grammar → HTML extraction), the SAME gate features
+    * ([[graft.queries.Pipeline.crawlGates]]), and the SAME
+    * first-catching cascade ([[graft.queries.Pipeline.crawlCascade]])
+    * the batch table uses — only the duplicate test changes shape:
+    * first-arrival (in-batch rank by doc id + the durable digest
+    * store, curateMonitored's exact-over-all-history pattern) instead
+    * of a corpus-wide min window. That is the honest streaming
+    * semantics: a live ingest cannot know a "smaller" group member
+    * will arrive later, so the batch table's min-id canonicalization
+    * is reproduced exactly when arrivals come in id order and
+    * GROUP-equivalently under any order (every gate decision
+    * identical, exactly one keeper per duplicate group, same keep
+    * count — spec-proved under the sharded publisher's arbitrary
+    * file order).
+    * The store records every digest SEEN (gate-failed docs included:
+    * batch dedup ranks over the whole corpus, so the live form must
+    * too); writes are idempotent per micro-batch. Digests are 16
+    * bytes; markup never leaves the decode map pass. */
+  def crawlCurateStream(msgs: DataFrame, outDir: String, hStoreDir: String,
+                        checkpointDir: String): StreamingQuery =
+    msgs.select(col("uuid").cast("long").as("doc_id"), col("payload"))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val scored = graft.queries.Pipeline.crawlGates(
+            graft.queries.Pipeline.crawlDecode(
+              batch.select(col("doc_id"), col("payload"))
+                .as[(Long, Array[Byte])]))
+          .cache()
+        try {
+          val store =
+            try spark.read.parquet(hStoreDir)
+              .filter(col("micro_batch_id") =!= batchId).select(col("h"))
+            catch {
+              case _: org.apache.spark.sql.AnalysisException =>
+                spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+                  org.apache.spark.sql.types.StructType(Seq(
+                    org.apache.spark.sql.types.StructField("h",
+                      org.apache.spark.sql.types.BinaryType))))
+            }
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("h")).orderBy(col("doc_id"))
+          val marked = scored
+            .withColumn("rn", row_number().over(w))
+            .join(store.withColumn("seen", lit(true)).distinct(),
+              Seq("h"), "left")
+          graft.queries.Pipeline.crawlCascade(marked,
+              col("rn") > 1 || col("seen").isNotNull)
+            .write.mode("overwrite").parquet(s"$outDir/micro_batch_id=$batchId")
+          scored.select(col("h")).distinct()
+            .write.mode("overwrite").parquet(s"$hStoreDir/micro_batch_id=$batchId")
+        } finally scored.unpersist()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** The yield table over a [[mediaCurateStream]] cells dir: fold the
     * per-micro-batch partial count cells (associative sums) into the
     * per (modality, disposition) inventory with each disposition's

@@ -1736,6 +1736,72 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("the live crawl curate stream: gates exact vs batch p13, dedup group-equivalent") {
+    import spark.implicits._
+    import graft.streaming.{BinaryParquetTopic, DataPrep, Publisher, Subscriber}
+    import graft.operators.Warc
+    val topic = tempDir("topic_crawl")
+    val outDir = tempDir("crawl_out")
+    val hStore = tempDir("crawl_hstore")
+    // the SAME .warc.gz members the batch p13 query plants (tampered
+    // residue-7 members included), shipped in id order over the TLV
+    // binary envelope — compressed bytes on the wire, no base64
+    val ids = Tables.documents(spark, sf).select(col("doc_id")).as[Long]
+      .collect().sorted.toSeq
+    val arrivals = ids.map(id => (id, Warc.plantedCrawlBytes(id)))
+    Publisher.publish(arrivals.toDF("doc_id", "payload").select(
+      col("doc_id").as("event_id"), col("doc_id").cast("string").as("uuid"),
+      pmod(col("doc_id"), lit(4L)).cast("string").as("partition_key"),
+      col("payload"),
+      lit("crawl").as("event_type"), lit(0.0).as("value"),
+      expr("timestamp '2024-01-01 00:00:00' + make_interval(0, 0, 0, 0, 0, 0, doc_id)").as("ts"),
+      map(lit("eventType"), lit("crawl")).as("headers")), topic,
+      format = BinaryParquetTopic)
+    val q = DataPrep.crawlCurateStream(
+      Subscriber.subscribe(spark, topic, BinaryParquetTopic, maxFilesPerTrigger = 2),
+      outDir, hStore, tempDir("ck_crawl"))
+    q.awaitTermination()
+    val streamed = spark.read.parquet(outDir)
+      .select(col("doc_id"), col("disposition"), col("n_words"), col("pred_lang"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getString(3)))).toMap
+    val batch = SparkEntry.queries("p13_crawl_curate")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getString(3)))).toMap
+    // every GATE decision (decode / language / length / quality) and
+    // every feature is identical row for row — the sharded publisher
+    // scatters ids across files, so only the dedup CANONICALIZATION
+    // may differ: batch keeps the min id of a duplicate group, the
+    // stream keeps the first arrival. Map both to a common label and
+    // the tables must be equal.
+    def canon(m: Map[Long, (String, Long, String)]) =
+      m.view.mapValues { case (d, w, l) =>
+        (if (d == "duplicate") "keep_or_dup" else if (d == "keep") "keep_or_dup" else d, w, l)
+      }.toMap
+    val diffs = (streamed.keySet ++ batch.keySet)
+      .filter(k => canon(streamed).get(k) != canon(batch).get(k)).toSeq.sorted
+    assert(diffs.isEmpty, s"${diffs.length} rows differ: " + diffs.take(10)
+      .map(k => s"$k streamed=${streamed.get(k)} batch=${batch.get(k)}")
+      .mkString("; "))
+    // dedup is group-EQUIVALENT under arbitrary arrival order:
+    // exactly one keeper per duplicate group (the first arrival),
+    // the same groups as batch, and the same total keep count
+    val dupGroups = batch.keys
+      .filter(id => batch(id)._1 == "keep" || batch(id)._1 == "duplicate")
+      .groupBy(id => if (id % 11 == 1) (id - 1) / 22 * 22 + 1 else id)
+    dupGroups.foreach { case (g, members) =>
+      val kept = members.filter(id => streamed(id)._1 == "keep")
+      assert(kept.size == 1, s"group $g kept ${kept.toSeq.sorted}")
+    }
+    assert(streamed.values.count(_._1 == "keep") ===
+      batch.values.count(_._1 == "keep"))
+    assert(streamed.values.count(_._1 == "duplicate") ===
+      batch.values.count(_._1 == "duplicate"))
+    // the digest store was folded across real micro-batch boundaries
+    assert(spark.read.parquet(hStore)
+      .select(col("micro_batch_id")).distinct().count() > 1)
+    assert(batch.values.count(_._1 == "duplicate") > 0)
+  }
+
   test("the full live curate chain: dedup + quality + code routing + span decontam under one checkpoint") {
     import spark.implicits._
     import graft.streaming.DataPrep
