@@ -85,12 +85,20 @@ object Warc {
     val none = WarcDoc("unknown", 0L, "", false)
     if (payload == null || payload.length < 3 ||
         (payload(0) & 0xff) != 0x1f || (payload(1) & 0xff) != 0x8b) return none
-    val inflated =
-      try { // readAllBytes drains to EOF, which triggers GZIP's own
-            // CRC-32 + ISIZE trailer verification
-        new java.util.zip.GZIPInputStream(
-          new java.io.ByteArrayInputStream(payload)).readAllBytes()
+    val inflated = {
+      // readAllBytes drains to EOF, which triggers GZIP's own CRC-32
+      // + ISIZE trailer verification. close() in finally matters at
+      // corpus scale: it end()s the native zlib inflater immediately
+      // — leaking it to the GC cleaner accumulates ~10s of KB of
+      // native state per record across a long-lived executor.
+      var in: java.util.zip.GZIPInputStream = null
+      try {
+        in = new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        in.readAllBytes()
       } catch { case _: java.io.IOException => return none.copy(warcType = "warc") }
+      finally if (in != null) in.close()
+    }
     val text = new String(inflated, "UTF-8")
     val headEnd = text.indexOf(CRLF + CRLF)
     if (headEnd < 0) return none.copy(warcType = "warc")
