@@ -894,7 +894,11 @@ object Analytics extends QueryPack {
         .withColumn("age_weeks",
           (datediff(col("week"), col("cohort")) / 7).cast("long"))
         .groupBy(col("cohort"), col("age_weeks"))
-        .agg(countDistinct(col("user_id")).as("n_active"))
+        // rows are distinct (user, week) and distinct weeks map to
+        // distinct ages (week-truncated, 7-day spaced), so each user
+        // appears at most once per (cohort, age): a plain count is
+        // countDistinct without the second expand/aggregate stage
+        .agg(count(lit(1)).as("n_active"))
         .join(broadcast(sizes), "cohort")
         .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort"),
           col("age_weeks"), col("cohort_size"), col("n_active"),
