@@ -990,6 +990,17 @@ class PipelineSpec extends SparkSuite {
       prev = next
     }
     assert(prev.index > 0, "step never adapted")
+    // multi-block streams: each block carries its own state header,
+    // so a 3-block WAV decodes block-independently (the seek property
+    // real players rely on) and the stats fold across all blocks
+    val blocks = Array.tabulate(3) { b =>
+      AdpcmCodec.encodeBlock(
+        Array.tabulate(25)(j => -3000 + b * 2500 + j * 120), index0 = 4)
+    }
+    val multi = AdpcmCodec.parse(AdpcmCodec.wavBytes(blocks, 25))
+    assert(multi.ok && multi.nSamples === 75L)
+    assert(multi.firstSample === -3000L && multi.lastSample ===
+      AdpcmCodec.decodeBlock(blocks(2), 25).last.toLong)
     // wire quarantines: wrong fmt tag, truncated data, a declared
     // samples-per-block the block can't hold, an index past 88
     val good = AdpcmCodec.plantedAdpcmBytes(42L)
