@@ -179,9 +179,13 @@ object AdpcmCodec {
     var fmtOff = -1; var fmtLen = 0; var dataOff = -1; var dataLen = 0
     while (off + 8 <= payload.length) {
       val id = new String(payload.slice(off, off + 4), "US-ASCII")
-      val len = u32(payload, off + 4).toInt
-      if (len < 0 || off + 8 + len > payload.length)
+      // bounds check in Long: a crafted u32 length near 2^31 would
+      // overflow an Int sum to negative, pass the check, and crash the
+      // task on a negative offset instead of quarantining
+      val lenL = u32(payload, off + 4)
+      if (off + 8 + lenL > payload.length.toLong)
         return none.copy(container = "adpcm") // truncated chunk
+      val len = lenL.toInt
       if (id == "fmt ") { fmtOff = off + 8; fmtLen = len }
       if (id == "data") { dataOff = off + 8; dataLen = len }
       off += 8 + len + (len & 1)

@@ -68,7 +68,11 @@ object Html {
     val blocks = ArrayBuffer.empty[String]
     val cur = new java.lang.StringBuilder
     var title: String = ""
-    var titleDepth = false
+    // block count at `<title>` open, -1 when not inside a title: the
+    // close-tag assignment must only fire when the title element
+    // actually flushed a new block (an empty `<title></title>` must
+    // not steal the preceding block's text)
+    var titleBlocksAt = -1
     var i = 0
 
     def flush(): Unit = {
@@ -106,21 +110,42 @@ object Html {
           if (name.nonEmpty && BlockTags.contains(name)) flush()
           if (name == "title") {
             if (closing) {
-              if (titleDepth && blocks.nonEmpty) title = blocks.last
-              titleDepth = false
-            } else titleDepth = true
+              if (titleBlocksAt >= 0 && blocks.length > titleBlocksAt)
+                title = blocks.last
+              titleBlocksAt = -1
+            } else titleBlocksAt = blocks.length
           }
           if (!closing && (name == "script" || name == "style")) {
             // raw-text element: nothing inside is markup until the
-            // matching close tag (or EOF for a truncated page)
-            val close = lower.indexOf("</" + name, i)
+            // matching close tag (or EOF for a truncated page). The
+            // close tag's name must be FOLLOWED by '>', '/', or
+            // whitespace (HTML spec) — `</scripty>` inside a script
+            // body must not end raw-text mode early
+            var close = lower.indexOf("</" + name, i)
+            while (close >= 0 && {
+              val after = close + 2 + name.length
+              after < n && {
+                val ch = html.charAt(after)
+                ch != '>' && ch != '/' && !ch.isWhitespace
+              }
+            }) close = lower.indexOf("</" + name, close + 1)
             i = if (close < 0) n else close // tag parser consumes the close
           }
         }
       } else if (c == '&') {
-        val semi = html.indexOf(';', i + 1)
+        // bounded lookahead: only entities within 10 chars of the '&'
+        // are decodable, so never scan past that window — an unbounded
+        // indexOf would make an '&'-dense, semicolon-free adversarial
+        // page O(n^2)
+        var semi = -1
+        var k = i + 1
+        val lim = math.min(n, i + 11)
+        while (semi < 0 && k < lim) {
+          if (html.charAt(k) == ';') semi = k
+          k += 1
+        }
         val dec =
-          if (semi > i && semi - i <= 10) decodeEntity(html.substring(i + 1, semi))
+          if (semi > i) decodeEntity(html.substring(i + 1, semi))
           else null
         if (dec != null) { cur.append(dec); i = semi + 1 }
         else { cur.append(c); i += 1 }

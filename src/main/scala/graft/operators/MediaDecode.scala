@@ -904,6 +904,25 @@ object MediaDecode {
     media.mapPartitions(_.map(m => parseGif(m.payload).copy(docId = m.docId)))
   }
 
+  /** Format tag of the first "fmt " chunk in a RIFF/WAVE payload via
+    * a minimal chunk walk (-1 when absent or truncated). Bounds are
+    * checked in Long: a crafted u32 chunk length near 2^31 must
+    * quarantine, not crash the task on a negative offset. */
+  private def waveFmtTag(payload: Array[Byte]): Int = {
+    var off = 12
+    while (off + 8 <= payload.length) {
+      val isFmt = (payload(off) & 0xff) == 'f'.toInt &&
+        (payload(off + 1) & 0xff) == 'm'.toInt &&
+        (payload(off + 2) & 0xff) == 't'.toInt &&
+        (payload(off + 3) & 0xff) == ' '.toInt
+      val len = u32le(payload, off + 4)
+      if (off + 8 + len > payload.length.toLong) return -1
+      if (isFmt) return if (len >= 2) u16le(payload, off + 8).toInt else -1
+      off += 8 + len.toInt + (len.toInt & 1)
+    }
+    -1
+  }
+
   /** Sniff-and-route decode — the single entry a mixed-modality
     * corpus scan needs (p11's curate cascade): magic bytes pick the
     * parser (PNG/JPEG → [[parseImage]], RIFF-AVI → [[parseVideo]],
@@ -922,8 +941,10 @@ object MediaDecode {
     else if (tag(0, "RIFF") && tag(8, "AVI ")) parseVideo(payload)
     else if (tag(0, "RIFF") && tag(8, "WAVE")) {
       // route on the fmt tag: G.711 (7/6) → javax.sound, IMA ADPCM
-      // (0x11) → the pure-JVM predictive codec, else PCM
-      if (payload.length >= 22 && u16le(payload, 20) == 0x11L) {
+      // (0x11) → the pure-JVM predictive codec, else PCM. The tag is
+      // located by a minimal chunk walk, not a fixed byte-20 read — a
+      // conforming WAV may lead with LIST/JUNK chunks before "fmt "
+      if (waveFmtTag(payload) == 0x11) {
         val ad = AdpcmCodec.parse(payload)
         MediaStats(0L, "adpcm", ad.nSamples, ad.meanSignal, ad.rms,
           ad.peak, 0.0, 0.0, 0.0, ad.ok)

@@ -1015,6 +1015,27 @@ class PipelineSpec extends SparkSuite {
     val badIdx = good.clone()
     badIdx(good.length - 14) = 90.toByte // block header index > 88
     assert(!AdpcmCodec.parse(badIdx).ok)
+    // a crafted chunk length near 2^31 must QUARANTINE, not overflow
+    // the Int bounds check to negative and crash the task
+    def le32t(v: Long): Array[Byte] = Array((v & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 24) & 0xff).toByte)
+    val overflow = "RIFF".getBytes("US-ASCII") ++ le32t(0x7ffffff0L) ++
+      "WAVE".getBytes("US-ASCII") ++ "big ".getBytes("US-ASCII") ++
+      le32t(0x7ffffff0L) ++ Array.fill[Byte](16)(0)
+    assert(!AdpcmCodec.parse(overflow).ok)
+    assert(!MediaDecode.parseAny(overflow).ok)
+    // a conforming WAV may lead with LIST/JUNK chunks before "fmt ":
+    // both the codec's chunk walk AND parseAny's fmt-tag routing must
+    // still find the 0x11 tag (the router used to sniff byte 20)
+    val junk = "JUNK".getBytes("US-ASCII") ++ le32t(6L) ++ Array.fill[Byte](6)(0)
+    val junked = good.slice(0, 4) ++
+      le32t((good.length - 8 + junk.length).toLong) ++
+      good.slice(8, 12) ++ junk ++ good.slice(12, good.length)
+    val js = AdpcmCodec.parse(junked)
+    assert(js.ok && js.nSamples === AdpcmCodec.parse(good).nSamples)
+    val routed = MediaDecode.parseAny(junked)
+    assert(routed.ok && routed.container === "adpcm")
     // batch operator: every row earns matches_plant through the wire
     val mm20 = SparkEntry.queries("mm20_adpcm_decode")(spark, sf)
     assert(mm20.count() === Tables.documents(spark, sf).count())

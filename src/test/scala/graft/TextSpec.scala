@@ -166,6 +166,26 @@ class TextSpec extends SparkSuite {
     assert(doc.title === "T 1" && doc.text === "T 1\nbody" && doc.nBlocks === 2L)
     // invalid numeric entities pass through
     assert(Html.extract("<p>&#xZZ; &#; ok</p>").text === "&#xZZ; &#; ok")
+    // a close tag whose name is a PREFIX of the raw-text element's
+    // name must not end raw-text mode: `</scripty>` stays in the body
+    assert(Html.extract(
+      """<p>a</p><script>s = "</scripty>";</script><p>b</p>""").text === "a\nb")
+    assert(Html.extract(
+      "<p>a</p><style>/* </styled> */</style><p>b</p>").text === "a\nb")
+    // ...but whitespace/'/' after the name does close (HTML spec)
+    assert(Html.extract(
+      "<p>a</p><script>x</script ><p>b</p>").text === "a\nb")
+    // an empty title must not steal the preceding block's text
+    val et = Html.extract("<p>x</p><title></title><p>y</p>")
+    assert(et.title === "" && et.text === "x\ny")
+    val wt = Html.extract("<p>x</p><title>   </title>")
+    assert(wt.title === "" && wt.text === "x")
+    // '&'-dense page with no semicolons: bounded lookahead keeps the
+    // walk linear and the literals intact
+    val amps = "a&" * 5000
+    assert(Html.extract(s"<p>$amps</p>").text === amps)
+    // a ';' beyond the 10-char entity window is NOT an entity close
+    assert(Html.extract("<p>&verylongname; x</p>").text === "&verylongname; x")
   }
 
   test("t31 extracts the planted page to its closed form on every row") {
