@@ -34,7 +34,11 @@ object Bench {
     // beats no run, and both loadavg samples land in the diagnostics
     // so a reader can adjudicate the tail.
     val startLoad = loadavg()
-    val QuietLoad = 0.8
+    val gate = loadGate()
+    // the quiet bar is shared with tools/bench_diff.py via _gate in
+    // tools/bench_status.json — diff-side UNADJUDICATED classification
+    // must agree with the bar the re-measure itself ran under
+    val QuietLoad = gate.quiet
     val QuietWaitSecs = 180
     var waited = 0
     while (loadavg().headOption.exists(_ > QuietLoad) && waited < QuietWaitSecs) {
@@ -133,7 +137,6 @@ object Bench {
     // suppresses only the noise class, at a cost bounded by
     // 8 × (runtime of genuinely-regressed-or-noisy queries).
     val baselines = loadBaselines()
-    val gate = loadGate()
     val waivers = loadWaivers()
     val remeasured = scala.collection.mutable.ArrayBuffer[String]()
     def tripsGate(med: Double, base: Double): Boolean =
@@ -312,42 +315,46 @@ object Bench {
     // otherwise keys shrink to the operator's unique family prefix
     // ("q21_percentiles" → "q21" — SURVEY.md §2 names carry the
     // prefix, so a reader maps them back unambiguously), then values
-    // drop to MIXED precision: centiseconds below 1 s (where a
-    // 0.23→0.44 s doubling lives or dies on the 2nd decimal),
-    // deciseconds at 1 s and above (0.1 s granularity is ≤10% there
-    // and the diff gate is 2×). The r12 driver capture proved the
-    // uniform-centisecond tier sits ON the fit cliff at 172 queries
-    // (builder 1,888 chars fit; the driver's longer values didn't) —
-    // mixed precision buys ~1 char for every multi-second query, so
-    // sub-second resolution survives value-length jitter between
-    // hosts. The uniform 1-decimal tier remains only as the final
-    // fallback; a degraded-but-parseable line beats overflowing the
-    // driver's 2000-char capture (which must also hold sbt's trailing
-    // "[success]" line, ~85 chars; real budget ≈ 1915).
+    // degrade along an ADAPTIVE precision cutoff: values below the
+    // cutoff keep centiseconds (where a 0.15→0.25 s deci rounding
+    // fabricates a 2× flag), values at/above it print deciseconds
+    // (≤10–29% grain there, against a 2× gate). The r13 DRIVER
+    // capture proved the static tier list cliffs: its values were
+    // just long enough that the 0.35-cutoff tier missed the fit and
+    // the line fell all the way to uniform 1-decimal — every
+    // sub-second reading in the official artifact lost the digit the
+    // phantom-flag class lives on. The ladder replaces the cliff:
+    // walk cutoffs downward and keep the HIGHEST one that fits, so
+    // whatever budget the host's value lengths leave is always spent
+    // on the smallest readings first. The uniform 1-decimal tier
+    // remains only as the final fallback; a degraded-but-parseable
+    // line beats overflowing the driver's 2000-char capture (which
+    // must also hold sbt's trailing "[success]" line, ~85 chars;
+    // real budget ≈ 1915).
     val Fit = 1895
     val centi = (_: Double) => 2
     val deci = (_: Double) => 1
-    val mixed = (v: Double) => if (v < 1.0) 2 else 1
-    // Between mixed and the 1-decimal fallback: centiseconds only
-    // where the diff gate actually fabricates — below 0.35 s a deci
-    // reading turns 0.15→0.25 into a 2× flag (r13 closing capture:
-    // a1 0.20 and t5 0.15 quiet medians both printed as gate-tripping
-    // deci values at 179 queries), while at 0.35 s+ the 0.1 s grain
-    // is ≤29% and the gate is 2×. Costs ~1 char per tiny query
-    // instead of ~1 per sub-second query, so it fits past the point
-    // where `mixed` overflows.
-    val tiny = (v: Double) => if (v < 0.35) 2 else 1
+    def below(cutoff: Double) = (v: Double) => if (v < cutoff) 2 else 1
     val prefix = (k: String) => k.takeWhile(_ != '_')
     val prefixed =
       if (results.map(r => prefix(r._1)).distinct.size == results.size) prefix
       else identity[String] _ // collision ⇒ keep full names
-    val tiers = Seq(build(centi), build(centi, prefixed),
-      build(mixed, prefixed), build(tiny, prefixed), build(deci, prefixed))
-    val line = tiers.find(_.length <= Fit).getOrElse(tiers.last)
+    // Double.MaxValue = uniform centi; 1.0 = the old "mixed";
+    // 0.35 = the old "tiny"; then finer steps down to uniform deci.
+    val cutoffs = Seq(Double.MaxValue, 1.0, 0.75, 0.5, 0.35, 0.25, 0.15)
+    val tiers = Seq(build(centi) -> "full-centi") ++
+      cutoffs.map(c => build(below(c), prefixed) -> s"centi<${c}") :+
+      (build(deci, prefixed) -> "deci")
+    val (line, fitTier) = tiers.find(_._1.length <= Fit).getOrElse(tiers.last)
     // start_loadavg is the EXTERNAL load (sampled before any Spark
     // work); end_loadavg is dominated by this bench's own threads.
+    // unquiet = re-measures that ran above the quiet bar after the
+    // wait budget expired: their "held/cleared" outcome is NOT
+    // adjudication evidence (tools/bench_diff.py reads the @loadavg
+    // from this tail and classifies such flags UNADJUDICATED).
+    val unquiet = remeasured.count(_.split('@').last.toDouble > QuietLoad)
     System.err.println(
-      s"bench diagnostics: line=${line.length} chars, start_loadavg=${startLoad.mkString(",")}, end_loadavg=${loadavg().mkString(",")}, quiet_wait=${waited}s, runs=$Runs, widened=$widened, baselines=${baselines.size}, remeasured=[${remeasured.mkString(",")}], stat=median")
+      s"bench diagnostics: line=${line.length} chars, fit=$fitTier, start_loadavg=${startLoad.mkString(",")}, end_loadavg=${loadavg().mkString(",")}, quiet_wait=${waited}s, runs=$Runs, widened=$widened, baselines=${baselines.size}, remeasured=[${remeasured.mkString(",")}], unquiet=$unquiet, stat=median")
     if (line.length > 1915)
       System.err.println(s"ERROR bench line ${line.length} chars EXCEEDS the ~1915-char capture budget — the driver will record parsed=null")
     spark.stop()
@@ -431,7 +438,8 @@ object Bench {
     * optional `_gate` object in tools/bench_status.json so the two
     * definitions cannot drift apart silently (they were previously
     * duplicated literals). Defaults are the historical values. */
-  private case class Gate(thresh: Double, minNew: Double, ratio: Double, floor: Double)
+  private case class Gate(thresh: Double, minNew: Double, ratio: Double,
+                          floor: Double, quiet: Double)
   private def statusRoot(): Option[com.fasterxml.jackson.databind.JsonNode] =
     try {
       val repo = new java.io.File(sys.env.getOrElse("SPARK_GRAFT_REPO",
@@ -441,11 +449,11 @@ object Bench {
       else Some(new com.fasterxml.jackson.databind.ObjectMapper().readTree(f))
     } catch { case _: Throwable => None }
   private def loadGate(): Gate = {
-    val d = Gate(0.1, 0.2, 2.0, 0.05)
+    val d = Gate(0.1, 0.2, 2.0, 0.05, 0.8)
     statusRoot().flatMap(r => Option(r.get("_gate"))).map { g =>
       def f(k: String, dv: Double) = if (g.has(k)) g.get(k).asDouble(dv) else dv
       Gate(f("thresh", d.thresh), f("min_new", d.minNew),
-        f("ratio", d.ratio), f("floor", d.floor))
+        f("ratio", d.ratio), f("floor", d.floor), f("quiet_load", d.quiet))
     }.getOrElse(d)
   }
 

@@ -47,13 +47,37 @@ def load_queries(path):
     raise SystemExit(f"{path}: no parseable bench line")
 
 
+def load_remeasures(path):
+    """In-capture self-adjudication re-measures, fam -> loadavg the
+    re-measure ran under, read from the bench diagnostics that land in
+    the driver artifact's tail ("remeasured=[a14_mips_lsh@1.44,...]").
+    A re-measure that ran ABOVE the quiet bar is not adjudication
+    evidence — its flag is classified UNADJUDICATED, never "held"
+    (the r13 driver capture presented loadavg-1.44 re-measures as held
+    flags). Raw bench-line files carry no diagnostics -> empty."""
+    try:
+        doc = json.loads(open(path).read())
+    except Exception:
+        return {}
+    tail = doc.get("tail", "") if isinstance(doc, dict) else ""
+    # match bare name@load pairs rather than the full "remeasured=[...]"
+    # list: the driver keeps only the LAST 2000 chars, which can cut the
+    # list's opening bracket off mid-entry (the r13 tail starts
+    # ",q22_histogram@1.44,...], stat=median"). "@" appears nowhere else
+    # in the bench output.
+    return {fam(name): float(load)
+            for name, load in re.findall(r"([A-Za-z][A-Za-z0-9_]*)@([0-9.]+)",
+                                         tail)}
+
+
 def fam(key):
     """Bench lines may carry prefix keys (q21) or full names
     (q21_percentiles) depending on the fit tier — normalize."""
     return key.split("_", 1)[0]
 
 
-GATE = {"thresh": 0.1, "min_new": 0.2, "ratio": 2.0, "floor": 0.05}
+GATE = {"thresh": 0.1, "min_new": 0.2, "ratio": 2.0, "floor": 0.05,
+        "quiet_load": 0.8}
 
 
 def load_status():
@@ -162,12 +186,27 @@ def main():
     # a pinned 0.94 s waiver does NOT cover a later 10 s regression
     waived = [k for k, n in trip
               if k in expected and n <= 1.5 * expected[k]["level"]]
-    bad = [k for k, n in trip if k not in waived]
+    # a flag whose in-capture re-measure ran ABOVE the quiet bar was
+    # never adjudicated — the 11-run median it "held" at was itself
+    # taken under load. Classify UNADJUDICATED (an open question for
+    # the manual one-query-per-JVM quiet protocol), never a held
+    # regression: the r13 driver capture presented loadavg-1.44
+    # re-measures as evidence and cost a judge round-trip.
+    remeasures = load_remeasures(new_path)
+    unadj = [k for k, n in trip if k not in waived
+             and remeasures.get(k, 0.0) > GATE["quiet_load"]]
+    bad = [k for k, n in trip if k not in waived and k not in unadj]
     if waived:
         print("\nexpected changed-code costs (level-pinned in "
               "tools/bench_status.json, not gate failures): "
               + ", ".join(f"{k} (<=1.5x {expected[k]['level']}s: "
                           f"{expected[k].get('why', '')})" for k in waived))
+    if unadj:
+        print(f"\nUNADJUDICATED (re-measured above the "
+              f"{GATE['quiet_load']} quiet bar — not evidence either "
+              f"way; rerun the 11-run one-query-per-JVM protocol on a "
+              f"quiet host): "
+              + ", ".join(f"{k}@{remeasures[k]}" for k in unadj))
     if bad:
         print(f"\nREGRESSIONS (>=2x vs last live and >=+{thresh}s): "
               f"{', '.join(bad)}")
