@@ -364,20 +364,27 @@ package object dsl {
                              sourceCol: String = "source"): DataFrame = {
       val base = df.select(col(idCol).as("doc_id"),
         col(textCol).as("text"), col(sourceCol).as("source"))
-      val segRows = graft.queries.TextOps
-        .segmentRows(base.select(col("doc_id"), col("text")))
-        .join(base.select(col("doc_id"), col("source")), "doc_id")
-      val srcDocs = base.groupBy(col("source"))
-        .agg(countDistinct(col("doc_id")).as("n_src_docs"))
-      segRows.groupBy(col("source"), col("h"))
-        .agg(countDistinct(col("doc_id")).as("df"))
-        .join(broadcast(srcDocs), "source")
-        .filter(col("df").cast("double") / col("n_src_docs") >= minShare)
+      graft.queries.TextOps.templateInventory(base, minShare)
         .withColumn("share",
           round(col("df").cast("double") / col("n_src_docs"), 6))
         .select(col("source"), lower(hex(col("h"))).as("seg_hash"),
           col("df"), col("n_src_docs"), col("share"))
     }
+
+    /** Template REMOVAL over this corpus frame (t32's kernel): mine
+      * the [[boilerplateTemplates]] inventory at `minShare`, broadcast
+      * it as one hash array per source, and strip each doc's template
+      * segments in a single map-side pass. Returns the input plus
+      * kept_text / n_segs / n_tpl_segs / n_words / n_words_kept —
+      * feed kept_text to the quality and language gates template
+      * chrome would otherwise distort. */
+    def stripTemplates(minShare: Double = 0.3,
+                       idCol: String = "doc_id",
+                       textCol: String = "text",
+                       sourceCol: String = "source"): DataFrame =
+      graft.queries.TextOps.stripTemplates(
+        df.select(col(idCol).as("doc_id"),
+          col(textCol).as("text"), col(sourceCol).as("source")), minShare)
 
     /** p12's re-index work order over this frame's (id, embedding)
       * vectors: `reEmbedded` carries the changed ids' NEW embeddings

@@ -913,26 +913,47 @@ object TextOps extends QueryPack {
     // the share threshold — template inventories are small by
     // definition at any corpus size.
     "t29_boilerplate" -> { (s, d) =>
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id"), col("text"), col("source"))
-      val base = docs.withColumn("text",
-        when(col("doc_id") % 3 =!= 2,
-          concat(lit("official notice from "), col("source"),
-            lit(" all content rights reserved worldwide daily "), col("text")))
-          .otherwise(col("text")))
-      val segRows = segmentRows(base.select(col("doc_id"), col("text")))
-        .join(base.select(col("doc_id"), col("source")), "doc_id")
-      val srcDocs = base.groupBy(col("source"))
-        .agg(countDistinct(col("doc_id")).as("n_src_docs"))
-      segRows.groupBy(col("source"), col("h"))
-        .agg(countDistinct(col("doc_id")).as("df"))
-        .join(broadcast(srcDocs), "source")
-        .filter(col("df").cast("double") / col("n_src_docs") >= 0.3)
+      templateInventory(bannerPlanted(Tables.documents(s, d)
+          .select(col("doc_id"), col("text"), col("source"))))
         .withColumn("share",
           round(col("df").cast("double") / col("n_src_docs"), 6))
         .select(col("source"), lower(hex(col("h"))).as("seg_hash"),
           col("df"), col("n_src_docs"), col("share"))
         .orderBy(col("source"), col("seg_hash"))
+    },
+
+    // Template REMOVAL (round 14) — the consumer t29's inventory was
+    // missing (the exact gap t30 closed for t20/t24: an inventory
+    // nobody applies prices nothing): strip each doc's template
+    // segments and report what the cut costs — kept/stripped word
+    // counts, the kept text's digest (proving the surviving prose
+    // byte-for-byte), and the re-scored punctuation quality, because
+    // template chrome distorts exactly the ratios the curate gates
+    // key on. Same planted corpus as t29, so the mined inventory IS
+    // t29's. Scale shape: the inventory is share-bounded (small by
+    // definition), folded to ONE array row per source and broadcast;
+    // the strip itself is a single map-side pass — each doc
+    // re-segments with t21's grammar inside an expression, drops
+    // segments whose md5 is in its source's broadcast array, and
+    // emits counts + digest. No shuffle beyond the inventory build
+    // and the output sort; text never leaves its row. The
+    // higher-order filter/transform evaluate interpreted, but the
+    // work is one md5 per 10-word window — decode-class cost, far
+    // off the hot aggregate path.
+    "t32_template_strip" -> { (s, d) =>
+      stripTemplates(bannerPlanted(Tables.documents(s, d)
+          .select(col("doc_id"), col("text"), col("source"))))
+        .withColumn("punct_kept", when(length(col("kept_text")) === 0, 0.0)
+          .otherwise((length(col("kept_text")) -
+            length(regexp_replace(col("kept_text"), "[.,!?;:]", "")))
+            .cast("double") / length(col("kept_text"))))
+        .select(col("doc_id"), col("n_segs"), col("n_tpl_segs"),
+          col("n_words_kept"),
+          (col("n_words") - col("n_words_kept")).as("n_words_stripped"),
+          when(col("n_words_kept") > 0, md5(col("kept_text").cast("binary")))
+            .as("kept_md5"),
+          round(col("punct_kept"), 6).as("punct_ratio_kept"))
+        .orderBy(col("doc_id"))
     },
 
     // Tokenizer APPLY (round 13) — the pass t20/t24 train FOR and
@@ -1209,6 +1230,75 @@ object TextOps extends QueryPack {
         s"transform(sequence(0, cast(ceil(size(w) / $SegLen.0) as int) - 1), " +
           s"i -> concat_ws(' ', slice(w, i * $SegLen + 1, $SegLen)))")).as("seg"))
       .select(col("doc_id"), Portable.md5bin(col("seg")).as("h"))
+
+  /** t29/t32's planted corpus: a 10-word (= exactly one [[SegLen]]
+    * segment, so segment alignment is identical across carriers)
+    * per-source banner prepended to 2/3 of each source's docs — the
+    * rights-notice chrome a crawler stamps on every page of one
+    * site. */
+  private[graft] def bannerPlanted(docs: DataFrame): DataFrame =
+    docs.withColumn("text",
+      when(col("doc_id") % 3 =!= 2,
+        concat(lit("official notice from "), col("source"),
+          lit(" all content rights reserved worldwide daily "), col("text")))
+        .otherwise(col("text")))
+
+  /** t29's template mining core over any (doc_id, text, source)
+    * frame: per-(source, segment) document frequency, kept when the
+    * UNROUNDED df/n_src_docs share clears [[TplShare]] (df SHARE, not
+    * raw df — a 10-doc and a 10M-doc source face the same bar).
+    * Returns (source, h, df, n_src_docs); output bounded by the
+    * share threshold, so template inventories are broadcast-sized at
+    * any corpus size. Shared by t29 (the audit), t32 (the strip) and
+    * p13's crawl cascade (per-host chrome removal). */
+  private[graft] def templateInventory(base: DataFrame,
+                                       minShare: Double = TplShare): DataFrame = {
+    val segRows = segmentRows(base.select(col("doc_id"), col("text")))
+      .join(base.select(col("doc_id"), col("source")), "doc_id")
+    val srcDocs = base.groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("n_src_docs"))
+    segRows.groupBy(col("source"), col("h"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .join(broadcast(srcDocs), "source")
+      .filter(col("df").cast("double") / col("n_src_docs") >= minShare)
+  }
+
+  /** t32's strip kernel over any (doc_id, text, source) frame: the
+    * share-bounded inventory folds to one hash-array row per source,
+    * broadcasts, and each doc drops its template segments in a single
+    * map-side expression pass (text never leaves its row). Returns
+    * the input columns plus kept_text / n_segs / n_tpl_segs /
+    * n_words / n_words_kept. Shared by t32 (the audit form) and
+    * p13's crawl cascade (per-host chrome removal before the
+    * language gate). */
+  private[graft] def stripTemplates(base: DataFrame,
+                                    minShare: Double = TplShare): DataFrame = {
+    val tplBySrc = templateInventory(base, minShare)
+      .groupBy(col("source"))
+      .agg(collect_list(lower(hex(col("h")))).as("tpl"))
+    base
+      .join(broadcast(tplBySrc), Seq("source"), "left")
+      .withColumn("tpl", coalesce(col("tpl"),
+        array().cast("array<string>")))
+      .withColumn("w", Portable.words(col("text")))
+      .withColumn("segs", when(size(col("w")) === 0,
+        array().cast("array<string>")).otherwise(expr(
+        s"transform(sequence(0, cast(ceil(size(w) / $SegLen.0) as int) - 1), " +
+          s"i -> concat_ws(' ', slice(w, i * $SegLen + 1, $SegLen)))")))
+      .withColumn("kept", expr("filter(segs, x -> NOT array_contains(tpl, md5(x)))"))
+      .withColumn("kept_text", concat_ws(" ", col("kept")))
+      .withColumn("n_segs", size(col("segs")).cast("long"))
+      .withColumn("n_tpl_segs",
+        (size(col("segs")) - size(col("kept"))).cast("long"))
+      .withColumn("n_words", size(col("w")).cast("long"))
+      .withColumn("n_words_kept", when(length(col("kept_text")) === 0, 0L)
+        .otherwise(size(split(col("kept_text"), " ")).cast("long")))
+      .drop("tpl", "w", "segs", "kept")
+  }
+
+  /** t29/t32/p13: a segment is a template when it appears in at least
+    * this share of its source's docs. */
+  private[graft] val TplShare = 0.3
 
   /** t22: Count-Min grid geometry — depth 4 (independent salted
     * hashes) × width 512 counters; error scales as total/width per
@@ -2007,6 +2097,69 @@ object TextOps extends QueryPack {
          |FROM perseg JOIN src USING (source)
          |WHERE df::DOUBLE / n_src_docs >= 0.3
          |ORDER BY source, seg_hash""".stripMargin,
+
+    // t32: t29's mining CTEs verbatim, then the strip — kept text is
+    // the non-template segments re-joined in position order (ORDER BY
+    // i inside string_agg; the CASE's missing ELSE yields NULLs that
+    // the aggregate skips), and its md5 must equal the Spark side's
+    // digest of the expression-filtered segment array. Empty and
+    // fully-stripped docs come back via the LEFT JOIN with zero
+    // counts and a NULL digest.
+    "t32_template_strip" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, source,
+         |    CASE WHEN doc_id % 3 <> 2
+         |      THEN 'official notice from ' || source ||
+         |        ' all content rights reserved worldwide daily ' || text
+         |      ELSE text END AS text
+         |  FROM documents),
+         |words AS (
+         |  SELECT doc_id, source,
+         |    CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+         |      ELSE regexp_split_to_array(trim(text), '\\s+') END AS w
+         |  FROM base),
+         |segs AS (
+         |  SELECT doc_id, source, i,
+         |    array_to_string(w[i*$SegLen+1 : i*$SegLen+$SegLen], ' ') AS seg,
+         |    md5(array_to_string(w[i*$SegLen+1 : i*$SegLen+$SegLen], ' ')) AS h
+         |  FROM words,
+         |    unnest(generate_series(0, CAST(ceil(len(w) / $SegLen.0) AS INT) - 1)) AS t(i)
+         |  WHERE len(w) > 0),
+         |perseg AS (
+         |  SELECT source, h, count(DISTINCT doc_id) AS df
+         |  FROM segs GROUP BY 1, 2),
+         |src AS (
+         |  SELECT source, count(DISTINCT doc_id) AS n_src_docs
+         |  FROM base GROUP BY 1),
+         |tpl AS (
+         |  SELECT source, h FROM perseg JOIN src USING (source)
+         |  WHERE df::DOUBLE / n_src_docs >= 0.3),
+         |agg AS (
+         |  SELECT s.doc_id,
+         |    count(*)::BIGINT AS n_segs,
+         |    CAST(sum(CASE WHEN t.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_tpl_segs,
+         |    string_agg(CASE WHEN t.h IS NULL THEN s.seg END, ' ' ORDER BY s.i)
+         |      AS kept_text
+         |  FROM segs s LEFT JOIN tpl t ON s.source = t.source AND s.h = t.h
+         |  GROUP BY s.doc_id)
+         |SELECT w.doc_id,
+         |  COALESCE(a.n_segs, 0)::BIGINT AS n_segs,
+         |  COALESCE(a.n_tpl_segs, 0)::BIGINT AS n_tpl_segs,
+         |  CASE WHEN a.kept_text IS NULL OR a.kept_text = '' THEN 0
+         |    ELSE len(regexp_split_to_array(a.kept_text, ' ')) END::BIGINT
+         |    AS n_words_kept,
+         |  (len(w.w) - CASE WHEN a.kept_text IS NULL OR a.kept_text = '' THEN 0
+         |    ELSE len(regexp_split_to_array(a.kept_text, ' ')) END)::BIGINT
+         |    AS n_words_stripped,
+         |  CASE WHEN a.kept_text IS NOT NULL AND a.kept_text <> ''
+         |    THEN md5(a.kept_text) END AS kept_md5,
+         |  round(CASE WHEN a.kept_text IS NULL OR a.kept_text = '' THEN 0.0
+         |    ELSE (length(a.kept_text) -
+         |      length(regexp_replace(a.kept_text, '[.,!?;:]', '', 'g')))::DOUBLE
+         |      / length(a.kept_text) END, 6) AS punct_ratio_kept
+         |FROM words w LEFT JOIN agg a USING (doc_id)
+         |ORDER BY w.doc_id""".stripMargin,
 
     // t30: t24's oracle structure carried per occurrence with doc_id,
     // then rolled up per doc. The merge derivation is occurrence-

@@ -554,6 +554,44 @@ class CurationSpec extends SparkSuite {
       out.head.getLong(2) === 2L && out.head.getLong(3) === 3L)
   }
 
+  test("t32 strips exactly the planted banners; surviving prose is byte-identical") {
+    val t32 = SparkEntry.queries("t32_template_strip")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        concat_ws(" ", graft.functions.Portable.words(col("text"))).as("norm"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(docs.nonEmpty && t32.size === docs.length)
+    var exactCarriers = 0
+    docs.foreach { case (id, norm) =>
+      val row = t32(id)
+      val nTpl = row.getLong(2)
+      if (id % 3 != 2) {
+        // banner carrier: the 10-word banner is one aligned segment
+        // and its df share (2/3) always clears the bar, so at least
+        // it strips — natural per-source repeats may strip more
+        assert(nTpl >= 1L, s"doc $id kept its banner")
+        assert(row.getLong(4) >= 10L) // n_words_stripped
+        if (nTpl == 1L && norm.nonEmpty) {
+          // ONLY the banner stripped: the surviving prose must be the
+          // original text byte-for-byte (normalized word join)
+          assert(row.getString(5) === md5hex(norm), s"doc $id prose changed")
+          exactCarriers += 1
+        }
+      } else if (nTpl == 0L && norm.nonEmpty) {
+        // no template hit: the doc passes through untouched
+        assert(row.getString(5) === md5hex(norm))
+        assert(row.getLong(4) === 0L)
+      }
+    }
+    // the byte-for-byte branch must actually exercise (most carriers
+    // strip exactly the banner at corpus source sizes)
+    assert(exactCarriers > docs.count(_._1 % 3 != 2) / 2)
+  }
+
   test("d17 bottom-k anchors recall the planted truncations as pure containment") {
     val rows = SparkEntry.queries("d17_containment")(spark, sf).collect()
     // planted: every 9th doc with >= 8 words re-uploaded as its first
