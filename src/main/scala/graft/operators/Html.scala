@@ -207,6 +207,16 @@ object Html {
         s"x${java.lang.Math.floorMod(docId * 3 + j, 10L)}!!!"
       }.mkString(" ")
       case 1L => crawlTokens((docId - 1L) / 22L * 22L + 1L)
+      // the THIN class (round 14): 15 content words — too short on
+      // its own, but the 10-word site banner inflates the raw count
+      // past the 20-word floor. Only template removal before the
+      // length gate catches it: keep without the strip, too_short
+      // with it — the disposition shift that proves the strip stage
+      // is load-bearing, not decorative.
+      case 4L => (s"u$docId" +: (1 until 15).map { j =>
+        val num = java.lang.Math.floorMod(docId * 3 + j * 7, 40L)
+        f"c$num%02d"
+      }).mkString(" ")
       case _  => crawlTokens(docId)
     }
   }
@@ -220,13 +230,34 @@ object Html {
       f"c$num%02d"
     }).mkString(" ")
 
-  /** The crawl page: constant chrome (so dedup keys on content), the
-    * class paragraph, plus a script decoy and comment to keep the
-    * extraction honest. Extracted closed form: `Crawl\nPage\n<para>`. */
+  /** The page's URL-group key: class-2 docs (id ≡ 2 mod 11) are
+    * re-crawls of doc id-2's page (always class 0) under a different
+    * URL spelling — same canonical URL, so the url-dedup gate must
+    * collapse them. Everyone else owns their page. */
+  def crawlPageKey(id: Long): Long =
+    if (java.lang.Math.floorMod(id, 11L) == 2L) id - 2L else id
+
+  /** The per-HOST site banner (round 14): exactly 10 words — one
+    * aligned t21 segment — stamped on every page a host serves, the
+    * chrome a per-source template miner must name and the strip stage
+    * must remove before the language/length gates (it carries an
+    * English stopword and inflates word counts). The host index is
+    * the page key's, so a re-crawl carries its canonical host's
+    * banner. */
+  def crawlBanner(docId: Long): String =
+    s"all pages on site${java.lang.Math.floorMod(crawlPageKey(docId), 5L)} " +
+      "are served with cookies and tracking"
+
+  /** The crawl page: per-host banner chrome (so dedup must key on
+    * template-STRIPPED content), the class paragraph, plus a script
+    * decoy and comment to keep the extraction honest. Extracted
+    * closed form: `<banner>\nPage\n<para>` — the banner is words
+    * 0..9, segment-aligned. */
   def crawlHtml(docId: Long): String =
-    "<html><head><title>Crawl</title>" +
+    "<html><head>" +
       "<script>var t = \"<p>decoy</p>\";</script></head>\n" +
       "<body><!-- chrome <div>skip</div> -->\n" +
+      s"<div>${crawlBanner(docId)}</div>\n" +
       "<h1>Page</h1>\n" +
       s"<p>${crawlPara(docId)}</p>\n" +
       "</body></html>\n"

@@ -55,14 +55,19 @@ object Warc {
     warcBytes(docId, plantedBody(docId), "text/plain")
 
   /** The general member builder: any body, any declared MIME type —
-    * mm19 plants text/plain, p13's crawl members carry text/html. */
-  def warcBytes(docId: Long, body: String, contentType: String): Array[Byte] = {
+    * mm19 plants text/plain, p13's crawl members carry text/html.
+    * `targetUri` defaults to the historical per-doc URI; p13's crawl
+    * members pass [[crawlUri]]'s spelling variants. */
+  def warcBytes(docId: Long, body: String, contentType: String,
+                targetUri: String = null): Array[Byte] = {
+    val uri =
+      if (targetUri == null) s"https://example.com/doc/$docId" else targetUri
     val http = "HTTP/1.1 200 OK" + CRLF +
       s"Content-Type: $contentType" + CRLF + CRLF + body
     val record = "WARC/1.0" + CRLF +
       "WARC-Type: response" + CRLF +
       s"WARC-Record-ID: <urn:uuid:00000000-0000-0000-0000-${"%012d".format(docId)}>" + CRLF +
-      s"WARC-Target-URI: https://example.com/doc/$docId" + CRLF +
+      s"WARC-Target-URI: $uri" + CRLF +
       "Content-Type: application/http; msgtype=response" + CRLF +
       s"Content-Length: ${http.getBytes("UTF-8").length}" + CRLF +
       CRLF + http + CRLF + CRLF
@@ -72,11 +77,14 @@ object Warc {
     bos.toByteArray
   }
 
-  /** One decoded WARC member: record type, declared length, the HTTP
-    * response body — or ok=false with a best-effort type on any wire
-    * failure (bad gzip CRC, grammar, length lie, framing). */
+  /** One decoded WARC member: record type, declared length, the
+    * WARC-Target-URI header (the url-dedup key a crawl pipeline
+    * canonicalizes FIRST), the HTTP response body — or ok=false with
+    * a best-effort type on any wire failure (bad gzip CRC, grammar,
+    * length lie, framing). */
   final case class WarcDoc(warcType: String, contentLength: Long,
-                           body: String, ok: Boolean)
+                           body: String, ok: Boolean,
+                           targetUri: String = "")
 
   /** Decode one gzipped WARC member to its HTTP body, trusting only
     * the bytes. The grammar/integrity core shared by mm19's stats
@@ -124,7 +132,8 @@ object Warc {
     val httpEnd = block.indexOf(CRLF + CRLF)
     if (!block.startsWith("HTTP/1.1") || httpEnd < 0)
       return none.copy(warcType = warcType)
-    WarcDoc(warcType, declaredLen, block.substring(httpEnd + 4), true)
+    WarcDoc(warcType, declaredLen, block.substring(httpEnd + 4), true,
+      headers.getOrElse("WARC-Target-URI", ""))
   }
 
   /** Decode one gzipped WARC member to mm19's ingestion-stats row. */
@@ -147,14 +156,37 @@ object Warc {
     media.mapPartitions(_.map(m => parseWarc(m.payload).copy(docId = m.docId)))
   }
 
+  /** The raw WARC-Target-URI spelling for crawl doc `id` (round 14):
+    * every page's canonical identity is
+    * `site<pageKey%5>.example.com/page/<pageKey>`, but the header
+    * carries it in one of four spellings (scheme case, www, query
+    * string, fragment, trailing slash) by id, and a class-2 re-crawl
+    * spells its partner's URL in yet another variant — so only REAL
+    * canonicalization (d7's kernel), never raw string equality,
+    * collapses the url-duplicate groups. */
+  def crawlUri(id: Long): String = {
+    val pageKey = Html.crawlPageKey(id)
+    val host = s"site${java.lang.Math.floorMod(pageKey, 5L)}.example.com"
+    val path = s"/page/$pageKey"
+    if (java.lang.Math.floorMod(id, 11L) == 2L)
+      "HTTP://WWW." + (host + path).toUpperCase + "/?b=2&a=1"
+    else java.lang.Math.floorMod(id, 4L) match {
+      case 0L => "https://www." + host + path
+      case 1L => "http://" + host + path + "/"
+      case 2L => "HTTPS://" + (host + path).toUpperCase + "?utm_source=feed"
+      case _  => "https://" + host + path + "#frag"
+    }
+  }
+
   /** The crawl-curate corpus plant (p13): one .warc.gz member whose
-    * HTTP body is [[Html.crawlHtml]]'s class-engineered page — and
-    * for id ≡ 7 (mod 11) a bit flipped mid-member, so the DEFLATE
-    * stream or its CRC-32 trailer breaks and the decode gate fires.
-    * ONE definition shared by the batch query, the live
-    * crawlCurateStream spec, and the bench throughput leg. */
+    * HTTP body is [[Html.crawlHtml]]'s class-engineered page, whose
+    * WARC-Target-URI is [[crawlUri]]'s spelling variant — and for
+    * id ≡ 7 (mod 11) a bit flipped mid-member, so the DEFLATE stream
+    * or its CRC-32 trailer breaks and the decode gate fires. ONE
+    * definition shared by the batch query, the live crawlCurateStream
+    * spec, and the bench throughput leg. */
   def plantedCrawlBytes(id: Long): Array[Byte] = {
-    val wire = warcBytes(id, Html.crawlHtml(id), "text/html")
+    val wire = warcBytes(id, Html.crawlHtml(id), "text/html", crawlUri(id))
     if (java.lang.Math.floorMod(id, 11L) == 7L)
       wire(wire.length - 5) = (wire(wire.length - 5) ^ 0x41).toByte
     wire

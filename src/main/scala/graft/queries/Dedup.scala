@@ -31,6 +31,19 @@ object Dedup extends QueryPack {
   private[graft] val BloomBits = 1024L
   private[graft] val BloomK = 4
 
+  /** d7's URL canonicalizer: lowercase, strip scheme + www, drop
+    * query/fragment, drop the trailing slash. The one kernel every
+    * url-dedup consumer shares (d7's audit, p13's crawl url gate) so
+    * the definition of "same page" can never fork. Map-side regex
+    * work; canonical keys hash to 16-byte digests before any
+    * shuffle. */
+  private[graft] def urlNorm(url: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(lower(url), "^https?://(www\\.)?", ""),
+        "[?#].*$", ""),
+      "/$", "")
+
   /** d19: the k seeded bit positions of a content digest `h`. */
   private[graft] def bloomPositions(h: Column): Column =
     array((0 until BloomK).map(i =>
@@ -263,12 +276,7 @@ object Dedup extends QueryPack {
         .otherwise(
           concat(lit("https://"), col("source"), lit(".example.com/docs/"), pmod(col("doc_id"), lit(50L)), lit("#frag"))))
       urled
-        .withColumn("url_norm",
-          regexp_replace(
-            regexp_replace(
-              regexp_replace(lower(col("url")), "^https?://(www\\.)?", ""),
-              "[?#].*$", ""),
-            "/$", ""))
+        .withColumn("url_norm", Dedup.urlNorm(col("url")))
         .groupBy(col("url_norm"))
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
         .filter(col("n_copies") > 1)

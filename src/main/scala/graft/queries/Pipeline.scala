@@ -531,28 +531,37 @@ object Pipeline extends QueryPack {
         .orderBy(col("cell"))
     },
 
-    // The CRAWL curate cascade (round 13) — the full CommonCrawl-
-    // shaped ingestion this library's pieces were built for, composed
-    // end-to-end over REAL wires: each doc arrives as one member of a
-    // .warc.gz (mm19's genuine DEFLATE + WARC/1.0 + HTTP framing),
-    // the body is a genuine HTML page (t31's state-machine extractor
-    // strips it — script decoys, comments, entities and all), and the
-    // extracted text runs the text-curate gates in production order:
-    // wire integrity (bad gzip CRC → decode_fail), language ID (t1's
-    // stopword scorer, target en → non_target_lang), length floor
-    // (< 20 words → too_short), punctuation quality (t2's ratio >
-    // 0.2 → low_quality), exact content dedup (d1's digest, min doc
-    // wins → duplicate), else keep. Disposition = FIRST catching
-    // gate (p7's rule). Every class is engineered (id mod 11) so
-    // every disposition fires; page chrome is constant so dedup keys
-    // on content, as a boilerplate-aware pipeline would. The oracle
-    // rebuilds the extracted text closed-form and re-runs the SAME
-    // gate arithmetic including the dedup window — the whole
-    // compress → inflate → parse → extract → gate chain must agree
-    // row for row. Scale shape: one encode+decode+extract map pass
-    // (markup never shuffles), gates are map-side expressions, the
-    // only shuffles are the dedup window's 16-byte-digest hash
-    // partition and the output sort.
+    // The CRAWL curate cascade (round 13; deepened round 14) — the
+    // full CommonCrawl-shaped ingestion this library's pieces were
+    // built for, composed end-to-end over REAL wires: each doc
+    // arrives as one member of a .warc.gz (mm19's genuine DEFLATE +
+    // WARC/1.0 + HTTP framing, now with per-id WARC-Target-URI
+    // spelling variants), the body is a genuine HTML page (t31's
+    // state-machine extractor strips it — script decoys, comments,
+    // entities and all) carrying its host's 10-word banner chrome.
+    // The cascade runs in production order: wire integrity (bad gzip
+    // CRC → decode_fail), per-host template removal (t29's miner +
+    // t32's strip kernel, host = canonical URL host — the banner
+    // inflates word counts past the length floor and feeds stopwords
+    // to the language scorer, so gates must judge the PROSE), then
+    // the gates on the stripped text: language ID (t1's stopword
+    // scorer, target en → non_target_lang), length floor (< 20 words
+    // → too_short; the engineered THIN class only fails it after the
+    // strip), punctuation quality (t2's ratio > 0.2 → low_quality),
+    // canonical-URL dedup (d7's canonicalizer over the header URI,
+    // min doc wins → url_duplicate — a crawl pipeline dedups on URL
+    // FIRST), exact content dedup (d1's digest of the STRIPPED text,
+    // min doc wins → duplicate — host-banner chrome no longer splits
+    // content groups), else keep. Disposition = FIRST catching gate
+    // (p7's rule). Every class is engineered (id mod 11) so every
+    // disposition fires. The oracle rebuilds the extracted text,
+    // URI spellings and canonicalization closed-form and re-runs the
+    // SAME arithmetic — mining, strip, gates, both dedup windows.
+    // Scale shape: one encode+decode+extract map pass (markup never
+    // shuffles), the share-bounded inventory broadcasts, gates are
+    // map-side expressions, and the only shuffles are the miner's
+    // (host, digest) aggregation, the two dedup windows' 16-byte
+    // digest hash partitions, and the output sort.
     "p13_crawl_curate" -> { (s, d) =>
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
@@ -560,10 +569,14 @@ object Pipeline extends QueryPack {
         .as[Long]
         .mapPartitions(_.map(id =>
           (id, graft.operators.Warc.plantedCrawlBytes(id)))))
-      val scored = crawlGates(pages)
-      val minW = Window.partitionBy(col("h"))
+        .localCheckpoint() // decoded once: feeds the miner AND the gates
+      val scored = crawlGates(crawlStrip(pages, crawlInventory(pages)))
+      val uW = Window.partitionBy(col("uh"))
+      val hW = Window.partitionBy(col("h"))
       crawlCascade(
-          scored.withColumn("first_id", min(col("doc_id")).over(minW)),
+          scored.withColumn("first_uid", min(col("doc_id")).over(uW))
+            .withColumn("first_id", min(col("doc_id")).over(hW)),
+          col("doc_id") =!= col("first_uid"),
           col("doc_id") =!= col("first_id"))
         .orderBy(col("doc_id"))
     }
@@ -580,13 +593,49 @@ object Pipeline extends QueryPack {
       val doc = graft.operators.Warc.parseWarcDoc(wire)
       val text =
         if (doc.ok) graft.operators.Html.extract(doc.body).text else ""
-      (id, doc.ok, text)
-    }).toDF("doc_id", "ok", "text")
+      (id, doc.ok, doc.targetUri, text)
+    }).toDF("doc_id", "ok", "target_uri", "text")
   }
 
-  /** p13's gate features over the decoded frame: t1's language
-    * scores, the word count, t2's punctuation ratio, and the content
-    * digest the dedup stage keys on. Map-side only. */
+  /** The page's canonical HOST (registrable site), off the
+    * canonicalized URL — the `source` key the per-site template miner
+    * and strip stage group by. */
+  private[graft] def crawlHost(uri: Column): Column =
+    regexp_extract(Dedup.urlNorm(uri), "^([^/]+)", 1)
+
+  /** p13's per-host template inventory over the decoded corpus —
+    * t29's mining (TextOps.templateInventory) with the URL host as
+    * the source key, over wire-ok docs only. Published shape:
+    * (source, seg_hash). Share-bounded, so broadcast-sized at any
+    * corpus; the live stream consumes a published copy instead of
+    * re-mining per micro-batch. */
+  private[graft] def crawlInventory(decoded: DataFrame): DataFrame =
+    TextOps.templateInventory(
+        decoded.filter(col("ok"))
+          .select(col("doc_id"), col("text"),
+            crawlHost(col("target_uri")).as("source")))
+      .select(col("source"), lower(hex(col("h"))).as("seg_hash"))
+
+  /** p13's template-strip stage (t32's kernel against a given
+    * inventory): gates must judge the PROSE, not the site chrome —
+    * the banner inflates word counts past the length floor and
+    * carries stopwords into the language scores. Returns the decoded
+    * columns with `text` replaced by the stripped text. */
+  private[graft] def crawlStrip(decoded: DataFrame,
+                                inventory: DataFrame): DataFrame =
+    TextOps.stripWithInventory(
+        decoded.select(col("doc_id"), col("ok"), col("target_uri"),
+          col("text"), crawlHost(col("target_uri")).as("source")),
+        inventory)
+      .select(col("doc_id"), col("ok"), col("target_uri"),
+        col("kept_text").as("text"))
+
+  /** p13's gate features over the (template-stripped) frame: t1's
+    * language scores, the word count, t2's punctuation ratio, the
+    * content digest the content-dedup stage keys on, and the
+    * canonical-URL digest the url-dedup stage keys on (d7's
+    * canonicalizer; 16-byte digest so the url window never shuffles
+    * the string). Map-side only. */
   private[graft] def crawlGates(decoded: DataFrame): DataFrame =
     TextOps.withLangScores(decoded)
       .withColumn("n_words", size(col("w")).cast("long"))
@@ -596,18 +645,24 @@ object Pipeline extends QueryPack {
             length(regexp_replace(col("text"), "[.,!?;:]", "")))
             .cast("double") / length(col("text"))))
       .withColumn("h", Portable.md5bin(col("text")))
+      .withColumn("uh", Portable.md5bin(Dedup.urlNorm(col("target_uri"))))
 
-  /** p13's first-catching disposition cascade. The duplicate test is
-    * the caller's: the batch query passes min-doc-wins over the whole
-    * corpus; the live stream passes first-arrival (in-batch rank +
-    * durable digest store) — equal when arrivals come in id order. */
-  private[graft] def crawlCascade(scored: DataFrame, isDup: Column): DataFrame =
+  /** p13's first-catching disposition cascade. The two duplicate
+    * tests are the caller's: the batch query passes min-doc-wins over
+    * the whole corpus (url group first — a re-crawl of a kept page is
+    * a url duplicate no matter what it serves; content second); the
+    * live stream passes first-arrival (in-batch rank + durable digest
+    * stores) — equal when arrivals come in id order, group-equivalent
+    * under any order. */
+  private[graft] def crawlCascade(scored: DataFrame, isUrlDup: Column,
+                                  isDup: Column): DataFrame =
     scored
       .withColumn("disposition",
         when(!col("ok"), "decode_fail")
           .when(col("pred_lang") =!= "en", "non_target_lang")
           .when(col("n_words") < 20L, "too_short")
           .when(col("punct_ratio") > 0.2, "low_quality")
+          .when(isUrlDup, "url_duplicate")
           .when(isDup, "duplicate")
           .otherwise("keep"))
       .select(col("doc_id"), col("disposition"), col("n_words"),
@@ -1503,10 +1558,21 @@ object Pipeline extends QueryPack {
     // dedup window. Integer counts and exact string compares: the
     // only doubles are the two ratios, compared against constants
     // with engineered margins on both sides.
+    // p13: the whole wire rebuilt closed-form — class paragraph, host
+    // banner, URI spelling variant — then the SAME arithmetic re-run:
+    // d7's canonicalization chain, t29's per-host template mining
+    // (df share >= 0.3 over wire-ok docs), t32's strip (non-template
+    // segments re-joined in position order), t1/t2 gates on the
+    // stripped text, and BOTH dedup windows (canonical URL first,
+    // stripped-content digest second), min doc wins.
     "p13_crawl_curate" ->
       """WITH cls AS (SELECT doc_id, doc_id % 11 AS r FROM documents),
-        |para AS (
+        |pk AS (
         |  SELECT doc_id, r,
+        |    CASE WHEN r = 2 THEN doc_id - 2 ELSE doc_id END AS pagekey
+        |  FROM cls),
+        |para AS (
+        |  SELECT doc_id, r, pagekey,
         |    CASE
         |      WHEN r = 3 THEN array_to_string(list_transform(range(0, 24),
         |        j -> list_extract(['der','die','das','und','nicht'],
@@ -1517,23 +1583,80 @@ object Pipeline extends QueryPack {
         |      WHEN r = 1 THEN 'u' || ((doc_id - 1) // 22 * 22 + 1)::VARCHAR || ' ' ||
         |        array_to_string(list_transform(range(1, 24),
         |          j -> 'c' || lpad(((((doc_id - 1) // 22 * 22 + 1) * 3 + j * 7) % 40)::VARCHAR, 2, '0')), ' ')
+        |      WHEN r = 4 THEN 'u' || doc_id::VARCHAR || ' ' ||
+        |        array_to_string(list_transform(range(1, 15),
+        |          j -> 'c' || lpad(((doc_id * 3 + j * 7) % 40)::VARCHAR, 2, '0')), ' ')
         |      ELSE 'u' || doc_id::VARCHAR || ' ' ||
         |        array_to_string(list_transform(range(1, 24),
         |          j -> 'c' || lpad(((doc_id * 3 + j * 7) % 40)::VARCHAR, 2, '0')), ' ')
         |    END AS para
-        |  FROM cls),
+        |  FROM pk),
         |t AS (
-        |  SELECT doc_id, r, (r != 7) AS ok,
+        |  SELECT doc_id, r, pagekey, (r != 7) AS ok,
         |    CASE WHEN r = 7 THEN ''
-        |         ELSE 'Crawl' || chr(10) || 'Page' || chr(10) || para END AS ftext
+        |         ELSE 'all pages on site' || (pagekey % 5)::VARCHAR ||
+        |           ' are served with cookies and tracking' || chr(10) ||
+        |           'Page' || chr(10) || para END AS ftext,
+        |    CASE WHEN r = 7 THEN ''
+        |      ELSE CASE
+        |        WHEN r = 2 THEN 'HTTP://WWW.' || upper('site' ||
+        |          (pagekey % 5)::VARCHAR || '.example.com/page/' ||
+        |          pagekey::VARCHAR) || '/?b=2&a=1'
+        |        WHEN doc_id % 4 = 0 THEN 'https://www.site' ||
+        |          (pagekey % 5)::VARCHAR || '.example.com/page/' || pagekey::VARCHAR
+        |        WHEN doc_id % 4 = 1 THEN 'http://site' ||
+        |          (pagekey % 5)::VARCHAR || '.example.com/page/' ||
+        |          pagekey::VARCHAR || '/'
+        |        WHEN doc_id % 4 = 2 THEN 'HTTPS://' || upper('site' ||
+        |          (pagekey % 5)::VARCHAR || '.example.com/page/' ||
+        |          pagekey::VARCHAR) || '?utm_source=feed'
+        |        ELSE 'https://site' || (pagekey % 5)::VARCHAR ||
+        |          '.example.com/page/' || pagekey::VARCHAR || '#frag'
+        |      END END AS uri
         |  FROM para),
-        |feat AS (
-        |  SELECT doc_id, r, ok, ftext, md5(ftext) AS h,
+        |u AS (
+        |  SELECT *,
+        |    regexp_replace(regexp_replace(regexp_replace(lower(uri),
+        |      '^https?://(www\.)?', ''), '[?#].*$', ''), '/$', '') AS unorm
+        |  FROM t),
+        |uh AS (
+        |  SELECT *, regexp_extract(unorm, '^([^/]+)', 1) AS host FROM u),
+        |words AS (
+        |  SELECT doc_id, host, ok,
         |    CASE WHEN trim(ftext) = '' THEN []::VARCHAR[]
         |         ELSE regexp_split_to_array(trim(ftext), '\s+') END AS w
-        |  FROM t),
+        |  FROM uh),
+        |segs AS (
+        |  SELECT doc_id, host, i,
+        |    array_to_string(w[i*10+1 : i*10+10], ' ') AS seg,
+        |    md5(array_to_string(w[i*10+1 : i*10+10], ' ')) AS sh
+        |  FROM words,
+        |    unnest(generate_series(0, CAST(ceil(len(w) / 10.0) AS INT) - 1)) AS s(i)
+        |  WHERE len(w) > 0 AND ok),
+        |hostdocs AS (
+        |  SELECT host, count(DISTINCT doc_id) AS n_src_docs
+        |  FROM uh WHERE ok GROUP BY 1),
+        |tpl AS (
+        |  SELECT host, sh FROM (
+        |    SELECT host, sh, count(DISTINCT doc_id) AS df
+        |    FROM segs GROUP BY 1, 2) d
+        |  JOIN hostdocs USING (host)
+        |  WHERE df::DOUBLE / n_src_docs >= 0.3),
+        |stripped AS (
+        |  SELECT s.doc_id,
+        |    string_agg(CASE WHEN t.sh IS NULL THEN s.seg END, ' ' ORDER BY s.i)
+        |      AS kept
+        |  FROM segs s LEFT JOIN tpl t ON s.host = t.host AND s.sh = t.sh
+        |  GROUP BY s.doc_id),
+        |feat AS (
+        |  SELECT u.doc_id, u.r, u.ok, u.unorm,
+        |    COALESCE(st.kept, '') AS ktext,
+        |    md5(COALESCE(st.kept, '')) AS h,
+        |    CASE WHEN trim(COALESCE(st.kept, '')) = '' THEN []::VARCHAR[]
+        |         ELSE regexp_split_to_array(trim(COALESCE(st.kept, '')), '\s+') END AS w
+        |  FROM uh u LEFT JOIN stripped st USING (doc_id)),
         |sc AS (
-        |  SELECT doc_id, r, ok, h, len(w)::BIGINT AS n_words,
+        |  SELECT doc_id, r, ok, unorm, h, len(w)::BIGINT AS n_words,
         |    CASE WHEN len(w) = 0 THEN 0.0 ELSE len(list_filter(w,
         |      x -> list_contains(['the','a','of','and','to'], x)))::DOUBLE / len(w) END AS s_en,
         |    CASE WHEN len(w) = 0 THEN 0.0 ELSE len(list_filter(w,
@@ -1542,15 +1665,16 @@ object Pipeline extends QueryPack {
         |      x -> list_contains(['el','los','las','y','una'], x)))::DOUBLE / len(w) END AS s_es,
         |    CASE WHEN len(w) = 0 THEN 0.0 ELSE len(list_filter(w,
         |      x -> list_contains(['le','la','et','les','des'], x)))::DOUBLE / len(w) END AS s_fr,
-        |    CASE WHEN length(ftext) = 0 THEN 0.0 ELSE
-        |      (length(ftext) - length(regexp_replace(ftext, '[.,!?;:]', '', 'g')))::DOUBLE
-        |        / length(ftext) END AS punct_ratio
+        |    CASE WHEN length(ktext) = 0 THEN 0.0 ELSE
+        |      (length(ktext) - length(regexp_replace(ktext, '[.,!?;:]', '', 'g')))::DOUBLE
+        |        / length(ktext) END AS punct_ratio
         |  FROM feat),
         |pr AS (
         |  SELECT *,
         |    CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
         |         WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
         |         WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS pred_lang,
+        |    min(doc_id) OVER (PARTITION BY unorm) AS first_uid,
         |    min(doc_id) OVER (PARTITION BY h) AS first_id
         |  FROM sc)
         |SELECT doc_id,
@@ -1558,6 +1682,7 @@ object Pipeline extends QueryPack {
         |       WHEN pred_lang != 'en' THEN 'non_target_lang'
         |       WHEN n_words < 20 THEN 'too_short'
         |       WHEN punct_ratio > 0.2 THEN 'low_quality'
+        |       WHEN doc_id != first_uid THEN 'url_duplicate'
         |       WHEN doc_id != first_id THEN 'duplicate'
         |       ELSE 'keep' END AS disposition,
         |  n_words, pred_lang

@@ -1272,10 +1272,21 @@ object TextOps extends QueryPack {
     * p13's crawl cascade (per-host chrome removal before the
     * language gate). */
   private[graft] def stripTemplates(base: DataFrame,
-                                    minShare: Double = TplShare): DataFrame = {
-    val tplBySrc = templateInventory(base, minShare)
+                                    minShare: Double = TplShare): DataFrame =
+    stripWithInventory(base,
+      templateInventory(base, minShare)
+        .select(col("source"), lower(hex(col("h"))).as("seg_hash")))
+
+  /** The strip against a GIVEN (source, seg_hash) inventory — the
+    * published-artifact form: a live ingest (crawlCurateStream)
+    * consumes the inventory the last batch mining pass published,
+    * exactly like the ANN index artifact, instead of re-mining per
+    * micro-batch on a sample that can't see corpus-wide shares. */
+  private[graft] def stripWithInventory(base: DataFrame,
+                                        inventory: DataFrame): DataFrame = {
+    val tplBySrc = inventory
       .groupBy(col("source"))
-      .agg(collect_list(lower(hex(col("h")))).as("tpl"))
+      .agg(collect_list(col("seg_hash")).as("tpl"))
     base
       .join(broadcast(tplBySrc), Seq("source"), "left")
       .withColumn("tpl", coalesce(col("tpl"),

@@ -295,11 +295,18 @@ object DataPrep {
     * identical, exactly one keeper per duplicate group, same keep
     * count — spec-proved under the sharded publisher's arbitrary
     * file order).
-    * The store records every digest SEEN (gate-failed docs included:
-    * batch dedup ranks over the whole corpus, so the live form must
-    * too); writes are idempotent per micro-batch. Digests are 16
-    * bytes; markup never leaves the decode map pass. */
+    * Round 14: the decode now surfaces WARC-Target-URI, a published
+    * per-host template inventory strips site chrome before the gates
+    * (t32's kernel — mining stays a batch artifact, a micro-batch
+    * sample can't see corpus-wide df shares), and the url-dedup gate
+    * (d7's canonicalizer) runs ahead of the content gate with its own
+    * durable digest store. Both stores record every digest SEEN
+    * (gate-failed docs included: batch dedup ranks over the whole
+    * corpus, so the live form must too); writes are idempotent per
+    * micro-batch. Digests are 16 bytes; markup never leaves the
+    * decode map pass. */
   def crawlCurateStream(msgs: DataFrame, outDir: String, hStoreDir: String,
+                        uStoreDir: String, inventory: DataFrame,
                         checkpointDir: String): StreamingQuery =
     msgs.select(col("uuid").cast("long").as("doc_id"), col("payload"))
       .writeStream
@@ -308,33 +315,47 @@ object DataPrep {
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val spark = batch.sparkSession
         import spark.implicits._
+        // the template inventory is a PUBLISHED artifact (the last
+        // batch mining pass), not per-micro-batch state: a micro-batch
+        // sample cannot see corpus-wide df shares, the same
+        // built-once/served-many shape as the ANN index
         val scored = graft.queries.Pipeline.crawlGates(
-            graft.queries.Pipeline.crawlDecode(
-              batch.select(col("doc_id"), col("payload"))
-                .as[(Long, Array[Byte])]))
+            graft.queries.Pipeline.crawlStrip(
+              graft.queries.Pipeline.crawlDecode(
+                batch.select(col("doc_id"), col("payload"))
+                  .as[(Long, Array[Byte])]),
+              inventory))
           .cache()
         try {
-          val store =
-            try spark.read.parquet(hStoreDir)
-              .filter(col("micro_batch_id") =!= batchId).select(col("h"))
+          def store(dir: String, keyCol: String) =
+            try spark.read.parquet(dir)
+              .filter(col("micro_batch_id") =!= batchId).select(col(keyCol))
             catch {
               case _: org.apache.spark.sql.AnalysisException =>
                 spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
                   org.apache.spark.sql.types.StructType(Seq(
-                    org.apache.spark.sql.types.StructField("h",
+                    org.apache.spark.sql.types.StructField(keyCol,
                       org.apache.spark.sql.types.BinaryType))))
             }
-          val w = org.apache.spark.sql.expressions.Window
+          val hW = org.apache.spark.sql.expressions.Window
             .partitionBy(col("h")).orderBy(col("doc_id"))
+          val uW = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("uh")).orderBy(col("doc_id"))
           val marked = scored
-            .withColumn("rn", row_number().over(w))
-            .join(store.withColumn("seen", lit(true)).distinct(),
-              Seq("h"), "left")
+            .withColumn("rn", row_number().over(hW))
+            .withColumn("urn", row_number().over(uW))
+            .join(store(hStoreDir, "h").withColumn("seen", lit(true))
+              .distinct(), Seq("h"), "left")
+            .join(store(uStoreDir, "uh").withColumn("useen", lit(true))
+              .distinct(), Seq("uh"), "left")
           graft.queries.Pipeline.crawlCascade(marked,
+              col("urn") > 1 || col("useen").isNotNull,
               col("rn") > 1 || col("seen").isNotNull)
             .write.mode("overwrite").parquet(s"$outDir/micro_batch_id=$batchId")
           scored.select(col("h")).distinct()
             .write.mode("overwrite").parquet(s"$hStoreDir/micro_batch_id=$batchId")
+          scored.select(col("uh")).distinct()
+            .write.mode("overwrite").parquet(s"$uStoreDir/micro_batch_id=$batchId")
         } finally scored.unpersist()
       }
       .trigger(Trigger.AvailableNow())

@@ -1636,23 +1636,42 @@ class PipelineSpec extends SparkSuite {
     val rows = SparkEntry.queries("p13_crawl_curate")(spark, sf).collect()
     assert(rows.length === Tables.documents(spark, sf).count())
     val byDisp = rows.groupBy(_.getString(1)).view.mapValues(_.length).toMap
-    // every gate fires, and keep remains the majority class
+    // every gate fires, and keep remains the largest class
     val all = Seq("decode_fail", "non_target_lang", "too_short",
-      "low_quality", "duplicate", "keep")
+      "low_quality", "url_duplicate", "duplicate", "keep")
     all.foreach(d => assert(byDisp.getOrElse(d, 0) > 0, s"disposition $d never fired"))
-    assert(byDisp("keep") > rows.length / 2)
-    // the gates caught exactly their engineered classes
+    assert(byDisp("keep") === byDisp.values.max)
+    // the gates caught exactly their engineered classes. Class 4 is
+    // the strip stage's proof: 15 prose words + the 10-word banner
+    // pass the raw length floor — ONLY template removal before the
+    // gate sends it too_short
     rows.foreach { r =>
       val (id, disp) = (r.getLong(0), r.getString(1))
       java.lang.Math.floorMod(id, 11L) match {
         case 7L => assert(disp === "decode_fail", s"doc $id: $disp")
         case 3L => assert(disp === "non_target_lang", s"doc $id: $disp")
         case 5L => assert(disp === "too_short", s"doc $id: $disp")
+        case 4L => assert(disp === "too_short", s"doc $id: $disp")
         case 9L => assert(disp === "low_quality", s"doc $id: $disp")
         case 1L => assert(disp === "duplicate" || disp === "keep", s"doc $id: $disp")
+        case 2L => assert(disp === "url_duplicate", s"doc $id: $disp")
         case _  => assert(disp === "keep", s"doc $id: $disp")
       }
     }
+    // url-dup pairs resolve min-doc-wins through REAL canonicalization:
+    // the re-crawl (id ≡ 2 mod 11) spells its partner's URL with
+    // different scheme/case/www/query/slash, and only the canonical
+    // key collapses them — the partner keeps, the re-crawl drops
+    val byId = rows.map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.filter(r => java.lang.Math.floorMod(r.getLong(0), 11L) == 2L)
+      .foreach { r =>
+        assert(byId(r.getLong(0) - 2L) === "keep",
+          s"url partner of ${r.getLong(0)}")
+      }
+    // the strip-shifted class actually has its prose judged: stripped
+    // n_words is the 15 prose words + the heading, not banner-inflated
+    rows.filter(r => java.lang.Math.floorMod(r.getLong(0), 11L) == 4L)
+      .foreach(r => assert(r.getLong(2) === 16L))
     // dup pairs resolve min-doc-wins: the 22-block leader keeps, the
     // follower drops (when both exist in the corpus)
     val res1 = rows.filter(r => java.lang.Math.floorMod(r.getLong(0), 11L) == 1L)
@@ -1666,11 +1685,13 @@ class PipelineSpec extends SparkSuite {
     // language stats come from the real scorer: de docs predict de
     rows.filter(r => java.lang.Math.floorMod(r.getLong(0), 11L) == 3L)
       .foreach(r => assert(r.getString(3) === "de"))
-    // markup never shuffles: the only exchanges are the dedup
-    // window's digest hash partition and the output sort
+    // markup never shuffles: the exchanges are the template miner's
+    // (host, digest) aggregation, the two dedup windows' digest hash
+    // partitions, and the output sort — never raw text
     val plan = SparkEntry.queries("p13_crawl_curate")(spark, sf)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange hashpartitioning(text"), plan)
     assert(plan.contains("hashpartitioning(h"), plan)
+    assert(plan.contains("hashpartitioning(uh"), plan)
   }
 }

@@ -1757,9 +1757,17 @@ class StreamingSpec extends SparkSuite {
       expr("timestamp '2024-01-01 00:00:00' + make_interval(0, 0, 0, 0, 0, 0, doc_id)").as("ts"),
       map(lit("eventType"), lit("crawl")).as("headers")), topic,
       format = BinaryParquetTopic)
+    // the template inventory the stream consumes is the PUBLISHED
+    // batch artifact — mined once over the decoded corpus, exactly
+    // what the batch query mines in-query
+    val inventory = graft.queries.Pipeline.crawlInventory(
+      graft.queries.Pipeline.crawlDecode(
+        arrivals.toDF("doc_id", "payload")
+          .as[(Long, Array[Byte])])).localCheckpoint()
+    val uStore = tempDir("crawl_ustore")
     val q = DataPrep.crawlCurateStream(
       Subscriber.subscribe(spark, topic, BinaryParquetTopic, maxFilesPerTrigger = 2),
-      outDir, hStore, tempDir("ck_crawl"))
+      outDir, hStore, uStore, inventory, tempDir("ck_crawl"))
     q.awaitTermination()
     val streamed = spark.read.parquet(outDir)
       .select(col("doc_id"), col("disposition"), col("n_words"), col("pred_lang"))
@@ -1767,15 +1775,17 @@ class StreamingSpec extends SparkSuite {
       .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getString(3)))).toMap
     val batch = SparkEntry.queries("p13_crawl_curate")(spark, sf).collect()
       .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getString(3)))).toMap
-    // every GATE decision (decode / language / length / quality) and
-    // every feature is identical row for row — the sharded publisher
-    // scatters ids across files, so only the dedup CANONICALIZATION
-    // may differ: batch keeps the min id of a duplicate group, the
-    // stream keeps the first arrival. Map both to a common label and
-    // the tables must be equal.
+    // every GATE decision (decode / strip / language / length /
+    // quality) and every feature is identical row for row — the
+    // sharded publisher scatters ids across files, so only the dedup
+    // CANONICALIZATION may differ: batch keeps the min id of a
+    // url/content duplicate group, the stream keeps the first
+    // arrival. Map the dedup-stage labels to a common one and the
+    // tables must be equal.
     def canon(m: Map[Long, (String, Long, String)]) =
       m.view.mapValues { case (d, w, l) =>
-        (if (d == "duplicate") "keep_or_dup" else if (d == "keep") "keep_or_dup" else d, w, l)
+        (if (d == "duplicate" || d == "url_duplicate" || d == "keep")
+          "keep_or_dup" else d, w, l)
       }.toMap
     val diffs = (streamed.keySet ++ batch.keySet)
       .filter(k => canon(streamed).get(k) != canon(batch).get(k)).toSeq.sorted
@@ -1784,22 +1794,33 @@ class StreamingSpec extends SparkSuite {
       .mkString("; "))
     // dedup is group-EQUIVALENT under arbitrary arrival order:
     // exactly one keeper per duplicate group (the first arrival),
-    // the same groups as batch, and the same total keep count
-    val dupGroups = batch.keys
-      .filter(id => batch(id)._1 == "keep" || batch(id)._1 == "duplicate")
-      .groupBy(id => if (id % 11 == 1) (id - 1) / 22 * 22 + 1 else id)
+    // the same groups as batch, and the same per-label totals.
+    // Groups: content pairs (id ≡ 1 mod 11, same 22-block key, urls
+    // distinct) and url pairs ({id, id+2} for id ≡ 0 mod 11 when the
+    // re-crawl exists, content distinct) — disjoint by construction.
+    val dedupIds = batch.keys.filter(id => Set("keep", "duplicate",
+      "url_duplicate").contains(batch(id)._1)).toSet
+    val dupGroups = dedupIds.groupBy { id =>
+      if (id % 11 == 1) ("content", (id - 1) / 22 * 22 + 1)
+      else if (id % 11 == 2) ("url", id - 2)
+      else if (id % 11 == 0 && dedupIds.contains(id + 2)) ("url", id)
+      else ("solo", id)
+    }
     dupGroups.foreach { case (g, members) =>
       val kept = members.filter(id => streamed(id)._1 == "keep")
       assert(kept.size == 1, s"group $g kept ${kept.toSeq.sorted}")
     }
-    assert(streamed.values.count(_._1 == "keep") ===
-      batch.values.count(_._1 == "keep"))
-    assert(streamed.values.count(_._1 == "duplicate") ===
-      batch.values.count(_._1 == "duplicate"))
-    // the digest store was folded across real micro-batch boundaries
+    assert(dupGroups.keys.count(_._1 == "url") > 0)
+    Seq("keep", "duplicate", "url_duplicate").foreach { d =>
+      assert(streamed.values.count(_._1 == d) ===
+        batch.values.count(_._1 == d), s"label total $d")
+      assert(batch.values.count(_._1 == d) > 0, s"label $d never fired")
+    }
+    // both digest stores were folded across real micro-batch boundaries
     assert(spark.read.parquet(hStore)
       .select(col("micro_batch_id")).distinct().count() > 1)
-    assert(batch.values.count(_._1 == "duplicate") > 0)
+    assert(spark.read.parquet(uStore)
+      .select(col("micro_batch_id")).distinct().count() > 1)
   }
 
   test("the full live curate chain: dedup + quality + code routing + span decontam under one checkpoint") {
