@@ -68,9 +68,18 @@ object Bench {
       val sib = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
       if (sib.isDirectory && sib.getPath != new java.io.File(sfDir).getPath) sib.getPath else sfDir
     }
-    SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, warmDir).queryExecution.toRdd.count()
-      catch { case _: Throwable => () }
+    // ONLY: comma-separated substring filter (single substring is the
+    // common adjudication form; the comma list lets one JVM carry a
+    // whole scaling-checkpoint set). Warmup honors it too — warming
+    // 188 queries to adjudicate one wastes minutes per JVM.
+    val only = sys.env.getOrElse("SPARK_GRAFT_ONLY", "")
+    val onlySubs = only.split(',').filter(_.nonEmpty)
+    def selected(name: String): Boolean =
+      onlySubs.isEmpty || onlySubs.exists(name.contains)
+    SparkEntry.queries.foreach { case (name, fn) =>
+      if (selected(name))
+        try fn(spark, warmDir).queryExecution.toRdd.count()
+        catch { case _: Throwable => () }
     }
     // Per-query MEDIAN of `Runs` fresh executions: both prior driver
     // benches were polluted by background-load bursts landing on a
@@ -81,7 +90,6 @@ object Bench {
     // the median width for adjudicating a single noisy query; ONLY
     // benches the named-substring subset.
     val Runs = sys.env.get("SPARK_GRAFT_RUNS").flatMap(_.toIntOption).getOrElse(3)
-    val only = sys.env.getOrElse("SPARK_GRAFT_ONLY", "")
     // UNSTABLE readings re-measure themselves: five separate rounds
     // produced phantom >=2x per-query flags (q32, m3, m4, q42, mm6 —
     // every one re-adjudicated to normal with an 11-run median) and
@@ -109,7 +117,7 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
     val firstPass = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter(_._1.contains(only)).map { case (name, fn) =>
+      .filter(t => selected(t._1)).map { case (name, fn) =>
       val first = measure(name, fn, Runs).sorted
       val times =
         if (Runs == 3 && first.last > first.head * 2 && first(1) < 2.0) {
@@ -148,10 +156,15 @@ object Bench {
     // every capture, but 0.94 s -> 10 s is NOT covered by the waiver.
     def waived(fam: String, med: Double): Boolean =
       waivers.get(fam).exists(level => med <= 1.5 * level)
+    // self-adjudication only in driver mode (RUNS unset): an explicit
+    // RUNS is either the manual 11-run protocol (already a median) or
+    // a scaling-checkpoint run against a non-baseline SF, where every
+    // reading trips the sf0.1 gate by construction
     val needRemeasure = firstPass.filter { case (name, _, times) =>
       val med = times(times.length / 2)
       val famK = name.takeWhile(_ != '_')
-      times.length < 11 && !failed.contains(name) && !waived(famK, med) &&
+      sys.env.get("SPARK_GRAFT_RUNS").isEmpty &&
+        times.length < 11 && !failed.contains(name) && !waived(famK, med) &&
         baselines.get(famK).exists(b => tripsGate(med, b))
     }
     if (needRemeasure.nonEmpty) {
@@ -181,96 +194,103 @@ object Bench {
     }
     if (failed.nonEmpty)
       System.err.println(s"bench FAILED queries (times are stubs; add to tools/bench_status.json): ${failed.mkString(", ")}")
-    // STREAMING throughput leg (round 13): every figure above is
-    // batch; the live curate chain (publish → file-source subscribe →
-    // curateMonitored: quality gate + durable digest-store dedup +
-    // drift cells under one checkpoint) had correctness specs but no
-    // recorded rate. Drive 2× the documents table through it in
-    // bounded micro-batches and report events/sec + per-micro-batch
-    // latency to STDERR — diff these round over round next to the
-    // batch totals; the contract line keeps its exact shape. Runs
+    // STREAMING throughput legs (round 13; round 14 gives them the
+    // same protocol as queries): every figure above is batch; the
+    // live curate chains had correctness specs but no trustworthy
+    // recorded rate — a SINGLE-shot reading swung 1,608–8,554
+    // events/s with host windows, so round-over-round comparison was
+    // noise. Each leg now runs StreamRuns times, each run on a fresh
+    // topic/checkpoint under a recorded loadavg, and reports the
+    // MEDIAN rate plus the per-run (rate@loadavg) tail — the same
+    // median-plus-evidence shape the per-query protocol uses. Runs
     // only on full captures (ONLY unset — single-query adjudication
     // JVMs shouldn't pay it), after every timed run so it cannot
     // contaminate a median; failures degrade to a labeled diagnostic,
     // never a broken artifact.
-    if (only.isEmpty) System.err.println {
-      try {
-        val tmp = java.nio.file.Files.createTempDirectory("graft_stream_bench_").toString
-        val docs = Tables.documents(spark, sfDir)
-          .select(col("doc_id"), col("text"), col("source"))
-        val msgs = docs
-          .unionAll(docs.select((col("doc_id") + 1000000L).as("doc_id"),
-            col("text"), col("source"))) // re-uploads: the dedup path does real work
-          .select(col("doc_id").as("event_id"),
-            col("doc_id").cast("string").as("uuid"),
-            col("source").as("partition_key"),
-            col("text").cast("binary").as("payload"),
-            lit("doc").as("event_type"), lit(0.0).as("value"),
-            expr("timestamp '2024-01-01 00:00:00' + make_interval(0, 0, 0, 0, 0, 0, event_id % 86400)").as("ts"),
-            map(lit("eventType"), lit("doc")).as("headers"))
-        graft.streaming.Publisher.publish(msgs, s"$tmp/topic")
-        val nEvents = spark.read.parquet(s"$tmp/topic").count()
-        val t0 = System.nanoTime()
-        val q = graft.streaming.DataPrep.curateMonitored(
-          graft.streaming.Subscriber.subscribe(spark, s"$tmp/topic", maxFilesPerTrigger = 4),
-          s"$tmp/out", s"$tmp/cells", s"$tmp/hstore", s"$tmp/ck")
-        q.awaitTermination()
-        val secs = (System.nanoTime() - t0) / 1e9
-        val durs = q.recentProgress.filter(_.numInputRows > 0)
-          .map(_.durationMs.get("triggerExecution").toLong).sorted
-        val med = if (durs.nonEmpty) durs(durs.length / 2) else 0L
-        f"stream bench: events=$nEvents, wall=$secs%.2f s, rate=${nEvents / secs}%.0f events/s, micro_batches=${durs.length}, batch_ms_median=$med"
-      } catch { case e: Throwable =>
-        s"stream bench FAILED: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(160)}"
+    val StreamRuns =
+      sys.env.get("SPARK_GRAFT_STREAM_RUNS").flatMap(_.toIntOption).getOrElse(3)
+    def streamLeg(label: String)(run: String => (Long, Long)): Unit =
+      if (only.isEmpty) System.err.println {
+        try {
+          val runs = (0 until StreamRuns).map { _ =>
+            val tmp = java.nio.file.Files
+              .createTempDirectory(s"graft_${label}_bench_").toString
+            val t0 = System.nanoTime()
+            val (nEvents, batchMsMed) = run(tmp)
+            val secs = (System.nanoTime() - t0) / 1e9
+            (nEvents / secs, loadavg().headOption.getOrElse(-1.0),
+              nEvents, batchMsMed)
+          }
+          val sorted = runs.map(_._1).sorted
+          val med = sorted(sorted.length / 2)
+          val tail = runs.map(r => f"${r._1}%.0f@${r._2}%.2f").mkString(",")
+          f"$label bench: events=${runs.head._3}, rate_median=$med%.0f events/s over ${runs.length} runs, runs=[$tail], batch_ms_median=${runs.map(_._4).sorted.apply(runs.length / 2)}"
+        } catch { case e: Throwable =>
+          s"$label bench FAILED: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(160)}"
+        }
       }
+    // text leg: publish → file-source subscribe → curateMonitored
+    // (quality gate + durable digest-store dedup + drift cells under
+    // one checkpoint), re-uploads included so the dedup path works
+    streamLeg("stream") { tmp =>
+      val docs = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("text"), col("source"))
+      val msgs = docs
+        .unionAll(docs.select((col("doc_id") + 1000000L).as("doc_id"),
+          col("text"), col("source")))
+        .select(col("doc_id").as("event_id"),
+          col("doc_id").cast("string").as("uuid"),
+          col("source").as("partition_key"),
+          col("text").cast("binary").as("payload"),
+          lit("doc").as("event_type"), lit(0.0).as("value"),
+          expr("timestamp '2024-01-01 00:00:00' + make_interval(0, 0, 0, 0, 0, 0, event_id % 86400)").as("ts"),
+          map(lit("eventType"), lit("doc")).as("headers"))
+      graft.streaming.Publisher.publish(msgs, s"$tmp/topic")
+      val nEvents = spark.read.parquet(s"$tmp/topic").count()
+      val q = graft.streaming.DataPrep.curateMonitored(
+        graft.streaming.Subscriber.subscribe(spark, s"$tmp/topic", maxFilesPerTrigger = 4),
+        s"$tmp/out", s"$tmp/cells", s"$tmp/hstore", s"$tmp/ck")
+      q.awaitTermination()
+      val durs = q.recentProgress.filter(_.numInputRows > 0)
+        .map(_.durationMs.get("triggerExecution").toLong).sorted
+      (nEvents, if (durs.nonEmpty) durs(durs.length / 2) else 0L)
     }
-    // MEDIA streaming leg (round 13): the media curate live form
-    // (sniff-route-decode-gate per micro-batch over the TLV binary
-    // envelope) measured the same way — real codec bytes on the wire,
-    // so this rate prices the codec CPU a media ingest actually pays.
-    // Same rules as the text leg: stderr only, full captures only,
-    // after every timed run, degrades to a labeled diagnostic.
-    if (only.isEmpty) System.err.println {
-      try {
-        import spark.implicits._
-        val tmp = java.nio.file.Files.createTempDirectory("graft_media_bench_").toString
-        val ids = Tables.documents(spark, sfDir).select(col("doc_id"))
-        val media = ids.unionAll(ids.select((col("doc_id") + 1000000L).as("doc_id")))
-          .as[Long]
-          .mapPartitions(_.map { id =>
-            // the p11 corpus with the truncated class swapped for GIF:
-            // the throughput leg pays a real codec on EVERY member
-            val payload = (id % 7) match {
-              case 3 => graft.operators.MediaDecode.plantedGifBytes(id)
-              case _ => graft.operators.MediaDecode.plantedCurateBytes(id)
-            }
-            (id, payload)
-          })
-          .toDF("doc_id", "payload")
-          .select(col("doc_id").as("event_id"),
-            col("doc_id").cast("string").as("uuid"),
-            pmod(col("doc_id"), lit(8L)).cast("string").as("partition_key"),
-            col("payload"),
-            lit("media").as("event_type"), lit(0.0).as("value"),
-            expr("timestamp '2024-01-01 00:00:00' + make_interval(0, 0, 0, 0, 0, 0, event_id % 86400)").as("ts"),
-            map(lit("eventType"), lit("media")).as("headers"))
-        graft.streaming.Publisher.publish(media, s"$tmp/topic",
-          format = graft.streaming.BinaryParquetTopic)
-        val nEvents = spark.read.parquet(s"$tmp/topic").count()
-        val t0 = System.nanoTime()
-        val q = graft.streaming.DataPrep.mediaCurateStream(
-          graft.streaming.Subscriber.subscribe(spark, s"$tmp/topic",
-            graft.streaming.BinaryParquetTopic, maxFilesPerTrigger = 4),
-          s"$tmp/out", s"$tmp/cells", s"$tmp/ck")
-        q.awaitTermination()
-        val secs = (System.nanoTime() - t0) / 1e9
-        val durs = q.recentProgress.filter(_.numInputRows > 0)
-          .map(_.durationMs.get("triggerExecution").toLong).sorted
-        val med = if (durs.nonEmpty) durs(durs.length / 2) else 0L
-        f"media stream bench: events=$nEvents, wall=$secs%.2f s, rate=${nEvents / secs}%.0f events/s, micro_batches=${durs.length}, batch_ms_median=$med"
-      } catch { case e: Throwable =>
-        s"media stream bench FAILED: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(160)}"
-      }
+    // media leg: sniff-route-decode-gate per micro-batch over the TLV
+    // binary envelope — real codec bytes on the wire, so this rate
+    // prices the codec CPU a media ingest actually pays
+    streamLeg("media stream") { tmp =>
+      import spark.implicits._
+      val ids = Tables.documents(spark, sfDir).select(col("doc_id"))
+      val media = ids.unionAll(ids.select((col("doc_id") + 1000000L).as("doc_id")))
+        .as[Long]
+        .mapPartitions(_.map { id =>
+          // the p11 corpus with the truncated class swapped for GIF:
+          // the throughput leg pays a real codec on EVERY member
+          val payload = (id % 7) match {
+            case 3 => graft.operators.MediaDecode.plantedGifBytes(id)
+            case _ => graft.operators.MediaDecode.plantedCurateBytes(id)
+          }
+          (id, payload)
+        })
+        .toDF("doc_id", "payload")
+        .select(col("doc_id").as("event_id"),
+          col("doc_id").cast("string").as("uuid"),
+          pmod(col("doc_id"), lit(8L)).cast("string").as("partition_key"),
+          col("payload"),
+          lit("media").as("event_type"), lit(0.0).as("value"),
+          expr("timestamp '2024-01-01 00:00:00' + make_interval(0, 0, 0, 0, 0, 0, event_id % 86400)").as("ts"),
+          map(lit("eventType"), lit("media")).as("headers"))
+      graft.streaming.Publisher.publish(media, s"$tmp/topic",
+        format = graft.streaming.BinaryParquetTopic)
+      val nEvents = spark.read.parquet(s"$tmp/topic").count()
+      val q = graft.streaming.DataPrep.mediaCurateStream(
+        graft.streaming.Subscriber.subscribe(spark, s"$tmp/topic",
+          graft.streaming.BinaryParquetTopic, maxFilesPerTrigger = 4),
+        s"$tmp/out", s"$tmp/cells", s"$tmp/ck")
+      q.awaitTermination()
+      val durs = q.recentProgress.filter(_.numInputRows > 0)
+        .map(_.durationMs.get("triggerExecution").toLong).sorted
+      (nEvents, if (durs.nonEmpty) durs(durs.length / 2) else 0L)
     }
     // The driver captures only the LAST 2000 chars of this run's
     // output and parses the JSON line out of that tail. Every prior
@@ -331,11 +351,21 @@ object Bench {
     // line beats overflowing the driver's 2000-char capture (which
     // must also hold sbt's trailing "[success]" line, ~85 chars;
     // real budget ≈ 1915).
-    val Fit = 1895
+    // 2000-char capture − (sbt's trailing "[success] Total time: …"
+    // epilogue ≈ 76 chars + newlines) ≈ 1920; keep a small safety
+    // margin for epilogue length jitter. At 188 queries the uniform
+    // 1-decimal FLOOR is ~1880 chars — every per-entry byte counts,
+    // so the family prefix also compresses "mm" → "M" (the one
+    // two-char family; bench_diff.py and loadBaselines normalize the
+    // alias back).
+    val Fit = 1912
     val centi = (_: Double) => 2
     val deci = (_: Double) => 1
     def below(cutoff: Double) = (v: Double) => if (v < cutoff) 2 else 1
-    val prefix = (k: String) => k.takeWhile(_ != '_')
+    val prefix = (k: String) => {
+      val fam = k.takeWhile(_ != '_')
+      if (fam.startsWith("mm")) "M" + fam.drop(2) else fam
+    }
     val prefixed =
       if (results.map(r => prefix(r._1)).distinct.size == results.size) prefix
       else identity[String] _ // collision ⇒ keep full names
@@ -424,7 +454,10 @@ object Bench {
             val skip = broken.getOrElse(f.getName, Set.empty)
             import scala.jdk.CollectionConverters._
             qs.properties().asScala.foreach { e =>
-              val fam = e.getKey.takeWhile(_ != '_')
+              val raw = e.getKey.takeWhile(_ != '_')
+              // "M13" is the fit-compressed spelling of family "mm13"
+              val fam = if (raw.length > 1 && raw.head == 'M' &&
+                raw.tail.forall(_.isDigit)) "mm" + raw.tail else raw
               if (!skip.contains(fam)) base(fam) = e.getValue.asDouble()
             }
           }

@@ -72,8 +72,14 @@ def load_remeasures(path):
 
 def fam(key):
     """Bench lines may carry prefix keys (q21) or full names
-    (q21_percentiles) depending on the fit tier — normalize."""
-    return key.split("_", 1)[0]
+    (q21_percentiles) depending on the fit tier — normalize. "M13" is
+    the fit-compressed spelling of family "mm13" (the one two-char
+    family prefix, shortened to keep the 188-query line inside the
+    driver's 2000-char capture)."""
+    f = key.split("_", 1)[0]
+    if len(f) > 1 and f[0] == "M" and f[1:].isdigit():
+        return "mm" + f[1:]
+    return f
 
 
 GATE = {"thresh": 0.1, "min_new": 0.2, "ratio": 2.0, "floor": 0.05,
