@@ -732,9 +732,12 @@ object Dedup extends QueryPack {
         (s"${b}x$r", b.toLong, r.toLong, math.pow(1.0 / b, 1.0 / r))
       }.toDF("layout", "n_bands", "rows_per_band", "threshold")
         .withColumn("threshold", round(col("threshold"), 6))
-      broadcast(meta).join(volume, Seq("layout"), "left")
-        .join(foundIn(truthHigh, "f_high"), Seq("layout"), "left")
-        .join(foundIn(truthMid, "f_mid"), Seq("layout"), "left")
+      // hint the BUILD side: a left-outer join can only broadcast its
+      // right (non-preserved) side — hinting the preserved side is
+      // ignored with a per-analysis HintErrorLogger WARN
+      meta.join(broadcast(volume), Seq("layout"), "left")
+        .join(broadcast(foundIn(truthHigh, "f_high")), Seq("layout"), "left")
+        .join(broadcast(foundIn(truthMid, "f_mid")), Seq("layout"), "left")
         .crossJoin(broadcast(stats))
         .select(col("layout"), col("n_bands"), col("rows_per_band"),
           col("threshold"),
