@@ -160,12 +160,20 @@ object Bench {
     // RUNS is either the manual 11-run protocol (already a median) or
     // a scaling-checkpoint run against a non-baseline SF, where every
     // reading trips the sf0.1 gate by construction
+    // The trip test ALSO checks the 1-decimal ROUNDING of the median:
+    // the diff gate downstream reads the printed line, and on the
+    // deci tier a 1.15 s median prints as 1.2 — tripping a 0.6 s
+    // baseline's 2x gate even though the unrounded value doesn't
+    // (the r14 m10 case: first-pass median just under the gate, the
+    // printed value over it, no self-adjudication, one judge
+    // round-trip). A boundary median now re-measures too.
     val needRemeasure = firstPass.filter { case (name, _, times) =>
       val med = times(times.length / 2)
+      val deciMed = math.round(med * 10.0) / 10.0
       val famK = name.takeWhile(_ != '_')
       sys.env.get("SPARK_GRAFT_RUNS").isEmpty &&
         times.length < 11 && !failed.contains(name) && !waived(famK, med) &&
-        baselines.get(famK).exists(b => tripsGate(med, b))
+        baselines.get(famK).exists(b => tripsGate(med, b) || tripsGate(deciMed, b))
     }
     if (needRemeasure.nonEmpty) {
       // TRUE quiet-wait before the adjudication pass (r12 lesson: the
