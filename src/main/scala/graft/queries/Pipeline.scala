@@ -131,15 +131,22 @@ object Pipeline extends QueryPack {
         .select(Portable.md5bin(Portable.normText(col("text"))).as("h")).distinct()
         .withColumn("in_corpus", lit(true))
       val wFirst = Window.partitionBy(col("h")).orderBy(col("doc_id"))
-      val statused = batch
-        .withColumn("h", Portable.md5bin(Portable.normText(col("text"))))
+      // quality features and the digest are computed MAP-SIDE and the
+      // text dropped BEFORE the first-arrival window: the round-14
+      // plan-discipline sweep caught this exchange carrying text# as
+      // a rider column (the manual audits only ever grepped for text
+      // as the shuffle KEY) — at corpus scale that shuffles every
+      // byte of the batch on the digest key for no reason
+      val statused = withQuality(batch
+          .withColumn("h", Portable.md5bin(Portable.normText(col("text")))))
+        .drop("text")
         .withColumn("rn", row_number().over(wFirst))
         .join(broadcast(corpusDigests), Seq("h"), "left")
         .withColumn("status",
           when(col("in_corpus"), "dup_of_corpus")
             .when(col("rn") > 1, "dup_in_batch")
             .otherwise("ingested"))
-      withQuality(statused)
+      statused
         .withColumn("curated", col("status") === "ingested" && col("quality") >= 0.5)
         .agg(
           count(lit(1)).as("n_received"),
