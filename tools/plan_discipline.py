@@ -23,9 +23,15 @@ import re, sys
 
 # Column-name stems that mean raw document/payload bytes. Digest
 # columns (h, uh, sig, fingerprint), counts and scores are fine;
-# these are the ones that must never cross an exchange.
+# these are the ones that must never cross a MID-PLAN shuffle
+# (hashpartitioning). The final output sort (rangepartitioning) is
+# exempt: it carries whatever the operator's contract emits — m1's
+# envelope, mm2's sampled frame — and that IS the output, not a
+# rider. The p4 catch was exactly this class: text# riding a
+# hashpartitioning digest window it contributed nothing to.
 HEAVY = re.compile(
-    r"\b(text|payload|body|wire|html|kept_text|markup|uri|url)#", re.I)
+    r"\b(text|payload|payload_str|body|wire|html|kept_text|markup|"
+    r"envelope|frame_b64|uri|url)#", re.I)
 # Column stems that are *allowed* despite matching broadly above —
 # none today; extend with care.
 ALLOWED = re.compile(r"\b(url_norm_digest)#", re.I)
@@ -63,6 +69,11 @@ def main(path):
                 continue  # broadcasts are dim/digest-sized by design review
             inp = re.search(r"Input \[\d+\]: \[(.*?)\]", block, re.S)
             if not inp:
+                continue
+            # only mid-plan shuffles: the output rangepartitioning sort
+            # carries the operator's contract columns by definition
+            arg = re.search(r"Arguments: (\w+)", block)
+            if not arg or arg.group(1) != "hashpartitioning":
                 continue
             cols = inp.group(1)
             hit = HEAVY.search(cols)
