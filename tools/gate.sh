@@ -27,9 +27,17 @@ for d in dict.fromkeys(['/root/testdata/sf0.01',
 EOF
 
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32} \
-  sbt "test" "runMain graft.Verify /root/testdata/sf0.01 /tmp/gate_v01" "runMain graft.Bench" \
+  sbt "test" "runMain graft.Verify /root/testdata/sf0.01 /tmp/gate_v01" \
+      "runMain graft.Explain /root/testdata/sf0.001 /tmp/gate_plans.md" \
+      "runMain graft.Bench" \
   | tee /tmp/gate_out.txt
 python3 tools/compare.py /root/testdata/sf0.01 /tmp/gate_v01
+
+# Plan-discipline sweep over the plans as BUILT (not the committed
+# PLANS.md, which may lag the code): no mid-plan shuffle may carry a
+# raw text/payload/url column, no undeclared cartesian/BNLJ. This is
+# the check that caught p4 shuffling text as a window rider in r14.
+python3 tools/plan_discipline.py /tmp/gate_plans.md
 
 # Regression watch: diff this run's bench line against the most recent
 # LIVE reading per query across ALL driver-recorded rounds (>=2x
