@@ -77,9 +77,20 @@ object Bench {
     def selected(name: String): Boolean =
       onlySubs.isEmpty || onlySubs.exists(name.contains)
     SparkEntry.queries.foreach { case (name, fn) =>
-      if (selected(name))
+      if (selected(name)) {
         try fn(spark, warmDir).queryExecution.toRdd.count()
         catch { case _: Throwable => () }
+        // ONLY mode: one extra untimed run at the TARGET SF. A full
+        // capture JITs shared kernels across 188 queries before most
+        // queries run; a solo JVM warmed only at sf0.001 under-warms
+        // big composed plans (measured: d21 solo-11-run 6.6 s vs 4.7
+        // in full captures on the same host — the tail of a ramp the
+        // median shouldn't include). The target-SF warmup restores
+        // protocol comparability at the cost of one untimed run.
+        if (onlySubs.nonEmpty)
+          try fn(spark, sfDir).queryExecution.toRdd.count()
+          catch { case _: Throwable => () }
+      }
     }
     // Per-query MEDIAN of `Runs` fresh executions: both prior driver
     // benches were polluted by background-load bursts landing on a
