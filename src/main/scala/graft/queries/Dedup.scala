@@ -702,6 +702,11 @@ object Dedup extends QueryPack {
         .select(col("doc_id"), col("e.layout").as("layout"),
           col("e.band_id").as("band_id"), col("e.band_hash").as("band_hash"))
       val l = bands.as("l"); val rr = bands.as("r")
+      // materialized: the candidate table feeds THREE consumers
+      // (volume rollup + both recall semi-joins) — without the
+      // checkpoint each consumer re-runs the 30-band self-join and
+      // its distinct; the table itself is (layout, id, id) rows,
+      // band-bounded and cheap to hold
       val cand = l.join(rr,
           col("l.layout") === col("r.layout") &&
             col("l.band_id") === col("r.band_id") &&
@@ -710,6 +715,7 @@ object Dedup extends QueryPack {
         .select(col("l.layout").as("layout"),
           col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
         .distinct()
+        .localCheckpoint()
       // planted truth, per class: (orig, orig+offset) with both ends
       // signature-bearing
       def truthAt(mod: Long, offset: Long) =
