@@ -390,7 +390,9 @@ object Bench {
       else identity[String] _ // collision ⇒ keep full names
     // Double.MaxValue = uniform centi; 1.0 = the old "mixed";
     // 0.35 = the old "tiny"; then finer steps down to uniform deci.
-    val cutoffs = Seq(Double.MaxValue, 1.0, 0.75, 0.5, 0.35, 0.25, 0.15)
+    // The 0.1 rung matters at tiny SFs: below it a deci value prints
+    // as "0.1" or trims to "0", erasing the reading entirely.
+    val cutoffs = Seq(Double.MaxValue, 1.0, 0.75, 0.5, 0.35, 0.25, 0.15, 0.1)
     val tiers = Seq(build(centi) -> "full-centi") ++
       cutoffs.map(c => build(below(c), prefixed) -> s"centi<${c}") :+
       (build(deci, prefixed) -> "deci")
