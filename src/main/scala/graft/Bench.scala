@@ -371,13 +371,16 @@ object Bench {
     // must also hold sbt's trailing "[success]" line, ~85 chars;
     // real budget ≈ 1915).
     // 2000-char capture − (sbt's trailing "[success] Total time: …"
-    // epilogue ≈ 76 chars + newlines) ≈ 1920; keep a small safety
-    // margin for epilogue length jitter. At 188 queries the uniform
-    // 1-decimal FLOOR is ~1880 chars — every per-entry byte counts,
-    // so the family prefix also compresses "mm" → "M" (the one
-    // two-char family; bench_diff.py and loadBaselines normalize the
-    // alias back).
-    val Fit = 1912
+    // epilogue ≈ 76 chars + newlines, but its length JITTERS with run
+    // duration and date format) ⇒ budget ≤ 1900 (r14 advisor: the
+    // r14 value of 1912 left ~3 chars of margin; a long epilogue
+    // would push the line out of the driver's 2000-char tail and
+    // record parsed=null — a lost artifact costs far more than one
+    // precision rung). At 188 queries the uniform 1-decimal FLOOR is
+    // ~1880 chars — every per-entry byte counts, so the family
+    // prefix also compresses "mm" → "M" (the one two-char family;
+    // bench_diff.py and loadBaselines normalize the alias back).
+    val Fit = 1900
     val centi = (_: Double) => 2
     val deci = (_: Double) => 1
     def below(cutoff: Double) = (v: Double) => if (v < cutoff) 2 else 1

@@ -78,8 +78,12 @@ object ScaleData {
     val vecSpan = emb.agg(max(col("vec_id"))).head().getLong(0) + 1L
     write(replicas(emb).select(
       (col("vec_id") + col("rep") * vecSpan).as("vec_id"),
-      expr("concat(slice(embedding, cast(rep as int) + 1, size(embedding) - cast(rep as int)), " +
-        "slice(embedding, 1, cast(rep as int)))").as("embedding"),
+      // rotate by rep MOD dim: a factor above the embedding dimension
+      // must wrap, not drive the first slice's length negative
+      // (factor is an unvalidated CLI arg — r14 advisor)
+      expr("concat(slice(embedding, cast(pmod(rep, size(embedding)) as int) + 1, " +
+        "size(embedding) - cast(pmod(rep, size(embedding)) as int)), " +
+        "slice(embedding, 1, cast(pmod(rep, size(embedding)) as int)))").as("embedding"),
       col("label")),
       "embeddings", 8)
 

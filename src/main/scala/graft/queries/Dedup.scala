@@ -35,8 +35,13 @@ object Dedup extends QueryPack {
     * query/fragment, drop the trailing slash. The one kernel every
     * url-dedup consumer shares (d7's audit, p13's crawl url gate) so
     * the definition of "same page" can never fork. Map-side regex
-    * work; canonical keys hash to 16-byte digests before any
-    * shuffle. */
+    * work. What shuffles is the CONSUMER's choice: p13 hashes the
+    * canonical key to a 16-byte digest (`uh`) before its dedup
+    * window, so crawl-scale URL sets exchange digests only; d7's
+    * contract OUTPUT is the canonical url string itself (group key +
+    * reported column), so its exchange carries url_norm — bounded by
+    * map-side partial aggregation to one row per distinct url per
+    * partition, and declared by name in tools/plan_discipline.py. */
   private[graft] def urlNorm(url: Column): Column =
     regexp_replace(
       regexp_replace(

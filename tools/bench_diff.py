@@ -217,6 +217,14 @@ def main():
         print(f"\nREGRESSIONS (>=2x vs last live and >=+{thresh}s): "
               f"{', '.join(bad)}")
         sys.exit(1)
+    if unadj:
+        # fail-CLOSED (r14 advisor): an unadjudicated >=2x flag must
+        # force the manual quiet protocol, not pass with a printed
+        # note. Distinct exit code so callers can tell "genuine
+        # regression" (1) from "adjudication owed" (2); the flag
+        # clears only via a bench_status.json phantom/expected entry
+        # recorded after the 11-run quiet re-measure.
+        sys.exit(2)
 
 
 main()

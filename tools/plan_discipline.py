@@ -29,18 +29,32 @@ import re, sys
 # envelope, mm2's sampled frame — and that IS the output, not a
 # rider. The p4 catch was exactly this class: text# riding a
 # hashpartitioning digest window it contributed nothing to.
+# Stem-ANYWHERE: '_' is a word character, so a \b-anchored pattern
+# missed suffix-named columns (target_uri#, url_norm#, any *_url#/
+# *_body# — the r14 advisor's catch). Any column whose NAME contains
+# one of these stems is treated as raw bytes unless allowed below.
 HEAVY = re.compile(
-    r"\b(text|payload|payload_str|body|wire|html|kept_text|markup|"
-    r"envelope|frame_b64|uri|url)#", re.I)
-# Column stems that are *allowed* despite matching broadly above —
-# none today; extend with care.
-ALLOWED = re.compile(r"\b(url_norm_digest)#", re.I)
+    r"[A-Za-z0-9_]*(text|payload|body|wire|html|markup|"
+    r"envelope|frame_b64|uri|url)[A-Za-z0-9_]*#", re.I)
+# Deliberate CONTRACT outputs that must ride their own shuffle, allowed
+# BY QUERY NAME (a blanket column allowance would re-open the hole for
+# every other query): d7's output IS the canonical url string — the
+# group key and the reported column; map-side partial aggregation
+# bounds the exchange to one row per distinct url per partition.
+ALLOWED_BY_QUERY = {
+    "d7_url_dedup": re.compile(r"\burl_norm#", re.I),
+}
 
-# Queries whose BroadcastNestedLoopJoin is DECLARED: brute-force
-# baselines whose whole point is the exhaustive scan, and 1-row
-# broadcast aggregate attaches (crossJoin of a single-row frame).
+# Queries whose BroadcastNestedLoopJoin is DECLARED, by name. Since
+# r15 EVERY BNLJ in an unlisted query flags regardless of build side
+# (the advisor's catch: the old BuildRight exemption silently passed
+# any BuildRight BNLJ anywhere) — so this set is the single
+# declaration point: a new query that legitimately crossJoins a 1-row
+# stats frame must be added here consciously.
 BNLJ_OK = {
-    # brute/exhaustive baselines (documented in SURVEY §2)
+    # brute/exhaustive baselines (documented in SURVEY §2): the
+    # all-pairs scan IS the contract (acceptance baselines, never the
+    # scale path)
     "a1_knn_brute", "a4_cross_label_nn", "a8_recall_eval",
     "a11_quantized_recall", "a16_mips_recall", "a7_range_search",
     "d12_semantic_dedup",
@@ -51,6 +65,25 @@ BNLJ_OK = {
     "a29_embed_audit", "p8_corpus_card", "q45_quantile_sketch",
     "t28_quality_calibration", "d21_band_layout", "q41_sketch_error",
     "q47_sketch_outliers",
+    # 1-row attaches audited when the BuildRight exemption was removed
+    # (r15): each BNLJ below is a crossJoin of a no-grouping-key
+    # aggregate (corpus totals, centroid counts, calibration constants)
+    # or a 1-row parameter frame — verified against PLANS.md r14 (all
+    # 102 BNLJ sites across these 36 queries are BuildRight broadcasts
+    # of single-row frames; the r12-r14 judge audits grepped the same
+    # sites by hand)
+    "a3_ivf_knn", "a5_ivf_refine", "a10_cell_stats", "a13_mips_topk",
+    "a17_residual_pq", "a18_ivf_pq_serve", "a19_pq_balance",
+    "a20_index_drift", "a21_opq_rotate", "a22_compact_policy",
+    "a23_filtered_knn", "a24_nprobe_sweep", "a25_nprobe_decide",
+    "a26_adaptive_nprobe", "a27_opq_serve", "a28_serve_cost",
+    "a30_serve_drift", "d19_bloom_probe", "m20_reshard_plan",
+    "m23_shard_cost", "m24_retention_sizing", "p3_index_build",
+    "p5_mix_build", "p7_dedup_cascade", "p9_release_gate",
+    "p12_reindex_delta", "q37_merge_upsert", "q40_skew_audit",
+    "q44_event_funnel", "q48_series_topk", "t14_bm25_topk",
+    "t15_lm_quality", "t17_mix_weights", "t19_zipf_audit",
+    "t23_token_fertility", "t24_bpe_train",
 }
 
 
@@ -75,22 +108,27 @@ def main(path):
             arg = re.search(r"Arguments: (\w+)", block)
             if not arg or arg.group(1) != "hashpartitioning":
                 continue
+            allowed = ALLOWED_BY_QUERY.get(name)
             cols = inp.group(1)
-            hit = HEAVY.search(cols)
-            if hit and not ALLOWED.search(cols):
+            hit = next((h for h in HEAVY.finditer(cols)
+                        if not (allowed and allowed.search(h.group(0)))),
+                       None)
+            if hit:
                 bad.append((name, f"Exchange ({node_id})",
                             f"shuffles raw column '{hit.group(0)}…'"))
         if "CartesianProduct" in sec:
             bad.append((name, "CartesianProduct", "undeclared cartesian"))
         if "BroadcastNestedLoopJoin" in sec and name not in BNLJ_OK:
-            # 1-row aggregate attaches are fine ONLY as BuildRight over
-            # a BroadcastExchange; anything else is a real NL join
+            # EVERY BNLJ in an unlisted query flags, regardless of build
+            # side (the header's rule: anything not declared by name is
+            # a potential O(n*m) join — a large-but-broadcastable build
+            # side is exactly the case a BuildRight-only check missed).
+            # join type + build side stay in the message as detail.
             for bm in re.finditer(r"BroadcastNestedLoopJoin (\w+) (\w+)", sec):
                 join_type, build = bm.groups()
-                if build != "BuildRight":
-                    bad.append((name, "BroadcastNestedLoopJoin",
-                                f"{join_type} {build} — not a declared "
-                                "brute baseline or 1-row attach"))
+                bad.append((name, "BroadcastNestedLoopJoin",
+                            f"{join_type} {build} — not a declared "
+                            "brute baseline or 1-row attach"))
     if bad:
         print(f"PLAN DISCIPLINE: {len(bad)} violation(s)")
         for name, node, why in bad:
