@@ -217,6 +217,26 @@ object Html {
         val num = java.lang.Math.floorMod(docId * 3 + j * 7, 40L)
         f"c$num%02d"
       }).mkString(" ")
+      // the LEAKY LONG class (round 15): a 52-word page that embeds
+      // the 11-word eval excerpt of doc 13 (the first nonzero eval
+      // id — 13 % 11 = 2, wire-ok, standard page shape) between
+      // doc-unique filler. 11 of 53 post-strip words ≈ 0.21 coverage:
+      // UNDER t26's 0.3 drop bar, so the decontam stage must REDACT,
+      // not drop — the class that proves the redact path fires. An
+      // id ≡ 8 (mod 11) doc that is ALSO an eval doc (≡ 0 mod 13)
+      // self-leaks its own excerpt too: two merged spans, 22/53 ≈
+      // 0.42 coverage → drop — the multi-span merge case.
+      case 8L =>
+        ((s"u$docId" +: (1 until 15).map { j =>
+          val num = java.lang.Math.floorMod(docId * 3 + j * 7, 40L)
+          f"c$num%02d"
+        }) ++ Seq("Page", "u13") ++ (1 until 10).map { j =>
+          val num = java.lang.Math.floorMod(13L * 3 + j * 7, 40L)
+          f"c$num%02d"
+        } ++ (15 until 41).map { j =>
+          val num = java.lang.Math.floorMod(docId * 3 + j * 7, 40L)
+          f"c$num%02d"
+        }).mkString(" ")
       case _  => crawlTokens(docId)
     }
   }

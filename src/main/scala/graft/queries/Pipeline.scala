@@ -577,12 +577,28 @@ object Pipeline extends QueryPack {
         .mapPartitions(_.map(id =>
           (id, graft.operators.Warc.plantedCrawlBytes(id)))))
         .localCheckpoint() // decoded once: feeds the miner AND the gates
+      // scored is materialized once for ITS three consumers (the d21
+      // lesson): the gate/dedup cascade, the eval-excerpt artifact,
+      // and the decontamination window scan — without it the
+      // mine-and-strip subtree re-runs per consumer
       val scored = crawlGates(crawlStrip(pages, crawlInventory(pages)))
+        .localCheckpoint()
+      val contam = crawlContam(scored, crawlEvalDigests(scored))
       val uW = Window.partitionBy(col("uh"))
       val hW = Window.partitionBy(col("h"))
+      // dedup ranks over the DECONTAMINATED corpus: a dropped doc
+      // never claims canonical status for its url/content group (min
+      // ignores the NULLed ids), so the clean re-crawl of a leaked
+      // page lands instead of the whole group orphaning — and the
+      // stream's first-arrival form keeps the same survivors under
+      // any arrival order (spec-proved)
+      val survivorId =
+        when(col("contam_action") === "drop_doc", lit(null).cast("long"))
+          .otherwise(col("doc_id"))
       crawlCascade(
-          scored.withColumn("first_uid", min(col("doc_id")).over(uW))
-            .withColumn("first_id", min(col("doc_id")).over(hW)),
+          scored.join(contam, Seq("doc_id"), "left")
+            .withColumn("first_uid", min(survivorId).over(uW))
+            .withColumn("first_id", min(survivorId).over(hW)),
           col("doc_id") =!= col("first_uid"),
           col("doc_id") =!= col("first_id"))
         .orderBy(col("doc_id"))
@@ -654,13 +670,67 @@ object Pipeline extends QueryPack {
       .withColumn("h", Portable.md5bin(col("text")))
       .withColumn("uh", Portable.md5bin(Dedup.urlNorm(col("target_uri"))))
 
+  /** p13's eval-leak artifact (round 15): the benchmark excerpt set —
+    * every 13th wire-ok page's first 11 post-strip words, digested as
+    * stride-1 [[Dedup.SpanW]]-word windows (t26's convention). The
+    * excerpt starts at word 1, so every window carries the page's
+    * identifying token ("Page u&lt;id&gt; …") and contamination stays
+    * self-contained: the page itself, its content-dup blockmates, and
+    * pages that PLANT the excerpt — never fabricated corpus-wide
+    * matches between key-congruent filler runs. Distinct 16-byte
+    * digests of a benchmark-sized suite: broadcast-sized at any
+    * corpus, the same asymmetry t26 rides at 100 TB. Derived once per
+    * corpus snapshot; the live stream consumes a PUBLISHED copy
+    * (built-once/served-many, like the template inventory). */
+  private[graft] def crawlEvalDigests(stripped: DataFrame): DataFrame = {
+    val w = Dedup.SpanW
+    stripped.filter(col("ok") && col("doc_id") % 13 === 0)
+      .select(slice(Portable.words(col("text")), 1, 11).as("ew"))
+      .filter(size(col("ew")) >= w)
+      .select(explode(transform(sequence(lit(1), size(col("ew")) - (w - 1)),
+        i => Portable.md5bin(array_join(slice(col("ew"), i, lit(w)), " "))))
+        .as("h"))
+      .distinct()
+  }
+
+  /** p13's decontamination verdicts: t26's span detector
+    * ([[TextOps.contamSpans]] — per-doc window digests, broadcast
+    * eval join, interval merge, coverage rollup) over the
+    * template-stripped text, reduced to the one column the cascade
+    * consumes: (doc_id, contam_action) for contaminated docs only —
+    * drop_doc past 30% coverage, redact_spans below it. Scale shape:
+    * the corpus side is one map pass against the broadcast digest
+    * set; only HIT rows (doc_id, window index) reach the span-merge
+    * shuffle, so the clean bulk of a crawl never leaves its map
+    * pass, and the left join back rides slim digest-only rows. */
+  private[graft] def crawlContam(stripped: DataFrame,
+                                 evalWins: DataFrame): DataFrame =
+    TextOps.contamSpans(stripped.select(col("doc_id"), col("text")),
+        evalWins)
+      .select(col("doc_id"), col("action").as("contam_action"))
+
   /** p13's first-catching disposition cascade. The two duplicate
     * tests are the caller's: the batch query passes min-doc-wins over
     * the whole corpus (url group first — a re-crawl of a kept page is
     * a url duplicate no matter what it serves; content second); the
     * live stream passes first-arrival (in-batch rank + durable digest
     * stores) — equal when arrivals come in id order, group-equivalent
-    * under any order. */
+    * under any order. Round 15: the caller also supplies a nullable
+    * `contam_action` column (t26's span detector over the stripped
+    * text — [[crawlContam]]). A doc past the 30% coverage bar
+    * (`drop_doc`) is dropped BEFORE the dedup gates: a leaked eval
+    * passage must not land even when the page is also a re-crawl —
+    * hygiene outranks canonicalization in the report. The caller's
+    * dup tests must agree: a dropped doc is EXCLUDED from the dup
+    * ranks (batch NULLs it out of the min windows; the stream skips
+    * it in the in-batch ranks and never records its digests), so it
+    * can't claim canonical status for a group whose clean re-crawl
+    * should land — and batch and stream keep the same survivors
+    * under any arrival order. A span-level leak (`redact_spans`)
+    * ranks BELOW the dup gates: a duplicate is dropped as a
+    * duplicate (nobody redacts a doc they won't keep); only a doc
+    * that would otherwise be kept surfaces as decontam_redact —
+    * kept, with the leaked spans cut. */
   private[graft] def crawlCascade(scored: DataFrame, isUrlDup: Column,
                                   isDup: Column): DataFrame =
     scored
@@ -669,8 +739,10 @@ object Pipeline extends QueryPack {
           .when(col("pred_lang") =!= "en", "non_target_lang")
           .when(col("n_words") < 20L, "too_short")
           .when(col("punct_ratio") > 0.2, "low_quality")
+          .when(col("contam_action") === "drop_doc", "decontam_drop")
           .when(isUrlDup, "url_duplicate")
           .when(isDup, "duplicate")
+          .when(col("contam_action") === "redact_spans", "decontam_redact")
           .otherwise("keep"))
       .select(col("doc_id"), col("disposition"), col("n_words"),
         col("pred_lang"))
@@ -1593,6 +1665,15 @@ object Pipeline extends QueryPack {
         |      WHEN r = 4 THEN 'u' || doc_id::VARCHAR || ' ' ||
         |        array_to_string(list_transform(range(1, 15),
         |          j -> 'c' || lpad(((doc_id * 3 + j * 7) % 40)::VARCHAR, 2, '0')), ' ')
+        |      WHEN r = 8 THEN 'u' || doc_id::VARCHAR || ' ' ||
+        |        array_to_string(list_transform(range(1, 15),
+        |          j -> 'c' || lpad(((doc_id * 3 + j * 7) % 40)::VARCHAR, 2, '0')), ' ') ||
+        |        ' Page u13 ' ||
+        |        array_to_string(list_transform(range(1, 10),
+        |          j -> 'c' || lpad(((13 * 3 + j * 7) % 40)::VARCHAR, 2, '0')), ' ') ||
+        |        ' ' ||
+        |        array_to_string(list_transform(range(15, 41),
+        |          j -> 'c' || lpad(((doc_id * 3 + j * 7) % 40)::VARCHAR, 2, '0')), ' ')
         |      ELSE 'u' || doc_id::VARCHAR || ' ' ||
         |        array_to_string(list_transform(range(1, 24),
         |          j -> 'c' || lpad(((doc_id * 3 + j * 7) % 40)::VARCHAR, 2, '0')), ' ')
@@ -1662,6 +1743,33 @@ object Pipeline extends QueryPack {
         |    CASE WHEN trim(COALESCE(st.kept, '')) = '' THEN []::VARCHAR[]
         |         ELSE regexp_split_to_array(trim(COALESCE(st.kept, '')), '\s+') END AS w
         |  FROM uh u LEFT JOIN stripped st USING (doc_id)),
+        |evw AS (
+        |  SELECT DISTINCT array_to_string(w[i : i+9], ' ') AS win
+        |  FROM feat, unnest(generate_series(1, 2)) AS g(i)
+        |  WHERE ok AND doc_id % 13 = 0 AND len(w) >= 10
+        |    AND i + 9 <= least(len(w), 11)),
+        |chit AS (
+        |  SELECT f.doc_id, len(f.w)::BIGINT AS dnw, g.i AS i
+        |  FROM feat f, unnest(generate_series(1, len(f.w) - 9)) AS g(i)
+        |  WHERE len(f.w) >= 10
+        |    AND array_to_string(f.w[g.i : g.i+9], ' ') IN (SELECT win FROM evw)),
+        |cnew AS (
+        |  SELECT doc_id, dnw, i,
+        |    CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) > 10
+        |         THEN 1 ELSE 0 END AS news
+        |  FROM chit),
+        |cgrp AS (
+        |  SELECT doc_id, dnw, i,
+        |    sum(news) OVER (PARTITION BY doc_id ORDER BY i) AS grp
+        |  FROM cnew),
+        |cspan AS (
+        |  SELECT doc_id, dnw, grp, min(i) AS s, max(i) + 9 AS e
+        |  FROM cgrp GROUP BY 1, 2, 3),
+        |contam AS (
+        |  SELECT doc_id,
+        |    CASE WHEN sum(e - s + 1)::DOUBLE / dnw > 0.3
+        |         THEN 'drop_doc' ELSE 'redact_spans' END AS contam_action
+        |  FROM cspan GROUP BY doc_id, dnw),
         |sc AS (
         |  SELECT doc_id, r, ok, unorm, h, len(w)::BIGINT AS n_words,
         |    CASE WHEN len(w) = 0 THEN 0.0 ELSE len(list_filter(w,
@@ -1677,20 +1785,24 @@ object Pipeline extends QueryPack {
         |        / length(ktext) END AS punct_ratio
         |  FROM feat),
         |pr AS (
-        |  SELECT *,
+        |  SELECT sc.*, contam_action,
         |    CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
         |         WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
         |         WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS pred_lang,
-        |    min(doc_id) OVER (PARTITION BY unorm) AS first_uid,
-        |    min(doc_id) OVER (PARTITION BY h) AS first_id
-        |  FROM sc)
+        |    min(CASE WHEN contam_action = 'drop_doc' THEN NULL
+        |             ELSE doc_id END) OVER (PARTITION BY unorm) AS first_uid,
+        |    min(CASE WHEN contam_action = 'drop_doc' THEN NULL
+        |             ELSE doc_id END) OVER (PARTITION BY h) AS first_id
+        |  FROM sc LEFT JOIN contam USING (doc_id))
         |SELECT doc_id,
         |  CASE WHEN NOT ok THEN 'decode_fail'
         |       WHEN pred_lang != 'en' THEN 'non_target_lang'
         |       WHEN n_words < 20 THEN 'too_short'
         |       WHEN punct_ratio > 0.2 THEN 'low_quality'
+        |       WHEN contam_action = 'drop_doc' THEN 'decontam_drop'
         |       WHEN doc_id != first_uid THEN 'url_duplicate'
         |       WHEN doc_id != first_id THEN 'duplicate'
+        |       WHEN contam_action = 'redact_spans' THEN 'decontam_redact'
         |       ELSE 'keep' END AS disposition,
         |  n_words, pred_lang
         |FROM pr

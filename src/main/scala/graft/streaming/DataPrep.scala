@@ -304,9 +304,18 @@ object DataPrep {
     * (gate-failed docs included: batch dedup ranks over the whole
     * corpus, so the live form must too); writes are idempotent per
     * micro-batch. Digests are 16 bytes; markup never leaves the
-    * decode map pass. */
+    * decode map pass.
+    * Round 15: the cascade decontaminates — every micro-batch is
+    * screened span-wise against `evalDigests`, the SAME published
+    * eval-excerpt artifact the batch query derives
+    * ([[graft.queries.Pipeline.crawlEvalDigests]]), through the SAME
+    * detector ([[graft.queries.Pipeline.crawlContam]] — t26's
+    * kernel). The stage is stateless given the frozen artifact, so
+    * streamed dispositions equal batch for BOTH decontam classes
+    * under any arrival order (spec-proved). */
   def crawlCurateStream(msgs: DataFrame, outDir: String, hStoreDir: String,
                         uStoreDir: String, inventory: DataFrame,
+                        evalDigests: DataFrame,
                         checkpointDir: String): StreamingQuery =
     msgs.select(col("uuid").cast("long").as("doc_id"), col("payload"))
       .writeStream
@@ -341,21 +350,41 @@ object DataPrep {
             .partitionBy(col("h")).orderBy(col("doc_id"))
           val uW = org.apache.spark.sql.expressions.Window
             .partitionBy(col("uh")).orderBy(col("doc_id"))
-          val marked = scored
-            .withColumn("rn", row_number().over(hW))
-            .withColumn("urn", row_number().over(uW))
-            .join(store(hStoreDir, "h").withColumn("seen", lit(true))
-              .distinct(), Seq("h"), "left")
-            .join(store(uStoreDir, "uh").withColumn("useen", lit(true))
-              .distinct(), Seq("uh"), "left")
-          graft.queries.Pipeline.crawlCascade(marked,
-              col("urn") > 1 || col("useen").isNotNull,
-              col("rn") > 1 || col("seen").isNotNull)
-            .write.mode("overwrite").parquet(s"$outDir/micro_batch_id=$batchId")
-          scored.select(col("h")).distinct()
-            .write.mode("overwrite").parquet(s"$hStoreDir/micro_batch_id=$batchId")
-          scored.select(col("uh")).distinct()
-            .write.mode("overwrite").parquet(s"$uStoreDir/micro_batch_id=$batchId")
+          // dedup ranks over the DECONTAMINATED corpus, matching the
+          // batch windows: a decontam-dropped doc neither counts in
+          // the in-batch ranks nor lands in the digest stores, so it
+          // can't claim canonical status for a group whose clean
+          // re-crawl should land (every OTHER disposition's digests
+          // are still recorded — batch dedup ranks over the whole
+          // gate-failed corpus, so the live form must too)
+          val withContam = scored
+            .join(graft.queries.Pipeline.crawlContam(
+              scored.select(col("doc_id"), col("text")), evalDigests),
+              Seq("doc_id"), "left")
+            .withColumn("dropped",
+              coalesce(col("contam_action") === "drop_doc", lit(false)))
+            .cache()
+          try {
+            val survives = when(col("dropped"), 0L).otherwise(1L)
+            val cum = org.apache.spark.sql.expressions.Window
+            val marked = withContam
+              .withColumn("rn", sum(survives).over(
+                hW.rowsBetween(cum.unboundedPreceding, cum.currentRow)))
+              .withColumn("urn", sum(survives).over(
+                uW.rowsBetween(cum.unboundedPreceding, cum.currentRow)))
+              .join(store(hStoreDir, "h").withColumn("seen", lit(true))
+                .distinct(), Seq("h"), "left")
+              .join(store(uStoreDir, "uh").withColumn("useen", lit(true))
+                .distinct(), Seq("uh"), "left")
+            graft.queries.Pipeline.crawlCascade(marked,
+                col("urn") > 1 || col("useen").isNotNull,
+                col("rn") > 1 || col("seen").isNotNull)
+              .write.mode("overwrite").parquet(s"$outDir/micro_batch_id=$batchId")
+            withContam.filter(!col("dropped")).select(col("h")).distinct()
+              .write.mode("overwrite").parquet(s"$hStoreDir/micro_batch_id=$batchId")
+            withContam.filter(!col("dropped")).select(col("uh")).distinct()
+              .write.mode("overwrite").parquet(s"$uStoreDir/micro_batch_id=$batchId")
+          } finally withContam.unpersist()
         } finally scored.unpersist()
       }
       .trigger(Trigger.AvailableNow())

@@ -1638,13 +1638,22 @@ class PipelineSpec extends SparkSuite {
     val byDisp = rows.groupBy(_.getString(1)).view.mapValues(_.length).toMap
     // every gate fires, and keep remains the largest class
     val all = Seq("decode_fail", "non_target_lang", "too_short",
-      "low_quality", "url_duplicate", "duplicate", "keep")
+      "low_quality", "decontam_drop", "decontam_redact",
+      "url_duplicate", "duplicate", "keep")
     all.foreach(d => assert(byDisp.getOrElse(d, 0) > 0, s"disposition $d never fired"))
     assert(byDisp("keep") === byDisp.values.max)
     // the gates caught exactly their engineered classes. Class 4 is
     // the strip stage's proof: 15 prose words + the 10-word banner
     // pass the raw length floor — ONLY template removal before the
-    // gate sends it too_short
+    // gate sends it too_short. Round 15 decontam classes: an eval
+    // page (id ≡ 0 mod 13, wire-ok) self-leaks its excerpt — 11 of
+    // 25 post-strip words is past the 30% bar, so every eval page
+    // that reaches the stage DROPS; class-8 pages plant doc 13's
+    // excerpt inside 53 words (0.21 coverage) and REDACT — unless
+    // also an eval page (two merged spans, 0.42) which drops; a
+    // class-1 content-dup block with an eval member drops WHOLE
+    // (identical text ⇒ identical windows).
+    val evalDoc = (id: Long) => java.lang.Math.floorMod(id, 13L) == 0L
     rows.foreach { r =>
       val (id, disp) = (r.getLong(0), r.getString(1))
       java.lang.Math.floorMod(id, 11L) match {
@@ -1653,35 +1662,61 @@ class PipelineSpec extends SparkSuite {
         case 5L => assert(disp === "too_short", s"doc $id: $disp")
         case 4L => assert(disp === "too_short", s"doc $id: $disp")
         case 9L => assert(disp === "low_quality", s"doc $id: $disp")
-        case 1L => assert(disp === "duplicate" || disp === "keep", s"doc $id: $disp")
-        case 2L => assert(disp === "url_duplicate", s"doc $id: $disp")
-        case _  => assert(disp === "keep", s"doc $id: $disp")
+        case 1L => assert(disp === "duplicate" || disp === "keep" ||
+          disp === "decontam_drop", s"doc $id: $disp")
+        case 2L =>
+          if (evalDoc(id)) assert(disp === "decontam_drop", s"doc $id: $disp")
+          // the partner leaked and dropped: the dropped doc is
+          // excluded from the url-group rank, so the clean re-crawl
+          // is the group's surviving canonical copy and LANDS
+          else if (evalDoc(id - 2L))
+            assert(disp === "keep", s"doc $id: $disp")
+          else assert(disp === "url_duplicate", s"doc $id: $disp")
+        case 8L =>
+          if (evalDoc(id)) assert(disp === "decontam_drop", s"doc $id: $disp")
+          else assert(disp === "decontam_redact", s"doc $id: $disp")
+        case _  =>
+          if (evalDoc(id)) assert(disp === "decontam_drop", s"doc $id: $disp")
+          else assert(disp === "keep", s"doc $id: $disp")
       }
     }
     // url-dup pairs resolve min-doc-wins through REAL canonicalization:
     // the re-crawl (id ≡ 2 mod 11) spells its partner's URL with
     // different scheme/case/www/query/slash, and only the canonical
-    // key collapses them — the partner keeps, the re-crawl drops
+    // key collapses them — the partner keeps (unless it is itself an
+    // eval page, which decontam drops first), the re-crawl drops
     val byId = rows.map(r => r.getLong(0) -> r.getString(1)).toMap
     rows.filter(r => java.lang.Math.floorMod(r.getLong(0), 11L) == 2L)
       .foreach { r =>
-        assert(byId(r.getLong(0) - 2L) === "keep",
+        val partner = r.getLong(0) - 2L
+        assert(byId(partner) ===
+          (if (evalDoc(partner)) "decontam_drop" else "keep"),
           s"url partner of ${r.getLong(0)}")
       }
     // the strip-shifted class actually has its prose judged: stripped
     // n_words is the 15 prose words + the heading, not banner-inflated
     rows.filter(r => java.lang.Math.floorMod(r.getLong(0), 11L) == 4L)
       .foreach(r => assert(r.getLong(2) === 16L))
+    // the leaky long class likewise: 53 post-strip words
+    rows.filter(r => java.lang.Math.floorMod(r.getLong(0), 11L) == 8L)
+      .foreach(r => assert(r.getLong(2) === 53L))
     // dup pairs resolve min-doc-wins: the 22-block leader keeps, the
-    // follower drops (when both exist in the corpus)
+    // follower drops (when both exist in the corpus and neither is an
+    // eval page — an eval member's leak contaminates the whole block)
     val res1 = rows.filter(r => java.lang.Math.floorMod(r.getLong(0), 11L) == 1L)
     val groups = res1.groupBy(r => (r.getLong(0) - 1L) / 22L)
-    groups.values.filter(_.length == 2).foreach { g =>
+    groups.values.filter(g => g.length == 2 &&
+        !g.exists(r => evalDoc(r.getLong(0)))).foreach { g =>
       val sorted = g.sortBy(_.getLong(0))
       assert(sorted.head.getString(1) === "keep")
       assert(sorted.last.getString(1) === "duplicate")
     }
-    assert(groups.values.exists(_.length == 2), "no complete dup pair in corpus")
+    groups.values.filter(g => g.exists(r => evalDoc(r.getLong(0)))).foreach {
+      g => g.foreach(r => assert(r.getString(1) === "decontam_drop",
+        s"contaminated block member ${r.getLong(0)}: ${r.getString(1)}"))
+    }
+    assert(groups.values.exists(g => g.length == 2 &&
+      !g.exists(r => evalDoc(r.getLong(0)))), "no complete dup pair in corpus")
     // language stats come from the real scorer: de docs predict de
     rows.filter(r => java.lang.Math.floorMod(r.getLong(0), 11L) == 3L)
       .foreach(r => assert(r.getString(3) === "de"))

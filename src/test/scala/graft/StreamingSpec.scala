@@ -1760,14 +1760,22 @@ class StreamingSpec extends SparkSuite {
     // the template inventory the stream consumes is the PUBLISHED
     // batch artifact — mined once over the decoded corpus, exactly
     // what the batch query mines in-query
-    val inventory = graft.queries.Pipeline.crawlInventory(
-      graft.queries.Pipeline.crawlDecode(
-        arrivals.toDF("doc_id", "payload")
-          .as[(Long, Array[Byte])])).localCheckpoint()
+    val decoded = graft.queries.Pipeline.crawlDecode(
+      arrivals.toDF("doc_id", "payload")
+        .as[(Long, Array[Byte])]).localCheckpoint()
+    val inventory = graft.queries.Pipeline.crawlInventory(decoded)
+      .localCheckpoint()
+    // the eval-excerpt digest set is likewise a PUBLISHED artifact —
+    // derived once from the template-stripped corpus snapshot, the
+    // same frame the batch query derives it from (a micro-batch
+    // sample can't know which pages the benchmark excerpted)
+    val evalDigests = graft.queries.Pipeline.crawlEvalDigests(
+      graft.queries.Pipeline.crawlStrip(decoded, inventory))
+      .localCheckpoint()
     val uStore = tempDir("crawl_ustore")
     val q = DataPrep.crawlCurateStream(
       Subscriber.subscribe(spark, topic, BinaryParquetTopic, maxFilesPerTrigger = 2),
-      outDir, hStore, uStore, inventory, tempDir("ck_crawl"))
+      outDir, hStore, uStore, inventory, evalDigests, tempDir("ck_crawl"))
     q.awaitTermination()
     val streamed = spark.read.parquet(outDir)
       .select(col("doc_id"), col("disposition"), col("n_words"), col("pred_lang"))
@@ -1808,10 +1816,25 @@ class StreamingSpec extends SparkSuite {
     }
     dupGroups.foreach { case (g, members) =>
       val kept = members.filter(id => streamed(id)._1 == "keep")
-      assert(kept.size == 1, s"group $g kept ${kept.toSeq.sorted}")
+      // a decontam-DROPPED doc is excluded from the dup ranks on
+      // both sides (batch NULLs it out of the min windows, the
+      // stream skips it in ranks and stores), so a group whose
+      // canonical member leaked still keeps its clean re-crawl —
+      // exactly one keeper among the SURVIVING members, batch and
+      // stream alike (dedupIds already excludes dropped docs, so
+      // every group here must keep exactly one)
+      val expectedKeep = members.count(id => batch(id)._1 == "keep")
+      assert(expectedKeep == 1, s"group $g batch kept $expectedKeep")
+      assert(kept.size == expectedKeep,
+        s"group $g kept ${kept.toSeq.sorted}, batch kept $expectedKeep")
     }
     assert(dupGroups.keys.count(_._1 == "url") > 0)
-    Seq("keep", "duplicate", "url_duplicate").foreach { d =>
+    // decontam classes are STATELESS given the published eval
+    // artifact, so they sit outside the canon() fold: the row-for-row
+    // diff above already required them identical; here both classes
+    // must also actually fire
+    Seq("keep", "duplicate", "url_duplicate",
+        "decontam_drop", "decontam_redact").foreach { d =>
       assert(streamed.values.count(_._1 == d) ===
         batch.values.count(_._1 == d), s"label total $d")
       assert(batch.values.count(_._1 == d) > 0, s"label $d never fired")
