@@ -127,8 +127,19 @@ object Bench {
         catch { case _: Throwable => failed += name }
         (System.nanoTime() - t0) / 1e9
       }
+    // SPARK_GRAFT_GC=1: force a full GC (and give the async
+    // ContextCleaner a beat) before each query's timed runs — the
+    // shared-JVM context-tax experiment (r14 verdict #4). The tax
+    // hypothesis: prior queries' localCheckpoint blocks and broadcast
+    // state are released only when the ContextCleaner sees their
+    // references collected, which needs a GC that a busy capture JVM
+    // may not run for many queries — so a late query pays eviction +
+    // old-gen pressure its solo median never sees.
+    val gcBetween = sys.env.contains("SPARK_GRAFT_GC")
+    def cleanHeap(): Unit = if (gcBetween) { System.gc(); Thread.sleep(300) }
     val firstPass = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(t => selected(t._1)).map { case (name, fn) =>
+      cleanHeap()
       val first = measure(name, fn, Runs).sorted
       val times =
         if (Runs == 3 && first.last > first.head * 2 && first(1) < 2.0) {
