@@ -580,9 +580,13 @@ object Pipeline extends QueryPack {
       // scored is materialized once for ITS three consumers (the d21
       // lesson): the gate/dedup cascade, the eval-excerpt artifact,
       // and the decontamination window scan — without it the
-      // mine-and-strip subtree re-runs per consumer
+      // mine-and-strip subtree re-runs per consumer. The gate
+      // features' word ARRAY is dropped first: it is ~40 strings per
+      // row none of the three consumers reads (n_words is already a
+      // scalar; the contam scan re-words from text), and
+      // materializing it would double the checkpoint.
       val scored = crawlGates(crawlStrip(pages, crawlInventory(pages)))
-        .localCheckpoint()
+        .drop("w").localCheckpoint()
       val contam = crawlContam(scored, crawlEvalDigests(scored))
       val uW = Window.partitionBy(col("uh"))
       val hW = Window.partitionBy(col("h"))
