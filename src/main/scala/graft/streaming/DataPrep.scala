@@ -20,6 +20,16 @@ import graft.functions.Portable
   */
 object DataPrep {
 
+  /** Does `dir` exist on ITS filesystem? Resolved through the Hadoop
+    * FS API so durable-store paths work identically on local disk
+    * (tests, local mode) and HDFS/S3 (a cluster) — a java.io.File
+    * check would report a remote store absent forever and silently
+    * empty the dedup history every micro-batch. */
+  private[graft] def pathExists(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   /** Curate a message stream (shape of `Subscriber.subscribe`, with
     * the document text as the payload) into a parquet corpus dir. */
   def curate(msgs: DataFrame, outDir: String, checkpointDir: String,
@@ -97,7 +107,18 @@ object DataPrep {
           // `fresh` — the overwrite below would then erase the batch's
           // docs and digests instead of replaying them
           val store =
-            try {
+            // the existence check (not just the catch) keeps Spark's
+            // FileStreamSink metadata probe from logging a WARN stack
+            // trace on the stream's first micro-batch. Hadoop FS, not
+            // java.io.File: the store dir is HDFS/S3 on a cluster,
+            // where a local-file check would report absent forever
+            // and silently empty the dedup store every batch.
+            if (!DataPrep.pathExists(spark, hStoreDir))
+              spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+                org.apache.spark.sql.types.StructType(Seq(
+                  org.apache.spark.sql.types.StructField("h",
+                    org.apache.spark.sql.types.BinaryType))))
+            else try {
               // resume a migration a crash interrupted BEFORE reading
               // (the marker outlives the crash; migration is
               // idempotent per partition)
@@ -336,16 +357,25 @@ object DataPrep {
               inventory))
           .cache()
         try {
-          def store(dir: String, keyCol: String) =
-            try spark.read.parquet(dir)
+          // the existence check keeps Spark's FileStreamSink metadata
+          // probe from logging a WARN stack trace on every stream's
+          // first micro-batch (Hadoop FS — the store is HDFS/S3 on a
+          // cluster); the catch stays for the exists-but-empty dir (a
+          // caller that pre-created the store path), which throws at
+          // schema inference instead
+          def store(dir: String, keyCol: String) = {
+            def empty = spark.createDataFrame(
+              spark.sparkContext.emptyRDD[Row],
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField(keyCol,
+                  org.apache.spark.sql.types.BinaryType))))
+            if (!DataPrep.pathExists(spark, dir)) empty
+            else try spark.read.parquet(dir)
               .filter(col("micro_batch_id") =!= batchId).select(col(keyCol))
             catch {
-              case _: org.apache.spark.sql.AnalysisException =>
-                spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
-                  org.apache.spark.sql.types.StructType(Seq(
-                    org.apache.spark.sql.types.StructField(keyCol,
-                      org.apache.spark.sql.types.BinaryType))))
+              case _: org.apache.spark.sql.AnalysisException => empty
             }
+          }
           val hW = org.apache.spark.sql.expressions.Window
             .partitionBy(col("h")).orderBy(col("doc_id"))
           val uW = org.apache.spark.sql.expressions.Window
