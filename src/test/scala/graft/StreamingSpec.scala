@@ -1742,7 +1742,11 @@ class StreamingSpec extends SparkSuite {
     import graft.operators.Warc
     val topic = tempDir("topic_crawl")
     val outDir = tempDir("crawl_out")
-    val hStore = tempDir("crawl_hstore")
+    // deliberately NOT pre-created: the first micro-batch must take
+    // the store-absent probe branch (Hadoop-FS existence check, no
+    // WARN stack) — the curateMonitored specs cover the
+    // exists-but-empty pre-created branch
+    val hStore = tempDir("crawl_hstore") + "/nested_h"
     // the SAME .warc.gz members the batch p13 query plants (tampered
     // residue-7 members included), shipped in id order over the TLV
     // binary envelope — compressed bytes on the wire, no base64
@@ -1772,7 +1776,7 @@ class StreamingSpec extends SparkSuite {
     val evalDigests = graft.queries.Pipeline.crawlEvalDigests(
       graft.queries.Pipeline.crawlStrip(decoded, inventory))
       .localCheckpoint()
-    val uStore = tempDir("crawl_ustore")
+    val uStore = tempDir("crawl_ustore") + "/nested_u"
     val q = DataPrep.crawlCurateStream(
       Subscriber.subscribe(spark, topic, BinaryParquetTopic, maxFilesPerTrigger = 2),
       outDir, hStore, uStore, inventory, evalDigests, tempDir("ck_crawl"))
