@@ -19,6 +19,20 @@ to seconds is still compared (against the 0.05 s noise floor) and still
 fails. graft.Bench prints "bench FAILED queries: ..." to stderr so the
 next status entry is mechanical, not forensic.
 
+Baseline-of-last-resort (r15 verdict #2): a query whose only readings
+in the artifacts PASSED are phantom/broken resolves no baseline and
+would ride the "new" bucket unflagged (the r15 hole: q46=13.0 passed a
+BENCH_r14->r15-only diff because both its entries were phantom). Every
+phantom adjudication therefore pins its quiet 11-run median in
+bench_status.json's "adjudicated_levels"; when artifact history
+resolves no live baseline for a query, the pin IS the baseline. The
+pin never overrides a live artifact reading - newest live wins.
+
+`python3 tools/bench_diff.py --selftest` proves the pin closes the
+hole: a synthetic 13.0 reading for a phantom-class query must flag
+under a two-artifact (r14, r15) invocation, and must demonstrably NOT
+flag with pins disabled (the pre-fix behavior).
+
 Accepts either the driver's BENCH_r{N}.json wrapper (reads .parsed,
 falling back to the last JSON object embedded in .tail for rounds the
 driver failed to parse) or a raw one-line bench JSON from
@@ -111,25 +125,32 @@ def load_status():
     expected = {fam(k): v for k, v in doc.get("expected_changed", {}).items()
                 if not k.startswith("_") and isinstance(v, dict)
                 and "level" in v}
+    # "adjudicated_levels": every phantom adjudication pins its quiet
+    # 11-run median (fam -> {level, src}). Used ONLY as the baseline of
+    # last resort — when no artifact in the invocation carries a live
+    # reading for a query the gate still resolves a level, so a
+    # truncated-history diff cannot park a phantom-class query in the
+    # unflagged "new" bucket (the r15 q46=13.0 hole).
+    pinned = {fam(k): v for k, v in doc.get("adjudicated_levels", {}).items()
+              if not k.startswith("_") and isinstance(v, dict)
+              and "level" in v}
     # shared gate constants (also read by graft.Bench) — keep the two
     # definitions from drifting apart
     g = doc.get("_gate", {})
     for k in GATE:
         if isinstance(g.get(k), (int, float)):
             GATE[k] = float(g[k])
-    return broken, expected
+    return broken, expected, pinned
 
 
-def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    if len(args) < 2:
-        raise SystemExit(__doc__)
-    old_paths, new_path = args[:-1], args[-1]
-    status, expected = load_status()
-    thresh = GATE["thresh"]
-    for a in sys.argv[1:]:
-        if a.startswith("--thresh"):
-            thresh = float(a.split("=", 1)[1]) if "=" in a else thresh
+def run_diff(old_paths, new_path, thresh, use_pins=True, out=None):
+    """Resolve baselines, classify movers. Returns a dict with the
+    classification; printing goes to `out` (None = silent, for the
+    selftest's pre-fix re-run)."""
+    def say(*a, **kw):
+        if out is not None:
+            print(*a, **kw, file=out)
+    status, expected, pinned = load_status()
 
     new_q, new_total = load_queries(new_path)
     new = {fam(k): v for k, v in new_q.items()}
@@ -154,6 +175,18 @@ def main():
                 continue
             base[f] = (v, p)
 
+    # Baseline of last resort: a query with NO live artifact reading in
+    # this invocation but an adjudicated quiet level still gets a
+    # baseline, so truncated history cannot park it in the unflagged
+    # "new" bucket. Artifact readings always win over the pin.
+    pinned_used = []
+    if use_pins:
+        for f, v in pinned.items():
+            if f in new and f not in base:
+                base[f] = (float(v["level"]),
+                           f"pin:{v.get('src', 'adjudicated_levels')}")
+                pinned_used.append(f)
+
     shared = sorted(set(base) & set(new))
     added = sorted(set(new) - set(base))
     removed = sorted(set(base) - set(new))
@@ -161,25 +194,30 @@ def main():
               for k in shared if abs(new[k] - base[k][0]) >= thresh]
     movers.sort(key=lambda t: -abs(t[3]))
 
-    print(f"# bench diff: {', '.join(old_paths)} -> {new_path}")
+    say(f"# bench diff: {', '.join(old_paths)} -> {new_path}")
     so, sn = sum(base[k][0] for k in shared), sum(new[k] for k in shared)
-    print(f"\nshared {len(shared)} queries (each vs its last live "
-          f"baseline): {so:.2f}s -> {sn:.2f}s ({sn / so:.2f}x); "
-          f"totals {[old_totals[p] for p in old_paths if p in old_totals]} -> {new_total}")
+    say(f"\nshared {len(shared)} queries (each vs its last live "
+        f"baseline): {so:.2f}s -> {sn:.2f}s ({sn / so:.2f}x); "
+        f"totals {[old_totals[p] for p in old_paths if p in old_totals]} -> {new_total}")
+    if pinned_used:
+        say(f"pinned baselines (no live reading in the artifacts "
+            f"passed; level from tools/bench_status.json "
+            f"adjudicated_levels): "
+            + ", ".join(f"{k}={base[k][0]}" for k in sorted(pinned_used)))
     if added:
-        print(f"new: {', '.join(added)} "
-              f"(+{sum(new[k] for k in added):.2f}s combined)")
+        say(f"new: {', '.join(added)} "
+            f"(+{sum(new[k] for k in added):.2f}s combined)")
     if removed:
-        print(f"removed: {', '.join(removed)}")
+        say(f"removed: {', '.join(removed)}")
     if movers:
-        print(f"\n| query | baseline | from | {new_path} | delta |")
-        print("| --- | --- | --- | --- | --- |")
+        say(f"\n| query | baseline | from | {new_path} | delta |")
+        say("| --- | --- | --- | --- | --- |")
         for k, o, n, d, src in movers:
-            print(f"| {k} | {o:.2f} | {os.path.basename(src)} | "
-                  f"{n:.2f} | {d:+.2f} |")
+            say(f"| {k} | {o:.2f} | {os.path.basename(src)} | "
+                f"{n:.2f} | {d:+.2f} |")
     else:
-        print(f"\nno per-query move >= {thresh}s")
-    # exit 1 when a query regressed >= max(thresh, 2x) vs its last live
+        say(f"\nno per-query move >= {thresh}s")
+    # trip when a query regressed >= max(thresh, 2x) vs its last live
     # baseline. Ratio over floored values (FLOOR = 0.05 s noise floor)
     # applied UNIFORMLY: fast-but-live baselines are floored, never
     # excluded, so a 0.015 s -> 5 s regression fails. Only explicitly
@@ -203,21 +241,85 @@ def main():
              and remeasures.get(k, 0.0) > GATE["quiet_load"]]
     bad = [k for k, n in trip if k not in waived and k not in unadj]
     if waived:
-        print("\nexpected changed-code costs (level-pinned in "
-              "tools/bench_status.json, not gate failures): "
-              + ", ".join(f"{k} (<=1.5x {expected[k]['level']}s: "
-                          f"{expected[k].get('why', '')})" for k in waived))
+        say("\nexpected changed-code costs (level-pinned in "
+            "tools/bench_status.json, not gate failures): "
+            + ", ".join(f"{k} (<=1.5x {expected[k]['level']}s: "
+                        f"{expected[k].get('why', '')})" for k in waived))
     if unadj:
-        print(f"\nUNADJUDICATED (re-measured above the "
-              f"{GATE['quiet_load']} quiet bar — not evidence either "
-              f"way; rerun the 11-run one-query-per-JVM protocol on a "
-              f"quiet host): "
-              + ", ".join(f"{k}@{remeasures[k]}" for k in unadj))
+        say(f"\nUNADJUDICATED (re-measured above the "
+            f"{GATE['quiet_load']} quiet bar — not evidence either "
+            f"way; rerun the 11-run one-query-per-JVM protocol on a "
+            f"quiet host): "
+            + ", ".join(f"{k}@{remeasures[k]}" for k in unadj))
     if bad:
-        print(f"\nREGRESSIONS (>=2x vs last live and >=+{thresh}s): "
-              f"{', '.join(bad)}")
+        say(f"\nREGRESSIONS (>=2x vs last live and >=+{thresh}s): "
+            f"{', '.join(bad)}")
+    return {"bad": bad, "unadj": unadj, "waived": waived,
+            "added": added, "removed": removed, "shared": shared}
+
+
+def selftest():
+    """Prove the pinned-baseline fix closes the truncated-history hole:
+    a synthetic 13.0 s reading for a phantom-class query (q46 — phantom
+    in BOTH BENCH_r14.json and BENCH_r15.json, so a two-artifact diff
+    resolves it no live baseline) must flag with pins on, and must land
+    in the unflagged "new" bucket with pins off (the pre-fix escape
+    this test exists to keep closed)."""
+    import tempfile
+    load_status()  # apply _gate overrides before reading GATE defaults
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    olds = [os.path.join(root, "BENCH_r14.json"),
+            os.path.join(root, "BENCH_r15.json")]
+    for p in olds:
+        if not os.path.exists(p):
+            raise SystemExit(f"selftest: missing artifact {p}")
+    q, _ = load_queries(olds[-1])
+    q = dict(q)
+    k46 = next(k for k in q if fam(k) == "q46")
+    q[k46] = 13.0
+    with tempfile.NamedTemporaryFile("w", suffix=".json",
+                                     delete=False) as f:
+        json.dump({"metric": "selftest", "value": sum(q.values()),
+                   "unit": "sec", "queries": q, "sf": 0.1}, f)
+        synth = f.name
+    try:
+        fixed = run_diff(olds, synth, GATE["thresh"], use_pins=True)
+        broken = run_diff(olds, synth, GATE["thresh"], use_pins=False)
+    finally:
+        os.unlink(synth)
+    if "q46" not in fixed["bad"]:
+        raise SystemExit("selftest FAIL: synthetic q46=13.0 did not "
+                         "flag under the two-artifact invocation with "
+                         "pins on — the truncated-history hole is open "
+                         f"(bad={fixed['bad']}, added={fixed['added']})")
+    if "q46" in broken["bad"] or "q46" not in broken["added"]:
+        raise SystemExit("selftest FAIL: with pins disabled q46 was "
+                         "expected to escape via the 'new' bucket (the "
+                         "hole this test documents); it did not — the "
+                         "test no longer exercises the pin path "
+                         f"(bad={broken['bad']}, added={broken['added']})")
+    print("bench_diff selftest OK: synthetic q46=13.0 flags under a "
+          "two-artifact (r14, r15) invocation via its pinned "
+          "adjudicated level, and demonstrably escapes with pins off")
+
+
+def main():
+    if "--selftest" in sys.argv[1:]:
+        selftest()
+        return
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    if len(args) < 2:
+        raise SystemExit(__doc__)
+    old_paths, new_path = args[:-1], args[-1]
+    load_status()  # apply _gate overrides before reading GATE defaults
+    thresh = GATE["thresh"]
+    for a in sys.argv[1:]:
+        if a.startswith("--thresh"):
+            thresh = float(a.split("=", 1)[1]) if "=" in a else thresh
+    r = run_diff(old_paths, new_path, thresh, out=sys.stdout)
+    if r["bad"]:
         sys.exit(1)
-    if unadj:
+    if r["unadj"]:
         # fail-CLOSED (r14 advisor): an unadjudicated >=2x flag must
         # force the manual quiet protocol, not pass with a printed
         # note. Distinct exit code so callers can tell "genuine

@@ -48,6 +48,10 @@ python3 tools/plan_discipline.py /tmp/gate_plans.md
 grep -o '{"metric".*}' /tmp/gate_out.txt | tail -1 > /tmp/gate_bench.json
 benches=$(ls BENCH_r*.json 2>/dev/null | sort)
 if [ -n "$benches" ] && [ -s /tmp/gate_bench.json ]; then
+  # selftest first: proves the pinned-baseline fallback still closes
+  # the truncated-history hole (a phantom-class query must flag even
+  # when the caller passes only artifacts where it is phantom)
+  python3 tools/bench_diff.py --selftest
   python3 tools/bench_diff.py $benches /tmp/gate_bench.json
 fi
 echo "GATE GREEN"
