@@ -170,49 +170,24 @@ object Dedup extends QueryPack {
     "d3_lsh_pairs" -> ((s, d) =>
       lshPairs(s, d).orderBy(col("doc_a"), col("doc_b"))),
 
-    // Near-dup CLUSTER resolution: the pair graph collapsed into
-    // connected groups, each with its canonical (min-id) keeper —
-    // the keep/drop decision a dedup pipeline actually executes
-    // (pairs alone over-delete transitive groups). Two rounds of
-    // min-label propagation over the edge list: exact for any dup
-    // graph of diameter ≤ 2 (LSH near-dup graphs are near-cliques);
-    // at deploy, iterate the SAME step to a fixpoint — per-iteration
-    // cost is one shuffle of the edge list, state is one label per
-    // node, no driver-side graph.
-    "d8_dup_clusters" -> { (s, d) =>
-      // repartition pins the pair list behind ONE exchange that all
-      // three consumers (nodes + both edge directions) reuse — same
-      // projection-collapse insurance as the d3/d4 signature
-      // materialization (without it the band join can replan per
-      // consumer).
-      val pairs = lshPairs(s, d).repartition(col("doc_a"))
-      val nodes = pairs.select(explode(array(col("doc_a"), col("doc_b"))).as("node"))
-        .distinct()
-      val edges = pairs.select(col("doc_a").as("node"), col("doc_b").as("nbr"))
-        .unionAll(pairs.select(col("doc_b").as("node"), col("doc_a").as("nbr")))
-        .unionAll(nodes.select(col("node"), col("node").as("nbr")))
-      val l1 = edges.groupBy(col("node")).agg(min(col("nbr")).as("lbl"))
-      val l2 = edges
-        .join(l1.select(col("node").as("nbr"), col("lbl")), "nbr")
-        .groupBy(col("node")).agg(min(col("lbl")).as("keep_id"))
-      l2.groupBy(col("keep_id"))
-        .agg(count(lit(1)).as("n_members"), max(col("node")).as("max_doc"))
-        .orderBy(col("keep_id"))
-    },
-
-    // Near-dup components to a FIXPOINT (operators.Components): the
-    // convergent generalization of d8 — exact for ANY dup-graph
-    // diameter, not just ≤ 2. Emits the full member roster per
-    // component, the manifest a dedup pipeline writes next to the
-    // kept corpus. The oracle is a recursive min-label reachability
-    // CTE — an independent formulation that agrees only if the
-    // propagation loop truly converged.
+    // Near-dup components to a FIXPOINT (operators.Components) with
+    // the keeper semantics a dedup pipeline executes: comp_id IS the
+    // canonical (min-id) keeper, n_members/max_doc the keep/drop
+    // audit, members the full roster written next to the kept corpus.
+    // Round 16 folded the former d8_dup_clusters registry entry in
+    // here: d8's two-round min-label propagation was exact only for
+    // diameter ≤ 2 graphs and its (keep_id, n_members, max_doc)
+    // output is this query's columns — the bounded form survives as
+    // [[dupClustersTwoRound]], spec-proved ≡ the fixpoint on the LSH
+    // graph. The oracle is a recursive min-label reachability CTE —
+    // an independent formulation that agrees only if the propagation
+    // loop truly converged.
     "d9_dup_components" -> { (s, d) =>
       val pairs = lshPairs(s, d)
         .select(col("doc_a").as("node"), col("doc_b").as("nbr"))
       graft.operators.Components.connected(pairs)
         .groupBy(col("comp_id"))
-        .agg(count(lit(1)).as("n_members"),
+        .agg(count(lit(1)).as("n_members"), max(col("node")).as("max_doc"),
           array_join(transform(array_sort(collect_list(col("node"))),
             _.cast("string")), ",").as("members"))
         .orderBy(col("comp_id"))
@@ -983,7 +958,7 @@ object Dedup extends QueryPack {
   }
 
   /** The d3 band-join candidate pairs (shared base for d3/d8). */
-  private def lshPairs(s: SparkSession, d: String): DataFrame =
+  private[graft] def lshPairs(s: SparkSession, d: String): DataFrame =
     lshPairsFrom(kmSignatures(withNearDupes(s, d), materialize = true))
 
   /** Band join over an ALREADY-materialized signature table — lets a
@@ -1000,6 +975,38 @@ object Dedup extends QueryPack {
         col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
       .distinct()
+  }
+
+  /** The BOUNDED cluster resolver (the former d8_dup_clusters
+    * registry entry, demoted round 16 when d9 absorbed its keeper
+    * columns): two rounds of min-label propagation over the pair
+    * graph's edge list — exact for any dup graph of diameter ≤ 2
+    * (LSH near-dup graphs are near-cliques), one edge-list shuffle
+    * per round, one label per node of state, no driver-side graph.
+    * Kept as the building block a latency-bounded deploy iterates
+    * (run the SAME step to a fixpoint); DedupSpec proves it equals
+    * the convergent operators.Components form on the LSH graph,
+    * keeper semantics included. Emits (keep_id, n_members, max_doc),
+    * d8's historical contract. */
+  private[graft] def dupClustersTwoRound(pairsIn: DataFrame): DataFrame = {
+    // repartition pins the pair list behind ONE exchange that all
+    // three consumers (nodes + both edge directions) reuse — same
+    // projection-collapse insurance as the d3/d4 signature
+    // materialization (without it the band join can replan per
+    // consumer).
+    val pairs = pairsIn.repartition(col("doc_a"))
+    val nodes = pairs.select(explode(array(col("doc_a"), col("doc_b"))).as("node"))
+      .distinct()
+    val edges = pairs.select(col("doc_a").as("node"), col("doc_b").as("nbr"))
+      .unionAll(pairs.select(col("doc_b").as("node"), col("doc_a").as("nbr")))
+      .unionAll(nodes.select(col("node"), col("node").as("nbr")))
+    val l1 = edges.groupBy(col("node")).agg(min(col("nbr")).as("lbl"))
+    val l2 = edges
+      .join(l1.select(col("node").as("nbr"), col("lbl")), "nbr")
+      .groupBy(col("node")).agg(min(col("lbl")).as("keep_id"))
+    l2.groupBy(col("keep_id"))
+      .agg(count(lit(1)).as("n_members"), max(col("node")).as("max_doc"))
+      .orderBy(col("keep_id"))
   }
 
   /** words → shingles → per-shingle md5 halves → grouped signatures. */
@@ -1130,29 +1137,10 @@ object Dedup extends QueryPack {
          |HAVING count(DISTINCT doc_id) > 1
          |ORDER BY fp""".stripMargin,
 
-    // Mirrors d8's two fixed min-label propagation rounds exactly.
-    "d8_dup_clusters" ->
-      s"""WITH $CandSql,
-         |nodes AS (
-         |  SELECT DISTINCT node FROM (
-         |    SELECT doc_a AS node FROM cand
-         |    UNION ALL SELECT doc_b AS node FROM cand) t),
-         |edges AS (
-         |  SELECT doc_a AS node, doc_b AS nbr FROM cand
-         |  UNION ALL SELECT doc_b AS node, doc_a AS nbr FROM cand
-         |  UNION ALL SELECT node, node AS nbr FROM nodes),
-         |l1 AS (SELECT node, min(nbr) AS lbl FROM edges GROUP BY node),
-         |l2 AS (
-         |  SELECT e.node, min(l1.lbl) AS keep_id
-         |  FROM edges e JOIN l1 ON e.nbr = l1.node
-         |  GROUP BY e.node)
-         |SELECT keep_id, count(*) AS n_members, CAST(max(node) AS BIGINT) AS max_doc
-         |FROM l2
-         |GROUP BY keep_id
-         |ORDER BY keep_id""".stripMargin,
-
     // Independent formulation of d9: recursive reachability (labels =
     // every node reachable from me; component id = min of them).
+    // Carries the keeper audit columns folded in from the retired d8
+    // oracle (comp_id IS the min-id keeper; max_doc the roster edge).
     "d9_dup_components" ->
       s"""WITH RECURSIVE $CandSql,
          |nodes AS (
@@ -1171,6 +1159,7 @@ object Dedup extends QueryPack {
          |  SELECT node, CAST(min(lbl) AS BIGINT) AS comp_id
          |  FROM reach GROUP BY node)
          |SELECT comp_id, count(*) AS n_members,
+         |  CAST(max(node) AS BIGINT) AS max_doc,
          |  string_agg(node::VARCHAR, ',' ORDER BY node) AS members
          |FROM comp
          |GROUP BY comp_id

@@ -1771,7 +1771,11 @@ object Pipeline extends QueryPack {
         |  FROM cgrp GROUP BY 1, 2, 3),
         |contam AS (
         |  SELECT doc_id,
-        |    CASE WHEN sum(e - s + 1)::DOUBLE / dnw > 0.3
+        |    -- round exactly as the Spark side (contamSpans rounds
+        |    -- contam_frac to 6 dp BEFORE the > 0.3 test; an unrounded
+        |    -- compare here would diverge for fractions in
+        |    -- (0.3, 0.3000005] — r15 advisor)
+        |    CASE WHEN round(sum(e - s + 1)::DOUBLE / dnw, 6) > 0.3
         |         THEN 'drop_doc' ELSE 'redact_spans' END AS contam_action
         |  FROM cspan GROUP BY doc_id, dnw),
         |sc AS (

@@ -40,13 +40,18 @@ class ComponentsSpec extends SparkSuite {
     assert(a == b && a == Set((1L, 1L), (2L, 1L), (3L, 1L)))
   }
 
-  test("d9 components refine d8's bounded clusters on the corpus") {
-    // same pair graph ⇒ identical membership on a diameter-≤2 corpus;
-    // this pins d9's fixpoint to d8's known-green bounded collapse
-    val d8 = SparkEntry.queries("d8_dup_clusters")(spark, sf)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  test("d9 fixpoint ≡ the demoted two-round collapse on the corpus, keeper semantics included") {
+    // same pair graph ⇒ identical (keeper, size, max member) on a
+    // diameter-≤2 corpus; this pins d9's fixpoint (which absorbed the
+    // d8 registry entry in round 16) to the known-green bounded
+    // collapse it generalizes — dupClustersTwoRound stays the
+    // latency-bounded building block and must not drift
+    val bounded = graft.queries.Dedup
+      .dupClustersTwoRound(graft.queries.Dedup.lshPairs(spark, sf))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     val d9 = SparkEntry.queries("d9_dup_components")(spark, sf)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(d9 == d8)
+      .select("comp_id", "n_members", "max_doc")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(d9 == bounded)
   }
 }

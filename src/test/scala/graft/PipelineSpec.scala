@@ -1483,7 +1483,7 @@ class PipelineSpec extends SparkSuite {
     val mPath = java.nio.file.Paths.get(s"$dir/manifest.json")
     val good = java.nio.file.Files.readString(mPath)
     java.nio.file.Files.writeString(mPath,
-      good.replace("\"format_version\":1", "\"format_version\":99"))
+      good.replaceFirst("\"format_version\":\\d+", "\"format_version\":99"))
     val e1 = intercept[IllegalArgumentException](Similarity.loadIvfPqIndex(spark, dir))
     assert(e1.getMessage.contains("format_version"))
     java.nio.file.Files.writeString(mPath,
@@ -1492,6 +1492,92 @@ class PipelineSpec extends SparkSuite {
     assert(e2.getMessage.contains("truncated"))
     java.nio.file.Files.writeString(mPath, good)
     assert(serve(Similarity.loadIvfPqIndex(spark, dir)) === serve(built))
+  }
+
+  test("compactIndex executes the a22 verdict on the persisted artifact: serve-identical, delta folded, lineage bumped, guards intact") {
+    import graft.queries.{Similarity, AnnGeometry}
+    val geo = AnnGeometry()
+    val v = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .withColumn("nrm", graft.functions.Vec.norm(col("emb")))
+    val probes = Similarity.hashTopK(v, "probe", 5)
+      .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"), col("nrm").as("p_nrm"))
+    def serve(ix: Similarity.IvfPqIndex) =
+      Similarity.ivfPqServeProbes(ix, probes, geo).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+
+    // a31's 1-in-4 lifecycle split (the 1/7 share never crosses the
+    // 0.2 compact threshold on this corpus): base trains the
+    // geometry, the delta is absorbed without retraining as segment
+    // 1, and the grown state is PUBLISHED — compaction must act on
+    // the loaded artifact, not an in-memory convenience
+    val isDelta = pmod(col("vec_id"), lit(4L)) === 1L
+    val grown = Similarity.ivfPqIndexDelta(
+      Similarity.ivfPqIndexOf(v.filter(!isDelta), geo), v.filter(isDelta))
+    val srcDir = tempDir("ivfpq_precompact")
+    Similarity.saveIvfPqIndex(grown, srcDir)
+    assert(Similarity.ivfPqIndexVersion(srcDir) === 1L)
+    val loaded = Similarity.loadIvfPqIndex(spark, srcDir)
+    val servedBefore = serve(loaded)
+
+    // the verdict this window executes — same centroids by
+    // construction (hashTopK over the same base rows)
+    val policy = Similarity.compactPolicyOf(v, isDelta, geo)
+    val actions = policy.select(col("cell"), col("action")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(actions.values.exists(_ == "compact"),
+      s"split produced no compact cell — the executor's main arm is untested: $actions")
+    assert(actions.values.exists(_ == "keep"),
+      s"split produced no keep cell — the passthrough arm is untested: $actions")
+
+    val compacted = Similarity.compactIndex(loaded, policy)
+    // geometry kept ⇒ identical service, row for row
+    assert(serve(compacted) === servedBefore)
+    // the rewrite touched ONLY what the verdict ordered: vec_id→cell
+    // is bit-identical, compact cells' delta rows fold to segment 0,
+    // keep/rebuild cells' segments are untouched
+    assert(compacted.assigned.count() === loaded.assigned.count())
+    assert(compacted.assigned.select(col("vec_id"), col("cell"))
+      .exceptAll(loaded.assigned.select(col("vec_id"), col("cell"))).count() === 0L)
+    def deltaRows(ix: Similarity.IvfPqIndex): Map[Long, Long] =
+      ix.assigned.groupBy(col("cell"))
+        .agg(sum(when(col("seg") =!= 0, 1L).otherwise(0L)).as("d")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val before = deltaRows(loaded); val after = deltaRows(compacted)
+    actions.foreach { case (cell, act) =>
+      if (act == "compact") {
+        assert(before(cell) > 0L, s"compact cell $cell had no delta to fold")
+        assert(after(cell) === 0L,
+          s"compact cell $cell still carries ${after(cell)} delta rows")
+      } else assert(after(cell) === before(cell),
+        s"$act cell $cell was rewritten (${before(cell)} -> ${after(cell)})")
+    }
+
+    // republish with the lineage bump; the new artifact serves
+    // identically and its tamper guards still fire
+    val dstDir = tempDir("ivfpq_postcompact")
+    Similarity.saveIvfPqIndex(compacted, dstDir,
+      Similarity.ivfPqIndexVersion(srcDir) + 1)
+    assert(Similarity.ivfPqIndexVersion(dstDir) === 2L)
+    assert(serve(Similarity.loadIvfPqIndex(spark, dstDir)) === servedBefore)
+    val mPath = java.nio.file.Paths.get(s"$dstDir/manifest.json")
+    val good = java.nio.file.Files.readString(mPath)
+    java.nio.file.Files.writeString(mPath,
+      good.replaceFirst("\"assigned\":\\d+", "\"assigned\":7"))
+    val e = intercept[IllegalArgumentException](
+      Similarity.loadIvfPqIndex(spark, dstDir))
+    assert(e.getMessage.contains("truncated"))
+
+    // rebuild is NOT compaction's to fix: relabel one compact cell
+    // rebuild and its fragmented segments must pass through untouched
+    // (the cell awaits its a15 retrain — folding its rows would paper
+    // over a geometry problem the policy explicitly flagged)
+    val rebuildCell = actions.collectFirst { case (c, "compact") => c }.get
+    val relabeled = policy.withColumn("action",
+      when(col("cell") === rebuildCell, lit("rebuild")).otherwise(col("action")))
+    val spared = deltaRows(Similarity.compactIndex(loaded, relabeled))
+    assert(spared(rebuildCell) === before(rebuildCell),
+      s"rebuild-labeled cell $rebuildCell was compacted anyway")
   }
 
   test("a20 drift audit partitions the corpus exactly and flags only delta-heavy cells") {

@@ -29,20 +29,24 @@ import re, sys
 # envelope, mm2's sampled frame — and that IS the output, not a
 # rider. The p4 catch was exactly this class: text# riding a
 # hashpartitioning digest window it contributed nothing to.
-# Stem-ANYWHERE: '_' is a word character, so a \b-anchored pattern
-# missed suffix-named columns (target_uri#, url_norm#, any *_url#/
-# *_body# — the r14 advisor's catch). Any column whose NAME contains
-# one of these stems is treated as raw bytes unless allowed below.
+# Stems must be UNDERSCORE-DELIMITED or name-initial/final within the
+# column token (r15 advisor): a \b-anchored pattern missed suffix-named
+# columns (target_uri#, url_norm# — '_' is a word character), and the
+# r15 stem-anywhere fix over-matched incidental substrings (any column
+# containing 'uri'/'url'/'body' inside an unrelated word — security#,
+# favourite# — would flag). (^|_)stem(_|$) keeps the suffix/prefix
+# coverage without common-word false positives.
 HEAVY = re.compile(
-    r"[A-Za-z0-9_]*(text|payload|body|wire|html|markup|"
-    r"envelope|frame_b64|uri|url)[A-Za-z0-9_]*#", re.I)
+    r"(?:^|_)(text|payload|body|wire|html|markup|"
+    r"envelope|frame_b64|uri|url)(?:_|$)", re.I)
 # Deliberate CONTRACT outputs that must ride their own shuffle, allowed
 # BY QUERY NAME (a blanket column allowance would re-open the hole for
 # every other query): d7's output IS the canonical url string — the
 # group key and the reported column; map-side partial aggregation
 # bounds the exchange to one row per distinct url per partition.
+# Patterns match the bare column NAME token (no #id suffix).
 ALLOWED_BY_QUERY = {
-    "d7_url_dedup": re.compile(r"\burl_norm#", re.I),
+    "d7_url_dedup": re.compile(r"^url_norm$", re.I),
 }
 
 # Queries whose BroadcastNestedLoopJoin is DECLARED, by name. Since
@@ -77,7 +81,8 @@ BNLJ_OK = {
     "a20_index_drift", "a21_opq_rotate", "a22_compact_policy",
     "a23_filtered_knn", "a24_nprobe_sweep", "a25_nprobe_decide",
     "a26_adaptive_nprobe", "a27_opq_serve", "a28_serve_cost",
-    "a30_serve_drift", "d19_bloom_probe", "m20_reshard_plan",
+    "a30_serve_drift", "a31_compact_exec", "d19_bloom_probe",
+    "m20_reshard_plan",
     "m23_shard_cost", "m24_retention_sizing", "p3_index_build",
     "p5_mix_build", "p7_dedup_cascade", "p9_release_gate",
     "p12_reindex_delta", "q37_merge_upsert", "q40_skew_audit",
@@ -85,6 +90,20 @@ BNLJ_OK = {
     "t15_lm_quality", "t17_mix_weights", "t19_zipf_audit",
     "t23_token_fertility", "t24_bpe_train",
 }
+
+# A name in BNLJ_OK does NOT pass any shape (r15 advisor: the
+# wholesale whitelist would have silently passed a FUTURE pathological
+# join added to a listed query). Listed queries still assert SHAPE:
+# only Cross/Inner/LeftOuter with BuildRight — the broadcast of the
+# tiny side — plus the four audited Inner+BuildLeft sites below, where
+# Spark chose to build the 1-row stats frame on the left (verified
+# against PLANS.md r15: 78 Cross/61 Inner/9 LeftOuter all BuildRight;
+# 16 Inner BuildLeft across exactly these four queries). A new
+# FullOuter, or a BuildLeft anywhere else, flags even inside BNLJ_OK.
+BNLJ_SHAPES_OK = {("Cross", "BuildRight"), ("Inner", "BuildRight"),
+                  ("LeftOuter", "BuildRight")}
+BNLJ_BUILDLEFT_OK = {"a29_embed_audit", "p8_corpus_card",
+                     "q45_quantile_sketch", "t28_quality_calibration"}
 
 
 def main(path):
@@ -109,26 +128,38 @@ def main(path):
             if not arg or arg.group(1) != "hashpartitioning":
                 continue
             allowed = ALLOWED_BY_QUERY.get(name)
-            cols = inp.group(1)
-            hit = next((h for h in HEAVY.finditer(cols)
-                        if not (allowed and allowed.search(h.group(0)))),
+            # check each column NAME token, not the raw list text, so
+            # the (^|_)stem(_|$) anchors mean token boundaries
+            hit = next((tok for tok in
+                        re.findall(r"([A-Za-z0-9_]+)#", inp.group(1))
+                        if HEAVY.search(tok)
+                        and not (allowed and allowed.search(tok))),
                        None)
             if hit:
                 bad.append((name, f"Exchange ({node_id})",
-                            f"shuffles raw column '{hit.group(0)}…'"))
+                            f"shuffles raw column '{hit}#…'"))
         if "CartesianProduct" in sec:
             bad.append((name, "CartesianProduct", "undeclared cartesian"))
-        if "BroadcastNestedLoopJoin" in sec and name not in BNLJ_OK:
-            # EVERY BNLJ in an unlisted query flags, regardless of build
-            # side (the header's rule: anything not declared by name is
-            # a potential O(n*m) join — a large-but-broadcastable build
-            # side is exactly the case a BuildRight-only check missed).
-            # join type + build side stay in the message as detail.
-            for bm in re.finditer(r"BroadcastNestedLoopJoin (\w+) (\w+)", sec):
-                join_type, build = bm.groups()
+        for bm in re.finditer(r"BroadcastNestedLoopJoin (\w+) (\w+)", sec):
+            join_type, build = bm.groups()
+            if name not in BNLJ_OK:
+                # EVERY BNLJ in an unlisted query flags, regardless of
+                # build side (anything not declared by name is a
+                # potential O(n*m) join — a large-but-broadcastable
+                # build side is exactly the case a BuildRight-only
+                # check missed)
                 bad.append((name, "BroadcastNestedLoopJoin",
                             f"{join_type} {build} — not a declared "
                             "brute baseline or 1-row attach"))
+            elif ((join_type, build) not in BNLJ_SHAPES_OK
+                  and not (build == "BuildLeft" and join_type == "Inner"
+                           and name in BNLJ_BUILDLEFT_OK)):
+                # listed queries still assert shape: a new pathological
+                # join hiding in a whitelisted query trips here
+                bad.append((name, "BroadcastNestedLoopJoin",
+                            f"{join_type} {build} — declared query but "
+                            "an UNDECLARED join shape (BNLJ_SHAPES_OK/"
+                            "BNLJ_BUILDLEFT_OK)"))
     if bad:
         print(f"PLAN DISCIPLINE: {len(bad)} violation(s)")
         for name, node, why in bad:
