@@ -340,7 +340,11 @@ object Bench {
     // artifacts (template inventory, eval digest set) are built ONCE
     // outside the timed runs, the production built-once/served-many
     // shape — the rate prices the per-event cascade, not artifact
-    // (re)mining.
+    // (re)mining. Do NOT read the leg's ev/s as end-to-end ingest
+    // cost: a pipeline that must also (re)mine the inventory or
+    // refresh the eval set pays that build once per corpus/eval
+    // release, amortized across every serving run — the batch p13
+    // timing is the number that includes it.
     lazy val crawlArtifacts = {
       import spark.implicits._
       val decoded = graft.queries.Pipeline.crawlDecode(

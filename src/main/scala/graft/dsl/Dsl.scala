@@ -465,8 +465,18 @@ package object dsl {
       * accumulated delta forces a real rebuild). */
     def absorb(newVecs: DataFrame, idCol: String = "vec_id",
                embCol: String = "embedding",
-               m: Int = 8, subDim: Int = 8): Similarity.IvfPqIndex =
-      Similarity.ivfPqIndexDelta(ix, normVecs(newVecs, idCol, embCol), m, subDim)
+               m: Int = 8, subDim: Int = 8,
+               seg: Int = 1): Similarity.IvfPqIndex =
+      Similarity.ivfPqIndexDelta(ix, normVecs(newVecs, idCol, embCol),
+        m, subDim, seg)
+
+    /** Execute a compaction policy (a22's `(cell, action)` table) on
+      * the index: `compact` cells' delta segments fold into base,
+      * everything else passes through — geometry untouched, so
+      * serving is unchanged row-for-row. Republish with
+      * `saveIvfPqIndex(..., ivfPqIndexVersion(srcDir) + 1)`. */
+    def compact(policy: DataFrame): Similarity.IvfPqIndex =
+      Similarity.compactIndex(ix, policy)
   }
 
   /** [[GraftDataFrameOps.imageStats]]'s body — lives OUTSIDE the

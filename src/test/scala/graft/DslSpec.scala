@@ -108,6 +108,16 @@ class DslSpec extends SparkSuite {
     assert(grown.assigned.count() === emb.count())
     assert(grown.cents.collect().toSeq ===
       base.ivfPqIndex().cents.collect().toSeq)
+
+    // compact = the maintenance rewrite: delta segments fold away for
+    // compact cells, membership untouched (delegates to compactIndex,
+    // whose full contract the PipelineSpec artifact test pins)
+    val policy = Similarity.compactPolicyOf(
+      Similarity.vecs(spark, sf), col("vec_id") % 7 === 3L)
+    val compacted = grown.compact(policy)
+    assert(compacted.assigned.count() === emb.count())
+    assert(compacted.assigned.filter(col("seg") =!= 0).count() <=
+      grown.assigned.filter(col("seg") =!= 0).count())
   }
 
   test("autoJoinSkewed and joinAsOf facades delegate intact") {
