@@ -120,13 +120,6 @@ object Bench {
     // known-broken list tools/bench_diff.py consults) can be updated
     // mechanically instead of inferring stub-ness from a time threshold.
     val failed = scala.collection.mutable.LinkedHashSet[String]()
-    def measure(name: String, fn: (SparkSession, String) => DataFrame, n: Int): Seq[Double] =
-      (0 until n).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).queryExecution.toRdd.count() }
-        catch { case _: Throwable => failed += name }
-        (System.nanoTime() - t0) / 1e9
-      }
     // CLEAN-HEAP protocol (round 15, default ON; SPARK_GRAFT_NOGC
     // opts out for A/B): force a full GC — and give the async
     // ContextCleaner a beat — before each query's timed runs. The
@@ -144,6 +137,25 @@ object Bench {
     // forced GC per query (~1–2 min across 188).
     val gcBetween = !sys.env.contains("SPARK_GRAFT_NOGC")
     def cleanHeap(): Unit = if (gcBetween) { System.gc(); Thread.sleep(300) }
+    // Per-RUN clean-heap, opt-in for SCALE captures (round 16): the
+    // per-QUERY GC below frees prior queries' checkpoint blocks, but
+    // WITHIN a query's run set nothing does — each run's
+    // localCheckpoint blocks survive until the next query's GC. At
+    // the bench SFs that debt is MBs; at sf10 (the second scale
+    // decade) d21-class materializations spill tens of GB per run and
+    // four runs' accumulation filled the sandbox disk (ENOSPC,
+    // measured 2026-08-15). Timing is unaffected — the GC runs
+    // before t0 — so scale runs opt in; the 188-query capture keeps
+    // the r15 protocol so readings stay comparable to baselines.
+    val gcEveryRun = sys.env.contains("SPARK_GRAFT_GC_EVERY_RUN")
+    def measure(name: String, fn: (SparkSession, String) => DataFrame, n: Int): Seq[Double] =
+      (0 until n).map { _ =>
+        if (gcEveryRun) cleanHeap()
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).queryExecution.toRdd.count() }
+        catch { case _: Throwable => failed += name }
+        (System.nanoTime() - t0) / 1e9
+      }
     val firstPass = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(t => selected(t._1)).map { case (name, fn) =>
       cleanHeap()

@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 
 /** Distributed connected components by min-label propagation to a
   * FIXPOINT — the convergent form of the bounded two-round collapse
-  * d8 uses (exact there only for diameter ≤ 2 graphs).
+  * (Dedup.dupClustersTwoRound, exact only for diameter ≤ 2 graphs;
+  * the former d8 registry entry, folded into d9 in round 16).
   *
   * Algorithm (the MapReduce-CC shape of Rastogi et al. 2013): every
   * node starts labeled with itself; each round a node adopts the min
@@ -17,7 +18,7 @@ import org.apache.spark.sql.functions._
   * Spark jobs per round: a localCheckpoint of `next` AND a separate
   * next⋈labels convergence join):
   *  - Labels are SEEDED with two unchecked propagation rounds — the
-  *    same work d8's bounded collapse does — so the near-clique
+  *    same work the bounded two-round collapse does — so the near-clique
   *    graphs this engine actually feeds (LSH candidate pairs among
   *    exact-dup survivors) arrive at the checked loop already
   *    converged and pay exactly ONE checked round.
@@ -74,7 +75,7 @@ object Components {
       val r = labels.select(col("node").as("nbr"), col("lbl"))
       if (broadcastLabels) broadcast(r) else r
     }
-    // seed = d8's two-round collapse (min over direct nbrs, then one
+    // seed = the bounded two-round collapse (min over direct nbrs, then one
     // unchecked propagation) — exact already for diameter <= 2
     var labels = sym.groupBy(col("node")).agg(min(col("nbr")).as("lbl"))
       .localCheckpoint()

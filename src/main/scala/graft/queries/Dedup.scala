@@ -957,7 +957,7 @@ object Dedup extends QueryPack {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
-  /** The d3 band-join candidate pairs (shared base for d3/d8). */
+  /** The d3 band-join candidate pairs (shared base for d3/d9). */
   private[graft] def lshPairs(s: SparkSession, d: String): DataFrame =
     lshPairsFrom(kmSignatures(withNearDupes(s, d), materialize = true))
 

@@ -7,8 +7,8 @@ class ComponentsSpec extends SparkSuite {
   test("label propagation converges past the two-round horizon (10-chain)") {
     import spark.implicits._
     // a path graph 1-2-…-10: min-label needs ~diameter rounds to
-    // reach the far end, so the bounded two-round collapse (d8's
-    // oracle-mirrored form) CANNOT solve it — the fixpoint loop must
+    // reach the far end, so the bounded two-round collapse
+    // (Dedup.dupClustersTwoRound) CANNOT solve it — the fixpoint loop must
     val chain = (1L until 10L).map(i => (i, i + 1)).toDF("node", "nbr")
     val island = Seq((20L, 21L)).toDF("node", "nbr")
     val labels = Components.connected(chain.unionAll(island))
