@@ -9,11 +9,24 @@ import org.apache.spark.sql.functions._
   * SCALING_MEASURED.md checkpoint. Replication preserves workload
   * character rather than just row counts:
   *
-  *  - documents: replica k keeps every doc's text with a replica tag
-  *    token prepended ("r3 ..."), so WITHIN-replica natural dup
-  *    groups mirror the original corpus (dup RATE preserved) while
-  *    replicas never collide cross-replica (no artificial 10-way dup
-  *    groups that would blow candidate pairs quadratically).
+  *  - documents: replica k rewrites every word to a replica-tagged
+  *    form ("fox" → "fox_r3"), EXCEPT the 20 langid marker stopwords,
+  *    which stay verbatim. WITHIN a replica, natural dup groups
+  *    mirror the original corpus exactly (the rewrite is a bijection
+  *    applied uniformly, so two docs share a shingle/window after
+  *    tagging iff they shared it before); ACROSS replicas no shingle,
+  *    stride-1 window, or minhash band can collide (every non-stop
+  *    word differs), and word count / stopword ratios / langid
+  *    profiles are preserved. The round-14 form prepended ONE tag
+  *    token instead — which decorrelates nothing a hash of the
+  *    remaining text sees: replicas of a doc were genuine near-dups
+  *    (Jaccard ≈ (n−s)/(n+s)), so at factor F every doc sat in an
+  *    F-way LSH clique and pair-generating operators paid C(F,2) per
+  *    doc — measured at F=100 (round 16): d21's band self-join fed
+  *    ~C(100,2)×30-band rows into its distinct and one run spilled
+  *    >70 GB. Real corpora grow at ~constant dup-GROUP size; the
+  *    tagged rewrite models that, which is what a scaling exponent
+  *    must hold fixed to mean anything.
   *  - events: ids and users shift per replica (10× users over the
   *    same one-month window — a bigger corpus over the same period),
   *    timestamps untouched so windows/watermark profiles hold.
@@ -55,11 +68,20 @@ object ScaleData {
 
     val docs = read("documents")
     val docSpan = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
+    // langid marker stopwords (the TextOps.t1 lists): kept verbatim so
+    // replica language/quality profiles match the original corpus
+    val stop = Seq("the", "a", "of", "and", "to",
+      "der", "die", "das", "und", "nicht",
+      "el", "los", "las", "y", "una",
+      "le", "la", "et", "les", "des")
     write(replicas(docs).select(
       (col("doc_id") + col("rep") * docSpan).as("doc_id"),
-      when(col("rep") === 0L, col("text"))
-        .otherwise(concat(lit("r"), col("rep").cast("string"), lit(" "),
-          col("text"))).as("text"),
+      when(col("rep") === 0L || trim(col("text")) === "", col("text"))
+        .otherwise(array_join(transform(
+          split(trim(col("text")), "\\s+"),
+          x => when(x.isin(stop: _*), x)
+            .otherwise(concat(x, lit("_r"), col("rep").cast("string")))),
+          " ")).as("text"),
       col("lang"), col("source"))
       .withColumn("n_chars", length(col("text")).cast("long")),
       "documents", 8)

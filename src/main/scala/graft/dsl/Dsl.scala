@@ -100,6 +100,19 @@ package object dsl {
           df.select(col(idCol).as("doc_id"), col(textCol).as("text")),
           materialize = true))
 
+    /** The LINEAR candidate form for connectivity consumers: per LSH
+      * band bucket, star edges to the bucket's min doc — components
+      * over these are provably identical to components over
+      * `nearDupPairs`' cliques, at n−1 rows per bucket instead of
+      * C(n,2). Use this (not nearDupPairs) to feed `dupComponents`
+      * at corpus scale: a million-way boilerplate clique costs 10⁶
+      * edges, not 5·10¹¹. */
+    def nearDupEdges(idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+      queries.Dedup.lshStarEdges(
+        queries.Dedup.kmSignatures(
+          df.select(col(idCol).as("doc_id"), col(textCol).as("text")),
+          materialize = true))
+
     /** d9's fixpoint connected components over an edge list
       * (`node`, `nbr`) — O(diameter) rounds, shuffles (id,label)
       * pairs only. Adds `comp_id` (min node id of the component). */

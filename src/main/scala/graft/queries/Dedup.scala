@@ -183,7 +183,14 @@ object Dedup extends QueryPack {
     // an independent formulation that agrees only if the propagation
     // loop truly converged.
     "d9_dup_components" -> { (s, d) =>
-      val pairs = lshPairs(s, d)
+      // STAR edges, not the d3 clique join: components only need
+      // connectivity, and the star form is linear per band bucket
+      // where the clique form is quadratic (see lshStarEdges — the
+      // output components are provably identical, so the oracle and
+      // this query's result are byte-for-byte what the clique form
+      // produced)
+      val pairs = lshStarEdges(kmSignatures(withNearDupes(s, d),
+          materialize = true))
         .select(col("doc_a").as("node"), col("doc_b").as("nbr"))
       graft.operators.Components.connected(pairs)
         .groupBy(col("comp_id"))
@@ -961,19 +968,58 @@ object Dedup extends QueryPack {
   private[graft] def lshPairs(s: SparkSession, d: String): DataFrame =
     lshPairsFrom(kmSignatures(withNearDupes(s, d), materialize = true))
 
-  /** Band join over an ALREADY-materialized signature table — lets a
-    * caller that also needs the raw signatures (d15) pay for exactly
-    * one km_minhash corpus pass shared by every consumer. */
-  private[graft] def lshPairsFrom(sigs: DataFrame): DataFrame = {
-    val bands = sigs.select(col("doc_id"),
+  /** The per-doc (band_id, band_hash) rows both candidate forms
+    * share: [[Bands]] 4-row band hashes off the 16-minhash
+    * signature. */
+  private def lshBands(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"),
       posexplode(array((0 until Bands).map { b =>
         md5(concat_ws("|", (0 until 4).map(r => col(s"s${b * 4 + r}")): _*).cast("binary"))
       }: _*)).as(Seq("band_id", "band_hash")))
+
+  /** Band join over an ALREADY-materialized signature table — lets a
+    * caller that also needs the raw signatures (d15) pay for exactly
+    * one km_minhash corpus pass shared by every consumer.
+    *
+    * This is the EXACT all-pairs-per-bucket form: per (band, hash)
+    * bucket of size n it emits C(n,2) rows — the contract d3 (the
+    * pair audit) and d15 (per-pair slot-agreement calibration)
+    * need, and QUADRATIC in the bucket when a mega-clique appears
+    * (boilerplate duplicated across millions of pages — the round-16
+    * sf10 measurement hit exactly this: 100-way replica cliques fed
+    * C(100,2)×band rows into the distinct and one run spilled
+    * >70 GB). A consumer that only needs CONNECTIVITY must use
+    * [[lshStarEdges]] instead. */
+  private[graft] def lshPairsFrom(sigs: DataFrame): DataFrame = {
+    val bands = lshBands(sigs)
     val l = bands.as("l"); val r = bands.as("r")
     l.join(r, col("l.band_id") === col("r.band_id") &&
         col("l.band_hash") === col("r.band_hash") &&
         col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** The LINEAR candidate form for connectivity consumers (d9, p7's
+    * near-dup stage): per (band, hash) bucket, every member pairs
+    * with the bucket's MIN doc_id only — n−1 star edges instead of
+    * C(n,2) clique edges. Connected components over the star edges
+    * are PROVABLY identical to components over [[lshPairsFrom]]'s
+    * cliques: the band join connects u,v directly iff they share a
+    * bucket, the star connects them through that bucket's hub, and
+    * star edges are a subset of clique edges — so the transitive
+    * closure is the same relation (DedupSpec asserts it, mega-bucket
+    * included). This is the bound that makes bucket-skew survivable
+    * at 100 TB: a million-way boilerplate clique costs 10⁶ edges,
+    * not 5·10¹¹ — candidate volume stays linear in corpus size
+    * regardless of dup-group structure, which no exact pair
+    * enumeration can promise. */
+  private[graft] def lshStarEdges(sigs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("band_id"), col("band_hash"))
+    lshBands(sigs)
+      .withColumn("hub", min(col("doc_id")).over(w))
+      .filter(col("doc_id") =!= col("hub"))
+      .select(col("hub").as("doc_a"), col("doc_id").as("doc_b"))
       .distinct()
   }
 

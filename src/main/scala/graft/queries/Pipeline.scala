@@ -326,7 +326,12 @@ object Pipeline extends QueryPack {
       // Components.connected symmetrizes + distincts on its own keys
       // immediately, so a pre-shuffle on doc_a would be a pure extra
       // exchange (ADVICE r11)
-      val pairs = Dedup.lshPairsFrom(
+      // star edges, not the d3 clique join: the cascade only needs
+      // connectivity, and the star form stays linear per band bucket
+      // when a mega-clique (boilerplate duplicated across millions of
+      // pages) lands — components are provably identical
+      // (Dedup.lshStarEdges)
+      val pairs = Dedup.lshStarEdges(
         Dedup.kmSignatures(surv1, materialize = true))
       val comp = graft.operators.Components.connected(
         pairs.select(col("doc_a").as("node"), col("doc_b").as("nbr")))

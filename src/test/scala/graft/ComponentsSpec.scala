@@ -40,6 +40,36 @@ class ComponentsSpec extends SparkSuite {
     assert(a == b && a == Set((1L, 1L), (2L, 1L), (3L, 1L)))
   }
 
+  test("lshStarEdges ≡ lshPairsFrom under components; linear, not quadratic, on a mega-clique") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val Dedup = graft.queries.Dedup
+    // 200 exact copies — identical signatures, so ONE band bucket of
+    // 200 in every band (the boilerplate mega-clique the round-16
+    // sf10 capture hit at 100-way: C(100,2)×bands rows through the
+    // clique join's distinct, >70 GB of spill in one run) — plus 50
+    // mutually-distinct docs
+    val copies = (0 until 200).map(i =>
+      (i.toLong, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+    val distincts = (200 until 250).map(i =>
+      (i.toLong, s"unique$i words nothing shared here w${i * 7} w${i * 13} tail$i end$i"))
+    val docs = (copies ++ distincts).toDF("doc_id", "text")
+    val sigs = Dedup.kmSignatures(docs, materialize = true)
+    val clique = Dedup.lshPairsFrom(sigs)
+    val star = Dedup.lshStarEdges(sigs)
+    def comps(edges: org.apache.spark.sql.DataFrame) =
+      Components.connected(edges.select(col("doc_a").as("node"), col("doc_b").as("nbr")))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // identical transitive closure: star edges are a subset of clique
+    // edges, and every clique edge's endpoints meet through the hub
+    assert(comps(star) == comps(clique))
+    // the cost asymmetry IS the point: within the 200-copy bucket the
+    // clique join emits C(200,2) pairs, the star exactly n−1
+    val inCopies = col("doc_a") < 200L && col("doc_b") < 200L
+    assert(clique.filter(inCopies).count() == 19900L)
+    assert(star.filter(inCopies).count() == 199L)
+  }
+
   test("d9 fixpoint ≡ the demoted two-round collapse on the corpus, keeper semantics included") {
     // same pair graph ⇒ identical (keeper, size, max member) on a
     // diameter-≤2 corpus; this pins d9's fixpoint (which absorbed the
