@@ -648,14 +648,18 @@ object Dedup extends QueryPack {
     // of the same K=16 signature, the S-curve midpoint (1/b)^(1/r)
     // says which similarity the layout targets ANALYTICALLY, and the
     // corpus says what it does EMPIRICALLY: candidate volume (the
-    // verify-stage bill) and recall of the planted near-dup pairs.
-    // All four layouts band the one materialized signature relation
-    // and join in ONE (layout, band, hash)-keyed self-join — tuning
-    // costs one screen pass, not four. The table reads as: 16x1
-    // catches everything and floods verify; 2x8 is nearly free and
-    // misses; 4x4 (the production layout) sits on the knee. At
-    // 100 TB the pair explosion is the whole dedup bill — this is
-    // the operator that prices it before anyone re-bands a corpus.
+    // verify-stage bill, Σ C(n,2) over band-bucket sizes — counted
+    // from bucket SIZES, never by generating pairs) and recall of
+    // the planted near-dup pairs (truth-probe joins against the band
+    // table). All four layouts band the one materialized signature
+    // relation; tuning costs one screen pass, not four, and no stage
+    // is quadratic in a bucket — which matters precisely because the
+    // flood this operator measures would otherwise be the flood it
+    // pays. The table reads as: 16x1 catches everything and floods
+    // verify; 2x8 is nearly free and misses; 4x4 (the production
+    // layout) sits on the knee. At 100 TB the pair explosion is the
+    // whole dedup bill — this is the operator that prices it before
+    // anyone re-bands a corpus.
     "d21_band_layout" -> { (s, d) =>
       val layouts = Seq((16, 1), (8, 2), (4, 4), (2, 8))
       // two planted similarity classes so the S-curve spread is
@@ -688,21 +692,27 @@ object Dedup extends QueryPack {
         }: _*)).as("e"))
         .select(col("doc_id"), col("e.layout").as("layout"),
           col("e.band_id").as("band_id"), col("e.band_hash").as("band_hash"))
-      val l = bands.as("l"); val rr = bands.as("r")
-      // materialized: the candidate table feeds THREE consumers
-      // (volume rollup + both recall semi-joins) — without the
-      // checkpoint each consumer re-runs the 30-band self-join and
-      // its distinct; the table itself is (layout, id, id) rows,
-      // band-bounded and cheap to hold
-      val cand = l.join(rr,
-          col("l.layout") === col("r.layout") &&
-            col("l.band_id") === col("r.band_id") &&
-            col("l.band_hash") === col("r.band_hash") &&
-            col("l.doc_id") < col("r.doc_id"))
-        .select(col("l.layout").as("layout"),
-          col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
-        .distinct()
-        .localCheckpoint()
+      // NO pair enumeration anywhere (round 16 — the second scale
+      // decade named this operator's old clique self-join: 16x1's
+      // single-minhash buckets grow LINEARLY with the corpus — any
+      // two docs whose min shingle ties, e.g. on a corpus-common
+      // stopword shingle, share a bucket — so distinct-pair
+      // materialization was quadratic; sf1→sf10 exponent 1.15,
+      // measured). The three consumers each have a linear form:
+      // the verify BILL per layout is Σ C(n,2) over bucket sizes —
+      // a groupBy count, no pairs generated — and recall only needs
+      // the planted truth pairs PROBED against the band table
+      // (found ⟺ some band matches), a truth-sized broadcast join.
+      // n_candidates therefore counts pair-generation incidences
+      // (a pair colliding in k bands bills k times) — the work a
+      // screen pass actually performs, which is the quantity a
+      // layout decision must price; the oracle mirrors the same
+      // definition.
+      val volume = bands
+        .groupBy(col("layout"), col("band_id"), col("band_hash"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("layout"))
+        .agg(sum(expr("n * (n - 1) div 2")).as("n_candidates"))
       // planted truth, per class: (orig, orig+offset) with both ends
       // signature-bearing
       def truthAt(mod: Long, offset: Long) =
@@ -716,10 +726,22 @@ object Dedup extends QueryPack {
       val stats = truthHigh.agg(count(lit(1)).as("n_high"))
         .crossJoin(truthMid.agg(count(lit(1)).as("n_mid")))
         .crossJoin(sigs.agg(count(lit(1)).as("n_docs")))
-      def foundIn(truth: DataFrame, as: String) =
-        cand.join(truth, Seq("doc_a", "doc_b"), "left_semi")
+      def foundIn(truth: DataFrame, as: String) = {
+        val aB = bands.as("ab")
+          .join(broadcast(truth.as("t")), col("ab.doc_id") === col("t.doc_a"))
+          .select(col("t.doc_a").as("doc_a"), col("t.doc_b").as("doc_b"),
+            col("ab.layout").as("layout"), col("ab.band_id").as("band_id"),
+            col("ab.band_hash").as("band_hash"))
+        broadcast(aB.as("x")).join(bands.as("bb"),
+            col("x.doc_b") === col("bb.doc_id") &&
+              col("x.layout") === col("bb.layout") &&
+              col("x.band_id") === col("bb.band_id") &&
+              col("x.band_hash") === col("bb.band_hash"))
+          .select(col("x.layout").as("layout"),
+            col("x.doc_a").as("doc_a"), col("x.doc_b").as("doc_b"))
+          .distinct()
           .groupBy(col("layout")).agg(count(lit(1)).as(as))
-      val volume = cand.groupBy(col("layout")).agg(count(lit(1)).as("n_candidates"))
+      }
       import s.implicits._
       val meta = layouts.map { case (b, r) =>
         (s"${b}x$r", b.toLong, r.toLong, math.pow(1.0 / b, 1.0 / r))
@@ -1508,9 +1530,11 @@ object Dedup extends QueryPack {
         |  stats.n_base
         |ORDER BY predicted_dup, actual_dup""".stripMargin,
 
-    // Same four factorings of the sigs relation, banded and joined
-    // per layout; truth = the planted (orig, orig+100000) pairs with
-    // both signatures present.
+    // Same four factorings of the sigs relation; volume = Σ C(n,2)
+    // over band-bucket sizes (pair-generation incidences — no pair
+    // enumeration, mirroring the Spark side's round-16 bounded form),
+    // recall = truth pairs probed against the band table; truth = the
+    // planted (orig, orig+offset) pairs with both signatures present.
     "d21_band_layout" -> {
       val layouts = Seq((16, 1), (8, 2), (4, 4), (2, 8))
       val bandsSql = layouts.flatMap { case (b, r) =>
@@ -1542,11 +1566,6 @@ object Dedup extends QueryPack {
          |${sigsSql("SELECT doc_id, text FROM corpus")},
          |bands AS (
          |  $bandsSql),
-         |cand AS (
-         |  SELECT DISTINCT l.layout, l.doc_id AS doc_a, r.doc_id AS doc_b
-         |  FROM bands l JOIN bands r
-         |    ON l.layout = r.layout AND l.band_id = r.band_id
-         |   AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id),
          |t_high AS (
          |  SELECT a.doc_id AS doc_a, a.doc_id + 100000 AS doc_b
          |  FROM sigs a JOIN sigs b ON b.doc_id = a.doc_id + 100000
@@ -1560,15 +1579,26 @@ object Dedup extends QueryPack {
          |         (SELECT count(*) FROM t_mid) AS n_mid,
          |         (SELECT count(*) FROM sigs) AS n_docs),
          |volume AS (
-         |  SELECT layout, count(*)::BIGINT AS n_candidates FROM cand GROUP BY layout),
+         |  SELECT layout, CAST(sum(n * (n - 1) // 2) AS BIGINT) AS n_candidates
+         |  FROM (SELECT layout, band_id, band_hash, count(*)::BIGINT AS n
+         |        FROM bands GROUP BY 1, 2, 3)
+         |  GROUP BY layout),
          |f_high AS (
-         |  SELECT c.layout, count(*)::BIGINT AS f_high
-         |  FROM cand c JOIN t_high t ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
-         |  GROUP BY c.layout),
+         |  SELECT layout, count(*)::BIGINT AS f_high
+         |  FROM (SELECT DISTINCT l.layout, t.doc_a, t.doc_b
+         |        FROM t_high t
+         |        JOIN bands l ON l.doc_id = t.doc_a
+         |        JOIN bands r ON r.doc_id = t.doc_b AND r.layout = l.layout
+         |          AND r.band_id = l.band_id AND r.band_hash = l.band_hash)
+         |  GROUP BY layout),
          |f_mid AS (
-         |  SELECT c.layout, count(*)::BIGINT AS f_mid
-         |  FROM cand c JOIN t_mid t ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
-         |  GROUP BY c.layout),
+         |  SELECT layout, count(*)::BIGINT AS f_mid
+         |  FROM (SELECT DISTINCT l.layout, t.doc_a, t.doc_b
+         |        FROM t_mid t
+         |        JOIN bands l ON l.doc_id = t.doc_a
+         |        JOIN bands r ON r.doc_id = t.doc_b AND r.layout = l.layout
+         |          AND r.band_id = l.band_id AND r.band_hash = l.band_hash)
+         |  GROUP BY layout),
          |meta AS (
          |  $metaSql)
          |SELECT m.layout, m.n_bands, m.rows_per_band, m.threshold,
