@@ -41,7 +41,19 @@ object Bench {
     val QuietLoad = gate.quiet
     val QuietWaitSecs = 180
     var waited = 0
-    while (loadavg().headOption.exists(_ > QuietLoad) && waited < QuietWaitSecs) {
+    // Gate on the 5-MIN average too (round 17): the r16 driver-vs-
+    // builder gap A/B showed two same-commit captures both labeled
+    // quiet by the 1-min bar reading 130.2 vs 146.1 s — the slow one
+    // started at load1 0.79 but load5 1.87 (a just-drained burst
+    // whose cache/scheduler wake still taxed the first minutes). The
+    // 1-min average forgives a burst too fast; a recently-busy host
+    // needs the 5-min average near the bar before a capture is
+    // comparable. (Same 180 s budget: proceed-regardless still
+    // applies, and the diagnostics record all three averages.)
+    def busy(l: Seq[Double]): Boolean =
+      l.headOption.exists(_ > QuietLoad) ||
+        l.lift(1).exists(_ > QuietLoad * 1.5)
+    while (busy(loadavg()) && waited < QuietWaitSecs) {
       Thread.sleep(10000); waited += 10
     }
     if (waited > 0)

@@ -14,10 +14,20 @@ import org.apache.spark.sql.functions._
   *    which stay verbatim. WITHIN a replica, natural dup groups
   *    mirror the original corpus exactly (the rewrite is a bijection
   *    applied uniformly, so two docs share a shingle/window after
-  *    tagging iff they shared it before); ACROSS replicas no shingle,
-  *    stride-1 window, or minhash band can collide (every non-stop
-  *    word differs), and word count / stopword ratios / langid
-  *    profiles are preserved. The round-14 form prepended ONE tag
+  *    tagging iff they shared it before); ACROSS replicas a shingle,
+  *    stride-1 window, or minhash band can collide ONLY through the
+  *    two deliberate exemptions — an all-stopword shingle (the
+  *    markers stay verbatim, so "of the and" is identical in every
+  *    replica and can tie minhash minima, especially under single-
+  *    minhash 16x1 bands) and empty/whitespace-only docs (kept as-is,
+  *    exact F-way cross-replica duplicates) — while word count /
+  *    stopword ratios / langid profiles are preserved. Both residues
+  *    are corpus-rare (measured at sf1, factor 10: 0 all-stopword
+  *    10-word windows, 0 all-stopword 5-word shingles, 0 empty docs —
+  *    the exponent tables ride no residual collisions at all; a
+  *    stopword-heavier corpus would see a small constant rate, not a
+  *    growing one, because the residue is replica-count-independent).
+  *    The round-14 form prepended ONE tag
   *    token instead — which decorrelates nothing a hash of the
   *    remaining text sees: replicas of a doc were genuine near-dups
   *    (Jaccard ≈ (n−s)/(n+s)), so at factor F every doc sat in an

@@ -475,11 +475,14 @@ package object dsl {
     /** Absorb new vectors into the frozen index WITHOUT retraining —
       * nearest existing cell, nearest existing code words (the
       * between-retrains insert path; a22's policy says when the
-      * accumulated delta forces a real rebuild). */
+      * accumulated delta forces a real rebuild). Each absorb stacks a
+      * NEW delta generation by default (`Similarity.AutoSeg` = max
+      * existing segment + 1), so repeated absorbs between retrains
+      * stay individually countable; pass `seg` to pin one. */
     def absorb(newVecs: DataFrame, idCol: String = "vec_id",
                embCol: String = "embedding",
                m: Int = 8, subDim: Int = 8,
-               seg: Int = 1): Similarity.IvfPqIndex =
+               seg: Int = Similarity.AutoSeg): Similarity.IvfPqIndex =
       Similarity.ivfPqIndexDelta(ix, normVecs(newVecs, idCol, embCol),
         m, subDim, seg)
 
@@ -490,6 +493,20 @@ package object dsl {
       * `saveIvfPqIndex(..., ivfPqIndexVersion(srcDir) + 1)`. */
     def compact(policy: DataFrame): Similarity.IvfPqIndex =
       Similarity.compactIndex(ix, policy)
+
+    /** Execute a policy's `rebuild` arm: a15's Lloyd retrain scoped
+      * to the flagged cells' members — new centroids for those cells
+      * only, members re-dispatched among them, their posting lists
+      * folded to a fresh base segment. `vectors` is the raw corpus
+      * relation (codes are lossy; a retrain reads the base store).
+      * Codes/codebook are unchanged — a property of the raw-vector
+      * PQ layout this artifact stores (a residual layout would
+      * re-code the retrained cells). Republish with
+      * `saveIvfPqIndex(..., ivfPqIndexVersion(srcDir) + 1)`. */
+    def rebuild(policy: DataFrame, vectors: DataFrame,
+                idCol: String = "vec_id", embCol: String = "embedding",
+                iters: Int = 1): Similarity.IvfPqIndex =
+      Similarity.rebuildCells(ix, policy, normVecs(vectors, idCol, embCol), iters)
   }
 
   /** [[GraftDataFrameOps.imageStats]]'s body — lives OUTSIDE the

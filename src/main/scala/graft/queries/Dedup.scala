@@ -726,13 +726,22 @@ object Dedup extends QueryPack {
       val stats = truthHigh.agg(count(lit(1)).as("n_high"))
         .crossJoin(truthMid.agg(count(lit(1)).as("n_mid")))
         .crossJoin(sigs.agg(count(lit(1)).as("n_docs")))
+      // No hard broadcast hints on truth or aB: both grow linearly
+      // with the corpus (truth ≈ n/20 pairs, aB = truth × ~30 band
+      // rows), so at production scale a forced broadcast would hit
+      // the size cap and FAIL the query instead of degrading to a
+      // shuffle join. The join keys (doc_a; the 4-col band key) keep
+      // a shuffle join linear, and AQE broadcasts at runtime whenever
+      // the build side is actually small — at the bench SFs the plan
+      // is the same BroadcastHashJoin as before, chosen by AQE from
+      // measured sizes instead of ordered by hint (r16 ADVICE).
       def foundIn(truth: DataFrame, as: String) = {
         val aB = bands.as("ab")
-          .join(broadcast(truth.as("t")), col("ab.doc_id") === col("t.doc_a"))
+          .join(truth.as("t"), col("ab.doc_id") === col("t.doc_a"))
           .select(col("t.doc_a").as("doc_a"), col("t.doc_b").as("doc_b"),
             col("ab.layout").as("layout"), col("ab.band_id").as("band_id"),
             col("ab.band_hash").as("band_hash"))
-        broadcast(aB.as("x")).join(bands.as("bb"),
+        aB.as("x").join(bands.as("bb"),
             col("x.doc_b") === col("bb.doc_id") &&
               col("x.layout") === col("bb.layout") &&
               col("x.band_id") === col("bb.band_id") &&
@@ -1037,9 +1046,24 @@ object Dedup extends QueryPack {
     * regardless of dup-group structure, which no exact pair
     * enumeration can promise. */
   private[graft] def lshStarEdges(sigs: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("band_id"), col("band_hash"))
-    lshBands(sigs)
-      .withColumn("hub", min(col("doc_id")).over(w))
+    // Hub = bucket min via groupBy + rejoin, NOT a window min: the
+    // window form shipped every row of a bucket through one task
+    // (sort + buffer/spill) — a straggler at exactly the
+    // million-way-clique scale this function exists to survive. The
+    // aggregate combines map-side (partial min per task, a
+    // bucket-count-sized shuffle), and the rejoin streams the band
+    // rows against the hubs build side — AQE broadcasts hubs when it
+    // is small, and even the fallback shuffle hash join PROBES a
+    // mega-bucket's rows without buffering them (only the one-row-
+    // per-bucket build side is held). Callers pass materialized
+    // signatures (kmSignatures(materialize = true)), so the band
+    // explode's two consumers re-derive it from in-memory blocks,
+    // not from a re-scan of the corpus. (r16 verdict #7 / ADVICE #4;
+    // sf10 ONLY-mode A/B recorded in SCALING_MEASURED.md.)
+    val bands = lshBands(sigs)
+    val hubs = bands.groupBy(col("band_id"), col("band_hash"))
+      .agg(min(col("doc_id")).as("hub"))
+    bands.join(hubs, Seq("band_id", "band_hash"))
       .filter(col("doc_id") =!= col("hub"))
       .select(col("hub").as("doc_a"), col("doc_id").as("doc_b"))
       .distinct()

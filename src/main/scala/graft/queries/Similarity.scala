@@ -35,6 +35,10 @@ final case class AnnGeometry(planes: Int = 4, nProbe: Int = 2, nCentroids: Int =
 object Similarity extends QueryPack {
 
   private val K = 3                 // neighbors returned
+  /** Sentinel for [[ivfPqIndexDelta]]'s `seg`: assign the next free
+    * delta generation (max existing + 1) instead of a caller-pinned
+    * id. Negative so it can never collide with a real segment. */
+  val AutoSeg: Int = -1
   private val Geo = AnnGeometry()   // defaults used by defs + oracle
   private val NProbes = 5           // acceptance-gate probe count
   private val PqM = 8               // a12: subspaces per vector
@@ -1823,13 +1827,22 @@ object Similarity extends QueryPack {
     * path. */
   def ivfPqIndexDelta(ix: IvfPqIndex, newVecs: DataFrame,
                                      m: Int = PqM, subDim: Int = PqSubDim,
-                                     seg: Int = 1): IvfPqIndex = {
-    // `seg` tags this delta generation in the assigned frame (callers
-    // absorbing several deltas between retrains pass 1, 2, … so the
-    // artifact's fragmentation stays countable; compaction folds them
-    // back to segment 0)
+                                     seg: Int = AutoSeg): IvfPqIndex = {
+    // `seg` tags this delta generation in the assigned frame. The
+    // default AutoSeg assigns max(existing seg) + 1 — real
+    // maintenance windows STACK generations between retrains (base +
+    // gen 1 + gen 2 + …), and the r16 form's fixed default of 1
+    // silently merged a second absorb into the first generation's
+    // segment, undercounting fragmentation (r16 verdict #6). The
+    // next-gen probe is a single-column max over the assigned frame
+    // (int column, parquet-backed on a loaded artifact — column
+    // pruned, combines map-side); a caller tracking generations
+    // externally still passes seg explicitly and pays no probe.
+    val segId =
+      if (seg != AutoSeg) seg
+      else ix.assigned.agg(coalesce(max(col("seg")), lit(0))).head().getInt(0) + 1
     val assignedNew = assignCells(newVecs, ix.cents)
-      .select(col("vec_id"), col("cell"), lit(seg).as("seg"))
+      .select(col("vec_id"), col("cell"), lit(segId).as("seg"))
     val codesNew = pqAssignSubs(
         subVecsOf(newVecs.select(col("vec_id"), col("emb")), "vec_id", m, subDim),
         ix.codebook.select(col("code_id").as("cent_id"), col("sub"), col("cv")))
@@ -1871,6 +1884,196 @@ object Similarity extends QueryPack {
     * artifact still trips every manifest tamper guard. */
   def compactIndex(ix: IvfPqIndex, policy: DataFrame): IvfPqIndex =
     IvfPqIndex(compactAssigned(ix.assigned, policy), ix.codes, ix.cents, ix.codebook)
+
+  /** The a15 Lloyd retrain SCOPED to an ordered cell set — the kernel
+    * shared by [[rebuildCells]] (the artifact-level executor) and
+    * a32's audit. `flagged` is the cells-sized (cell) relation a
+    * maintenance order names; `vectors` is the raw corpus relation
+    * (vec_id, emb, nrm) — PQ codes are lossy, so a retrain reads the
+    * base corpus store, exactly as a production rebuild job would.
+    * Each iteration is one a15 step over the flagged cells' members
+    * only: new centroid = element-wise member mean (from the CURRENT
+    * membership — the index's own assignment seeds the loop), then
+    * members reassign among the flagged cells' NEW centroids (argmax
+    * cosine, ties by cell — [[assignCells]]'s rule). Members can move
+    * between flagged cells but never leave the flagged set: the
+    * untouched cells' posting lists are the invariant the spec pins
+    * byte-identical. A flagged cell that empties mid-loop keeps its
+    * previous centroid (cellMeans drops it; the coalesce restores it)
+    * so the cell id survives for later arrivals. Retrained members
+    * land in segment 0 — a rebuild IS a retrain, so its posting list
+    * is fresh base, folding any delta generations it absorbed.
+    *
+    * Scale shape: members = one vec_id-keyed join against the corpus
+    * (linear, prunes to flagged cells' rows); each iteration is a
+    * broadcast-centroid assignment over the members plus a
+    * cells×dims mean — the a15 cost confined to the flagged
+    * keyspace; the untouched frames pass through behind broadcast
+    * anti-joins. Raw vectors shuffle once (the member join), never
+    * per iteration (localCheckpointed, the a15 practice). */
+  private[graft] def rebuildAssignment(assigned: DataFrame, cents: DataFrame,
+                                       flagged: DataFrame, vectors: DataFrame,
+                                       iters: Int = 1): (DataFrame, DataFrame) = {
+    val flaggedCells = flagged.select(col("cell"))
+    val memberIds = assigned.join(broadcast(flaggedCells), Seq("cell"))
+      .select(col("vec_id"), col("cell"))
+    val members = vectors.select(col("vec_id"), col("emb"), col("nrm"))
+      .join(memberIds.select(col("vec_id")), Seq("vec_id"))
+      .localCheckpoint()
+    var cur = cents.join(broadcast(flaggedCells), Seq("cell"))
+      .select(col("cell"), col("c_emb"), col("c_nrm"))
+    // current membership seeds the first mean step
+    var asg = members.join(memberIds, Seq("vec_id"))
+      .select(col("vec_id"), col("emb"), col("nrm"), col("cell"))
+    for (_ <- 1 to iters) {
+      val means = cellMeans(asg)
+      cur = cur.as("o").join(means.as("n"), Seq("cell"), "left")
+        .select(col("cell"),
+          coalesce(col("n.c_emb"), col("o.c_emb")).as("c_emb"),
+          coalesce(col("n.c_nrm"), col("o.c_nrm")).as("c_nrm"))
+        .localCheckpoint()
+      asg = assignCells(members, cur)
+    }
+    // Two shapes Catalyst forces here: (1) the using-join hoists the
+    // key column first, so `fresh` also re-selects the assigned
+    // frame's canonical (vec_id, cell, seg) order, which downstream
+    // consumers (save/load, positional set ops) rely on; (2) when the
+    // caller's frames are in-memory lineage (the audit; a DSL user
+    // composing build→absorb→rebuild in one plan) both union children
+    // trace to the SAME source attributes, and a Union whose children
+    // share attribute ids dies in constraint rewriting
+    // (UnionBase.rewriteConstraints: key not found) — `fresh` mints
+    // new ids on BOTH children via explicit aliases.
+    def fresh(df: DataFrame, names: String*): DataFrame =
+      df.select(names.map(n => col(n).as(n)): _*)
+    val newAssigned = fresh(
+        assigned.join(broadcast(flaggedCells), Seq("cell"), "left_anti"),
+        "vec_id", "cell", "seg")
+      .unionByName(fresh(asg.withColumn("seg", lit(0)),
+        "vec_id", "cell", "seg"))
+    val newCents = fresh(
+        cents.join(broadcast(flaggedCells), Seq("cell"), "left_anti"),
+        "cell", "c_emb", "c_nrm")
+      .unionByName(fresh(cur, "cell", "c_emb", "c_nrm"))
+    (newAssigned, newCents)
+  }
+
+  /** Execute the REBUILD arm a22 decides — the last decide→act seam
+    * in the index lifecycle closed (round 17; r16 verdict #1).
+    * [[compactIndex]] executes `compact`; this applies `rebuild`:
+    * a15's Lloyd retrain scoped to the flagged cells' members
+    * (base + every absorbed delta generation), new centroids for
+    * those cells only, members re-dispatched among them, their
+    * posting lists folded to a fresh base segment. Codes and
+    * codebooks are UNCHANGED — and that is a property of this
+    * artifact's layout, not a shortcut: the persisted index stores
+    * a12-style raw-vector PQ codes against a corpus-global codebook,
+    * so a coarse-geometry retrain cannot alter any code by
+    * construction (the spec asserts codes byte-identical). A
+    * residual-PQ layout (a17) would re-code the retrained cells'
+    * members here, because residuals are taken against the very
+    * centroids that moved. The caller republishes with
+    * [[saveIvfPqIndex]](..., [[ivfPqIndexVersion]](src) + 1) — the
+    * same lineage bump as compaction. Spec-pinned: untouched cells'
+    * assigned/cents rows byte-identical, rebuilt cells' mean
+    * assignment cosine not worse (the k-means objective), recall on
+    * a drifted cluster ≥ the stale index's, tamper guards live. */
+  def rebuildCells(ix: IvfPqIndex, policy: DataFrame, vectors: DataFrame,
+                   iters: Int = 1): IvfPqIndex = {
+    val flagged = policy.filter(col("action") === "rebuild").select(col("cell"))
+    val (asg, cents) =
+      rebuildAssignment(ix.assigned, ix.cents, flagged, vectors, iters)
+    // Materialize the rewrite: the returned index must be immediately
+    // SERVABLE, and serving joins assigned⋈cents — two unions sharing
+    // lineage, the constraint-rewrite hazard rebuildAssignment
+    // documents. A maintenance job materializes the rewritten state
+    // exactly once anyway (republish via saveIvfPqIndex); the
+    // checkpoint IS that materialization (corpus ints + cells-sized
+    // arrays), pinning the state the window produced.
+    IvfPqIndex(asg.localCheckpoint(), ix.codes,
+      cents.localCheckpoint(), ix.codebook)
+  }
+
+  /** a32: the rebuild EXECUTION audit — a31's pattern applied to the
+    * other verdict arm. Build the delta-grown state (the same 1-in-4
+    * lifecycle split as a31), let the maintenance ORDER name the
+    * `rebuildK` most delta-heavy cells (rank by delta share, ties by
+    * cell id — on this geometrically-benign corpus a22's cos-gap arm
+    * stays quiet, so the audit pins the ordered set deterministically
+    * instead of relying on a threshold accident; a22/a31 already
+    * oracle-pin the POLICY, this operator audits the EXECUTOR), run
+    * [[rebuildAssignment]] (one Lloyd step), and report per cell what
+    * the window physically did: populations, the order, member count
+    * and segment count after (RECOUNTED from the rewritten frames,
+    * not derived from the order — agreement with the oracle's
+    * independent re-derivation of the retrain arithmetic proves the
+    * executor moved exactly the ordered cells and nothing else), and
+    * the mean assignment cosine before/after (the k-means objective
+    * the retrain exists to improve; keep cells recount to their
+    * before value — byte-level passthrough proof). Scale shape: ONE
+    * corpus assignment pass (localCheckpointed, shared by the order,
+    * the rewrite seed and the recount), the retrain confined to the
+    * flagged members, cells-sized rollups and broadcast joins — raw
+    * vectors shuffle once (the member join). */
+  def rebuildExec(s: SparkSession, d: String, geo: AnnGeometry = Geo,
+                  rebuildK: Int = 3): DataFrame =
+    rebuildExecOf(vecs(s, d), pmod(col("vec_id"), lit(4L)) === 1L, geo, rebuildK)
+
+  private[graft] def rebuildExecOf(v: DataFrame, isDelta: Column,
+                                   geo: AnnGeometry = Geo,
+                                   rebuildK: Int = 3): DataFrame = {
+    val base = v.filter(!isDelta)
+    val cents = hashTopK(base, "cent", geo.nCentroids)
+      .select(col("vec_id").as("cell"), col("emb").as("c_emb"), col("nrm").as("c_nrm"))
+    // the checkpoint carries ids/cos/flags only — raw vectors stay in
+    // the corpus relation and re-enter by vec_id where needed (the
+    // member join, the recount), a31's checkpoint discipline
+    val asg = assignCells(v, cents).withColumn("is_delta", isDelta)
+      .select(col("vec_id"), col("cell"), col("c_cos"), col("is_delta"))
+      .localCheckpoint()
+    val before = asg.groupBy(col("cell"))
+      .agg(sum(when(!col("is_delta"), 1L).otherwise(0L)).as("n_base"),
+        sum(when(col("is_delta"), 1L).otherwise(0L)).as("n_delta"),
+        avg(col("c_cos")).as("mcb"))
+      .withColumn("rk", row_number().over(Window.orderBy(
+        (col("n_delta").cast("double") / (col("n_base") + col("n_delta"))).desc,
+        col("cell"))))
+      .withColumn("action",
+        when(col("rk") <= rebuildK, "rebuild").otherwise("keep"))
+    val assigned = asg.select(col("vec_id"), col("cell"),
+      when(col("is_delta"), lit(1)).otherwise(lit(0)).as("seg"))
+    val flagged = before.filter(col("action") === "rebuild").select(col("cell"))
+    val (asgAfter0, centsAfter0) = rebuildAssignment(assigned, cents, flagged,
+      v.select(col("vec_id"), col("emb"), col("nrm")))
+    // checkpoint the rewritten state before the recount: the recount
+    // re-joins the corpus relation the retrain's union children also
+    // derive from, and a Union embedded under a same-lineage join is
+    // the constraint-rewrite hazard rebuildAssignment documents; the
+    // checkpoint (ints + cells-sized arrays) also makes "recount"
+    // literal — the audit reads the state, not the plan that made it
+    val asgAfter = asgAfter0.localCheckpoint()
+    val centsAfter = centsAfter0.localCheckpoint()
+    val after = v.select(col("vec_id"), col("emb"), col("nrm"))
+      .join(asgAfter, Seq("vec_id"))
+      .join(broadcast(centsAfter), Seq("cell"))
+      .withColumn("cos_a", cosPre(col("emb"), col("nrm"), col("c_emb"), col("c_nrm")))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_after"),
+        countDistinct(col("seg")).as("segs_after"),
+        avg(col("cos_a")).as("mca"))
+    before.join(after, Seq("cell"), "left")
+      .select(col("cell"), col("n_base"), col("n_delta"), col("action"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"),
+        coalesce(col("segs_after"), lit(0L)).as("segs_after"),
+        round(col("mcb"), 6).as("mean_cos_before"),
+        round(col("mca"), 6).as("mean_cos_after"),
+        // + 0.0 normalizes IEEE negative zero: keep cells' gain is
+        // STRUCTURALLY zero but computed as (avg reordered) − (avg),
+        // a ±1e-17 residue that rounds to ±0.0 — and the two engines
+        // would disagree on the SIGN of that zero per cell at random
+        (round(col("mca") - col("mcb"), 6) + lit(0.0)).as("cos_gain"))
+      .orderBy(col("cell"))
+  }
 
   /** a31: the compaction EXECUTION audit — build the delta-grown
     * index state (base segment + one absorbed delta generation; a
@@ -2170,7 +2373,8 @@ object Similarity extends QueryPack {
     "a28_serve_cost" -> ((s, d) => serveCost(s, d)),
     "a29_embed_audit" -> ((s, d) => embedAudit(s, d)),
     "a30_serve_drift" -> ((s, d) => serveDrift(s, d)),
-    "a31_compact_exec" -> ((s, d) => compactExec(s, d))
+    "a31_compact_exec" -> ((s, d) => compactExec(s, d)),
+    "a32_rebuild_exec" -> ((s, d) => rebuildExec(s, d))
   )
 
   /** a13's oracle: plain inner-product ranking (shared with a16). */
@@ -2432,6 +2636,90 @@ object Similarity extends QueryPack {
          |    AS BIGINT) AS merged_rows
          |FROM acted
          |ORDER BY cell""".stripMargin,
+
+    // Independent re-derivation of the retrain arithmetic: same
+    // 1-in-4 split and assignment as a31, the order = top-3 cells by
+    // delta share (ties by cell), then ONE Lloyd step re-derived from
+    // scratch — element-wise member means per flagged cell, members
+    // re-dispatched among the NEW centroids (argmax cosine, ties by
+    // cell), untouched members passed through — and the after-state
+    // recounted. Agreement proves the executor retrained exactly the
+    // ordered cells: new centroids from the right members, the right
+    // members moved (or stayed), segments folded to base, keep cells
+    // byte-level identical (their recounted mean cosine equals the
+    // before value only if neither membership nor centroid changed).
+    "a32_rebuild_exec" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS emb,
+         |    vec_id % 4 = 1 AS is_delta
+         |  FROM embeddings),
+         |b AS (SELECT vec_id, emb FROM v WHERE NOT is_delta),
+         |cs AS (SELECT vec_id AS cell, emb AS c_emb
+         |  FROM (SELECT * FROM b ${centSel(Geo.nCentroids)}) t),
+         |assigned AS (
+         |  SELECT vec_id, is_delta, emb, cell, c_cos FROM (
+         |    SELECT v.vec_id, v.is_delta, v.emb, c.cell,
+         |      list_dot_product(v.emb, c.c_emb) /
+         |        (sqrt(list_dot_product(v.emb, v.emb)) *
+         |         sqrt(list_dot_product(c.c_emb, c.c_emb))) AS c_cos,
+         |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |        list_dot_product(v.emb, c.c_emb) /
+         |          (sqrt(list_dot_product(v.emb, v.emb)) *
+         |           sqrt(list_dot_product(c.c_emb, c.c_emb))) DESC,
+         |        c.cell) AS crank
+         |    FROM v, cs c) t WHERE crank = 1),
+         |before_t AS (
+         |  SELECT cell,
+         |    CAST(sum(CASE WHEN NOT is_delta THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+         |    CAST(sum(CASE WHEN is_delta THEN 1 ELSE 0 END) AS BIGINT) AS n_delta,
+         |    avg(c_cos) AS mcb
+         |  FROM assigned GROUP BY cell),
+         |acted AS (
+         |  SELECT *, CASE WHEN rk <= 3 THEN 'rebuild' ELSE 'keep' END AS action
+         |  FROM (SELECT *, row_number() OVER (ORDER BY
+         |      n_delta::DOUBLE / (n_base + n_delta) DESC, cell) AS rk
+         |    FROM before_t) t),
+         |flagged AS (SELECT cell FROM acted WHERE action = 'rebuild'),
+         |members AS (
+         |  SELECT a.vec_id, a.emb, a.cell FROM assigned a
+         |  JOIN flagged f USING (cell)),
+         |meansx AS (
+         |  SELECT m.cell, t.i, avg(m.emb[t.i]) AS mu
+         |  FROM members m, unnest(generate_series(1, len(m.emb))) AS t(i)
+         |  GROUP BY m.cell, t.i),
+         |newcents AS (
+         |  SELECT cell, list(mu ORDER BY i) AS c_emb FROM meansx GROUP BY cell),
+         |reass AS (
+         |  SELECT vec_id, cell, c_cos FROM (
+         |    SELECT m.vec_id, n.cell,
+         |      list_dot_product(m.emb, n.c_emb) /
+         |        (sqrt(list_dot_product(m.emb, m.emb)) *
+         |         sqrt(list_dot_product(n.c_emb, n.c_emb))) AS c_cos,
+         |      row_number() OVER (PARTITION BY m.vec_id ORDER BY
+         |        list_dot_product(m.emb, n.c_emb) /
+         |          (sqrt(list_dot_product(m.emb, m.emb)) *
+         |           sqrt(list_dot_product(n.c_emb, n.c_emb))) DESC,
+         |        n.cell) AS crank
+         |    FROM members m, newcents n) t WHERE crank = 1),
+         |after_t AS (
+         |  SELECT cell, CAST(count(*) AS BIGINT) AS n_after,
+         |    CAST(count(DISTINCT seg) AS BIGINT) AS segs_after,
+         |    avg(c_cos) AS mca
+         |  FROM (
+         |    SELECT a.vec_id, a.cell, a.c_cos,
+         |      CASE WHEN a.is_delta THEN 1 ELSE 0 END AS seg
+         |    FROM assigned a ANTI JOIN flagged f USING (cell)
+         |    UNION ALL
+         |    SELECT vec_id, cell, c_cos, 0 FROM reass)
+         |  GROUP BY cell)
+         |SELECT a.cell, a.n_base, a.n_delta, a.action,
+         |  coalesce(t.n_after, 0) AS n_after,
+         |  coalesce(t.segs_after, 0) AS segs_after,
+         |  round(a.mcb, 6) AS mean_cos_before,
+         |  round(t.mca, 6) AS mean_cos_after,
+         |  round(t.mca - a.mcb, 6) + 0.0 AS cos_gain
+         |FROM acted a LEFT JOIN after_t t USING (cell)
+         |ORDER BY a.cell""".stripMargin,
 
     // Independent re-derivation of the butterfly round: variance rank,
     // anti-sorted pairing, the 45° Givens combine, then the a19 deal

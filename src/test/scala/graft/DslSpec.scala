@@ -118,6 +118,19 @@ class DslSpec extends SparkSuite {
     assert(compacted.assigned.count() === emb.count())
     assert(compacted.assigned.filter(col("seg") =!= 0).count() <=
       grown.assigned.filter(col("seg") =!= 0).count())
+
+    // rebuild = the retrain rewrite: delegates to rebuildCells, whose
+    // full contract the PipelineSpec artifact test pins — here just
+    // the facade seams: membership conserved, flagged cells folded to
+    // base, codes untouched
+    val rebuilt = grown.rebuild(policy, emb)
+    assert(rebuilt.assigned.count() === emb.count())
+    val flaggedCells = policy.filter(col("action") === "rebuild")
+      .select(col("cell")).collect().map(_.getLong(0)).toSet
+    if (flaggedCells.nonEmpty)
+      assert(rebuilt.assigned.filter(col("cell").isInCollection(flaggedCells))
+        .filter(col("seg") =!= 0).count() === 0L)
+    assert(rebuilt.codes.exceptAll(grown.codes).count() === 0L)
   }
 
   test("autoJoinSkewed and joinAsOf facades delegate intact") {

@@ -1580,6 +1580,216 @@ class PipelineSpec extends SparkSuite {
       s"rebuild-labeled cell $rebuildCell was compacted anyway")
   }
 
+  test("delta generations stack (AutoSeg), compaction folds every generation, the policy bills them all") {
+    import graft.queries.{Similarity, AnnGeometry}
+    val geo = AnnGeometry()
+    val v = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .withColumn("nrm", graft.functions.Vec.norm(col("emb")))
+    val isD1 = pmod(col("vec_id"), lit(4L)) === 1L
+    val isD2 = pmod(col("vec_id"), lit(4L)) === 2L
+    val base = v.filter(!isD1 && !isD2)
+    // two maintenance windows absorb two arrival batches; AutoSeg must
+    // stack them as generations 1 and 2, not merge both into 1
+    val g1 = Similarity.ivfPqIndexDelta(Similarity.ivfPqIndexOf(base, geo),
+      v.filter(isD1))
+    val g2 = Similarity.ivfPqIndexDelta(g1, v.filter(isD2))
+    def segCounts(ix: Similarity.IvfPqIndex): Map[Int, Long] =
+      ix.assigned.groupBy(col("seg")).count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val sc = segCounts(g2)
+    assert(sc.keySet === Set(0, 1, 2), s"generations not stacked: $sc")
+    assert(sc(1) === v.filter(isD1).count())
+    assert(sc(2) === v.filter(isD2).count())
+    // the policy's delta bill counts EVERY generation: the per-cell
+    // n_delta derived from the artifact's own segments equals the
+    // batch policy's (which classified by arrival, not by segment)
+    val policy = Similarity.compactPolicyOf(v, isD1 || isD2, geo)
+    val billed = policy.select(col("cell"), col("n_delta")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fromSegs = g2.assigned.groupBy(col("cell"))
+      .agg(sum(when(col("seg") =!= 0, 1L).otherwise(0L)).as("d")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fromSegs === billed,
+      "segment-derived delta counts diverge from the policy bill")
+    // compaction folds BOTH generations on compact cells and spares
+    // BOTH on keep/rebuild cells, generation by generation
+    val actions = policy.select(col("cell"), col("action")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(actions.values.exists(_ == "compact"), s"no compact cell: $actions")
+    val compacted = Similarity.compactIndex(g2, policy)
+    def perCellSegs(ix: Similarity.IvfPqIndex): Map[(Long, Int), Long] =
+      ix.assigned.groupBy(col("cell"), col("seg")).count().collect()
+        .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val b = perCellSegs(g2); val a = perCellSegs(compacted)
+    actions.foreach { case (cell, act) =>
+      if (act == "compact") {
+        assert(!a.keySet.exists { case (c, s) => c == cell && s != 0 },
+          s"compact cell $cell still fragmented")
+        assert(a((cell, 0)) === (0 to 2).map(s => b.getOrElse((cell, s), 0L)).sum)
+      } else (0 to 2).foreach { s =>
+        assert(a.getOrElse((cell, s), 0L) === b.getOrElse((cell, s), 0L),
+          s"$act cell $cell generation $s rewritten")
+      }
+    }
+    // geometry untouched ⇒ identical service across the fold
+    val probes = Similarity.hashTopK(v, "probe", 5)
+      .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"), col("nrm").as("p_nrm"))
+    def serve(ix: Similarity.IvfPqIndex) =
+      Similarity.ivfPqServeProbes(ix, probes, geo).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(serve(compacted) === serve(g2))
+  }
+
+  test("rebuildCells executes the rebuild verdict: retrained cell improves, untouched frames byte-identical, drifted recall not worse, lineage bumps, guards live") {
+    import graft.queries.{Similarity, AnnGeometry}
+    val geo = AnnGeometry()
+    val v = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .withColumn("nrm", graft.functions.Vec.norm(col("emb")))
+    // the a22/a30 drifted-cluster fixture: direction Gram-Schmidt
+    // orthogonal to EVERY centroid plus a 0.05 bias toward one, so
+    // the cluster lands in that cell with assignment cosine pinned
+    // near 0.05 — drift by construction, rebuild's motivating case
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val cents = Similarity.hashTopK(v, "cent", geo.nCentroids)
+      .collect().map(_.getSeq[Double](1).toArray)
+    var dir = Array.tabulate(64)(j => math.sin(j + 1.0))
+    cents.foreach { c => val p = dot(dir, c) / dot(c, c)
+      dir = dir.zip(c).map { case (x, y) => x - p * y } }
+    val dn = math.sqrt(dot(dir, dir))
+    val k0 = cents.head; val k0n = math.sqrt(dot(k0, k0))
+    val driftDir = dir.zip(k0).map { case (x, y) => x / dn + 0.05 * y / k0n }
+    import spark.implicits._
+    val drifted = (0 until 150)
+      .map(i => (1000000L + i, driftDir.map(_ * (1.0 + 0.001 * i)).toSeq))
+      .toDF("vec_id", "emb")
+      .withColumn("nrm", graft.functions.Vec.norm(col("emb")))
+    // checkpointed: joining this union against frames that share its
+    // children's lineage trips Union constraint rewriting (the hazard
+    // rebuildAssignment documents) — and the fixture is 650 rows
+    val all = v.unionByName(drifted).localCheckpoint()
+    // the stale state: index trained on the base corpus, drift
+    // absorbed without retraining, PUBLISHED — rebuild must act on
+    // the loaded artifact
+    val grown = Similarity.ivfPqIndexDelta(Similarity.ivfPqIndexOf(v, geo), drifted)
+    val srcDir = tempDir("ivfpq_prerebuild")
+    Similarity.saveIvfPqIndex(grown, srcDir)
+    val loaded = Similarity.loadIvfPqIndex(spark, srcDir)
+    val policy = Similarity.compactPolicyOf(all, col("vec_id") >= 1000000L, geo)
+    val flagged = policy.filter(col("action") === "rebuild")
+      .select(col("cell")).collect().map(_.getLong(0)).toSet
+    assert(flagged.nonEmpty, "drifted cluster did not force a rebuild verdict")
+
+    val rebuilt = Similarity.rebuildCells(loaded, policy, all)
+    // codes and codebook byte-identical (raw-vector PQ layout: a
+    // coarse retrain cannot alter codes by construction)
+    assert(rebuilt.codes.exceptAll(loaded.codes).count() === 0L)
+    assert(loaded.codes.exceptAll(rebuilt.codes).count() === 0L)
+    assert(rebuilt.codebook.exceptAll(loaded.codebook).count() === 0L)
+    // untouched cells' posting lists and centroids byte-identical
+    def untouched(df: org.apache.spark.sql.DataFrame) =
+      df.filter(!col("cell").isInCollection(flagged))
+    assert(untouched(rebuilt.assigned).exceptAll(untouched(loaded.assigned)).count() === 0L)
+    assert(untouched(loaded.assigned).exceptAll(untouched(rebuilt.assigned)).count() === 0L)
+    assert(untouched(rebuilt.cents).exceptAll(untouched(loaded.cents)).count() === 0L)
+    // retrained cells: fresh base segment, membership conserved
+    // within the flagged set, and the k-means objective moved — the
+    // centroid now describes the 150-arrival mass it never saw
+    val flaggedRows = rebuilt.assigned.filter(col("cell").isInCollection(flagged))
+    assert(flaggedRows.filter(col("seg") =!= 0).count() === 0L)
+    assert(flaggedRows.count() ===
+      loaded.assigned.filter(col("cell").isInCollection(flagged)).count())
+    def meanCos(ix: Similarity.IvfPqIndex): Double =
+      all.join(ix.assigned.filter(col("cell").isInCollection(flagged)), Seq("vec_id"))
+        .join(ix.cents, Seq("cell"))
+        .agg(avg(graft.functions.Vec.dot(col("emb"), col("c_emb")) /
+          (col("nrm") * col("c_nrm"))))
+        .head().getDouble(0)
+    val (mb, ma) = (meanCos(loaded), meanCos(rebuilt))
+    assert(ma > mb + 0.1,
+      f"retrain did not move the objective: before $mb%.4f after $ma%.4f")
+
+    // recall on the drifted cluster: serve 5 drifted probes against
+    // exact brute-force truth over the grown corpus — the rebuilt
+    // index must not be worse than the stale one
+    val probes = drifted.limit(5)
+      .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"), col("nrm").as("p_nrm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id")).orderBy(col("cos").desc, col("vec_id"))
+    val truth = all.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("cos", graft.functions.Vec.dot(col("p_emb"), col("emb")) /
+        (col("p_nrm") * col("nrm")))
+      .withColumn("r", row_number().over(w)).filter(col("r") <= 3)
+      .select(col("probe_id"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(ix: Similarity.IvfPqIndex): Double = {
+      val got = Similarity.ivfPqServeProbes(ix, probes, geo).collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSet
+      (got & truth).size.toDouble / truth.size
+    }
+    val (rb, ra) = (recall(loaded), recall(rebuilt))
+    assert(ra >= rb, f"rebuild degraded drifted recall: $rb%.3f -> $ra%.3f")
+
+    // republish with the lineage bump; guards still fire
+    val dstDir = tempDir("ivfpq_postrebuild")
+    Similarity.saveIvfPqIndex(rebuilt, dstDir,
+      Similarity.ivfPqIndexVersion(srcDir) + 1)
+    assert(Similarity.ivfPqIndexVersion(dstDir) === 2L)
+    val reloaded = Similarity.loadIvfPqIndex(spark, dstDir)
+    assert(reloaded.assigned.exceptAll(rebuilt.assigned).count() === 0L)
+    val mPath = java.nio.file.Paths.get(s"$dstDir/manifest.json")
+    val good = java.nio.file.Files.readString(mPath)
+    java.nio.file.Files.writeString(mPath,
+      good.replaceFirst("\"cents\":\\d+", "\"cents\":777"))
+    val e = intercept[IllegalArgumentException](
+      Similarity.loadIvfPqIndex(spark, dstDir))
+    assert(e.getMessage.contains("truncated"))
+  }
+
+  test("a32 rebuild-exec audit: exactly the ordered cells move, keep cells recount to their before state, members conserved") {
+    val out = SparkEntry.queries("a32_rebuild_exec")(spark, sf).collect()
+    val total = Tables.embeddings(spark, sf).count()
+    assert(out.map(_.getAs[Long]("n_base")).sum +
+      out.map(_.getAs[Long]("n_delta")).sum === total)
+    assert(out.map(_.getAs[Long]("n_after")).sum === total,
+      "retrain lost or duplicated members")
+    val (reb, keep) = out.partition(_.getAs[String]("action") == "rebuild")
+    assert(reb.length === 3)
+    // the order is the top-3 by delta share, ties by cell id
+    val byFrac = out.sortBy(r => (-(r.getAs[Long]("n_delta").toDouble /
+      (r.getAs[Long]("n_base") + r.getAs[Long]("n_delta"))), r.getAs[Long]("cell")))
+    assert(byFrac.take(3).map(_.getAs[String]("action")).forall(_ == "rebuild"))
+    keep.foreach { r =>
+      // byte-level passthrough: membership, segments and the
+      // recounted mean cosine all read exactly the before state
+      assert(r.getAs[Long]("n_after") ===
+        r.getAs[Long]("n_base") + r.getAs[Long]("n_delta"), s"keep cell ${r.getAs[Long]("cell")}")
+      assert(r.getAs[Long]("segs_after") ===
+        (if (r.getAs[Long]("n_delta") > 0) 2L else 1L))
+      assert(r.getAs[Double]("mean_cos_after") === r.getAs[Double]("mean_cos_before"))
+      assert(r.getAs[Double]("cos_gain") === 0.0)
+    }
+    // retrained members stay within the flagged set and fold to base
+    assert(reb.map(_.getAs[Long]("n_after")).sum ===
+      reb.map(r => r.getAs[Long]("n_base") + r.getAs[Long]("n_delta")).sum)
+    reb.foreach { r =>
+      assert(r.getAs[Long]("segs_after") ===
+        (if (r.getAs[Long]("n_after") > 0) 1L else 0L),
+        s"rebuild cell ${r.getAs[Long]("cell")} not folded to a fresh base segment")
+    }
+    // one Lloyd step must not move the aggregate objective backwards
+    // over the retrained population (mean step + argmax re-dispatch)
+    val sumBefore = reb.map(r => (r.getAs[Long]("n_base") + r.getAs[Long]("n_delta"))
+      * r.getAs[Double]("mean_cos_before")).sum
+    val sumAfter = reb.filter(_.getAs[Long]("n_after") > 0)
+      .map(r => r.getAs[Long]("n_after") * r.getAs[Double]("mean_cos_after")).sum
+    assert(sumAfter >= sumBefore - 1e-9,
+      f"Lloyd step regressed the objective: $sumBefore%.6f -> $sumAfter%.6f")
+  }
+
   test("a20 drift audit partitions the corpus exactly and flags only delta-heavy cells") {
     val rows = SparkEntry.queries("a20_index_drift")(spark, sf).collect()
     val total = Tables.embeddings(spark, sf).count()
