@@ -9,10 +9,13 @@
 # Bench itself; one JVM per SF.
 set -eo pipefail
 cd "$(dirname "$0")/.."
-for sf in sf1 sf10; do
+for sf in "$@"; do
   echo "=== stream legs @ $sf ==="
+  # full per-SF log (an earlier filtered form cut the first leg's
+  # line out of the tail window); the summary greps the saved file
   SPARK_GRAFT_SF_DIR="/root/repo/localdata/$sf" SPARK_GRAFT_CPUS=32 \
     SPARK_DRIVER_MEM=48g SPARK_GRAFT_ONLY=__streams__ SPARK_GRAFT_STREAM=1 \
-    sbt 'runMain graft.Bench' 2>&1 | grep -E "stream|bench" | tail -8
+    sbt 'runMain graft.Bench' > "/tmp/streams_r17_$sf.log" 2>&1 || true
+  grep -E "stream bench|FAILED" "/tmp/streams_r17_$sf.log"
 done
 echo "STREAMS_R17_DONE"
