@@ -1838,6 +1838,13 @@ object Similarity extends QueryPack {
     // (int column, parquet-backed on a loaded artifact — column
     // pruned, combines map-side); a caller tracking generations
     // externally still passes seg explicitly and pays no probe.
+    // CAVEAT for LAZY composition: on an index that is an in-memory
+    // plan (built and absorbed in one lineage, never persisted), the
+    // probe is an action that re-executes that whole plan — k stacked
+    // lazy absorbs cost O(k²) builds. That composition is an
+    // anti-pattern anyway (a maintenance window persists between
+    // absorbs — the probe on a LOADED artifact is one int-column
+    // scan); a caller who insists on it should pass seg explicitly.
     val segId =
       if (seg != AutoSeg) seg
       else ix.assigned.agg(coalesce(max(col("seg")), lit(0))).head().getInt(0) + 1
@@ -1917,14 +1924,32 @@ object Similarity extends QueryPack {
     val flaggedCells = flagged.select(col("cell"))
     val memberIds = assigned.join(broadcast(flaggedCells), Seq("cell"))
       .select(col("vec_id"), col("cell"))
-    val members = vectors.select(col("vec_id"), col("emb"), col("nrm"))
-      .join(memberIds.select(col("vec_id")), Seq("vec_id"))
+    // ONE vec_id-keyed join attaches vectors AND the current cell;
+    // the checkpoint carries both so neither the seed assignment nor
+    // the loop pays a second member-sized shuffle
+    val seeded = vectors.select(col("vec_id"), col("emb"), col("nrm"))
+      .join(memberIds, Seq("vec_id"))
       .localCheckpoint()
+    // Conservation guard: the caller's `vectors` relation must cover
+    // every indexed member exactly once — a corpus store missing
+    // absorbed deltas (or carrying duplicate vec_ids) would otherwise
+    // silently shrink (or inflate) the retrained posting lists, and
+    // the republished manifest would record the corrupted counts as
+    // truth, so no tamper guard could ever catch it. Both counts read
+    // from checkpointed/cells-pruned frames — no corpus recompute.
+    val nMembers = seeded.count()
+    val nIndexed = memberIds.count()
+    require(nMembers == nIndexed,
+      s"[graft] rebuildCells: vectors relation yields $nMembers rows for " +
+        s"$nIndexed indexed members of the flagged cells — the corpus store " +
+        "is missing members or has duplicate vec_ids; aborting before the " +
+        "retrain writes a silently shrunken posting list")
+    val members = seeded.select(col("vec_id"), col("emb"), col("nrm"))
     var cur = cents.join(broadcast(flaggedCells), Seq("cell"))
       .select(col("cell"), col("c_emb"), col("c_nrm"))
-    // current membership seeds the first mean step
-    var asg = members.join(memberIds, Seq("vec_id"))
-      .select(col("vec_id"), col("emb"), col("nrm"), col("cell"))
+    // current membership (carried by the seeded join) seeds the
+    // first mean step
+    var asg = seeded.select(col("vec_id"), col("emb"), col("nrm"), col("cell"))
     for (_ <- 1 to iters) {
       val means = cellMeans(asg)
       cur = cur.as("o").join(means.as("n"), Seq("cell"), "left")
@@ -2022,15 +2047,7 @@ object Similarity extends QueryPack {
   private[graft] def rebuildExecOf(v: DataFrame, isDelta: Column,
                                    geo: AnnGeometry = Geo,
                                    rebuildK: Int = 3): DataFrame = {
-    val base = v.filter(!isDelta)
-    val cents = hashTopK(base, "cent", geo.nCentroids)
-      .select(col("vec_id").as("cell"), col("emb").as("c_emb"), col("nrm").as("c_nrm"))
-    // the checkpoint carries ids/cos/flags only — raw vectors stay in
-    // the corpus relation and re-enter by vec_id where needed (the
-    // member join, the recount), a31's checkpoint discipline
-    val asg = assignCells(v, cents).withColumn("is_delta", isDelta)
-      .select(col("vec_id"), col("cell"), col("c_cos"), col("is_delta"))
-      .localCheckpoint()
+    val (cents, asg) = deltaGrownState(v, isDelta, geo)
     val before = asg.groupBy(col("cell"))
       .agg(sum(when(!col("is_delta"), 1L).otherwise(0L)).as("n_base"),
         sum(when(col("is_delta"), 1L).otherwise(0L)).as("n_delta"),
@@ -2099,16 +2116,26 @@ object Similarity extends QueryPack {
   def compactExec(s: SparkSession, d: String, geo: AnnGeometry = Geo): DataFrame =
     compactExecOf(vecs(s, d), pmod(col("vec_id"), lit(4L)) === 1L, geo)
 
-  private[graft] def compactExecOf(v: DataFrame, isDelta: Column,
-                                   geo: AnnGeometry = Geo): DataFrame = {
+  /** The delta-grown lifecycle state the two executor audits (a31,
+    * a32) act on: base trains the coarse geometry, EVERY vector
+    * assigns once (the same physical state decides and is acted on),
+    * the checkpoint carries ids/cos/population flags only — raw
+    * vectors stay in the corpus relation. One definition so the two
+    * audits can never quietly diverge on the state they audit. */
+  private def deltaGrownState(v: DataFrame, isDelta: Column,
+                              geo: AnnGeometry): (DataFrame, DataFrame) = {
     val base = v.filter(!isDelta)
     val cents = hashTopK(base, "cent", geo.nCentroids)
       .select(col("vec_id").as("cell"), col("emb").as("c_emb"), col("nrm").as("c_nrm"))
-    // one assignment pass feeds the policy stats AND the index frame:
-    // the same physical state decides and is acted on
     val asg = assignCells(v, cents).withColumn("is_delta", isDelta)
       .select(col("vec_id"), col("cell"), col("c_cos"), col("is_delta"))
       .localCheckpoint()
+    (cents, asg)
+  }
+
+  private[graft] def compactExecOf(v: DataFrame, isDelta: Column,
+                                   geo: AnnGeometry = Geo): DataFrame = {
+    val (_, asg) = deltaGrownState(v, isDelta, geo)
     val policy = policyFromStats(deltaStatsOf(asg))
       .select(col("cell"), col("n_base"), col("n_delta"), col("action"))
     val assigned = asg.select(col("vec_id"), col("cell"),

@@ -130,7 +130,10 @@ class DslSpec extends SparkSuite {
     if (flaggedCells.nonEmpty)
       assert(rebuilt.assigned.filter(col("cell").isInCollection(flaggedCells))
         .filter(col("seg") =!= 0).count() === 0L)
+    // both directions: a rebuild that LOST code rows would keep the
+    // one-way exceptAll at zero
     assert(rebuilt.codes.exceptAll(grown.codes).count() === 0L)
+    assert(grown.codes.exceptAll(rebuilt.codes).count() === 0L)
   }
 
   test("autoJoinSkewed and joinAsOf facades delegate intact") {

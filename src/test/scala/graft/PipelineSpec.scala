@@ -1749,6 +1749,46 @@ class PipelineSpec extends SparkSuite {
     assert(e.getMessage.contains("truncated"))
   }
 
+  test("rebuildAssignment survives a flagged cell emptying mid-loop: centroid restored, membership conserved, no NaN") {
+    import graft.queries.Similarity
+    import spark.implicits._
+    // Engineered fixture: cells 1 and 2, three members ALL equal to
+    // e2. Iteration 1: both cells' member means are e2, so every
+    // member's cosine ties at 1.0 against both new centroids and the
+    // deterministic tie-break (cos DESC, cell ASC) dispatches all
+    // three to cell 1 — cell 2 EMPTIES. Iteration 2's mean step then
+    // has no members for cell 2; cellMeans drops it and the coalesce
+    // must restore its previous centroid so the cell id survives for
+    // later arrivals (and nothing divides by a zero norm).
+    def vec(i: Int): Seq[Double] =
+      (0 until 64).map(j => if (j == i) 1.0 else 0.0)
+    val cents = Seq((1L, vec(0)), (2L, vec(1)))
+      .toDF("cell", "c_emb")
+      .withColumn("c_nrm", graft.functions.Vec.norm(col("c_emb")))
+    val assigned = Seq((10L, 1L, 0), (11L, 1L, 0), (12L, 2L, 1))
+      .toDF("vec_id", "cell", "seg")
+    val vectors = Seq((10L, vec(1)), (11L, vec(1)), (12L, vec(1)))
+      .toDF("vec_id", "emb")
+      .withColumn("nrm", graft.functions.Vec.norm(col("emb")))
+    val flagged = Seq(Tuple1(1L), Tuple1(2L)).toDF("cell")
+    val (asg, newCents) =
+      Similarity.rebuildAssignment(assigned, cents, flagged, vectors, iters = 2)
+    val rows = asg.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(rows.length === 3, "membership not conserved")
+    assert(rows.forall(_._2 === 1L), s"tie-break should dispatch all to cell 1: ${rows.toSeq}")
+    assert(rows.forall(_._3 === 0), "retrained members must fold to base segment")
+    val cs = newCents.collect()
+      .map(r => r.getLong(0) -> (r.getSeq[Double](1), r.getDouble(2))).toMap
+    assert(cs.keySet === Set(1L, 2L), "emptied cell's centroid row was dropped")
+    // both centroids are the member mean e2 from iteration 1 (cell 2
+    // kept its pre-emptying value via the coalesce), finite and unit
+    Seq(1L, 2L).foreach { c =>
+      val (emb, nrm) = cs(c)
+      assert(math.abs(nrm - 1.0) < 1e-12 && emb(1) === 1.0 && !nrm.isNaN,
+        s"cell $c centroid corrupted: nrm=$nrm")
+    }
+  }
+
   test("a32 rebuild-exec audit: exactly the ordered cells move, keep cells recount to their before state, members conserved") {
     val out = SparkEntry.queries("a32_rebuild_exec")(spark, sf).collect()
     val total = Tables.embeddings(spark, sf).count()

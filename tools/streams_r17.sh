@@ -16,6 +16,7 @@ for sf in "$@"; do
   SPARK_GRAFT_SF_DIR="/root/repo/localdata/$sf" SPARK_GRAFT_CPUS=32 \
     SPARK_DRIVER_MEM=48g SPARK_GRAFT_ONLY=__streams__ SPARK_GRAFT_STREAM=1 \
     sbt 'runMain graft.Bench' > "/tmp/streams_r17_$sf.log" 2>&1 || true
-  grep -E "stream bench|FAILED" "/tmp/streams_r17_$sf.log"
+  grep -E "stream bench|FAILED" "/tmp/streams_r17_$sf.log" \
+    || echo "no stream-leg lines in /tmp/streams_r17_$sf.log (sbt died early?)"
 done
 echo "STREAMS_R17_DONE"
