@@ -49,10 +49,14 @@ object Bench {
     // 1-min average forgives a burst too fast; a recently-busy host
     // needs the 5-min average near the bar before a capture is
     // comparable. (Same 180 s budget: proceed-regardless still
-    // applies, and the diagnostics record all three averages.)
+    // applies, and the diagnostics record all three averages.) The
+    // 5-min multiplier is SHARED with tools/bench_diff.py via _gate
+    // (round 18, r17 ADVICE #4): the diff-side UNADJUDICATED
+    // classification applies the same two-bar rule this wait ran
+    // under, so the two definitions cannot drift apart.
     def busy(l: Seq[Double]): Boolean =
       l.headOption.exists(_ > QuietLoad) ||
-        l.lift(1).exists(_ > QuietLoad * 1.5)
+        l.lift(1).exists(_ > QuietLoad * gate.load5Mult)
     while (busy(loadavg()) && waited < QuietWaitSecs) {
       Thread.sleep(10000); waited += 10
     }
@@ -245,8 +249,12 @@ object Bench {
     val adjudicated = needRemeasure.map { case (name, fn, times) =>
       // record the host state the re-measure actually ran under: a
       // "held" flag at loadavg 1.5 is an unadjudicated flag, and the
-      // artifact should say so itself
-      remeasured += f"$name@${loadavg().headOption.getOrElse(-1.0)}%.2f"
+      // artifact should say so itself. BOTH bars since round 18
+      // (name@load1/load5) — the two-bar quiet rule the wait applies
+      // is the rule bench_diff.py classifies with, and it can only do
+      // that if the label carries the 5-min average too.
+      val la = loadavg()
+      remeasured += f"$name@${la.headOption.getOrElse(-1.0)}%.2f/${la.lift(1).getOrElse(-1.0)}%.2f"
       cleanHeap() // re-measures run under the same clean-heap protocol
       val all = (times ++ measure(name, fn, 11 - times.length)).sorted
       name -> all(all.length / 2)
@@ -442,10 +450,29 @@ object Bench {
         case None    => "0"
       }
     }
+    // Self-adjudication evidence INSIDE the line (round 18; r17
+    // verdict #1): the r17 driver artifact's tail was truncated
+    // mid-diagnostics (it begins at ".43], unquiet=8"), orphaning the
+    // remeasured labels its two flags needed for classification. The
+    // fields ride BEFORE "sf" so the driver's tail-fishing regex
+    // ({"metric"...."sf":N} — non-greedy, anchored on a } right after
+    // the sf value) and the contract parse still match; emitted only
+    // when a re-measure actually ran, so clean captures spend none of
+    // the ~1900-char budget on it. unquiet counts re-measures that
+    // ran above EITHER quiet bar (the shared two-bar rule).
+    def unquietOf(label: String): Boolean = {
+      val bars = label.split('@').last.split('/')
+      bars.headOption.exists(_.toDouble > QuietLoad) ||
+        bars.lift(1).exists(_.toDouble > QuietLoad * gate.load5Mult)
+    }
+    val unquiet = remeasured.count(unquietOf)
+    val evidence =
+      if (remeasured.isEmpty) ""
+      else remeasured.mkString("\"remeasured\":[\"", "\",\"", s"""\"],"unquiet":$unquiet,""")
     def build(decimals: Double => Int, key: String => String = identity): String = {
       val qs = results.map { case (k, v) => s"\"" + key(k) + "\":" + fmt(v, decimals(v)) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs,"sf":$sfNum}"""
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs,$evidence"sf":$sfNum}"""
     }
     // Tiered fit: full names + centiseconds while the line fits;
     // otherwise keys shrink to the operator's unique family prefix
@@ -499,11 +526,11 @@ object Bench {
     val (line, fitTier) = tiers.find(_._1.length <= Fit).getOrElse(tiers.last)
     // start_loadavg is the EXTERNAL load (sampled before any Spark
     // work); end_loadavg is dominated by this bench's own threads.
-    // unquiet = re-measures that ran above the quiet bar after the
+    // unquiet = re-measures that ran above a quiet bar after the
     // wait budget expired: their "held/cleared" outcome is NOT
-    // adjudication evidence (tools/bench_diff.py reads the @loadavg
-    // from this tail and classifies such flags UNADJUDICATED).
-    val unquiet = remeasured.count(_.split('@').last.toDouble > QuietLoad)
+    // adjudication evidence (tools/bench_diff.py reads the labels —
+    // from the line's own "remeasured" field since round 18 — and
+    // classifies such flags UNADJUDICATED).
     System.err.println(
       s"bench diagnostics: line=${line.length} chars, fit=$fitTier, start_loadavg=${startLoad.mkString(",")}, end_loadavg=${loadavg().mkString(",")}, quiet_wait=${waited}s, runs=$Runs, widened=$widened, baselines=${baselines.size}, remeasured=[${remeasured.mkString(",")}], unquiet=$unquiet, stat=median, gc=${if (gcBetween) "on" else "off"}")
     if (line.length > 1915)
@@ -593,7 +620,7 @@ object Bench {
     * definitions cannot drift apart silently (they were previously
     * duplicated literals). Defaults are the historical values. */
   private case class Gate(thresh: Double, minNew: Double, ratio: Double,
-                          floor: Double, quiet: Double)
+                          floor: Double, quiet: Double, load5Mult: Double)
   private def statusRoot(): Option[com.fasterxml.jackson.databind.JsonNode] =
     try {
       val repo = new java.io.File(sys.env.getOrElse("SPARK_GRAFT_REPO",
@@ -603,11 +630,12 @@ object Bench {
       else Some(new com.fasterxml.jackson.databind.ObjectMapper().readTree(f))
     } catch { case _: Throwable => None }
   private def loadGate(): Gate = {
-    val d = Gate(0.1, 0.2, 2.0, 0.05, 0.8)
+    val d = Gate(0.1, 0.2, 2.0, 0.05, 0.8, 1.5)
     statusRoot().flatMap(r => Option(r.get("_gate"))).map { g =>
       def f(k: String, dv: Double) = if (g.has(k)) g.get(k).asDouble(dv) else dv
       Gate(f("thresh", d.thresh), f("min_new", d.minNew),
-        f("ratio", d.ratio), f("floor", d.floor), f("quiet_load", d.quiet))
+        f("ratio", d.ratio), f("floor", d.floor), f("quiet_load", d.quiet),
+        f("load5_mult", d.load5Mult))
     }.getOrElse(d)
   }
 

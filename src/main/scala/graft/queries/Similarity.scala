@@ -1483,9 +1483,20 @@ object Similarity extends QueryPack {
     * generation appended by [[ivfPqIndexDelta]] without retraining.
     * Serving ignores it (routing reads only cell); it exists so the
     * artifact records its own fragmentation — the physical state
-    * a22's `compact` verdict acts on via [[compactIndex]]. */
+    * a22's `compact` verdict acts on via [[compactIndex]].
+    *
+    * `nextSegHint` (round 18; r17 ADVICE #2): the next delta
+    * generation id, known WITHOUT a probe when this index was itself
+    * produced by an absorb (segId + 1) or a fresh build (1). When
+    * present, [[ivfPqIndexDelta]]'s AutoSeg default skips the
+    * max(seg) Spark action entirely — so k stacked lazy absorbs cost
+    * k assignments, not O(k²) re-executions of the unpersisted build
+    * plan, and a loaded artifact pays the probe at most once per
+    * lineage. None (the default — loaded or hand-built indexes)
+    * falls back to the one-int-column probe. */
   final case class IvfPqIndex(assigned: DataFrame, codes: DataFrame,
-                                             cents: DataFrame, codebook: DataFrame)
+                                             cents: DataFrame, codebook: DataFrame,
+                                             nextSegHint: Option[Int] = None)
 
   private[graft] def ivfPqIndex(s: SparkSession, d: String, geo: AnnGeometry = Geo,
                                 m: Int = PqM, subDim: Int = PqSubDim): IvfPqIndex =
@@ -1502,7 +1513,9 @@ object Similarity extends QueryPack {
       .select(col("vec_id"), col("sub"), col("cent_id").as("code_id"))
     val codebook = subVecsOf(seeds, "vec_id", m, subDim)
       .select(col("vec_id").as("code_id"), col("sub"), col("sv").as("cv"))
-    IvfPqIndex(assigned, codes, cents, codebook)
+    // a fresh build is all segment 0, so the first absorb is gen 1 —
+    // known without any probe
+    IvfPqIndex(assigned, codes, cents, codebook, nextSegHint = Some(1))
   }
 
   /** Build-ONCE-per-run corpus index, served from the persisted
@@ -1838,16 +1851,18 @@ object Similarity extends QueryPack {
     // (int column, parquet-backed on a loaded artifact — column
     // pruned, combines map-side); a caller tracking generations
     // externally still passes seg explicitly and pays no probe.
-    // CAVEAT for LAZY composition: on an index that is an in-memory
-    // plan (built and absorbed in one lineage, never persisted), the
-    // probe is an action that re-executes that whole plan — k stacked
-    // lazy absorbs cost O(k²) builds. That composition is an
-    // anti-pattern anyway (a maintenance window persists between
-    // absorbs — the probe on a LOADED artifact is one int-column
-    // scan); a caller who insists on it should pass seg explicitly.
+    // LAZY composition (r17 ADVICE #2, closed): on an index that is
+    // an in-memory plan (built and absorbed in one lineage, never
+    // persisted), the probe is an action that re-executes that whole
+    // plan — k stacked lazy absorbs would cost O(k²) builds. The
+    // nextSegHint breaks that: every absorb RETURNS its successor's
+    // generation id (segId + 1), so only the FIRST AutoSeg absorb on
+    // a hint-less index (loaded artifact: one int-column footer-
+    // backed scan; hand-built frame: one plan execution) ever probes.
     val segId =
       if (seg != AutoSeg) seg
-      else ix.assigned.agg(coalesce(max(col("seg")), lit(0))).head().getInt(0) + 1
+      else ix.nextSegHint.getOrElse(
+        ix.assigned.agg(coalesce(max(col("seg")), lit(0))).head().getInt(0) + 1)
     val assignedNew = assignCells(newVecs, ix.cents)
       .select(col("vec_id"), col("cell"), lit(segId).as("seg"))
     val codesNew = pqAssignSubs(
@@ -1855,7 +1870,7 @@ object Similarity extends QueryPack {
         ix.codebook.select(col("code_id").as("cent_id"), col("sub"), col("cv")))
       .select(col("vec_id"), col("sub"), col("cent_id").as("code_id"))
     IvfPqIndex(ix.assigned.unionAll(assignedNew), ix.codes.unionAll(codesNew),
-      ix.cents, ix.codebook)
+      ix.cents, ix.codebook, nextSegHint = Some(segId + 1))
   }
 
   /** The a31 rewrite kernel: fold delta segments into the base
@@ -1890,7 +1905,12 @@ object Similarity extends QueryPack {
     * rebuild cells' segments are byte-identical; the re-saved
     * artifact still trips every manifest tamper guard. */
   def compactIndex(ix: IvfPqIndex, policy: DataFrame): IvfPqIndex =
-    IvfPqIndex(compactAssigned(ix.assigned, policy), ix.codes, ix.cents, ix.codebook)
+    // compaction only LOWERS seg ids (delta → base), so the source's
+    // next-generation hint stays valid (generation ids need not be
+    // contiguous — they are distinct fragment tags, and a22's
+    // fragmentation stats read countDistinct)
+    IvfPqIndex(compactAssigned(ix.assigned, policy), ix.codes, ix.cents,
+      ix.codebook, ix.nextSegHint)
 
   /** The a15 Lloyd retrain SCOPED to an ordered cell set — the kernel
     * shared by [[rebuildCells]] (the artifact-level executor) and
@@ -1935,15 +1955,23 @@ object Similarity extends QueryPack {
     // absorbed deltas (or carrying duplicate vec_ids) would otherwise
     // silently shrink (or inflate) the retrained posting lists, and
     // the republished manifest would record the corrupted counts as
-    // truth, so no tamper guard could ever catch it. Both counts read
-    // from checkpointed/cells-pruned frames — no corpus recompute.
+    // truth, so no tamper guard could ever catch it. TWO independent
+    // checks (r17 ADVICE #1): the raw row count catches net loss/
+    // gain, and the DISTINCT vec_id count catches the cancelling case
+    // the count alone passes — one duplicated vec_id AND one missing
+    // member leave the row count intact while the posting list is
+    // corrupted on both ends. All three reads are on checkpointed/
+    // cells-pruned frames — no corpus recompute; the distinct is one
+    // long-column aggregate over the flagged members only.
     val nMembers = seeded.count()
     val nIndexed = memberIds.count()
-    require(nMembers == nIndexed,
-      s"[graft] rebuildCells: vectors relation yields $nMembers rows for " +
-        s"$nIndexed indexed members of the flagged cells — the corpus store " +
-        "is missing members or has duplicate vec_ids; aborting before the " +
-        "retrain writes a silently shrunken posting list")
+    val nDistinct = seeded.select(col("vec_id")).distinct().count()
+    require(nMembers == nIndexed && nDistinct == nIndexed,
+      s"[graft] rebuildCells: vectors relation yields $nMembers rows " +
+        s"($nDistinct distinct vec_ids) for $nIndexed indexed members of " +
+        "the flagged cells — the corpus store is missing members or has " +
+        "duplicate vec_ids; aborting before the retrain writes a silently " +
+        "corrupted posting list")
     val members = seeded.select(col("vec_id"), col("emb"), col("nrm"))
     var cur = cents.join(broadcast(flaggedCells), Seq("cell"))
       .select(col("cell"), col("c_emb"), col("c_nrm"))
@@ -2016,7 +2044,7 @@ object Similarity extends QueryPack {
     // checkpoint IS that materialization (corpus ints + cells-sized
     // arrays), pinning the state the window produced.
     IvfPqIndex(asg.localCheckpoint(), ix.codes,
-      cents.localCheckpoint(), ix.codebook)
+      cents.localCheckpoint(), ix.codebook, ix.nextSegHint)
   }
 
   /** a32: the rebuild EXECUTION audit — a31's pattern applied to the

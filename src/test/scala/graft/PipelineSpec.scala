@@ -1809,8 +1809,16 @@ class PipelineSpec extends SparkSuite {
         r.getAs[Long]("n_base") + r.getAs[Long]("n_delta"), s"keep cell ${r.getAs[Long]("cell")}")
       assert(r.getAs[Long]("segs_after") ===
         (if (r.getAs[Long]("n_delta") > 0) 2L else 1L))
-      assert(r.getAs[Double]("mean_cos_after") === r.getAs[Double]("mean_cos_before"))
-      assert(r.getAs[Double]("cos_gain") === 0.0)
+      // within 1e-6 (one unit of the rounded grain), not exact
+      // equality (r17 ADVICE #3): mean_cos_after recomputes the
+      // cosine averaged in JOIN order while mean_cos_before averages
+      // the stored c_cos in GROUP order — a value landing on a
+      // .xxxxx5 rounding boundary with a ~1e-16 reassociation residue
+      // could flip the 6th decimal and flake an exact check
+      assert(math.abs(r.getAs[Double]("mean_cos_after") -
+        r.getAs[Double]("mean_cos_before")) <= 1e-6,
+        s"keep cell ${r.getAs[Long]("cell")} mean-cosine passthrough")
+      assert(math.abs(r.getAs[Double]("cos_gain")) <= 1e-6)
     }
     // retrained members stay within the flagged set and fold to base
     assert(reb.map(_.getAs[Long]("n_after")).sum ===

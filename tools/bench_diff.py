@@ -62,26 +62,49 @@ def load_queries(path):
 
 
 def load_remeasures(path):
-    """In-capture self-adjudication re-measures, fam -> loadavg the
-    re-measure ran under, read from the bench diagnostics that land in
-    the driver artifact's tail ("remeasured=[a14_mips_lsh@1.44,...]").
-    A re-measure that ran ABOVE the quiet bar is not adjudication
+    """In-capture self-adjudication re-measures, fam -> (load1, load5)
+    the re-measure ran under. Since round 18 the labels ride INSIDE the
+    bench JSON line itself (a "remeasured" array before the "sf" key),
+    so a driver tail truncated mid-diagnostics can never orphan the
+    evidence (the r17 artifact began mid-line at ".43], unquiet=8" —
+    the list that would have self-excused its flags was cut off);
+    older artifacts carry them only in the stderr diagnostics line
+    ("remeasured=[a14_mips_lsh@1.44,...]"), which we still parse. A
+    re-measure that ran ABOVE the quiet bars is not adjudication
     evidence — its flag is classified UNADJUDICATED, never "held"
     (the r13 driver capture presented loadavg-1.44 re-measures as held
-    flags). Raw bench-line files carry no diagnostics -> empty."""
+    flags). Raw bench-line files: the JSON field still works; no
+    diagnostics -> empty."""
     try:
         doc = json.loads(open(path).read())
     except Exception:
         return {}
-    tail = doc.get("tail", "") if isinstance(doc, dict) else ""
+    if not isinstance(doc, dict):
+        return {}
+    # machine-readable field in the bench line (round 18+): the line
+    # itself, the driver wrapper's .parsed, or the tail-fished line
+    for src in (doc, doc.get("parsed") or {}):
+        if isinstance(src, dict) and isinstance(src.get("remeasured"), list):
+            return _parse_labels(",".join(str(x) for x in src["remeasured"]))
+    tail = doc.get("tail", "")
     # match bare name@load pairs rather than the full "remeasured=[...]"
     # list: the driver keeps only the LAST 2000 chars, which can cut the
     # list's opening bracket off mid-entry (the r13 tail starts
     # ",q22_histogram@1.44,...], stat=median"). "@" appears nowhere else
-    # in the bench output.
-    return {fam(name): float(load)
-            for name, load in re.findall(r"([A-Za-z][A-Za-z0-9_]*)@([0-9.]+)",
-                                         tail)}
+    # in the bench output. (If the tail holds the round-18 JSON line,
+    # this same regex reads the labels out of its "remeasured" field.)
+    return _parse_labels(tail)
+
+
+def _parse_labels(text):
+    """name@load1[/load5] labels -> fam -> (load1, load5). Legacy
+    single-bar labels (pre-r18) report load5 = 0.0 (i.e. "passes the
+    5-min bar"), matching the information the capture recorded."""
+    out = {}
+    for name, l1, l5 in re.findall(
+            r"([A-Za-z][A-Za-z0-9_]*)@([0-9.]+)(?:/([0-9.]+))?", text):
+        out[fam(name)] = (float(l1), float(l5) if l5 else 0.0)
+    return out
 
 
 def fam(key):
@@ -97,7 +120,7 @@ def fam(key):
 
 
 GATE = {"thresh": 0.1, "min_new": 0.2, "ratio": 2.0, "floor": 0.05,
-        "quiet_load": 0.8}
+        "quiet_load": 0.8, "load5_mult": 1.5}
 
 
 def load_status():
@@ -230,15 +253,23 @@ def run_diff(old_paths, new_path, thresh, use_pins=True, out=None):
     # a pinned 0.94 s waiver does NOT cover a later 10 s regression
     waived = [k for k, n in trip
               if k in expected and n <= 1.5 * expected[k]["level"]]
-    # a flag whose in-capture re-measure ran ABOVE the quiet bar was
+    # a flag whose in-capture re-measure ran ABOVE the quiet bars was
     # never adjudicated — the 11-run median it "held" at was itself
     # taken under load. Classify UNADJUDICATED (an open question for
     # the manual one-query-per-JVM quiet protocol), never a held
     # regression: the r13 driver capture presented loadavg-1.44
-    # re-measures as evidence and cost a judge round-trip.
+    # re-measures as evidence and cost a judge round-trip. The rule is
+    # the SAME two-bar rule the re-measure's quiet-wait ran under
+    # (1-min <= quiet_load AND 5-min <= quiet_load * load5_mult, both
+    # read from the shared _gate block) — r17's ADVICE: the diff side
+    # could not previously see the 5-min criterion.
     remeasures = load_remeasures(new_path)
-    unadj = [k for k, n in trip if k not in waived
-             and remeasures.get(k, 0.0) > GATE["quiet_load"]]
+
+    def unquiet(k):
+        l1, l5 = remeasures.get(k, (0.0, 0.0))
+        return (l1 > GATE["quiet_load"]
+                or l5 > GATE["quiet_load"] * GATE["load5_mult"])
+    unadj = [k for k, n in trip if k not in waived and unquiet(k)]
     bad = [k for k, n in trip if k not in waived and k not in unadj]
     if waived:
         say("\nexpected changed-code costs (level-pinned in "
@@ -246,11 +277,13 @@ def run_diff(old_paths, new_path, thresh, use_pins=True, out=None):
             + ", ".join(f"{k} (<=1.5x {expected[k]['level']}s: "
                         f"{expected[k].get('why', '')})" for k in waived))
     if unadj:
-        say(f"\nUNADJUDICATED (re-measured above the "
-            f"{GATE['quiet_load']} quiet bar — not evidence either "
-            f"way; rerun the 11-run one-query-per-JVM protocol on a "
-            f"quiet host): "
-            + ", ".join(f"{k}@{remeasures[k]}" for k in unadj))
+        say(f"\nUNADJUDICATED (re-measured above the quiet bars "
+            f"load1<={GATE['quiet_load']} / "
+            f"load5<={GATE['quiet_load'] * GATE['load5_mult']} — not "
+            f"evidence either way; rerun the 11-run one-query-per-JVM "
+            f"protocol on a quiet host): "
+            + ", ".join(f"{k}@{remeasures[k][0]}/{remeasures[k][1]}"
+                        for k in unadj))
     if bad:
         say(f"\nREGRESSIONS (>=2x vs last live and >=+{thresh}s): "
             f"{', '.join(bad)}")

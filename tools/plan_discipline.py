@@ -105,6 +105,63 @@ BNLJ_SHAPES_OK = {("Cross", "BuildRight"), ("Inner", "BuildRight"),
 BNLJ_BUILDLEFT_OK = {"a29_embed_audit", "p8_corpus_card",
                      "q45_quantile_sketch", "t28_quality_calibration"}
 
+# 3. GLOBAL (unpartitioned) windows, declared BY QUERY with the count
+# of instances and the bounded frame each ranks over (r17 verdict #3:
+# every global window today is individually justified as cells/
+# probes/buckets-sized, but nothing STOPPED a future operator from
+# sneaking a data-sized one past review — this whitelist makes the
+# property gate-enforced). A global window serializes its whole input
+# through ONE task, so it is only ever legal over a frame whose size
+# is bounded by a constant/config (number of IVF cells, percentile
+# buckets, calendar months), never by the corpus. Detection: a
+# Window node whose Arguments carry no partition-column group — the
+# formatted plan prints `[exprs], [part], [order]` for partitioned+
+# ordered windows, `[exprs], [part]` for partitioned-unordered, and
+# `[exprs], [order]` for global (the order group is recognizable by
+# its ASC/DESC modifiers). Queries may have FEWER instances than
+# declared (plan changes legitimately remove windows); MORE, or any
+# instance in an unlisted query, fails the sweep.
+GLOBAL_WINDOW_OK = {
+    # ntile(3) terciles over the PROBES-sized margin frame (NProbes
+    # is a config constant; the adaptive-nprobe policy ranks probes)
+    "a26_adaptive_nprobe": 3,
+    # Percentiles.exact with a constant group key: Catalyst folds the
+    # foldable partition column away, leaving the cumulative-bucket
+    # window global — frame is <= `buckets` rows (default 4096)
+    "a29_embed_audit": 4,
+    "p8_corpus_card": 4,
+    "q45_quantile_sketch": 4,
+    "t28_quality_calibration": 4,
+    # rebuild-order ranking over the CELLS-sized policy frame
+    # (nCentroids is a config constant)
+    "a32_rebuild_exec": 1,
+    # LOCF gap fill over the MONTHS-sized series frame (calendar-
+    # bounded)
+    "q38_gap_fill": 1,
+}
+
+
+def global_windows(sec):
+    """Yield the trailing argument groups of each unpartitioned
+    Window node in a section."""
+    for m in re.finditer(r"^\(\d+\) Window\s*\nInput.*\nArguments: (.*)$",
+                         sec, re.M):
+        args = m.group(1)
+        groups, depth, start = [], 0, None
+        for i, c in enumerate(args):
+            if c == "[":
+                if depth == 0:
+                    start = i
+                depth += 1
+            elif c == "]":
+                depth -= 1
+                if depth == 0:
+                    groups.append(args[start:i + 1])
+        tail = groups[1:]
+        if not tail or (len(tail) == 1
+                        and (" ASC" in tail[0] or " DESC" in tail[0])):
+            yield tail[0] if tail else "(unordered)"
+
 
 def main(path):
     content = open(path).read()
@@ -160,13 +217,25 @@ def main(path):
                             f"{join_type} {build} — declared query but "
                             "an UNDECLARED join shape (BNLJ_SHAPES_OK/"
                             "BNLJ_BUILDLEFT_OK)"))
+    n_global = 0
+    for sec in sections:
+        name = sec.split("\n", 1)[0].strip()
+        gws = list(global_windows(sec))
+        n_global += len(gws)
+        allowed = GLOBAL_WINDOW_OK.get(name, 0)
+        if len(gws) > allowed:
+            bad.append((name, "Window (global)",
+                        f"{len(gws)} unpartitioned window(s), "
+                        f"{allowed} declared bounded in GLOBAL_WINDOW_OK "
+                        f"— first order: {gws[0][:80]}"))
     if bad:
         print(f"PLAN DISCIPLINE: {len(bad)} violation(s)")
         for name, node, why in bad:
             print(f"  {name}: {node} — {why}")
         sys.exit(1)
     print(f"plan discipline: {len(sections)} sections clean "
-          "(no raw-bytes exchange, no undeclared cartesian)")
+          "(no raw-bytes exchange, no undeclared cartesian, "
+          f"{n_global} global windows all declared bounded)")
 
 
 main(sys.argv[1] if len(sys.argv) > 1 else "PLANS.md")
