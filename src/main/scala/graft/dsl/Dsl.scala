@@ -284,6 +284,17 @@ package object dsl {
                    m: Int = 8, subDim: Int = 8): Similarity.IvfPqIndex =
       Similarity.ivfPqIndexOf(normVecs(df, idCol, embCol), geo, m, subDim)
 
+    /** a17's residual layout as a publishable index (round 18): codes
+      * quantize (vector − assigned centroid) against a residual-space
+      * codebook — the standard IVF-PQ layout for clustered corpora.
+      * Same serve/absorb/compact surface as [[ivfPqIndex]]; the ONE
+      * behavioral difference is maintenance: a rebuild re-codes the
+      * retrained cells' members (see Similarity.rebuildCells). */
+    def ivfPqResidualIndex(idCol: String = "vec_id", embCol: String = "embedding",
+                           geo: AnnGeometry = AnnGeometry(),
+                           m: Int = 8, subDim: Int = 8): Similarity.IvfPqIndex =
+      Similarity.ivfPqResidualIndexOf(normVecs(df, idCol, embCol), geo, m, subDim)
+
     /** a30's serve-cost drift over a vector frame: per probe, the
       * scan bill against the base-only index vs the delta-grown one,
       * joined with a22's compaction policy for its routed cells — the

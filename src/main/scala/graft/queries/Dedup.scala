@@ -96,7 +96,7 @@ object Dedup extends QueryPack {
 
   /** documents ∪ lightly-perturbed copies of every 20th doc — near
     * dupes with high (but not 1.0) shingle overlap. */
-  private def withNearDupes(s: SparkSession, d: String): DataFrame = {
+  private[graft] def withNearDupes(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     docs.unionAll(
       docs.filter(col("doc_id") % 20 === 0)

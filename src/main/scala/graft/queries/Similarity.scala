@@ -39,6 +39,9 @@ object Similarity extends QueryPack {
     * delta generation (max existing + 1) instead of a caller-pinned
     * id. Negative so it can never collide with a real segment. */
   val AutoSeg: Int = -1
+  /** [[IvfPqIndex.layout]] values: what the codes frame quantizes. */
+  val LayoutRaw = "pq_raw"
+  val LayoutResidual = "pq_residual"
   private val Geo = AnnGeometry()   // defaults used by defs + oracle
   private val NProbes = 5           // acceptance-gate probe count
   private val PqM = 8               // a12: subspaces per vector
@@ -1493,10 +1496,28 @@ object Similarity extends QueryPack {
     * k assignments, not O(k²) re-executions of the unpersisted build
     * plan, and a loaded artifact pays the probe at most once per
     * lineage. None (the default — loaded or hand-built indexes)
-    * falls back to the one-int-column probe. */
+    * falls back to the one-int-column probe.
+    *
+    * `layout` (round 18; r17 verdict #2) names what the CODES frame
+    * quantizes — the property every consumer must agree on:
+    *  - [[LayoutRaw]] (a12): codes quantize the raw vector against a
+    *    corpus-global codebook. A coarse-geometry retrain cannot
+    *    alter any code, so [[rebuildCells]] passes codes through
+    *    byte-identical.
+    *  - [[LayoutResidual]] (a17, the standard IVF-PQ layout): codes
+    *    quantize (vector − assigned cell's centroid) against a
+    *    residual-space codebook. Codes now DEPEND on the coarse
+    *    geometry: [[rebuildCells]] must re-code retrained cells'
+    *    members against the moved centroids, [[ivfPqIndexDelta]]
+    *    must code arrivals' residuals, and [[ivfPqServeProbes]]'s
+    *    ADC table is keyed per routed CELL (the probe's residual
+    *    differs cell by cell). The manifest records the layout so a
+    *    serve fleet can never mis-read one layout's codes as the
+    *    other's. */
   final case class IvfPqIndex(assigned: DataFrame, codes: DataFrame,
                                              cents: DataFrame, codebook: DataFrame,
-                                             nextSegHint: Option[Int] = None)
+                                             nextSegHint: Option[Int] = None,
+                                             layout: String = LayoutRaw)
 
   private[graft] def ivfPqIndex(s: SparkSession, d: String, geo: AnnGeometry = Geo,
                                 m: Int = PqM, subDim: Int = PqSubDim): IvfPqIndex =
@@ -1517,6 +1538,55 @@ object Similarity extends QueryPack {
     // known without any probe
     IvfPqIndex(assigned, codes, cents, codebook, nextSegHint = Some(1))
   }
+
+  /** Build a RESIDUAL-layout index ([[LayoutResidual]]; r17 verdict
+    * #2): the a17 composition made a publishable artifact. Coarse
+    * cells as [[ivfPqIndexOf]]; codes quantize each member's residual
+    * (emb − assigned cell's centroid) against a residual-space
+    * codebook seeded from the corpus residuals (distinct "rcent"
+    * salt — a17's zero-residual-seed hazard note). Same frame shapes
+    * as the raw layout, so save/load/absorb/compact all reuse the
+    * machinery; what changes is WHO must re-code when geometry moves
+    * (see [[IvfPqIndex.layout]]). Cost: the raw build plus one
+    * broadcast-centroid residual pass. */
+  def ivfPqResidualIndexOf(v: DataFrame, geo: AnnGeometry = Geo,
+                           m: Int = PqM, subDim: Int = PqSubDim): IvfPqIndex = {
+    val cents = hashTopK(v, "cent", geo.nCentroids)
+      .select(col("vec_id").as("cell"), col("emb").as("c_emb"), col("nrm").as("c_nrm"))
+    val asg = assignCells(v, cents)
+    val assigned = asg.select(col("vec_id"), col("cell"), lit(0).as("seg"))
+    // one residual frame feeds BOTH the codebook seeds and the coding
+    // pass — checkpointed so neither re-runs the assignment
+    val resid = residualsOf(asg.select(col("vec_id"), col("emb"), col("cell")), cents)
+      .localCheckpoint()
+    val seeds = hashTopK(resid, "rcent", geo.nCentroids)
+    val codebook = subVecsOf(seeds, "vec_id", m, subDim)
+      .select(col("vec_id").as("code_id"), col("sub"), col("sv").as("cv"))
+    val codes = pqAssignSubs(subVecsOf(resid, "vec_id", m, subDim),
+        codebook.select(col("code_id").as("cent_id"), col("sub"), col("cv")))
+      .select(col("vec_id"), col("sub"), col("cent_id").as("code_id"))
+    IvfPqIndex(assigned, codes, cents, codebook, Some(1), LayoutResidual)
+  }
+
+  /** (vec_id, emb=residual) of members against their cells' centroids.
+    * `members` carries (vec_id, emb, cell); cents broadcast. */
+  private def residualsOf(members: DataFrame, cents: DataFrame): DataFrame =
+    members.join(broadcast(cents.select(col("cell"), col("c_emb"))), "cell")
+      .select(col("vec_id"),
+        zip_with(col("emb"), col("c_emb"), (a, b) => a - b).as("emb"))
+
+  /** Residual-code (vec_id, sub, code_id, dist) of `members`
+    * (vec_id, emb, cell) against `cents`' centroids and the FROZEN
+    * residual `codebook` — the coding kernel shared by the residual
+    * build path's delta absorb, [[rebuildCells]]'s re-code arm, and
+    * a33's audit. One broadcast-centroid residual pass + the
+    * broadcast-codebook argmin; members never shuffle. */
+  private[graft] def residualCodes(members: DataFrame, cents: DataFrame,
+                                   codebook: DataFrame,
+                                   m: Int = PqM, subDim: Int = PqSubDim): DataFrame =
+    pqAssignSubs(subVecsOf(residualsOf(members, cents), "vec_id", m, subDim),
+      codebook.select(col("code_id").as("cent_id"), col("sub"), col("cv")))
+      .select(col("vec_id"), col("sub"), col("cent_id").as("code_id"), col("dist"))
 
   /** Build-ONCE-per-run corpus index, served from the persisted
     * artifact (round 12 — the r10/r11 verdicts' item: acceptance
@@ -1769,8 +1839,13 @@ object Similarity extends QueryPack {
     * change so a loader can refuse an incompatible artifact by name.
     * v2 (round 16): `assigned` carries the segment id (base 0 /
     * delta generations ≥1) so the artifact records its own
-    * fragmentation — the state [[compactIndex]] rewrites. */
-  val IvfPqFormatVersion = 2
+    * fragmentation — the state [[compactIndex]] rewrites.
+    * v3 (round 18): the manifest names the code LAYOUT (pq_raw /
+    * pq_residual) — a reader that ignored it would serve residual
+    * codes through raw-PQ ADC math and silently mis-rank, so the
+    * field is REQUIRED and the version bump makes a v2 reader refuse
+    * a v3 artifact (and vice versa) by name. */
+  val IvfPqFormatVersion = 3
 
   /** Persist a frozen [[IvfPqIndex]] as a versioned directory
     * artifact — the "publishable unit" (SURVEY §2.D) made
@@ -1788,7 +1863,7 @@ object Similarity extends QueryPack {
     ix.codes.write.mode("overwrite").parquet(s"$dir/codes")
     ix.cents.write.mode("overwrite").parquet(s"$dir/cents")
     ix.codebook.write.mode("overwrite").parquet(s"$dir/codebook")
-    val m = s"""{"format_version":$IvfPqFormatVersion,"index_version":$indexVersion,"assigned":${ix.assigned.count()},"codes":${ix.codes.count()},"cents":${ix.cents.count()},"codebook":${ix.codebook.count()}}"""
+    val m = s"""{"format_version":$IvfPqFormatVersion,"index_version":$indexVersion,"layout":"${ix.layout}","assigned":${ix.assigned.count()},"codes":${ix.codes.count()},"cents":${ix.cents.count()},"codebook":${ix.codebook.count()}}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/manifest.json"), m)
   }
 
@@ -1816,6 +1891,12 @@ object Similarity extends QueryPack {
     val ver = field("format_version")
     require(ver == IvfPqFormatVersion,
       s"[graft] IVF-PQ index at $dir has format_version $ver; this build reads $IvfPqFormatVersion")
+    val layout = """"layout":"(\w+)"""".r.findFirstMatchIn(m)
+      .getOrElse(throw new IllegalStateException(
+        s"[graft] IVF-PQ index manifest at $dir missing field 'layout': $m"))
+      .group(1)
+    require(layout == LayoutRaw || layout == LayoutResidual,
+      s"[graft] IVF-PQ index at $dir declares unknown layout '$layout'; this build serves $LayoutRaw and $LayoutResidual")
     val frames = Seq("assigned", "codes", "cents", "codebook")
       .map(n => n -> s.read.parquet(s"$dir/$n")).toMap
     frames.foreach { case (n, df) =>
@@ -1823,7 +1904,8 @@ object Similarity extends QueryPack {
       require(got == field(n),
         s"[graft] IVF-PQ index frame '$n' at $dir has $got rows; manifest says ${field(n)} — truncated or mixed-version artifact")
     }
-    IvfPqIndex(frames("assigned"), frames("codes"), frames("cents"), frames("codebook"))
+    IvfPqIndex(frames("assigned"), frames("codes"), frames("cents"),
+      frames("codebook"), layout = layout)
   }
 
   /** Absorb a delta of new vectors into a FROZEN index without
@@ -1863,14 +1945,25 @@ object Similarity extends QueryPack {
       if (seg != AutoSeg) seg
       else ix.nextSegHint.getOrElse(
         ix.assigned.agg(coalesce(max(col("seg")), lit(0))).head().getInt(0) + 1)
-    val assignedNew = assignCells(newVecs, ix.cents)
-      .select(col("vec_id"), col("cell"), lit(segId).as("seg"))
-    val codesNew = pqAssignSubs(
-        subVecsOf(newVecs.select(col("vec_id"), col("emb")), "vec_id", m, subDim),
-        ix.codebook.select(col("code_id").as("cent_id"), col("sub"), col("cv")))
-      .select(col("vec_id"), col("sub"), col("cent_id").as("code_id"))
+    // one assignment pass feeds both the posting-list rows and (for
+    // the residual layout) the residual coding — checkpoint-free
+    // because each branch consumes it exactly once
+    val asgNew = assignCells(newVecs, ix.cents)
+    val assignedNew = asgNew.select(col("vec_id"), col("cell"), lit(segId).as("seg"))
+    // the layout decides WHAT gets coded (IvfPqIndex.layout): raw
+    // vectors against the global codebook, or the arrival's residual
+    // vs its (frozen) assigned centroid against the residual codebook
+    val codesNew =
+      if (ix.layout == LayoutResidual)
+        residualCodes(asgNew.select(col("vec_id"), col("emb"), col("cell")),
+            ix.cents, ix.codebook, m, subDim)
+          .select(col("vec_id"), col("sub"), col("code_id"))
+      else pqAssignSubs(
+          subVecsOf(newVecs.select(col("vec_id"), col("emb")), "vec_id", m, subDim),
+          ix.codebook.select(col("code_id").as("cent_id"), col("sub"), col("cv")))
+        .select(col("vec_id"), col("sub"), col("cent_id").as("code_id"))
     IvfPqIndex(ix.assigned.unionAll(assignedNew), ix.codes.unionAll(codesNew),
-      ix.cents, ix.codebook, nextSegHint = Some(segId + 1))
+      ix.cents, ix.codebook, Some(segId + 1), ix.layout)
   }
 
   /** The a31 rewrite kernel: fold delta segments into the base
@@ -1908,9 +2001,10 @@ object Similarity extends QueryPack {
     // compaction only LOWERS seg ids (delta → base), so the source's
     // next-generation hint stays valid (generation ids need not be
     // contiguous — they are distinct fragment tags, and a22's
-    // fragmentation stats read countDistinct)
+    // fragmentation stats read countDistinct). Layout passes through:
+    // compaction never touches geometry or codes in EITHER layout.
     IvfPqIndex(compactAssigned(ix.assigned, policy), ix.codes, ix.cents,
-      ix.codebook, ix.nextSegHint)
+      ix.codebook, ix.nextSegHint, ix.layout)
 
   /** The a15 Lloyd retrain SCOPED to an ordered cell set — the kernel
     * shared by [[rebuildCells]] (the artifact-level executor) and
@@ -2017,22 +2111,28 @@ object Similarity extends QueryPack {
     * a15's Lloyd retrain scoped to the flagged cells' members
     * (base + every absorbed delta generation), new centroids for
     * those cells only, members re-dispatched among them, their
-    * posting lists folded to a fresh base segment. Codes and
-    * codebooks are UNCHANGED — and that is a property of this
-    * artifact's layout, not a shortcut: the persisted index stores
-    * a12-style raw-vector PQ codes against a corpus-global codebook,
-    * so a coarse-geometry retrain cannot alter any code by
-    * construction (the spec asserts codes byte-identical). A
-    * residual-PQ layout (a17) would re-code the retrained cells'
-    * members here, because residuals are taken against the very
-    * centroids that moved. The caller republishes with
+    * posting lists folded to a fresh base segment. What happens to
+    * the CODES depends on the artifact's layout (round 18; r17
+    * verdict #2 closed the re-code arm):
+    *  - [[LayoutRaw]]: codes and codebooks are UNCHANGED by
+    *    construction — a12-style raw-vector codes against a
+    *    corpus-global codebook cannot see a coarse-geometry retrain
+    *    (the spec asserts codes byte-identical).
+    *  - [[LayoutResidual]]: the retrained cells' members are
+    *    RE-CODED — their residuals are taken against the very
+    *    centroids that moved (and against their NEW cell when the
+    *    re-dispatch moved them between flagged cells) — while every
+    *    untouched member's code rows pass through byte-identical.
+    *    The residual CODEBOOK stays frozen: re-seeding it is a full
+    *    retrain, a different (index-wide) maintenance class.
+    * The caller republishes with
     * [[saveIvfPqIndex]](..., [[ivfPqIndexVersion]](src) + 1) — the
     * same lineage bump as compaction. Spec-pinned: untouched cells'
-    * assigned/cents rows byte-identical, rebuilt cells' mean
+    * assigned/cents/codes rows byte-identical, rebuilt cells' mean
     * assignment cosine not worse (the k-means objective), recall on
     * a drifted cluster ≥ the stale index's, tamper guards live. */
   def rebuildCells(ix: IvfPqIndex, policy: DataFrame, vectors: DataFrame,
-                   iters: Int = 1): IvfPqIndex = {
+                   iters: Int = 1, m: Int = PqM, subDim: Int = PqSubDim): IvfPqIndex = {
     val flagged = policy.filter(col("action") === "rebuild").select(col("cell"))
     val (asg, cents) =
       rebuildAssignment(ix.assigned, ix.cents, flagged, vectors, iters)
@@ -2043,8 +2143,32 @@ object Similarity extends QueryPack {
     // exactly once anyway (republish via saveIvfPqIndex); the
     // checkpoint IS that materialization (corpus ints + cells-sized
     // arrays), pinning the state the window produced.
-    IvfPqIndex(asg.localCheckpoint(), ix.codes,
-      cents.localCheckpoint(), ix.codebook, ix.nextSegHint)
+    val asgC = asg.localCheckpoint()
+    val centsC = cents.localCheckpoint()
+    val codes =
+      if (ix.layout != LayoutResidual) ix.codes
+      else {
+        // members never leave the flagged set (rebuildAssignment's
+        // contract), so the flagged members' AFTER rows are exactly
+        // the rewritten assignment's rows in flagged cells — the ids
+        // whose codes must change; everyone else's rows pass through
+        // behind a key anti-join, byte-identical
+        val fm = asgC.join(broadcast(flagged), Seq("cell"))
+          .select(col("vec_id"), col("cell"))
+        val members = vectors.select(col("vec_id"), col("emb"))
+          .join(fm, Seq("vec_id"))
+        val recoded = residualCodes(members, centsC, ix.codebook, m, subDim)
+          .select(col("vec_id"), col("sub"), col("code_id"))
+        // fresh aliases on both children (the rebuildAssignment
+        // union hazard), checkpointed for the same servability
+        // reason as the assignment
+        def fresh(df: DataFrame): DataFrame =
+          df.select(Seq("vec_id", "sub", "code_id").map(n => col(n).as(n)): _*)
+        fresh(ix.codes.join(fm.select(col("vec_id")), Seq("vec_id"), "left_anti"))
+          .unionByName(fresh(recoded))
+          .localCheckpoint()
+      }
+    IvfPqIndex(asgC, codes, centsC, ix.codebook, ix.nextSegHint, ix.layout)
   }
 
   /** a32: the rebuild EXECUTION audit — a31's pattern applied to the
@@ -2117,6 +2241,118 @@ object Similarity extends QueryPack {
         // a ±1e-17 residue that rounds to ±0.0 — and the two engines
         // would disagree on the SIGN of that zero per cell at random
         (round(col("mca") - col("mcb"), 6) + lit(0.0)).as("cos_gain"))
+      .orderBy(col("cell"))
+  }
+
+  /** a33: the RE-CODE arm of the rebuild executor, audited (round 18;
+    * r17 verdict #2) — a32 pins the retrain's geometry rewrite on the
+    * raw layout, where codes are byte-identical BY CONSTRUCTION; this
+    * operator audits the arm that only exists on the RESIDUAL layout
+    * (a17): when the maintenance order moves centroids, the flagged
+    * cells' members must be re-coded because their residuals are
+    * taken against the very centroids that moved. Same lifecycle
+    * state as a32 (1-in-4 delta split, rank-by-delta-share order,
+    * one Lloyd step via [[rebuildAssignment]]), then the EXACT
+    * re-code kernel [[rebuildCells]] runs ([[residualCodes]] against
+    * the moved centroids and the FROZEN residual codebook). Reported
+    * per cell: populations, the order, member count after, how many
+    * members' code words physically changed (0 on keep cells — the
+    * byte-passthrough proof; the oracle independently re-derives the
+    * coding on both sides of the move), and the residual-PQ
+    * quantization error before/after (the number the re-code exists
+    * to keep honest — WITHOUT the re-code, rebuilt cells' stored
+    * codes would decode against centroids that no longer exist).
+    * Scale shape: ONE corpus assignment pass (shared via
+    * [[deltaGrownState]]), one vec_id member join, the retrain and
+    * re-code confined to flagged members, codebook/centroids
+    * broadcast, cells-sized rollups. */
+  def residualRebuildExec(s: SparkSession, d: String, geo: AnnGeometry = Geo,
+                          rebuildK: Int = 3): DataFrame =
+    residualRebuildExecOf(vecs(s, d), pmod(col("vec_id"), lit(4L)) === 1L, geo, rebuildK)
+
+  private[graft] def residualRebuildExecOf(v: DataFrame, isDelta: Column,
+                                           geo: AnnGeometry = Geo,
+                                           rebuildK: Int = 3): DataFrame = {
+    val (cents, asg) = deltaGrownState(v, isDelta, geo)
+    val vv = v.select(col("vec_id"), col("emb"), col("nrm"))
+    // BEFORE state: every member's residual vs its assigned centroid,
+    // coded against the residual codebook seeded (at build time, i.e.
+    // from the BASE population) with a17's distinct "rcent" salt. One
+    // checkpointed residual frame feeds seeds and coding.
+    val residB = vv.join(asg.select(col("vec_id"), col("cell"), col("is_delta")), Seq("vec_id"))
+      .join(broadcast(cents.select(col("cell"), col("c_emb"))), Seq("cell"))
+      .select(col("vec_id"), col("cell"), col("is_delta"),
+        zip_with(col("emb"), col("c_emb"), (a, b) => a - b).as("emb"))
+      .localCheckpoint()
+    val seeds = hashTopK(
+      residB.filter(!col("is_delta")).select(col("vec_id"), col("emb")),
+      "rcent", geo.nCentroids)
+    val codebook = subVecsOf(seeds, "vec_id", PqM, PqSubDim)
+      .select(col("vec_id").as("code_id"), col("sub"), col("sv").as("cv"))
+      .localCheckpoint()
+    val codesB = pqAssignSubs(
+        subVecsOf(residB.select(col("vec_id"), col("emb")), "vec_id", PqM, PqSubDim),
+        codebook.select(col("code_id").as("cent_id"), col("sub"), col("cv")))
+      .select(col("vec_id"), col("sub"), col("cent_id").as("code_id"), col("dist"))
+      .localCheckpoint()
+    val before = asg.groupBy(col("cell"))
+      .agg(sum(when(!col("is_delta"), 1L).otherwise(0L)).as("n_base"),
+        sum(when(col("is_delta"), 1L).otherwise(0L)).as("n_delta"))
+      // cells-sized global window, bounded by nCentroids (declared in
+      // plan_discipline's GLOBAL_WINDOW_OK) — a32's ordering rule
+      .withColumn("rk", row_number().over(Window.orderBy(
+        (col("n_delta").cast("double") / (col("n_base") + col("n_delta"))).desc,
+        col("cell"))))
+      .withColumn("action",
+        when(col("rk") <= rebuildK, "rebuild").otherwise("keep"))
+    val mseB = codesB.join(asg.select(col("vec_id"), col("cell")), Seq("vec_id"))
+      .groupBy(col("cell")).agg(avg(col("dist")).as("mb"))
+    // EXECUTE both arms with the artifact kernels: geometry rewrite,
+    // then the re-code of exactly the flagged members
+    val assigned = asg.select(col("vec_id"), col("cell"),
+      when(col("is_delta"), lit(1)).otherwise(lit(0)).as("seg"))
+    val flagged = before.filter(col("action") === "rebuild").select(col("cell"))
+    val (asgAfter0, centsAfter0) = rebuildAssignment(assigned, cents, flagged, vv)
+    val asgAfter = asgAfter0.localCheckpoint()
+    val centsAfter = centsAfter0.localCheckpoint()
+    val fm = asgAfter.join(broadcast(flagged), Seq("cell"))
+      .select(col("vec_id"), col("cell"))
+    val codesA = residualCodes(
+        vv.select(col("vec_id"), col("emb")).join(fm, Seq("vec_id")),
+        centsAfter, codebook, PqM, PqSubDim)
+      .localCheckpoint()
+    // per flagged member: did ANY subspace's code word move?
+    val changed = codesA.as("a")
+      .join(codesB.as("b"),
+        col("a.vec_id") === col("b.vec_id") && col("a.sub") === col("b.sub"))
+      .groupBy(col("a.vec_id").as("vec_id"))
+      .agg(max(when(col("a.code_id") =!= col("b.code_id"), 1L).otherwise(0L)).as("chg"))
+    // AFTER rollups: flagged cells recount from the re-coded rows,
+    // untouched cells recount from the passthrough rows (their codes
+    // frame is byte-identical, so the recount must read mse_before)
+    val flaggedRoll = codesA.join(fm, Seq("vec_id"))
+      .groupBy(col("cell")).agg(avg(col("dist")).as("ma"))
+      .join(changed.join(fm, Seq("vec_id"))
+          .groupBy(col("cell")).agg(sum(col("chg")).as("n_recoded")),
+        Seq("cell"), "left")
+      .select(col("cell"), col("ma"), coalesce(col("n_recoded"), lit(0L)).as("n_recoded"))
+    val untouchedRoll = codesB
+      .join(fm.select(col("vec_id")), Seq("vec_id"), "left_anti")
+      .join(asg.select(col("vec_id"), col("cell")), Seq("vec_id"))
+      .groupBy(col("cell")).agg(avg(col("dist")).as("ma"))
+      .select(col("cell"), col("ma"), lit(0L).as("n_recoded"))
+    def fresh(df: DataFrame): DataFrame =
+      df.select(Seq("cell", "ma", "n_recoded").map(n => col(n).as(n)): _*)
+    val after = fresh(flaggedRoll).unionByName(fresh(untouchedRoll))
+    val counts = asgAfter.groupBy(col("cell")).agg(count(lit(1)).as("n_after"))
+    before.join(mseB, Seq("cell"), "left")
+      .join(counts, Seq("cell"), "left")
+      .join(after, Seq("cell"), "left")
+      .select(col("cell"), col("n_base"), col("n_delta"), col("action"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"),
+        coalesce(col("n_recoded"), lit(0L)).as("n_recoded"),
+        round(col("mb"), 6).as("mse_before"),
+        round(col("ma"), 6).as("mse_after"))
       .orderBy(col("cell"))
   }
 
@@ -2197,20 +2433,12 @@ object Similarity extends QueryPack {
       .withColumn("r", row_number().over(wr))
       .filter(col("r") <= geo.nProbe)
       .select(col("probe_id"), col("cell"))
-    val adc = subVecsOf(probes.select(col("probe_id"), col("p_emb").as("emb")),
-        "probe_id", m, subDim)
-      .select(col("probe_id"), col("sub"), col("sv").as("ps"))
-      .join(broadcast(ix.codebook), Seq("sub"))
-      .select(col("probe_id"), col("sub"), col("code_id"),
-        (graft.functions.Vec.dot(col("ps"), col("ps")) -
-          lit(2.0) * graft.functions.Vec.dot(col("ps"), col("cv")) +
-          graft.functions.Vec.dot(col("cv"), col("cv"))).as("pdist"))
-    val cand = ix.assigned.join(broadcast(routes), "cell")
-      .filter(col("vec_id") =!= col("probe_id"))
-      .select(col("probe_id"), col("vec_id"))
+    def pdistOf(ps: Column, cv: Column): Column =
+      graft.functions.Vec.dot(ps, ps) -
+        lit(2.0) * graft.functions.Vec.dot(ps, cv) +
+        graft.functions.Vec.dot(cv, cv)
     val wk = Window.partitionBy(col("probe_id")).orderBy(col("adc_dist"), col("vec_id"))
-    cand.join(ix.codes, "vec_id")
-      .join(broadcast(adc), Seq("probe_id", "sub", "code_id"))
+    def rankTail(scored: DataFrame): DataFrame = scored
       .groupBy(col("probe_id"), col("vec_id"))
       .agg(sum(col("pdist")).as("adc_dist"))
       .withColumn("rank", row_number().over(wk))
@@ -2218,6 +2446,44 @@ object Similarity extends QueryPack {
       .select(col("probe_id"), col("rank").cast("long").as("rank"),
         col("vec_id"), round(col("adc_dist"), 6).as("adc_dist"))
       .orderBy(col("probe_id"), col("rank"))
+    if (ix.layout == LayoutResidual) {
+      // Residual ADC (Jégou et al.'s IVF-ADC): a candidate in cell c
+      // stores its RESIDUAL's code, so the probe side must subtract
+      // the SAME centroid — the ADC table is keyed per routed CELL:
+      // pdist(probe, cell, sub, code) = ‖(p − c)_sub − cv‖². Still a
+      // broadcast: probes × nProbe cells × m × codes rows, every
+      // factor a constant. Candidates keep their cell so the glue
+      // join picks each candidate's own-cell table slice.
+      val probeRes = routes
+        .join(probes.select(col("probe_id"), col("p_emb")), Seq("probe_id"))
+        .join(broadcast(ix.cents.select(col("cell"), col("c_emb"))), Seq("cell"))
+        .select(col("probe_id"), col("cell"),
+          zip_with(col("p_emb"), col("c_emb"), (a, b) => a - b).as("emb"))
+      val adc = probeRes
+        .select(col("probe_id"), col("cell"),
+          posexplode(array((0 until m).map(i =>
+            slice(col("emb"), i * subDim + 1, subDim)): _*)).as(Seq("sub", "ps")))
+        .join(broadcast(ix.codebook), Seq("sub"))
+        .select(col("probe_id"), col("cell"), col("sub"), col("code_id"),
+          pdistOf(col("ps"), col("cv")).as("pdist"))
+      val cand = ix.assigned.join(broadcast(routes), "cell")
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("cell"), col("vec_id"))
+      rankTail(cand.join(ix.codes, "vec_id")
+        .join(broadcast(adc), Seq("probe_id", "cell", "sub", "code_id")))
+    } else {
+      val adc = subVecsOf(probes.select(col("probe_id"), col("p_emb").as("emb")),
+          "probe_id", m, subDim)
+        .select(col("probe_id"), col("sub"), col("sv").as("ps"))
+        .join(broadcast(ix.codebook), Seq("sub"))
+        .select(col("probe_id"), col("sub"), col("code_id"),
+          pdistOf(col("ps"), col("cv")).as("pdist"))
+      val cand = ix.assigned.join(broadcast(routes), "cell")
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"))
+      rankTail(cand.join(ix.codes, "vec_id")
+        .join(broadcast(adc), Seq("probe_id", "sub", "code_id")))
+    }
   }
 
   /** Maximum-inner-product search via the augmentation reduction
@@ -2429,7 +2695,8 @@ object Similarity extends QueryPack {
     "a29_embed_audit" -> ((s, d) => embedAudit(s, d)),
     "a30_serve_drift" -> ((s, d) => serveDrift(s, d)),
     "a31_compact_exec" -> ((s, d) => compactExec(s, d)),
-    "a32_rebuild_exec" -> ((s, d) => rebuildExec(s, d))
+    "a32_rebuild_exec" -> ((s, d) => rebuildExec(s, d)),
+    "a33_residual_rebuild" -> ((s, d) => residualRebuildExec(s, d))
   )
 
   /** a13's oracle: plain inner-product ranking (shared with a16). */
@@ -2775,6 +3042,138 @@ object Similarity extends QueryPack {
          |  round(t.mca - a.mcb, 6) + 0.0 AS cos_gain
          |FROM acted a LEFT JOIN after_t t USING (cell)
          |ORDER BY a.cell""".stripMargin,
+
+    // Independent re-derivation of the residual re-code arm: the same
+    // lifecycle state and Lloyd step as a32's oracle, plus the a17
+    // residual coding on BOTH sides of the move — codes against the
+    // build-time centroids, the ordered retrain, then codes against
+    // the moved centroids for exactly the flagged members. Agreement
+    // pins that the executor re-coded the ordered cells and nothing
+    // else (untouched cells' recount must read their before error).
+    "a33_residual_rebuild" -> {
+      val hi = PqM - 1
+      val sd = PqSubDim
+      def codeDist(sv: String, cv: String) =
+        s"list_dot_product($sv, $sv) - 2.0 * list_dot_product($sv, $cv) + list_dot_product($cv, $cv)"
+      s"""WITH v AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS emb,
+         |    vec_id % 4 = 1 AS is_delta
+         |  FROM embeddings),
+         |b AS (SELECT vec_id, emb FROM v WHERE NOT is_delta),
+         |cs AS (SELECT vec_id AS cell, emb AS c_emb
+         |  FROM (SELECT * FROM b ${centSel(Geo.nCentroids)}) t),
+         |assigned AS (
+         |  SELECT vec_id, is_delta, emb, cell FROM (
+         |    SELECT v.vec_id, v.is_delta, v.emb, c.cell,
+         |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |        list_dot_product(v.emb, c.c_emb) /
+         |          (sqrt(list_dot_product(v.emb, v.emb)) *
+         |           sqrt(list_dot_product(c.c_emb, c.c_emb))) DESC,
+         |        c.cell) AS crank
+         |    FROM v, cs c) t WHERE crank = 1),
+         |resid_b AS (
+         |  SELECT a.vec_id, a.cell, a.is_delta,
+         |    list_transform(generate_series(1, len(a.emb)),
+         |      i -> a.emb[i] - c.c_emb[i]) AS remb
+         |  FROM assigned a JOIN cs c USING (cell)),
+         |rseed AS (
+         |  SELECT vec_id, remb FROM resid_b WHERE NOT is_delta
+         |  ${hashTopKSql("rcent", Geo.nCentroids)}),
+         |rcb AS (
+         |  SELECT vec_id AS code_id, m AS sub,
+         |    remb[m*$sd+1 : m*$sd+$sd] AS cv
+         |  FROM rseed, unnest(generate_series(0, $hi)) AS t(m)),
+         |codes_b AS (
+         |  SELECT vec_id, sub, code_id, dist FROM (
+         |    SELECT r.vec_id, c.sub, c.code_id,
+         |      ${codeDist(s"r.remb[c.sub*$sd+1 : c.sub*$sd+$sd]", "c.cv")} AS dist,
+         |      row_number() OVER (PARTITION BY r.vec_id, c.sub ORDER BY
+         |        ${codeDist(s"r.remb[c.sub*$sd+1 : c.sub*$sd+$sd]", "c.cv")},
+         |        c.code_id) AS rr
+         |    FROM resid_b r, rcb c) t WHERE rr = 1),
+         |before_t AS (
+         |  SELECT cell,
+         |    CAST(sum(CASE WHEN NOT is_delta THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+         |    CAST(sum(CASE WHEN is_delta THEN 1 ELSE 0 END) AS BIGINT) AS n_delta
+         |  FROM assigned GROUP BY cell),
+         |acted AS (
+         |  SELECT *, CASE WHEN rk <= 3 THEN 'rebuild' ELSE 'keep' END AS action
+         |  FROM (SELECT *, row_number() OVER (ORDER BY
+         |      n_delta::DOUBLE / (n_base + n_delta) DESC, cell) AS rk
+         |    FROM before_t) t),
+         |mse_b AS (
+         |  SELECT a.cell, avg(k.dist) AS mb
+         |  FROM codes_b k JOIN assigned a USING (vec_id) GROUP BY a.cell),
+         |flagged AS (SELECT cell FROM acted WHERE action = 'rebuild'),
+         |members AS (
+         |  SELECT a.vec_id, a.emb, a.cell FROM assigned a
+         |  JOIN flagged f USING (cell)),
+         |meansx AS (
+         |  SELECT m.cell, t.i, avg(m.emb[t.i]) AS mu
+         |  FROM members m, unnest(generate_series(1, len(m.emb))) AS t(i)
+         |  GROUP BY m.cell, t.i),
+         |newcents AS (
+         |  SELECT cell, list(mu ORDER BY i) AS c_emb FROM meansx GROUP BY cell),
+         |reass AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT m.vec_id, n.cell,
+         |      row_number() OVER (PARTITION BY m.vec_id ORDER BY
+         |        list_dot_product(m.emb, n.c_emb) /
+         |          (sqrt(list_dot_product(m.emb, m.emb)) *
+         |           sqrt(list_dot_product(n.c_emb, n.c_emb))) DESC,
+         |        n.cell) AS crank
+         |    FROM members m, newcents n) t WHERE crank = 1),
+         |resid_a AS (
+         |  SELECT r.vec_id, r.cell,
+         |    list_transform(generate_series(1, len(m.emb)),
+         |      i -> m.emb[i] - n.c_emb[i]) AS remb
+         |  FROM reass r JOIN members m USING (vec_id)
+         |  JOIN newcents n ON r.cell = n.cell),
+         |codes_a AS (
+         |  SELECT vec_id, cell, sub, code_id, dist FROM (
+         |    SELECT r.vec_id, r.cell, c.sub, c.code_id,
+         |      ${codeDist(s"r.remb[c.sub*$sd+1 : c.sub*$sd+$sd]", "c.cv")} AS dist,
+         |      row_number() OVER (PARTITION BY r.vec_id, c.sub ORDER BY
+         |        ${codeDist(s"r.remb[c.sub*$sd+1 : c.sub*$sd+$sd]", "c.cv")},
+         |        c.code_id) AS rr
+         |    FROM resid_a r, rcb c) t WHERE rr = 1),
+         |chg AS (
+         |  SELECT a.vec_id,
+         |    max(CASE WHEN a.code_id <> b.code_id THEN 1 ELSE 0 END) AS chg
+         |  FROM codes_a a JOIN codes_b b
+         |    ON a.vec_id = b.vec_id AND a.sub = b.sub
+         |  GROUP BY a.vec_id),
+         |flag_roll AS (
+         |  SELECT k.cell, avg(k.dist) AS ma,
+         |    CAST(count(DISTINCT CASE WHEN g.chg = 1 THEN k.vec_id END)
+         |      AS BIGINT) AS n_recoded
+         |  FROM codes_a k JOIN chg g USING (vec_id)
+         |  GROUP BY k.cell),
+         |untouched_roll AS (
+         |  SELECT a.cell, avg(k.dist) AS ma, CAST(0 AS BIGINT) AS n_recoded
+         |  FROM codes_b k
+         |  JOIN assigned a USING (vec_id)
+         |  ANTI JOIN reass r ON k.vec_id = r.vec_id
+         |  GROUP BY a.cell),
+         |after_roll AS (
+         |  SELECT * FROM flag_roll UNION ALL SELECT * FROM untouched_roll),
+         |counts AS (
+         |  SELECT cell, CAST(count(*) AS BIGINT) AS n_after FROM (
+         |    SELECT a.vec_id, a.cell FROM assigned a
+         |    ANTI JOIN flagged f USING (cell)
+         |    UNION ALL SELECT vec_id, cell FROM reass)
+         |  GROUP BY cell)
+         |SELECT a.cell, a.n_base, a.n_delta, a.action,
+         |  coalesce(c.n_after, 0) AS n_after,
+         |  coalesce(t.n_recoded, 0) AS n_recoded,
+         |  round(m.mb, 6) AS mse_before,
+         |  round(t.ma, 6) AS mse_after
+         |FROM acted a
+         |LEFT JOIN mse_b m USING (cell)
+         |LEFT JOIN counts c USING (cell)
+         |LEFT JOIN after_roll t USING (cell)
+         |ORDER BY a.cell""".stripMargin
+    },
 
     // Independent re-derivation of the butterfly round: variance rank,
     // anti-sorted pairing, the 45° Givens combine, then the a19 deal

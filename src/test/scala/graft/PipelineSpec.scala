@@ -1749,6 +1749,168 @@ class PipelineSpec extends SparkSuite {
     assert(e.getMessage.contains("truncated"))
   }
 
+  test("residual-layout lifecycle: absorb codes residuals, rebuild re-codes exactly the flagged members, untouched codes byte-identical, layout survives publication") {
+    import graft.queries.{Similarity, AnnGeometry}
+    val geo = AnnGeometry()
+    val v = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .withColumn("nrm", graft.functions.Vec.norm(col("emb")))
+    // the same Gram-Schmidt drifted-cluster fixture as the raw-layout
+    // rebuild test: 150 arrivals along a direction orthogonal to every
+    // centroid with a 0.05 bias toward one, so rebuild has real work
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val cents0 = Similarity.hashTopK(v, "cent", geo.nCentroids)
+      .collect().map(_.getSeq[Double](1).toArray)
+    var dir = Array.tabulate(64)(j => math.sin(j + 1.0))
+    cents0.foreach { c => val p = dot(dir, c) / dot(c, c)
+      dir = dir.zip(c).map { case (x, y) => x - p * y } }
+    val dn = math.sqrt(dot(dir, dir))
+    val k0 = cents0.head; val k0n = math.sqrt(dot(k0, k0))
+    val driftDir = dir.zip(k0).map { case (x, y) => x / dn + 0.05 * y / k0n }
+    import spark.implicits._
+    val drifted = (0 until 150)
+      .map(i => (1000000L + i, driftDir.map(_ * (1.0 + 0.001 * i)).toSeq))
+      .toDF("vec_id", "emb")
+      .withColumn("nrm", graft.functions.Vec.norm(col("emb")))
+    val all = v.unionByName(drifted).localCheckpoint()
+
+    val built = Similarity.ivfPqResidualIndexOf(v, geo)
+    assert(built.layout === Similarity.LayoutResidual)
+    // absorb: the arrivals' codes must be RESIDUAL codes — if the
+    // absorb had coded raw vectors against the residual codebook, the
+    // delta code rows would differ (the drifted vectors are far from
+    // the origin; their residuals are not)
+    val grown = Similarity.ivfPqIndexDelta(built, drifted)
+    assert(grown.layout === Similarity.LayoutResidual)
+    assert(grown.codes.count() === built.codes.count() + 150L * 8L)
+    val rawCoded = {
+      // what the raw-layout branch WOULD have produced for the deltas
+      val ix2 = Similarity.IvfPqIndex(built.assigned, built.codes,
+        built.cents, built.codebook)
+      Similarity.ivfPqIndexDelta(ix2, drifted).codes
+        .filter(col("vec_id") >= 1000000L)
+    }
+    val deltaCodes = grown.codes.filter(col("vec_id") >= 1000000L)
+    assert(deltaCodes.exceptAll(rawCoded).count() > 0L,
+      "absorb coded raw vectors — the residual branch did not run")
+
+    // publish + reload: the layout survives the manifest round-trip;
+    // an unknown layout and a stale format version refuse by name
+    val srcDir = tempDir("ivfpq_residual_src")
+    Similarity.saveIvfPqIndex(grown, srcDir)
+    val loaded = Similarity.loadIvfPqIndex(spark, srcDir)
+    assert(loaded.layout === Similarity.LayoutResidual)
+    val mPath = java.nio.file.Paths.get(s"$srcDir/manifest.json")
+    val good = java.nio.file.Files.readString(mPath)
+    java.nio.file.Files.writeString(mPath,
+      good.replace("pq_residual", "pq_block"))
+    val eLayout = intercept[IllegalArgumentException](
+      Similarity.loadIvfPqIndex(spark, srcDir))
+    assert(eLayout.getMessage.contains("unknown layout"))
+    java.nio.file.Files.writeString(mPath,
+      good.replaceFirst("\"format_version\":\\d+", "\"format_version\":2"))
+    val eVer = intercept[IllegalArgumentException](
+      Similarity.loadIvfPqIndex(spark, srcDir))
+    assert(eVer.getMessage.contains("format_version"))
+    java.nio.file.Files.writeString(mPath, good)
+
+    // the residual serve's ADC arithmetic, cross-checked row by row:
+    // every served distance must equal Σ_sub ‖(probe − routed cell's
+    // centroid)_sub − cv(candidate's code)‖² recomputed from the
+    // frames — pins that the ADC table is keyed per routed CELL
+    val probes = Similarity.hashTopK(all, "probe", 5)
+      .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"), col("nrm").as("p_nrm"))
+    val served = Similarity.ivfPqServeProbes(loaded, probes, geo).localCheckpoint()
+    assert(served.groupBy(col("probe_id")).count()
+      .filter(col("count") =!= 3L).count() === 0L)
+    val expected = served.select(col("probe_id"), col("vec_id"), col("adc_dist"))
+      .join(probes, Seq("probe_id"))
+      .join(loaded.assigned.select(col("vec_id"), col("cell")), Seq("vec_id"))
+      .join(loaded.cents.select(col("cell"), col("c_emb")), Seq("cell"))
+      .join(loaded.codes.select(col("vec_id"), col("sub"), col("code_id")), Seq("vec_id"))
+      .join(loaded.codebook, Seq("sub", "code_id"))
+      .withColumn("ps", slice(
+        zip_with(col("p_emb"), col("c_emb"), (a, b) => a - b),
+        col("sub") * 8 + 1, lit(8)))
+      .withColumn("pd",
+        graft.functions.Vec.dot(col("ps"), col("ps")) -
+          lit(2.0) * graft.functions.Vec.dot(col("ps"), col("cv")) +
+          graft.functions.Vec.dot(col("cv"), col("cv")))
+      .groupBy(col("probe_id"), col("vec_id"), col("adc_dist"))
+      .agg(sum(col("pd")).as("recomputed"))
+    assert(expected.filter(
+      abs(col("adc_dist") - col("recomputed")) > 1e-6).count() === 0L,
+      "served residual ADC distance disagrees with the frame recomputation")
+
+    // rebuild on the published artifact: flagged members re-coded
+    // against the moved centroids, everyone else byte-identical
+    val policy = Similarity.compactPolicyOf(all, col("vec_id") >= 1000000L, geo)
+    val flagged = policy.filter(col("action") === "rebuild")
+      .select(col("cell")).collect().map(_.getLong(0)).toSet
+    assert(flagged.nonEmpty, "drifted cluster did not force a rebuild verdict")
+    val rebuilt = Similarity.rebuildCells(loaded, policy, all)
+    val flaggedIds = loaded.assigned
+      .filter(col("cell").isInCollection(flagged)).select(col("vec_id"))
+      .localCheckpoint()
+    def codesOf(ix: Similarity.IvfPqIndex, touched: Boolean) = {
+      val how = if (touched) "left_semi" else "left_anti"
+      ix.codes.join(flaggedIds, Seq("vec_id"), how)
+    }
+    assert(codesOf(rebuilt, false).exceptAll(codesOf(loaded, false)).count() === 0L)
+    assert(codesOf(loaded, false).exceptAll(codesOf(rebuilt, false)).count() === 0L)
+    assert(rebuilt.codes.count() === loaded.codes.count(),
+      "re-code lost or duplicated code rows")
+    val changedRows = codesOf(rebuilt, true).as("a")
+      .join(codesOf(loaded, true).as("b"),
+        col("a.vec_id") === col("b.vec_id") && col("a.sub") === col("b.sub"))
+      .filter(col("a.code_id") =!= col("b.code_id"))
+    assert(changedRows.count() > 0L,
+      "rebuild moved centroids but no flagged member's code changed")
+    // the codebook is FROZEN through a rebuild (re-seeding it is a
+    // full retrain, a different maintenance class)
+    assert(rebuilt.codebook.exceptAll(loaded.codebook).count() === 0L)
+    // the re-coded rows are exactly the residual coding against the
+    // NEW centroids — the plumbing proof that rebuildCells handed the
+    // kernel the rewritten cents and the members' AFTER cells
+    val members = all.select(col("vec_id"), col("emb"))
+      .join(rebuilt.assigned.filter(col("cell").isInCollection(flagged))
+        .select(col("vec_id"), col("cell")), Seq("vec_id"))
+    val expect = Similarity.residualCodes(members, rebuilt.cents, loaded.codebook)
+      .select(col("vec_id"), col("sub"), col("code_id"))
+    assert(codesOf(rebuilt, true).exceptAll(expect).count() === 0L)
+    assert(expect.exceptAll(codesOf(rebuilt, true)).count() === 0L)
+
+    // recall on the drifted cluster through the RESIDUAL serve: the
+    // re-coded index must not be worse than the stale one
+    val dProbes = drifted.limit(5)
+      .select(col("vec_id").as("probe_id"), col("emb").as("p_emb"), col("nrm").as("p_nrm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id")).orderBy(col("cos").desc, col("vec_id"))
+    val truth = all.crossJoin(broadcast(dProbes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("cos", graft.functions.Vec.dot(col("p_emb"), col("emb")) /
+        (col("p_nrm") * col("nrm")))
+      .withColumn("r", row_number().over(w)).filter(col("r") <= 3)
+      .select(col("probe_id"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(ix: Similarity.IvfPqIndex): Double = {
+      val got = Similarity.ivfPqServeProbes(ix, dProbes, geo).collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSet
+      (got & truth).size.toDouble / truth.size
+    }
+    val (rb, ra) = (recall(loaded), recall(rebuilt))
+    assert(ra >= rb, f"rebuild degraded drifted recall: $rb%.3f -> $ra%.3f")
+
+    // republish with the lineage bump; layout still travels
+    val dstDir = tempDir("ivfpq_residual_dst")
+    Similarity.saveIvfPqIndex(rebuilt, dstDir,
+      Similarity.ivfPqIndexVersion(srcDir) + 1)
+    assert(Similarity.ivfPqIndexVersion(dstDir) === 2L)
+    assert(Similarity.loadIvfPqIndex(spark, dstDir).layout ===
+      Similarity.LayoutResidual)
+  }
+
   test("rebuildAssignment survives a flagged cell emptying mid-loop: centroid restored, membership conserved, no NaN") {
     import graft.queries.Similarity
     import spark.implicits._
