@@ -2171,44 +2171,103 @@ object Similarity extends QueryPack {
     IvfPqIndex(asgC, codes, centsC, ix.codebook, ix.nextSegHint, ix.layout)
   }
 
+  /** The deterministic START direction for a32's planted drift —
+    * exact small-integer components ((i·37) mod 11 − 5), so both
+    * engines inline the identical literal. */
+  private val DriftSeedDir: Seq[Double] =
+    (0 until 64).map(i => ((i * 37) % 11 - 5).toDouble)
+
+  /** a32's planted drifted cluster (round 18; r17 verdict #4): a
+    * direction Gram-Schmidt-orthogonalized against EVERY coarse
+    * centroid plus a 0.05 bias toward the first — derived entirely
+    * IN-PLAN by arithmetic both engines reproduce (the spec's
+    * driver-side fixture, made oracle-checkable). The cluster lands
+    * in the first centroid's cell by construction (0.05 beats
+    * 0.05·cos(c₁,c_j) everywhere else) with assignment cosine pinned
+    * near 0.05, far below the cell's base cohesion — so a22's
+    * cosine-GAP arm fires on real data in the DuckDB-checked path,
+    * not only in ScalaTest. One planted row per vec_id % 9 == 1
+    * source id (ids offset by 1 000 000), all sharing the drift
+    * vector. Cost: 11 chained 1-row broadcast joins over the
+    * cells-sized seed frame + one corpus-filtered projection;
+    * checkpointed (tiny) so the GS chain runs once and the union
+    * children share no attribute ids. */
+  private def plantedDriftVecs(v: DataFrame, geo: AnnGeometry): DataFrame = {
+    val base = v.filter(pmod(col("vec_id"), lit(4L)) =!= 1L)
+    // seed rank k = the k-th smallest salted hash — a 10-row global
+    // window, bounded by nCentroids (declared in GLOBAL_WINDOW_OK)
+    val ranked = hashTopK(base, "cent", geo.nCentroids)
+      .withColumn("rk", row_number().over(Window.orderBy(
+        md5(concat(lit("cent|"), col("vec_id").cast("string")).cast("binary")),
+        col("vec_id"))))
+      .select(col("rk"), col("emb"))
+      .localCheckpoint()
+    var dir = v.sparkSession.range(1).select(typedLit(DriftSeedDir).as("d"))
+    for (k <- 1 to geo.nCentroids) {
+      val ck = ranked.filter(col("rk") === k).select(col("emb").as("ck"))
+      dir = dir.crossJoin(broadcast(ck))
+        .select(zip_with(col("d"), col("ck"), (x, y) =>
+          x - (graft.functions.Vec.dot(col("d"), col("ck")) /
+            graft.functions.Vec.dot(col("ck"), col("ck"))) * y).as("d"))
+    }
+    val c1 = ranked.filter(col("rk") === 1).select(col("emb").as("c1"))
+    val drift = dir.crossJoin(broadcast(c1))
+      .select(zip_with(col("d"), col("c1"), (x, y) =>
+        x / sqrt(graft.functions.Vec.dot(col("d"), col("d"))) +
+          lit(0.05) * y / sqrt(graft.functions.Vec.dot(col("c1"), col("c1"))))
+        .as("demb"))
+    v.filter(pmod(col("vec_id"), lit(9L)) === 1L)
+      .select((col("vec_id") + 1000000L).as("vec_id"))
+      .crossJoin(broadcast(drift))
+      .select(col("vec_id"), col("demb").as("emb"),
+        graft.functions.Vec.norm(col("demb")).as("nrm"))
+      .localCheckpoint()
+  }
+
   /** a32: the rebuild EXECUTION audit — a31's pattern applied to the
-    * other verdict arm. Build the delta-grown state (the same 1-in-4
-    * lifecycle split as a31), let the maintenance ORDER name the
-    * `rebuildK` most delta-heavy cells (rank by delta share, ties by
-    * cell id — on this geometrically-benign corpus a22's cos-gap arm
-    * stays quiet, so the audit pins the ordered set deterministically
-    * instead of relying on a threshold accident; a22/a31 already
-    * oracle-pin the POLICY, this operator audits the EXECUTOR), run
-    * [[rebuildAssignment]] (one Lloyd step), and report per cell what
-    * the window physically did: populations, the order, member count
+    * other verdict arm. Build the delta-grown state (a31's 1-in-4
+    * honest split PLUS [[plantedDriftVecs]]' drifted cluster — round
+    * 18 closed r17 verdict #4: the old fixture was geometrically
+    * benign, so a22's cos-gap arm stayed quiet and the oracle only
+    * ever saw rank-by-share rebuilds), decide with a22's REAL policy
+    * ([[policyFromStats]]: delta share AND assignment-cosine gap —
+    * the planted cluster trips the gap arm, honest delta-heavy cells
+    * read compact, light cells keep), EXECUTE the rebuild arm with
+    * [[rebuildAssignment]] (one Lloyd step over exactly the
+    * gap-flagged cells), and report per cell what the window
+    * physically did: populations, the policy's action, member count
     * and segment count after (RECOUNTED from the rewritten frames,
-    * not derived from the order — agreement with the oracle's
-    * independent re-derivation of the retrain arithmetic proves the
-    * executor moved exactly the ordered cells and nothing else), and
-    * the mean assignment cosine before/after (the k-means objective
-    * the retrain exists to improve; keep cells recount to their
-    * before value — byte-level passthrough proof). Scale shape: ONE
-    * corpus assignment pass (localCheckpointed, shared by the order,
-    * the rewrite seed and the recount), the retrain confined to the
-    * flagged members, cells-sized rollups and broadcast joins — raw
-    * vectors shuffle once (the member join). */
-  def rebuildExec(s: SparkSession, d: String, geo: AnnGeometry = Geo,
-                  rebuildK: Int = 3): DataFrame =
-    rebuildExecOf(vecs(s, d), pmod(col("vec_id"), lit(4L)) === 1L, geo, rebuildK)
+    * not derived from the policy — agreement with the oracle's
+    * independent re-derivation of the drift construction, the policy
+    * arms AND the retrain arithmetic proves the executor moved
+    * exactly the gap-triggered cells and nothing else), and the mean
+    * assignment cosine before/after (the k-means objective; keep AND
+    * compact cells recount to their before value — the rebuild
+    * executor must not touch a compact cell, that is a31's job).
+    * Scale shape: ONE corpus assignment pass (localCheckpointed,
+    * shared by the policy, the rewrite seed and the recount), the
+    * retrain confined to the flagged members, cells-sized rollups
+    * and broadcast joins — raw vectors shuffle once (the member
+    * join); the drift construction is 11 one-row broadcast joins. */
+  def rebuildExec(s: SparkSession, d: String, geo: AnnGeometry = Geo): DataFrame = {
+    val v = vecs(s, d)
+    val all = v.select(col("vec_id"), col("emb"), col("nrm"))
+      .unionByName(plantedDriftVecs(v, geo))
+    rebuildExecOf(all,
+      pmod(col("vec_id"), lit(4L)) === 1L || col("vec_id") >= 1000000L, geo)
+  }
 
   private[graft] def rebuildExecOf(v: DataFrame, isDelta: Column,
-                                   geo: AnnGeometry = Geo,
-                                   rebuildK: Int = 3): DataFrame = {
+                                   geo: AnnGeometry = Geo): DataFrame = {
     val (cents, asg) = deltaGrownState(v, isDelta, geo)
-    val before = asg.groupBy(col("cell"))
-      .agg(sum(when(!col("is_delta"), 1L).otherwise(0L)).as("n_base"),
-        sum(when(col("is_delta"), 1L).otherwise(0L)).as("n_delta"),
-        avg(col("c_cos")).as("mcb"))
-      .withColumn("rk", row_number().over(Window.orderBy(
-        (col("n_delta").cast("double") / (col("n_base") + col("n_delta"))).desc,
-        col("cell"))))
-      .withColumn("action",
-        when(col("rk") <= rebuildK, "rebuild").otherwise("keep"))
+    // the ACTION is a22's decision layer verbatim — the same
+    // policyFromStats the policy (a22), drift (a30) and compaction
+    // executor (a31) read, so the audit pins the executor against
+    // the policy's real trigger
+    val mcb = asg.groupBy(col("cell")).agg(avg(col("c_cos")).as("mcb"))
+    val before = policyFromStats(deltaStatsOf(asg))
+      .select(col("cell"), col("n_base"), col("n_delta"), col("action"))
+      .join(mcb, Seq("cell"))
     val assigned = asg.select(col("vec_id"), col("cell"),
       when(col("is_delta"), lit(1)).otherwise(lit(0)).as("seg"))
     val flagged = before.filter(col("action") === "rebuild").select(col("cell"))
@@ -2970,14 +3029,37 @@ object Similarity extends QueryPack {
     // members moved (or stayed), segments folded to base, keep cells
     // byte-level identical (their recounted mean cosine equals the
     // before value only if neither membership nor centroid changed).
-    "a32_rebuild_exec" ->
-      s"""WITH v AS (
-         |  SELECT vec_id, embedding::DOUBLE[] AS emb,
-         |    vec_id % 4 = 1 AS is_delta
-         |  FROM embeddings),
-         |b AS (SELECT vec_id, emb FROM v WHERE NOT is_delta),
-         |cs AS (SELECT vec_id AS cell, emb AS c_emb
-         |  FROM (SELECT * FROM b ${centSel(Geo.nCentroids)}) t),
+    "a32_rebuild_exec" -> {
+      // the Gram-Schmidt chain, one CTE per centroid rank — the
+      // drift construction the Spark side runs as 11 one-row joins
+      val gsChain = (1 to Geo.nCentroids).map { k =>
+        val prev = if (k == 1) "g0" else s"g${k - 1}"
+        s"""g$k AS (
+           |  SELECT list_transform(generate_series(1, 64),
+           |    i -> p.d[i] - (list_dot_product(p.d, c.c_emb) /
+           |      list_dot_product(c.c_emb, c.c_emb)) * c.c_emb[i]) AS d
+           |  FROM $prev p, (SELECT c_emb FROM csr WHERE rk = $k) c)"""
+          .stripMargin
+      }.mkString(",\n")
+      val driftLit = DriftSeedDir.map(x => s"$x").mkString("[", ", ", "]")
+      s"""WITH v0 AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |b0 AS (SELECT vec_id, emb FROM v0 WHERE vec_id % 4 <> 1),
+         |csr AS (SELECT vec_id AS cell, emb AS c_emb,
+         |    row_number() OVER (ORDER BY md5('cent|' || vec_id::VARCHAR), vec_id) AS rk
+         |  FROM b0 ${centSel(Geo.nCentroids)}),
+         |g0 AS (SELECT $driftLit::DOUBLE[] AS d),
+         |$gsChain,
+         |drift AS (
+         |  SELECT list_transform(generate_series(1, 64),
+         |    i -> g.d[i] / sqrt(list_dot_product(g.d, g.d))
+         |       + 0.05 * c.c_emb[i] / sqrt(list_dot_product(c.c_emb, c.c_emb))) AS d
+         |  FROM g${Geo.nCentroids} g, (SELECT c_emb FROM csr WHERE rk = 1) c),
+         |v AS (
+         |  SELECT vec_id, emb, vec_id % 4 = 1 AS is_delta FROM v0
+         |  UNION ALL
+         |  SELECT o.vec_id + 1000000, dr.d, true
+         |  FROM v0 o, drift dr WHERE o.vec_id % 9 = 1),
+         |cs AS (SELECT cell, c_emb FROM csr),
          |assigned AS (
          |  SELECT vec_id, is_delta, emb, cell, c_cos FROM (
          |    SELECT v.vec_id, v.is_delta, v.emb, c.cell,
@@ -2994,13 +3076,22 @@ object Similarity extends QueryPack {
          |  SELECT cell,
          |    CAST(sum(CASE WHEN NOT is_delta THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
          |    CAST(sum(CASE WHEN is_delta THEN 1 ELSE 0 END) AS BIGINT) AS n_delta,
+         |    round(sum(CASE WHEN is_delta THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+         |      AS delta_frac,
+         |    round(coalesce(
+         |      sum(CASE WHEN NOT is_delta THEN c_cos ELSE 0 END)
+         |        / nullif(sum(CASE WHEN NOT is_delta THEN 1 ELSE 0 END), 0)
+         |      - sum(CASE WHEN is_delta THEN c_cos ELSE 0 END)
+         |        / nullif(sum(CASE WHEN is_delta THEN 1 ELSE 0 END), 0),
+         |      0.0), 6) AS cos_gap,
          |    avg(c_cos) AS mcb
          |  FROM assigned GROUP BY cell),
          |acted AS (
-         |  SELECT *, CASE WHEN rk <= 3 THEN 'rebuild' ELSE 'keep' END AS action
-         |  FROM (SELECT *, row_number() OVER (ORDER BY
-         |      n_delta::DOUBLE / (n_base + n_delta) DESC, cell) AS rk
-         |    FROM before_t) t),
+         |  SELECT *, CASE
+         |    WHEN delta_frac > 0.2 AND cos_gap > 0.05 THEN 'rebuild'
+         |    WHEN delta_frac > 0.2 THEN 'compact'
+         |    ELSE 'keep' END AS action
+         |  FROM before_t),
          |flagged AS (SELECT cell FROM acted WHERE action = 'rebuild'),
          |members AS (
          |  SELECT a.vec_id, a.emb, a.cell FROM assigned a
@@ -3041,7 +3132,8 @@ object Similarity extends QueryPack {
          |  round(t.mca, 6) AS mean_cos_after,
          |  round(t.mca - a.mcb, 6) + 0.0 AS cos_gain
          |FROM acted a LEFT JOIN after_t t USING (cell)
-         |ORDER BY a.cell""".stripMargin,
+         |ORDER BY a.cell""".stripMargin
+    },
 
     // Independent re-derivation of the residual re-code arm: the same
     // lifecycle state and Lloyd step as a32's oracle, plus the a17
