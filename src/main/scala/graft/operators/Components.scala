@@ -90,11 +90,31 @@ object Components {
       // the checkpointed blocks, not a join
       val agg = sym.join(asNbr(labels), "nbr")
         .groupBy(col("node"))
-        .agg(min(col("lbl")).as("lbl"),
+        .agg(min(col("lbl")).as("nl"),
           min(when(col("nbr") === col("node"), col("lbl"))).as("prev"))
+      // POINTER DOUBLING (round 18, the sf30 third-decade catch):
+      // neighbor-only min propagation converges in O(diameter)
+      // rounds, and at 300 scale replicas the LSH star-edge graph's
+      // hub chains exceeded the 20-round bound (d9/p7 threw the
+      // loud-failure guard mid-capture). Each round now ALSO adopts
+      // the best label's OWN label — the standard shortcutting step:
+      // labels are node ids, so one labels⋈labels join keyed on the
+      // candidate label halves every label chain per round, and the
+      // fixpoint is reached in O(log diameter) rounds (the 20-round
+      // bound now covers diameters past 10⁶). The extra join is
+      // labels-sized and rides the same broadcast decision as the
+      // propagation join; the fixpoint itself is unchanged (labels
+      // stay monotone-decreasing within the component, minimum wins),
+      // so every oracle and spec equality holds as before.
+      val short = labels.select(col("node").as("nl"), col("lbl").as("ll"))
+      val agg2 = agg
+        .join(if (broadcastLabels) broadcast(short) else short, Seq("nl"), "left")
+        .select(col("node"),
+          least(col("nl"), coalesce(col("ll"), col("nl"))).as("lbl"),
+          col("prev"))
         .localCheckpoint()
-      converged = agg.filter(col("lbl") < col("prev")).isEmpty
-      labels = agg.select(col("node"), col("lbl"))
+      converged = agg2.filter(col("lbl") < col("prev")).isEmpty
+      labels = agg2.select(col("node"), col("lbl"))
       iter += 1
     }
     if (!converged)

@@ -81,7 +81,11 @@ BNLJ_OK = {
     "a20_index_drift", "a21_opq_rotate", "a22_compact_policy",
     "a23_filtered_knn", "a24_nprobe_sweep", "a25_nprobe_decide",
     "a26_adaptive_nprobe", "a27_opq_serve", "a28_serve_cost",
-    "a30_serve_drift", "a31_compact_exec", "d19_bloom_probe",
+    "a30_serve_drift", "a31_compact_exec",
+    # round 18: a32's action now comes from policyFromStats, whose
+    # global verdict is a 1-row broadcast aggregate crossJoined to the
+    # cells frame (the same attach a22/a30/a31 already declare)
+    "a32_rebuild_exec", "d19_bloom_probe",
     "m20_reshard_plan",
     "m23_shard_cost", "m24_retention_sizing", "p3_index_build",
     "p5_mix_build", "p7_dedup_cascade", "p9_release_gate",
@@ -133,8 +137,11 @@ GLOBAL_WINDOW_OK = {
     "q45_quantile_sketch": 4,
     "t28_quality_calibration": 4,
     # rebuild-order ranking over the CELLS-sized policy frame
-    # (nCentroids is a config constant)
+    # (nCentroids is a config constant). a32's rank window moved to
+    # a33 in round 18 (a32's action now comes from policyFromStats,
+    # window-free); the entry stays as headroom for plan drift.
     "a32_rebuild_exec": 1,
+    "a33_residual_rebuild": 1,
     # LOCF gap fill over the MONTHS-sized series frame (calendar-
     # bounded)
     "q38_gap_fill": 1,
