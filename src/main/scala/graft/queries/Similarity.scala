@@ -2358,12 +2358,16 @@ object Similarity extends QueryPack {
       .agg(sum(when(!col("is_delta"), 1L).otherwise(0L)).as("n_base"),
         sum(when(col("is_delta"), 1L).otherwise(0L)).as("n_delta"))
       // cells-sized global window, bounded by nCentroids (declared in
-      // plan_discipline's GLOBAL_WINDOW_OK) — a32's ordering rule
+      // plan_discipline's GLOBAL_WINDOW_OK) — a32's r17 ordering rule
       .withColumn("rk", row_number().over(Window.orderBy(
         (col("n_delta").cast("double") / (col("n_base") + col("n_delta"))).desc,
         col("cell"))))
       .withColumn("action",
         when(col("rk") <= rebuildK, "rebuild").otherwise("keep"))
+      // checkpointed (cells-sized) so the order is planned ONCE —
+      // without it each consumer (flagged, the final join) re-expands
+      // the rank window in the physical plan
+      .localCheckpoint()
     val mseB = codesB.join(asg.select(col("vec_id"), col("cell")), Seq("vec_id"))
       .groupBy(col("cell")).agg(avg(col("dist")).as("mb"))
     // EXECUTE both arms with the artifact kernels: geometry rewrite,
